@@ -1,0 +1,3 @@
+from . import scalar, text, vector
+
+__all__ = ["scalar", "text", "vector"]

@@ -1,0 +1,34 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Implemented with higher-order functions (zip_with / aggregate) so the dot
+products run inside the JVM with codegen — no Python, no UDF — and sum
+elements **in list order**, which makes results bit-deterministic and
+reproducible against an oracle that does the same (DuckDB list_dot_product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """Cast array<float> -> array<double> so both engines do double math."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

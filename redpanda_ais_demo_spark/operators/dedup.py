@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each algorithm):
+- exact: one hash-shuffle on the dedup key — Spark's partial aggregation
+  dedups map-side first, so the shuffle carries ~unique rows only.
+- exact n-gram Jaccard: inverted-index self-join on shingle (each posting
+  list co-located by shingle hash). Exact but O(sum of posting-list²) — the
+  *verifier*, not the scale path.
+- MinHash+LSH: per-doc signature (one narrow pass), then banding — docs
+  shuffle by (band, band-hash) so only same-bucket docs ever meet. This is
+  the 100 TB path: candidate generation is linear in corpus size.
+- SimHash: 64-bit signature per doc; near-dup = small Hamming distance;
+  banding over bit-chunks gives the same linear candidate generation.
+
+All hashing is Spark's xxhash64 (deterministic across runs/executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (min order_col) per duplicate group. X1."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle) pairs.
+
+    Docs with fewer than k tokens produce no shingles (guarded — sequence()
+    would otherwise descend).
+    """
+    toks = T.tokens(F.col(text_col))
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("w"))
+        .filter(F.size("w") >= k)
+        .select("id", F.explode(F.array_distinct(T.word_shingles(F.col("w"), k))).alias("shingle"))
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets via inverted-index self-join.
+
+    Returns (id_a, id_b, common, size_a, size_b, jaccard) with id_a < id_b
+    and jaccard >= threshold. Division is int/int -> double, bit-identical
+    to the DuckDB oracle.
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    xxhash64(seed_i || shingle). One aggregation, num_hashes min() columns —
+    all map-side partial, shuffle carries one row per doc. X2.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates.
+
+    Emits distinct (id_a, id_b), id_a < id_b. The bucket join shuffles on
+    (band, bucket-hash): linear-time candidate generation, no all-pairs.
+    """
+    rows = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("id", *band_cols)
+    buckets = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle → sign → band →
+    candidate join → exact-Jaccard verification of candidates only.
+
+    Output schema matches ``jaccard_pairs`` so LSH results are directly
+    comparable to (and testable against) the exact operator.
+    """
+    sh = doc_shingles(docs, id_col, text_col, k).cache()
+    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        cands.join(a, cands.id_a == F.col("a.id"))
+        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token hashes (X2 family).
+
+    For each bit position j, sum +1/-1 over tokens according to bit j of
+    xxhash64(token); sign of the sum is bit j of the fingerprint. Built from
+    explode + groupBy (map-side partial aggregation; one row per doc out).
+    """
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = hashed.groupBy("id").agg(*bit_aggs)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(fps: DataFrame, max_hamming: int = 12, bands: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Splits the 64-bit fingerprint into ``bands`` chunks; by pigeonhole, any
+    pair within distance < bands must share a chunk — the chunk equi-join
+    generates candidates linearly, then exact popcount verifies.
+    """
+    chunk = 64 // bands
+    mask = (1 << chunk) - 1
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

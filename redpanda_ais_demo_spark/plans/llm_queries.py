@@ -1,0 +1,311 @@
+"""Training-data pipeline query surface (BASELINE.json north star):
+deduplication, text analysis, fingerprinting, similarity search — over the
+``documents`` and ``embeddings`` tables.
+
+Exact operators carry DuckDB oracles; the sketch/LSH operators (MinHash,
+SimHash, hyperplane-LSH) are engine-internal (DuckDB lacks xxhash64) and
+are instead verified in tests against their exact counterparts
+(tests/test_llm_ops.py) — recall vs. the exact Jaccard / brute-force
+top-k on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..operators import dedup, multimodal, similarity
+from ..sources import load_table
+from .registry import query
+
+# --- Exact dedup (X1) ------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dups, text
+        FROM documents GROUP BY text
+    """,
+    tags=("dedup", "agg"),
+    doc="X1 — exact dedup by content: canonical row = min doc_id per text. "
+    "Map-side partial agg means the shuffle carries ~unique texts only.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
+    ).select("doc_id", "n_dups", "text")
+
+
+# --- Text analysis ---------------------------------------------------------
+
+
+@query(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
+    tags=("text", "fingerprint"),
+    doc="Document content fingerprint (md5). The rolling-hash/winnowing "
+    "variant is doc_rolling_fingerprint (engine-internal hash).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.md5_fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "doc_rolling_fingerprint",
+    oracle=None,  # xxhash64-based; engine-internal, unit-tested
+    tags=("text", "fingerprint"),
+    doc="Winnowing-style min-rolling-hash fingerprint over 4-token shingles.",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.rolling_hash_fingerprint(TXT.tokens(F.col("text"))).alias("fp"),
+    )
+
+
+@query(
+    "token_stats",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               (length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents
+    """,
+    tags=("text",),
+    doc="Token counting: whitespace tokens, distinct tokens, mean token "
+    "length — all built-in array functions, zero Python.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = TXT.n_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        TXT.distinct_tokens(F.col("text")).alias("n_distinct"),
+        ((F.length("text") - (nt - 1)) / nt).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stopwords,
+               len(list_filter(string_split(text, ' '),
+                               t -> list_contains(['the','a','of','and','to','in'], t)))
+                   / len(string_split(text, ' ')) AS stop_ratio,
+               len(list_distinct(string_split(text, ' ')))
+                   / len(string_split(text, ' ')) AS type_token_ratio
+        FROM documents
+    """,
+    tags=("text", "quality"),
+    doc="Quality scoring: stopword ratio + type/token ratio (lexical "
+    "diversity). Lambda filters run in codegen on both engines.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = TXT.n_tokens(F.col("text"))
+    sw = TXT.stopword_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        nt.alias("n_tokens"),
+        sw.alias("n_stopwords"),
+        (sw / nt).alias("stop_ratio"),
+        (TXT.distinct_tokens(F.col("text")) / nt).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+        SELECT doc_id, lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> list_contains(['the','a','of','and','to','in'], t)))
+                         / len(string_split(text, ' ')) >= 0.12
+                    THEN 'en' ELSE 'other' END AS predicted
+        FROM documents
+    """,
+    tags=("text", "langid"),
+    doc="Language-ID heuristic: stopword-density scoring (the n-gram "
+    "profile degenerates to stopword fraction on the synthetic corpus).",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = TXT.stopword_count(F.col("text")) / TXT.n_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.12, "en").otherwise("other").alias("predicted"),
+    )
+
+
+# --- Near-dup detection (X2) -----------------------------------------------
+
+_JACCARD_THRESHOLD = 0.5
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(w) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+           common / (sa.sz + sb.sz - common) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE common / (sa.sz + sb.sz - common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "join", "text"),
+    doc="X2 exact — near-dup pairs by 3-word-shingle Jaccard via "
+    "inverted-index self-join (shuffle on shingle; exact verifier for the "
+    "MinHash path).",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, "doc_id", "text", k=3)
+    return dedup.jaccard_pairs(sh, _JACCARD_THRESHOLD)
+
+
+@query(
+    "minhash_lsh_pairs",
+    # LSH is approximate in general, but candidates are verified with exact
+    # Jaccard, and at the driver's sf0.01 recall is verified 100% (pairs are
+    # bit-identical to ngram_jaccard_pairs — tests/test_llm_ops.py), so the
+    # exact oracle applies.
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "lsh", "scale-path"),
+    doc="X2 at scale — MinHash(64) + 16-band LSH candidate generation, "
+    "exact-Jaccard verification of candidates only. Same schema/threshold "
+    "as ngram_jaccard_pairs; recall measured in tests/test_llm_ops.py.",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=_JACCARD_THRESHOLD)
+
+
+@query(
+    "simhash_near_dups",
+    oracle=None,  # engine-internal hashing
+    tags=("dedup", "simhash", "scale-path"),
+    doc="X2 — SimHash-64 near-dup pairs (Hamming <= 12) with pigeonhole "
+    "banding for linear candidate generation.",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash(docs)
+    return dedup.simhash_pairs(fps, max_hamming=12)
+
+
+# --- Similarity search (X3) ------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=_COSINE_ORACLE,
+    tags=("similarity", "join", "bench"),
+    doc="X3 exact — brute-force cosine top-5 per vector; corpus broadcast, "
+    "JVM-side sequential dot products (bit-deterministic vs oracle).",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, k=5)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    tags=("similarity", "lsh", "scale-path"),
+    doc="X3 at scale — multi-table random-hyperplane LSH bucketing, exact "
+    "re-score of candidates. Linear candidate generation.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, k=5)
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+        SELECT vec_id, label,
+               round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                           list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2_norm,
+               round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+               round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+        FROM embeddings
+    """,
+    tags=("similarity", "scalar"),
+    doc="Per-vector stats: L2 norm (sequential dot), min/max (order-free).",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.to_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(V.norm(v), 6).alias("l2_norm"),
+        F.round(F.array_min(F.col("embedding")).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(F.col("embedding")).cast("double"), 6).alias("max_val"),
+    )
+
+
+# --- Multimodal plumbing (X4) ----------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle=None,  # mapInPandas pipeline; deterministic, checked in tests
+    tags=("multimodal", "pandas-udf"),
+    doc="X4 — binary-payload feature extraction through Arrow-batched "
+    "mapInPandas (decode kernel stubbed; plumbing real). Payloads are "
+    "synthesized from documents.text bytes.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.extract_features(assets).select(
+        "asset_id", "modality", "n_bytes", "sha256", "width", "height"
+    )

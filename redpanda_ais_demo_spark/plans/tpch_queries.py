@@ -1,0 +1,379 @@
+"""Relational/OLAP query surface over the TPC-H-ish star schema.
+
+The reference delegates all relational processing to ClickHouse SQL
+(SURVEY.md §2/§4); this module is the engine's general-purpose relational
+surface, exercising every operator class — multi-way joins, grouped and
+rolled-up aggregation, window top-k, semi/anti joins, set ops — with the
+physical plans a 100 TB deployment needs:
+
+- fact-side (lineitem/orders/events) never broadcast; dimension sides
+  (region/nation/customer/supplier/part) broadcast explicitly so the fact
+  table streams through map-side hash joins without a shuffle.
+- all measure aggregates use the exact integer-cents trick (see
+  plans/registry.py) so cross-engine doubles are bit-identical.
+- top-k uses ORDER BY + LIMIT → Spark plans TakeOrderedAndProject
+  (per-partition partial top-k, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import cents
+from ..sources import load_table
+from .registry import query
+
+
+def _money(col_expr, scale: int):
+    """Exact-cents sum of a k-decimal expression, back to double."""
+    return F.sum(F.round(col_expr * F.lit(scale), 0).cast("long")).cast("double") / F.lit(float(scale))
+
+
+# --- Q1: pricing summary (grouped multi-aggregate) -------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "groupby", "flagship", "bench"),
+    doc="TPC-H Q1 shape: scan-heavy grouped 8-aggregate — the canonical "
+    "map-side-partial-agg workload. Filter pushed to parquet; group keys are "
+    "low-cardinality so the final shuffle is tiny.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.col("l_quantity"), 100).alias("sum_qty"),
+            _money(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            _money(disc_price, 10000).alias("sum_disc_price"),
+            _money(charge, 1000000).alias("sum_charge"),
+            (F.sum(cents(F.col("l_quantity"))).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_qty"),
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_price"),
+            (F.sum(cents(F.col("l_discount"))).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- Q3: shipping priority (join + group + top-k) --------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-06-01'
+          AND l_shipdate > DATE '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "limit", "bench"),
+    doc="TPC-H Q3 shape: selective dim filter → fact join → grouped revenue → "
+    "top-k. customer (filtered) broadcasts; orders⋈lineitem co-shuffles on "
+    "orderkey; TakeOrderedAndProject for the limit.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("date"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("date"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- Q5: regional multi-way join -------------------------------------------
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=("join", "agg", "bench"),
+    doc="TPC-H Q5 shape: 6-way star join with a cross-dimension equality "
+    "(c_nationkey = s_nationkey). All dimensions broadcast; the only "
+    "shuffles are fact⋈orders co-partitioning and the final tiny groupBy.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+    )
+
+
+# --- Q10 shape: top customers by returned revenue --------------------------
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("join", "agg", "limit"),
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Window top-k per group ------------------------------------------------
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+        SELECT c_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT c_custkey, o_orderkey, o_totalprice, row_number() OVER (
+                PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM customer JOIN orders ON c_custkey = o_custkey
+        ) WHERE rn <= 3
+    """,
+    tags=("window", "join"),
+    doc="Top-3 orders per customer — ranked window partitioned on the join "
+    "key (high cardinality → no reducer hotspot at scale).",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- Semi / anti joins -----------------------------------------------------
+
+
+@query(
+    "anti_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "anti"),
+    doc="Left-anti join (NOT EXISTS). Spark plans BroadcastHashJoin LeftAnti.",
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "semi_customers_with_urgent_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "semi"),
+    doc="Left-semi join (EXISTS with correlated predicate).",
+)
+def semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# --- Set operations --------------------------------------------------------
+
+
+@query(
+    "setop_active_nations",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+    doc="UNION (distinct) of customer and supplier nation keys.",
+)
+def setop_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+@query(
+    "setop_customer_only_nations",
+    oracle="""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+    doc="EXCEPT — nations with customers but no suppliers.",
+)
+def setop_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return cust.distinct().subtract(supp.distinct())
+
+
+# --- Grouping sets / rollup ------------------------------------------------
+
+
+@query(
+    "rollup_order_status",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+    doc="ROLLUP hierarchy totals (status, priority) with NULL super-aggregate rows.",
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _money(F.col("o_totalprice"), 100).alias("total"),
+    )
+
+
+# --- Pivot-style conditional aggregation -----------------------------------
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+    doc="Pivot via conditional aggregation (portable form of groupBy().pivot()).",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def n_status(s):
+        return F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+
+    return orders.groupBy("o_orderpriority").agg(
+        n_status("O").alias("n_open"),
+        n_status("F").alias("n_filled"),
+        n_status("P").alias("n_partial"),
+    )
+
+
+# --- Part/brand stats (dim join + multi-agg) -------------------------------
+
+
+@query(
+    "brand_part_stats",
+    oracle="""
+        SELECT p_brand, count(*) AS n_items,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+               count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    tags=("join", "agg", "distinct"),
+    doc="Per-brand fact rollup with a count-distinct; part dim broadcasts.",
+)
+def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _money(F.col("l_quantity"), 100).alias("sum_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )

@@ -1,0 +1,46 @@
+"""Batch sources: the driver's deterministic parquet tables.
+
+Parquet is the engine's batch substrate (the reference has no file
+sources — its only wire format is Confluent-Avro Kafka; SURVEY.md §2.1).
+Reading through ``spark.read.parquet`` keeps predicate pushdown, column
+pruning and (on a real cluster) locality + dynamic partition pruning all
+in Catalyst's hands.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and truncate to a µs
+        # TimestampType (matching DuckDB's native µs TIMESTAMP semantics).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each parquet table as a temp view (for the SQL surface)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,42 @@
+"""The local mirror of the driver's t2 gate: every oracle-carrying registry
+query must match DuckDB exactly at sf0.001 (and the flagship ones at
+sf0.01, the driver's actual scale)."""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_ORACLE, SF_SMOKE
+from .oracle_utils import check_query
+
+
+def _oracle_names():
+    from redpanda_ais_demo_spark.plans import REGISTRY, get_queries
+
+    get_queries()
+    return sorted(name for name, spec in REGISTRY.items() if spec.oracle is not None)
+
+
+def _all_names():
+    from redpanda_ais_demo_spark.plans import get_queries
+
+    return sorted(get_queries())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_parity_smoke_sf(spark, name):
+    check_query(spark, name, SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", ["j1_dashboard_join", "q1_pricing_summary", "embedding_cosine_topk"])
+def test_oracle_parity_driver_sf(spark, name):
+    check_query(spark, name, SF_ORACLE)
+
+
+@pytest.mark.parametrize("name", _all_names())
+def test_query_runs_and_returns_rows(spark, name):
+    from redpanda_ais_demo_spark.plans import get_queries
+
+    df = get_queries()[name](spark, SF_SMOKE)
+    assert df.columns, name
+    df.limit(5).collect()  # runs without error
