@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: each query executes end-to-end into a noop sink
+(full plan runs, nothing materializes on the driver), after a session
+warm-up action so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from redpanda_ais_demo_spark.plans import get_queries  # noqa: E402
+from redpanda_ais_demo_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per workload class (scan-agg, join, window, distinct,
+# sessionize, dedup-exact, dedup-LSH, similarity, text, pandas-UDF).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "j1_dashboard_join",
+    "a1_total_ships",
+    "a2_moving_ships",
+    "w1_latest_per_key",
+    "topk_orders_per_customer",
+    "st_window_traffic",
+    "st_sessionize",
+    "brand_part_stats",
+    "dedup_exact_docs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dups",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "token_stats",
+    "text_quality",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    queries = get_queries()
+    # Warm up: JVM, codegen, parquet footer caches.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -173,7 +173,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return sums.select("id", fp.alias("simhash"))
 
 
-def simhash_pairs(fps: DataFrame, max_hamming: int = 12, bands: int = 8) -> DataFrame:
+def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
     Splits the 64-bit fingerprint into ``bands`` chunks; by pigeonhole, any

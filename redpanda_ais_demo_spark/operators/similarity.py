@@ -17,34 +17,66 @@ Dot products run JVM-side via higher-order functions (functions/vector.py)
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
 
-
-def _scored_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Cosine for each (a, b) pair sharing no key: caller supplies the join."""
-    return a.join(b, F.col("a.vid") != F.col("b.vid"))
+_TOPK_SCHEMA = "vec_id long, neighbor_id long, cos_sim double, rank long"
 
 
-def brute_force_topk(embeddings: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact top-k cosine neighbors per vector.
+def brute_force_topk(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector — broadcast-corpus design.
+
+    The corpus (ids + matrix) is broadcast to every executor; each Arrow
+    batch of query vectors is scored against it with one float64 matmul in
+    numpy (vectorized, no per-pair work). This is the canonical
+    "query batch × corpus" plan: the big side streams, the corpus rides the
+    broadcast, zero shuffle. For corpora beyond executor memory, shard the
+    corpus and union the per-shard top-k (same kernel), or switch to
+    ``lsh_topk``.
 
     Output: (vec_id, neighbor_id, cos_sim rounded to 6dp, rank). Rounding +
-    id tiebreak make ranks deterministic and oracle-stable.
+    neighbor-id tiebreak make ranks deterministic and oracle-stable.
     """
-    base = embeddings.select(F.col(id_col).alias("vid"), V.to_double(F.col(vec_col)).alias("v"))
-    a = base.select(F.col("vid").alias("vec_id"), F.col("v").alias("va"))
-    b = base.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(id_col, vec_col).toPandas()
+    c_ids = corpus[id_col].to_numpy(dtype=np.int64)
+    c_mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def topk_kernel(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q_norm = np.sqrt(np.einsum("ij,ij->i", q, q))
+            sims = (q @ mat.T) / (q_norm[:, None] * norms[None, :])
+            sims = np.round(sims, 6)
+            out_vec, out_nbr, out_sim, out_rank = [], [], [], []
+            for i in range(len(q_ids)):
+                row = sims[i].copy()
+                row[ids == q_ids[i]] = -np.inf  # exclude self
+                # primary: sim desc; tiebreak: neighbor id asc
+                order = np.lexsort((ids, -row))[:k]
+                out_vec.extend([q_ids[i]] * len(order))
+                out_nbr.extend(ids[order])
+                out_sim.extend(row[order])
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(out_vec, dtype=np.int64),
+                    "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
+                    "cos_sim": np.asarray(out_sim, dtype=np.float64),
+                    "rank": np.asarray(out_rank, dtype=np.int64),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(topk_kernel, _TOPK_SCHEMA)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -123,4 +155,7 @@ def lsh_topk(
         F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

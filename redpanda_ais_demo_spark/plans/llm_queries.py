@@ -86,8 +86,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = TXT.n_tokens(F.col("text"))
     return docs.select(
         "doc_id",
-        nt.alias("n_tokens"),
-        TXT.distinct_tokens(F.col("text")).alias("n_distinct"),
+        nt.cast("long").alias("n_tokens"),  # match DuckDB len() BIGINT
+        TXT.distinct_tokens(F.col("text")).cast("long").alias("n_distinct"),
         ((F.length("text") - (nt - 1)) / nt).alias("avg_token_len"),
     )
 
@@ -117,8 +117,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "n_chars",
-        nt.alias("n_tokens"),
-        sw.alias("n_stopwords"),
+        nt.cast("long").alias("n_tokens"),  # match DuckDB len() BIGINT
+        sw.cast("long").alias("n_stopwords"),
         (sw / nt).alias("stop_ratio"),
         (TXT.distinct_tokens(F.col("text")) / nt).alias("type_token_ratio"),
     )
@@ -210,13 +210,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_near_dups",
     oracle=None,  # engine-internal hashing
     tags=("dedup", "simhash", "scale-path"),
-    doc="X2 — SimHash-64 near-dup pairs (Hamming <= 12) with pigeonhole "
-    "banding for linear candidate generation.",
+    doc="X2 — SimHash-64 near-dup pairs (Hamming <= 5, calibrated so the "
+    "true Jaccard>=0.5 pairs all fall inside) with pigeonhole banding for "
+    "linear candidate generation.",
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash(docs)
-    return dedup.simhash_pairs(fps, max_hamming=12)
+    return dedup.simhash_pairs(fps, max_hamming=5)
 
 
 # --- Similarity search (X3) ------------------------------------------------

@@ -227,7 +227,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))  # match oracle BIGINT
         .filter(F.col("rn") <= 3)
     )
 
@@ -329,9 +329,9 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
         FROM orders GROUP BY o_orderpriority
     """,
     tags=("agg", "pivot"),

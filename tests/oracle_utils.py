@@ -53,6 +53,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> None:
     sp, du = _normalize(spark_pdf), _normalize(duck_pdf)
     assert list(sp.columns) == list(du.columns), f"{name}: columns {list(sp.columns)} != {list(du.columns)}"
+    # dtype-kind parity (int vs float vs object) — a proxy for the driver's
+    # schema check; int32-vs-int64 width differences are tolerated.
+    for c in sp.columns:
+        ka = spark_pdf[sorted(spark_pdf.columns)][c].dtype.kind
+        kb = duck_pdf[sorted(duck_pdf.columns)][c].dtype.kind
+        assert ka == kb, f"{name}: dtype kind mismatch on {c}: spark={ka} duck={kb}"
     assert len(sp) == len(du), f"{name}: row count {len(sp)} != {len(du)}"
     for c in sp.columns:
         a, b = sp[c].to_numpy(), du[c].to_numpy()
