@@ -80,6 +80,9 @@ def extract_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 
 def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFrame:
     """Run the multimodal feature pipeline over an asset table."""
+    from ..dist import ensure_shipped
+
+    ensure_shipped(assets.sparkSession)  # kernel is module-level → pickled by reference
     if partitions:
         assets = assets.repartition(partitions)
     return assets.mapInPandas(extract_features_batch, FEATURE_SCHEMA)

@@ -1,0 +1,184 @@
+"""Enrichment stage: position events → position-with-weather events.
+
+Re-expresses lib/consumer-and-producer-enrich-position-with-weather.py
+(SURVEY.md §3.2, operators U1/S8/F6/P5/P6) as:
+
+    mapInPandas(fetch weather per batch, cached)  ← the only Python hop
+      → from_json(WEATHER_RESPONSE)               (F6)
+      → error gate                                (P6)
+      → flatten + widen projection                (P5)
+
+The reference does one HTTPS round-trip per record, sequentially
+(throughput ceiling 0.28 ev/s, BASELINE.md). Here the lookup is
+vectorized per Arrow batch with an executor-local LRU keyed on rounded
+(lat, lon) — at 0.1° the Norwegian coast collapses to a few hundred keys,
+so nearly all lookups are cache hits; a token-bucket limiter honors the
+1000 req/hr quota per executor (ST7). The fetch function is injectable:
+tests use a deterministic stub; production would use an HTTP session per
+executor (created lazily inside the kernel — never pickled).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import OrderedDict
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import WEATHER_RESPONSE
+
+FetchFn = Callable[[float, float], str]
+
+
+def stub_weather_fetch(lat: float, lon: float) -> str:
+    """Deterministic offline stand-in for the WeatherAPI GET
+    (lib/weather.py:18-30). Produces the three response shapes the
+    reference's gates must handle (valid / error / missing keys) keyed on
+    the rounded coordinates, so gate behavior is testable without network.
+    """
+    key = int(round(lat * 10) + round(lon * 10))
+    if key % 19 == 0:
+        return json.dumps({"error": {"code": 1006, "message": "No matching location found."}})
+    if key % 23 == 0:
+        return json.dumps({"location": {"name": "Partial"}})  # missing "current" (P6)
+    conditions = ["Clear", "Partly cloudy", "Light rain", "Overcast", "Snow"]
+    dirs = ["N", "NNE", "NE", "ENE", "E", "SSW", "SW", "W", "NW", "NNW"]
+    return json.dumps(
+        {
+            "location": {"name": f"Locale{key % 97}", "region": f"Region{key % 11}", "country": "Norway"},
+            "current": {
+                "condition": {"text": conditions[key % len(conditions)]},
+                "temp_f": round(20.0 + (key % 600) / 10.0, 1),
+                "wind_mph": round((key % 400) / 10.0, 1),
+                "wind_dir": dirs[key % len(dirs)],
+            },
+        }
+    )
+
+
+class _TokenBucket:
+    """Per-executor rate limiter (ST7: 1000 req/hr quota, README.md:50)."""
+
+    def __init__(self, per_hour: int):
+        self.capacity = float(per_hour)
+        self.tokens = float(per_hour)
+        self.rate = per_hour / 3600.0
+        self.last = time.monotonic()
+
+    def acquire(self) -> None:
+        while True:
+            now = time.monotonic()
+            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= 1:
+                self.tokens -= 1
+                return
+            time.sleep(min(1.0, (1 - self.tokens) / self.rate))
+
+
+def weather_lookup_kernel(
+    fetch: FetchFn,
+    cache_size: int = 4096,
+    cache_decimals: int = 1,
+    max_per_hour: int | None = None,
+):
+    """Build the mapInPandas kernel: adds a ``wx_raw`` JSON column.
+
+    The LRU cache and limiter live in the closure — one instance per
+    Python worker process, shared across batches (the executor-local
+    singleton pattern, replacing the reference's process-global
+    connection singleton at lib/weather.py:8-16).
+    """
+    cache: OrderedDict[tuple[float, float], str] = OrderedDict()
+    bucket = _TokenBucket(max_per_hour) if max_per_hour else None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = list(
+                zip(
+                    pdf["lat"].round(cache_decimals).tolist(),
+                    pdf["lon"].round(cache_decimals).tolist(),
+                )
+            )
+            out = []
+            for k in keys:
+                if k in cache:
+                    cache.move_to_end(k)
+                    out.append(cache[k])
+                    continue
+                if bucket is not None:
+                    bucket.acquire()
+                resp = fetch(k[0], k[1])
+                cache[k] = resp
+                if len(cache) > cache_size:
+                    cache.popitem(last=False)
+                out.append(resp)
+            yield pdf.assign(wx_raw=out)
+
+    return kernel
+
+
+def enrich_with_weather(
+    positions: DataFrame,
+    fetch: FetchFn = stub_weather_fetch,
+    max_per_hour: int | None = None,
+) -> DataFrame:
+    """U1 end-to-end: lookup → parse (F6) → gate (P6) → flatten (P5).
+
+    Input: SHIP_POSITION-shaped DataFrame (batch or streaming).
+    Output: SHIP_POSITION_WITH_WEATHER-shaped DataFrame.
+    """
+    from ..dist import ensure_shipped
+
+    ensure_shipped(positions.sparkSession)  # kernel closure references this module
+    flat = positions.select(
+        "mmsi",
+        "status",
+        "timestamp",
+        F.col("location.lat").alias("lat"),
+        F.col("location.lon").alias("lon"),
+        "speed",
+        "heading",
+    )
+    lookup_schema = ", ".join(
+        [
+            "mmsi string",
+            "status string",
+            "timestamp long",
+            "lat double",
+            "lon double",
+            "speed int",
+            "heading int",
+            "wx_raw string",
+        ]
+    )
+    with_raw = flat.mapInPandas(weather_lookup_kernel(fetch, max_per_hour=max_per_hour), lookup_schema)
+    parsed = with_raw.withColumn("wx", F.from_json(F.col("wx_raw"), WEATHER_RESPONSE))
+    # P6 — drop API errors and responses missing required keys
+    # (consumer-and-producer-enrich-position-with-weather.py:42-50)
+    gated = parsed.filter(
+        F.col("wx.error").isNull()
+        & F.col("wx.location").isNotNull()
+        & F.col("wx.current").isNotNull()
+    )
+    # P5 — flatten + widen (consumer...py:72-87)
+    return gated.select(
+        "mmsi",
+        "status",
+        "speed",
+        "heading",
+        "timestamp",
+        "lat",
+        "lon",
+        F.col("wx.location.name").alias("locale"),
+        F.col("wx.location.region").alias("region"),
+        F.col("wx.location.country").alias("country"),
+        F.col("wx.current.condition.text").alias("condition"),
+        F.col("wx.current.temp_f").alias("temp_f"),
+        F.col("wx.current.wind_mph").alias("wind_mph"),
+        F.col("wx.current.wind_dir").alias("wind_dir"),
+    )

@@ -1,0 +1,98 @@
+"""LLM-data-pipeline operator tests: LSH recall vs exact operators,
+SimHash coverage, multimodal plumbing, fingerprint determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from redpanda_ais_demo_spark.operators import dedup, multimodal, similarity
+from redpanda_ais_demo_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = dedup.doc_shingles(docs)
+    exact = _pairs(dedup.jaccard_pairs(sh, 0.5))
+    lsh = _pairs(dedup.minhash_dedup_pairs(docs, threshold=0.5))
+    assert exact, "fixture should contain near-dup pairs"
+    # verification step makes LSH ⊆ exact; recall must be high (calibrated 1.0)
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_covers_true_near_dups(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = dedup.doc_shingles(docs)
+    exact = _pairs(dedup.jaccard_pairs(sh, 0.5))
+    fps = dedup.simhash(docs)
+    sim = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(fps, max_hamming=5).collect()}
+    # SimHash is a coarser filter than MinHash: calibrated coverage at
+    # Hamming<=5 is 25/28 (sf0.001) / 25/25 (sf0.01) with ~3x false-candidate
+    # overhead; raising the threshold to 10 reaches 100% at 45x overhead.
+    assert len(exact & sim) / len(exact) >= 0.85
+
+
+def test_exact_dedup_keeps_min_order_row(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b"), (5, "a")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df, ["text"], "doc_id").collect()
+    assert {(r.text, r.doc_id) for r in out} == {("a", 1), ("b", 2)}
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from redpanda_ais_demo_spark.functions import text as T
+
+    fp1 = docs.select("doc_id", T.rolling_hash_fingerprint(T.tokens(F.col("text"))).alias("fp"))
+    fp2 = docs.select("doc_id", T.rolling_hash_fingerprint(T.tokens(F.col("text"))).alias("fp"))
+    assert sorted(fp1.collect()) == sorted(fp2.collect())
+    # identical texts → identical fingerprints
+    same = spark.createDataFrame([("x y z w q",), ("x y z w q",)], "text string")
+    vals = same.select(T.rolling_hash_fingerprint(T.tokens(F.col("text"))).alias("fp")).collect()
+    assert vals[0].fp == vals[1].fp
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-uniform random embeddings are LSH's worst case; defaults are
+    # calibrated to ~0.69 recall at sf0.001 (clustered real-world
+    # embeddings fare far better; IVF is the alternative scale path)
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_multimodal_pipeline_plumbing(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    assets = multimodal.assets_from_documents(docs)
+    feats = multimodal.extract_features(assets, partitions=4)
+    rows = feats.collect()
+    assert len(rows) == 20
+    # schema contract
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    # sha256 must equal a driver-side recomputation on the same payload
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        expected = hashlib.sha256(texts[r.asset_id].encode()).hexdigest()
+        assert r.sha256 == expected
+        assert r.n_bytes == len(texts[r.asset_id].encode())
+        assert 64 <= r.width <= 255 and 64 <= r.height <= 255
+    # deterministic fake embedding has the declared shape
+    feat_rows = feats.select("feature").limit(1).collect()
+    assert len(feat_rows[0].feature) == 8
