@@ -20,10 +20,21 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from ..functions import vector as V
+from pyspark.sql import types as T
 
 _TOPK_SCHEMA = "vec_id long, neighbor_id long, cos_sim double, rank long"
+
+
+# explicit DataType (not DDL string): importable without an active SparkContext
+@F.pandas_udf(T.DoubleType())
+def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized pairwise cosine for candidate re-scoring: one
+    einsum per batch instead of per-element expression interpretation."""
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(np.einsum("ij,ij->i", B, B))
+    return pd.Series(num / den)
 
 
 def brute_force_topk(
@@ -79,25 +90,114 @@ def brute_force_topk(
     return embeddings.select(id_col, vec_col).mapInPandas(topk_kernel, _TOPK_SCHEMA)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 8,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF coarse quantization.
+
+    Train: sample ≤``sample_size`` vectors to the driver, run a few
+    spherical k-means iterations in numpy, broadcast the centroids
+    (n_centroids × dim — tiny at any corpus scale).
+    Index: one narrow pass assigns each corpus vector to its nearest
+    centroid (list id). Search: each query probes its ``n_probe`` nearest
+    centroids; candidates = corpus vectors in those lists (a shuffle join
+    on list id); exact cosine re-scores candidates.
+
+    Scan fraction ≈ n_probe / n_centroids of the corpus per query —
+    the knob that trades recall for cost. On clustered real-world
+    embeddings recall is near-1 at small n_probe; on uniform random data
+    (the fixture) recall ≈ scan fraction + ε. Same output schema as
+    ``brute_force_topk``.
+    """
+    spark = embeddings.sparkSession
+    from ..dist import ensure_shipped
+
+    ensure_shipped(spark)
+    base = embeddings.select(id_col, vec_col)
+    sample = base.limit(sample_size).toPandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                centroids[c] = m / np.linalg.norm(m)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def corpus_assign(batches):
+        C = bc.value
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "list_id": np.argmax(Vn @ C.T, axis=1).astype(np.int32)}
+            )
+
+    def query_probe(batches):
+        C = bc.value
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            order = np.argsort(-(Vn @ C.T), axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy().repeat(n_probe),
+                    "list_id": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    # Candidate generation carries only (id, list_id) — never the payload;
+    # vectors are attached once, for the final re-score join.
+    corpus = base.mapInPandas(corpus_assign, "id long, list_id int")
+    queries = base.mapInPandas(query_probe, "id long, list_id int")
+    cands = (
+        queries.withColumnRenamed("id", "vec_id")
+        .join(corpus.withColumnRenamed("id", "neighbor_id"), "list_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    return _rescore_topk(base, cands, k, id_col, vec_col)
+
+
+def _rescore_topk(base: DataFrame, cand_pairs: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Attach vectors to candidate id-pairs and take exact-cosine top-k.
+
+    Shared tail of every ANN path: the pair list is narrow (two longs), the
+    payload joins happen exactly once per side, re-scoring is one Arrow
+    batch einsum (cosine_batch).
+    """
+    va = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv"))
+    vb = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand_pairs.join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine_batch(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
-
-
-def _bucket_col(vec_col, planes: np.ndarray):
-    """Sign-bit bucket id of a vector against a set of hyperplanes.
-
-    Pure column expression: dot(vec, plane) > 0 -> bit. No UDF; the plane
-    constants fold into the plan (broadcast-as-literal, fine for <=32
-    planes x 1k dims).
-    """
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(V.dot(vec_col, arr) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, j)
-    return bucket
 
 
 def lsh_topk(
@@ -120,23 +220,38 @@ def lsh_topk(
     clustered real-world embeddings do far better). More planes → smaller
     buckets → cheaper but lower recall.
     """
+    spark = embeddings.sparkSession
+    from ..dist import ensure_shipped
+
+    ensure_shipped(spark)
     first = embeddings.select(F.col(vec_col).alias("v")).first()
     dim = len(first["v"])
-    base = embeddings.select(F.col(id_col).alias("vid"), V.to_double(F.col(vec_col)).alias("v"))
-    tables = []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        tables.append(
-            base.select(
-                "vid",
-                "v",
-                F.lit(t).alias("table"),
-                _bucket_col(F.col("v"), planes).alias("bucket"),
+    base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # All tables' hyperplanes in one (T*P, dim) matrix; bucket ids for every
+    # table come out of a single matmul + bit-pack per Arrow batch.
+    planes_all = np.concatenate(
+        [hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)]
+    )
+    bits_weight = (1 << np.arange(n_planes)).astype(np.int64)
+    bc = spark.sparkContext.broadcast(planes_all)
+
+    def bucketize(batches):
+        P = bc.value
+        for pdf in batches:
+            Vm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            signs = (Vm @ P.T) > 0  # (n, T*P)
+            n = len(pdf)
+            buckets = signs.reshape(n, n_tables, n_planes) @ bits_weight  # (n, T)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy().repeat(n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
             )
-        )
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+
+    # id-only candidate generation: the payload never rides the bucket join
+    bucketed = base.mapInPandas(bucketize, "vid long, table int, bucket long")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cands = (
@@ -146,21 +261,7 @@ def lsh_topk(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vid") != F.col("b.vid")),
         )
-        .select(
-            F.col("a.vid").alias("vec_id"),
-            F.col("b.vid").alias("neighbor_id"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["vec_id", "neighbor_id"])
+        .select(F.col("a.vid").alias("vec_id"), F.col("b.vid").alias("neighbor_id"))
+        .distinct()
     )
-    scored = cands.select(
-        "vec_id",
-        "neighbor_id",
-        F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rescore_topk(embeddings.select(id_col, vec_col), cands, k, id_col, vec_col)

@@ -267,6 +267,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    tags=("similarity", "ivf", "scale-path"),
+    doc="X3 at scale — IVF coarse quantization (spherical k-means "
+    "centroids broadcast; corpus assigned to inverted lists in one narrow "
+    "pass; queries probe n_probe lists; numpy re-score). Scan fraction "
+    "n_probe/n_centroids of the corpus per query.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=5)
+
+
+@query(
     "embedding_stats",
     oracle="""
         SELECT vec_id, label,
