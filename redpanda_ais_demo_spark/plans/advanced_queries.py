@@ -1,0 +1,207 @@
+"""Advanced relational operators beyond the reference's own surface:
+as-of join, range join, exact quantiles, deterministic dispersion stats,
+grouping sets via the SQL API. These close out the operator classes a
+general analytics engine needs (the reference delegates all of this to
+ClickHouse SQL, SURVEY.md §2/§4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table, register_views
+from .registry import query
+
+# --- As-of join ------------------------------------------------------------
+
+
+@query(
+    "asof_last_order_per_event",
+    oracle="""
+        SELECT event_id, user_id, o_orderkey AS last_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate
+        FROM (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
+    """,
+    tags=("join", "asof", "window"),
+    doc="As-of join (Spark has no native one — pyspark guide pattern): for "
+    "each event, the user's most recent order at event time. Implemented "
+    "as its canonical composition: inequality join + per-event "
+    "row_number()=1 with a deterministic tiebreak. At scale the join "
+    "co-partitions on the equality key (user), so the window never "
+    "crosses partitions.",
+)
+def asof_last_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = events.join(
+        orders,
+        (events.user_id == orders.o_custkey) & (orders.o_orderdate <= events.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+        )
+    )
+
+
+# --- Range join (band classification) --------------------------------------
+
+_BANDS = [
+    (0, 0.0, 10.0, "low"),
+    (1, 10.0, 50.0, "mid"),
+    (2, 50.0, 200.0, "high"),
+    (3, 200.0, 1e9, "extreme"),
+]
+
+
+@query(
+    "range_join_value_bands",
+    oracle="""
+        WITH bands(band_id, lo, hi, label) AS (
+            VALUES (0, 0.0, 10.0, 'low'), (1, 10.0, 50.0, 'mid'),
+                   (2, 50.0, 200.0, 'high'), (3, 200.0, 1000000000.0, 'extreme')
+        )
+        SELECT label, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY label
+    """,
+    tags=("join", "range"),
+    doc="Range (interval) join: classify events into value bands via an "
+    "inequality join against a tiny broadcast dimension — the band table "
+    "is a nested-loop broadcast join (rows x 4), which Catalyst plans as "
+    "BroadcastNestedLoopJoin; at any scale the fact side streams.",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double, label string")
+    return (
+        events.join(
+            F.broadcast(bands),
+            (events.value >= bands.lo) & (events.value < bands.hi),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+# --- Exact quantiles -------------------------------------------------------
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg", "quantile"),
+    doc="Exact interpolated percentiles per group (Spark percentile() == "
+    "DuckDB quantile_cont, both linear interpolation). The approximate "
+    "scale path is value_percentiles_approx (t-digest style sketch).",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "value_percentiles_approx",
+    oracle=None,  # sketch-based, approximate by design
+    tags=("agg", "quantile", "approx", "scale-path"),
+    doc="Percentiles at 100 TB: percentile_approx sketch (mergeable, "
+    "single pass, bounded memory) — no global sort, no exact buffer.",
+)
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+
+
+# --- Deterministic dispersion stats ----------------------------------------
+
+
+@query(
+    "order_price_dispersion",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS mean_price,
+               round(sqrt((count(*) * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                            - CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE))
+                           / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) / 100.0, 4) AS stddev_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "stats"),
+    doc="Sample standard deviation via exact integer sums-of-squares "
+    "(sqrt((n*Σx²−(Σx)²)/(n(n−1)))): order-independent, bit-deterministic "
+    "cross-engine — unlike naive stddev whose partial-merge order drifts.",
+)
+def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    n = F.count("*")
+    s1 = F.sum(c).cast("double")
+    s2 = F.sum(c * c).cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        (F.sum(c).cast("double") / F.lit(100.0) / F.count("*")).alias("mean_price"),
+        F.round(
+            F.sqrt((n * s2 - s1 * s1) / (n.cast("double") * (n - 1))) / F.lit(100.0), 4
+        ).alias("stddev_price"),
+    )
+
+
+# --- Grouping sets through the SQL API -------------------------------------
+
+
+@query(
+    "grouping_sets_sql",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "groupingsets", "sql-api"),
+    doc="GROUPING SETS issued through spark.sql() — exercises the engine's "
+    "SQL surface (parser → analyzer → same Catalyst plan as the DataFrame "
+    "path, SURVEY.md §3.3).",
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

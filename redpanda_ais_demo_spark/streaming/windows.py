@@ -1,0 +1,94 @@
+"""Event-time streaming analytics the reference lacks entirely
+(SURVEY.md §2.9 ST6: "no watermarks, no event-time windows, no dedup" —
+every at-least-once redelivery double-counts in its metrics). These are
+the correctness upgrades, built on Structured Streaming's watermarking:
+
+- tumbling-window traffic aggregation (bounded state, late data dropped
+  after the watermark),
+- session windows per ship (gap-based voyage segmentation),
+- streaming dedup within the watermark (makes the MVs idempotent under
+  redelivery).
+
+All operate on SHIP_POSITION(-ish) streams whose ``timestamp`` is epoch
+seconds; event time is derived once via timestamp_seconds. State scales
+with (keys x open windows), not with stream length — the 100 TB-stream
+property the reference's append-everything Memory MVs lack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, epoch_col: str = "timestamp") -> DataFrame:
+    return df.withColumn("event_time", F.timestamp_seconds(F.col(epoch_col)))
+
+
+def traffic_by_window(
+    positions: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Ships/reports per tumbling window and status (streaming counterpart
+    of the batch st_window_traffic declared query)."""
+    return (
+        with_event_time(positions)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("status"))
+        .agg(
+            F.count("*").alias("n_reports"),
+            F.approx_count_distinct("mmsi").alias("n_ships"),
+            F.avg("speed").alias("avg_speed"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "status",
+            "n_reports",
+            "n_ships",
+            "avg_speed",
+        )
+    )
+
+
+def voyage_sessions(
+    positions: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based voyage segmentation per ship via session_window — the
+    streaming form of the batch st_sessionize declared query."""
+    return (
+        with_event_time(positions)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), F.col("mmsi"))
+        .agg(
+            F.count("*").alias("n_reports"),
+            F.min("timestamp").alias("started"),
+            F.max("timestamp").alias("ended"),
+        )
+        .select(
+            "mmsi",
+            F.col("session_window.start").alias("session_start"),
+            "n_reports",
+            (F.col("ended") - F.col("started")).alias("duration_sec"),
+        )
+    )
+
+
+def dedup_stream(
+    positions: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Drop at-least-once redeliveries: state bounded by the watermark
+    horizon (dropDuplicatesWithinWatermark), so replayed Kafka offsets
+    can't double-count A1/A2 (the reference's ST6 flaw)."""
+    keys = keys or ["mmsi", "timestamp"]
+    return (
+        with_event_time(positions)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("event_time")
+    )

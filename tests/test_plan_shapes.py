@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: the physical plans the 100 TB design
+depends on must not silently degrade — broadcast joins stay broadcast,
+filters stay pushed into the parquet scan, limits stay TakeOrdered,
+aggregates stay partial+final."""
+
+from __future__ import annotations
+
+import pytest
+
+from redpanda_ais_demo_spark.plans import get_queries
+
+from .conftest import SF_SMOKE
+
+
+def _physical_plan(spark, name: str) -> str:
+    df = get_queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_j1_broadcasts_dimension_and_takes_ordered(spark):
+    plan = _physical_plan(spark, "j1_dashboard_join")
+    assert "BroadcastHashJoin" in plan  # dimension must never shuffle the fact side
+    assert "TakeOrderedAndProject" in plan  # ORDER BY+LIMIT → partial top-k, no global sort
+    # the non-empty-name filter must reach the dimension's parquet scan
+    assert "Not(EqualTo(c_name,))" in plan
+
+
+def test_q1_pushes_filter_and_partial_aggregates(spark):
+    plan = _physical_plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate pushdown to parquet
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    # column pruning: props-free fact read (only the 7 needed columns)
+    assert "l_comment" not in plan
+
+
+def test_q5_all_dimensions_broadcast(spark):
+    plan = _physical_plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4  # cust/supp/nation/region ride broadcasts
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = _physical_plan(spark, "range_join_value_bands")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny band table, fact streams
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _physical_plan(spark, "f6_json_extract")
+    # only event_id + props should be read from the events scan
+    assert "ReadSchema: struct<event_id:bigint,props:string>" in plan
+
+
+def test_distinct_agg_is_two_phase(spark):
+    plan = _physical_plan(spark, "a1_total_ships")
+    assert plan.count("HashAggregate") >= 3  # partial-distinct / merge / final
+    # formatted explain prints each node twice (tree + detail); count tree nodes
+    assert plan.count("+- Exchange") <= 2  # distinct repartition + single-partition final
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "j1_dashboard_join"])
+def test_whole_stage_codegen_active(spark, name):
+    # Under AQE the pre-execution adaptive plan reports 0 codegen subtrees;
+    # disable it for the inspection so the final plan is visible up front.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = get_queries()[name](spark, SF_SMOKE)
+        codegen = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "Found 0 WholeStageCodegen subtrees" not in codegen

@@ -1,0 +1,61 @@
+"""Event-time streaming operator tests: watermarked tumbling windows,
+session windows, and within-watermark dedup over an AIS-shaped file
+stream (complete/update modes so results are assertable without
+advancing the watermark past every window)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpanda_ais_demo_spark.schemas import AIS_DECODED
+from redpanda_ais_demo_spark.streaming import ingest, windows
+
+from .ais_fixtures import decoded_messages
+
+
+@pytest.fixture
+def position_stream(spark, tmp_path):
+    path = str(tmp_path / "decoded_w")
+    decoded_messages(spark).coalesce(1).write.mode("overwrite").parquet(path)
+    return ingest.route_positions(spark.readStream.schema(AIS_DECODED).parquet(path))
+
+
+def _run_to_memory(df, name, mode):
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_traffic_by_window_streaming(spark, position_stream):
+    _run_to_memory(windows.traffic_by_window(position_stream), "traffic_w", "complete")
+    rows = spark.table("traffic_w").collect()
+    assert rows, "windowed aggregation produced no rows"
+    # fixture positions span 1700000000..1700000120 → one or two 10-min windows
+    total_reports = sum(r.n_reports for r in rows)
+    batch_positions = ingest.route_positions(decoded_messages(spark)).count()
+    assert total_reports == batch_positions
+    assert all(r.window_end > r.window_start for r in rows)
+
+
+def test_voyage_sessions_streaming(spark, position_stream):
+    _run_to_memory(windows.voyage_sessions(position_stream, gap="5 minutes"), "sessions_w", "complete")
+    rows = spark.table("sessions_w").collect()
+    # ship 1 reports at 0/60/120s gaps → single session of 3 reports
+    ship1 = [r for r in rows if r.mmsi == "257000001"]
+    assert len(ship1) == 1 and ship1[0].n_reports == 3
+    assert ship1[0].duration_sec == 120
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    path = str(tmp_path / "decoded_dup")
+    base = decoded_messages(spark)
+    # simulate at-least-once redelivery: the same batch written twice
+    base.coalesce(1).write.mode("overwrite").parquet(path)
+    base.coalesce(1).write.mode("append").parquet(path)
+    stream = ingest.route_positions(spark.readStream.schema(AIS_DECODED).parquet(path))
+    deduped = windows.dedup_stream(stream)
+    _run_to_memory(deduped, "dedup_w", "append")
+    got = spark.table("dedup_w").count()
+    want = ingest.route_positions(base).count()
+    assert got == want, f"redelivered rows not deduped: {got} != {want}"
