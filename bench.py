@@ -57,15 +57,24 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     queries = get_queries()
-    # Warm up: JVM, codegen, parquet footer caches.
+    # Warm up: JVM, codegen, parquet footer caches — and the Arrow/Python
+    # worker pool, so daemon spin-up isn't billed to the first pandas-UDF
+    # query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").selectExpr("sum(id)").collect()
 
+    # Two timed runs per query, report the min: first-touch costs (parquet
+    # footers, codegen compile, Python-worker fork) and single-node noise
+    # don't represent the steady-state plan cost being benchmarked.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Small parquet inputs arrive as a single split, which would run the
+    CPU-heavy narrow pipeline (tokenize → shingle → explode → hash) on one
+    core. Fan out to the cluster's parallelism first; no-op when the input
+    is already well-partitioned (at real scale the scan has many splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep the first row (min order_col) per duplicate group. X1."""
     w = Window.partitionBy(*key_cols).orderBy(order_col)
@@ -38,7 +49,7 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """
     toks = T.tokens(F.col(text_col))
     return (
-        docs.select(F.col(id_col).alias("id"), toks.alias("w"))
+        _parallelize(docs).select(F.col(id_col).alias("id"), toks.alias("w"))
         .filter(F.size("w") >= k)
         .select("id", F.explode(F.array_distinct(T.word_shingles(F.col("w"), k))).alias("shingle"))
     )
@@ -75,11 +86,12 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     xxhash64(seed_i || shingle). One aggregation, num_hashes min() columns —
     all map-side partial, shuffle carries one row per doc. X2.
     """
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return shingles.groupBy("id").agg(*aggs)
+    # Hash the shingle string once; the per-function hashes mix that one
+    # long with the function index (integer hashing ≫ cheaper than running
+    # num_hashes passes over the string bytes).
+    hashed = shingles.select("id", F.xxhash64("shingle").alias("sh"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64, bands: int = 16) -> DataFrame:
@@ -158,7 +170,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     xxhash64(token); sign of the sum is bit j of the fingerprint. Built from
     explode + groupBy (map-side partial aggregation; one row per doc out).
     """
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    toks = _parallelize(docs).select(
+        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    )
     hashed = toks.withColumn("h", F.xxhash64("tok"))
     bit_aggs = [
         F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")

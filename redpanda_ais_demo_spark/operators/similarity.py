@@ -219,25 +219,38 @@ def lsh_topk(
     embeddings (recall ≈ 0.7 on the sf0.001 fixture — LSH's worst case;
     clustered real-world embeddings do far better). More planes → smaller
     buckets → cheaper but lower recall.
+
+    Plan shape: vectors shuffle ONCE per table to their (table, bucket)
+    group (the standard multi-index LSH storage cost); each group scores
+    its own pairwise cosine matrix and emits only its local top-k per
+    vector (provably a superset of the global candidate top-k, since a
+    neighbor's in-bucket rank never exceeds its all-candidate rank); a
+    narrow (vec_id, neighbor_id, sim) merge + window takes the final
+    top-k. Nothing quadratic ever shuffles — the n²/2^planes pairwise
+    work stays inside numpy per bucket. Pathological buckets (skewed
+    hash) are the one risk knob: raise ``n_planes`` to shrink them; at
+    extreme scale, split oversized buckets by salting both sides.
     """
     spark = embeddings.sparkSession
     from ..dist import ensure_shipped
 
     ensure_shipped(spark)
-    first = embeddings.select(F.col(vec_col).alias("v")).first()
-    dim = len(first["v"])
     base = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    # All tables' hyperplanes in one (T*P, dim) matrix; bucket ids for every
-    # table come out of a single matmul + bit-pack per Arrow batch.
-    planes_all = np.concatenate(
-        [hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)]
-    )
     bits_weight = (1 << np.arange(n_planes)).astype(np.int64)
-    bc = spark.sparkContext.broadcast(planes_all)
 
     def bucketize(batches):
-        P = bc.value
+        # Hyperplanes are a pure function of (seed, dim): every worker
+        # derives the identical (T*P, dim) matrix from its first batch —
+        # no driver-side schema probe, no broadcast.
+        P = None
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if P is None:
+                dim = len(pdf["v"].iloc[0])
+                P = np.concatenate(
+                    [hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)]
+                )
             Vm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             signs = (Vm @ P.T) > 0  # (n, T*P)
             n = len(pdf)
@@ -247,21 +260,47 @@ def lsh_topk(
                     "vid": pdf["vid"].to_numpy().repeat(n_tables),
                     "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
                     "bucket": buckets.reshape(-1),
+                    "v": pdf["v"].to_numpy().repeat(n_tables),
                 }
             )
 
-    # id-only candidate generation: the payload never rides the bucket join
-    bucketed = base.mapInPandas(bucketize, "vid long, table int, bucket long")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") != F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("vec_id"), F.col("b.vid").alias("neighbor_id"))
-        .distinct()
+    bucketed = base.mapInPandas(
+        bucketize, "vid long, table int, bucket long, v array<float>"
     )
-    return _rescore_topk(embeddings.select(id_col, vec_col), cands, k, id_col, vec_col)
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_sim": []}).astype(
+                {"vec_id": np.int64, "neighbor_id": np.int64, "cos_sim": np.float64}
+            )
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(Vn @ Vn.T, 6)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, m - 1)
+        out_vec, out_nbr, out_sim = [], [], []
+        for i in range(m):
+            order = np.lexsort((ids, -S[i]))[:kk]  # sim desc, id asc tiebreak
+            out_vec.extend([ids[i]] * kk)
+            out_nbr.extend(ids[order])
+            out_sim.extend(S[i][order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_vec, dtype=np.int64),
+                "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
+                "cos_sim": np.asarray(out_sim, dtype=np.float64),
+            }
+        )
+
+    local = bucketed.groupBy("table", "bucket").applyInPandas(
+        bucket_topk, "vec_id long, neighbor_id long, cos_sim double"
+    )
+    # A pair found in several tables repeats with the same score — collapse,
+    # then rank. The merge input is ≤ n·tables·k narrow rows, not n²/buckets.
+    merged = local.groupBy("vec_id", "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return merged.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
