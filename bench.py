@@ -30,7 +30,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_orders",
     "j1_dashboard_join",
     "a1_total_ships",
     "a2_moving_ships",

@@ -90,6 +90,51 @@ def brute_force_topk(
     return embeddings.select(id_col, vec_col).mapInPandas(topk_kernel, _TOPK_SCHEMA)
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X2 family): (id_a, id_b,
+    cos_sim) with id_a < id_b and rounded cosine ≥ threshold.
+
+    Exact verifier path, same broadcast-corpus shape as
+    ``brute_force_topk``: the corpus matrix rides a broadcast, each Arrow
+    batch of vectors scores one matmul against it, and the ``ids >
+    q_id`` mask emits every pair exactly once with zero shuffle. The
+    scale path generates candidates with ``lsh_topk`` buckets instead of
+    the full matmul; thresholding on the 6dp-rounded value keeps the
+    boundary bit-identical to the SQL oracle.
+    """
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(id_col, vec_col).toPandas()
+    c_ids = corpus[id_col].to_numpy(dtype=np.int64)
+    c_mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def dup_kernel(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q_norm = np.sqrt(np.einsum("ij,ij->i", q, q))
+            sims = np.round((q @ mat.T) / (q_norm[:, None] * norms[None, :]), 6)
+            hit_q, hit_c = np.nonzero((sims >= threshold) & (q_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[hit_q],
+                    "id_b": ids[hit_c],
+                    "cos_sim": sims[hit_q, hit_c],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        dup_kernel, "id_a long, id_b long, cos_sim double"
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,

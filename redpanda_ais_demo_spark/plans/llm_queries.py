@@ -255,6 +255,32 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cos_sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.4
+    """,
+    tags=("dedup", "similarity"),
+    doc="X2 — embedding-cosine near-dup pairs (exact verifier): rounded "
+    "cosine ≥ 0.4, each pair emitted once (id_a < id_b). Broadcast-corpus "
+    "matmul, zero shuffle; the LSH buckets are the candidate generator at "
+    "scale.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(emb, threshold=0.4)
+
+
+@query(
     "ann_lsh_topk",
     oracle=None,  # approximate by design; recall vs brute force in tests
     tags=("similarity", "lsh", "scale-path"),

@@ -203,6 +203,210 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q6: forecast revenue (pure filter-agg) --------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+          AND round(l_discount * 100) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "bench"),
+    doc="TPC-H Q6 shape: single-pass filtered scalar aggregate — the purest "
+    "scan workload; every predicate pushes to the parquet reader. The "
+    "discount band compares rounded cents (floating 0.05/0.07 literals are "
+    "not exact).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & F.round(F.col("l_discount") * 100, 0).between(5, 7)
+        & (F.col("l_quantity") < 24)
+    ).agg(_money(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("revenue"))
+
+
+# --- Q14: promo revenue share (conditional aggregate ratio) -----------------
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT 100.0 * (CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) / 10000.0)
+                     / (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)
+               AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+    tags=("join", "agg", "conditional"),
+    doc="TPC-H Q14 shape: conditional-aggregate ratio over a broadcast dim "
+    "join — promo share of one month's revenue.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(F.lit(0))).cast("double") / F.lit(10000.0)
+    total = F.sum(disc_cents).cast("double") / F.lit(10000.0)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (F.lit(100.0) * promo / total).alias("promo_pct")
+    )
+
+
+# --- Q18: large-volume orders (HAVING via join-back) ------------------------
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    tags=("join", "agg", "having", "limit"),
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds a threshold — "
+    "grouped HAVING as a semi-join of the fact against its own aggregate. "
+    "The qualifying-key set is tiny, so it broadcasts back against lineitem; "
+    "at scale this is one fact shuffle on orderkey reused by both the "
+    "aggregate and the join (co-partitioned).",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 30000)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(F.broadcast(big), li.l_orderkey == big.big_orderkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_money(F.col("l_quantity"), 100).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --- Q19: disjunctive multi-band predicates ---------------------------------
+
+
+@query(
+    "q19_banded_revenue",
+    oracle="""
+        SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tags=("join", "filter", "disjunction"),
+    doc="TPC-H Q19 shape: OR-of-conjunctions across both join sides. "
+    "Catalyst extracts the common join key so this stays an equi-join with "
+    "a post-join disjunctive filter (not a nested-loop).",
+)
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(band).agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue")
+    )
+
+
+# --- Q4 shape: grouped EXISTS ------------------------------------------------
+
+
+@query(
+    "q4_priority_with_returns",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+    doc="TPC-H Q4 shape (adapted to available columns): per-priority count "
+    "of orders with at least one returned item — grouped left-semi join.",
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --- Correlated scalar subquery ---------------------------------------------
+
+
+@query(
+    "above_nation_avg_customers",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM (
+            SELECT c_custkey, c_name, c_acctbal,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                       / 100.0 / count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+            FROM customer
+        ) WHERE c_acctbal > nation_avg
+    """,
+    tags=("window", "subquery"),
+    doc="Correlated scalar subquery (customers above their nation's mean "
+    "balance), decorrelated into a partitioned window aggregate — one "
+    "shuffle on the correlation key instead of a per-row subquery; the mean "
+    "is exact integer cents so the comparison is bit-stable cross-engine.",
+)
+def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    nation_avg = F.sum(cents(F.col("c_acctbal"))).over(w).cast("double") / F.lit(100.0) / F.count("*").over(w)
+    return (
+        cust.withColumn("nation_avg", nation_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
 # --- Window top-k per group ------------------------------------------------
 
 
