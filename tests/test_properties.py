@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+Spark round-trips are expensive, so DataFrame properties batch all
+hypothesis examples into one job per test-case invocation and cap
+max_examples; pure-numpy properties run at full example counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from redpanda_ais_demo_spark.operators import dedup
+from redpanda_ais_demo_spark.streaming.stateful import haversine_km
+
+# --- pure-python properties (fast, many examples) ---------------------------
+
+finite_lat = st.floats(min_value=-90, max_value=90, allow_nan=False)
+finite_lon = st.floats(min_value=-180, max_value=180, allow_nan=False)
+
+
+@given(finite_lat, finite_lon)
+def test_haversine_zero_on_identical_points(lat, lon):
+    d = haversine_km(np.array([lat]), np.array([lon]), np.array([lat]), np.array([lon]))
+    assert d[0] == 0.0
+
+
+@given(finite_lat, finite_lon, finite_lat, finite_lon)
+def test_haversine_symmetric_and_bounded(lat1, lon1, lat2, lon2):
+    a = haversine_km(np.array([lat1]), np.array([lon1]), np.array([lat2]), np.array([lon2]))[0]
+    b = haversine_km(np.array([lat2]), np.array([lon2]), np.array([lat1]), np.array([lon1]))[0]
+    assert a == b >= 0.0
+    assert a <= 20038.0  # half the equatorial circumference (antipodal max)
+
+
+# --- Spark-backed properties (few examples, one job each) -------------------
+
+_settings = settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+money = st.decimals(
+    min_value="-99999.99", max_value="99999.99", places=2, allow_nan=False, allow_infinity=False
+)
+
+
+@_settings
+@given(st.lists(money, min_size=1, max_size=50))
+def test_cents_roundtrip_exact(spark, values):
+    """cents() must represent any 2-decimal measure exactly: dividing the
+    integer sum by 100 equals the decimal sum (no float drift)."""
+    from redpanda_ais_demo_spark.functions.scalar import cents
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    got = df.agg((F.sum(cents(F.col("x"))).cast("double") / F.lit(100.0)).alias("s")).collect()[0].s
+    assert got == float(sum(values))
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from(["alpha", "beta", "gamma"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_dedup_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame([(i, t) for i, (_, t) in enumerate(rows)], "doc_id long, text string")
+    once = dedup.exact_dedup(df, ["text"], "doc_id")
+    got = {(r.text, r.doc_id) for r in once.collect()}
+    # one survivor per distinct text, and it is the min doc_id
+    expect = {}
+    for i, (_, t) in enumerate(rows):
+        expect[t] = min(expect.get(t, i), i)
+    assert got == {(t, i) for t, i in expect.items()}
+    # idempotent
+    twice = dedup.exact_dedup(once, ["text"], "doc_id")
+    assert {(r.text, r.doc_id) for r in twice.collect()} == got
+
+
+words = st.sampled_from(
+    ["ship", "sea", "wave", "port", "wind", "fog", "net", "hull", "mast", "keel"]
+)
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=12).map(" ".join), min_size=2, max_size=12
+)
+
+
+@_settings
+@given(docs_strategy)
+def test_minhash_lsh_subset_of_exact(spark, texts):
+    """LSH near-dup output must be a subset of the exact Jaccard pairs at
+    the same threshold (the verification join guarantees it for any input)."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sh = dedup.doc_shingles(df)
+    exact = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs(sh, 0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in dedup.minhash_dedup_pairs(df, threshold=0.5).collect()}
+    assert lsh <= exact
+
+
+@_settings
+@given(docs_strategy)
+def test_simhash_identical_docs_collide(spark, texts):
+    """Identical text ⇒ identical SimHash (Hamming 0), always."""
+    df = spark.createDataFrame(
+        [(i, texts[0]) for i in range(2)] + [(i + 2, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    fps = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert fps[0] == fps[1]
