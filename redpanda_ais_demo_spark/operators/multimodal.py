@@ -88,6 +88,104 @@ def extract_features(assets: DataFrame, partitions: int | None = None) -> DataFr
     return assets.mapInPandas(extract_features_batch, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+        T.StructField("pts_ms", T.LongType(), False),
+    ]
+)
+
+
+def resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — a real resize needs an image codec. Deterministic fake:
+    re-hash the payload salted with the target dims, sized ∝ area, so
+    output bytes are reproducible and size-plausible."""
+    h = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    reps = max(1, (width * height) // (32 * 64))
+    return (h * reps)[: max(32, min(len(h) * reps, 4096))]
+
+
+def decode_audio_waveform(payload: bytes) -> list[float]:
+    """STUB — explicitly unimplemented: audio decode needs a codec library
+    not present in this container. The gating pattern production code
+    would use; callers get a clear error, not silent garbage."""
+    raise NotImplementedError(
+        "audio decode requires an audio codec (e.g. soundfile/librosa); "
+        "not available in this environment"
+    )
+
+
+def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Batch image resize: same row count, payload rewritten, dims attached.
+
+    Plumbing identical to a production resize — one kernel per Arrow
+    batch, binary in/binary out, metadata columns added JVM-visible."""
+    from ..dist import ensure_shipped
+
+    ensure_shipped(assets.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"].map(lambda b: resize_payload(b or b"", width, height)),
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4, fps_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: each asset row fans out to ``n_frames`` frame
+    rows (1→N inside the kernel — the shape a real demuxer produces).
+
+    STUB decode: frames are deterministic payload slices; timestamps are
+    synthetic presentation times at ``fps_ms`` spacing."""
+    from ..dist import ensure_shipped
+
+    ensure_shipped(assets.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, pts = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = payload or b""
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step] or b"\x00")
+                    pts.append(i * fps_ms)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": frames,
+                    "pts_ms": pd.Series(pts, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter: synthesize a binary asset table from the documents fixture
     (text bytes as payload) so the multimodal plumbing is exercisable on

@@ -350,3 +350,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets).select(
         "asset_id", "modality", "n_bytes", "sha256", "width", "height"
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle=None,  # binary-kernel pipeline; determinism checked in tests
+    tags=("multimodal", "pandas-udf"),
+    doc="X4 — batch image resize stage (stubbed codec, real binary-in/"
+    "binary-out Arrow plumbing); emits target dims as typed metadata.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.resize_images(assets, 224, 224).select(
+        "asset_id", "modality", "mime", "width", "height", F.length("payload").alias("n_bytes")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id AS asset_id, f.i AS frame_idx, CAST(f.i * 1000 AS BIGINT) AS pts_ms
+        FROM documents, (SELECT unnest(range(4)) AS i) f
+    """,
+    tags=("multimodal", "pandas-udf", "flatmap"),
+    doc="X4 — video frame sampling: 1→N fan-out inside the mapInPandas "
+    "kernel (the demuxer shape). Frame payloads are stub slices; the "
+    "(asset, frame_idx, pts) spine is oracle-checked.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.sample_frames(assets, n_frames=4, fps_ms=1000).select(
+        "asset_id", F.col("frame_idx").cast("long").alias("frame_idx"), "pts_ms"
+    )

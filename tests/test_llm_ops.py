@@ -96,3 +96,33 @@ def test_multimodal_pipeline_plumbing(spark):
     # deterministic fake embedding has the declared shape
     feat_rows = feats.select("feature").limit(1).collect()
     assert len(feat_rows[0].feature) == 8
+
+
+def test_multimodal_resize_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    assets = multimodal.assets_from_documents(docs)
+    a = {(r.asset_id, bytes(r.payload), r.width) for r in multimodal.resize_images(assets).collect()}
+    b = {(r.asset_id, bytes(r.payload), r.width) for r in multimodal.resize_images(assets).collect()}
+    assert a == b and len(a) == 10
+    assert all(w == 224 for _, _, w in a)
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(7)
+    assets = multimodal.assets_from_documents(docs)
+    frames = multimodal.sample_frames(assets, n_frames=4).collect()
+    assert len(frames) == 28  # 7 assets x 4 frames
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for rows in by_asset.values():
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
+        assert all(r.pts_ms == r.frame_idx * 1000 for r in rows)
+        assert all(len(bytes(r.frame_payload)) >= 1 for r in rows)
+
+
+def test_audio_decode_stub_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio_waveform(b"\x00\x01")
