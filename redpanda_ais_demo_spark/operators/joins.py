@@ -1,0 +1,49 @@
+"""Join utilities for skewed data (SURVEY.md §4 scale doctrine).
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions. Explicit salting
+remains the tool when (a) the skewed side feeds a *broadcast-ineligible*
+join and one key dominates an entire executor, or (b) the skew is known
+ahead of time and you want a deterministic plan rather than a runtime
+rescue. The transformation is semantics-preserving for equi-joins: the
+dimension row for each key is replicated once per salt, the fact's rows
+scatter uniformly across the salts, and (key, salt) equality reassembles
+exactly the original matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact's hot keys scattered over ``n_salts``
+    sub-keys and the (small) dim side replicated to meet them.
+
+    The fact side's salt must be uniform per row but is otherwise
+    arbitrary — it hashes the row's own key plus a per-row nonce so a
+    single hot key spreads across all salts. Output columns match
+    ``fact.join(dim, fact[fact_key] == dim[dim_key], how)`` minus the
+    bookkeeping columns.
+    """
+    salted_fact = fact.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    salted_dim = dim.withColumn(_SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    cond = (salted_fact[fact_key] == salted_dim[dim_key]) & (
+        salted_fact[_SALT] == salted_dim[_SALT]
+    )
+    return salted_fact.join(salted_dim, cond, how).drop(_SALT)

@@ -181,6 +181,40 @@ def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Salted skew join -------------------------------------------------------
+
+
+@query(
+    "salted_join_segment_traffic",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew", "salted"),
+    doc="Skew-mitigated equi-join (operators/joins.py): the fact's keys "
+    "scatter over 8 salts, the dim replicates per salt, (key, salt) "
+    "equality reassembles the exact join — hash-identical to the plain "
+    "join, which is the point: salting must never change semantics.",
+)
+def salted_join_segment_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        salted_join(events, cust, "user_id", "c_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
 # --- Grouping sets through the SQL API -------------------------------------
 
 

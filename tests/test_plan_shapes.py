@@ -72,3 +72,19 @@ def test_whole_stage_codegen_active(spark, name):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "Found 0 WholeStageCodegen subtrees" not in codegen
+
+
+def test_salted_join_matches_plain_join(spark):
+    from redpanda_ais_demo_spark.operators.joins import salted_join
+
+    # deliberately skewed fact: one hot key carries 90% of rows
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, i) for k in range(2, 12) for i in range(10)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 12)], "k2 long, name string")
+    plain = fact.join(dim, fact.k == dim.k2).select("k", "v", "name")
+    salted = salted_join(fact, dim, "k", "k2", n_salts=4).select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the salted fact key must actually scatter: dim side exploded 4x
+    assert salted.count() == plain.count() == 1000
