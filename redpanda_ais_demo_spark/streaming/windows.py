@@ -77,6 +77,25 @@ def voyage_sessions(
     )
 
 
+def live_fleet_metrics(positions: DataFrame, knots: int = 10) -> DataFrame:
+    """Continuously maintained dashboard metrics (A1/A2) — the streaming
+    upgrade of the reference's recompute-per-render queries
+    (lib/console.py:34-42), per SURVEY.md §7 risk 6.
+
+    One stateful aggregation in complete mode: HLL sketches maintain both
+    count-distincts incrementally with O(1) state per metric, instead of
+    re-scanning an unbounded MV history per dashboard render. The exact
+    batch variants (a1/a2 declared queries) remain the oracle-checked
+    forms; this is the plan a 100 TB stream needs.
+    """
+    return positions.agg(
+        F.approx_count_distinct("mmsi").alias("total_ships"),
+        F.approx_count_distinct(
+            F.when(F.col("speed") > knots, F.col("mmsi"))
+        ).alias("moving_ships"),
+    )
+
+
 def dedup_stream(
     positions: DataFrame,
     keys: list[str] | None = None,

@@ -59,3 +59,29 @@ def test_dedup_stream_drops_redelivery(spark, tmp_path):
     got = spark.table("dedup_w").count()
     want = ingest.route_positions(base).count()
     assert got == want, f"redelivered rows not deduped: {got} != {want}"
+
+
+def test_live_fleet_metrics_incremental(spark, tmp_path):
+    path = str(tmp_path / "decoded_m")
+    base = decoded_messages(spark)
+    first = base.filter("receiver_timestamp <= '1700000060'")
+    first.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = ingest.route_positions(spark.readStream.schema(AIS_DECODED).parquet(path))
+    q = (
+        windows.live_fleet_metrics(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("metrics_w")
+        .start()
+    )
+    q.processAllAvailable()
+    base.filter("receiver_timestamp > '1700000060'").coalesce(1).write.mode("append").parquet(path)
+    q.processAllAvailable()
+    q.stop()
+    row = spark.table("metrics_w").collect()[-1]
+    batch = ingest.route_positions(base)
+    want_total = batch.select("mmsi").distinct().count()
+    want_moving = batch.filter(F.col("speed") > 10).select("mmsi").distinct().count()
+    # HLL is exact at this cardinality; state survived across batches
+    assert row.total_ships == want_total
+    assert row.moving_ships == want_moving
