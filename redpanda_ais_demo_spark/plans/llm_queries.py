@@ -148,6 +148,85 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EN_TRIGRAMS = ("the", "and", "ing", "ent", "ion", "her", "for", "tha", "nth", "int")
+_DE_TRIGRAMS = ("der", "die", "und", "den", "ein", "sch", "ich", "nde", "cht", "ung")
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+        WITH tri AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 2, 1)),
+                       i -> substring(text, i, 3))) AS t
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               len(list_intersect(t, {list(_EN_TRIGRAMS)})) AS en_score,
+               len(list_intersect(t, {list(_DE_TRIGRAMS)})) AS de_score,
+               CASE WHEN len(list_intersect(t, {list(_EN_TRIGRAMS)}))
+                         >= len(list_intersect(t, {list(_DE_TRIGRAMS)}))
+                    THEN 'en' ELSE 'de' END AS predicted
+        FROM tri
+    """,
+    tags=("text", "langid", "ngram"),
+    doc="Language-ID by character-trigram profile overlap: distinct doc "
+    "trigrams intersected with per-language profile sets, argmax wins. "
+    "All higher-order functions — codegen'd, no Python; profiles are tiny "
+    "literal arrays (broadcast-free).",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    en = F.size(F.array_intersect(tri, F.array(*[F.lit(t) for t in _EN_TRIGRAMS])))
+    de = F.size(F.array_intersect(tri, F.array(*[F.lit(t) for t in _DE_TRIGRAMS])))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.cast("long").alias("en_score"),
+        de.cast("long").alias("de_score"),
+        F.when(en >= de, "en").otherwise("de").alias("predicted"),
+    )
+
+
+# GPT-2-style pre-tokenizer approximation: letter runs, single digits,
+# punctuation runs — the split BPE applies before merges.
+_BPE_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
+@query(
+    "bpe_token_estimate",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{_BPE_REGEX}')) AS n_bpe_pieces,
+               len(regexp_extract_all(text, '{_BPE_REGEX}'))
+                   / len(string_split(text, ' ')) AS pieces_per_word
+        FROM documents
+    """,
+    tags=("text", "tokens", "regex"),
+    doc="Token counting both ways: whitespace tokens and a BPE-ish "
+    "pre-tokenizer regex (letter runs / digits / punctuation runs), plus "
+    "their ratio — the fertility estimate a training pipeline budgets by.",
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_REGEX), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_pieces"),
+        (bpe / ws).alias("pieces_per_word"),
+    )
+
+
 # --- Near-dup detection (X2) -----------------------------------------------
 
 _JACCARD_THRESHOLD = 0.5
