@@ -140,23 +140,40 @@ def minhash_dedup_pairs(
 
     Output schema matches ``jaccard_pairs`` so LSH results are directly
     comparable to (and testable against) the exact operator.
+
+    One pass builds per-doc profiles (shingle set + size); signatures and
+    bands derive narrowly from the profile, and verification intersects
+    the candidate pair's profile arrays. No caching of the exploded
+    shingle table is needed (it would be corpus-sized at scale), and the
+    corpus crosses a shuffle exactly once.
     """
-    sh = doc_shingles(docs, id_col, text_col, k).cache()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        cands.join(a, cands.id_a == F.col("a.id"))
-        .join(b, (cands.id_b == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
+    sh = doc_shingles(docs, id_col, text_col, k)
+    # One aggregation builds the whole per-doc profile: hashed shingle set
+    # (for banding AND verification), its size, and nothing else — a single
+    # shuffle on doc id. Signatures/bands derive narrowly from the set, and
+    # the verification intersection runs on the profile arrays instead of
+    # re-joining shingle-level rows (saves two fact-side shuffles).
+    hashed = sh.select("id", F.col("shingle"), F.xxhash64("shingle").alias("sh"))
+    profiles = hashed.groupBy("id").agg(
+        F.collect_set("shingle").alias("shset"),
+        F.sort_array(F.collect_set("sh")).alias("shh"),
+        F.count("*").alias("sz"),
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    sig_cols = [
+        F.array_min(F.transform("shh", lambda h: F.xxhash64(F.lit(i), h))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    cands = lsh_candidate_pairs(profiles.select("id", *sig_cols), num_hashes, bands)
+    pa = profiles.select(
+        F.col("id").alias("id_a"), F.col("shset").alias("set_a"), F.col("sz").alias("size_a")
+    )
+    pb = profiles.select(
+        F.col("id").alias("id_b"), F.col("shset").alias("set_b"), F.col("sz").alias("size_b")
+    )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
         .withColumn("jaccard", F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
