@@ -62,11 +62,17 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     and jaccard >= threshold. Division is int/int -> double, bit-identical
     to the DuckDB oracle.
     """
-    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    # The inverted-index self-join shuffles both sides by shingle; hashing
+    # the shingle to a long first cuts the shuffle payload and makes the
+    # join-key comparison integer-cheap. 64-bit collisions are ~(n²/2^65)
+    # — immaterial against corpus sizes where this exact path is even
+    # runnable (it is the verifier, not the scale path).
+    hashed = shingles.select("id", F.xxhash64("shingle").alias("sh"))
+    sizes = hashed.groupBy("id").agg(F.count("*").alias("sz"))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
@@ -155,15 +161,13 @@ def minhash_dedup_pairs(
     # re-joining shingle-level rows (saves two fact-side shuffles).
     hashed = sh.select("id", F.col("shingle"), F.xxhash64("shingle").alias("sh"))
     profiles = hashed.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)],
         F.collect_set("shingle").alias("shset"),
-        F.sort_array(F.collect_set("sh")).alias("shh"),
         F.count("*").alias("sz"),
     )
-    sig_cols = [
-        F.array_min(F.transform("shh", lambda h: F.xxhash64(F.lit(i), h))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    cands = lsh_candidate_pairs(profiles.select("id", *sig_cols), num_hashes, bands)
+    cands = lsh_candidate_pairs(
+        profiles.select("id", *[f"h{i}" for i in range(num_hashes)]), num_hashes, bands
+    )
     pa = profiles.select(
         F.col("id").alias("id_a"), F.col("shset").alias("set_a"), F.col("sz").alias("size_a")
     )
@@ -191,14 +195,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
     )
     hashed = toks.withColumn("h", F.xxhash64("tok"))
+    # Branch-free bit sums: ones_j = Σ ((h>>j)&1); the +1/−1 vote sign is
+    # recovered as 2·ones_j > n. Same fingerprint, half the agg expression
+    # work and no per-row conditionals in the partial aggregate.
     bit_aggs = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(bits)
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}") for j in range(bits)
     ]
-    sums = hashed.groupBy("id").agg(*bit_aggs)
+    sums = hashed.groupBy("id").agg(*bit_aggs, F.count("*").alias("n"))
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, j)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return sums.select("id", fp.alias("simhash"))
