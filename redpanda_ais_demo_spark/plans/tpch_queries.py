@@ -351,6 +351,105 @@ def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q7 shape: bilateral volume shipping ------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT cust_nation, supp_nation, l_year,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM (
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+                OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+        )
+        GROUP BY cust_nation, supp_nation, l_year
+    """,
+    tags=("join", "agg", "disjunction", "date"),
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by "
+    "ship year — a 6-way join where the nation dimension joins twice "
+    "(customer side and supplier side) under a disjunctive pair filter. "
+    "Both nation aliases broadcast; year() derives at scan time.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    pair = (
+        ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+        | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .filter(pair)
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000).alias("revenue"))
+    )
+
+
+# --- Q8/Q9 shape: market share by year --------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                        THEN CAST(round(volume * 10000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(round(volume * 10000) AS BIGINT)) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n_name AS supp_nation
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        )
+        GROUP BY o_year
+    """,
+    tags=("join", "agg", "conditional", "date"),
+    doc="TPC-H Q8 shape: one nation's share of yearly order volume — "
+    "conditional-sum ratio per group over a star join. The share divides "
+    "two exact integer-cents sums, so the double is bit-stable.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    vol_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol_cents).otherwise(F.lit(0))).cast("double")
+                / F.sum(vol_cents).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
 # --- Q4 shape: grouped EXISTS ------------------------------------------------
 
 
