@@ -8,6 +8,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Timing methodology: each query executes end-to-end into a noop sink
 (full plan runs, nothing materializes on the driver), after a session
 warm-up action so JVM/codegen startup isn't billed to the first query.
+
+Context for reading the numbers: the fixture parquet files are single
+row groups (lineitem sf0.1 = 600k rows in one group), which Spark's
+reader cannot split — scan stages are single-task here regardless of
+config. Per-query cost at this SF is dominated by that plus ~0.2-0.3s
+fixed scheduling/planning per query; both amortize away at real scale
+(many row groups, seconds-to-minutes stages).
 """
 
 from __future__ import annotations

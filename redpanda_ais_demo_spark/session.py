@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Small SF inputs are single parquet files (one split under the
+        # 128 MB default) — floor the split count so scan-heavy plans use
+        # the whole machine. At real scale inputs have thousands of
+        # natural splits and this floor is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
