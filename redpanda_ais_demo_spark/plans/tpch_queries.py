@@ -476,6 +476,38 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q16 shape: supplier variety with NOT-IN exclusion ----------------------
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "anti", "distinct", "agg"),
+    doc="TPC-H Q16 shape (adapted: lineitem as the part-supplier "
+    "relation): distinct-supplier counts per part class, excluding a "
+    "NOT-IN supplier subquery — planned as a broadcast left-anti join, "
+    "negated dim predicates pushed to the part scan.",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # --- Correlated scalar subquery ---------------------------------------------
 
 

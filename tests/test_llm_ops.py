@@ -126,3 +126,19 @@ def test_audio_decode_stub_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_audio_waveform(b"\x00\x01")
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # uniform random embeddings: recall tracks the n_probe/n_centroids scan
+    # fraction plus locality; clustered real data does far better
+    assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
