@@ -181,6 +181,103 @@ def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Analytic windows: frames and offsets -----------------------------------
+
+
+@query(
+    "running_revenue_by_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100.0 AS running_total
+        FROM orders
+    """,
+    tags=("window", "frame"),
+    doc="Running per-customer revenue — cumulative-sum frame "
+    "(UNBOUNDED PRECEDING → CURRENT ROW) ordered by date with a "
+    "deterministic orderkey tiebreak; partitions on the high-cardinality "
+    "customer key so no reducer hotspot. Exact cents inside the frame.",
+)
+def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias("running_total"),
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS gap_days
+        FROM orders
+        QUALIFY gap_days IS NOT NULL
+    """,
+    tags=("window", "lag"),
+    doc="Days since the customer's previous order — lag() offset window "
+    "with deterministic ordering; first order per customer drops (NULL "
+    "lag), matching DuckDB's QUALIFY form.",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+
+
+# --- Hypertable-style cascading rollup --------------------------------------
+
+
+@query(
+    "rollup_cascade_traffic",
+    oracle="""
+        SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket_10m,
+               count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        FROM events GROUP BY 1
+    """,
+    tags=("agg", "rollup", "timeseries"),
+    doc="Hypertable-style cascading rollup: the 10-minute buckets are "
+    "re-aggregated FROM the 1-minute rollup, not the raw events — the "
+    "oracle aggregates raw directly, proving the partials merge exactly "
+    "(counts and integer-cent sums are associative). At scale the fine "
+    "rollup is the continuously maintained table and every coarser "
+    "resolution derives from it at 1/600th the input size.",
+)
+def rollup_cascade_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    fine = (
+        events.groupBy(F.floor(F.unix_timestamp("ts") / 60).alias("bucket_1m"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+    )
+    return (
+        fine.groupBy(F.floor(F.col("bucket_1m") / 10).alias("bucket_10m"))
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
 # --- Salted skew join -------------------------------------------------------
 
 
