@@ -37,6 +37,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
     """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
 
     def wrap(fn):
+        if name in REGISTRY and REGISTRY[name].fn is not fn:
+            raise ValueError(f"duplicate declared-query name: {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
         return fn
 
