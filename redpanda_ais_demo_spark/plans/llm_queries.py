@@ -227,6 +227,56 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udtf_sentences",
+    oracle="""
+        WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+        u AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(parts)),
+                                         i -> {'idx': i, 'sent': trim(parts[i + 1])})) AS r
+            FROM s
+        )
+        SELECT doc_id, CAST(r.idx AS BIGINT) AS sent_idx, r.sent AS sentence,
+               CAST(length(r.sent) AS BIGINT) AS n_chars
+        FROM u WHERE r.sent <> ''
+    """,
+    tags=("text", "udtf", "flatmap"),
+    doc="Sentence segmentation via a Python UDTF (table function, lateral "
+    "join through the SQL surface) — completes the UDF-surface matrix "
+    "(scalar pandas_udf, mapInPandas, applyInPandas, "
+    "applyInPandasWithState, UDTF). Row-at-a-time by nature: API-surface "
+    "demo, not the hot path — word_shingles/higher-order functions do "
+    "bulk text splitting JVM-side.",
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from ..dist import ensure_shipped
+    from ..sources import register_views
+
+    ensure_shipped(spark)
+    register_views(spark, sf_dir, tables=("documents",))
+
+    @udtf(returnType="sent_idx bigint, sentence string, n_chars bigint")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, part in enumerate(text.split(". ")):
+                s = part.strip()
+                if s:
+                    yield i, s, len(s)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
 # --- Near-dup detection (X2) -----------------------------------------------
 
 _JACCARD_THRESHOLD = 0.5
