@@ -181,6 +181,34 @@ def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Map type: JSON → map, explode, aggregate --------------------------------
+
+
+@query(
+    "map_props_stats",
+    oracle="""
+        -- no json extension in the oracle env; the fixture's props are
+        -- single-key objects, so regex extraction is equivalent
+        WITH kv AS (
+            SELECT regexp_extract(props, '"([^"]+)"', 1) AS key,
+                   CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT) AS value
+            FROM events
+        )
+        SELECT key, count(*) AS n, sum(value) AS total
+        FROM kv GROUP BY key
+    """,
+    tags=("map", "json", "explode"),
+    doc="Map-typed processing: props JSON parses to map<string,long>, "
+    "explode emits (key, value) pairs, grouped stats per key — the "
+    "schema-on-read path for semi-structured columns (from_json stays in "
+    "codegen; no Python).",
+)
+def map_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kv = events.select(F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value"))
+    return kv.groupBy("key").agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+
+
 # --- Analytic windows: frames and offsets -----------------------------------
 
 
