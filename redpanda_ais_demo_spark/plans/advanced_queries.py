@@ -194,7 +194,7 @@ def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT) AS value
             FROM events
         )
-        SELECT key, count(*) AS n, sum(value) AS total
+        SELECT key, count(*) AS n, CAST(sum(value) AS BIGINT) AS total
         FROM kv GROUP BY key
     """,
     tags=("map", "json", "explode"),

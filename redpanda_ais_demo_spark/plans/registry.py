@@ -48,7 +48,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 def _load_all() -> None:
     # Import side-effect registration; kept lazy so a syntax error in one
     # module is visible at call time, not package import time.
-    from . import ais_queries, tpch_queries, llm_queries, advanced_queries  # noqa: F401
+    from . import ais_queries, tpch_queries, tpch_ext_queries, llm_queries, advanced_queries  # noqa: F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
