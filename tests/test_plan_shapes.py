@@ -88,3 +88,33 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     # the salted fact key must actually scatter: dim side exploded 4x
     assert salted.count() == plain.count() == 1000
+
+
+def test_q17_aggregate_joins_back_without_fact_shuffle(spark):
+    # The decorrelated per-part (sum, count) aggregate must broadcast back
+    # onto the brand-pruned fact: no sort-merge join, no extra fact shuffle
+    # beyond the aggregate's own exchange, brand filter pushed to the scan.
+    plan = _physical_plan(spark, "q17_small_qty_revenue")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim + agg join-back
+    assert "EqualTo(p_brand,Brand#5)" in plan  # pushed to parquet
+
+
+def test_q2_pushes_size_filter_and_broadcasts_part(spark):
+    plan = _physical_plan(spark, "q2_min_cost_supplier")
+    assert "LessThanOrEqual(p_size,15)" in plan  # pushed to parquet
+    assert "BroadcastHashJoin" in plan  # filtered part dim broadcasts
+
+
+def test_q21_decorrelates_to_topk(spark):
+    # EXISTS/NOT-EXISTS pair becomes one per-order aggregate + join, ending
+    # in partial top-k (never a global sort).
+    plan = _physical_plan(spark, "q21_single_fault_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "Expand" in plan  # two distinct-counts share one pass via expand
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = _physical_plan(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan  # NOT EXISTS → anti join
+    assert "BroadcastNestedLoopJoin Cross" in plan  # single-row stats broadcast
