@@ -89,14 +89,17 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of
-    xxhash64(seed_i || shingle). One aggregation, num_hashes min() columns —
-    all map-side partial, shuffle carries one row per doc. X2.
+    xxhash64(seed_i || shingle-hash). One aggregation, num_hashes min()
+    columns — all map-side partial, shuffle carries one row per doc. X2.
+
+    (An affine a*x+b mod 2^64 permutation family would be cheaper per
+    function, but wrapping long arithmetic is unexpressible under ANSI
+    mode — Spark 4 default — so the per-function mix stays xxhash64 over
+    the pre-hashed 8-byte value, never the string.)
     """
-    # Hash the shingle string once; the per-function hashes mix that one
-    # long with the function index (integer hashing ≫ cheaper than running
-    # num_hashes passes over the string bytes).
     hashed = shingles.select("id", F.xxhash64("shingle").alias("sh"))
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)]
+    # expr-string aggregates: one py4j call per column instead of three
+    aggs = [F.expr(f"min(xxhash64({i}L, sh)) AS h{i}") for i in range(num_hashes)]
     return hashed.groupBy("id").agg(*aggs)
 
 
@@ -107,17 +110,14 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 64, bands: int 
     (band, bucket-hash): linear-time candidate generation, no all-pairs.
     """
     rows = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
+    band_sql = [
+        f"xxhash64({', '.join(f'h{b * rows + r}' for r in range(rows))}) AS band{b}" for b in range(bands)
     ]
-    banded = signatures.select("id", *band_cols)
-    buckets = banded.select(
-        "id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = signatures.selectExpr("id", *band_sql)
+    structs = ", ".join(f"struct({b} AS band, band{b} AS bucket)" for b in range(bands))
+    buckets = banded.selectExpr("id", f"explode(array({structs})) AS bb").selectExpr(
+        "id", "bb.band AS band", "bb.bucket AS bucket"
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -158,11 +158,14 @@ def minhash_dedup_pairs(
     # (for banding AND verification), its size, and nothing else — a single
     # shuffle on doc id. Signatures/bands derive narrowly from the set, and
     # the verification intersection runs on the profile arrays instead of
-    # re-joining shingle-level rows (saves two fact-side shuffles).
-    hashed = sh.select("id", F.col("shingle"), F.xxhash64("shingle").alias("sh"))
+    # re-joining shingle-level rows (saves two fact-side shuffles). The set
+    # collects the 8-byte shingle hashes, not the strings — the per-doc
+    # profile shuffle payload shrinks ~3-4× and array_intersect compares
+    # longs (collision odds ~n²/2^65 per doc pair, immaterial).
+    hashed = sh.select("id", F.xxhash64("shingle").alias("sh"))
     profiles = hashed.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set("shingle").alias("shset"),
+        *[F.expr(f"min(xxhash64({i}L, sh)) AS h{i}") for i in range(num_hashes)],
+        F.collect_set("sh").alias("shset"),
         F.count("*").alias("sz"),
     )
     cands = lsh_candidate_pairs(
@@ -188,39 +191,75 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     """64-bit SimHash per document from token hashes (X2 family).
 
     For each bit position j, sum +1/-1 over tokens according to bit j of
-    xxhash64(token); sign of the sum is bit j of the fingerprint. Built from
-    explode + groupBy (map-side partial aggregation; one row per doc out).
+    xxhash64(token); sign of the sum is bit j of the fingerprint.
     """
-    toks = _parallelize(docs).select(
-        F.col(id_col).alias("id"), F.explode(T.tokens(F.col(text_col))).alias("tok")
-    )
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
-    # Branch-free bit sums: ones_j = Σ ((h>>j)&1); the +1/−1 vote sign is
-    # recovered as 2·ones_j > n. Same fingerprint, half the agg expression
-    # work and no per-row conditionals in the partial aggregate.
-    bit_aggs = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}") for j in range(bits)
-    ]
-    sums = hashed.groupBy("id").agg(*bit_aggs, F.count("*").alias("n"))
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # SimHash is a per-document reduction, so it needs no shuffle at all:
+    # hash the token array with a higher-order transform, then fold it with
+    # array aggregate() — one narrow pass, no explode, no groupBy hash map.
+    # Branch-free packed-lane bit sums: ones_j = Σ ((h>>j)&1), with four
+    # bit positions packed per accumulator in 16-bit lanes — 16 array
+    # folds instead of 64. Lanes can't carry into each other while every
+    # per-doc count stays < 2^16; the top lane's accumulator additionally
+    # must not reach the signed-64 bound, so the fingerprint is exact for
+    # docs up to 32,767 tokens — beyond that ANSI addition fails loudly
+    # rather than corrupting (use 32-bit lanes / 32 folds if that bound is
+    # ever real). The +1/−1 vote sign is recovered as 2·ones_j > n.
+    # Docs with zero tokens emit no fingerprint.
+    #
+    # The wide expressions are generated as SQL strings (one py4j call per
+    # selectExpr), not built op-by-op with the Column API — the same tree
+    # assembled per-operator costs seconds of *driver* time in py4j
+    # round-trips, dwarfing the sub-second execution.
+    lanes, lane_width = 4, 16
+
+    def packed_sql(i: int) -> str:
+        return " | ".join(
+            f"shiftleft(shiftright(h, {i * lanes + r}) & 1, {r * lane_width})" for r in range(lanes)
         )
-        term = F.shiftleft(bit, j)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return sums.select("id", fp.alias("simhash"))
+
+    hashed = (
+        _parallelize(docs)
+        .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w"))
+        .filter(F.size("w") > 0)
+        .selectExpr("id", "size(w) AS n", "transform(w, t -> xxhash64(t)) AS hs")
+    )
+    sums = hashed.selectExpr(
+        "id",
+        "n",
+        *[f"aggregate(hs, 0L, (acc, h) -> acc + ({packed_sql(i)})) AS p{i}" for i in range(bits // lanes)],
+    )
+    lane_mask = (1 << lane_width) - 1
+    bit_terms = []
+    for j in range(bits):
+        i, r = divmod(j, lanes)
+        ones = f"(shiftright(p{i}, {r * lane_width}) & {lane_mask})"
+        bit_terms.append(f"shiftleft(IF(2 * {ones} > n, 1L, 0L), {j})")
+    return sums.selectExpr("id", "(" + " ^ ".join(bit_terms) + ") AS simhash")
 
 
-def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int = 8) -> DataFrame:
+def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
     Splits the 64-bit fingerprint into ``bands`` chunks; by pigeonhole, any
-    pair within distance < bands must share a chunk — the chunk equi-join
-    generates candidates linearly, then exact popcount verifies.
+    pair with at most ``bands - 1`` differing bits must share a chunk — the
+    chunk equi-join generates candidates linearly, then exact popcount
+    verifies.
+
+    ``bands`` defaults to ``max_hamming + 1``, the minimum that preserves
+    exactness — fewer, wider chunks mean exponentially fewer accidental
+    bucket collisions (a random pair shares a w-bit chunk with p = 2^-w),
+    so the candidate set and its shuffle stay small. The popcount filter
+    runs *before* the pair-dedup so the distinct only shuffles survivors.
     """
-    chunk = 64 // bands
-    mask = (1 << chunk) - 1
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(f"bands={bands} cannot certify hamming<={max_hamming} (need > max_hamming)")
+    # Uneven chunk widths when 64 % bands != 0: first (64 % bands) chunks
+    # get the extra bit. Pigeonhole only needs chunk *count*, not equal width.
+    base, extra = divmod(64, bands)
+    widths = [base + 1] * extra + [base] * (bands - extra)
+    offsets = [sum(widths[:b]) for b in range(bands)]
     chunks = fps.select(
         "id",
         "simhash",
@@ -229,7 +268,9 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int = 8) -> DataF
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask)).alias("chunk"),
+                        F.shiftright(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("chunk"),
                     )
                     for b in range(bands)
                 ]
@@ -238,7 +279,7 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int = 8) -> DataF
     ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -248,13 +289,8 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int = 8) -> DataF
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cands.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
