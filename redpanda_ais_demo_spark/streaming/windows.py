@@ -111,3 +111,53 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(keys)
         .drop("event_time")
     )
+
+
+def positions_with_info_stream(
+    positions: DataFrame,
+    info: DataFrame,
+    watermark: str = "30 minutes",
+    max_info_age: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each live position picks up the ship
+    info published within ``max_info_age`` before it.
+
+    The reference can only join at query time over fully materialized
+    tables (SURVEY.md §2.4 — "no stream-stream join"); Structured
+    Streaming joins the two live streams directly. Both sides carry
+    watermarks and the join condition bounds info_time to
+    [event_time - max_info_age, event_time], so each side's buffered
+    state is evictable once the other side's watermark passes — state is
+    O(keys x age window), never O(stream). A position matching several
+    info events in the window emits one row per match (the downstream
+    latest-per-key dedup W1 applies if one-row-per-position is wanted).
+    """
+    p = with_event_time(positions).withWatermark("event_time", watermark)
+    i = (
+        with_event_time(info)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("mmsi").alias("i_mmsi"),
+            F.col("event_time").alias("info_time"),
+            "shipname",
+            "shiptype",
+            "destination",
+        )
+    )
+    cond = (
+        (p["mmsi"] == i["i_mmsi"])
+        & (F.col("info_time") <= F.col("event_time"))
+        & (F.col("info_time") >= F.col("event_time") - F.expr(f"INTERVAL {max_info_age}"))
+    )
+    return p.join(i, cond, "inner").select(
+        "mmsi",
+        "timestamp",
+        "status",
+        "location",
+        "speed",
+        "heading",
+        "shipname",
+        "shiptype",
+        "destination",
+        "info_time",
+    )

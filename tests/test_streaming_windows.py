@@ -85,3 +85,35 @@ def test_live_fleet_metrics_incremental(spark, tmp_path):
     # HLL is exact at this cardinality; state survived across batches
     assert row.total_ships == want_total
     assert row.moving_ships == want_moving
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    path = str(tmp_path / "decoded_ss")
+    decoded_messages(spark).coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(AIS_DECODED).parquet(path)
+    joined = windows.positions_with_info_stream(
+        ingest.route_positions(stream),
+        ingest.route_ship_info(stream),
+        max_info_age="5 minutes",
+    )
+    _run_to_memory(joined, "ss_join", "append")
+    rows = spark.table("ss_join").collect()
+    # batch equivalent: positions x info on mmsi with the same interval
+    pos = ingest.route_positions(decoded_messages(spark)).alias("p")
+    inf = ingest.route_ship_info(decoded_messages(spark)).alias("i")
+    want = (
+        pos.join(
+            inf,
+            (F.col("p.mmsi") == F.col("i.mmsi"))
+            & (F.col("i.timestamp") <= F.col("p.timestamp"))
+            & (F.col("i.timestamp") >= F.col("p.timestamp") - 300),
+        )
+        .count()
+    )
+    assert len(rows) == want and want > 0
+    # ship 257000001: info at t+10 joins the t+60 and t+120 positions only
+    s1 = [r for r in rows if r.mmsi == "257000001"]
+    assert {r.timestamp for r in s1} == {1700000060, 1700000120}
+    assert all(r.shipname == "NORDIC STAR" for r in s1)
+    # position-only ship never appears (inner join)
+    assert not [r for r in rows if r.mmsi == "257000004"]
