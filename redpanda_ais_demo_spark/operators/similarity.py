@@ -135,6 +135,84 @@ def cosine_dup_pairs(
     )
 
 
+def _kmeanspp_init(X: np.ndarray, n_centroids: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding on unit vectors (distance = 1 - cos): each next
+    center is drawn proportionally to its distance from the chosen set,
+    spreading seeds across the data instead of uniform luck."""
+    n = len(X)
+    centers = [X[rng.integers(n)]]
+    d = 1.0 - X @ centers[0]
+    for _ in range(min(n_centroids, n) - 1):
+        p = np.clip(d, 1e-12, None)
+        idx = rng.choice(n, p=p / p.sum())
+        centers.append(X[idx])
+        d = np.minimum(d, 1.0 - X @ centers[-1])
+    return np.stack(centers)
+
+
+def train_ivf_centroids_distributed(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    init_sample: int = 4096,
+) -> np.ndarray:
+    """Full-corpus spherical k-means for IVF: k-means++ init on a bounded
+    driver sample, then distributed Lloyd iterations — each pass assigns
+    vectors to centroids executor-side (mapInPandas) and emits only one
+    (per-centroid vector-sum, count) row per Arrow batch; the driver
+    combines ~batches x n_centroids tiny rows and renormalizes. Driver
+    memory is O(n_centroids x dim) regardless of corpus size, and every
+    pass is a narrow full scan — the 100 TB training path (run it on a
+    sampled fraction if even O(iters) scans is too dear; the index
+    assignment step is unchanged either way).
+    """
+    spark = embeddings.sparkSession
+    from ..dist import ensure_shipped
+
+    ensure_shipped(spark)
+    base = embeddings.select(vec_col)
+    sample = base.limit(init_sample).toPandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    centroids = _kmeanspp_init(X, n_centroids, rng)
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            C = bc.value
+            for pdf in batches:
+                V = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                V = V / np.linalg.norm(V, axis=1, keepdims=True)
+                assign = np.argmax(V @ C.T, axis=1)
+                sums = np.zeros_like(C)
+                np.add.at(sums, assign, V)
+                counts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "list_id": np.arange(len(C), dtype=np.int32),
+                        "vsum": list(sums),
+                        "n": counts,
+                    }
+                )
+
+        agg = base.mapInPandas(partials, "list_id int, vsum array<double>, n long").toPandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for _, row in agg.iterrows():
+            sums[row["list_id"]] += np.asarray(row["vsum"])
+            counts[row["list_id"]] += row["n"]
+        for c in range(len(centroids)):
+            if counts[c]:
+                norm = np.linalg.norm(sums[c])
+                if norm > 0:
+                    centroids[c] = sums[c] / norm
+        bc.destroy()
+    return centroids
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -145,6 +223,7 @@ def ivf_topk(
     kmeans_iters: int = 8,
     sample_size: int = 4096,
     seed: int = 42,
+    train: str = "sample",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF coarse quantization.
 
@@ -161,24 +240,36 @@ def ivf_topk(
     embeddings recall is near-1 at small n_probe; on uniform random data
     (the fixture) recall ≈ scan fraction + ε. Same output schema as
     ``brute_force_topk``.
+
+    ``train="sample"`` runs Lloyd iterations on a ≤``sample_size`` driver
+    sample (cheap, fine when the sample captures the cluster structure);
+    ``train="distributed"`` trains on the full corpus with k-means++ init
+    and executor-side partial sums (``train_ivf_centroids_distributed``)
+    — O(iters) extra scans, the right call on skewed corpora too large
+    to sample representatively.
     """
     spark = embeddings.sparkSession
     from ..dist import ensure_shipped
 
     ensure_shipped(spark)
     base = embeddings.select(id_col, vec_col)
-    sample = base.limit(sample_size).toPandas()
-    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    centroids = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(X @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = X[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                centroids[c] = m / np.linalg.norm(m)
+    if train == "distributed":
+        centroids = train_ivf_centroids_distributed(
+            embeddings, vec_col, n_centroids, kmeans_iters, seed, sample_size
+        )
+    else:
+        sample = base.limit(sample_size).toPandas()
+        X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.default_rng(seed)
+        centroids = _kmeanspp_init(X, n_centroids, rng)
+        for _ in range(kmeans_iters):
+            assign = np.argmax(X @ centroids.T, axis=1)
+            for c in range(len(centroids)):
+                members = X[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    centroids[c] = m / np.linalg.norm(m)
     bc = spark.sparkContext.broadcast(centroids)
 
     def corpus_assign(batches):

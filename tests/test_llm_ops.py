@@ -142,3 +142,24 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # uniform random embeddings: recall tracks the n_probe/n_centroids scan
     # fraction plus locality; clustered real data does far better
     assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_distributed_training_matches_sample_quality(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    C = similarity.train_ivf_centroids_distributed(emb, n_centroids=8, iters=4)
+    assert C.shape[0] == 8
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    # distributed-trained index must reach at least the recall floor of the
+    # sample-trained path on the same corpus
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, k=5).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, k=5, train="distributed", kmeans_iters=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"distributed-trained IVF recall too low: {recall:.2f}"
