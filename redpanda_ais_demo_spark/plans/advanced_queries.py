@@ -364,3 +364,49 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# --- Unpivot: wide → long reshaping ------------------------------------------
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+        WITH u AS (
+            SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+        )
+        SELECT measure, count(*) AS n,
+               min(value) AS min_value, max(value) AS max_value,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        FROM u GROUP BY measure ORDER BY measure
+    """,
+    tags=("unpivot", "agg"),
+    doc="Unpivot (wide→long, the inverse of pivot_status_by_priority): "
+    "part's measure columns melt into (measure, value) rows via "
+    "DataFrame.unpivot — a narrow Expand, no shuffle until the tiny "
+    "per-measure rollup. The SQL form is the portable UNION ALL.",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    long = part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / F.lit(100.0)).alias("total"),
+        )
+        .orderBy("measure")
+    )

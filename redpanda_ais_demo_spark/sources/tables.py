@@ -27,17 +27,33 @@ TABLES = (
 )
 
 
+# Plan cache: spark.read.parquet costs ~100ms of driver time per call
+# (file listing + footer schema read through py4j) even for an
+# already-seen path. DataFrames are immutable logical plans, so reusing
+# the object is safe; keyed per session so a restarted session rebuilds.
+# This is the catalog-table role — at real scale these would be metastore
+# tables whose schemas/plans are likewise resolved once, not per query.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read the raw int64 nanos and truncate to a µs
         # TimestampType (matching DuckDB's native µs TIMESTAMP semantics).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _PLAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
