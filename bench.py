@@ -38,8 +38,13 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
     "q18_large_orders",
+    "q21_single_fault_supplier",
+    "q22_global_sales_opportunity",
     "j1_dashboard_join",
     "a1_total_ships",
     "a2_moving_ships",

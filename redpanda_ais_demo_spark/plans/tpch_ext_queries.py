@@ -381,19 +381,24 @@ def q21_single_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
-    li_f = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey", "l_returnflag"
+    # Single fact pass: reduce to the (order, supplier) grain once, then
+    # answer both quantifiers with a window over the grouped rows — ns =
+    # suppliers in the order, nr = faulty suppliers. This avoids a second
+    # scan+join of the fact (the naive decorrelation reads it twice); the
+    # window's orderkey shuffle moves only the tiny grouped set.
+    from pyspark.sql import Window
+
+    per_pair = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"))
     )
-    per_order = li_f.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("ns"),
-        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("nr"),
-    )
+    w = Window.partitionBy("l_orderkey")
     fault = (
-        li_f.filter(F.col("l_returnflag") == "R")
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("ns") >= 2) & (F.col("nr") == 1))
+        per_pair.withColumn("ns", F.count("*").over(w))
+        .withColumn("nr", F.sum("has_r").over(w))
+        .filter((F.col("has_r") == 1) & (F.col("ns") >= 2) & (F.col("nr") == 1))
         .select("l_orderkey", "l_suppkey")
-        .distinct()
     )
     return (
         fault.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))

@@ -107,11 +107,17 @@ def test_q2_pushes_size_filter_and_broadcasts_part(spark):
 
 
 def test_q21_decorrelates_to_topk(spark):
-    # EXISTS/NOT-EXISTS pair becomes one per-order aggregate + join, ending
-    # in partial top-k (never a global sort).
+    # EXISTS/NOT-EXISTS pair becomes one (order, supplier)-grain aggregate
+    # + window, ending in partial top-k (never a global sort). The fact
+    # must be scanned exactly once: 3 parquet scans total (lineitem,
+    # orders, supplier) — a second fact pass means the decorrelation
+    # regressed to the naive two-scan form.
     plan = _physical_plan(spark, "q21_single_fault_supplier")
     assert "TakeOrderedAndProject" in plan
-    assert "Expand" in plan  # two distinct-counts share one pass via expand
+    assert "Window" in plan
+    # formatted explain prints each node in tree and detail sections; count
+    # the detail headers
+    assert plan.count("Scan parquet") // 2 == 3
 
 
 def test_q22_anti_join_and_scalar_broadcast(spark):
