@@ -1,4 +1,4 @@
-"""Remaining TPC-H query shapes (Q2/Q9/Q11/Q13/Q15/Q17/Q20/Q21/Q22),
+"""Remaining TPC-H query shapes (Q2/Q9/Q11/Q12/Q13/Q15/Q17/Q20/Q21/Q22),
 adapted to the driver's schema (no partsupp / phone / comment columns —
 each shape keeps its defining relational structure on the columns that
 exist; see each docstring for the mapping).
@@ -464,4 +464,45 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(F.count("*").alias("numcust"), (F.sum("bal_u").cast("double") / F.lit(100.0)).alias("totacctbal"))
         .orderBy("cntrycode")
+    )
+
+
+# --- Q12 shape: conditional priority counting over the fact join ------------
+
+
+@query(
+    "q12_priority_by_flag",
+    oracle="""
+        SELECT l_returnflag AS mode,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_returnflag
+        ORDER BY mode
+    """,
+    tags=("join", "agg", "conditional"),
+    doc="TPC-H Q12 shape: line counts split by order-priority class per "
+    "line attribute (l_returnflag standing in for l_shipmode, absent from "
+    "this schema) — the canonical conditional-count-over-join workload. "
+    "Ship-date range pushes to the parquet scan; orders co-shuffles with "
+    "the filtered fact on orderkey; the grouped output is 3 rows.",
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("mode")
     )
