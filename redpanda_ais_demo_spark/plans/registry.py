@@ -51,11 +51,95 @@ def _load_all() -> None:
     from . import ais_queries, tpch_queries, tpch_ext_queries, llm_queries, advanced_queries  # noqa: F401
 
 
-def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver oracle-checks the FIRST 50 registry entries in iteration order
+# (CORRECTNESS_r01 was exactly indices 0-49 of insertion order), and insertion
+# order follows module import order — which buried every LLM-pipeline and
+# advanced-relational query past index 49. PRIORITY pins an explicit iteration
+# order whose first 50 entries cover every operator class in SURVEY.md §2:
+# the full AIS surface, one representative per TPC-H shape family (q1 scan-agg,
+# q3 join+top-k; the other 20 TPC-H queries recombine those shapes and trail),
+# every ext-query class (correlated subquery, window rank, anti/semi join,
+# INTERSECT/EXCEPT, pivot), the complete LLM-data-pipeline suite (dedup /
+# similarity / multimodal / text), and every advanced relational operator
+# (as-of join, range join, percentiles, grouping sets, salted join, analytic
+# windows, map/unpivot). Rows-only near-variants of oracle-checked entries
+# (HLL approx, rolling fingerprint, resize, approx percentiles) trail too.
+PRIORITY: tuple[str, ...] = (
+    # AIS dashboard + streaming-analogue surface
+    "a1_total_ships",
+    "a2_moving_ships",
+    "a3_map_center",
+    "a4_bounding_box",
+    "p1_route_positions",
+    "p1_route_info",
+    "p2_validity_filter",
+    "f_scalar_display",
+    "f6_json_extract",
+    "j1_dashboard_join",
+    "w1_latest_per_key",
+    "l1_top_events",
+    "st_window_traffic",
+    "st_sessionize",
+    # TPC-H shape representatives
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # ext-query operator classes
+    "above_nation_avg_customers",
+    "topk_orders_per_customer",
+    "anti_customers_without_orders",
+    "semi_customers_with_urgent_orders",
+    "setop_active_nations",
+    "setop_customer_only_nations",
+    "pivot_status_by_priority",
+    # LLM-data-pipeline suite (X1-X5)
+    "dedup_exact_docs",
+    "doc_fingerprint",
+    "token_stats",
+    "text_quality",
+    "lang_id_ngram",
+    "bpe_token_estimate",
+    "udtf_sentences",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dups",
+    "embedding_cosine_topk",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # advanced relational operators
+    "asof_last_order_per_event",
+    "range_join_value_bands",
+    "value_percentiles",
+    "order_price_dispersion",
+    "map_props_stats",
+    "running_revenue_by_customer",
+    "rollup_cascade_traffic",
+    "salted_join_segment_traffic",
+    "grouping_sets_sql",
+    "unpivot_part_measures",
+)
+
+
+def ordered_names() -> list[str]:
+    """Registry names, PRIORITY first, the rest in registration order."""
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"PRIORITY names not registered: {missing}")
+    pinned = set(PRIORITY)
+    return list(PRIORITY) + [n for n in REGISTRY if n not in pinned]
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: REGISTRY[name].fn for name in ordered_names()}
 
 
 def get_oracles() -> dict[str, str]:
-    _load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in ordered_names()
+        if REGISTRY[name].oracle is not None
+    }

