@@ -1,10 +1,12 @@
 """Similarity search over embedding columns (array<float>).
 
 Two paths, per the scale doctrine:
-- ``brute_force_topk`` — exact all-pairs cosine. Correctness baseline and
-  the right plan when one side is small enough to broadcast (the classic
-  "query batch vs corpus" shape): the corpus streams through a map-side
-  nested loop, no shuffle of the big side.
+- ``brute_force_topk`` — exact all-pairs cosine via 2-D block sharding
+  (block nested loop): both sides split into √P-ish shards, every
+  (query-shard × corpus-shard) block scores one numpy matmul, per-block
+  top-k merges through a narrow window. Nothing ever collects to the
+  driver; executor memory holds one shard per side. The right exact plan
+  at any corpus size the O(n²) compute itself can afford.
 - ``lsh_topk`` — random-hyperplane LSH bucketing: each vector lands in
   L hash-table buckets; only same-bucket pairs are scored. Candidate
   generation is linear in corpus size — the 100 TB path (IVF-style
@@ -15,6 +17,8 @@ Dot products run JVM-side via higher-order functions (functions/vector.py)
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -37,57 +41,100 @@ def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+def _block_grid(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_shards: int | None
+):
+    """2-D block decomposition for exact all-pairs scoring.
+
+    Every id owns one query-shard ``qs`` and one corpus-shard ``cs``
+    (both = pmod(xxhash64(id), s), uniform by hashing). The query side
+    replicates each row across all ``cs`` values, the corpus side across
+    all ``qs`` values, so block (i, j) holds exactly query-shard i and
+    corpus-shard j — each (query, corpus) ordered pair meets in exactly
+    one block. Shuffle volume is 2·s·n rows (linear in the corpus); the
+    O(n²) dot products stay inside per-block numpy. Executor memory per
+    task is one shard per side, ~2·n/s vectors — pick ``n_shards`` so
+    that fits; s² blocks give the scheduler plenty of parallelism.
+    """
+    if n_shards is None:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        n_shards = max(2, math.isqrt(max(par - 1, 0)) + 1)  # s² >= parallelism
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    own = F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
+    all_shards = F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+    queries = base.withColumn("qs", own).withColumn("cs", all_shards)
+    corpus = base.withColumn("cs", own).withColumn("qs", all_shards)
+    return queries.groupBy("qs", "cs").cogroup(corpus.groupBy("qs", "cs"))
+
+
+def _block_sims(qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+    """Rounded cosine matrix (queries × corpus) for one block."""
+    q_ids = qpdf["id"].to_numpy(dtype=np.int64)
+    c_ids = cpdf["id"].to_numpy(dtype=np.int64)
+    Q = np.stack(qpdf["v"].to_numpy()).astype(np.float64)
+    C = np.stack(cpdf["v"].to_numpy()).astype(np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    return q_ids, c_ids, np.round((Q @ C.T) / (qn[:, None] * cn[None, :]), 6)
+
+
 def brute_force_topk(
-    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per vector — broadcast-corpus design.
+    """Exact top-k cosine neighbors per vector — 2-D block-sharded design.
 
-    The corpus (ids + matrix) is broadcast to every executor; each Arrow
-    batch of query vectors is scored against it with one float64 matmul in
-    numpy (vectorized, no per-pair work). This is the canonical
-    "query batch × corpus" plan: the big side streams, the corpus rides the
-    broadcast, zero shuffle. For corpora beyond executor memory, shard the
-    corpus and union the per-shard top-k (same kernel), or switch to
-    ``lsh_topk``.
+    ``_block_grid`` splits both sides into ``n_shards`` hash shards and
+    cogroups every (query-shard × corpus-shard) block; each block scores
+    one float64 matmul in numpy and emits only its local top-k per query
+    (provably a superset of that block's global-top-k contributions: a
+    neighbor's in-block rank never exceeds its global rank). A narrow
+    (vec_id, neighbor_id, cos_sim) window merge takes the final top-k.
+    No driver-side collect anywhere — the former broadcast-corpus variant
+    OOMed the driver at scale; this plan's memory bound is per-executor
+    and tunable via ``n_shards``.
 
-    Output: (vec_id, neighbor_id, cos_sim rounded to 6dp, rank). Rounding +
+    Output: (vec_id, neighbor_id, cos_sim rounded to 6dp, rank), at most
+    min(k, n-1) rows per vector (self never emitted). Rounding +
     neighbor-id tiebreak make ranks deterministic and oracle-stable.
     """
-    spark = embeddings.sparkSession
-    corpus = embeddings.select(id_col, vec_col).toPandas()
-    c_ids = corpus[id_col].to_numpy(dtype=np.int64)
-    c_mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
-    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
-    def topk_kernel(batches):
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q_norm = np.sqrt(np.einsum("ij,ij->i", q, q))
-            sims = (q @ mat.T) / (q_norm[:, None] * norms[None, :])
-            sims = np.round(sims, 6)
-            out_vec, out_nbr, out_sim, out_rank = [], [], [], []
-            for i in range(len(q_ids)):
-                row = sims[i].copy()
-                row[ids == q_ids[i]] = -np.inf  # exclude self
-                # primary: sim desc; tiebreak: neighbor id asc
-                order = np.lexsort((ids, -row))[:k]
-                out_vec.extend([q_ids[i]] * len(order))
-                out_nbr.extend(ids[order])
-                out_sim.extend(row[order])
-                out_rank.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.asarray(out_vec, dtype=np.int64),
-                    "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
-                    "cos_sim": np.asarray(out_sim, dtype=np.float64),
-                    "rank": np.asarray(out_rank, dtype=np.int64),
-                }
+    def block_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_sim": []}).astype(
+                {"vec_id": np.int64, "neighbor_id": np.int64, "cos_sim": np.float64}
             )
+        q_ids, c_ids, sims = _block_sims(qpdf, cpdf)
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # exclude self
+        kk = min(k, sims.shape[1])
+        out_vec, out_nbr, out_sim = [], [], []
+        for i in range(len(q_ids)):
+            order = np.lexsort((c_ids, -sims[i]))[:kk]  # sim desc, id asc tiebreak
+            vals = sims[i][order]
+            keep = vals > -np.inf
+            out_vec.extend([q_ids[i]] * int(keep.sum()))
+            out_nbr.extend(c_ids[order][keep])
+            out_sim.extend(vals[keep])
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_vec, dtype=np.int64),
+                "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
+                "cos_sim": np.asarray(out_sim, dtype=np.float64),
+            }
+        )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(topk_kernel, _TOPK_SCHEMA)
+    local = _block_grid(embeddings, id_col, vec_col, n_shards).applyInPandas(
+        block_topk, "vec_id long, neighbor_id long, cos_sim double"
+    )
+    # Each (query, neighbor) pair comes from exactly one block — no dedup
+    # needed, just the global rank over ≤ n·k narrow rows.
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
 
 
 def cosine_dup_pairs(
@@ -95,43 +142,37 @@ def cosine_dup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (X2 family): (id_a, id_b,
     cos_sim) with id_a < id_b and rounded cosine ≥ threshold.
 
-    Exact verifier path, same broadcast-corpus shape as
-    ``brute_force_topk``: the corpus matrix rides a broadcast, each Arrow
-    batch of vectors scores one matmul against it, and the ``ids >
-    q_id`` mask emits every pair exactly once with zero shuffle. The
-    scale path generates candidates with ``lsh_topk`` buckets instead of
-    the full matmul; thresholding on the 6dp-rounded value keeps the
+    Exact verifier path on the same 2-D block grid as ``brute_force_topk``
+    (no driver collect): each block masks ``q_id < c_id`` so every
+    unordered pair is emitted exactly once across all blocks — the
+    reverse orientation lands in a different block and fails the mask.
+    The scale path generates candidates with ``lsh_topk`` buckets instead
+    of the full matmul; thresholding on the 6dp-rounded value keeps the
     boundary bit-identical to the SQL oracle.
     """
-    spark = embeddings.sparkSession
-    corpus = embeddings.select(id_col, vec_col).toPandas()
-    c_ids = corpus[id_col].to_numpy(dtype=np.int64)
-    c_mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
-    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
-    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
-    def dup_kernel(batches):
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q_norm = np.sqrt(np.einsum("ij,ij->i", q, q))
-            sims = np.round((q @ mat.T) / (q_norm[:, None] * norms[None, :]), 6)
-            hit_q, hit_c = np.nonzero((sims >= threshold) & (q_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": q_ids[hit_q],
-                    "id_b": ids[hit_c],
-                    "cos_sim": sims[hit_q, hit_c],
-                }
+    def block_dups(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
             )
+        q_ids, c_ids, sims = _block_sims(qpdf, cpdf)
+        hit_q, hit_c = np.nonzero((sims >= threshold) & (q_ids[:, None] < c_ids[None, :]))
+        return pd.DataFrame(
+            {
+                "id_a": q_ids[hit_q],
+                "id_b": c_ids[hit_c],
+                "cos_sim": sims[hit_q, hit_c],
+            }
+        )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        dup_kernel, "id_a long, id_b long, cos_sim double"
+    return _block_grid(embeddings, id_col, vec_col, n_shards).applyInPandas(
+        block_dups, "id_a long, id_b long, cos_sim double"
     )
 
 

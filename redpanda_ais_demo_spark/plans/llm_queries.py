@@ -375,8 +375,8 @@ _COSINE_ORACLE = """
     "embedding_cosine_topk",
     oracle=_COSINE_ORACLE,
     tags=("similarity", "join", "bench"),
-    doc="X3 exact — brute-force cosine top-5 per vector; corpus broadcast, "
-    "JVM-side sequential dot products (bit-deterministic vs oracle).",
+    doc="X3 exact — brute-force cosine top-5 per vector; 2-D block-sharded "
+    "matmul (no driver collect), deterministic 6dp rounding vs oracle.",
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -400,9 +400,9 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "similarity"),
     doc="X2 — embedding-cosine near-dup pairs (exact verifier): rounded "
-    "cosine ≥ 0.4, each pair emitted once (id_a < id_b). Broadcast-corpus "
-    "matmul, zero shuffle; the LSH buckets are the candidate generator at "
-    "scale.",
+    "cosine ≥ 0.4, each pair emitted once (id_a < id_b). 2-D block-sharded "
+    "matmul (no driver collect); the LSH buckets are the candidate "
+    "generator at scale.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -144,6 +144,41 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
 
 
+def test_brute_force_topk_tiny_corpus_excludes_self(spark):
+    # n <= k: every vector has only n-1 real neighbors; the -inf-masked
+    # self row must never surface (regression: pre-shard kernel emitted it)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.brute_force_topk(emb, k=5).collect()
+    assert len(rows) == 6  # 3 vectors x (n-1) neighbors
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        assert r.cos_sim >= -1.0  # no -inf sentinel leaked
+        assert 1 <= r.rank <= 2
+
+
+def test_brute_force_topk_invariant_to_shard_count(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def result(n_shards):
+        return sorted(
+            (r.vec_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in similarity.brute_force_topk(emb, k=5, n_shards=n_shards).collect()
+        )
+
+    assert result(2) == result(5)
+
+
+def test_cosine_dup_pairs_each_pair_once(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = similarity.cosine_dup_pairs(emb, threshold=0.2, n_shards=3).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs)), "pair emitted from more than one block"
+    assert all(a < b for a, b in pairs)
+
+
 def test_ivf_distributed_training_matches_sample_quality(spark):
     import numpy as np
 
