@@ -187,42 +187,33 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from token hashes (X2 family).
+# Per-lane counts live in a signed 64-bit accumulator; the top lane must
+# never touch the sign bit, so a width-w lane is exact while the doc's
+# token count stays < 2^(w-1). 16-bit lanes → 32,767 tokens.
+_NARROW_LANE_TOKEN_BOUND = (1 << 15) - 1
 
-    For each bit position j, sum +1/-1 over tokens according to bit j of
-    xxhash64(token); sign of the sum is bit j of the fingerprint.
+
+def _packed_simhash(hashed: DataFrame, bits: int, lanes: int, lane_width: int) -> DataFrame:
+    """Branch-free packed-lane SimHash fold over (id, n, hs) rows.
+
+    ``lanes`` bit positions share one 64-bit accumulator in ``lane_width``-
+    bit lanes: ones_j = Σ ((h>>j)&1) needs bits/lanes array folds instead
+    of ``bits``. Lanes can't carry into each other while every per-doc
+    count stays < 2^lane_width, and the top lane stays clear of the sign
+    bit while n < 2^(lane_width-1). The +1/−1 vote sign is recovered as
+    2·ones_j > n.
+
+    The wide expressions are generated as SQL strings (one py4j call per
+    selectExpr), not built op-by-op with the Column API — the same tree
+    assembled per-operator costs seconds of *driver* time in py4j
+    round-trips, dwarfing the sub-second execution.
     """
-    # SimHash is a per-document reduction, so it needs no shuffle at all:
-    # hash the token array with a higher-order transform, then fold it with
-    # array aggregate() — one narrow pass, no explode, no groupBy hash map.
-    # Branch-free packed-lane bit sums: ones_j = Σ ((h>>j)&1), with four
-    # bit positions packed per accumulator in 16-bit lanes — 16 array
-    # folds instead of 64. Lanes can't carry into each other while every
-    # per-doc count stays < 2^16; the top lane's accumulator additionally
-    # must not reach the signed-64 bound, so the fingerprint is exact for
-    # docs up to 32,767 tokens — beyond that ANSI addition fails loudly
-    # rather than corrupting (use 32-bit lanes / 32 folds if that bound is
-    # ever real). The +1/−1 vote sign is recovered as 2·ones_j > n.
-    # Docs with zero tokens emit no fingerprint.
-    #
-    # The wide expressions are generated as SQL strings (one py4j call per
-    # selectExpr), not built op-by-op with the Column API — the same tree
-    # assembled per-operator costs seconds of *driver* time in py4j
-    # round-trips, dwarfing the sub-second execution.
-    lanes, lane_width = 4, 16
 
     def packed_sql(i: int) -> str:
         return " | ".join(
             f"shiftleft(shiftright(h, {i * lanes + r}) & 1, {r * lane_width})" for r in range(lanes)
         )
 
-    hashed = (
-        _parallelize(docs)
-        .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w"))
-        .filter(F.size("w") > 0)
-        .selectExpr("id", "size(w) AS n", "transform(w, t -> xxhash64(t)) AS hs")
-    )
     sums = hashed.selectExpr(
         "id",
         "n",
@@ -235,6 +226,37 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         ones = f"(shiftright(p{i}, {r * lane_width}) & {lane_mask})"
         bit_terms.append(f"shiftleft(IF(2 * {ones} > n, 1L, 0L), {j})")
     return sums.selectExpr("id", "(" + " ^ ".join(bit_terms) + ") AS simhash")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token hashes (X2 family).
+
+    For each bit position j, sum +1/-1 over tokens according to bit j of
+    xxhash64(token); sign of the sum is bit j of the fingerprint.
+
+    SimHash is a per-document reduction, so it needs no shuffle at all:
+    hash the token array with a higher-order transform, then fold it with
+    array aggregate() — one narrow pass, no explode, no groupBy hash map.
+    Lane width auto-selects on token count: docs up to 32,767 tokens take
+    the 16-bit-lane path (16 folds); longer docs take 32-bit lanes
+    (32 folds, exact to 2^31 tokens — real pretraining documents routinely
+    exceed 32k tokens, so the wide path is load-bearing, not a guard).
+    Both branches are narrow; the union introduces no shuffle. Docs with
+    zero tokens emit no fingerprint.
+    """
+    hashed = (
+        _parallelize(docs)
+        .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w"))
+        .filter(F.size("w") > 0)
+        .selectExpr("id", "size(w) AS n", "transform(w, t -> xxhash64(t)) AS hs")
+    )
+    narrow = _packed_simhash(
+        hashed.filter(F.col("n") <= _NARROW_LANE_TOKEN_BOUND), bits, lanes=4, lane_width=16
+    )
+    wide = _packed_simhash(
+        hashed.filter(F.col("n") > _NARROW_LANE_TOKEN_BOUND), bits, lanes=2, lane_width=32
+    )
+    return narrow.unionByName(wide)
 
 
 def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int | None = None) -> DataFrame:

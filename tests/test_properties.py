@@ -110,3 +110,65 @@ def test_simhash_identical_docs_collide(spark, texts):
     )
     fps = {r.id: r.simhash for r in dedup.simhash(df).collect()}
     assert fps[0] == fps[1]
+
+
+def _explode_reference_simhash(spark, df):
+    """Independent SimHash formulation: explode tokens, per-bit majority
+    vote via groupBy sums — the O(64) aggregate shape the packed-lane fold
+    replaces. Oracle for lane-packing correctness at any document length."""
+    from redpanda_ais_demo_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col("doc_id").alias("id"), F.explode(T.tokens(F.col("text"))).alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"ones{j}") for j in range(64)
+    ]
+    sums = toks.groupBy("id").agg(F.count("*").alias("n"), *aggs)
+    fp = None
+    for j in range(64):
+        bit = F.shiftleft(F.when(2 * F.col(f"ones{j}") > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+        fp = bit if fp is None else fp.bitwiseXOR(bit)
+    return {r.id: r.simhash for r in sums.select("id", fp.alias("simhash")).collect()}
+
+
+def test_simhash_exact_beyond_32k_tokens(spark):
+    """Docs past the 16-bit-lane bound (32,767 tokens) must take the
+    32-bit-lane path and still produce the exact fingerprint — real
+    pretraining documents routinely exceed 32k tokens."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    long_text = " ".join(rng.choice(vocab) for _ in range(40_000))  # > 32,767
+    edge_text = " ".join(rng.choice(vocab) for _ in range(32_767))  # bound itself
+    small_text = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, long_text), (2, edge_text), (3, small_text)], "doc_id long, text string"
+    )
+    got = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert set(got) == {1, 2, 3}, "long docs must not be dropped or fail"
+    expected = _explode_reference_simhash(spark, df)
+    assert got == expected
+
+
+def test_simhash_lane_widths_agree(spark):
+    """The 16-bit and 32-bit lane packings are two encodings of the same
+    fold — on any doc both must produce the identical fingerprint."""
+    from pyspark.sql import functions as F
+    from redpanda_ais_demo_spark.functions import text as T
+    from redpanda_ais_demo_spark.operators.dedup import _packed_simhash
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string",
+    )
+    hashed = (
+        df.select(F.col("doc_id").alias("id"), T.tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") > 0)
+        .selectExpr("id", "size(w) AS n", "transform(w, t -> xxhash64(t)) AS hs")
+    )
+    narrow = {r.id: r.simhash for r in _packed_simhash(hashed, 64, 4, 16).collect()}
+    wide = {r.id: r.simhash for r in _packed_simhash(hashed, 64, 2, 32).collect()}
+    assert narrow == wide
