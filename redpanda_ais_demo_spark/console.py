@@ -14,24 +14,28 @@ from pyspark.sql import functions as F
 from .functions.scalar import hemisphere, iso_utc, prefix_map
 
 # F9 — first-matching-prefix → marker color, with default
-# (lib/console.py:62-98; prefix semantics: startswith, ordered).
+# (lib/console.py:62-81; prefix semantics: startswith, ordered).
+# Values are the reference dict's EFFECTIVE mapping: its literal repeats
+# the "Law" key ("blue" then "lightgreen", lib/console.py:64,72), and a
+# Python dict keeps the first key's position with the last value — so
+# Law maps to lightgreen at the second slot.
 ICON_COLOR_MAP = {
     "Tanker": "red",
-    "Law": "darkblue",
-    "Military": "darkgreen",
-    "Pilot": "cadetblue",
-    "Medical": "white",
-    "Cargo": "orange",
-    "Search": "lightred",
+    "Law": "lightgreen",
+    "Military": "gray",
+    "Pilot": "lightred",
+    "Medical": "darkred",
+    "Cargo": "purple",
+    "Search": "orange",
     "NonCombat": "beige",
     "Passenger": "green",
-    "Dredging": "darkred",
-    "AntiPollution": "lightgreen",
-    "Fishing": "blue",
-    "Towing": "purple",
+    "Dredging": "darkgreen",
+    "AntiPollution": "darkblue",
+    "Fishing": "lightblue",
+    "Towing": "darkpurple",
     "HSC": "pink",
-    "OtherType": "gray",
-    "Tug": "lightblue",
+    "OtherType": "cadetblue",
+    "Tug": "black",
 }
 DEFAULT_ICON_COLOR = "lightgray"
 

@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt"
 
+# Salting replicates each dim row once per salt, so join types that emit
+# UNMATCHED dim rows (right/full outer) would surface those rows n_salts
+# times — a semantics change, not an optimization. Fact-side-preserving
+# types are exactly equivalent.
+_EQUIVALENCE_PRESERVING_HOW = frozenset(
+    {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+)
+
 
 def salted_join(
     fact: DataFrame,
@@ -34,8 +42,16 @@ def salted_join(
     arbitrary — it hashes the row's own key plus a per-row nonce so a
     single hot key spreads across all salts. Output columns match
     ``fact.join(dim, fact[fact_key] == dim[dim_key], how)`` minus the
-    bookkeeping columns.
+    bookkeeping columns, for the fact-preserving ``how`` types only —
+    right/full outer joins are rejected (replicated dim rows that match
+    no fact row would each surface once per salt).
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _EQUIVALENCE_PRESERVING_HOW}:
+        raise ValueError(
+            f"salted_join(how={how!r}) would change semantics: unmatched dim rows "
+            f"are replicated {n_salts}x under right/full outer joins. "
+            "Use inner/left/left_semi/left_anti, or salt the other side."
+        )
     salted_fact = fact.withColumn(
         _SALT,
         F.pmod(F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()), F.lit(n_salts)).cast(

@@ -43,6 +43,12 @@ def get_spark(
         # natural splits and this floor is a no-op.
         .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
+        # Engine-wide: parquet TIMESTAMP(NANOS) reads as int64 nanos
+        # (events.ts converts explicitly in sources/tables.py). Set here
+        # so sessions built by this factory behave identically whether or
+        # not any table has loaded yet; sources/tables.py re-asserts it
+        # for externally-built sessions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

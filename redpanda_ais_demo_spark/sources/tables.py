@@ -36,16 +36,27 @@ TABLES = (
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _ensure_parquet_confs(spark: SparkSession) -> None:
+    # Engine-wide stance, applied before EVERY load (not just events) so
+    # plan behavior never depends on table-load order: parquet
+    # TIMESTAMP(NANOS) columns — which Spark's vectorized reader otherwise
+    # rejects — read as raw int64 nanos everywhere, and the one nanos
+    # table (events) converts explicitly below. The session factory
+    # (session.py) sets the same conf, but the correctness driver builds
+    # its own vanilla session, so the load path must also guarantee it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    _ensure_parquet_confs(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to a µs
-        # TimestampType (matching DuckDB's native µs TIMESTAMP semantics).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts arrives as int64 nanos (see _ensure_parquet_confs);
+        # truncate to a µs TimestampType (matching DuckDB's native µs
+        # TIMESTAMP semantics).
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
 

@@ -143,7 +143,7 @@ def test_prefix_map_order_and_default(spark):
             "shiptype", prefix_map(F.col("shiptype"), console.ICON_COLOR_MAP, console.DEFAULT_ICON_COLOR).alias("color")
         ).collect()
     }
-    assert out["CargoHazardousA"] == "orange"  # prefix match, not equality
-    assert out["Tug"] == "lightblue" and out["Tanker"] == "red"  # no T-prefix clash
+    assert out["CargoHazardousA"] == "purple"  # prefix match, not equality
+    assert out["Tug"] == "black" and out["Tanker"] == "red"  # no T-prefix clash
     assert out["UnknownKind"] == "lightgray"  # default branch
-    assert out["SearchAndRescue"] == "lightred"
+    assert out["SearchAndRescue"] == "orange"

@@ -90,6 +90,22 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.count() == plain.count() == 1000
 
 
+def test_salted_join_left_outer_matches_and_outer_rejected(spark):
+    import pytest as _pytest
+    from redpanda_ais_demo_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (1, 11), (99, 12)], "k long, v long")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k2 long, name string")
+    plain = fact.join(dim, fact.k == dim.k2, "left").select("k", "v", "name")
+    salted = salted_join(fact, dim, "k", "k2", n_salts=4, how="left").select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # right/full outer would replicate unmatched dim rows once per salt —
+    # a semantics change the operator must refuse, not silently produce
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", "k2", how=how)
+
+
 def test_q17_aggregate_joins_back_without_fact_shuffle(spark):
     # The decorrelated per-part (sum, count) aggregate must broadcast back
     # onto the brand-pruned fact: no sort-merge join, no extra fact shuffle
