@@ -436,6 +436,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_topk_distributed",
+    oracle=None,  # approximate by design; recall vs brute force in tests
+    tags=("similarity", "ivf", "scale-path"),
+    doc="X3 at scale, skewed-corpus variant — IVF with full-corpus "
+    "distributed k-means training (k-means++ init on a bounded sample, "
+    "executor-side partial sums per Lloyd pass; driver memory "
+    "O(centroids x dim) at any corpus size).",
+)
+def ann_ivf_topk_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=5, train="distributed", kmeans_iters=4)
+
+
+@query(
     "embedding_stats",
     oracle="""
         SELECT vec_id, label,
