@@ -9,17 +9,22 @@ Timing methodology: each query executes end-to-end into a noop sink
 (full plan runs, nothing materializes on the driver), after a session
 warm-up action so JVM/codegen startup isn't billed to the first query.
 
-Context for reading the numbers: the fixture parquet files are single
-row groups (lineitem sf0.1 = 600k rows in one group), which Spark's
-reader cannot split — scan stages are single-task here regardless of
-config. Per-query cost at this SF is dominated by that plus ~0.2-0.3s
-fixed scheduling/planning per query; both amortize away at real scale
-(many row groups, seconds-to-minutes stages).
+The driver-generated fixture parquet files are single row groups
+(lineitem sf0.1 = 600k rows in one group), which Spark's reader cannot
+split — scan stages would be single-task regardless of config, so every
+number would be scheduling-dominated and say nothing about how the plan
+scales. The bench therefore rewrites each table once into a repo-local
+multi-row-group copy (~32 groups per table, cached across runs) so scan
+stages have real parallelism — the layout a production table would have.
+Set SPARK_GRAFT_BENCH_RAW=1 to bench the raw single-group fixtures
+instead. Per-query cost still carries ~0.2-0.3s fixed
+scheduling/planning that amortizes away at real scale.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -30,6 +35,33 @@ if REPO_DIR not in sys.path:
 
 from redpanda_ais_demo_spark.plans import get_queries  # noqa: E402
 from redpanda_ais_demo_spark.session import get_spark  # noqa: E402
+
+TARGET_ROW_GROUPS = 32  # match local[32]; thousands of natural splits at real scale
+MIN_ROWS_PER_GROUP = 8192  # don't shred small dims into footer-overhead confetti
+
+
+def prepare_split_fixture(sf_dir: str) -> str:
+    """Rewrite ``sf_dir``'s tables into multi-row-group parquet under
+    .bench_data/ (idempotent; re-runs only when a source file changes).
+
+    pyarrow version='2.6' preserves the events table's TIMESTAMP(NANOS)
+    physical type, so the engine's nanos read path is exercised unchanged.
+    """
+    import pyarrow.parquet as pq
+
+    dest_dir = os.path.join(REPO_DIR, ".bench_data", os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(dest_dir, exist_ok=True)
+    for fname in sorted(os.listdir(sf_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(sf_dir, fname)
+        dst = os.path.join(dest_dir, fname)
+        if os.path.exists(dst) and os.path.getmtime(dst) >= os.path.getmtime(src):
+            continue
+        table = pq.read_table(src)
+        rows_per_group = max(MIN_ROWS_PER_GROUP, math.ceil(table.num_rows / TARGET_ROW_GROUPS))
+        pq.write_table(table, dst, row_group_size=rows_per_group, version="2.6")
+    return dest_dir
 
 # Headline set: one per workload class (scan-agg, join, window, distinct,
 # sessionize, dedup-exact, dedup-LSH, similarity, text, pandas-UDF).
@@ -68,6 +100,8 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
+        sf_dir = prepare_split_fixture(sf_dir)
     spark = get_spark(app_name="bench")
 
     queries = get_queries()
