@@ -1,0 +1,116 @@
+"""Corpus-level training-data operators (BASELINE.json north star):
+deterministic sampling, sequence packing, rarity-weighted term ranking.
+
+Everything here is pure DataFrame composition over built-in functions —
+codegen'd, shuffle-minimal, no Python in the hot path — because each of
+these runs over the full corpus in a real pretraining pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: list[str], n_per_stratum: int, order_col: str
+) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum in ``order_col`` order —
+    the deterministic form of per-class downsampling (data mixing /
+    class balancing). One shuffle on the strata key; rank is windowed,
+    so partial aggregation doesn't apply, but each stratum's rows stream
+    through a single sort — at scale make ``order_col`` a pre-computed
+    priority (quality score, hash) rather than arrival order.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, buckets: int = 1_000_000) -> DataFrame:
+    """Deterministic fractional sample: keep rows whose key hashes into
+    the first ``fraction`` of ``buckets``. Unlike ``df.sample()`` this is
+    stable across runs/partitionings and CONSISTENT ACROSS TABLES — any
+    table sampled on the same key keeps the same entities, so sampled
+    fact/dim joins still line up. Engine-internal hash (xxhash64): no
+    SQL oracle; invariants are unit-tested.
+    """
+    cutoff = int(fraction * buckets)
+    return df.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)) < cutoff)
+
+
+def pack_token_stream(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing, concat-stream form: documents are laid out in
+    ``order_col`` order as one virtual token stream and cut into
+    ``capacity``-token bins — each doc reports (n_tokens, start_offset,
+    bin_id = start_offset div capacity). This is the standard
+    concat-then-chunk packing used to build fixed-length training
+    sequences; a doc whose span crosses a bin boundary is the split/
+    truncate case downstream tokenization handles.
+
+    The running offset is one global window — a single total sort at
+    scale. That is inherent to globally-ordered packing; shard first
+    (pack per source/date partition) when one total order isn't needed.
+    The closed-bin greedy variant (open a new bin when the next doc
+    doesn't fit) is a sequential recurrence, deliberately not offered:
+    it cannot be expressed as a distributed plan without serializing
+    the corpus through one task.
+    """
+    order_col = order_col or id_col
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_tok = T.n_tokens(F.col(text_col)).cast("long")
+    return (
+        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` rarity-weighted terms per document: score = tf · N / df
+    (term frequency scaled by inverse document frequency, linear form —
+    one exact-integer product and one IEEE division, bit-deterministic
+    across engines where log-based idf is not).
+
+    The inverted-index shape: explode to (doc, term), partial-agg tf,
+    broadcast-join the (term, df) side back. df is |vocab| rows —
+    broadcastable at any corpus size that has a natural-language
+    vocabulary; the doc-side shuffle is the unavoidable index build.
+    Output: (doc_id, term, tf, df, score rounded 6dp, rank), rank by
+    score desc then term asc for determinism.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(T.tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # Corpus size rides a broadcast 1-row cross join — stays lazy, no
+    # driver-side count action at plan-build time.
+    n_docs = docs.agg(F.countDistinct(id_col).alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * F.col("__n_docs") / F.col("df"), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

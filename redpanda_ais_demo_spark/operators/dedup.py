@@ -259,6 +259,84 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return narrow.unionByName(wide)
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in ``edges`` — component = the
+    minimum node id reachable through the undirected pair graph.
+
+    The step every dedup pipeline needs after pair generation: near-dup
+    PAIRS don't partition a corpus (a~b and b~c without a~c), components
+    do — keep one canonical doc per component, drop the rest.
+
+    Algorithm: iterative min-label propagation. Labels start as node ids;
+    each round every node takes the min of its own label and its
+    neighbors' labels (one shuffle join + one partial-agg groupBy per
+    round); converged when the global label sum stops decreasing (labels
+    only ever decrease, so an unchanged sum IS the fixpoint — one scalar
+    action per round, no row-level diff join). Rounds needed = graph
+    diameter, and near-dup components are short chains in practice (pairs
+    at threshold-grade similarity), so 3-5 rounds is typical. For
+    adversarial long-chain graphs at extreme scale, the two-phase
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce") drops rounds to ~log n with the same join shape —
+    this simple propagation is the right default until diameters hurt.
+
+    ``localCheckpoint`` truncates the per-round lineage so the plan
+    doesn't deepen linearly with iterations (Spark's iterative-algorithm
+    tax; same pattern GraphX/GraphFrames use internally).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        msgs = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            msgs.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup clusters over exact shingle-Jaccard pairs: (doc_id,
+    cluster_id, is_canonical), one row per doc that participates in at
+    least one near-dup pair, cluster_id = min doc id of its component,
+    canonical = the kept representative (the min).
+
+    At scale the pair generator swaps to ``minhash_dedup_pairs`` (same
+    schema, linear candidates) with identical downstream clustering.
+    """
+    sh = doc_shingles(docs, id_col, text_col, k)
+    pairs = jaccard_pairs(sh, threshold).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 

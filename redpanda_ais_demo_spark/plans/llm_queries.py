@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
-from ..operators import dedup, multimodal, similarity
+from ..operators import corpus, dedup, multimodal, similarity
 from ..sources import load_table
 from .registry import query
 
@@ -527,3 +527,116 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(assets, n_frames=4, fps_ms=1000).select(
         "asset_id", F.col("frame_idx").cast("long").alias("frame_idx"), "pts_ms"
     )
+
+
+# --- Corpus-level pipeline operators ---------------------------------------
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) jp
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, other) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.node, e.dst
+            FROM reach r JOIN edges e ON r.other = e.src AND e.dst <> r.node
+        )
+        SELECT node AS doc_id,
+               least(node, min(other)) AS cluster_id,
+               node = least(node, min(other)) AS is_canonical
+        FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph", "iterative"),
+    doc="X2 closure — near-dup PAIRS don't partition a corpus (a~b, b~c "
+    "without a~c); connected components do. Iterative min-label "
+    "propagation (one join + partial-agg groupBy per round, converges in "
+    "diameter rounds); canonical doc = component min. Oracle: recursive-"
+    "CTE transitive closure over the exact Jaccard pairs.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, threshold=_JACCARD_THRESHOLD)
+
+
+@query(
+    "sample_stratified_docs",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    tags=("sampling", "window"),
+    doc="Deterministic per-stratum downsampling (data mixing / class "
+    "balancing): first 20 docs per language by doc id. Hash-fraction "
+    "sampling (entity-consistent across tables) is the companion "
+    "operator, engine-internal-hash so unit-tested instead.",
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.stratified_sample(docs, ["lang"], 20, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "pack_token_stream",
+    oracle="""
+        SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS bin_id
+        FROM (
+            -- DuckDB windowed SUM(BIGINT) widens to HUGEINT; cast back
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens AS start_offset
+            FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents)
+            WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+    """,
+    tags=("packing", "window"),
+    doc="Sequence packing (concat-stream form): docs laid out as one "
+    "virtual token stream in doc-id order, cut into 2048-token bins — "
+    "the fixed-length-sequence builder of every pretraining pipeline. "
+    "Running offset = one global window sort.",
+)
+def pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_token_stream(docs, capacity=2048)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df, score, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                   round(tf.tf * n.n_docs / dfc.df, 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * n.n_docs / dfc.df, 6) DESC, tf.term
+                   ) AS rank
+            FROM tf JOIN dfc USING (term) CROSS JOIN n
+        ) WHERE rank <= 3
+    """,
+    tags=("text", "join", "window"),
+    doc="Top-3 rarity-weighted terms per doc, score = tf*N/df (linear "
+    "idf — exact-integer product + one IEEE division, bit-deterministic "
+    "cross-engine where log-based idf is not). Inverted-index shape: "
+    "explode, partial-agg tf, broadcast (term, df) back.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(docs, k=3)

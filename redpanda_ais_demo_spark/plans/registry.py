@@ -63,7 +63,10 @@ def _load_all() -> None:
 # similarity / multimodal / text), and every advanced relational operator
 # (as-of join, range join, percentiles, grouping sets, salted join, analytic
 # windows, map/unpivot). Rows-only near-variants of oracle-checked entries
-# (HLL approx, rolling fingerprint, resize, approx percentiles) trail too.
+# (HLL approx, rolling fingerprint, resize, approx percentiles) trail, as do
+# rows-only entries whose operator class an in-window sibling already
+# represents (ann_ivf variants behind ann_lsh_topk; multimodal_features /
+# multimodal_resize behind the oracle-checked frame-sample spine).
 PRIORITY: tuple[str, ...] = (
     # AIS dashboard + streaming-analogue surface
     "a1_total_ships",
@@ -105,9 +108,9 @@ PRIORITY: tuple[str, ...] = (
     "embedding_cosine_topk",
     "dedup_embedding_cosine",
     "ann_lsh_topk",
-    "ann_ivf_topk",
+    "dedup_clusters",
+    "tfidf_top_terms",
     "embedding_stats",
-    "multimodal_features",
     "multimodal_frame_sample",
     # advanced relational operators
     "asof_last_order_per_event",

@@ -7,7 +7,7 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from redpanda_ais_demo_spark.operators import dedup, multimodal, similarity
+from redpanda_ais_demo_spark.operators import corpus, dedup, multimodal, similarity
 from redpanda_ais_demo_spark.sources import load_table
 
 from .conftest import SF_SMOKE
@@ -144,7 +144,64 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
 
 
-def test_brute_force_topk_tiny_corpus_excludes_self(spark):
+def test_connected_components_hand_graph(spark):
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (10, 11), (21, 20), (21, 22)], "id_a long, id_b long"
+    )
+    got = {(r.node, r.component) for r in dedup.connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dedup_clusters_partition_near_dups(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    clusters = dedup.dedup_clusters(docs).collect()
+    by_doc = {r.doc_id: r for r in clusters}
+    # every clustered doc's cluster id is a component member and the min
+    members: dict[int, list[int]] = {}
+    for r in clusters:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, docs_in in members.items():
+        assert cid == min(docs_in)
+        assert by_doc[cid].is_canonical
+        assert sum(by_doc[d].is_canonical for d in docs_in) == 1
+    # clusters must cover exactly the docs that appear in some pair
+    sh = dedup.doc_shingles(docs)
+    pair_docs = set()
+    for r in dedup.jaccard_pairs(sh, 0.5).collect():
+        pair_docs |= {r.id_a, r.id_b}
+    assert set(by_doc) == pair_docs
+
+
+def test_hash_sample_deterministic_and_entity_consistent(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {r.doc_id for r in corpus.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r.doc_id for r in corpus.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b, "hash sample must be stable across runs"
+    n = docs.count()
+    assert 0.15 * n <= len(a) <= 0.45 * n  # fraction is approximate, not wild
+    # consistency across tables: sampling a projected copy keeps the same keys
+    proj = docs.select("doc_id", "lang")
+    c = {r.doc_id for r in corpus.hash_sample(proj, "doc_id", 0.3).select("doc_id").collect()}
+    assert a == c
+    # nested fractions: a 10% sample is a subset of the 30% sample
+    d = {r.doc_id for r in corpus.hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert d <= a
+
+
+def test_pack_token_stream_bins_contiguous(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = sorted(corpus.pack_token_stream(docs, capacity=512).collect(), key=lambda r: r.doc_id)
+    offset = 0
+    for r in rows:
+        assert r.start_offset == offset, "stream offsets must be gapless"
+        assert r.bin_id == offset // 512
+        offset += r.n_tokens
+    assert rows[-1].bin_id > 0, "fixture should span multiple bins"
     # n <= k: every vector has only n-1 real neighbors; the -inf-masked
     # self row must never surface (regression: pre-shard kernel emitted it)
     emb = spark.createDataFrame(

@@ -38,12 +38,12 @@ REQUIRED_IN_WINDOW = {
     "embedding_cosine_topk",
     "dedup_embedding_cosine",
     "ann_lsh_topk",
-    "ann_ivf_topk",
+    "dedup_clusters",
+    "tfidf_top_terms",
     "text_quality",
     "lang_id_ngram",
     "bpe_token_estimate",
     "udtf_sentences",
-    "multimodal_features",
     "multimodal_frame_sample",
     # advanced relational
     "asof_last_order_per_event",
@@ -93,6 +93,4 @@ def test_window_oracle_density():
     assert rows_only <= {
         "simhash_near_dups",
         "ann_lsh_topk",
-        "ann_ivf_topk",
-        "multimodal_features",
     }, f"unexpected rows-only entries in window: {sorted(rows_only)}"
