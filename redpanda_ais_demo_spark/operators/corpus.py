@@ -77,6 +77,43 @@ def pack_token_stream(
     )
 
 
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training doc that shares at
+    least one ``k``-word shingle with the eval set (the standard 13-gram
+    overlap rule). Output: train rows + ``is_contaminated`` boolean.
+
+    Scale shape: the eval side is tiny relative to the corpus — its
+    distinct shingle set broadcasts, so contamination detection is a
+    broadcast LEFT SEMI join on the exploded train shingles (no shuffle
+    of the corpus; the explode is the one map-side expansion) followed by
+    a broadcast join of the contaminated-id set back onto the train rows.
+    Nothing corpus-sized ever shuffles.
+    """
+    from .dedup import doc_shingles
+
+    ev_shingles = F.broadcast(
+        doc_shingles(eval_docs, id_col, text_col, k).select("shingle").distinct()
+    )
+    contaminated = (
+        doc_shingles(train_docs, id_col, text_col, k)
+        .join(ev_shingles, "shingle", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        train_docs.join(F.broadcast(contaminated), id_col, "left")
+        .withColumn("is_contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

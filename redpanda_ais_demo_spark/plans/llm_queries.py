@@ -613,6 +613,39 @@ def pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_docs",
+    oracle="""
+        WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        train AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
+        evsh AS (
+            SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 4),
+                                                  i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT string_split(text, ' ') AS w FROM ev) WHERE len(w) >= 5
+        ),
+        trainsh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 4),
+                                         i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) WHERE len(w) >= 5
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM trainsh WHERE shingle IN (SELECT shingle FROM evsh))
+        SELECT t.doc_id, t.lang, t.doc_id IN (SELECT doc_id FROM hits) AS is_contaminated
+        FROM train t
+    """,
+    tags=("dedup", "join", "text"),
+    doc="Benchmark decontamination — flag training docs sharing any 5-word "
+    "shingle with the (stand-in) eval split. Eval shingle set broadcasts; "
+    "detection is a broadcast left-semi join on exploded train shingles — "
+    "nothing corpus-sized shuffles.",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
+    return corpus.decontaminate(train, ev, k=5).select("doc_id", "lang", "is_contaminated")
+
+
+@query(
     "tfidf_top_terms",
     oracle="""
         WITH terms AS (

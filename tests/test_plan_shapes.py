@@ -74,6 +74,23 @@ def test_whole_stage_codegen_active(spark, name):
     assert "Found 0 WholeStageCodegen subtrees" not in codegen
 
 
+def test_tfidf_broadcasts_vocab_and_count(spark):
+    plan = _physical_plan(spark, "tfidf_top_terms")
+    # (term, df) vocab side and the 1-row corpus count must both broadcast;
+    # the doc-side inverted index is the only shuffle
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row count cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcast_semi_join(spark):
+    plan = _physical_plan(spark, "decontaminate_docs")
+    # eval shingle set rides a broadcast LEFT SEMI; contaminated-id set
+    # broadcasts back — the corpus never shuffles for contamination checks
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     from redpanda_ais_demo_spark.operators.joins import salted_join
 
