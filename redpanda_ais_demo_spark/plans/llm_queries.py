@@ -646,6 +646,61 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_clean_corpus",
+    oracle="""
+        WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        train AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
+        evsh AS (
+            SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 4),
+                                                  i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT string_split(text, ' ') AS w FROM ev) WHERE len(w) >= 5
+        ),
+        trainsh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 4),
+                                         i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) WHERE len(w) >= 5
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM trainsh WHERE shingle IN (SELECT shingle FROM evsh)),
+        quality AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                       / len(string_split(text, ' ')) AS ttr
+            FROM train WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        ),
+        kept AS (SELECT * FROM quality WHERE n_tokens >= 20 AND ttr >= 0.35),
+        canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+        SELECT k.doc_id, k.lang, k.n_tokens FROM kept k
+        JOIN canon c ON k.doc_id = c.doc_id
+    """,
+    tags=("pipeline", "dedup", "text", "join"),
+    doc="Flagship end-to-end cleaning pipeline — the composition a "
+    "pretraining data job actually runs: decontaminate against the eval "
+    "split (broadcast semi join), filter on quality (length + lexical "
+    "diversity, codegen'd lambdas), exact-dedup by content (min-id "
+    "canonical). Every stage is one of this engine's operators; the "
+    "whole chain stays a single Catalyst plan — no intermediate "
+    "materialization.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
+    clean = corpus.decontaminate(train, ev, k=5).filter(~F.col("is_contaminated"))
+    nt = TXT.n_tokens(F.col("text"))
+    quality = clean.select(
+        "doc_id",
+        "lang",
+        "text",
+        nt.cast("long").alias("n_tokens"),
+        (TXT.distinct_tokens(F.col("text")) / nt).alias("ttr"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.35))
+    deduped = dedup.exact_dedup(quality, ["text"], "doc_id")
+    return deduped.select("doc_id", "lang", "n_tokens")
+
+
+@query(
     "tfidf_top_terms",
     oracle="""
         WITH terms AS (
