@@ -292,8 +292,15 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    labels = labels.localCheckpoint()
+    # Init = one propagation round for free: label(x) = min(x, neighbors(x))
+    # straight from the adjacency aggregation (star graphs converge here).
+    labels = sym.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("dst"), F.col("src")).alias("label")
+    )
+    # Lazy localCheckpoint: the label-sum action below materializes it, so
+    # each round costs ONE job (vs eager = checkpoint job + action job)
+    # while still truncating the per-round lineage.
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         msgs = sym.join(labels, sym.src == labels.node).select(
@@ -303,7 +310,7 @@ def connected_components(
             msgs.union(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
