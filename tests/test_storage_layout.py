@@ -1,0 +1,89 @@
+"""Storage-layout scale techniques the 100 TB design depends on, proven
+at the plan level: partitioned writes → partition pruning in the scan,
+and bucketed tables → shuffle-free co-located joins.
+
+At real scale these are the difference between scanning 100 TB and
+scanning one partition, and between re-shuffling a fact table per join
+and joining in place; neither shows up in the fixture queries (the
+driver tables are unpartitioned parquet), so they're pinned here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpanda_ais_demo_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_by_type"))
+    events = load_table(spark, SF_SMOKE, "events")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    filtered = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(filtered)
+    # the filter must become a PartitionFilters entry (directory pruning),
+    # NOT a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the pruned read returns exactly the partition's rows
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert filtered.count() == expected > 0
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path_factory):
+    warehouse_note = spark.conf.get("spark.sql.warehouse.dir", "")
+    assert warehouse_note is not None  # in-memory catalog + local warehouse dir
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    n_buckets = 8
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    try:
+        (orders.write.bucketBy(n_buckets, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("orders_b"))
+        (lineitem.write.bucketBy(n_buckets, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("lineitem_b"))
+        joined = (
+            spark.table("lineitem_b")
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        # disable broadcast so the join must pick a shuffle strategy — the
+        # bucketed layout must satisfy it with ZERO exchanges before the join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan, "expected sort-merge over bucketed tables"
+        # exactly ONE exchange — the post-join aggregation's. An unbucketed
+        # join would add one per join input (3 total); bucketing must
+        # eliminate both join-side shuffles.
+        n_exchanges = plan.count("+- Exchange")
+        assert n_exchanges == 1, f"expected only the aggregation exchange, got {n_exchanges}:\n{plan}"
+        # result parity vs the plain (shuffling) join
+        expected = {
+            (r.o_orderstatus, r.n)
+            for r in lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {(r.o_orderstatus, r.n) for r in joined.collect()}
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
