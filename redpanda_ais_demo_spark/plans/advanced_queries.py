@@ -410,3 +410,75 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+# --- Distribution analytics ------------------------------------------------
+
+
+@query(
+    "order_value_ntiles",
+    oracle="""
+        SELECT o_orderkey, quartile, pct_rank, cume
+        FROM (
+            SELECT o_orderkey,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        ) WHERE quartile = 4 AND pct_rank >= 0.99
+    """,
+    tags=("window", "analytics"),
+    doc="Distribution-position analytics — ntile / percent_rank / "
+    "cume_dist over a total order (price, key-tiebroken so every rank "
+    "function is deterministic); emits the top percentile of the top "
+    "quartile. A single global window sort, the inherent cost of a "
+    "total-order statistic — bucket by range first at real scale "
+    "(repartitionByRange gives the same order with parallel sorts).",
+)
+def order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter((F.col("quartile") == 4) & (F.col("pct_rank") >= 0.99))
+    )
+
+
+@query(
+    "skew_key_profile",
+    oracle="""
+        SELECT user_id, n, share FROM (
+            SELECT user_id, n,
+                   round(n / CAST(total AS DOUBLE), 6) AS share,
+                   row_number() OVER (ORDER BY n DESC, user_id) AS rn
+            FROM (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(count(*)) OVER () AS BIGINT) AS total
+                FROM events GROUP BY user_id
+            )
+        ) WHERE rn <= 20
+    """,
+    tags=("agg", "diagnostics"),
+    doc="Join-key skew profile — the diagnostic run before choosing "
+    "broadcast/salt/AQE strategy for a hot-key join: top-20 heaviest "
+    "keys with their share of all rows. Partial-agg counts, then a "
+    "20-row top-k; only the per-key counts shuffle.",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("__total"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("__total").cast("double"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("user_id", "n", "share")
+    )
