@@ -112,6 +112,35 @@ def test_simhash_identical_docs_collide(spark, texts):
     assert fps[0] == fps[1]
 
 
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, edge_list):
+    """Distributed min-label propagation must agree with a sequential
+    union-find on arbitrary graphs (chains, cycles, stars, forests)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    expected = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    df = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    assert got == expected
+
+
 def _explode_reference_simhash(spark, df):
     """Independent SimHash formulation: explode tokens, per-bit majority
     vote via groupBy sums — the O(64) aggregate shape the packed-lane fold
