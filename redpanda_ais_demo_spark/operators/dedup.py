@@ -237,12 +237,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     SimHash is a per-document reduction, so it needs no shuffle at all:
     hash the token array with a higher-order transform, then fold it with
     array aggregate() — one narrow pass, no explode, no groupBy hash map.
-    Lane width auto-selects on token count: docs up to 32,767 tokens take
-    the 16-bit-lane path (16 folds); longer docs take 32-bit lanes
-    (32 folds, exact to 2^31 tokens — real pretraining documents routinely
-    exceed 32k tokens, so the wide path is load-bearing, not a guard).
-    Both branches are narrow; the union introduces no shuffle. Docs with
-    zero tokens emit no fingerprint.
+    Lanes are 32-bit (2 per accumulator, 32 folds): exact for documents
+    up to 2^31 tokens — real pretraining documents routinely exceed the
+    16-bit-lane bound of 32,767 tokens, and measurement shows the fold
+    count doesn't matter (tokenize + per-token hashing dominates; 32
+    folds ≈ 16 folds at sf0.1, while a token-count branch would scan and
+    tokenize the corpus once per branch). The 16-bit packing survives in
+    ``_packed_simhash`` and tests prove both packings produce identical
+    fingerprints. Docs with zero tokens emit no fingerprint.
     """
     hashed = (
         _parallelize(docs)
@@ -250,13 +252,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         .filter(F.size("w") > 0)
         .selectExpr("id", "size(w) AS n", "transform(w, t -> xxhash64(t)) AS hs")
     )
-    narrow = _packed_simhash(
-        hashed.filter(F.col("n") <= _NARROW_LANE_TOKEN_BOUND), bits, lanes=4, lane_width=16
-    )
-    wide = _packed_simhash(
-        hashed.filter(F.col("n") > _NARROW_LANE_TOKEN_BOUND), bits, lanes=2, lane_width=32
-    )
-    return narrow.unionByName(wide)
+    return _packed_simhash(hashed, bits, lanes=2, lane_width=32)
 
 
 def connected_components(
