@@ -1,0 +1,179 @@
+"""Streaming near-duplicate filtering: dedup an incoming document stream
+against everything already accepted — the ingest-time form of X2
+(`operators/dedup.py` covers the offline form; same MinHash profiles,
+same banding, same exact-Jaccard verification).
+
+Shape per micro-batch (foreachBatch):
+1. profile the batch (one aggregation — ``minhash_profiles``),
+2. LSH-band the batch profiles against (a) themselves and (b) the
+   persisted index of previously-accepted profiles — candidates are
+   linear, never all-pairs,
+3. exact-verify candidates on the stored shingle sets,
+4. reject any doc with a verified near-dup of smaller id in the batch
+   or any verified match in the index ("first seen wins"),
+5. append the survivors' rows and profiles, partitioned by batch id
+   with dynamic partition overwrite — a replayed batch overwrites its
+   own partition, so recovery is idempotent (effective exactly-once).
+
+Scale notes: the index re-read per batch is a parquet scan pruned only
+by the band join; a production deployment bucket-partitions the index
+by (band, bucket) so each micro-batch reads matching buckets only, or
+keeps the bucket → ids map in a key-value store. The verification join
+carries shingle-hash arrays, not text. State lives entirely in the
+index files — the streaming query itself is stateless, so there's no
+watermark to tune and restarts are trivial.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import dedup
+
+
+def _empty_profiles(spark: SparkSession, like: DataFrame) -> DataFrame:
+    return spark.createDataFrame([], like.schema)
+
+
+def _verified_matches(
+    new_profiles: DataFrame,
+    other_profiles: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    require_smaller_other: bool,
+) -> DataFrame:
+    """(id, matched_id, jaccard) — verified near-dups of each new doc.
+
+    ``require_smaller_other`` enforces the within-batch "first seen wins"
+    rule (only a smaller-id batch doc can displace you); index matches
+    are by definition earlier, so the cross check passes False.
+    """
+    sig_cols = [f"h{i}" for i in range(num_hashes)]
+    new_b = dedup.band_buckets(new_profiles.select("id", *sig_cols), num_hashes, bands)
+    other_b = dedup.band_buckets(other_profiles.select("id", *sig_cols), num_hashes, bands)
+    cond = [new_b["band"] == other_b["band"], new_b["bucket"] == other_b["bucket"]]
+    cands = (
+        new_b.alias("n")
+        .join(other_b.alias("o"), cond)
+        .select(F.col("n.id").alias("id"), F.col("o.id").alias("matched_id"))
+        .filter(
+            F.col("matched_id") < F.col("id")
+            if require_smaller_other
+            else F.col("matched_id") != F.col("id")
+        )
+        .distinct()
+    )
+    pa = new_profiles.select(
+        F.col("id"), F.col("shset").alias("set_a"), F.col("sz").alias("size_a")
+    )
+    pb = other_profiles.select(
+        F.col("id").alias("matched_id"), F.col("shset").alias("set_b"), F.col("sz").alias("size_b")
+    )
+    return (
+        cands.join(pa, "id")
+        .join(pb, "matched_id")
+        .withColumn("common", F.size(F.array_intersect("set_a", "set_b")).cast("long"))
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id", "matched_id", "jaccard")
+    )
+
+
+def dedup_batch_against_index(
+    batch_df: DataFrame,
+    index_profiles: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+):
+    """Pure batch core (unit-testable without a stream): returns
+    (accepted_rows, accepted_profiles, rejections) where rejections is
+    (doc_id, matched_id, jaccard, via ∈ {'batch','index'})."""
+    profiles = dedup.minhash_profiles(batch_df, id_col, text_col, k, num_hashes)
+    internal = _verified_matches(
+        profiles, profiles, num_hashes, bands, threshold, require_smaller_other=True
+    ).withColumn("via", F.lit("batch"))
+    if index_profiles is not None:
+        cross = _verified_matches(
+            profiles, index_profiles, num_hashes, bands, threshold, require_smaller_other=False
+        ).withColumn("via", F.lit("index"))
+        matches = internal.unionByName(cross)
+    else:
+        matches = internal
+    # one deterministic rejection row per doc: smallest matched_id wins
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("matched_id")
+    rejections = (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("id").alias(id_col), "matched_id", "jaccard", "via")
+    )
+    dropped = rejections.select(id_col)
+    accepted_rows = batch_df.join(dropped, id_col, "left_anti")
+    accepted_profiles = profiles.join(
+        dropped.select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    return accepted_rows, accepted_profiles, rejections
+
+
+def start_near_dup_filter(
+    docs_stream: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Attach the near-dup filter to a streaming document source. Accepted
+    rows land in ``out_dir``, their profiles in ``index_dir`` (the
+    growing dedup index), rejections + provenance in ``reject_dir`` —
+    all partitioned by batch id with dynamic overwrite for idempotent
+    replay."""
+    spark = docs_stream.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index = None
+        if os.path.isdir(index_dir) and any(
+            name.endswith(".parquet") or name.startswith("__batch_id=")
+            for name in os.listdir(index_dir)
+        ):
+            index = spark.read.parquet(index_dir).drop("__batch_id")
+        accepted, profiles, rejections = dedup_batch_against_index(
+            batch_df, index, id_col, text_col, k, num_hashes, bands, threshold
+        )
+
+        def write(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+
+        write(accepted, out_dir)
+        write(profiles, index_dir)
+        write(rejections, reject_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("near_dup_filter")
+        .start()
+    )
