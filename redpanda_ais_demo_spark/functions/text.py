@@ -47,6 +47,29 @@ def word_shingles(token_array: Column, k: int = 3) -> Column:
     )
 
 
+def top_token_count(token_array: Column) -> Column:
+    """Occurrence count of the most frequent token — the Gopher-style
+    "most common word fraction" numerator, computed entirely inside the
+    array (nested lambda count, no explode/shuffle). O(n²) per doc in
+    token count; natural-language docs are short enough that this beats
+    an explode + groupBy + max re-join, which would shuffle the corpus
+    twice. For book-length documents switch to the exploded form.
+    """
+    return F.array_max(
+        F.transform(token_array, lambda t: F.size(F.filter(token_array, lambda x: x == t)))
+    )
+
+
+def dup_ngram_fraction(token_array: Column, n: int) -> Column:
+    """Fraction of n-gram positions occupied by a repeated n-gram
+    (1 - distinct/total) — the repetition signal quality filters cut on
+    (high value = boilerplate / degenerate text). Caller guards
+    ``size(token_array) >= n``.
+    """
+    grams = word_shingles(token_array, n)
+    return F.lit(1) - F.size(F.array_distinct(grams)) / F.size(grams)
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Exact document fingerprint (content hash)."""
     return F.md5(text)

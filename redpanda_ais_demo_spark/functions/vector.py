@@ -32,3 +32,18 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def max_abs(a: Column) -> Column:
+    """Largest absolute component (int8 quantization scale). Pure
+    comparisons — exact on both engines, no FP-order sensitivity."""
+    return F.array_max(F.transform(a, F.abs))
+
+
+def int8_quantize(a: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: q_i = round(x_i / scale * 127) as
+    longs. One narrow transform per vector — no shuffle; the expression
+    order (divide, then scale by 127, then round) is fixed so an oracle
+    computing the same chain is bit-identical. Caller guards scale > 0.
+    """
+    return F.transform(a, lambda x: F.round(x / scale * 127, 0).cast("long"))

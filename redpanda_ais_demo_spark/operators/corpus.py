@@ -114,6 +114,78 @@ def decontaminate(
     )
 
 
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-``k`` word n-grams by occurrence count (with the
+    number of distinct docs containing each) — the vocabulary/boilerplate
+    census run before choosing dedup and quality thresholds.
+
+    Shape: map-side explode to n-gram rows, partial-agg count (the
+    shuffle carries ~|distinct n-grams| rows, not the corpus), then a
+    TakeOrderedAndProject top-k — no global sort materializes. Ties
+    break on the n-gram string so the cut is deterministic.
+    """
+    w = T.tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.word_shingles(w, n)).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus share and temperature-scaled sampling weight —
+    the domain-mixing table a pretraining job samples from. Emits, per
+    source: doc count, token count, ``token_share`` (exact fraction of
+    the corpus token stream), and ``alpha_half_weight`` =
+    sqrt(token_share), the α=0.5 temperature weight that upsamples small
+    sources (normalize the column downstream to draw probabilities).
+
+    Determinism: token totals are exact integer sums, the share is a
+    single IEEE division, and sqrt is correctly rounded — no
+    accumulation-order-dependent float sums cross engines (normalizing
+    by Σ√ here would reintroduce one; that Σ is over ~#sources values,
+    so any consumer can do it driver-side, deterministically, on this
+    output). Shape: one partial-agg groupBy on the source key plus a
+    broadcast 1-row total — the corpus shuffles nothing but per-source
+    partial sums.
+    """
+    n_tok = T.n_tokens(F.col(text_col)).cast("long")
+    per_src = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    total = docs.agg(F.sum(n_tok).alias("__total_tokens"))
+    share = F.col("n_tokens") / F.col("__total_tokens")
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(F.sqrt(share), 6).alias("alpha_half_weight"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

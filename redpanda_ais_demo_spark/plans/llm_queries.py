@@ -728,3 +728,134 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "doc_repetition_stats",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        b AS (
+            SELECT doc_id, w,
+                   list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                  i -> array_to_string(w[i:i+1], ' ')) AS bg
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               round(list_max(list_transform(w, tok -> len(list_filter(w, x -> x = tok))))
+                     / len(w), 6) AS top_token_ratio,
+               round(1 - len(list_distinct(bg)) / len(bg), 6) AS dup_bigram_ratio
+        FROM b
+    """,
+    tags=("text", "quality"),
+    doc="Gopher-style repetition signals per doc: most-common-token "
+    "fraction and repeated-bigram fraction — the boilerplate/degenerate-"
+    "text filters a quality pipeline cuts on. Pure in-array lambda "
+    "counting (no explode, no shuffle); the corpus streams through a "
+    "narrow projection.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = TXT.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(TXT.top_token_count(w) / F.size(w), 6).alias("top_token_ratio"),
+        F.round(TXT.dup_ngram_fraction(w, 2), 6).alias("dup_bigram_ratio"),
+    )
+
+
+@query(
+    "top_bigrams_corpus",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                         i -> array_to_string(w[i:i+1], ' '))) AS ngram
+            FROM t
+        )
+        SELECT ngram, count(*) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM bg GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+    tags=("text", "agg", "topk"),
+    doc="Corpus-level top-20 word bigrams with doc frequency — the "
+    "boilerplate census run before choosing dedup/quality thresholds. "
+    "Explode + partial-agg count (shuffle carries ~|distinct bigrams|), "
+    "TakeOrderedAndProject top-k — no global sort.",
+)
+def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.top_ngrams(docs, n=2, k=20)
+
+
+@query(
+    "source_mixture_weights",
+    oracle="""
+        WITH s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(n_tokens) AS total FROM s)
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / total, 6) AS token_share,
+               round(sqrt(n_tokens / total), 6) AS alpha_half_weight
+        FROM s CROSS JOIN tot
+    """,
+    tags=("sampling", "agg"),
+    doc="Domain-mixing table: per-source doc/token counts, exact corpus "
+    "token share, and the α=0.5 temperature sampling weight "
+    "(sqrt(share)) that upsamples small sources. Integer sums + one "
+    "division + one sqrt — bit-deterministic cross-engine (no Σ over "
+    "float terms).",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.source_mixture_weights(docs)
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, label, vd,
+                   list_max(list_transform(vd, x -> abs(x))) AS scale
+            FROM v
+        )
+        SELECT vec_id, label, round(scale, 6) AS scale,
+               CAST(list_sum(list_transform(vd,
+                    x -> CAST(round(x / scale * 127) AS BIGINT))) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(vd,
+                    x -> abs(CAST(round(x / scale * 127) AS BIGINT)))) AS BIGINT) AS q_l1
+        FROM s
+    """,
+    tags=("similarity", "scalar", "quantize"),
+    doc="Symmetric int8 quantization of the embedding column (the "
+    "compression step before shipping vectors to an ANN index): per-"
+    "vector max-abs scale, and exact integer checksums (sum, L1) of the "
+    "quantized values so the driver hash pins every lane without "
+    "comparing float arrays. Narrow transform — no shuffle; precondition "
+    "scale > 0 (no zero vectors), guarded upstream by embedding_stats.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = V.to_double(F.col("embedding"))
+    scale = V.max_abs(vd)
+    q = V.int8_quantize(vd, scale)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+    )

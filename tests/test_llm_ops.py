@@ -255,3 +255,69 @@ def test_ivf_distributed_training_matches_sample_quality(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"distributed-trained IVF recall too low: {recall:.2f}"
+
+
+def test_repetition_stats_bounds_and_known_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")], "doc_id long, text string"
+    )
+    from redpanda_ais_demo_spark.functions import text as TXT
+
+    w = TXT.tokens(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            (TXT.top_token_count(w) / F.size(w)).alias("top_ratio"),
+            TXT.dup_ngram_fraction(w, 2).alias("dup_bg"),
+        ).collect()
+    }
+    # "a b a b a b": 'a'/'b' appear 3/6 times; bigrams = 5 positions, 2 distinct
+    assert abs(out[1].top_ratio - 0.5) < 1e-12
+    assert abs(out[1].dup_bg - (1 - 2 / 5)) < 1e-12
+    # all-distinct doc: top ratio 1/6, no repeated bigrams
+    assert abs(out[2].top_ratio - 1 / 6) < 1e-12
+    assert out[2].dup_bg == 0.0
+
+
+def test_top_ngrams_counts_match_manual(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y q")], "doc_id long, text string"
+    )
+    rows = corpus.top_ngrams(df, n=2, k=10).collect()
+    got = {r.ngram: (r.n_occurrences, r.n_docs) for r in rows}
+    assert got["x y"] == (3, 2)  # twice in doc1, once in doc2
+    assert got["y x"] == (1, 1)
+    assert got["y z"] == (1, 1)
+    assert rows[0].ngram == "x y"  # count-desc deterministic ordering
+
+
+def test_source_mixture_weights_invariants(spark):
+    import math
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = corpus.source_mixture_weights(docs).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4  # 6dp rounding
+    for r in rows:
+        # α=0.5 upsamples small sources: weight lies above the raw share
+        assert r.alpha_half_weight >= r.token_share - 1e-9
+        assert abs(r.alpha_half_weight - round(math.sqrt(r.n_tokens / sum(x.n_tokens for x in rows)), 6)) <= 1e-6
+
+
+def test_int8_quantize_range_and_reconstruction(spark):
+    from redpanda_ais_demo_spark.functions import vector as V
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vd = V.to_double(F.col("embedding"))
+    q = V.int8_quantize(vd, V.max_abs(vd))
+    rows = emb.select(
+        F.array_max(F.transform(q, F.abs)).alias("qmax"),
+        # max per-lane reconstruction error in units of scale/127 is <= 0.5
+        F.array_max(
+            F.zip_with(
+                q, vd, lambda qi, xi: F.abs(qi - xi / V.max_abs(vd) * 127)
+            )
+        ).alias("err"),
+    ).collect()
+    assert all(r.qmax <= 127 for r in rows)
+    assert all(r.err <= 0.5 + 1e-9 for r in rows)
