@@ -157,3 +157,23 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     plan = _physical_plan(spark, "q22_global_sales_opportunity")
     assert "LeftAnti" in plan  # NOT EXISTS → anti join
     assert "BroadcastNestedLoopJoin Cross" in plan  # single-row stats broadcast
+
+
+def test_top_bigrams_is_partial_agg_topk(spark):
+    plan = _physical_plan(spark, "top_bigrams_corpus")
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert plan.count("HashAggregate") >= 3  # count + countDistinct partial phases
+    # only doc_id + text read from the documents scan
+    assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_mixture_weights_total_rides_broadcast(spark):
+    plan = _physical_plan(spark, "source_mixture_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2  # per-source partial + final
+
+
+def test_repetition_and_quantize_are_shuffle_free(spark):
+    for name in ("doc_repetition_stats", "embedding_quantize"):
+        plan = _physical_plan(spark, name)
+        assert "Exchange" not in plan, f"{name} must be a narrow projection"
