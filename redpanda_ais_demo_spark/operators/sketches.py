@@ -1,0 +1,82 @@
+"""Distributed frequency sketches: count-min over arbitrary item columns.
+
+Completes the sketch family next to HLL cardinality
+(``plans/ais_queries.py:a1_total_ships_approx``) and the MinHash/SimHash
+similarity sketches (``operators/dedup.py``): CMS answers point frequency
+queries ("how often does this token appear corpus-wide?") in fixed
+``depth × width`` space, with one-sided error — estimates never
+undercount, and overcount by more than ``2N/width`` with probability at
+most ``2^-depth`` per lookup.
+
+Scale shape: the sketch build is a single explode + partial-agg count —
+the shuffle carries at most ``depth × width`` counter rows regardless of
+corpus size, so the sketch table itself broadcasts everywhere it is
+consumed. That is the whole point at 100 TB: exact per-token counts are
+a vocabulary-sized shuffle; the CMS is a constant-sized one.
+
+Engine-internal hashing (xxhash64) — no SQL oracle; the estimate-vs-exact
+error bounds are pytest-verified (tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_structs(item: F.Column, depth: int, width: int) -> F.Column:
+    """Array of (row, col) sketch coordinates for an item — one per hash
+    row, col = xxhash64(row-seed, item) mod width."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                F.pmod(F.xxhash64(F.lit(d), item), F.lit(width)).alias("col"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of the ``item_col`` frequency distribution:
+    (row, col, count) with at most depth × width rows. Each input row
+    increments one counter per hash row; the explode is map-side and the
+    groupBy's partial aggregation collapses to ≤ depth × width states
+    per task before anything shuffles.
+    """
+    coords = items.select(
+        F.explode(_bucket_structs(F.col(item_col), depth, width)).alias("rc")
+    )
+    return (
+        coords.groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``queries[item_col]``: min over the
+    item's ``depth`` counters (a missing counter means no collision ever
+    touched that cell — the estimate is 0).
+
+    The sketch side is ≤ depth × width rows → broadcast; each query row
+    explodes to ``depth`` probes and folds back with a min — queries
+    never shuffle.
+    """
+    probes = queries.select(
+        F.col(item_col),
+        F.explode(_bucket_structs(F.col(item_col), depth, width)).alias("rc"),
+    ).select(item_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est_count"))
+    )

@@ -482,3 +482,80 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("user_id", "n", "share")
     )
+
+
+# --- Physical layout: Z-order clustering -----------------------------------
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import interleave_sql
+
+    return f"""
+        SELECT event_id, bx, by, {interleave_sql(["bx", "by"], 8)} AS zvalue
+        FROM (
+            SELECT event_id,
+                   ntile(256) OVER (ORDER BY value, event_id) - 1 AS bx,
+                   ntile(256) OVER (ORDER BY user_id, event_id) - 1 AS by
+            FROM events
+        )
+    """
+
+
+@query(
+    "zorder_events",
+    oracle=_zorder_oracle(),
+    tags=("layout", "window", "scale-path"),
+    doc="Z-order clustering key over (value, user_id): each dimension "
+    "rank-bucketed into 256 quantile buckets (skew-proof), bits "
+    "interleaved into one sort key. Writing range-partitioned + sorted "
+    "on this key (operators/layout.py:write_zordered) gives every "
+    "clustered column tight per-file min/max stats, so parquet row-group "
+    "pruning works for predicates on ANY clustered dimension — the "
+    "data-skipping layout step of a 100 TB table build. The interleave "
+    "is integer-exact and evaluated identically by the oracle.",
+)
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import interleave_sql
+
+    events = load_table(spark, sf_dir, "events")
+    wx = Window.orderBy("value", "event_id")
+    wy = Window.orderBy("user_id", "event_id")
+    return (
+        events.select(
+            "event_id",
+            (F.ntile(256).over(wx) - 1).alias("bx"),
+            (F.ntile(256).over(wy) - 1).alias("by"),
+        )
+        .withColumn("zvalue", F.expr(interleave_sql(["bx", "by"], 8)))
+    )
+
+
+# --- Frequency sketch: count-min --------------------------------------------
+
+
+@query(
+    "cms_token_estimates",
+    oracle=None,  # engine-internal hashing; error bounds pytest-verified
+    tags=("sketch", "approx", "scale-path"),
+    doc="Count-min sketch (depth 4 x width 1024) over the corpus token "
+    "stream, probed for the 20 most frequent tokens: (term, est_count). "
+    "The sketch is <= depth*width counter rows no matter the corpus size "
+    "- constant-size shuffle + broadcast where exact counts are a "
+    "vocabulary-sized shuffle. One-sided error (never undercounts) "
+    "bounded in tests/test_sketches.py against exact counts.",
+)
+def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+    from ..operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT.tokens(F.col("text"))).alias("term"))
+    sketch = sketches.cms_build(toks, "term")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+        .select("term")
+    )
+    return sketches.cms_estimate(sketch, top, "term").orderBy("term")

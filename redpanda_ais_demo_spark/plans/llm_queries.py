@@ -731,6 +731,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_first_seen_docs",
+    # Accepted = docs with no verified near-dup of smaller id. LSH recall
+    # is 100% vs the exact pairs at driver SF (tests/test_llm_ops.py), so
+    # the exact-Jaccard pair set defines the rejects.
+    oracle=f"""
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id_b FROM ({_JACCARD_ORACLE}) p)
+    """,
+    tags=("dedup", "lsh", "streaming-core"),
+    doc="X2 ingest form — the streaming near-dup filter's batch core "
+    "(streaming/neardup.py) run over the corpus as one batch: keep every "
+    "doc with no verified near-dup of smaller id ('first seen wins'). "
+    "The same code path dedups micro-batches against the persisted "
+    "accepted-profile index in the foreachBatch filter.",
+)
+def dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    accepted, _, _ = neardup.dedup_batch_against_index(
+        docs, None, threshold=_JACCARD_THRESHOLD
+    )
+    return accepted.select("doc_id", "lang", "source")
+
+
+@query(
     "doc_repetition_stats",
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
