@@ -40,6 +40,31 @@ def max_abs(a: Column) -> Column:
     return F.array_max(F.transform(a, F.abs))
 
 
+def sign_projection_matrix(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 (Achlioptas sign) random-projection matrix,
+    derived from a splitmix64-style integer hash of (row, col) — no RNG
+    state, so the same literals embed in both the Spark expression and
+    the SQL oracle, on any platform."""
+
+    def bit(r: int, c: int) -> int:
+        x = (r * 0x9E3779B97F4A7C15 + c * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 29
+        return 1 if (x & 1) else -1
+
+    return [[bit(r, c) for c in range(in_dim)] for r in range(out_dim)]
+
+
+def project(vec: Column, matrix: list[list[int]]) -> Column:
+    """y = R·x for a literal matrix: one sequential dot per output
+    component, all inside codegen. The matrix rides the expression tree
+    (a few KB of literals), so nothing broadcasts and nothing shuffles —
+    the 100 TB shape for dimension reduction."""
+    rows = [F.array(*[F.lit(float(v)) for v in row]) for row in matrix]
+    return F.array(*[dot(vec, row) for row in rows])
+
+
 def int8_quantize(a: Column, scale: Column) -> Column:
     """Symmetric int8 quantization: q_i = round(x_i / scale * 127) as
     longs. One narrow transform per vector — no shuffle; the expression

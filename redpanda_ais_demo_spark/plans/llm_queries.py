@@ -843,6 +843,47 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.source_mixture_weights(docs)
 
 
+def _jl_oracle() -> str:
+    from ..functions.vector import sign_projection_matrix
+
+    R = sign_projection_matrix(64, 8)
+    comps = ",\n               ".join(
+        f"round(list_dot_product(vd, {[float(v) for v in row]}), 6) AS y{j}"
+        for j, row in enumerate(R)
+    )
+    return f"""
+        SELECT vec_id, label,
+               {comps}
+        FROM (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        )
+    """
+
+
+@query(
+    "embedding_random_projection",
+    oracle=_jl_oracle(),
+    tags=("similarity", "scalar", "scale-path"),
+    doc="Johnson-Lindenstrauss sign projection 64→8 dims: y = R·x with a "
+    "deterministic ±1 matrix that rides the expression tree as literals "
+    "— no broadcast, no shuffle, pure codegen'd sequential dots, the "
+    "cheap dimension-reduction pre-step before ANN indexing at scale. "
+    "Distance-preservation property pytest-verified.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    y = V.project(V.to_double(F.col("embedding")), V.sign_projection_matrix(64, 8))
+    return emb.select(
+        "vec_id",
+        "label",
+        *[F.round(y[j], 6).alias(f"y{j}") for j in range(8)],
+    )
+
+
 @query(
     "embedding_quantize",
     oracle="""

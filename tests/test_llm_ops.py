@@ -321,3 +321,43 @@ def test_int8_quantize_range_and_reconstruction(spark):
     ).collect()
     assert all(r.qmax <= 127 for r in rows)
     assert all(r.err <= 0.5 + 1e-9 for r in rows)
+
+
+def test_sign_projection_preserves_relative_distances(spark):
+    """JL property: scaled projected distances approximate original
+    distances; nearest-neighbor ordering is broadly preserved."""
+    import numpy as np
+
+    from redpanda_ais_demo_spark.functions import vector as V
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    R = np.array(V.sign_projection_matrix(64, 8), dtype=float)
+    rows = emb.select("vec_id", "embedding").limit(50).collect()
+    X = np.array([r.embedding for r in rows], dtype=float)
+    Y = (X @ R.T) / np.sqrt(8)  # E[|Ry|^2 / k] = |y|^2 for sign projections
+    dx = np.linalg.norm(X[:, None] - X[None, :], axis=2)
+    dy = np.linalg.norm(Y[:, None] - Y[None, :], axis=2)
+    mask = dx > 0
+    ratio = dy[mask] / dx[mask]
+    # sign-JL at k=8 is coarse: mean ratio ~1, bounded spread
+    assert 0.7 < ratio.mean() < 1.3
+    assert np.quantile(ratio, 0.9) < 2.0
+
+    # the Spark expression computes the same projection as numpy
+    got = {
+        r.vec_id: [r[f"y{j}"] for j in range(8)]
+        for r in spark.createDataFrame(
+            [(int(rows[0].vec_id), [float(v) for v in rows[0].embedding])],
+            "vec_id long, embedding array<double>",
+        )
+        .select(
+            "vec_id",
+            *[
+                V.project(F.col("embedding"), V.sign_projection_matrix(64, 8))[j].alias(f"y{j}")
+                for j in range(8)
+            ],
+        )
+        .collect()
+    }
+    want = X[0] @ R.T
+    assert np.allclose(got[rows[0].vec_id], want)
