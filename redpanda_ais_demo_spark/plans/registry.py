@@ -62,19 +62,22 @@ def _load_all() -> None:
 # INTERSECT/EXCEPT, pivot), the complete LLM-data-pipeline suite (dedup /
 # similarity / multimodal / text), and every advanced relational operator
 # (as-of join, range join, percentiles, grouping sets, salted join, analytic
-# windows, map/unpivot). Rows-only near-variants of oracle-checked entries
-# (HLL approx, rolling fingerprint, resize, approx percentiles) trail, as do
-# rows-only entries whose operator class an in-window sibling already
-# represents (ann_ivf variants behind ann_lsh_topk; multimodal_features /
-# multimodal_resize behind the oracle-checked frame-sample spine).
+# windows, map/unpivot), plus the round-2 corpus classes (JL projection,
+# domain-mixing weights, Z-order layout). Rows-only near-variants of
+# oracle-checked entries (HLL approx, rolling fingerprint, resize, approx
+# percentiles) trail, as do rows-only entries whose operator class an
+# in-window sibling already represents (ann_ivf variants behind
+# ann_lsh_topk; multimodal_features / multimodal_resize behind the
+# oracle-checked frame-sample spine) and oracle-bearing entries sharing an
+# in-window sibling's class (p1_route_info behind p1_route_positions,
+# a4_bounding_box behind a3, setop_customer_only_nations behind
+# setop_active_nations — all stay pytest-oracle-swept).
 PRIORITY: tuple[str, ...] = (
     # AIS dashboard + streaming-analogue surface
     "a1_total_ships",
     "a2_moving_ships",
     "a3_map_center",
-    "a4_bounding_box",
     "p1_route_positions",
-    "p1_route_info",
     "p2_validity_filter",
     "f_scalar_display",
     "f6_json_extract",
@@ -92,7 +95,6 @@ PRIORITY: tuple[str, ...] = (
     "anti_customers_without_orders",
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
-    "setop_customer_only_nations",
     "pivot_status_by_priority",
     # LLM-data-pipeline suite (X1-X5)
     "dedup_exact_docs",
@@ -111,7 +113,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "tfidf_top_terms",
     "embedding_stats",
+    "embedding_random_projection",
+    "source_mixture_weights",
     "multimodal_frame_sample",
+    "zorder_events",
     # advanced relational operators
     "asof_last_order_per_event",
     "range_join_value_bands",

@@ -28,7 +28,6 @@ REQUIRED_IN_WINDOW = {
     "anti_customers_without_orders",
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
-    "setop_customer_only_nations",
     "pivot_status_by_priority",
     # LLM-data-pipeline suite
     "dedup_exact_docs",
@@ -45,6 +44,10 @@ REQUIRED_IN_WINDOW = {
     "bpe_token_estimate",
     "udtf_sentences",
     "multimodal_frame_sample",
+    # round-2 corpus classes
+    "embedding_random_projection",
+    "source_mixture_weights",
+    "zorder_events",
     # advanced relational
     "asof_last_order_per_event",
     "range_join_value_bands",
