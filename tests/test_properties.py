@@ -201,3 +201,68 @@ def test_simhash_lane_widths_agree(spark):
     narrow = {r.id: r.simhash for r in _packed_simhash(hashed, 64, 4, 16).collect()}
     wide = {r.id: r.simhash for r in _packed_simhash(hashed, 64, 2, 32).collect()}
     assert narrow == wide
+
+
+# --- Z-order interleave + CMS invariants (pure python reference) ------------
+
+
+def _interleave_ref(vals: list[int], bits: int) -> int:
+    z = 0
+    n = len(vals)
+    for r in range(bits):
+        for i, v in enumerate(vals):
+            z |= ((v >> r) & 1) << (r * n + i)
+    return z
+
+
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                min_size=2, max_size=50, unique=True))
+def test_zorder_interleave_is_injective(pairs):
+    zs = [_interleave_ref(list(p), 8) for p in pairs]
+    assert len(set(zs)) == len(pairs)  # distinct inputs -> distinct z keys
+    assert all(0 <= z < 1 << 16 for z in zs)
+
+
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 7))
+def test_zorder_bit_step_is_local(bx, by, r):
+    """Flipping one input bit moves the key by exactly one output bit —
+    the locality property row-group pruning relies on."""
+    z1 = _interleave_ref([bx, by], 8)
+    z2 = _interleave_ref([bx ^ (1 << r), by], 8)
+    assert bin(z1 ^ z2).count("1") == 1
+    assert (z1 ^ z2) == 1 << (2 * r)
+
+
+def test_spark_interleave_matches_reference_exhaustive_low_bits(spark):
+    from redpanda_ais_demo_spark.operators import layout
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    got = (
+        spark.createDataFrame(rows, "bx int, by int")
+        .withColumn("z", F.expr(layout.interleave_sql(["bx", "by"], 8)))
+        .collect()
+    )
+    for r in got:
+        assert r.z == _interleave_ref([r.bx, r.by], 8)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=60))
+def test_cms_never_undercounts_property(spark, stream):
+    from collections import Counter
+
+    from redpanda_ais_demo_spark.operators import sketches
+
+    items = spark.createDataFrame([(s,) for s in stream], "term string")
+    sketch = sketches.cms_build(items, "term", depth=3, width=8)
+    est = {
+        r.term: r.est_count
+        for r in sketches.cms_estimate(
+            sketch, items.select("term").distinct(), "term", depth=3, width=8
+        ).collect()
+    }
+    true = Counter(stream)
+    assert all(est[t] >= n for t, n in true.items())
+    # total sketch mass bounds every estimate
+    assert all(v <= len(stream) for v in est.values())
