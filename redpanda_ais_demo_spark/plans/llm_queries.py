@@ -843,6 +843,56 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.source_mixture_weights(docs)
 
 
+@query(
+    "vocab_coverage",
+    oracle="""
+        WITH counts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY term
+        ),
+        tot AS (SELECT sum(n) AS total FROM counts)
+        SELECT term, n, rank, round(cum / total, 6) AS cum_share
+        FROM (
+            SELECT term, n, total,
+                   CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+                   CAST(sum(n) OVER (ORDER BY n DESC, term
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM counts CROSS JOIN tot
+        )
+    """,
+    tags=("text", "agg", "window"),
+    doc="Vocabulary coverage curve — the statistic tokenizer design reads "
+    "off: terms ranked by frequency with cumulative share of the corpus "
+    "token mass (how many vocab entries cover 99% of tokens). Explode + "
+    "partial-agg counts (shuffle is vocabulary-sized), then one ordered "
+    "window over the |vocab|-row aggregate — the window sorts vocab "
+    "rows, never the corpus. Integer cumulative sums, one division, "
+    "round 6 — bit-deterministic.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    w = Window.orderBy(F.col("n").desc(), "term")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "n",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.round(F.sum("n").over(wc) / F.col("__total"), 6).alias("cum_share"),
+        )
+    )
+
+
 def _jl_oracle() -> str:
     from ..functions.vector import sign_projection_matrix
 
