@@ -361,3 +361,28 @@ def test_sign_projection_preserves_relative_distances(spark):
     }
     want = X[0] @ R.T
     assert np.allclose(got[rows[0].vec_id], want)
+
+
+def test_prefix_filtered_jaccard_identical_to_naive(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = dedup.doc_shingles(docs)
+    naive = {tuple(r) for r in dedup.jaccard_pairs(sh, 0.5).collect()}
+    pref = {tuple(r) for r in dedup.jaccard_pairs_prefix(sh, 0.5).collect()}
+    assert naive == pref
+    assert naive, "fixture should contain near-dup pairs"
+
+
+def test_prefix_filtered_jaccard_on_boilerplate_corpus(spark):
+    # heavy shared boilerplate (the hot-shingle case the prefix filter
+    # exists for) + distinct tails; thresholds must agree with naive
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, f"{boiler} item {i} unique tail {i * 7} {i * 13}") for i in range(40)]
+    rows += [(100, "completely unrelated text with no overlap at all here"),
+             (101, "completely unrelated text with no overlap at all here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.doc_shingles(docs)
+    for t in (0.5, 0.8):
+        naive = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs(sh, t).collect()}
+        pref = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs_prefix(sh, t).collect()}
+        assert naive == pref, f"threshold {t}"
+    assert (100, 101) in {(r.id_a, r.id_b) for r in dedup.jaccard_pairs_prefix(sh, 0.5).collect()}
