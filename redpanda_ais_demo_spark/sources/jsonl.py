@@ -26,8 +26,11 @@ from pyspark.sql.types import StructField, StructType, StringType
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
-    """Read JSONL with an explicit schema + corrupt-line quarantine column."""
+def read_jsonl(
+    spark: SparkSession, path: str | list[str], schema: StructType | str
+) -> DataFrame:
+    """Read JSONL (a directory, file, or explicit file list) with an
+    explicit schema + corrupt-line quarantine column."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
     if CORRUPT_COL not in schema.fieldNames():
