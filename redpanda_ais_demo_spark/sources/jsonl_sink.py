@@ -122,7 +122,14 @@ def read_committed(spark, path: str, schema):
 
 
 def register(spark) -> None:
+    # pickle-by-value: the writer class must unpickle in Python workers
+    # that don't search addPyFile files (see nmea_datasource.register)
+    import sys
+
+    from pyspark import cloudpickle
+
     from ..dist import ensure_shipped
 
     ensure_shipped(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(JSONLManifestSink)

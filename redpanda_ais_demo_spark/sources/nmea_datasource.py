@@ -135,9 +135,21 @@ class NMEAReplaySource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the source (idempotent) — ships the package to Python
-    workers first, since reader instances unpickle there."""
+    """Register the source (idempotent).
+
+    Ships the package for executor-side unpickling AND marks this module
+    pickle-by-value: the streaming source runner is a separate driver-
+    side Python worker that does not search ``addPyFile`` files, so a
+    by-reference pickle of the reader class fails to import there when
+    the driver's cwd is outside the repo. By-value serialization makes
+    the datasource self-contained wherever it lands (this module only
+    touches stdlib + pyspark)."""
+    import sys
+
+    from pyspark import cloudpickle
+
     from ..dist import ensure_shipped
 
     ensure_shipped(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(NMEAReplaySource)
