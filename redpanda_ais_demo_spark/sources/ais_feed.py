@@ -12,6 +12,11 @@ Decode is gated: ``pyais`` is not in this container. When available the
 decoder runs as a mapInPandas kernel (one parser per batch, not per
 row); without it, callers get an informative error rather than a silent
 fake — the raw-line source itself still works for transport tests.
+
+The socket source is at-most-once by nature (no offsets). For durable
+feeds, ``sources/nmea_datasource.py`` provides the same NMEA lines as a
+replayable Spark 4 Python DataSource with checkpointed line offsets —
+exactly-once through restarts.
 """
 
 from __future__ import annotations
