@@ -61,6 +61,37 @@ def zorder_keys(
     return zdf.withColumn("__z", F.expr(interleave_sql(bucket_cols, bits))).drop(*bucket_cols)
 
 
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction — the maintenance job every streamed table
+    needs: micro-batch sinks produce file confetti, and at 100 TB the
+    per-file open/footer overhead and scheduler pressure of millions of
+    tiny files dominate scan cost. Rewrites ``src_dir`` into
+    ``ceil(input_bytes / target_mb)`` similar-sized files (round-robin
+    repartition — compaction balances sizes; co-location belongs to
+    ``write_zordered``/bucketing). Returns the output file count.
+
+    Sizing reads filesystem metadata only (no data pass); the single
+    data pass is the rewrite itself.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / (target_mb << 20)))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

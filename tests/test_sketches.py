@@ -107,3 +107,15 @@ def test_write_zordered_range_partitions_files(spark, tmp_path):
     full = max(mx for _, mx in spans) - min(mn for mn, _ in spans)
     avg_span = sum(mx - mn for mn, mx in spans) / len(spans)
     assert avg_span < full  # files are clustered, not uniform slices of everything
+
+
+def test_compact_parquet_merges_file_confetti(spark, tmp_path):
+    src = str(tmp_path / "confetti")
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    events.repartition(40).write.parquet(src)  # simulate micro-batch confetti
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 40
+    dst = str(tmp_path / "compacted")
+    n = layout.compact_parquet(spark, src, dst, target_mb=128)
+    out_files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(out_files) == n == 1  # tiny input → one right-sized file
+    assert spark.read.parquet(dst).count() == events.count()
