@@ -128,10 +128,12 @@ def top_ngrams(
     Shape: map-side explode to n-gram rows, partial-agg count (the
     shuffle carries ~|distinct n-grams| rows, not the corpus), then a
     TakeOrderedAndProject top-k — no global sort materializes. Ties
-    break on the n-gram string so the cut is deterministic.
+    break on the n-gram string so the cut is deterministic. Docs with
+    fewer than ``n`` tokens contribute no n-grams (filtered before the
+    explode — word_shingles' sequence() would otherwise descend).
     """
     w = T.tokens(F.col(text_col))
-    grams = docs.select(
+    grams = docs.filter(F.size(w) >= n).select(
         F.col(id_col).alias("doc_id"),
         F.explode(T.word_shingles(w, n)).alias("ngram"),
     )

@@ -319,6 +319,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_pairs_prefix",
+    # Provably the same pairs as ngram_jaccard_pairs (PPJoin prefix
+    # filtering is exact), so the same oracle applies.
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "join", "text", "scale-path"),
+    doc="X2 exact with PPJoin-style prefix filtering: the inverted index "
+    "holds only each doc's rarest |d|-ceil(t*|d|)+1 shingles, so the "
+    "self-join never pays posting-list^2 on boilerplate shingles — the "
+    "exact path for skewed/boilerplate-heavy corpora (on the uniform "
+    "synthetic fixture the naive index is faster; both stay declared so "
+    "the choice is measured, not assumed).",
+)
+def ngram_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, "doc_id", "text", k=3)
+    return dedup.jaccard_pairs_prefix(sh, _JACCARD_THRESHOLD)
+
+
+@query(
     "minhash_lsh_pairs",
     # LSH is approximate in general, but candidates are verified with exact
     # Jaccard, and at the driver's sf0.01 recall is verified 100% (pairs are
@@ -770,7 +789,9 @@ def dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(w) AS BIGINT) AS n_tokens,
                round(list_max(list_transform(w, tok -> len(list_filter(w, x -> x = tok))))
                      / len(w), 6) AS top_token_ratio,
-               round(1 - len(list_distinct(bg)) / len(bg), 6) AS dup_bigram_ratio
+               CASE WHEN len(w) >= 2
+                    THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+                    ELSE 0.0 END AS dup_bigram_ratio
         FROM b
     """,
     tags=("text", "quality"),
@@ -778,7 +799,9 @@ def dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fraction and repeated-bigram fraction — the boilerplate/degenerate-"
     "text filters a quality pipeline cuts on. Pure in-array lambda "
     "counting (no explode, no shuffle); the corpus streams through a "
-    "narrow projection.",
+    "narrow projection. Docs with <2 tokens have no bigram positions: "
+    "dup_bigram_ratio is 0.0 by definition (guarded — word_shingles "
+    "would otherwise descend sequence()).",
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -787,7 +810,9 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
         F.round(TXT.top_token_count(w) / F.size(w), 6).alias("top_token_ratio"),
-        F.round(TXT.dup_ngram_fraction(w, 2), 6).alias("dup_bigram_ratio"),
+        F.when(F.size(w) >= 2, F.round(TXT.dup_ngram_fraction(w, 2), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
     )
 
 
@@ -797,9 +822,9 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         bg AS (
             SELECT doc_id,
-                   unnest(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                   unnest(list_transform(generate_series(1, len(w) - 1),
                                          i -> array_to_string(w[i:i+1], ' '))) AS ngram
-            FROM t
+            FROM t WHERE len(w) >= 2
         )
         SELECT ngram, count(*) AS n_occurrences,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

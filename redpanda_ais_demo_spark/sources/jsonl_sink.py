@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql.datasource import (
@@ -97,14 +98,19 @@ class JSONLManifestSink(DataSource):
 
 
 def committed_files(path: str) -> list[str]:
-    """Part files named by a manifest, in (batch, manifest order)."""
+    """Part files named by a manifest, in (batch, manifest order).
+
+    Only ``{batch}.json`` names are manifests: a crash between writing
+    ``.{batch}.json.tmp`` and the atomic rename leaves a tmp file that
+    must stay invisible (it was never committed), so names are matched
+    strictly before any sort-key parsing.
+    """
     mdir = os.path.join(path, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
+    names = [mf for mf in os.listdir(mdir) if re.fullmatch(r"\d+\.json", mf)]
     out = []
-    for mf in sorted(os.listdir(mdir), key=lambda s: int(s.split(".")[0])):
-        if not mf.endswith(".json"):
-            continue
+    for mf in sorted(names, key=lambda s: int(s.split(".")[0])):
         with open(os.path.join(mdir, mf)) as f:
             manifest = json.load(f)
         out.extend(os.path.join(path, e["file"]) for e in manifest["files"])

@@ -28,15 +28,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import dedup
-
-
-def _empty_profiles(spark: SparkSession, like: DataFrame) -> DataFrame:
-    return spark.createDataFrame([], like.schema)
 
 
 def _verified_matches(
@@ -110,10 +106,14 @@ def dedup_batch_against_index(
         matches = internal.unionByName(cross)
     else:
         matches = internal
-    # one deterministic rejection row per doc: smallest matched_id wins
+    # One deterministic rejection row per doc: smallest matched_id wins;
+    # `via` breaks the tie when the SAME matched_id is seen through both
+    # routes (replay re-reads the current batch's prior-attempt profiles
+    # from the index, so 'batch' and 'index' can both surface it — without
+    # the tiebreak replayed batches could flip the via column).
     from pyspark.sql import Window
 
-    w = Window.partitionBy("id").orderBy("matched_id")
+    w = Window.partitionBy("id").orderBy("matched_id", "via")
     rejections = (
         matches.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
