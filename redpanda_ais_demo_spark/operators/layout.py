@@ -16,7 +16,7 @@ interleave formula.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,31 +34,78 @@ def interleave_sql(cols: list[str], bits: int) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
+def quantile_edges(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One-row DataFrame with, per column ``c``, an array ``__e_{c}`` of
+    the 2^bits - 1 interior quantile bin edges of ``c``.
+
+    This is the scale fix for rank-space bucketing: instead of a global
+    ``ntile()`` window (an all-data single-partition sort per dimension —
+    the plan you cannot run at 100 TB), the edges are ONE map-side-partial
+    aggregate. ``exact=False`` (default, the scale path) uses
+    ``percentile_approx`` — a mergeable fixed-size sketch, constant
+    executor memory. ``exact=True`` uses the exact interpolated
+    ``percentile`` aggregate (cost ~ a sort of the column inside one
+    aggregation buffer) and exists so oracle-scale results are
+    bit-reproducible by DuckDB's ``quantile_cont``.
+    """
+    k = 1 << bits
+    fracs = F.lit([i / k for i in range(1, k)])
+    aggs = []
+    for c in cols:
+        fn = F.percentile(F.col(c), fracs) if exact else F.percentile_approx(F.col(c), fracs, F.lit(accuracy))
+        aggs.append(fn.alias(f"__e_{c}"))
+    return df.agg(*aggs)
+
+
+def bucket_by_edges(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> tuple[DataFrame, list[str]]:
+    """Append a 0-based quantile-bucket column ``__b_{c}`` per clustered
+    column: bucket = number of bin edges <= value (narrow array-filter
+    expression over the broadcast one-row edge table — no shuffle of the
+    fact side, no window). Skewed value distributions still spread evenly
+    across buckets because edges are rank-space. Returns (df, bucket cols).
+    """
+    edges = quantile_edges(df, cols, bits, exact=exact, accuracy=accuracy)
+    keyed = df.crossJoin(F.broadcast(edges))
+    bucket_cols = []
+    for c in cols:
+        b = f"__b_{c}"
+        keyed = keyed.withColumn(
+            b,
+            F.size(F.filter(F.col(f"__e_{c}"), lambda e, c=c: e <= F.col(c))).cast("long"),
+        )
+        bucket_cols.append(b)
+    return keyed.drop(*[f"__e_{c}" for c in cols]), bucket_cols
+
+
 def zorder_keys(
     df: DataFrame,
     cols: list[str],
     bits: int = 8,
-    order_tiebreak: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Append ``__z``: the Z-order key over ``cols``.
 
-    Each column is first rank-bucketed into 2^bits quantile buckets with
-    ntile() — rank-space interleaving, so skewed value distributions
-    still spread evenly across buckets (raw-value bit interleaving would
-    collapse under skew). The ntile windows are one total sort per
-    column; at scale substitute a pre-computed bucket (approx-quantile
-    bin edges broadcast as a range join) to avoid the global windows —
-    the interleave stays identical.
+    Each column is quantile-bucketed into 2^bits rank-space buckets via
+    precomputed broadcast bin edges (see ``quantile_edges`` — one
+    mergeable aggregate, no global window), then the bucket bits are
+    interleaved. Rows whose value ties an edge go to the upper bucket in
+    both engines, so the key is deterministic and oracle-checkable.
     """
-    zdf = df
-    bucket_cols = []
-    for c in cols:
-        w = Window.orderBy(*([F.col(c), F.col(order_tiebreak)] if order_tiebreak else [F.col(c)]))
-        b = f"__b_{c}"
-        # ntile is 1-based; shift to 0-based so bucket fits in `bits` bits
-        zdf = zdf.withColumn(b, F.ntile(1 << bits).over(w) - 1)
-        bucket_cols.append(b)
-    return zdf.withColumn("__z", F.expr(interleave_sql(bucket_cols, bits))).drop(*bucket_cols)
+    keyed, bucket_cols = bucket_by_edges(df, cols, bits, exact=exact, accuracy=accuracy)
+    return keyed.withColumn("__z", F.expr(interleave_sql(bucket_cols, bits))).drop(*bucket_cols)
 
 
 def compact_parquet(
@@ -98,13 +145,13 @@ def write_zordered(
     cols: list[str],
     bits: int = 8,
     n_files: int = 8,
-    order_tiebreak: str | None = None,
+    exact: bool = False,
 ) -> None:
     """Write ``df`` as parquet clustered by the Z-order of ``cols``:
     range-partition on the z-key (each output file owns a contiguous
     z-range → tight per-file min/max stats on every clustered column),
     sort within partitions, drop the key."""
-    keyed = zorder_keys(df, cols, bits, order_tiebreak)
+    keyed = zorder_keys(df, cols, bits, exact=exact)
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

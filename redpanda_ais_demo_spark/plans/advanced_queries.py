@@ -490,13 +490,17 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zorder_oracle() -> str:
     from ..operators.layout import interleave_sql
 
+    fracs = ", ".join(str(i / 256) for i in range(1, 256))
     return f"""
         SELECT event_id, bx, by, {interleave_sql(["bx", "by"], 8)} AS zvalue
         FROM (
-            SELECT event_id,
-                   ntile(256) OVER (ORDER BY value, event_id) - 1 AS bx,
-                   ntile(256) OVER (ORDER BY user_id, event_id) - 1 AS by
-            FROM events
+            SELECT e.event_id,
+                   len(list_filter(d.ev, x -> x <= e.value)) AS bx,
+                   len(list_filter(d.eu, x -> x <= e.user_id)) AS by
+            FROM events e,
+                 (SELECT quantile_cont(value, [{fracs}]) AS ev,
+                         quantile_cont(user_id, [{fracs}]) AS eu
+                  FROM events) d
         )
     """
 
@@ -504,30 +508,32 @@ def _zorder_oracle() -> str:
 @query(
     "zorder_events",
     oracle=_zorder_oracle(),
-    tags=("layout", "window", "scale-path"),
+    tags=("layout", "scale-path"),
     doc="Z-order clustering key over (value, user_id): each dimension "
-    "rank-bucketed into 256 quantile buckets (skew-proof), bits "
-    "interleaved into one sort key. Writing range-partitioned + sorted "
-    "on this key (operators/layout.py:write_zordered) gives every "
-    "clustered column tight per-file min/max stats, so parquet row-group "
-    "pruning works for predicates on ANY clustered dimension — the "
-    "data-skipping layout step of a 100 TB table build. The interleave "
-    "is integer-exact and evaluated identically by the oracle.",
+    "quantile-bucketed into 256 rank-space buckets (skew-proof) against "
+    "precomputed broadcast bin edges — ONE mergeable percentile "
+    "aggregate plus a narrow array-filter expression, no global ntile() "
+    "window, so the layout job has no single-partition sort at any "
+    "scale (the operator's default path swaps the exact percentile for "
+    "the percentile_approx sketch; operators/layout.py:quantile_edges). "
+    "Bits interleaved into one sort key; writing range-partitioned + "
+    "sorted on it (operators/layout.py:write_zordered) gives every "
+    "clustered column tight per-file min/max stats, so parquet "
+    "row-group pruning works for predicates on ANY clustered dimension "
+    "— the data-skipping layout step of a 100 TB table build. Exact "
+    "interpolated percentiles == DuckDB quantile_cont; ties at an edge "
+    "go to the upper bucket in both engines.",
 )
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.layout import interleave_sql
+    from ..operators.layout import bucket_by_edges, interleave_sql
 
     events = load_table(spark, sf_dir, "events")
-    wx = Window.orderBy("value", "event_id")
-    wy = Window.orderBy("user_id", "event_id")
-    return (
-        events.select(
-            "event_id",
-            (F.ntile(256).over(wx) - 1).alias("bx"),
-            (F.ntile(256).over(wy) - 1).alias("by"),
-        )
-        .withColumn("zvalue", F.expr(interleave_sql(["bx", "by"], 8)))
-    )
+    keyed, _ = bucket_by_edges(events, ["value", "user_id"], bits=8, exact=True)
+    return keyed.select(
+        "event_id",
+        F.col("__b_value").alias("bx"),
+        F.col("__b_user_id").alias("by"),
+    ).withColumn("zvalue", F.expr(interleave_sql(["bx", "by"], 8)))
 
 
 # --- Frequency sketch: count-min --------------------------------------------

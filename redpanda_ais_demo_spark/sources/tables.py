@@ -54,13 +54,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     _ensure_parquet_confs(spark)
     if name == "events":
-        # events.ts arrives as int64 nanos (see _ensure_parquet_confs);
-        # truncate to a µs TimestampType (matching DuckDB's native µs
-        # TIMESTAMP semantics).
+        # events.ts has shipped as int64 TIMESTAMP(NANOS) (read as raw
+        # nanos via _ensure_parquet_confs) in some datasets and plain µs
+        # TIMESTAMP in others, so adapt on the actual file schema rather
+        # than assuming one. Target type is a µs TimestampType (matching
+        # DuckDB's native µs TIMESTAMP semantics): NTZ→timestamp cast is
+        # wall-time preserving on the collect round-trip in any session
+        # timezone, so oracle value comparisons are unaffected.
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            df = raw
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     _PLAN_CACHE[key] = df

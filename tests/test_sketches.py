@@ -69,7 +69,6 @@ def test_zorder_improves_locality_over_single_column_sort(spark):
         events.select("event_id", "value", "user_id"),
         ["value", "user_id"],
         bits=8,
-        order_tiebreak="event_id",
     )
     import pandas as pd
 
@@ -89,8 +88,7 @@ def test_zorder_improves_locality_over_single_column_sort(spark):
 def test_write_zordered_range_partitions_files(spark, tmp_path):
     events = load_table(spark, SF_SMOKE, "events").select("event_id", "value", "user_id")
     path = str(tmp_path / "zorder")
-    layout.write_zordered(events, path, ["value", "user_id"], bits=8, n_files=4,
-                          order_tiebreak="event_id")
+    layout.write_zordered(events, path, ["value", "user_id"], bits=8, n_files=4)
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     assert 1 < len(files) <= 4
     # every input row survives the layout rewrite
