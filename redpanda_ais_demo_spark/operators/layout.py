@@ -49,16 +49,23 @@ def quantile_edges(
     the plan you cannot run at 100 TB), the edges are ONE map-side-partial
     aggregate. ``exact=False`` (default, the scale path) uses
     ``percentile_approx`` — a mergeable fixed-size sketch, constant
-    executor memory. ``exact=True`` uses the exact interpolated
+    executor memory, and every edge is an actual data value (no
+    interpolation). ``exact=True`` uses the exact interpolated
     ``percentile`` aggregate (cost ~ a sort of the column inside one
     aggregation buffer) and exists so oracle-scale results are
-    bit-reproducible by DuckDB's ``quantile_cont``.
+    reproducible by DuckDB's ``quantile_cont``; because the two engines'
+    linear interpolation can differ in the last ULP, interpolated edges
+    are rounded to 6 decimals (the oracle SQL applies the identical
+    round) so the ``<=`` bucket comparison agrees bit-for-bit.
     """
     k = 1 << bits
     fracs = F.lit([i / k for i in range(1, k)])
     aggs = []
     for c in cols:
-        fn = F.percentile(F.col(c), fracs) if exact else F.percentile_approx(F.col(c), fracs, F.lit(accuracy))
+        if exact:
+            fn = F.transform(F.percentile(F.col(c), fracs), lambda e: F.round(e, 6))
+        else:
+            fn = F.percentile_approx(F.col(c), fracs, F.lit(accuracy))
         aggs.append(fn.alias(f"__e_{c}"))
     return df.agg(*aggs)
 
@@ -73,17 +80,28 @@ def bucket_by_edges(
     """Append a 0-based quantile-bucket column ``__b_{c}`` per clustered
     column: bucket = number of bin edges <= value (narrow array-filter
     expression over the broadcast one-row edge table — no shuffle of the
-    fact side, no window). Skewed value distributions still spread evenly
-    across buckets because edges are rank-space. Returns (df, bucket cols).
+    fact side, no window). Rank-space edges spread distinct-value skew
+    evenly, but ties are value-deterministic: every duplicate of a value
+    lands in one bucket, so a single value covering more than 2^-bits of
+    the rows collapses into that bucket (the price of an oracle-checkable
+    key; ntile-style tie-splitting would be nondeterministic).
+    Returns (df, bucket cols).
     """
     edges = quantile_edges(df, cols, bits, exact=exact, accuracy=accuracy)
     keyed = df.crossJoin(F.broadcast(edges))
     bucket_cols = []
+
+    def _le(col_name):
+        # One-arg lambda factory: a default-arg closure (lambda e, c=c: ...)
+        # would make PySpark treat the lambda as binary (value, index) and
+        # bind the name to a lambda-variable Column.
+        return lambda e: e <= F.col(col_name)
+
     for c in cols:
         b = f"__b_{c}"
         keyed = keyed.withColumn(
             b,
-            F.size(F.filter(F.col(f"__e_{c}"), lambda e, c=c: e <= F.col(c))).cast("long"),
+            F.size(F.filter(F.col(f"__e_{c}"), _le(c))).cast("long"),
         )
         bucket_cols.append(b)
     return keyed.drop(*[f"__e_{c}" for c in cols]), bucket_cols

@@ -498,8 +498,8 @@ def _zorder_oracle() -> str:
                    len(list_filter(d.ev, x -> x <= e.value)) AS bx,
                    len(list_filter(d.eu, x -> x <= e.user_id)) AS by
             FROM events e,
-                 (SELECT quantile_cont(value, [{fracs}]) AS ev,
-                         quantile_cont(user_id, [{fracs}]) AS eu
+                 (SELECT list_transform(quantile_cont(value, [{fracs}]), x -> round(x, 6)) AS ev,
+                         list_transform(quantile_cont(user_id, [{fracs}]), x -> round(x, 6)) AS eu
                   FROM events) d
         )
     """
@@ -521,8 +521,9 @@ def _zorder_oracle() -> str:
     "clustered column tight per-file min/max stats, so parquet "
     "row-group pruning works for predicates on ANY clustered dimension "
     "— the data-skipping layout step of a 100 TB table build. Exact "
-    "interpolated percentiles == DuckDB quantile_cont; ties at an edge "
-    "go to the upper bucket in both engines.",
+    "interpolated percentiles match DuckDB quantile_cont after both "
+    "engines round edges to 6 decimals (ULP-insensitive); ties at an "
+    "edge go to the upper bucket in both engines.",
 )
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import bucket_by_edges, interleave_sql
