@@ -111,18 +111,18 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(1000).mapInPandas(lambda it: it, "id long").selectExpr("sum(id)").collect()
 
-    # Three timed runs per query, report the min: first-touch costs
+    # Five timed runs per query, report the min: first-touch costs
     # (parquet footers, whole-stage-codegen compilation — multi-second for
     # the wide generated dedup expressions — Python-worker fork) and
     # single-node JIT/GC noise don't represent the steady-state plan cost
     # being benchmarked; measured run-to-run spread on this box reaches
-    # 3-4x for the join-heavy dedup queries, so two runs can both land
-    # slow.
+    # 3-4x for the join-heavy dedup queries, so even three runs can all
+    # land slow (round-over-round totals moved ±17% on an unchanged set).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
