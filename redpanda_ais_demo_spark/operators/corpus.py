@@ -60,8 +60,9 @@ def pack_token_stream(
     truncate case downstream tokenization handles.
 
     The running offset is one global window — a single total sort at
-    scale. That is inherent to globally-ordered packing; shard first
-    (pack per source/date partition) when one total order isn't needed.
+    scale. That is inherent to globally-ordered packing; use
+    ``pack_token_stream_sharded`` (the scale path) when one total order
+    isn't needed.
     The closed-bin greedy variant (open a new bin when the next doc
     doesn't fit) is a sequential recurrence, deliberately not offered:
     it cannot be expressed as a distributed plan without serializing
@@ -72,6 +73,48 @@ def pack_token_stream(
     n_tok = T.n_tokens(F.col(text_col)).cast("long")
     return (
         docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
+    )
+
+
+def pack_token_stream_sharded(
+    docs: DataFrame,
+    capacity: int,
+    shard_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing, sharded form — the 100 TB path. Instead of one
+    global token stream (``pack_token_stream``'s single total sort), each
+    shard (source, date partition, hash bucket — any column whose
+    cardinality ≥ cluster parallelism) is packed independently: the
+    running-sum window partitions by ``shard_col``, so the plan is one
+    hash shuffle on the shard key followed by per-shard sorts that run in
+    parallel across executors. No single-partition Exchange anywhere.
+
+    Bin ids are per-shard (the output key is ``(shard, bin_id)``): a
+    training job reading packed sequences consumes shards independently,
+    so a global bin numbering would only re-serialize what sharding just
+    parallelized. Trade-off vs the global form: up to one partially-
+    filled final bin per shard instead of one total — negligible when
+    shards hold many bins.
+
+    Pinned by a plan-shape test (``tests/test_plan_shapes.py``): the
+    Window's partition spec must stay non-empty.
+    """
+    order_col = order_col or id_col
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = T.n_tokens(F.col(text_col)).cast("long")
+    return (
+        docs.select(
+            F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tokens")
+        )
         .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
     )

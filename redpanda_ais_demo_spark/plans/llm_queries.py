@@ -632,6 +632,32 @@ def pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_token_stream_sharded",
+    oracle="""
+        SELECT shard, doc_id, n_tokens, start_offset, start_offset // 2048 AS bin_id
+        FROM (
+            -- DuckDB windowed SUM(BIGINT) widens to HUGEINT; cast back
+            SELECT shard, doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens AS start_offset
+            FROM (SELECT source AS shard, doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents)
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+    """,
+    tags=("packing", "window", "scale"),
+    doc="Sequence packing, sharded form — the 100 TB path: each source "
+    "shard packs independently (window PARTITION BY shard), so the plan "
+    "is one hash shuffle + parallel per-shard sorts, never a single-"
+    "partition total sort. Bin key is (shard, bin_id).",
+)
+def pack_token_stream_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_token_stream_sharded(docs, capacity=2048, shard_col="source")
+
+
+@query(
     "decontaminate_docs",
     oracle="""
         WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),

@@ -177,3 +177,35 @@ def test_repetition_and_quantize_are_shuffle_free(spark):
     for name in ("doc_repetition_stats", "embedding_quantize"):
         plan = _physical_plan(spark, name)
         assert "Exchange" not in plan, f"{name} must be a narrow projection"
+
+
+def test_pack_sharded_window_is_partitioned(spark):
+    # The sharded packing variant exists precisely to avoid the global
+    # form's single-partition total sort: its Window must partition by
+    # the shard key (hash shuffle + parallel per-shard sorts), and no
+    # SinglePartition exchange may appear anywhere in the plan.
+    plan = _physical_plan(spark, "pack_token_stream_sharded")
+    assert "Window" in plan
+    assert "hashpartitioning(shard" in plan  # non-empty window partition spec
+    assert "SinglePartition" not in plan
+    # contrast: the global form IS the total sort (documented, not a bug —
+    # this pins that the sharded variant actually differs in plan shape)
+    global_plan = _physical_plan(spark, "pack_token_stream")
+    assert "SinglePartition" in global_plan
+
+
+def test_zorder_no_window_no_single_partition_sort(spark):
+    # Round-2 done-criterion for the z-order rewrite: bucketing must ride
+    # broadcast quantile edges — never an ntile()/rank() global window and
+    # never a data-bearing single-partition sort. The one SinglePartition
+    # exchange allowed is the constant-size percentile-sketch merge
+    # (ObjectHashAggregate buffers, not rows).
+    import re
+
+    plan = _physical_plan(spark, "zorder_events")
+    assert "Window" not in plan
+    assert not re.search(r"\bntile\b", plan)  # \b: "percentile" contains "ntile"
+    assert "Sort" not in plan  # no global (or any) sort in the key computation
+    assert plan.count("SinglePartition") <= 1  # only the 1-row edge aggregate
+    # the edges must reach the fact side as a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
