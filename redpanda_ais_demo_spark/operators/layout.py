@@ -130,15 +130,30 @@ def compact_parquet(
     spark,
     src_dir: str,
     dst_dir: str,
-    target_mb: int = 128,
+    target_mb: float = 128,
+    sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    bits: int = 8,
 ) -> int:
     """Small-file compaction — the maintenance job every streamed table
     needs: micro-batch sinks produce file confetti, and at 100 TB the
     per-file open/footer overhead and scheduler pressure of millions of
     tiny files dominate scan cost. Rewrites ``src_dir`` into
-    ``ceil(input_bytes / target_mb)`` similar-sized files (round-robin
-    repartition — compaction balances sizes; co-location belongs to
-    ``write_zordered``/bucketing). Returns the output file count.
+    ``ceil(input_bytes / target_mb)`` similar-sized files and returns the
+    output file count.
+
+    Layout preservation — compaction must never silently destroy the
+    clustering a previous ``write_zordered``/sorted write paid for (a
+    round-robin rewrite resets every per-file min/max statistic, so row-
+    group pruning dies the first time the maintenance job runs):
+
+    - ``zorder_cols``: recompute the z-key and range-partition + sort on
+      it (the ``write_zordered`` shape) — multi-dimensional clustering
+      survives the rewrite.
+    - ``sort_cols``: ``repartitionByRange`` + ``sortWithinPartitions``
+      on the given columns — linear clustering survives.
+    - neither (default): round-robin ``repartition``, size balancing
+      only — correct for tables that were never clustered.
 
     Sizing reads filesystem metadata only (no data pass); the single
     data pass is the rewrite itself.
@@ -146,14 +161,24 @@ def compact_parquet(
     import math
     import os
 
+    if sort_cols and zorder_cols:
+        raise ValueError("compact_parquet: pass sort_cols or zorder_cols, not both")
+
     total = 0
     for root, _dirs, files in os.walk(src_dir):
         total += sum(
             os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet")
         )
-    n_files = max(1, math.ceil(total / (target_mb << 20)))
+    n_files = max(1, math.ceil(total / (target_mb * (1 << 20))))
     df = spark.read.parquet(src_dir)
-    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    if zorder_cols:
+        keyed = zorder_keys(df, zorder_cols, bits)
+        out = keyed.repartitionByRange(n_files, "__z").sortWithinPartitions("__z").drop("__z")
+    elif sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_dir)
     return n_files
 
 

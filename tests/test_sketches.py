@@ -5,6 +5,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redpanda_ais_demo_spark.functions import text as TXT
@@ -117,3 +119,64 @@ def test_compact_parquet_merges_file_confetti(spark, tmp_path):
     out_files = glob.glob(os.path.join(dst, "*.parquet"))
     assert len(out_files) == n == 1  # tiny input → one right-sized file
     assert spark.read.parquet(dst).count() == events.count()
+
+
+def _per_file_bbox_area(path):
+    """Mean fractional (value × user_id) bounding-box area per file —
+    the 2-D analogue of min/max-stat tightness: a z-clustered file owns
+    a small region of the plane, a round-robin file spans ~all of it."""
+    import pyarrow.parquet as pq
+
+    boxes = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        t = pq.read_table(f, columns=["value", "user_id"])
+        v = t.column("value").to_pylist()
+        u = t.column("user_id").to_pylist()
+        boxes.append((min(v), max(v), min(u), max(u)))
+    fv = max(b[1] for b in boxes) - min(b[0] for b in boxes)
+    fu = max(b[3] for b in boxes) - min(b[2] for b in boxes)
+    fracs = [((b[1] - b[0]) / fv) * ((b[3] - b[2]) / fu) for b in boxes]
+    return len(boxes), sum(fracs) / len(fracs)
+
+
+def test_compact_parquet_preserves_zorder_clustering(spark, tmp_path):
+    # Compacting a z-ordered table must not silently discard the layout:
+    # zorder_cols mode re-clusters during the rewrite, so per-file
+    # min/max stats on the clustered columns stay tight (row-group
+    # pruning survives the maintenance job).
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "value", "user_id")
+    src = str(tmp_path / "z_confetti")
+    # a z-ordered table that then accrued confetti: write z-ordered into
+    # many small files (the post-stream state a compactor actually sees)
+    layout.write_zordered(events, src, ["value", "user_id"], bits=8, n_files=16)
+    dst_z = str(tmp_path / "compact_z")
+    layout.compact_parquet(
+        spark, src, dst_z, target_mb=0.005, zorder_cols=["value", "user_id"]
+    )
+    n_z, area_z = _per_file_bbox_area(dst_z)
+    assert n_z > 1, "need multiple output files to observe clustering"
+    assert spark.read.parquet(dst_z).count() == events.count()
+    assert area_z < 0.5  # each file owns a small 2-D region → stats prune
+
+    # contrast: the default (round-robin) rewrite of the same input
+    # destroys clustering — every file spans ~the whole plane
+    dst_rr = str(tmp_path / "compact_rr")
+    layout.compact_parquet(spark, src, dst_rr, target_mb=0.005)
+    _, area_rr = _per_file_bbox_area(dst_rr)
+    assert area_rr > 0.7
+    assert area_z < 0.6 * area_rr
+
+    # linear mode: sort_cols keeps single-column spans tight
+    import pyarrow.parquet as pq
+
+    dst_s = str(tmp_path / "compact_sorted")
+    layout.compact_parquet(spark, src, dst_s, target_mb=0.005, sort_cols=["value"])
+    spans = []
+    for f in sorted(glob.glob(os.path.join(dst_s, "*.parquet"))):
+        v = pq.read_table(f, columns=["value"]).column("value").to_pylist()
+        spans.append((min(v), max(v)))
+    full = max(mx for _, mx in spans) - min(mn for mn, _ in spans)
+    assert sum(mx - mn for mn, mx in spans) / len(spans) < 0.4 * full
+
+    with pytest.raises(ValueError, match="not both"):
+        layout.compact_parquet(spark, src, dst_s, sort_cols=["value"], zorder_cols=["value"])
