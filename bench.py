@@ -111,23 +111,28 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(1000).mapInPandas(lambda it: it, "id long").selectExpr("sum(id)").collect()
 
-    # Five timed runs per query, report the min: first-touch costs
-    # (parquet footers, whole-stage-codegen compilation — multi-second for
-    # the wide generated dedup expressions — Python-worker fork) and
-    # single-node JIT/GC noise don't represent the steady-state plan cost
-    # being benchmarked; measured run-to-run spread on this box reaches
-    # 3-4x for the join-heavy dedup queries, so even three runs can all
-    # land slow (round-over-round totals moved ±17% on an unchanged set).
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(5):
+    # Five timed runs per query, INTERLEAVED by round (A,B,C,A,B,C — not
+    # A,A,A,B,B,B): consecutive same-query runs share whatever transient
+    # JVM state (JIT tier, GC phase, page cache pressure) the previous run
+    # left behind, so back-to-back minima correlate and a whole query's
+    # samples can all land slow together — measured spread on this box
+    # reaches 3-4x for the join-heavy dedup queries, and round-over-round
+    # totals moved ±17% on completely unchanged code. Interleaving
+    # decorrelates the samples; the report carries min (steady-state plan
+    # cost — first-touch codegen/footer/worker-fork costs aren't the
+    # thing benchmarked), per-query spread (max/min), and every raw
+    # sample, so a regression is distinguishable from noise.
+    N_ROUNDS = 5
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(N_ROUNDS):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
+    timings = {name: min(s) for name, s in samples.items()}
+    spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -136,6 +141,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "samples": samples,
                 "sf": sf,
             }
         )
