@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed through Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes / explicit stubs (clearly marked) — but the Spark-side
-plumbing is real and tested: schemas, batch iteration, partition sizing,
-and the UDF signatures are exactly what a production decode would use.
+Image decode/resize are gated on an importable PIL: real codec when the
+environment provides it, deterministic fakes otherwise (same schemas and
+invariants either way — non-image payloads always take the fake path, so
+fixture-driven oracles are environment-independent). Audio decode remains
+an explicit raising stub. The Spark-side plumbing is real and tested in
+both modes: schemas, batch iteration, partition sizing, and the UDF
+signatures are exactly what a production decode uses.
 
 Scale notes:
 - payloads stay in ``BinaryType`` columns end-to-end; Arrow moves them
@@ -47,10 +50,39 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+try:  # optional codec gate: real decode/resize when the environment has PIL
+    from PIL import Image as _PILImage
+except ImportError:  # container default — deterministic fakes below
+    _PILImage = None
+
+
+def _pil_open(payload: bytes):
+    """Decode ``payload`` with PIL when (a) PIL is importable and (b) the
+    bytes are actually an image; returns None otherwise. Non-image
+    payloads (the parquet-fixture spine uses text bytes) deliberately
+    fall through to the deterministic fake in EVERY environment, so
+    fixture-driven results — including the ``multimodal_frame_sample``
+    oracle — are identical with and without the codec installed."""
+    if _PILImage is None or not payload:
+        return None
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(payload))
+        img.load()
+        return img
+    except Exception:
+        return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB — real implementation needs an image codec (PIL/opencv), not in
-    this container. Deterministic fake: derive (width, height) from the
-    payload hash so tests are reproducible."""
+    """(width, height) of an image payload. Real decode via PIL when the
+    environment provides it and the bytes parse as an image; otherwise a
+    deterministic fake derives dims from the payload hash so tests are
+    reproducible in the codec-less container."""
+    img = _pil_open(payload)
+    if img is not None:
+        return img.width, img.height
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192
 
@@ -110,9 +142,18 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — a real resize needs an image codec. Deterministic fake:
-    re-hash the payload salted with the target dims, sized ∝ area, so
-    output bytes are reproducible and size-plausible."""
+    """Resize an image payload to (width, height). Real path via PIL when
+    available and the bytes parse as an image (re-encoded PNG); otherwise
+    a deterministic fake re-hashes the payload salted with the target
+    dims, sized ∝ area, so output bytes are reproducible and
+    size-plausible in the codec-less container."""
+    img = _pil_open(payload)
+    if img is not None:
+        import io
+
+        buf = io.BytesIO()
+        img.resize((width, height)).save(buf, format="PNG")
+        return buf.getvalue()
     h = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
     reps = max(1, (width * height) // (32 * 64))
     return (h * reps)[: max(32, min(len(h) * reps, 4096))]

@@ -78,6 +78,41 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
 
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=50, dim=16, seed=7):
+    """Deterministic mixture-of-Gaussians embedding table — the
+    distribution real document embeddings actually have (tight angular
+    clusters), as opposed to the uniform fixture vectors that are LSH's
+    provable worst case and say little about production recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per_cluster, axis=0) + 0.05 * rng.normal(
+        size=(n_clusters * per_cluster, dim)
+    )
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_recall_on_clustered_embeddings(spark):
+    # Default knobs must reach ≥0.9 recall on clustered vectors — the
+    # workload ANN exists for. (The uniform-fixture tests above pin the
+    # worst-case floor; this pins the case that matters.)
+    emb = _clustered_embeddings(spark)
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, k=5).collect()
+    }
+    assert exact
+    for name, fn in (
+        ("lsh", similarity.lsh_topk),
+        ("ivf", similarity.ivf_topk),
+    ):
+        approx = {(r.vec_id, r.neighbor_id) for r in fn(emb, k=5).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"{name} recall on clustered embeddings: {recall:.3f}"
+
+
 def test_multimodal_pipeline_plumbing(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(20)
     assets = multimodal.assets_from_documents(docs)
@@ -126,6 +161,37 @@ def test_audio_decode_stub_raises(spark):
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_audio_waveform(b"\x00\x01")
+
+
+def test_image_codec_gate_runs_with_or_without_pil():
+    # Runs in BOTH environments: asserts the deterministic-fake
+    # invariants always, and the real-codec round-trip when PIL exists.
+    import importlib.util
+
+    # non-image payloads take the deterministic fake path in every
+    # environment — fixture-driven oracle results are codec-independent
+    w, h = multimodal.decode_image(b"definitely not an image")
+    assert (w, h) == multimodal.decode_image(b"definitely not an image")
+    assert 64 <= w < 256 and 64 <= h < 256
+    fake = multimodal.resize_payload(b"definitely not an image", 64, 32)
+    assert fake == multimodal.resize_payload(b"definitely not an image", 64, 32)
+    assert 32 <= len(fake) <= 4096
+
+    if importlib.util.find_spec("PIL") is None:
+        assert multimodal._PILImage is None  # gate saw the absence
+        return  # codec-less container: the fake path is the whole surface
+
+    # real path: an actual PNG decodes to its true dims and resizes
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 7), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert multimodal.decode_image(png) == (10, 7)
+    resized = multimodal.resize_payload(png, 5, 4)
+    assert Image.open(io.BytesIO(resized)).size == (5, 4)
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):
