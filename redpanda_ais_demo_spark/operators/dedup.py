@@ -363,9 +363,10 @@ def connected_components(
     diameter, and near-dup components are short chains in practice (pairs
     at threshold-grade similarity), so 3-5 rounds is typical. For
     adversarial long-chain graphs at extreme scale, the two-phase
-    large-star/small-star variant (Kiveris et al., "Connected Components
-    in MapReduce") drops rounds to ~log n with the same join shape —
-    this simple propagation is the right default until diameters hurt.
+    large-star/small-star variant (``connected_components_two_phase``,
+    Kiveris et al., "Connected Components in MapReduce") drops rounds to
+    ~log n with the same join shape — this simple propagation is the
+    right default until diameters hurt.
 
     ``localCheckpoint`` truncates the per-round lineage so the plan
     doesn't deepen linearly with iterations (Spark's iterative-algorithm
@@ -399,6 +400,87 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — same contract as ``connected_components``, but round
+    count is ~log n in component size instead of graph diameter, so
+    adversarial long chains converge in a handful of shuffles.
+
+    One round = large-star ∘ small-star, each a single groupBy + join:
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u}) — long tails fold toward small ids.
+    - small-star(u): u and its neighbors v ≤ u all attach to their min —
+      local stars flatten.
+    Both operations preserve connectivity (every rewritten edge stays
+    inside its component) and only ever decrease edge endpoints, so the
+    fixpoint is the star graph rooted at each component's min id.
+
+    Convergence check: the (count, xxhash64-xor) signature of the edge
+    set — two scalar aggregates per round, no row-level diff join (xor,
+    not sum: ANSI mode overflows a long sum of 64-bit hashes).
+    ``localCheckpoint`` truncates per-round lineage as in
+    ``connected_components``.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # all original nodes, kept to label isolated-after-rewrite roots
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = oriented.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        return (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _signature(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return row.n, row.h
+
+    prev = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        sig = _signature(e)
+        if sig == prev:
+            break
+        prev = sig
+    # fixpoint edges are (node > root) → root; roots label themselves
+    roots = e.groupBy("u").agg(F.min("v").alias("component"))
+    return nodes.join(roots, nodes.node == roots.u, "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
 
 
 def dedup_clusters(

@@ -139,6 +139,36 @@ def test_connected_components_match_union_find(spark, edge_list):
     df = spark.createDataFrame(edge_list, "id_a long, id_b long")
     got = {r.node: r.component for r in dedup.connected_components(df).collect()}
     assert got == expected
+    # the O(log n)-round large-star/small-star variant must agree on the
+    # same arbitrary graphs
+    got2 = {
+        r.node: r.component for r in dedup.connected_components_two_phase(df).collect()
+    }
+    assert got2 == expected
+
+
+def test_two_phase_cc_on_long_chain(spark):
+    """The workload the two-phase algorithm exists for: a 200-node chain
+    (diameter 199) must resolve to one component rooted at 0 — and do it
+    in ~log n alternating rounds, far under the diameter-bound budget
+    that plain propagation would need."""
+    n = 200
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components_two_phase(df, max_iters=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # and against union-find on a chain-of-two-components graph
+    edges = chain[: n // 2 - 1] + [(i, i + 1) for i in range(n // 2, n - 1)]
+    df2 = spark.createDataFrame(edges, "id_a long, id_b long")
+    got2 = {
+        r.node: r.component
+        for r in dedup.connected_components_two_phase(df2, max_iters=12).collect()
+    }
+    expected = {i: (0 if i < n // 2 else n // 2) for i in range(n)}
+    assert got2 == expected
 
 
 def _explode_reference_simhash(spark, df):
