@@ -56,7 +56,17 @@ def quantile_edges(
     reproducible by DuckDB's ``quantile_cont``; because the two engines'
     linear interpolation can differ in the last ULP, interpolated edges
     are rounded to 6 decimals (the oracle SQL applies the identical
-    round) so the ``<=`` bucket comparison agrees bit-for-bit.
+    round) so the ``<=`` bucket comparison agrees in practice. Not a
+    hard guarantee: Spark's round (HALF_UP on the double's shortest
+    decimal form) and DuckDB's (std::round(x*1e6)/1e6) are different
+    algorithms, so an edge whose 6th-decimal half-boundary sits within
+    an ULP could still round apart — none do on the fixtures (the
+    oracle hash gate verifies). Magnitude bound on the rounding trick:
+    DuckDB's form loses integer precision once |x| > ~9e9 (x*1e6
+    exceeds 2^53), so for larger-magnitude clustered columns compare
+    raw interpolated edges instead — or use the default
+    ``percentile_approx`` path, whose edges are actual data values and
+    need no rounding at all.
     """
     k = 1 << bits
     fracs = F.lit([i / k for i in range(1, k)])

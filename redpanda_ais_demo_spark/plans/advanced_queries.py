@@ -522,8 +522,10 @@ def _zorder_oracle() -> str:
     "row-group pruning works for predicates on ANY clustered dimension "
     "— the data-skipping layout step of a 100 TB table build. Exact "
     "interpolated percentiles match DuckDB quantile_cont after both "
-    "engines round edges to 6 decimals (ULP-insensitive); ties at an "
-    "edge go to the upper bucket in both engines.",
+    "engines round edges to 6 decimals (in practice — see "
+    "layout.quantile_edges for the ULP caveat and the |x| ≲ 9e9 "
+    "magnitude bound on DuckDB's round); ties at an edge go to the "
+    "upper bucket in both engines.",
 )
 def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import bucket_by_edges, interleave_sql

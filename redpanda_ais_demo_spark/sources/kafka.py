@@ -55,6 +55,19 @@ def sink_frame(df: DataFrame, key_col: str, payload: Column, schema_id: int | No
     return df.select(F.col(key_col).cast("string").alias("key"), payload.alias("value"))
 
 
+def source_project(raw: DataFrame, decode: Column) -> DataFrame:
+    """The source's exact post-decode projection: key cast to
+    ``mmsi_key`` string, decoded struct exploded to top-level columns.
+    Factored out of ``read_topic_stream`` so the plan is assertable
+    without a broker or the spark-avro jar — production injects
+    ``from_avro`` over the stripped payload; tests inject any decoder
+    with the same struct shape."""
+    return raw.select(
+        F.col("key").cast("string").alias("mmsi_key"),
+        decode.alias("event"),
+    ).select("mmsi_key", "event.*")
+
+
 def read_topic_stream(
     spark: SparkSession,
     brokers: str,
@@ -90,10 +103,9 @@ def read_topic_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.col("key").cast("string").alias("mmsi_key"),
-        from_avro(strip_confluent_header(F.col("value")), avro_schema_json).alias("event"),
-    ).select("mmsi_key", "event.*")
+    return source_project(
+        raw, from_avro(strip_confluent_header(F.col("value")), avro_schema_json)
+    )
 
 
 def write_topic_stream(

@@ -155,6 +155,36 @@ def test_sink_frame_plan_contract(spark):
     assert bytes(row.value)[5:] == b"\xaa\xbb"
 
 
+def test_read_topic_stream_plan_contract(spark):
+    """Read-side mirror of the sink contract: the post-decode projection
+    read_topic_stream builds — key cast to mmsi_key string, framed value
+    stripped, decoded struct exploded to columns — asserted without a
+    broker or the avro jar. Production injects from_avro; this test
+    injects from_json over the SAME stripped payload bytes, so the
+    framing strip inside the projection is exercised for real."""
+    import json as _json
+
+    payload = _json.dumps({"mmsi": "244010001", "speed": 12.5}).encode()
+    framed = bytes([0]) + (77).to_bytes(4, "big") + payload
+    raw = spark.createDataFrame([(b"244010001", framed)], "key binary, value binary")
+    decode = F.from_json(
+        kafka.strip_confluent_header(F.col("value")).cast("string"),
+        "mmsi string, speed double",
+    )
+    out = kafka.source_project(raw, decode)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("mmsi_key", "string"),
+        ("mmsi", "string"),
+        ("speed", "double"),
+    ]
+    row = out.collect()[0]
+    assert row.mmsi_key == "244010001"
+    assert row.mmsi == "244010001" and row.speed == 12.5
+    # the framing metadata the deserializer dispatches on is intact
+    sid = raw.select(kafka.confluent_schema_id(F.col("value")).alias("sid")).collect()[0].sid
+    assert sid == 77
+
+
 def test_write_topic_stream_requires_schema_with_registry(tmp_path, spark):
     if not kafka.avro_available():
         pytest.skip("spark-avro jar not shipped in this container")
