@@ -71,7 +71,10 @@ def _load_all() -> None:
 # oracle-checked frame-sample spine) and oracle-bearing entries sharing an
 # in-window sibling's class (p1_route_info behind p1_route_positions,
 # a4_bounding_box behind a3, setop_customer_only_nations behind
-# setop_active_nations — all stay pytest-oracle-swept).
+# setop_active_nations, embedding_stats behind embedding_random_projection
+# — all stay pytest-oracle-swept). pack_token_stream_sharded (the
+# packing scale path) holds the packing-class window slot; the global
+# variant trails, pytest-oracle-swept.
 PRIORITY: tuple[str, ...] = (
     # AIS dashboard + streaming-analogue surface
     "a1_total_ships",
@@ -112,7 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk",
     "dedup_clusters",
     "tfidf_top_terms",
-    "embedding_stats",
+    "pack_token_stream_sharded",
     "embedding_random_projection",
     "source_mixture_weights",
     "multimodal_frame_sample",

@@ -48,6 +48,8 @@ REQUIRED_IN_WINDOW = {
     "embedding_random_projection",
     "source_mixture_weights",
     "zorder_events",
+    # packing scale path (round-6)
+    "pack_token_stream_sharded",
     # advanced relational
     "asof_last_order_per_event",
     "range_join_value_bands",
