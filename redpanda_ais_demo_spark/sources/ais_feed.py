@@ -8,10 +8,11 @@ engine-facing contract is simply "a DataFrame shaped like AIS_DECODED",
 which is also what the file/Kafka ingest paths produce — so everything
 downstream (ingest.route_*) is source-agnostic.
 
-Decode is gated: ``pyais`` is not in this container. When available the
-decoder runs as a mapInPandas kernel (one parser per batch, not per
-row); without it, callers get an informative error rather than a silent
-fake — the raw-line source itself still works for transport tests.
+Decode runs as a mapInPandas kernel (one parser per batch, not per
+row). With ``pyais`` installed the kernel uses it for reference parity;
+otherwise the native ITU-R M.1371 codec (``sources/ais_codec.py``)
+decodes types 1/2/3/18/5 with the same AIS_DECODED output contract —
+U2 executes in every environment.
 
 The socket source is at-most-once by nature (no offsets). For durable
 feeds, ``sources/nmea_datasource.py`` provides the same NMEA lines as a
@@ -47,16 +48,18 @@ def read_nmea_socket_stream(spark: SparkSession, host: str, port: int) -> DataFr
 
 
 def decode_nmea(lines: DataFrame) -> DataFrame:
-    """U2 — NMEA sentences → AIS_DECODED rows via pyais, as an
-    Arrow-batched kernel. Raises if no decoder is installed."""
-    if not pyais_available():
-        raise NotImplementedError(
-            "NMEA decode requires the pyais package, which is not installed "
-            "in this environment; feed AIS_DECODED-shaped rows via the "
-            "file/Kafka ingest paths instead"
-        )
+    """U2 — NMEA sentences → AIS_DECODED rows as an Arrow-batched
+    kernel. pyais when installed (reference parity, lib/producer-from-
+    ais-api.py:26-27); otherwise the native ITU-R M.1371 codec — same
+    output contract, so downstream routing is decoder-agnostic.
+
+    Malformed sentences drop (the producer's skip behavior). Multi-
+    fragment assembly is per-batch/partition: a fragment pair split
+    across partitions drops rather than corrupts — at scale, keep
+    fragments of one message in one partition (the replay source's
+    line-range splits preserve adjacency within a range).
+    """
     import pandas as pd
-    import pyais
 
     from ..dist import ensure_shipped
     from ..schemas import AIS_DECODED
@@ -64,16 +67,29 @@ def decode_nmea(lines: DataFrame) -> DataFrame:
     ensure_shipped(lines.sparkSession)
 
     fields = [f.name for f in AIS_DECODED.fields]
+    use_pyais = pyais_available()
 
     def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for sentence in pdf["nmea"]:
-                try:
-                    msg = pyais.decode(sentence.encode()).asdict()
-                except Exception:
-                    continue  # malformed sentences drop, matching the producer's skip
-                rows.append({f: msg.get(f) for f in fields})
-            yield pd.DataFrame(rows, columns=fields)
+        if use_pyais:
+            import pyais
+
+            for pdf in batches:
+                rows = []
+                for sentence in pdf["nmea"]:
+                    try:
+                        msg = pyais.decode(sentence.encode()).asdict()
+                    except Exception:
+                        continue  # malformed sentences drop
+                    rows.append({f: msg.get(f) for f in fields})
+                yield pd.DataFrame(rows, columns=fields)
+        else:
+            from . import ais_codec
+
+            for pdf in batches:
+                rows = [
+                    {f: m.get(f) for f in fields}
+                    for m in ais_codec.decode_lines(pdf["nmea"])
+                ]
+                yield pd.DataFrame(rows, columns=fields)
 
     return lines.mapInPandas(kernel, AIS_DECODED)

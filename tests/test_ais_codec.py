@@ -1,0 +1,158 @@
+"""Native AIS codec tests: encoder/decoder round-trips (bit-layout
+self-consistency), an externally published reference sentence (layout
+cross-check against the GPSd AIVDM protocol documentation), checksum and
+tag-block handling, fragment assembly, and the Spark decode_nmea path
+end-to-end into the P1/P2 router."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redpanda_ais_demo_spark.sources import ais_codec as C
+
+# --- armor / text primitives ------------------------------------------------
+
+
+def test_armor_round_trips_all_values():
+    for v in range(64):
+        assert C.armor_char_to_val(C.val_to_armor_char(v)) == v
+
+
+def test_payload_bits_round_trip():
+    value, n = 0b101101110001, 12
+    payload, fill = C.bits_to_payload(value, n)
+    back, n_back = C.payload_to_bits(payload, fill)
+    assert (back, n_back) == (value, n)
+
+
+def test_sixbit_text_round_trip():
+    for s in ("NORDIC STAR", "LAXA", "KIRKENES", "", "A B-C.1/2"):
+        bits = C.text_to_sixbits(s, 20)
+        assert C.sixbit_text(bits, 120, 0, 120) == (s or None)
+
+
+# --- position round-trip (property) -----------------------------------------
+
+coord_lat = st.integers(-90 * 600_000, 90 * 600_000)
+coord_lon = st.integers(-180 * 600_000, 180 * 600_000)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, (1 << 30) - 1),
+    coord_lat,
+    coord_lon,
+    st.one_of(st.none(), st.integers(0, 102)),
+    st.one_of(st.none(), st.integers(0, 359)),
+    st.integers(0, 14),
+    st.sampled_from([1, 2, 3]),
+)
+def test_position_encode_decode_round_trip(mmsi, lat_raw, lon_raw, speed, heading, status, mt):
+    lat, lon = lat_raw / 600_000.0, lon_raw / 600_000.0
+    line = C.encode_position(mmsi, lat, lon, speed, heading, status, msg_type=mt, receiver_ts=1_700_000_000)
+    msgs = list(C.decode_lines([line]))
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m["msg_type"] == mt and m["mmsi"] == mmsi
+    assert m["status"] == C.NAV_STATUS[status]
+    assert m["speed"] == speed and m["heading"] == heading
+    assert abs(m["lat"] - lat) < 1e-9 and abs(m["lon"] - lon) < 1e-9
+    assert m["receiver_timestamp"] == "1700000000"
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, (1 << 30) - 1), coord_lat, coord_lon)
+def test_class_b_round_trip(mmsi, lat_raw, lon_raw):
+    lat, lon = lat_raw / 600_000.0, lon_raw / 600_000.0
+    line = C.encode_class_b_position(mmsi, lat, lon, 7, 45)
+    (m,) = list(C.decode_lines([line]))
+    assert m["msg_type"] == 18 and m["mmsi"] == mmsi
+    assert m["speed"] == 7 and m["heading"] == 45
+    assert abs(m["lat"] - lat) < 1e-9 and abs(m["lon"] - lon) < 1e-9
+
+
+def test_position_not_available_sentinels():
+    line = C.encode_position(123, None, None, None, None, status=15)
+    (m,) = list(C.decode_lines([line]))
+    assert m["lat"] is None and m["lon"] is None
+    assert m["speed"] is None and m["heading"] is None and m["status"] is None
+
+
+def test_static_two_fragment_round_trip():
+    frags = C.encode_static(
+        257000001, "NORDIC STAR", "LAXA", 84, "KIRKENES", receiver_ts=1_700_000_200
+    )
+    assert len(frags) == 2
+    (m,) = list(C.decode_lines(frags))
+    assert m["msg_type"] == 5 and m["mmsi"] == 257000001
+    assert m["shipname"] == "NORDIC STAR" and m["callsign"] == "LAXA"
+    assert m["ship_type"] == "Tanker" and m["destination"] == "KIRKENES"
+    assert m["receiver_timestamp"] == "1700000200"
+    # reversed arrival order still assembles (buffered on seq id)
+    (m2,) = list(C.decode_lines(frags[::-1]))
+    assert m2["shipname"] == "NORDIC STAR"
+    # an orphan fragment never yields a message
+    assert list(C.decode_lines(frags[:1])) == []
+
+
+def test_reference_sentence_matches_published_decode():
+    """External layout cross-check: a sentence published with its decode
+    in the GPSd AIVDM/AIVDO protocol documentation (type 1, MMSI
+    477553000, nav status Moored, SOG 0, position 122°20.75'W /
+    47°34.97'N). Pins the bit offsets against the world, not just
+    against our own encoder."""
+    line = "!AIVDM,1,1,,B,177KQJ5000G?tO`K>RA1wUbN0TKH,0*5C"
+    (m,) = list(C.decode_lines([line]))
+    assert m["msg_type"] == 1
+    assert m["mmsi"] == 477553000
+    assert m["status"] == "Moored"
+    assert m["speed"] == 0
+    assert abs(m["lon"] - (-122.34583)) < 1e-4
+    assert abs(m["lat"] - 47.58283) < 1e-4
+
+
+def test_malformed_and_bad_checksum_drop():
+    good = C.encode_position(1, 1.0, 2.0, 5, 10)
+    bad_checksum = good[:-2] + "00"
+    assert list(C.decode_lines([bad_checksum])) == []
+    assert list(C.decode_lines(["garbage", "!AIVDM,oops", ""])) == []
+    # truncated tag block
+    assert list(C.decode_lines(["\\c:123" + good])) == []
+
+
+def test_tag_block_checksum_validated():
+    good = C.encode_position(9, 3.0, 4.0, 6, 20, receiver_ts=1_700_000_000)
+    assert len(list(C.decode_lines([good]))) == 1
+    # corrupt the tag-block checksum → whole line drops
+    head, rest = good[1:].split("\\", 1)
+    corrupted = "\\" + head[:-1] + ("0" if head[-1] != "0" else "1") + "\\" + rest
+    assert list(C.decode_lines([corrupted])) == []
+
+
+def test_spark_decode_nmea_feeds_router(spark):
+    """decode_nmea (native path) → route_positions/route_ship_info:
+    the U2 kernel's output drives P1/P2 exactly like the fixture rows."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.sources import ais_feed
+    from redpanda_ais_demo_spark.streaming import ingest
+
+    lines = [
+        C.encode_position(257000001, 60.1, 5.1, 12, 90, status=0, receiver_ts=1_700_000_000),
+        # speed 2 → dropped by P2's (2, 75) open interval
+        C.encode_position(257000002, 59.0, 4.0, 2, 10, status=5, receiver_ts=1_700_000_000),
+        # no tag block → dropped at S2
+        C.encode_position(257000003, 61.0, 6.0, 20, 180),
+        *C.encode_static(257000001, "NORDIC STAR", "LAXA", 84, "KIRKENES", receiver_ts=1_700_000_010),
+        "not an nmea line",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "nmea string")
+    decoded = ais_feed.decode_nmea(df.coalesce(1))
+    pos = ingest.route_positions(decoded).collect()
+    assert [r.mmsi for r in pos] == ["257000001"]
+    assert pos[0].location.lat == 60.1 and pos[0].speed == 12
+    info = ingest.route_ship_info(decoded).collect()
+    assert len(info) == 1
+    assert info[0].shipname == "NORDIC STAR" and info[0].shiptype == "Tanker"
+    assert decoded.filter(F.col("msg_type") == 1).count() == 3  # all three type-1s decode

@@ -40,12 +40,16 @@ def test_socket_source_declares_without_connecting(spark):
     assert df.isStreaming and df.columns == ["nmea"]
 
 
-def test_decode_gated_without_pyais(spark):
-    if ais_feed.pyais_available():
-        pytest.skip("pyais installed; gating path not exercisable")
-    lines = spark.createDataFrame([("!AIVDM,1,1,,A,13u?etPv2;0n:dDPwUM1U1Cb069D,0*24",)], "nmea string")
-    with pytest.raises(NotImplementedError):
-        ais_feed.decode_nmea(lines)
+def test_decode_works_without_pyais(spark):
+    # formerly a raising gate; U2 now decodes through the native codec
+    # when pyais is absent — the same sentence must produce a typed row
+    lines = spark.createDataFrame(
+        [("!AIVDM,1,1,,A,13u?etPv2;0n:dDPwUM1U1Cb069D,0*24",)], "nmea string"
+    )
+    rows = ais_feed.decode_nmea(lines).collect()
+    assert len(rows) == 1
+    assert rows[0].msg_type == 1 and rows[0].mmsi > 0
+    assert rows[0].lat is not None and rows[0].lon is not None
 
 
 # --- Schema registry (stubbed transport — no HTTP, no broker) ---------------
