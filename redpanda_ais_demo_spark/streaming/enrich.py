@@ -33,6 +33,62 @@ from ..schemas import WEATHER_RESPONSE
 
 FetchFn = Callable[[float, float], str]
 
+# Per-process connection cache for http_weather_fetch: keyed by netloc so
+# every worker process keeps ONE persistent connection per weather host
+# (the reference's module-global requests.Session, lib/weather.py:8-16,
+# re-expressed per executor). Module-level on purpose — the fetch closure
+# then captures only strings and stays picklable into the kernel.
+_HTTP_CONNS: dict[tuple[str, str], object] = {}
+
+
+def http_weather_fetch(base_url: str, api_key: str | None = None, timeout: float = 5.0) -> FetchFn:
+    """Production fetch: ``GET {base_url}?key=...&q=lat,lon`` (the
+    WeatherAPI shape, lib/weather.py:18-30) over a persistent
+    per-process connection, created lazily on first use inside whatever
+    worker the kernel lands in — never pickled.
+
+    Contract matches ``stub_weather_fetch``: returns the raw response
+    body string; transport failures and HTTP error statuses come back as
+    WeatherAPI-style ``{"error": ...}`` JSON so the P6 gate handles them
+    uniformly (one reconnect retry first — a dropped keep-alive is
+    routine, not an error)."""
+    import http.client
+    from urllib.parse import urlencode, urlsplit
+
+    parts = urlsplit(base_url)
+    scheme, netloc, path = parts.scheme, parts.netloc, parts.path or "/"
+
+    def fetch(lat: float, lon: float) -> str:
+        query = {"q": f"{lat},{lon}"}
+        if api_key:
+            query["key"] = api_key
+        target = f"{path}?{urlencode(query)}"
+        key = (scheme, netloc)
+        for attempt in (1, 2):
+            conn = _HTTP_CONNS.get(key)
+            if conn is None:
+                cls = http.client.HTTPSConnection if scheme == "https" else http.client.HTTPConnection
+                conn = _HTTP_CONNS[key] = cls(netloc, timeout=timeout)
+            try:
+                conn.request("GET", target)
+                resp = conn.getresponse()
+                body = resp.read().decode("utf-8", errors="replace")
+            except Exception as exc:
+                _HTTP_CONNS.pop(key, None)
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+                if attempt == 2:
+                    return json.dumps({"error": {"code": -1, "message": str(exc)[:200]}})
+                continue
+            if resp.status >= 400:
+                return json.dumps({"error": {"code": resp.status, "message": body[:200]}})
+            return body
+        raise AssertionError("unreachable")
+
+    return fetch
+
 
 def stub_weather_fetch(lat: float, lon: float) -> str:
     """Deterministic offline stand-in for the WeatherAPI GET

@@ -4,6 +4,7 @@ incremental arrival, and exactly-once checkpoint recovery."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -210,6 +211,78 @@ def test_weather_cache_hits(spark):
     # assertion is that output rows for identical keys are identical.
     vals = out.filter(F.col("mmsi") == "1").select("locale", "temp_f").distinct().collect()
     assert len(vals) == 1
+
+
+def test_http_weather_fetch_against_local_server(spark):
+    """S8 with a real HTTP round-trip: http_weather_fetch against a
+    local threaded server speaking the WeatherAPI shape — connection
+    reuse, error-status gating, and the full enrich pipeline through
+    Spark workers hitting the server over actual sockets."""
+    import http.server
+    import json as _json
+    import threading
+
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            if "q=0.0%2C0.0" in self.path or "q=0.0,0.0" in self.path:
+                self.send_response(500)
+                body = b"boom"
+            else:
+                self.send_response(200)
+                body = _json.dumps(
+                    {
+                        "location": {"name": "Bergen", "region": "Vestland", "country": "Norway"},
+                        "current": {
+                            "condition": {"text": "Light rain"},
+                            "temp_f": 52.0,
+                            "wind_mph": 9.5,
+                            "wind_dir": "SW",
+                        },
+                    }
+                ).encode()
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}/v1/current.json"
+    try:
+        fetch = enrich.http_weather_fetch(base, api_key="test-key")
+        body = json.loads(fetch(60.39, 5.32))
+        assert body["location"]["name"] == "Bergen"
+        assert "key=test-key" in hits[-1] and "q=60.39" in hits[-1]
+        # persistent connection: second call reuses it (no error, served)
+        assert json.loads(fetch(61.0, 6.0))["current"]["temp_f"] == 52.0
+        # HTTP error status → WeatherAPI-style error JSON (P6-gateable)
+        err = json.loads(fetch(0.0, 0.0))
+        assert err["error"]["code"] == 500
+
+        # full pipeline: Spark workers fetch over real sockets; the P6
+        # gate drops the error-keyed row, the valid rows flatten (P5)
+        rows = [
+            ("1", "UnderWayUsingEngine", 1700000000, {"lat": 60.39, "lon": 5.32}, 12, 90),
+            ("2", "UnderWayUsingEngine", 1700000060, {"lat": 0.0, "lon": 0.0}, 10, 10),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "mmsi string, status string, timestamp long, "
+            "location struct<lat:double,lon:double>, speed int, heading int",
+        )
+        out = enrich.enrich_with_weather(df, fetch=enrich.http_weather_fetch(base, api_key="k"))
+        got = out.collect()
+        assert [r.mmsi for r in got] == ["1"]
+        assert got[0].locale == "Bergen" and got[0].temp_f == 52.0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        enrich._HTTP_CONNS.clear()
 
 
 def test_rate_limiter_paces():
