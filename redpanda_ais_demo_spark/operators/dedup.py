@@ -489,6 +489,7 @@ def dedup_clusters(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    components_fn=None,
 ) -> DataFrame:
     """Near-dup clusters over exact shingle-Jaccard pairs: (doc_id,
     cluster_id, is_canonical), one row per doc that participates in at
@@ -497,10 +498,13 @@ def dedup_clusters(
 
     At scale the pair generator swaps to ``minhash_dedup_pairs`` (same
     schema, linear candidates) with identical downstream clustering.
+    ``components_fn`` selects the closure algorithm: min-label
+    propagation by default, ``connected_components_two_phase`` for
+    long-chain graphs — both produce identical (node, component) output.
     """
     sh = doc_shingles(docs, id_col, text_col, k)
     pairs = jaccard_pairs(sh, threshold).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    cc = (components_fn or connected_components)(pairs)
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),

@@ -550,10 +550,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Corpus-level pipeline operators ---------------------------------------
 
-
-@query(
-    "dedup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
         WITH RECURSIVE pairs AS (
             SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) jp
         ),
@@ -572,7 +569,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                least(node, min(other)) AS cluster_id,
                node = least(node, min(other)) AS is_canonical
         FROM reach GROUP BY node
-    """,
+    """
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     tags=("dedup", "graph", "iterative"),
     doc="X2 closure — near-dup PAIRS don't partition a corpus (a~b, b~c "
     "without a~c); connected components do. Iterative min-label "
@@ -583,6 +585,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_clusters(docs, threshold=_JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_clusters_two_phase",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "graph", "iterative", "scale"),
+    doc="X2 closure via alternating large-star/small-star rounds "
+    "(Kiveris et al., SoCC 2014): ~log n rounds in component size "
+    "instead of graph diameter — the variant for adversarial long-chain "
+    "near-dup graphs. Identical output contract and oracle as "
+    "dedup_clusters; union-find-property-tested besides.",
+)
+def dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(
+        docs,
+        threshold=_JACCARD_THRESHOLD,
+        components_fn=dedup.connected_components_two_phase,
+    )
 
 
 @query(
