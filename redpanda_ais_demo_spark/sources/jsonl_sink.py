@@ -61,7 +61,10 @@ class JSONLManifestStreamWriter(DataSourceStreamWriter):
         n = 0
         with open(full, "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict(), separators=(",", ":"), default=str))
+                # recursive: nested struct Rows must become JSON objects,
+                # not their string repr (default=str would silently
+                # corrupt them into unparseable strings)
+                f.write(json.dumps(row.asDict(recursive=True), separators=(",", ":"), default=str))
                 f.write("\n")
                 n += 1
         return _PartFile(fname, n)

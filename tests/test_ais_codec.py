@@ -130,6 +130,75 @@ def test_tag_block_checksum_validated():
     assert list(C.decode_lines([corrupted])) == []
 
 
+def test_streaming_wire_to_sink_with_native_codec(spark, tmp_path):
+    """The reference's actual wire format end-to-end in one streaming
+    DAG: codec-encoded AIVDM sentences (tag blocks, checksums, a
+    two-fragment type 5) → NMEA replay DataSource → decode_nmea (native
+    codec in the stream) → P1/P2 router → JSONL manifest sink."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.sources import ais_feed, jsonl_sink, nmea_datasource
+    from redpanda_ais_demo_spark.streaming import ingest
+
+    lines = []
+    for i in range(20):
+        lines.append(
+            C.encode_position(
+                257100000 + i, 60.0 + i * 0.01, 5.0 + i * 0.01, 10 + i, (i * 11) % 359,
+                status=0, receiver_ts=1_700_000_000 + i,
+            )
+        )
+    lines.extend(C.encode_static(257100000, "NORDIC STAR", "LAXA", 84, "KIRKENES",
+                                 receiver_ts=1_700_000_050))
+    log = tmp_path / "wire.nmea"
+    log.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "out")
+    nmea_datasource.register(spark)
+    jsonl_sink.register(spark)
+
+    raw = (
+        spark.readStream.format("nmea_replay")
+        .option("path", str(log))
+        # one partition per batch: fragment pairs stay adjacent for the
+        # per-partition assembly buffer (see decode_nmea docstring)
+        .option("numpartitions", "1")
+        .load()
+    )
+    decoded = ais_feed.decode_nmea(raw.select("nmea"))
+    routed = ingest.route_positions(decoded)
+    q = (
+        routed.writeStream.format("jsonl_manifest")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    schema = (
+        "mmsi string, status string, timestamp long, "
+        "location struct<lat:double,lon:double>, speed int, heading int"
+    )
+    rows = jsonl_sink.read_committed(spark, out, schema).collect()
+    # all 20 positions survive (speeds 10..29 ⊂ (2,75)); the type 5 is
+    # router-dropped from the position branch but decoded upstream
+    assert sorted(int(r.mmsi) for r in rows) == [257100000 + i for i in range(20)]
+    assert all(r.status == "UnderWayUsingEngine" for r in rows)
+    # nested struct survives the JSONL round-trip (recursive asDict)
+    first = min(rows, key=lambda r: int(r.mmsi))
+    assert first.location.lat == 60.0 and first.location.lon == 5.0
+    # and the info branch sees the assembled two-fragment static message
+    info = ingest.route_ship_info(
+        ais_feed.decode_nmea(
+            spark.read.format("nmea_replay").option("path", str(log))
+            .option("numpartitions", "1").load().select("nmea")
+        )
+    ).collect()
+    assert len(info) == 1 and info[0].shipname == "NORDIC STAR"
+
+
 def test_spark_decode_nmea_feeds_router(spark):
     """decode_nmea (native path) → route_positions/route_ship_info:
     the U2 kernel's output drives P1/P2 exactly like the fixture rows."""
