@@ -341,6 +341,63 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return _packed_simhash(hashed, bits, lanes=2, lane_width=32)
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token spans duplicated across documents — the span-level dedup
+    signal ("remove duplicated substrings", Lee et al. 2022, "Dedupli-
+    cating Training Data Makes Language Models Better"): every maximal
+    token interval of a doc covered by ``k``-gram shingles that appear
+    in at least ``min_docs`` distinct documents. Output: (doc_id,
+    span_start, span_end, n_grams) with token-index half-open spans —
+    the intervals a span-level cleaner would cut or downweight.
+
+    Scale shape: positional explode to (doc, pos, shingle) — map-side;
+    hot-shingle detection is one partial-agg groupBy carrying ~|distinct
+    shingles| rows; the join back is shingle-co-located; the interval
+    merge (classic gaps-and-islands: new span when pos > lag(pos)+k,
+    running-sum span ids) runs in a PER-DOCUMENT window — partitioned,
+    never global. Nothing corpus-sized shuffles twice.
+    """
+    toks = T.tokens(F.col(text_col))
+    grams = (
+        _parallelize(docs)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(T.word_shingles(F.col("w"), k)).alias("pos", "shingle"),
+        )
+    )
+    hot = (
+        grams.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("shingle")
+    )
+    marks = grams.join(hot, "shingle").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = marks.withColumn(
+        "new_span",
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, 1)
+        .when(F.lag("pos").over(w).isNull(), 1)
+        .otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w))
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",

@@ -607,6 +607,50 @@ def dedup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dup_span_intervals",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+            WHERE len(w) >= 3
+        ),
+        hot AS (
+            SELECT shingle FROM grams GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        marks AS (SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (shingle)),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 3
+                        THEN 1 ELSE 0 END AS new_span
+            FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        spans AS (
+            SELECT doc_id, pos,
+                   CAST(SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+            FROM flagged
+        )
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 3 AS BIGINT) AS span_end, COUNT(*) AS n_grams
+        FROM spans GROUP BY doc_id, span_id
+    """,
+    tags=("dedup", "span", "window"),
+    doc="Span-level dedup signal (Lee et al. 2022): maximal token "
+    "intervals covered by 3-grams appearing in ≥2 distinct docs — what "
+    "a span cleaner cuts instead of dropping whole near-dup docs. "
+    "Positional explode → hot-shingle partial agg (~|vocab| shuffle) → "
+    "co-located join-back → per-DOC gaps-and-islands window merge (never "
+    "a global sort).",
+)
+def dup_span_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs, k=3, min_docs=2)
+
+
+@query(
     "sample_stratified_docs",
     oracle="""
         SELECT doc_id, lang, source, n_chars FROM (

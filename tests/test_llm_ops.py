@@ -48,6 +48,35 @@ def test_exact_dedup_keeps_min_order_row(spark):
     assert {(r.text, r.doc_id) for r in out} == {("a", 1), ("b", 2)}
 
 
+def test_duplicated_spans_finds_and_merges_intervals(spark):
+    # doc 1 and 2 share 'a b c' (pos 0) and 'e f g' (pos 5), separated by
+    # unique middles → two disjoint spans per doc; doc 3 shares nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c m1 m2 e f g"),
+            (2, "a b c n1 n2 e f g"),
+            (3, "totally unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicated_spans(docs, k=3, min_docs=2).collect()
+    )
+    assert rows == [(1, 0, 3, 1), (1, 5, 8, 1), (2, 0, 3, 1), (2, 5, 8, 1)]
+
+    # contiguous shared grams merge into ONE span: docs sharing a full
+    # 5-token prefix produce a single [0,5) interval, not three
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e x1 y1"), (2, "a b c d e x2 y2")], "doc_id long, text string"
+    )
+    rows2 = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in dedup.duplicated_spans(docs2, k=3, min_docs=2).collect()
+    )
+    assert rows2 == [(1, 0, 5, 3), (2, 0, 5, 3)]
+
+
 def test_rolling_fingerprint_deterministic(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     from redpanda_ais_demo_spark.functions import text as T

@@ -194,6 +194,14 @@ def test_pack_sharded_window_is_partitioned(spark):
     assert "SinglePartition" in global_plan
 
 
+def test_dup_spans_window_is_per_document(spark):
+    # the gaps-and-islands interval merge must window per document —
+    # a global (empty-partition) window here would serialize the corpus
+    plan = _physical_plan(spark, "dup_span_intervals")
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_zorder_no_window_no_single_partition_sort(spark):
     # Round-2 done-criterion for the z-order rewrite: bucketing must ride
     # broadcast quantile edges — never an ntile()/rank() global window and
