@@ -385,6 +385,7 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    chunk: int = 2048,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
 
@@ -404,9 +405,11 @@ def lsh_topk(
     neighbor's in-bucket rank never exceeds its all-candidate rank); a
     narrow (vec_id, neighbor_id, sim) merge + window takes the final
     top-k. Nothing quadratic ever shuffles — the n²/2^planes pairwise
-    work stays inside numpy per bucket. Pathological buckets (skewed
-    hash) are the one risk knob: raise ``n_planes`` to shrink them; at
-    extreme scale, split oversized buckets by salting both sides.
+    work stays inside numpy per bucket, and the kernel scores fixed-size
+    chunks so a pathological hot bucket (skewed hash) costs time, never
+    task memory. Residual skew knobs: raise ``n_planes`` to shrink
+    buckets; at extreme scale, split oversized buckets across tasks by
+    salting both sides (the 2-D block shape ``brute_force_topk`` uses).
     """
     spark = embeddings.sparkSession
     from ..dist import ensure_shipped
@@ -445,6 +448,17 @@ def lsh_topk(
         bucketize, "vid long, table int, bucket long, v array<float>"
     )
 
+    # Hot-bucket memory bound: a skewed hash can put a large fraction of
+    # the corpus in one (table, bucket) group, and an m×m similarity
+    # matrix OOMs the task long before compute hurts. The kernel scores
+    # chunk×chunk blocks instead (32 MB per float64 block at the 2048
+    # default), keeping each block's per-row top-k under the same
+    # (sim desc, id asc) total order — a candidate in the global top-k
+    # is in its block's top-k, so the chunked merge is bit-identical to
+    # the full-matrix result (equivalence pinned in tests with a tiny
+    # chunk).
+    CHUNK = int(chunk)
+
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         if m < 2:
@@ -454,20 +468,33 @@ def lsh_topk(
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = np.round(Vn @ Vn.T, 6)
-        np.fill_diagonal(S, -np.inf)
         kk = min(k, m - 1)
         out_vec, out_nbr, out_sim = [], [], []
-        for i in range(m):
-            order = np.lexsort((ids, -S[i]))[:kk]  # sim desc, id asc tiebreak
-            out_vec.extend([ids[i]] * kk)
-            out_nbr.extend(ids[order])
-            out_sim.extend(S[i][order])
+        for q0 in range(0, m, CHUNK):
+            Q, q_ids = Vn[q0 : q0 + CHUNK], ids[q0 : q0 + CHUNK]
+            nq = len(Q)
+            part_sims, part_ids = [], []
+            for c0 in range(0, m, CHUNK):
+                C, c_ids = Vn[c0 : c0 + CHUNK], ids[c0 : c0 + CHUNK]
+                S = np.round(Q @ C.T, 6)
+                S[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-mask
+                t = min(kk, S.shape[1])
+                order = np.lexsort((np.broadcast_to(c_ids, S.shape), -S))[:, :t]
+                part_sims.append(np.take_along_axis(S, order, axis=1))
+                part_ids.append(c_ids[order])
+            all_sims = np.hstack(part_sims)
+            all_ids = np.hstack(part_ids)
+            order = np.lexsort((all_ids, -all_sims))[:, :kk]
+            top_sims = np.take_along_axis(all_sims, order, axis=1)
+            top_ids = np.take_along_axis(all_ids, order, axis=1)
+            out_vec.append(np.repeat(q_ids, kk))
+            out_nbr.append(top_ids.reshape(-1))
+            out_sim.append(top_sims.reshape(-1))
         return pd.DataFrame(
             {
-                "vec_id": np.asarray(out_vec, dtype=np.int64),
-                "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
-                "cos_sim": np.asarray(out_sim, dtype=np.float64),
+                "vec_id": np.concatenate(out_vec),
+                "neighbor_id": np.concatenate(out_nbr),
+                "cos_sim": np.concatenate(out_sim),
             }
         )
 

@@ -124,6 +124,16 @@ def _clustered_embeddings(spark, n_clusters=8, per_cluster=50, dim=16, seed=7):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_lsh_chunked_scoring_is_bit_identical(spark):
+    # A chunk far smaller than any bucket forces the multi-block merge
+    # path; results must equal the single-block default exactly —
+    # (vec_id, neighbor_id, cos_sim, rank) all four columns.
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+    default = sorted(map(tuple, similarity.lsh_topk(emb, k=5).collect()))
+    chunked = sorted(map(tuple, similarity.lsh_topk(emb, k=5, chunk=7).collect()))
+    assert default == chunked and default
+
+
 def test_ann_recall_on_clustered_embeddings(spark):
     # Default knobs must reach ≥0.9 recall on clustered vectors — the
     # workload ANN exists for. (The uniform-fixture tests above pin the
