@@ -65,6 +65,64 @@ def test_load_table_normalizes_every_ts_encoding(spark, tmp_path, label, arrow_t
     assert got == _TS, f"{label}: {got} != {_TS}"
 
 
+# Canonical driver-fixture schemas the whole query surface assumes.
+# The r3 gate collapse came from ONE silent physical-type change; this
+# sweep turns any future fixture drift (renamed column, widened type,
+# new encoding) into a single obvious local failure instead of 20+
+# opaque driver errors. Columns the loader normalizes (events.ts) are
+# asserted post-normalization.
+_EXPECTED_SCHEMAS = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double", "l_extendedprice": "double",
+        "l_discount": "double", "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": "timestamp_ntz",
+    },
+    "events": {
+        "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
+
+
+def test_driver_fixture_schemas_match_contract(spark):
+    from redpanda_ais_demo_spark.sources import TABLES, load_table
+
+    from .conftest import SF_SMOKE
+
+    assert set(_EXPECTED_SCHEMAS) == set(TABLES)
+    for name in TABLES:
+        got = {
+            f.name: f.dataType.simpleString()
+            for f in load_table(spark, SF_SMOKE, name).schema.fields
+        }
+        assert got == _EXPECTED_SCHEMAS[name], f"{name} fixture schema drifted"
+
+
 def test_load_table_truncates_sub_microsecond_nanos(spark, tmp_path):
     # nanos → µs is a floor division; pin it so a future rounding change
     # (which would shift values against the DuckDB oracle) is visible
