@@ -159,6 +159,21 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     assert "BroadcastNestedLoopJoin Cross" in plan  # single-row stats broadcast
 
 
+def test_q18_decorrelated_having_semi_join_topk(spark):
+    plan = _physical_plan(spark, "q18_large_orders")
+    assert "TakeOrderedAndProject" in plan  # top-100, never a global sort
+    assert "LeftSemi" in plan  # HAVING-subquery orderkeys ride a semi join
+    assert "SortMergeJoin" not in plan  # orders + customer broadcast
+
+
+def test_q9_all_dims_broadcast_partial_agg(spark):
+    plan = _physical_plan(spark, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 4  # part/orders/supplier/nation
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "Contains(p_name,widget)" in plan  # filter pushed to the part scan
+
+
 def test_top_bigrams_is_partial_agg_topk(spark):
     plan = _physical_plan(spark, "top_bigrams_corpus")
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
