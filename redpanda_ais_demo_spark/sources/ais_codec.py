@@ -4,9 +4,12 @@ The reference decodes NMEA with pyais inside the producer process
 (lib/producer-from-ais-api.py:26-27); this container doesn't ship pyais,
 so the decode stage was environment-gated. This module implements the
 subset of ITU-R M.1371 the pipeline consumes — position reports (types
-1/2/3 Class A, 18 Class B) and static/voyage data (type 5) — from the
-public specification (bit layout as documented in ITU-R M.1371-5 and the
-GPSd AIVDM/AIVDO protocol notes):
+1/2/3 Class A, 18 Class B), static/voyage data (type 5), Class B static
+(type 24 A/B), and the (msg_type, mmsi) envelope of every other valid
+type (1-27; the P1 router drops them, so both decode paths present the
+same decoded-stage stream) — from the public specification (bit layout
+as documented in ITU-R M.1371-5 and the GPSd AIVDM/AIVDO protocol
+notes):
 
 - NMEA sentence parse with XOR checksum validation and the optional
   receiver tag block (``\\c:<epoch>*hh\\`` prefix) the reference's feed
@@ -211,6 +214,21 @@ def decode_payload(payload: str, fill_bits: int = 0) -> dict | None:
             destination=sixbit_text(bits, n, 302, 120),
         )
         return base
+    if msg_type == 24 and n >= 40:
+        part = _u(bits, n, 38, 2)
+        if part == 0 and n >= 160:  # Part A: shipname only
+            base.update(shipname=sixbit_text(bits, n, 40, 120))
+        elif part == 1 and n >= 132:  # Part B: ship type + callsign
+            base.update(
+                ship_type=ship_type_name(_u(bits, n, 40, 8)),
+                callsign=sixbit_text(bits, n, 90, 42),
+            )
+        return base
+    if 1 <= msg_type <= 27:
+        # valid envelope of a type this codec doesn't field-decode: emit
+        # (msg_type, mmsi) like pyais would — the P1 router drops it, so
+        # both decode paths show the same decoded-stage stream
+        return base
     return None
 
 
@@ -371,6 +389,37 @@ def encode_class_b_position(
     put(57, 28, _LON_NA if lon is None else int(round(lon * 600_000)))
     put(85, 27, _LAT_NA if lat is None else int(round(lat * 600_000)))
     put(124, 9, 511 if heading is None else heading)
+    payload, fill = bits_to_payload(bits, n)
+    return _with_tag_block(_frame(payload, fill, 1, 1, "", channel), receiver_ts)
+
+
+def encode_class_b_static(
+    mmsi: int,
+    part: int,
+    shipname: str | None = None,
+    callsign: str | None = None,
+    ship_type_code: int = 0,
+    receiver_ts: int | None = None,
+    channel: str = "A",
+) -> str:
+    """Type-24 Class B static data report: part 0 = shipname (160 bits),
+    part 1 = ship type + callsign (168 bits)."""
+    assert part in (0, 1)
+    n = 160 if part == 0 else 168
+    bits = 0
+
+    def put(start, width, value):
+        nonlocal bits
+        bits |= (value & ((1 << width) - 1)) << (n - start - width)
+
+    put(0, 6, 24)
+    put(8, 30, mmsi)
+    put(38, 2, part)
+    if part == 0:
+        put(40, 120, text_to_sixbits(shipname or "", 20))
+    else:
+        put(40, 8, ship_type_code)
+        put(90, 42, text_to_sixbits(callsign or "", 7))
     payload, fill = bits_to_payload(bits, n)
     return _with_tag_block(_frame(payload, fill, 1, 1, "", channel), receiver_ts)
 

@@ -96,6 +96,30 @@ def test_static_two_fragment_round_trip():
     assert list(C.decode_lines(frags[:1])) == []
 
 
+def test_class_b_static_parts_round_trip():
+    a = C.encode_class_b_static(257000009, 0, shipname="FJORD QUEEN")
+    (ma,) = list(C.decode_lines([a]))
+    assert ma["msg_type"] == 24 and ma["shipname"] == "FJORD QUEEN"
+    assert ma["callsign"] is None and ma["ship_type"] is None
+    b = C.encode_class_b_static(257000009, 1, callsign="LBXQ", ship_type_code=60)
+    (mb,) = list(C.decode_lines([b]))
+    assert mb["msg_type"] == 24 and mb["callsign"] == "LBXQ"
+    assert mb["ship_type"] == "Passenger" and mb["shipname"] is None
+
+
+def test_unfielded_valid_types_emit_envelope_only():
+    # a type-4 base-station report: the codec doesn't field-decode it,
+    # but must emit (msg_type, mmsi) like pyais would — P1 drops it later
+    n = 168
+    bits = (4 << (n - 6)) | (123456789 << (n - 8 - 30))
+    payload, fill = C.bits_to_payload(bits, n)
+    body = f"AIVDM,1,1,,A,{payload},{fill}"
+    line = f"!{body}*{C.nmea_checksum(body)}"
+    (m,) = list(C.decode_lines([line]))
+    assert m["msg_type"] == 4 and m["mmsi"] == 123456789
+    assert m["lat"] is None and m["shipname"] is None
+
+
 def test_reference_sentence_matches_published_decode():
     """External layout cross-check: a sentence published with its decode
     in the GPSd AIVDM/AIVDO protocol documentation (type 1, MMSI
