@@ -350,6 +350,45 @@ def st_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_sliding_traffic",
+    oracle="""
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n
+        FROM (
+            SELECT ts, event_type,
+                   -- floor, not CAST: CAST(double AS BIGINT) rounds, which
+                   -- would shift sub-second events near an 1800s boundary
+                   unnest([
+                       to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800),
+                       to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 1800 * 1800) - INTERVAL 30 MINUTE
+                   ]) AS w_start
+            FROM events
+        )
+        WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "time", "streaming-equivalent", "sliding-window"),
+    doc="Hopping-window traffic (1-hour window, 30-minute slide) — the "
+    "third window class next to tumbling (st_window_traffic) and session "
+    "(st_sessionize). Each event expands to window/slide buckets map-side "
+    "(Spark's window() generates the copies; the oracle unnests the two "
+    "epoch-aligned starts), then one partial-agg shuffle on "
+    "(window_start, event_type).",
+)
+def st_sliding_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
     "st_sessionize",
     oracle="""
         SELECT user_id, count(*) AS n_sessions

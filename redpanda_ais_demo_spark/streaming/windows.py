@@ -29,13 +29,16 @@ def traffic_by_window(
     positions: DataFrame,
     window: str = "10 minutes",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Ships/reports per tumbling window and status (streaming counterpart
-    of the batch st_window_traffic declared query)."""
+    """Ships/reports per window and status (streaming counterpart of the
+    batch st_window_traffic / st_sliding_traffic declared queries).
+    ``slide`` < ``window`` makes it hopping: each event lands in
+    window/slide overlapping buckets (state grows by the same factor)."""
     return (
         with_event_time(positions)
         .withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window), F.col("status"))
+        .groupBy(F.window("event_time", window, slide or window), F.col("status"))
         .agg(
             F.count("*").alias("n_reports"),
             F.approx_count_distinct("mmsi").alias("n_ships"),
