@@ -71,10 +71,15 @@ def pack_token_stream(
     order_col = order_col or id_col
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n_tok = T.n_tokens(F.col(text_col)).cast("long")
+    # carry order_col through the projection when it isn't the id — the
+    # window references it after the select
+    cols = [F.col(id_col), n_tok.alias("n_tokens")]
+    extra = [order_col] if order_col != id_col else []
     return (
-        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+        docs.select(*cols, *extra)
         .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
+        .drop(*extra)
     )
 
 
@@ -111,12 +116,13 @@ def pack_token_stream_sharded(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n_tok = T.n_tokens(F.col(text_col)).cast("long")
+    cols = [F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tokens")]
+    extra = [order_col] if order_col != id_col else []
     return (
-        docs.select(
-            F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("n_tokens")
-        )
+        docs.select(*cols, *extra)
         .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
+        .drop(*extra)
     )
 
 

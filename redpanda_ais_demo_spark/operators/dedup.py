@@ -486,18 +486,17 @@ def connected_components_two_phase(
     ``localCheckpoint`` truncates per-round lineage as in
     ``connected_components``.
     """
-    e = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    # all original nodes, kept to label isolated-after-rewrite roots
+    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # nodes come from the UNFILTERED input: a node appearing only in
+    # self-loops must still be labeled (as its own component) to keep
+    # the connected_components contract
     nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
 
     def _large_star(e: DataFrame) -> DataFrame:
         sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -82,12 +82,15 @@ def ship_type_name(code: int | None) -> str | None:
 
 
 def armor_char_to_val(c: str) -> int:
-    v = ord(c) - 48
-    if v > 40:
-        v -= 8
-    if not 0 <= v <= 63:
-        raise ValueError(f"invalid AIS armor char: {c!r}")
-    return v
+    # valid armor alphabet: '0'-'W' (48-87 → 0-39) and '`'-'w' (96-119 →
+    # 40-63); 'X'-'_' (88-95) are NOT armor chars — without the explicit
+    # range check they'd silently decode to wrong values
+    o = ord(c)
+    if 48 <= o <= 87:
+        return o - 48
+    if 96 <= o <= 119:
+        return o - 56
+    raise ValueError(f"invalid AIS armor char: {c!r}")
 
 
 def val_to_armor_char(v: int) -> str:
@@ -206,7 +209,9 @@ def decode_payload(payload: str, fill_bits: int = 0) -> dict | None:
             heading=None if hdg == 511 else hdg,
         )
         return base
-    if msg_type == 5 and n >= 421:
+    # destination occupies bits 302-421, so the last 6-bit read needs
+    # n >= 422 (421 would shift by -1 and raise, not decode)
+    if msg_type == 5 and n >= 422:
         base.update(
             callsign=sixbit_text(bits, n, 70, 42),
             shipname=sixbit_text(bits, n, 112, 120),
@@ -301,19 +306,30 @@ def decode_lines(lines: Iterable[str]) -> Iterator[dict]:
         if s is None:
             continue
         if s["frag_count"] == 1:
-            msg = decode_payload(s["payload"], s["fill_bits"])
+            try:
+                msg = decode_payload(s["payload"], s["fill_bits"])
+            except ValueError:
+                continue  # corrupt armor that survived the 8-bit checksum
             if msg is not None:
                 msg["receiver_timestamp"] = s["receiver_timestamp"]
                 yield msg
             continue
+        if not 1 <= s["frag_num"] <= s["frag_count"]:
+            continue  # frag_num 0/negative would index the wrong slot
         key = (s["seq_id"], s["channel"])
-        frags = pending.setdefault(key, [None] * s["frag_count"])
-        if s["frag_num"] <= len(frags):
-            frags[s["frag_num"] - 1] = s
+        frags = pending.get(key)
+        if frags is None or len(frags) != s["frag_count"]:
+            # new message on this seq id (or a frag_count mismatch with a
+            # stale buffer): start clean rather than assemble a chimera
+            frags = pending[key] = [None] * s["frag_count"]
+        frags[s["frag_num"] - 1] = s
         if all(f is not None for f in frags):
             del pending[key]
             payload = "".join(f["payload"] for f in frags)
-            msg = decode_payload(payload, frags[-1]["fill_bits"])
+            try:
+                msg = decode_payload(payload, frags[-1]["fill_bits"])
+            except ValueError:
+                continue
             if msg is not None:
                 # tag block rides the first fragment on the wire
                 msg["receiver_timestamp"] = frags[0]["receiver_timestamp"]

@@ -54,10 +54,12 @@ def decode_nmea(lines: DataFrame) -> DataFrame:
     output contract, so downstream routing is decoder-agnostic.
 
     Malformed sentences drop (the producer's skip behavior). Multi-
-    fragment assembly is per-batch/partition: a fragment pair split
-    across partitions drops rather than corrupts — at scale, keep
-    fragments of one message in one partition (the replay source's
-    line-range splits preserve adjacency within a range).
+    fragment assembly spans the WHOLE partition (one assembly buffer
+    over all Arrow batches — a per-batch buffer would drop every pair
+    straddling a ~10k-row batch boundary); a pair split across
+    partitions drops rather than corrupts — at scale, keep fragments of
+    one message in one partition (the replay source's line-range splits
+    preserve adjacency within a range).
     """
     import pandas as pd
 
@@ -85,11 +87,17 @@ def decode_nmea(lines: DataFrame) -> DataFrame:
         else:
             from . import ais_codec
 
-            for pdf in batches:
-                rows = [
-                    {f: m.get(f) for f in fields}
-                    for m in ais_codec.decode_lines(pdf["nmea"])
-                ]
+            def all_lines():
+                for pdf in batches:
+                    yield from pdf["nmea"]
+
+            rows = []
+            for m in ais_codec.decode_lines(all_lines()):
+                rows.append({f: m.get(f) for f in fields})
+                if len(rows) >= 10_000:
+                    yield pd.DataFrame(rows, columns=fields)
+                    rows = []
+            if rows:
                 yield pd.DataFrame(rows, columns=fields)
 
     return lines.mapInPandas(kernel, AIS_DECODED)

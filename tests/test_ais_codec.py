@@ -136,6 +136,68 @@ def test_reference_sentence_matches_published_decode():
     assert abs(m["lat"] - 47.58283) < 1e-4
 
 
+def test_truncated_type5_degrades_to_envelope_not_crash():
+    # n = 421 bits: one short of the destination field's last read — the
+    # old `n >= 421` guard admitted it and raised on a negative shift;
+    # it must now degrade to the (msg_type, mmsi) envelope
+    frags = C.encode_static(123, "A", "B", 70, "C")
+    payload = "".join(f.split(",")[5] for f in frags)
+    assert C.payload_to_bits(payload, 5)[1] == 421
+    m = C.decode_payload(payload, 5)
+    assert m["msg_type"] == 5 and m["mmsi"] == 123
+    assert m["shipname"] is None and m["destination"] is None
+
+
+def _line(body: str) -> str:
+    return f"!{body}*{C.nmea_checksum(body)}"
+
+
+def test_invalid_armor_chars_drop_not_crash():
+    # 'X'-'_' (88-95) are outside the armor alphabet; a corrupt payload
+    # that happens to carry a valid XOR checksum must drop, not raise
+    assert list(C.decode_lines([_line("AIVDM,1,1,,A,X5mZz,0")])) == []
+    with __import__("pytest").raises(ValueError):
+        C.armor_char_to_val("X")
+    with __import__("pytest").raises(ValueError):
+        C.armor_char_to_val("z")
+
+
+def test_fragment_number_bounds_and_count_mismatch():
+    frags = C.encode_static(257000001, "NORDIC STAR", "LAXA", 84, "KIRKENES", seq_id="7")
+    p1, p2 = (f.split(",")[5] for f in frags)
+    # frag_num 0 (would hit frags[-1] via negative indexing) must drop
+    bogus = _line(f"AIVDM,2,0,7,A,{p1},0")
+    assert list(C.decode_lines([bogus])) == []
+    # a frag_count mismatch on the same seq id resets the buffer instead
+    # of assembling a chimera; the real pair then decodes normally
+    stray = _line(f"AIVDM,3,1,7,A,{p1},0")
+    msgs = list(C.decode_lines([stray, *frags]))
+    assert len(msgs) == 1 and msgs[0]["shipname"] == "NORDIC STAR"
+
+
+def test_decode_nmea_assembles_across_arrow_batches(spark):
+    # fragment pairs straddling an Arrow batch boundary (NOT a partition
+    # boundary) must still assemble: one decode_lines per partition
+    lines = [C.encode_position(100 + i, 1.0, 2.0, 9, 10) for i in range(3)]
+    lines += C.encode_static(257000001, "NORDIC STAR", "LAXA", 84, "KIRKENES")
+    lines += [C.encode_position(200 + i, 1.0, 2.0, 9, 10) for i in range(5)]
+    from redpanda_ais_demo_spark.sources import ais_feed
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        df = spark.createDataFrame([(ln,) for ln in lines], "nmea string").coalesce(1)
+        rows = ais_feed.decode_nmea(df).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # the type-5 pair sat at rows 3-4, across the 4-row batch boundary
+    assert [r.shipname for r in rows if r.msg_type == 5] == ["NORDIC STAR"]
+    assert len(rows) == 9
+
+
 def test_malformed_and_bad_checksum_drop():
     good = C.encode_position(1, 1.0, 2.0, 5, 10)
     bad_checksum = good[:-2] + "00"

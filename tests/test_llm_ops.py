@@ -298,6 +298,18 @@ def test_hash_sample_deterministic_and_entity_consistent(spark):
     assert d <= a
 
 
+def test_pack_variants_accept_custom_order_col(spark):
+    # order_col other than the id must resolve (it once got dropped by
+    # the projection before the window referenced it)
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    n = corpus.pack_token_stream(docs, 512, order_col="n_chars").count()
+    assert n == 50
+    ns = corpus.pack_token_stream_sharded(
+        docs, 512, shard_col="lang", order_col="n_chars"
+    ).count()
+    assert ns == 50
+
+
 def test_pack_token_stream_bins_contiguous(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     rows = sorted(corpus.pack_token_stream(docs, capacity=512).collect(), key=lambda r: r.doc_id)

@@ -147,6 +147,17 @@ def test_connected_components_match_union_find(spark, edge_list):
     assert got2 == expected
 
 
+def test_cc_both_variants_keep_self_loop_only_nodes(spark):
+    # a node appearing only in self-loops must be labeled (own component)
+    # by BOTH algorithms — the two-phase variant once dropped it
+    df = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    expected = {7: 7, 1: 1, 2: 1}
+    assert {r.node: r.component for r in dedup.connected_components(df).collect()} == expected
+    assert {
+        r.node: r.component for r in dedup.connected_components_two_phase(df).collect()
+    } == expected
+
+
 def test_two_phase_cc_on_long_chain(spark):
     """The workload the two-phase algorithm exists for: a 200-node chain
     (diameter 199) must resolve to one component rooted at 0 — and do it
