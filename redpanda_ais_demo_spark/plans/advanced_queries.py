@@ -60,6 +60,49 @@ def asof_last_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gap-fill resample (hypertable forward-fill) ----------------------------
+
+
+@query(
+    "gapfill_user_value",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 21600 * 21600 AS bucket_ts,
+                   value,
+                   row_number() OVER (PARTITION BY user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 21600 * 21600
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        last_vals AS (SELECT user_id, bucket_ts, value FROM b WHERE rn = 1),
+        bounds AS (SELECT user_id, min(bucket_ts) AS t0, max(bucket_ts) AS t1
+                   FROM b GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(generate_series(t0, t1, 21600)) AS bucket_ts
+                 FROM bounds)
+        SELECT g.user_id, g.bucket_ts,
+               last_value(lv.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM grid g LEFT JOIN last_vals lv
+          ON g.user_id = lv.user_id AND g.bucket_ts = lv.bucket_ts
+    """,
+    tags=("timeseries", "gapfill", "window"),
+    doc="Regular-grid resample + forward fill (the hypertable gap-fill "
+    "companion to the bucketed rollups): per user, 6-hour buckets from "
+    "the user's first to last event, last observation per bucket "
+    "(ts + event_id tie-break), empty buckets carry the previous value. "
+    "Every stage is keyed on user — per-key bounds partial-agg, narrow "
+    "sequence() grid explode, keyed last-per-bucket window, per-key "
+    "running last(ignorenulls) — no global sort at any scale.",
+)
+def gapfill_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_forward
+
+    events = load_table(spark, sf_dir, "events")
+    return gap_fill_forward(events, "user_id", "ts", "value", 21600, "event_id")
+
+
 # --- Range join (band classification) --------------------------------------
 
 _BANDS = [

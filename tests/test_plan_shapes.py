@@ -209,6 +209,46 @@ def test_pack_sharded_window_is_partitioned(spark):
     assert "SinglePartition" in global_plan
 
 
+def test_gapfill_windows_are_per_key(spark):
+    # both the last-per-bucket window and the forward-fill window must
+    # partition on the series key; a global window would serialize the
+    # grid at scale
+    plan = _physical_plan(spark, "gapfill_user_value")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(key" in plan
+
+
+def test_gapfill_forward_fill_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.timeseries import gap_fill_forward
+
+    df = spark.createDataFrame(
+        [
+            # user 1: values at bucket 0 and 300; gap at 100, 200
+            (1, "2024-01-01 00:00:30", 10.0, 1),
+            (1, "2024-01-01 00:05:10", 40.0, 2),
+            # same-bucket tie at identical ts: higher event_id wins
+            (1, "2024-01-01 00:00:30", 11.0, 3),
+            # user 2: single observation → single grid row
+            (2, "2024-01-01 00:02:00", 7.0, 4),
+        ],
+        "user_id long, ts_s string, value double, event_id long",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value", "event_id")
+    rows = sorted(
+        (r.user_id, r.bucket_ts, r.value)
+        for r in gap_fill_forward(df, "user_id", "ts", "value", 100, "event_id").collect()
+    )
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert rows == [
+        (1, base + 0, 11.0),    # tie-broken to event_id 3
+        (1, base + 100, 11.0),  # gap: carried forward
+        (1, base + 200, 11.0),  # gap: carried forward
+        (1, base + 300, 40.0),
+        (2, base + 100, 7.0),
+    ]
+
+
 def test_dup_spans_window_is_per_document(spark):
     # the gaps-and-islands interval merge must window per document —
     # a global (empty-partition) window here would serialize the corpus
