@@ -287,6 +287,36 @@ def running_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "moving_avg_order_total",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+                   / (100.0 * COUNT(*) OVER w) AS moving_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "bounded-frame"),
+    doc="3-row moving average of order totals per customer — the "
+    "BOUNDED window frame class (ROWS 2 PRECEDING), next to the "
+    "unbounded running total. Exact integer cents inside the frame, one "
+    "division at the end, so the double is bit-identical across "
+    "engines; partitions on the customer key.",
+)
+def moving_avg_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents).over(w).cast("double") / (F.lit(100.0) * F.count("*").over(w))
+        ).alias("moving_avg"),
+    )
+
+
+@query(
     "order_gap_days",
     oracle="""
         SELECT o_custkey, o_orderkey,
