@@ -89,6 +89,21 @@ def test_get_queries_and_oracles_share_the_ordering():
     assert list(oracles) == oracle_order
 
 
+def test_bench_headline_names_resolve():
+    # a renamed/removed query must fail here, not at bench time on the
+    # driver's clock
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", __file__.rsplit("/tests/", 1)[0] + "/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    registered = set(registry.ordered_names())
+    missing = [n for n in bench.BENCH_QUERIES if n not in registered]
+    assert not missing, f"bench names not in registry: {missing}"
+
+
 def test_window_oracle_density():
     """Rows-only entries in the window are the deliberate handful (sketches /
     engine-internal hashes / ANN rankings) — everything else must carry an
