@@ -379,6 +379,36 @@ def rollup_cascade_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cube_status_priority",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+    doc="CUBE over (status, priority) — all 2^2 grouping combinations in "
+    "one pass, completing the grouping-shape family next to ROLLUP "
+    "(rollup_cascade_traffic) and GROUPING SETS (grouping_sets_sql). "
+    "Spark expands the cube map-side and partial-aggregates, so the "
+    "shuffle carries one partial row per (combination, group), not the "
+    "fact. NULL group markers are coalesced to 'ALL' in both engines "
+    "(fixture columns are non-null, so the marker is unambiguous).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
 # --- Salted skew join -------------------------------------------------------
 
 
