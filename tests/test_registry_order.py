@@ -57,9 +57,14 @@ REQUIRED_IN_WINDOW = {
     "grouping_sets_sql",
     "salted_join_segment_traffic",
     "running_revenue_by_customer",
-    "rollup_cascade_traffic",
     "map_props_stats",
     "unpivot_part_measures",
+    # round-6 classes rotated into the window in r7 (gap-fill resampling and
+    # span-level dedup have no same-class sibling elsewhere in the window;
+    # rollup_cascade_traffic is covered by grouping_sets_sql's family and
+    # order_price_dispersion by value_percentiles')
+    "gapfill_user_value",
+    "dup_span_intervals",
 }
 
 
