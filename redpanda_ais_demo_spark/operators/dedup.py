@@ -314,7 +314,27 @@ def _packed_simhash(hashed: DataFrame, bits: int, lanes: int, lane_width: int) -
     return sums.selectExpr("id", "(" + " ^ ".join(bit_terms) + ") AS simhash")
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+# Portable 64-bit token hash: first 16 hex chars of md5 read big-endian as
+# an i64, assembled ANSI-safely from two 32-bit halves (conv() output stays
+# under 2^32, so the bigint cast never overflows; shiftleft is unchecked).
+# DuckDB computes the identical u64 with CAST('0x' || substring(md5(t),1,16)
+# AS UBIGINT) — the signed/unsigned difference is invisible to per-bit
+# extraction, which is all SimHash reads.
+_MD5_TOKEN_HASH = (
+    "shiftleft(cast(conv(substring(md5(t),1,8),16,10) as bigint),32)"
+    " | cast(conv(substring(md5(t),9,8),16,10) as bigint)"
+)
+
+_TOKEN_HASHES = {"xxhash64": "xxhash64(t)", "md5": _MD5_TOKEN_HASH}
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document from token hashes (X2 family).
 
     For each bit position j, sum +1/-1 over tokens according to bit j of
@@ -331,12 +351,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     tokenize the corpus once per branch). The 16-bit packing survives in
     ``_packed_simhash`` and tests prove both packings produce identical
     fingerprints. Docs with zero tokens emit no fingerprint.
+
+    ``token_hash`` selects the per-token hash family: ``"xxhash64"``
+    (production default — one JVM-side hash, no string allocation) or
+    ``"md5"`` (portable: DuckDB computes the identical 64-bit value, making
+    the whole fingerprint oracle-checkable cross-engine; ~2× the per-token
+    cost of xxhash64 since it materializes a hex string first).
     """
+    hexpr = _TOKEN_HASHES[token_hash]
     hashed = (
         _parallelize(docs)
         .select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w"))
         .filter(F.size("w") > 0)
-        .selectExpr("id", "size(w) AS n", "transform(w, t -> xxhash64(t)) AS hs")
+        .selectExpr("id", "size(w) AS n", f"transform(w, t -> {hexpr}) AS hs")
     )
     return _packed_simhash(hashed, bits, lanes=2, lane_width=32)
 

@@ -2,11 +2,12 @@
 deduplication, text analysis, fingerprinting, similarity search — over the
 ``documents`` and ``embeddings`` tables.
 
-Exact operators carry DuckDB oracles; the sketch/LSH operators (MinHash,
-SimHash, hyperplane-LSH) are engine-internal (DuckDB lacks xxhash64) and
-are instead verified in tests against their exact counterparts
-(tests/test_llm_ops.py) — recall vs. the exact Jaccard / brute-force
-top-k on the same data.
+Exact operators carry DuckDB oracles. MinHash rides the exact-Jaccard
+oracle (candidates are exact-verified; recall is 100% at oracle scale),
+and the declared SimHash variant uses a portable md5-derived token hash so
+DuckDB replays the entire fingerprint pipeline. Only hyperplane-LSH ANN
+stays rows-only (seeded random hyperplanes are not SQL-expressible); it is
+verified by recall tests against brute-force top-k (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -354,17 +355,58 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, threshold=_JACCARD_THRESHOLD)
 
 
+# Full cross-engine SimHash: per-token 64-bit hash from md5's first 16 hex
+# chars (bit-identical to Spark's _MD5_TOKEN_HASH — see operators/dedup.py),
+# per-bit majority votes over token occurrences, O(n^2) Hamming pair scan
+# (the oracle needn't band; banding with bands > max_hamming is exact, so
+# the declared query's pigeonhole candidates produce the same pair set).
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, n,
+               CAST('0x' || substring(md5(t), 1, 16) AS UBIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, j, max(n) AS n,
+               SUM(CAST((h >> CAST(j AS INTEGER)) & 1 AS BIGINT)) AS ones
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) bits
+        GROUP BY doc_id, j
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n
+                             THEN CAST(1 AS UBIGINT) << CAST(j AS INTEGER)
+                             ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS fp
+        FROM votes GROUP BY doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 5
+"""
+
+
 @query(
     "simhash_near_dups",
-    oracle=None,  # engine-internal hashing
+    oracle=_SIMHASH_ORACLE,
     tags=("dedup", "simhash", "scale-path"),
     doc="X2 — SimHash-64 near-dup pairs (Hamming <= 5, calibrated so the "
     "true Jaccard>=0.5 pairs all fall inside) with pigeonhole banding for "
-    "linear candidate generation.",
+    "linear candidate generation. Declared variant hashes tokens with the "
+    "portable md5-derived lane so DuckDB replays the full fingerprint "
+    "pipeline; token_hash='xxhash64' is the production default (no hex "
+    "string materialization) and is equivalence-tested in "
+    "tests/test_llm_ops.py.",
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fps = dedup.simhash(docs)
+    fps = dedup.simhash(docs, token_hash="md5")
     return dedup.simhash_pairs(fps, max_hamming=5)
 
 

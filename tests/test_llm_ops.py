@@ -40,6 +40,23 @@ def test_simhash_covers_true_near_dups(spark):
     assert len(exact & sim) / len(exact) >= 0.85
 
 
+def test_simhash_md5_variant_covers_true_near_dups(spark):
+    """The portable md5 token hash (declared/oracle-checkable variant) is as
+    uniform as xxhash64 — coverage of true Jaccard>=0.5 pairs must hold at
+    the same calibrated bar, and fingerprints must differ from the xxhash64
+    family (different hash ⇒ different fingerprints, same near-dup recall)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sh = dedup.doc_shingles(docs)
+    exact = _pairs(dedup.jaccard_pairs(sh, 0.5))
+    fps_md5 = dedup.simhash(docs, token_hash="md5")
+    sim = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(fps_md5, max_hamming=5).collect()}
+    assert len(exact & sim) / len(exact) >= 0.85
+    fps_xx = {r.id: r.simhash for r in dedup.simhash(docs).collect()}
+    md5_map = {r.id: r.simhash for r in fps_md5.collect()}
+    assert set(fps_xx) == set(md5_map)
+    assert any(fps_xx[i] != md5_map[i] for i in fps_xx)
+
+
 def test_exact_dedup_keeps_min_order_row(spark):
     df = spark.createDataFrame(
         [(3, "a"), (1, "a"), (2, "b"), (5, "a")], "doc_id long, text string"

@@ -116,6 +116,7 @@ def test_window_oracle_density():
     window = registry.ordered_names()[:DRIVER_WINDOW]
     rows_only = {n for n in window if registry.REGISTRY[n].oracle is None}
     assert rows_only <= {
-        "simhash_near_dups",
+        # seeded random hyperplanes are not SQL-expressible; recall-tested
+        # against brute-force top-k instead (tests/test_llm_ops.py)
         "ann_lsh_topk",
     }, f"unexpected rows-only entries in window: {sorted(rows_only)}"
