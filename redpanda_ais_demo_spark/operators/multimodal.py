@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed through Arrow-batched ``mapInPandas`` stages.
 
-Image decode/resize are gated on an importable PIL: real codec when the
-environment provides it, deterministic fakes otherwise (same schemas and
-invariants either way — non-image payloads always take the fake path, so
-fixture-driven oracles are environment-independent). Audio decode remains
-an explicit raising stub. The Spark-side plumbing is real and tested in
-both modes: schemas, batch iteration, partition sizing, and the UDF
-signatures are exactly what a production decode uses.
+Codec gating order (``operators/codecs.py`` holds the stdlib codecs):
+- images: binary PPM (P6) decodes with the pure-stdlib codec in EVERY
+  environment; other formats decode via PIL when importable; anything
+  else takes the deterministic fake path (same schemas and invariants, so
+  fixture-driven oracles over non-image payloads are environment-
+  independent).
+- audio: PCM WAV (8/16-bit) decodes via the stdlib ``wave`` module;
+  compressed formats raise ``NotImplementedError`` (honest stub — no
+  codec library in this container).
+The Spark-side plumbing is real and tested in all modes: schemas, batch
+iteration, partition sizing, and the UDF signatures are exactly what a
+production decode uses.
 
 Scale notes:
 - payloads stay in ``BinaryType`` columns end-to-end; Arrow moves them
@@ -26,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import codecs
 
 # Schema of a multimodal asset table: opaque payload + typed metadata.
 ASSET_SCHEMA = T.StructType(
@@ -76,10 +83,17 @@ def _pil_open(payload: bytes):
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """(width, height) of an image payload. Real decode via PIL when the
-    environment provides it and the bytes parse as an image; otherwise a
-    deterministic fake derives dims from the payload hash so tests are
-    reproducible in the codec-less container."""
+    """(width, height) of an image payload. Real decode for binary PPM via
+    the stdlib codec (always available), then PIL for other formats when
+    the environment provides it; otherwise a deterministic fake derives
+    dims from the payload hash so tests are reproducible in the codec-less
+    container."""
+    if payload and codecs.is_ppm(payload):
+        try:
+            w, h, _ = codecs.decode_ppm(payload)
+            return w, h
+        except ValueError:
+            pass  # malformed PPM falls through to PIL/fake
     img = _pil_open(payload)
     if img is not None:
         return img.width, img.height
@@ -142,11 +156,18 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload to (width, height). Real path via PIL when
-    available and the bytes parse as an image (re-encoded PNG); otherwise
-    a deterministic fake re-hashes the payload salted with the target
-    dims, sized ∝ area, so output bytes are reproducible and
-    size-plausible in the codec-less container."""
+    """Resize an image payload to (width, height). Real paths: binary PPM
+    via the stdlib codec (nearest-neighbor on raw RGB, re-encoded P6 —
+    runs in every environment), then PIL for other formats when available
+    (re-encoded PNG); otherwise a deterministic fake re-hashes the payload
+    salted with the target dims, sized ∝ area, so output bytes are
+    reproducible and size-plausible in the codec-less container."""
+    if payload and codecs.is_ppm(payload):
+        try:
+            w0, h0, rgb = codecs.decode_ppm(payload)
+            return codecs.encode_ppm(width, height, codecs.resize_rgb_nearest(rgb, w0, h0, width, height))
+        except ValueError:
+            pass  # malformed PPM falls through to PIL/fake
     img = _pil_open(payload)
     if img is not None:
         import io
@@ -160,13 +181,66 @@ def resize_payload(payload: bytes, width: int, height: int) -> bytes:
 
 
 def decode_audio_waveform(payload: bytes) -> list[float]:
-    """STUB — explicitly unimplemented: audio decode needs a codec library
-    not present in this container. The gating pattern production code
-    would use; callers get a clear error, not silent garbage."""
-    raise NotImplementedError(
-        "audio decode requires an audio codec (e.g. soundfile/librosa); "
-        "not available in this environment"
-    )
+    """Mono-mixed float waveform in [-1, 1] from an audio payload.
+
+    Real decode for uncompressed PCM WAV (8/16-bit) via the stdlib
+    ``wave`` codec — executable in every environment. Compressed formats
+    (mp3/ogg/flac/…) still raise ``NotImplementedError``: they need a
+    codec library this container doesn't ship, and callers get a clear
+    error, not silent garbage."""
+    _, _, samples = codecs.decode_wav(payload)
+    return samples
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas audio pipeline: WAV payloads decode for real (stdlib
+    codec); non-WAV payloads yield NULL feature columns instead of failing
+    the batch — the production shape for mixed-quality corpora, where a
+    quarantine filter on NULLs follows."""
+    import math
+
+    from ..dist import ensure_shipped
+
+    ensure_shipped(assets.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, durs, rmss = [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    rate, _, samples = codecs.decode_wav(bytes(payload) if payload is not None else b"")
+                    n = len(samples)
+                    rates.append(rate)
+                    counts.append(n)
+                    durs.append(int(n * 1000 / rate) if rate else None)
+                    rmss.append(math.sqrt(sum(s * s for s in samples) / n) if n else 0.0)
+                except NotImplementedError:
+                    rates.append(None)
+                    counts.append(None)
+                    durs.append(None)
+                    rmss.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_samples": pd.Series(counts, dtype="Int32"),
+                    "duration_ms": pd.Series(durs, dtype="Int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return assets.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
 
 
 def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
