@@ -483,6 +483,16 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # labels strictly decrease until the fixpoint, so an exhausted loop
+        # means unconverged labels — wrong components with no signal if
+        # returned silently. Diameter > max_iters ⇒ use the two-phase
+        # variant or raise max_iters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters; use "
+            "connected_components_two_phase for long-chain graphs)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -559,6 +569,14 @@ def connected_components_two_phase(
         if sig == prev:
             break
         prev = sig
+    else:
+        # an exhausted loop means the edge set was still moving — labels
+        # would be silently wrong. ~log n rounds suffice for any real
+        # graph, so hitting this means max_iters is set far too low.
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in {max_iters} "
+            "rounds (edge-set signature still changing)"
+        )
     # fixpoint edges are (node > root) → root; roots label themselves
     roots = e.groupBy("u").agg(F.min("v").alias("component"))
     return nodes.join(roots, nodes.node == roots.u, "left").select(

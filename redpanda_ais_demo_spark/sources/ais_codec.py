@@ -301,6 +301,12 @@ def decode_lines(lines: Iterable[str]) -> Iterator[dict]:
     to this iterator (one assembly buffer per partition/batch; a pair
     straddling a partition boundary is dropped, not corrupted)."""
     pending: dict[tuple[str, str], list] = {}
+    # A well-formed feed holds ≤20 live keys (seq_id 0-9 × channel A/B), but
+    # seq_id/channel parse as arbitrary strings, so a corrupt or hostile
+    # long-lived stream could otherwise grow the orphan buffer without
+    # bound. Orphans are dropped anyway — evict oldest-inserted beyond the
+    # cap (dict preserves insertion order).
+    max_pending = 64
     for raw in lines:
         s = parse_sentence(raw)
         if s is None:
@@ -321,6 +327,8 @@ def decode_lines(lines: Iterable[str]) -> Iterator[dict]:
         if frags is None or len(frags) != s["frag_count"]:
             # new message on this seq id (or a frag_count mismatch with a
             # stale buffer): start clean rather than assemble a chimera
+            if frags is None and len(pending) >= max_pending:
+                pending.pop(next(iter(pending)))
             frags = pending[key] = [None] * s["frag_count"]
         frags[s["frag_num"] - 1] = s
         if all(f is not None for f in frags):

@@ -82,7 +82,15 @@ def decode_nmea(lines: DataFrame) -> DataFrame:
                         msg = pyais.decode(sentence.encode()).asdict()
                     except Exception:
                         continue  # malformed sentences drop
-                    rows.append({f: msg.get(f) for f in fields})
+                    rec = {f: msg.get(f) for f in fields}
+                    # pyais yields fractional knots; the native codec emits
+                    # int(round(sog/10)). Apply the SAME rule here so the
+                    # two decode paths agree on every sentence (and the
+                    # pandas→Arrow int cast never sees a non-integral
+                    # float).
+                    if rec.get("speed") is not None:
+                        rec["speed"] = int(round(rec["speed"]))
+                    rows.append(rec)
                 yield pd.DataFrame(rows, columns=fields)
         else:
             from . import ais_codec

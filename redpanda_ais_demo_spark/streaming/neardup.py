@@ -22,11 +22,26 @@ keeps the bucket → ids map in a key-value store. The verification join
 carries shingle-hash arrays, not text. State lives entirely in the
 index files — the streaming query itself is stateless, so there's no
 watermark to tune and restarts are trivial.
+
+Index growth is bounded by ``index_retention_batches``: without it the
+accepted-profile index grows forever and at 100 TB every micro-batch
+eventually rereads an unbounded scan. With retention N, the probe sees
+only the N most recent prior batch partitions (partition-pruned read on
+``__batch_id``) and older partitions are deleted after the batch's
+writes land. Trade-off, stated plainly: a duplicate of a document
+accepted more than N batches ago is accepted again — the right contract
+for time-local duplication (news bursts, crawl re-fetch windows); for
+global history keep retention unset and bucket-partition the index
+instead. Deletion is idempotent (removing an absent partition is a
+no-op), so replay semantics are unchanged; the accepted ROWS in
+``out_dir`` are never pruned — the index is operational probe state,
+not the archive.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -127,6 +142,23 @@ def dedup_batch_against_index(
     return accepted_rows, accepted_profiles, rejections
 
 
+def _prune_index_partitions(index_dir: str, lo: int) -> None:
+    """Delete index partitions with ``__batch_id < lo``. Idempotent: an
+    already-pruned (or never-written) partition is a no-op, so crash
+    between write and prune, or replayed prune, changes nothing."""
+    if not os.path.isdir(index_dir):
+        return
+    for name in os.listdir(index_dir):
+        if not name.startswith("__batch_id="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < lo:
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+
 def start_near_dup_filter(
     docs_stream: DataFrame,
     out_dir: str,
@@ -139,12 +171,14 @@ def start_near_dup_filter(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    index_retention_batches: int | None = None,
 ) -> StreamingQuery:
     """Attach the near-dup filter to a streaming document source. Accepted
     rows land in ``out_dir``, their profiles in ``index_dir`` (the
-    growing dedup index), rejections + provenance in ``reject_dir`` —
-    all partitioned by batch id with dynamic overwrite for idempotent
-    replay."""
+    dedup index), rejections + provenance in ``reject_dir`` — all
+    partitioned by batch id with dynamic overwrite for idempotent
+    replay. ``index_retention_batches`` bounds the index to the N most
+    recent prior batches (see module docstring for the contract)."""
     spark = docs_stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -153,7 +187,13 @@ def start_near_dup_filter(
             name.endswith(".parquet") or name.startswith("__batch_id=")
             for name in os.listdir(index_dir)
         ):
-            index = spark.read.parquet(index_dir).drop("__batch_id")
+            index = spark.read.parquet(index_dir)
+            if index_retention_batches is not None:
+                # partition-pruned probe: only the retention window is read.
+                # >= batch_id - N keeps the replayed batch's own prior
+                # attempt visible (the `via` tiebreak depends on it).
+                index = index.filter(F.col("__batch_id") >= batch_id - index_retention_batches)
+            index = index.drop("__batch_id")
         accepted, profiles, rejections = dedup_batch_against_index(
             batch_df, index, id_col, text_col, k, num_hashes, bands, threshold
         )
@@ -170,6 +210,8 @@ def start_near_dup_filter(
         write(accepted, out_dir)
         write(profiles, index_dir)
         write(rejections, reject_dir)
+        if index_retention_batches is not None:
+            _prune_index_partitions(index_dir, batch_id - index_retention_batches)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -96,6 +96,24 @@ def test_static_two_fragment_round_trip():
     assert list(C.decode_lines(frags[:1])) == []
 
 
+def test_pending_fragment_buffer_is_bounded():
+    """Orphan fragments on a long-lived stream must not grow the assembly
+    buffer without bound: beyond the cap, oldest-inserted orphans evict."""
+    orphans = [
+        C.encode_static(257000000 + i, "SHIP", "CS", 84, "OSLO", seq_id=str(i))[0]
+        for i in range(100)
+    ]
+    # a legit pair arriving AFTER the flood still assembles (its key is
+    # fresh — eviction removes oldest, never the in-progress newest)
+    pair = C.encode_static(257000001, "NORDIC STAR", "LAXA", 84, "KIRKENES", seq_id="zz")
+    msgs = list(C.decode_lines(orphans + pair))
+    assert [m["shipname"] for m in msgs] == ["NORDIC STAR"]
+    # the counterpart of an evicted orphan arrives too late: dropped
+    # cleanly (fresh buffer, still incomplete) — no yield, no chimera
+    late_second = C.encode_static(257000000, "SHIP", "CS", 84, "OSLO", seq_id="0")[1]
+    assert list(C.decode_lines(orphans + [late_second])) == []
+
+
 def test_class_b_static_parts_round_trip():
     a = C.encode_class_b_static(257000009, 0, shipname="FJORD QUEEN")
     (ma,) = list(C.decode_lines([a]))

@@ -182,6 +182,19 @@ def test_two_phase_cc_on_long_chain(spark):
     assert got2 == expected
 
 
+def test_cc_exhausted_iterations_raise_not_silent(spark):
+    """An unconverged loop must raise, not return wrong components
+    silently — both variants."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iters=2)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_two_phase(df, max_iters=1)
+
+
 def _explode_reference_simhash(spark, df):
     """Independent SimHash formulation: explode tokens, per-bit majority
     vote via groupBy sums — the O(64) aggregate shape the packed-lane fold

@@ -81,6 +81,57 @@ def test_batch_core_and_streaming_filter(spark, tmp_path):
         q.stop()
 
 
+def test_bounded_index_retention(spark, tmp_path):
+    """index_retention_batches=1: in-window duplicates are still rejected
+    with unchanged decisions, out-of-window duplicates are re-accepted,
+    and the on-disk index stays bounded (old partitions pruned)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "index")
+    rej = str(tmp_path / "rej")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    _write_batch(spark, src, B1, "b1")
+    q = neardup.start_near_dup_filter(stream, out, idx, rej, ckpt, index_retention_batches=1)
+    try:
+        q.processAllAvailable()  # batch 0: accepts 1,2,3; rejects 6
+        assert _ids(spark, out) == {1, 2, 3}
+        _write_batch(spark, src, B2, "b2")
+        q.processAllAvailable()  # batch 1: window covers batch 0 → 7 rejected
+        assert _ids(spark, out) == {1, 2, 3, 8}
+        b3 = [
+            (9, "a b c d e f g q"),  # near-dup of doc 1 (batch 0 — OUT of window) → accepted
+            (10, "dd ee ff gg hh ii jj zz"),  # near-dup of doc 8 (batch 1 — in window) → rejected
+        ]
+        _write_batch(spark, src, b3, "b3")
+        q.processAllAvailable()  # batch 2: window is batch 1 only
+        assert _ids(spark, out) == {1, 2, 3, 8, 9}
+        rejected = {
+            (r.doc_id, r.matched_id, r.via)
+            for r in spark.read.parquet(rej).select("doc_id", "matched_id", "via").collect()
+        }
+        assert rejected == {(6, 1, "batch"), (7, 2, "index"), (10, 8, "index")}
+        # the index is bounded: batch-0 partition pruned, only the last
+        # retention window (+ the just-written batch) remains on disk
+        parts = sorted(n for n in os.listdir(idx) if n.startswith("__batch_id="))
+        assert parts == ["__batch_id=1", "__batch_id=2"]
+    finally:
+        q.stop()
+
+
+def test_prune_index_partitions_idempotent(tmp_path):
+    idx = tmp_path / "index"
+    for bid in (0, 1, 2):
+        (idx / f"__batch_id={bid}").mkdir(parents=True)
+    neardup._prune_index_partitions(str(idx), 2)
+    assert sorted(p.name for p in idx.iterdir()) == ["__batch_id=2"]
+    neardup._prune_index_partitions(str(idx), 2)  # replayed prune: no-op
+    assert sorted(p.name for p in idx.iterdir()) == ["__batch_id=2"]
+    neardup._prune_index_partitions(str(tmp_path / "absent"), 5)  # missing dir: no-op
+
+
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """Dynamic partition overwrite by batch id: re-processing the same
     micro-batch (crash-recovery semantics) must not duplicate output."""
