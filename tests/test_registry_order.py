@@ -109,6 +109,25 @@ def test_bench_headline_names_resolve():
     assert not missing, f"bench names not in registry: {missing}"
 
 
+def test_readme_counts_derive_from_registry():
+    """Hand-maintained counts rot (round-6 103-vs-104 drift): the README's
+    declared-query and oracle counts must equal the registry's."""
+    import re
+
+    readme = open(__file__.rsplit("/tests/", 1)[0] + "/README.md").read()
+    m = re.search(r"\*\*(\d+) declared queries, (\d+) of them hash-checked", readme)
+    assert m, "README count line missing or reworded — keep it derivable"
+    declared, oracled = int(m.group(1)), int(m.group(2))
+    assert declared == len(registry.ordered_names()), (
+        f"README says {declared} declared queries, registry has "
+        f"{len(registry.ordered_names())}"
+    )
+    assert oracled == len(registry.get_oracles()), (
+        f"README says {oracled} oracle-checked, registry has "
+        f"{len(registry.get_oracles())}"
+    )
+
+
 def test_window_oracle_density():
     """Rows-only entries in the window are the deliberate handful (sketches /
     engine-internal hashes / ANN rankings) — everything else must carry an
