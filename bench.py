@@ -65,7 +65,10 @@ def prepare_split_fixture(sf_dir: str) -> str:
 
 # Headline set: one per workload class (scan-agg, join, window, distinct,
 # sessionize, dedup-exact, dedup-LSH, similarity, text, pandas-UDF).
-BENCH_QUERIES = [
+# CORE_QUERIES is the round-6 28-query set — keep it stable so totals stay
+# comparable across rounds within the interleaved-bench era; additions go
+# in their own list and are reported as a separate subtotal.
+CORE_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -95,6 +98,18 @@ BENCH_QUERIES = [
     "text_quality",
     "multimodal_features",
 ]
+
+# Round-7 additions: the round-6 operator classes whose perf was previously
+# unmeasured round-over-round (layout write, sharded packing, span-level
+# dedup, gap-fill resampling).
+R7_ADDITIONS = [
+    "zorder_events",
+    "pack_token_stream_sharded",
+    "dup_span_intervals",
+    "gapfill_user_value",
+]
+
+BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS
 
 
 def main() -> None:
@@ -134,12 +149,17 @@ def main() -> None:
     timings = {name: min(s) for name, s in samples.items()}
     spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
+    # core_set_sec is directly comparable to BENCH_r06's value (same 28
+    # queries, same interleaved harness); value covers the full set.
+    core_total = round(sum(timings[n] for n in CORE_QUERIES), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "core_set_sec": core_total,
+                "r7_additions_sec": round(total - core_total, 3),
                 "queries": timings,
                 "spread": spread,
                 "samples": samples,

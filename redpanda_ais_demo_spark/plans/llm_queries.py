@@ -410,6 +410,65 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(fps, max_hamming=5)
 
 
+# --- Full-text retrieval (X5 family extension) ------------------------------
+
+_BM25_TERMS = ("hash", "merge", "scan")
+
+# Mirrors operators/retrieval.py expression-for-expression: same
+# parenthesization (FP evaluation order), same Lucene idf, contributions
+# quantized to BIGINT micro-units before the per-doc sum (associativity-
+# free), SUM cast back from DuckDB's HUGEINT. (1.2 + 1.0) stays an
+# ADDITION in SQL to match Python's k1 + 1.0 double add bit-for-bit.
+_BM25_ORACLE = """
+    WITH base AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM base),
+    postings AS (SELECT id, len(w) AS dl, unnest(w) AS t FROM base),
+    tf AS (
+        SELECT id, t, count(*) AS tf, max(dl) AS dl
+        FROM postings WHERE t IN ('hash', 'merge', 'scan')
+        GROUP BY id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    idf AS (
+        SELECT t, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dfreq, stats s
+    ),
+    contrib AS (
+        SELECT tf.id,
+               CAST(round(idf.idf * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                          * 1e6) AS BIGINT) AS micro
+        FROM tf JOIN idf ON tf.t = idf.t CROSS JOIN stats s
+    ),
+    scores AS (
+        SELECT id, CAST(SUM(micro) AS BIGINT) / 1e6 AS score
+        FROM contrib GROUP BY id
+    )
+    SELECT id AS doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rank
+    FROM scores ORDER BY score DESC, id LIMIT 10
+"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=_BM25_ORACLE,
+    tags=("retrieval", "text", "topk"),
+    doc="Full-text retrieval — Okapi BM25 top-10 for a 3-term query. "
+    "Postings filter to the query terms BEFORE any shuffle (broadcast isin "
+    "on the explode), so shuffle ∝ matching tokens, not corpus; idf joins "
+    "back by broadcast; top-k is TakeOrderedAndProject. Integer micro-unit "
+    "contribution sums keep the score associativity-free cross-engine.",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
 # --- Similarity search (X3) ------------------------------------------------
 
 _COSINE_ORACLE = """

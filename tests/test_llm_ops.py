@@ -57,6 +57,28 @@ def test_simhash_md5_variant_covers_true_near_dups(spark):
     assert any(fps_xx[i] != md5_map[i] for i in fps_xx)
 
 
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from redpanda_ais_demo_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),  # tf(cat)=3, short
+            (2, "cat dog bird fish mouse wolf bear deer"),  # tf(cat)=1, long
+            (3, "dog bird fish"),  # no query term
+            (4, "cat cat dog bird"),  # tf(cat)=2
+        ],
+        "doc_id long, text string",
+    )
+    out = retrieval.bm25_topk(docs, ["cat"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 4, 2]  # tf/length ordering
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].score > out[1].score > out[2].score > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, [])
+
+
 def test_exact_dedup_keeps_min_order_row(spark):
     df = spark.createDataFrame(
         [(3, "a"), (1, "a"), (2, "b"), (5, "a")], "doc_id long, text string"

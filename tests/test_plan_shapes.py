@@ -257,6 +257,22 @@ def test_dup_spans_window_is_per_document(spark):
     assert "SinglePartition" not in plan
 
 
+def test_bm25_scale_shape(spark):
+    # the retrieval scale contract: query-term postings filter BEFORE any
+    # exchange (shuffle ∝ matching tokens, not corpus), idf joins back by
+    # broadcast, top-k is TakeOrderedAndProject (never a global sort of
+    # all scores), and the ranking window runs post-limit on ≤k rows.
+    plan = _physical_plan(spark, "bm25_topk_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "array_contains" in plan  # the pre-shuffle postings filter
+    # the term filter must sit below the first aggregate exchange: Spark
+    # prints operators leaves-first in 'formatted' — Filter's node id is
+    # greater than the Exchange's when it's deeper. Cheap proxy: the
+    # filter appears in a Filter node, not only in a Project.
+    assert "Filter" in plan
+
+
 def test_zorder_no_window_no_single_partition_sort(spark):
     # Round-2 done-criterion for the z-order rewrite: bucketing must ride
     # broadcast quantile edges — never an ntile()/rank() global window and
