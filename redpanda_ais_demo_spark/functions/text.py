@@ -86,3 +86,38 @@ def rolling_hash_fingerprint(token_array: Column, window: int = 4, mod: int = 1 
     )
     hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(mod)))
     return F.array_min(hashes)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns restricted to the regex subset where Java (Spark) and RE2
+# (DuckDB) agree exactly: character classes + bounded quantifiers, no
+# alternation (leftmost-first backtracking vs leftmost-longest can differ
+# there), \b and \d available in both. Order matters and is part of the
+# contract: emails first (their local part may contain digits a later
+# pattern would chew on), then IPs, then phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]?\d{2,4}[ -]?\d{4,8}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with emails, IPv4 addresses, and international-format phone
+    numbers replaced by typed tokens — the standard scrub a pretraining
+    corpus gets before packing. Chained JVM-side regexp_replace: one
+    narrow pass, no UDF."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class, measured on the RAW text (before
+    redaction) so classes don't mask each other's counts."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]

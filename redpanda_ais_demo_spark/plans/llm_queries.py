@@ -410,6 +410,64 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(fps, max_hamming=5)
 
 
+# --- PII redaction (X5 family extension) ------------------------------------
+
+# The synthetic corpus carries no PII, so the declared query plants
+# deterministic synthetic PII per document (email + ipv4 + phone derived
+# from doc_id) and then redacts it — the oracle replays both steps, so the
+# check exercises real matches of every pattern class, not a no-op pass.
+_PII_ORACLE = """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || ' tel +47 22 123456' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(raw, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+           len(regexp_extract_all(raw, '\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{4,8}')) AS n_phone,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               '\\+\\d{1,3}[ -]?\\d{2,4}[ -]?\\d{4,8}', '<PHONE>', 'g') AS redacted
+    FROM aug
+"""
+
+
+@query(
+    "pii_redact_docs",
+    oracle=_PII_ORACLE,
+    tags=("text", "redaction"),
+    doc="PII scrub — emails / IPv4 / international phones replaced by typed "
+    "tokens, per-class counts measured on the raw text. Chained JVM-side "
+    "regexp_replace (narrow, no UDF, no shuffle); patterns restricted to "
+    "the Java∩RE2 regex subset so the DuckDB oracle matches exactly. "
+    "Synthetic PII is planted per doc_id because the fixture corpus has "
+    "none (functions/text.py PII_PATTERNS).",
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +47 22 123456"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        *TXT.pii_counts(F.col("raw")),
+        TXT.redact_pii(F.col("raw")).alias("redacted"),
+    )
+
+
 # --- Full-text retrieval (X5 family extension) ------------------------------
 
 _BM25_TERMS = ("hash", "merge", "scan")

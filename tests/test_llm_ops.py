@@ -57,6 +57,31 @@ def test_simhash_md5_variant_covers_true_near_dups(spark):
     assert any(fps_xx[i] != md5_map[i] for i in fps_xx)
 
 
+def test_pii_redaction_masks_and_counts(spark):
+    from redpanda_ais_demo_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@sub.example.org and 192.168.1.10 call +47 22 123456"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.co one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *TXT.pii_counts(F.col("text")), TXT.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert out[1].red == "mail <EMAIL> and <IP> call <PHONE>"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert out[2].red == "no pii here at all"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (2, 1, 0)
+    assert out[3].red == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
 def test_bm25_ranks_term_dense_docs_first(spark):
     from redpanda_ais_demo_spark.operators import retrieval
 
