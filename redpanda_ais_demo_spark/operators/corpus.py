@@ -274,3 +274,45 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-alpha-smoothed unigram LM — the cheap LM-quality signal (CCNet's
+    perplexity filter, degree 1): degenerate/boilerplate docs score high
+    (their tokens are corpus-frequent), rare-garbage docs score low.
+    perplexity = exp(-mean_logprob).
+
+    Shape (100 TB): token counts are one vocab-sized shuffle with map-side
+    partial agg; per-doc term frequencies shuffle on (doc, token); the LM
+    joins back ON TOKEN (shuffle join — at corpus scale the vocabulary
+    exceeds broadcast thresholds; Catalyst broadcasts it automatically
+    when small); the final per-doc sum shuffles on doc id. Corpus totals
+    (T, V) are two scalars from one aggregate, literalized into the plan.
+
+    Cross-engine determinism: per-(doc, token-type) contributions
+    tf·ln(p) quantize to BIGINT micro-units before the per-doc sum
+    (associativity-free); one final division by 1e6·dl.
+    """
+    base = docs.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w")).filter(
+        F.size("w") > 0
+    )
+    postings = base.select("id", F.size("w").alias("dl"), F.explode("w").alias("t"))
+    counts = postings.groupBy("t").agg(F.count("*").alias("c"))
+    totals = counts.agg(F.sum("c").alias("total"), F.count("*").alias("vocab")).collect()[0]
+    denom = float(totals.total) + alpha * float(totals.vocab)
+    tf = postings.groupBy("id", "t").agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    contrib = tf.join(counts, "t").withColumn(
+        "micro",
+        F.round(F.col("tf") * F.log((F.col("c") + alpha) / F.lit(denom)) * 1e6).cast("long"),
+    )
+    return (
+        contrib.groupBy("id")
+        .agg((F.sum("micro") / 1e6 / F.first("dl")).alias("mean_logprob"), F.first("dl").alias("n_tokens"))
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
+    )

@@ -410,6 +410,53 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(fps, max_hamming=5)
 
 
+# --- LM-quality scoring (X5 family extension) --------------------------------
+
+# Mirrors operators/corpus.py:unigram_logprob_score expression-for-
+# expression: same smoothing-denominator evaluation order
+# (CAST(total AS DOUBLE) + 0.5 * vocab ≡ Python float(total) + 0.5*vocab),
+# same (tf · ln(p)) · 1e6 association, BIGINT micro-unit sums, one final
+# /1e6/dl division chain.
+_UNIGRAM_LM_ORACLE = """
+    WITH base AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+    ),
+    postings AS (
+        SELECT id, len(w) AS dl, unnest(w) AS t FROM base WHERE len(w) > 0
+    ),
+    counts AS (SELECT t, count(*) AS c FROM postings GROUP BY t),
+    stats AS (SELECT CAST(SUM(c) AS BIGINT) AS total, count(*) AS vocab FROM counts),
+    tf AS (
+        SELECT id, t, count(*) AS tf, max(dl) AS dl FROM postings GROUP BY id, t
+    ),
+    contrib AS (
+        SELECT tf.id, tf.dl,
+               CAST(round(tf.tf
+                          * ln((c.c + 0.5) / (CAST(s.total AS DOUBLE) + 0.5 * s.vocab))
+                          * 1e6) AS BIGINT) AS micro
+        FROM tf JOIN counts c ON tf.t = c.t CROSS JOIN stats s
+    )
+    SELECT id AS doc_id, max(dl) AS n_tokens,
+           CAST(SUM(micro) AS BIGINT) / 1e6 / max(dl) AS mean_logprob
+    FROM contrib GROUP BY id
+"""
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle=_UNIGRAM_LM_ORACLE,
+    tags=("text", "quality", "lm"),
+    doc="LM-quality signal — per-doc mean token log-probability under the "
+    "corpus's own add-0.5-smoothed unigram LM (CCNet-style perplexity "
+    "filter, degree 1). One vocab-sized shuffle for counts, (doc,token) "
+    "tf shuffle, token-keyed LM join-back, per-doc micro-unit sum. "
+    "perplexity = exp(-mean_logprob).",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.unigram_logprob_score(docs)
+
+
 # --- PII redaction (X5 family extension) ------------------------------------
 
 # The synthetic corpus carries no PII, so the declared query plants

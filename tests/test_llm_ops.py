@@ -57,6 +57,25 @@ def test_simhash_md5_variant_covers_true_near_dups(spark):
     assert any(fps_xx[i] != md5_map[i] for i in fps_xx)
 
 
+def test_unigram_logprob_orders_common_above_rare(spark):
+    from redpanda_ais_demo_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),  # all corpus-frequent tokens
+            (2, "the cat sat here"),  # mixed
+            (3, "zyx qwv jkl pqr"),  # all rare (hapax) tokens
+            (4, "the the cat cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.mean_logprob for r in corpus.unigram_logprob_score(df).collect()}
+    assert out[1] > out[4] > out[2] > out[3]  # frequent-token docs score higher
+    assert all(v < 0 for v in out.values())  # log-probs are negative
+    n = {r.doc_id: r.n_tokens for r in corpus.unigram_logprob_score(df).collect()}
+    assert n == {1: 4, 2: 4, 3: 4, 4: 4}
+
+
 def test_pii_redaction_masks_and_counts(spark):
     from redpanda_ais_demo_spark.functions import text as TXT
 
