@@ -137,6 +137,14 @@ def main() -> None:
     # cost — first-touch codegen/footer/worker-fork costs aren't the
     # thing benchmarked), per-query spread (max/min), and every raw
     # sample, so a regression is distinguishable from noise.
+    # One untimed warm-up pass over the full set first: the first execution
+    # of each query pays its own whole-stage-codegen compile + footer reads
+    # (observed 2-7x the steady-state cost), which would otherwise pollute
+    # the spread metric while leaving the min untouched. Steady-state plan
+    # cost is the thing benchmarked; the warm-up round is not recorded.
+    for name in BENCH_QUERIES:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     N_ROUNDS = 5
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _ in range(N_ROUNDS):
