@@ -106,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "text_quality",
     "lang_id_ngram",
     "bpe_token_estimate",
-    "udtf_sentences",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_near_dups",
@@ -124,7 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "asof_last_order_per_event",
     "range_join_value_bands",
     "value_percentiles",
-    "map_props_stats",
     "running_revenue_by_customer",
     "salted_join_segment_traffic",
     "grouping_sets_sql",
@@ -135,6 +133,16 @@ PRIORITY: tuple[str, ...] = (
     # family — both remain registered, oracle-bearing, pytest-oracle-swept)
     "gapfill_user_value",
     "dup_span_intervals",
+    # round-7 classes with no in-window sibling: BM25 full-text retrieval
+    # and PII redaction. Rotated out to make room: udtf_sentences (the
+    # per-row UDTF mechanism demo — the X5 text-analysis class keeps four
+    # in-window representatives: token_stats, text_quality, lang_id_ngram,
+    # bpe_token_estimate) and map_props_stats (semi-structured field access,
+    # represented in-window by f6_json_extract). Both remain registered,
+    # oracle-bearing, and pytest-oracle-swept; unigram_logprob_quality
+    # trails behind its in-window quality-scoring sibling text_quality.
+    "bm25_topk_docs",
+    "pii_redact_docs",
 )
 
 

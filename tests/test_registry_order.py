@@ -42,7 +42,6 @@ REQUIRED_IN_WINDOW = {
     "text_quality",
     "lang_id_ngram",
     "bpe_token_estimate",
-    "udtf_sentences",
     "multimodal_frame_sample",
     # round-2 corpus classes
     "embedding_random_projection",
@@ -57,7 +56,6 @@ REQUIRED_IN_WINDOW = {
     "grouping_sets_sql",
     "salted_join_segment_traffic",
     "running_revenue_by_customer",
-    "map_props_stats",
     "unpivot_part_measures",
     # round-6 classes rotated into the window in r7 (gap-fill resampling and
     # span-level dedup have no same-class sibling elsewhere in the window;
@@ -65,6 +63,11 @@ REQUIRED_IN_WINDOW = {
     # order_price_dispersion by value_percentiles')
     "gapfill_user_value",
     "dup_span_intervals",
+    # round-7 classes rotated into the window (udtf_sentences rotated out —
+    # the X5 text class keeps four in-window reps; map_props_stats rotated
+    # out behind f6_json_extract's semi-structured access)
+    "bm25_topk_docs",
+    "pii_redact_docs",
 }
 
 
