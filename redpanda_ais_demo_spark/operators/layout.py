@@ -88,9 +88,20 @@ def bucket_by_edges(
     accuracy: int = 10_000,
 ) -> tuple[DataFrame, list[str]]:
     """Append a 0-based quantile-bucket column ``__b_{c}`` per clustered
-    column: bucket = number of bin edges <= value (narrow array-filter
-    expression over the broadcast one-row edge table — no shuffle of the
-    fact side, no window). Rank-space edges spread distinct-value skew
+    column: bucket = number of bin edges <= value, computed by a
+    branchless binary search over the broadcast one-row edge table — no
+    shuffle of the fact side, no window. The sorted edge array has
+    exactly 2^bits - 1 entries, so the classic power-of-two rank search
+    applies: starting from pos = 0, for step = 2^(bits-1) .. 1, take
+    pos += step iff edges[pos + step] <= value (1-indexed). The
+    predicate i -> edges[i] <= value is monotone on a non-decreasing
+    array (duplicates included), so the final pos is exactly the count
+    of edges <= value — identical to the naive filter-count, which an
+    equivalence test pins (tests/test_advanced_ops.py). bits chained
+    small projections keep the expression tree linear and inside
+    whole-stage codegen; a lambda ``filter()`` over the 255-entry array
+    is an interpreted higher-order function and measured 4x slower on
+    the same plan. Rank-space edges spread distinct-value skew
     evenly, but ties are value-deterministic: every duplicate of a value
     lands in one bucket, so a single value covering more than 2^-bits of
     the rows collapses into that bucket (the price of an oracle-checkable
@@ -100,19 +111,22 @@ def bucket_by_edges(
     edges = quantile_edges(df, cols, bits, exact=exact, accuracy=accuracy)
     keyed = df.crossJoin(F.broadcast(edges))
     bucket_cols = []
-
-    def _le(col_name):
-        # One-arg lambda factory: a default-arg closure (lambda e, c=c: ...)
-        # would make PySpark treat the lambda as binary (value, index) and
-        # bind the name to a lambda-variable Column.
-        return lambda e: e <= F.col(col_name)
-
     for c in cols:
+        prev: str | None = None
+        for level in range(bits):
+            step = 1 << (bits - 1 - level)
+            cur = f"__p_{c}_{level}"
+            base = F.lit(0).cast("long") if prev is None else F.col(prev)
+            keyed = keyed.withColumn(
+                cur,
+                F.when(
+                    F.element_at(F.col(f"__e_{c}"), (base + step).cast("int")) <= F.col(c),
+                    base + step,
+                ).otherwise(base),
+            )
+            prev = cur
         b = f"__b_{c}"
-        keyed = keyed.withColumn(
-            b,
-            F.size(F.filter(F.col(f"__e_{c}"), _le(c))).cast("long"),
-        )
+        keyed = keyed.withColumn(b, F.col(prev)).drop(*[f"__p_{c}_{lv}" for lv in range(bits)])
         bucket_cols.append(b)
     return keyed.drop(*[f"__e_{c}" for c in cols]), bucket_cols
 

@@ -180,3 +180,22 @@ def test_compact_parquet_preserves_zorder_clustering(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         layout.compact_parquet(spark, src, dst_s, sort_cols=["value"], zorder_cols=["value"])
+
+
+def test_bucket_binary_search_equals_filter_count(spark):
+    """bucket_by_edges' branchless binary search must be bit-identical to
+    the naive 'count of edges <= value' filter — including on columns with
+    heavy duplicates, where several bin edges collapse to the same value
+    and the rank search must still return the full count of <= edges."""
+    from pyspark.sql import Row
+
+    rows = [Row(id=i, v=float(min(i % 37, 20))) for i in range(2000)]  # dup-heavy
+    df = spark.createDataFrame(rows)
+    keyed, (b,) = layout.bucket_by_edges(df, ["v"], bits=6, exact=True)
+    got = {r.id: r[b] for r in keyed.select("id", b).collect()}
+
+    edges = layout.quantile_edges(df, ["v"], bits=6, exact=True).collect()[0]["__e_v"]
+    assert len(edges) == (1 << 6) - 1
+    for r in rows:
+        expect = sum(1 for e in edges if e <= r.v)
+        assert got[r.id] == expect, (r.id, r.v, got[r.id], expect)
