@@ -508,3 +508,77 @@ def lsh_topk(
     return merged.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.97,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and dropping
+    near-identical items *within* each cluster — the trick that makes
+    corpus-level semantic dedup tractable: pairwise cosine is computed
+    only inside a cluster, never across the corpus, so total compare
+    cost is sum(|c_i|^2) instead of n^2.
+
+    Plan shape (the 100 TB design):
+    - centroids are k rows, broadcast; assignment is one narrow pass over
+      the corpus (cross join with a k-row broadcast + per-id window — the
+      window partitions on the vector id, so no global sort);
+    - the in-cluster pair scan shuffles both sides on the cluster key
+      (sum-of-squares cost is the SemDeDup contract; at real scale k is
+      chosen so clusters stay small);
+    - dedup rule: drop x if some same-cluster y with id < x has
+      round(cosine(x, y), 6) >= threshold. Greedy-by-id, one self-join,
+      no iteration — survivors within a cluster are pairwise below the
+      threshold (the paper keeps one exemplar per dup set; keeping the
+      lowest id is the deterministic, oracle-expressible choice).
+
+    ``centroids`` (columns ``cid``, ``cvec: array<double>``) plugs in
+    trained centers — ``train_ivf_centroids_distributed`` is the
+    production path. The default (None) takes the k lowest-id vectors as
+    seed centroids: fully deterministic, so the whole operator is
+    bit-reproducible in ANSI SQL for the correctness oracle (a trained
+    k-means assignment depends on float partial-sum order and is checked
+    by recall/property tests instead, like IVF).
+
+    Returns the surviving rows as (id_col, cluster).
+    """
+    from ..functions import vector as vec
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), vec.to_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        cents = (
+            emb.orderBy("id")
+            .limit(n_clusters)
+            .select(F.col("id").alias("cid"), F.col("v").alias("cvec"))
+        )
+    else:
+        cents = centroids
+    sims = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "s", F.round(vec.cosine(F.col("v"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cid").asc())
+    asg = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "v", F.col("cid").alias("cluster"))
+    )
+    a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(vec.cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return asg.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cluster"
+    )

@@ -1298,3 +1298,59 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
     )
+
+
+@query(
+    "semdedup_embeddings",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id AS cid, v AS cvec FROM v ORDER BY vec_id LIMIT 8
+        ),
+        sim AS (
+            SELECT v.vec_id, c.cid,
+                   round(list_dot_product(v.v, c.cvec)
+                         / (sqrt(list_dot_product(v.v, v.v))
+                            * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
+            FROM v, c
+        ),
+        asg AS (
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid ASC) AS rn
+                FROM sim
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id AS vec_id
+            FROM asg a
+            JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN v va ON va.vec_id = a.vec_id
+            JOIN v vb ON vb.vec_id = b.vec_id
+            WHERE round(list_dot_product(va.v, vb.v)
+                        / (sqrt(list_dot_product(va.v, va.v))
+                           * sqrt(list_dot_product(vb.v, vb.v))), 6) >= 0.4
+        )
+        SELECT asg.vec_id, asg.cluster
+        FROM asg
+        WHERE asg.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    tags=("dedup", "similarity", "clustering", "scale-path"),
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup = cluster the "
+    "embedding space, then drop near-identical items within each cluster "
+    "only — pairwise cosine cost falls from n^2 to sum(|c|^2). Broadcast "
+    "k-row centroids, one narrow assignment pass (per-id window, no "
+    "global sort), in-cluster self-join on the cluster key, greedy "
+    "keep-lowest-id. This declared variant seeds centroids with the k "
+    "lowest-id vectors so assignment is bit-deterministic and the whole "
+    "operator oracle-checks; operators/similarity.py:semdedup accepts "
+    "trained centroids (train_ivf_centroids_distributed) as the "
+    "production path, recall-tested like IVF.",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_clusters=8, threshold=0.4)

@@ -110,7 +110,7 @@ PRIORITY: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "simhash_near_dups",
     "embedding_cosine_topk",
-    "dedup_embedding_cosine",
+    "semdedup_embeddings",
     "ann_lsh_topk",
     "dedup_clusters",
     "tfidf_top_terms",
@@ -141,6 +141,11 @@ PRIORITY: tuple[str, ...] = (
     # represented in-window by f6_json_extract). Both remain registered,
     # oracle-bearing, and pytest-oracle-swept; unigram_logprob_quality
     # trails behind its in-window quality-scoring sibling text_quality.
+    # semdedup_embeddings (clustering-based semantic dedup, new r7 class)
+    # holds the embedding-cosine dedup slot: it runs the identical
+    # round(cosine,6) >= threshold pair mechanism in-cluster, so
+    # dedup_embedding_cosine (the corpus-wide exact verifier) trails,
+    # oracle-bearing and pytest-oracle-swept.
     "bm25_topk_docs",
     "pii_redact_docs",
 )

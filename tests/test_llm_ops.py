@@ -641,3 +641,64 @@ def test_prefix_filtered_jaccard_on_boilerplate_corpus(spark):
         pref = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs_prefix(sh, t).collect()}
         assert naive == pref, f"threshold {t}"
     assert (100, 101) in {(r.id_a, r.id_b) for r in dedup.jaccard_pairs_prefix(sh, 0.5).collect()}
+
+
+def test_semdedup_partition_and_pairwise_invariants(spark):
+    """Survivors + dropped partition the corpus; within any cluster the
+    survivors are pairwise BELOW the threshold (greedy-by-id guarantees
+    no surviving near-identical pair shares a cluster)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    t = 0.4
+    surv = similarity.semdedup(emb, threshold=t).toPandas()
+    n = emb.count()
+    assert 0 < len(surv) < n  # some rows dropped, not all
+
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        return round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6)
+
+    by_cluster: dict[int, list[int]] = {}
+    for r in surv.itertuples():
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    for ids in by_cluster.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert cos(vecs[a], vecs[b]) < t, (a, b)
+
+    # every dropped id has a smaller-id same-cluster witness >= threshold
+    # (witness drawn from the full assignment, surviving or not)
+    surv_ids = set(surv.vec_id)
+    dropped = set(vecs) - surv_ids
+    # recompute assignment exactly as the operator does
+    cents = sorted(vecs)[:8]
+    assign = {
+        i: max(cents, key=lambda c: (cos(vecs[i], vecs[c]), -c)) for i in vecs
+    }
+    for d in dropped:
+        witnesses = [
+            a for a in vecs if a < d and assign[a] == assign[d] and cos(vecs[a], vecs[d]) >= t
+        ]
+        assert witnesses, d
+
+
+def test_semdedup_accepts_trained_centroids(spark):
+    """The production path: trained k-means centers plug in as the
+    centroid table and the operator behaves identically downstream."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(200)
+    cents = similarity.train_ivf_centroids_distributed(
+        emb, "embedding", n_centroids=4, iters=3, seed=7
+    )
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(np.asarray(cents))]
+    cdf = spark.createDataFrame(rows, "cid long, cvec array<double>")
+    surv = similarity.semdedup(emb, threshold=0.4, centroids=cdf).toPandas()
+    assert 0 < len(surv) <= 200
+    assert set(surv.cluster) <= set(range(4))

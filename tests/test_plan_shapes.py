@@ -288,3 +288,16 @@ def test_zorder_no_window_no_single_partition_sort(spark):
     assert plan.count("SinglePartition") <= 1  # only the 1-row edge aggregate
     # the edges must reach the fact side as a broadcast, not a shuffle join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semdedup_broadcast_assignment_no_global_sort(spark):
+    # SemDeDup's 100 TB shape: centroid assignment must ride a k-row
+    # broadcast (never shuffle the corpus against the centroids), the
+    # per-id argmax window partitions on the vector id (no global Sort
+    # outside the k-row TakeOrdered seed), and the in-cluster pair scan
+    # is a hash/sort-merge join on the cluster key.
+    plan = _physical_plan(spark, "semdedup_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only SinglePartition exchange allowed is the k-row centroid seed
+    assert plan.count("SinglePartition") <= 1
+    assert "TakeOrderedAndProject" in plan  # k lowest-id seed = partial top-k

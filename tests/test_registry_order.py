@@ -35,7 +35,7 @@ REQUIRED_IN_WINDOW = {
     "minhash_lsh_pairs",
     "simhash_near_dups",
     "embedding_cosine_topk",
-    "dedup_embedding_cosine",
+    "semdedup_embeddings",
     "ann_lsh_topk",
     "dedup_clusters",
     "tfidf_top_terms",
