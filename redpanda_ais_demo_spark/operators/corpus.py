@@ -316,3 +316,54 @@ def unigram_logprob_score(
         .agg((F.sum("micro") / 1e6 / F.first("dl")).alias("mean_logprob"), F.first("dl").alias("n_tokens"))
         .select(F.col("id").alias(id_col), "n_tokens", "mean_logprob")
     )
+
+
+def resample_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source resampling — materializes the α-mixture
+    that ``source_mixture_weights`` only computes: downsample each source
+    so the surviving token distribution is ∝ share^α (α < 1 flattens the
+    mix toward small sources; the multilingual-pretraining standard).
+
+    One-epoch, no-upsampling form: keep_rate(s) = (min_tokens /
+    tokens_s)^(1-α) — the smallest source keeps everything, larger
+    sources are thinned by exactly the factor that makes post-sample
+    token mass ∝ share^α. The keep decision is a deterministic portable
+    hash: u(doc) = first 8 md5 hex chars of the doc id read as u32 /
+    2^32, keep iff u < rate — stable across runs, partitionings, AND
+    engines (DuckDB computes the identical u), so the declared query
+    hash-checks end-to-end.
+
+    For α = 0.5 (the declared default) the rate is sqrt(min_tok/tok_s):
+    IEEE sqrt is correctly rounded, so the rate is bit-identical in both
+    engines. Other α go through pow(), whose last-ULP behavior is
+    libm-dependent — fine in production, not oracle-pinned.
+
+    Plan: per-source token counts are a map-side partial agg into a
+    source-cardinality table; rates broadcast back; the corpus filter is
+    a narrow map-side pass. The 100 TB corpus never shuffles.
+    """
+    n_tok = T.n_tokens(F.col(text_col)).cast("long")
+    counts = docs.groupBy(source_col).agg(F.sum(n_tok).alias("n_tok"))
+    min_tok = counts.agg(F.min("n_tok").alias("min_tok"))
+    ratio = F.col("min_tok").cast("double") / F.col("n_tok")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(min_tok)).withColumn("keep_rate", rate)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates.select(source_col, "keep_rate")), source_col)
+        .where(u < F.col("keep_rate"))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.round(F.col("keep_rate"), 6).alias("keep_rate"),
+        )
+    )

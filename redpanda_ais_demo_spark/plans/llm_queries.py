@@ -1354,3 +1354,37 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semdedup(emb, n_clusters=8, threshold=0.4)
+
+
+@query(
+    "resample_temperature_docs",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+            FROM documents GROUP BY source
+        ),
+        m AS (SELECT min(n_tok) AS min_tok FROM s),
+        r AS (
+            SELECT source, sqrt(CAST(min_tok AS DOUBLE) / n_tok) AS keep_rate
+            FROM s CROSS JOIN m
+        )
+        SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+        FROM documents d JOIN r USING (source)
+        WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 < r.keep_rate
+    """,
+    tags=("sampling", "scale-path"),
+    doc="Temperature (α=0.5) source resampling — materializes the "
+    "α-mixture source_mixture_weights only tabulates: keep_rate(s) = "
+    "sqrt(min_tokens/tokens_s), so surviving token mass ∝ share^0.5 "
+    "(small sources upweighted, smallest kept whole). Keep decision is "
+    "a portable md5-derived uniform per doc id — stable across runs, "
+    "partitionings, and engines, so the sampler hash-checks end-to-end. "
+    "Per-source counts are a map-side partial agg; rates broadcast "
+    "back; the corpus filter is narrow — a 100 TB corpus never "
+    "shuffles (operators/corpus.py:resample_temperature).",
+)
+def resample_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.resample_temperature(docs, alpha=0.5)
