@@ -367,3 +367,35 @@ def resample_temperature(
             F.round(F.col("keep_rate"), 6).alias("keep_rate"),
         )
     )
+
+
+def shuffle_training_order(
+    docs: DataFrame,
+    seed: int = 0,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle — the epoch
+    permutation step of a pretraining data pipeline. Each doc gets a
+    pseudo-random position derived ONLY from (seed, id): h = md5(seed ':'
+    id); shard = first 8 hex chars as u32 mod n_shards; in-shard order =
+    the next 16 hex chars compared lexicographically (ties broken by id).
+    The global order is (shard, pos) — exactly the shard-files +
+    in-shard-order layout a distributed training job consumes, and
+    reproducible from nothing but the seed: same permutation on any
+    cluster, any partitioning, any engine (the oracle replays it in SQL
+    md5).
+
+    Plan: one hash shuffle on the shard key, then per-shard window sorts
+    that run in parallel — no global sort, no SinglePartition exchange
+    (a single total ORDER BY would serialize the corpus through one
+    task; sharding is the scale form, like pack_token_stream_sharded).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy("okey", id_col)
+    return (
+        docs.select(F.col(id_col), shard, F.substring(h, 9, 16).alias("okey"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("okey")
+    )

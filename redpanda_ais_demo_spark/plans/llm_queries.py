@@ -1388,3 +1388,32 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resample_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.resample_temperature(docs, alpha=0.5)
+
+
+@query(
+    "shuffle_training_order_docs",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST('0x' || substring(h, 1, 8) AS BIGINT) % 8 AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY CAST('0x' || substring(h, 1, 8) AS BIGINT) % 8
+                   ORDER BY substring(h, 9, 16), doc_id) AS BIGINT) AS pos
+        FROM h
+    """,
+    tags=("sampling", "layout", "scale-path"),
+    doc="Deterministic epoch-shuffle permutation: md5(seed:id) assigns "
+    "every doc a shard (u32 mod 8) and an in-shard sort key, giving the "
+    "shard-files + in-shard-order layout a distributed training job "
+    "reads. Reproducible from the seed alone on any partitioning/engine "
+    "— the oracle replays the identical permutation in SQL. One hash "
+    "shuffle on the shard key + parallel per-shard sorts; no global "
+    "sort, no SinglePartition (operators/corpus.py:"
+    "shuffle_training_order).",
+)
+def shuffle_training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.shuffle_training_order(docs, seed=7, n_shards=8)

@@ -746,3 +746,23 @@ def test_resample_temperature_flattens_mixture(spark):
     assert kept_ids == expect
     exp_mass = (by_src * rates) / (by_src * rates).sum()
     assert np.allclose(exp_mass, target)
+
+
+def test_shuffle_training_order_is_seeded_permutation(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = corpus.shuffle_training_order(docs, seed=3, n_shards=4).toPandas()
+    n = len(out)
+    assert n == docs.count()
+    # bijection onto (shard, 1..per-shard-count)
+    assert len(set(zip(out.shard, out.pos))) == n
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+    # partitioning-independent
+    out2 = corpus.shuffle_training_order(docs.repartition(11), seed=3, n_shards=4).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # a different seed gives a different order
+    out3 = corpus.shuffle_training_order(docs, seed=4, n_shards=4).toPandas()
+    merged = a.merge(out3, on="doc_id", suffixes=("_a", "_b"))
+    assert ((merged.shard_a != merged.shard_b) | (merged.pos_a != merged.pos_b)).any()

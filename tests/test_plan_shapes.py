@@ -301,3 +301,11 @@ def test_semdedup_broadcast_assignment_no_global_sort(spark):
     # the only SinglePartition exchange allowed is the k-row centroid seed
     assert plan.count("SinglePartition") <= 1
     assert "TakeOrderedAndProject" in plan  # k lowest-id seed = partial top-k
+
+
+def test_shuffle_training_order_has_no_global_sort(spark):
+    # epoch shuffle must be the sharded form: hash exchange on the shard
+    # key + per-shard window sorts — never a single-partition total sort
+    plan = _physical_plan(spark, "shuffle_training_order_docs")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
