@@ -74,3 +74,127 @@ def gap_fill_forward(
         .withColumn("value", F.last("value", ignorenulls=True).over(w_ff))
         .select(F.col("key").alias(key_col), "bucket_ts", "value")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+    end_of_time: int = 253402300800,  # 9999-12-31 epoch, the SCD2 open-end sentinel
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: collapse
+    a per-key event stream into the validity history of ``attr_col`` —
+    one row per value *change* with (valid_from, valid_to, version).
+    The inverse of an as-of join: this BUILDS the versioned dimension a
+    later as-of/range join probes.
+
+    Semantics (deterministic): events order by (ts, tiebreak) within a
+    key; a row opens a new version iff its attr differs from the
+    previous row's; valid_to = next version's valid_from (half-open
+    intervals), with the standard 9999-12-31 sentinel on the current
+    version so downstream BETWEEN predicates need no NULL handling.
+
+    Plan: two window passes over the SAME per-key partitioning — one
+    shuffle of the events, no global sort, no join.
+    """
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("ts"),
+        F.col(attr_col).alias("attr"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    w = Window.partitionBy("key").orderBy("ts", "tb")
+    changes = (
+        e.withColumn("prev", F.lag("attr").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("attr")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("key").orderBy("ts", "tb")
+    return changes.select(
+        F.col("key").alias(key_col),
+        F.col("attr").alias(attr_col),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(F.lead("ts").over(w2), F.lit(end_of_time)).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_sec: int,
+) -> DataFrame:
+    """Ordered-funnel analysis (the ClickHouse ``windowFunnel`` analogue
+    — the reference's backing store ships this as a native aggregate):
+    per key, find the earliest chain step1 < step2 < ... with every step
+    inside ``window_sec`` of the step-1 event, and report how deep the
+    key got plus each step's timestamp.
+
+    Declarative form: step i's time is a conditional-min window
+    aggregate over the key partition, gated on step i-1's time — N
+    chained window expressions over ONE per-key partitioning, so the
+    whole funnel is a single shuffle (no per-key UDF, no collect).
+    Greedy-earliest semantics match windowFunnel's strict-order mode:
+    t1 is the key's earliest step-1 event and each t_i the earliest
+    qualifying event after t_{i-1}; a tighter chain starting at a later
+    t1 is deliberately not searched (windowFunnel behaves the same).
+
+    Output: one row per key — (key, depth, t_1 .. t_n epoch seconds,
+    nulls past the reached depth). Keys with no step-1 event report
+    depth 0.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("ts"),
+        F.col(type_col).alias("et"),
+    )
+    w = Window.partitionBy("key")
+    out = e.withColumn("t1", F.min(F.when(F.col("et") == steps[0], F.col("ts"))).over(w))
+    for i, step in enumerate(steps[1:], start=2):
+        gate = (
+            (F.col("et") == step)
+            & (F.col("ts") > F.col(f"t{i-1}"))
+            & (F.col("ts") <= F.col("t1") + window_sec)
+        )
+        out = out.withColumn(f"t{i}", F.min(F.when(gate, F.col("ts"))).over(w))
+    t_cols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    agg = out.groupBy("key").agg(*[F.min(c).alias(c) for c in t_cols])
+    depth = sum((F.col(c).isNotNull()).cast("long") for c in t_cols)
+    return agg.select(F.col("key").alias(key_col), depth.alias("depth"), *t_cols)
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_sec: int,
+) -> DataFrame:
+    """Cohort retention matrix: keys cohorted by their first-activity
+    bucket; each later active bucket increments that cohort's retention
+    at age = (bucket - cohort) / bucket_sec. The output
+    (cohort_ts, age, n_active) is the classic retention triangle.
+
+    Plan: cohort assignment is a per-key window min (one shuffle on the
+    key), the distinct (key, age) dedup and the final count aggregate
+    both partial-aggregate map-side. No join, no global sort.
+    """
+    bucket = (F.unix_timestamp(F.col(ts_col)) / bucket_sec).cast("long") * bucket_sec
+    e = df.select(F.col(key_col).alias("key"), bucket.alias("bucket_ts"))
+    w = Window.partitionBy("key")
+    aged = e.withColumn("cohort_ts", F.min("bucket_ts").over(w)).select(
+        "key",
+        "cohort_ts",
+        ((F.col("bucket_ts") - F.col("cohort_ts")) / bucket_sec).cast("long").alias("age"),
+    )
+    return (
+        aged.distinct()
+        .groupBy("cohort_ts", "age")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )

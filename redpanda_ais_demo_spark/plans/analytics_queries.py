@@ -1,0 +1,136 @@
+"""Event-analytics declared queries: funnel conversion (the ClickHouse
+``windowFunnel`` analogue — the reference's backing store ships it as a
+native aggregate; reference DDL: ``sql/clickhouse-ddl.sql``), SCD2
+change-interval construction, and cohort retention — the product-
+analytics layer a ClickHouse user would expect next to the dashboard
+aggregates.
+
+All three ride per-key window partitions (one shuffle of the events,
+no global sort) and emit epoch-second longs so the DuckDB oracles are
+bit-deterministic (registry determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.timeseries import cohort_retention, funnel, scd2_intervals
+from ..sources import load_table
+from .registry import query
+
+_FUNNEL_WINDOW = 7 * 86400  # 7 days from the step-1 event
+
+
+@query(
+    "funnel_user_conversion",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type AS et,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts
+            FROM events
+        ),
+        l1 AS (
+            SELECT *, min(CASE WHEN et = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+            FROM e
+        ),
+        l2 AS (
+            SELECT *, min(CASE WHEN et = 'click' AND ts > t1
+                               AND ts <= t1 + {_FUNNEL_WINDOW} THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+            FROM l1
+        ),
+        l3 AS (
+            SELECT *, min(CASE WHEN et = 'purchase' AND ts > t2
+                               AND ts <= t1 + {_FUNNEL_WINDOW} THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+            FROM l2
+        )
+        SELECT user_id,
+               CAST((t1 IS NOT NULL) AS BIGINT)
+               + CAST((t2 IS NOT NULL) AS BIGINT)
+               + CAST((t3 IS NOT NULL) AS BIGINT) AS depth,
+               min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        FROM l3
+        GROUP BY user_id, depth
+    """,
+    tags=("analytics", "funnel", "window"),
+    doc="Ordered funnel view→click→purchase within 7 days of the first "
+    "view — the ClickHouse windowFunnel analogue (strict-order, "
+    "greedy-earliest chain anchored at the key's first step-1 event). "
+    "Each step is a conditional-min window aggregate gated on the "
+    "previous step, all over ONE per-user partitioning: a single "
+    "shuffle at any scale, no per-key UDF "
+    "(operators/timeseries.py:funnel).",
+)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return funnel(
+        events, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], _FUNNEL_WINDOW,
+    )
+
+
+@query(
+    "scd2_user_event_type",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts
+            FROM events
+        ),
+        marked AS (
+            SELECT *, lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM e
+        ),
+        changes AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, event_type, ts AS valid_from,
+               coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        253402300800) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS version
+        FROM changes
+    """,
+    tags=("analytics", "scd2", "window"),
+    doc="SCD2 change-interval construction: per user, collapse the event "
+    "stream into the validity history of event_type — one row per value "
+    "change with half-open [valid_from, valid_to) epochs, 9999-12-31 "
+    "sentinel on the open version, deterministic (ts, event_id) "
+    "ordering. Builds the versioned dimension an as-of/range join "
+    "probes. Two window passes over one per-key shuffle "
+    "(operators/timeseries.py:scd2_intervals).",
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return scd2_intervals(events, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "cohort_retention_users",
+    oracle="""
+        WITH e AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 604800 * 604800 AS bucket_ts
+            FROM events
+        ),
+        aged AS (
+            SELECT DISTINCT user_id,
+                   min(bucket_ts) OVER (PARTITION BY user_id) AS cohort_ts,
+                   (bucket_ts - min(bucket_ts) OVER (PARTITION BY user_id))
+                       // 604800 AS age
+            FROM e
+        )
+        SELECT cohort_ts, age, CAST(count(*) AS BIGINT) AS n_active
+        FROM aged GROUP BY cohort_ts, age
+    """,
+    tags=("analytics", "cohort", "agg"),
+    doc="Weekly cohort retention triangle: users cohorted by first-"
+    "activity week; (cohort_ts, age, n_active) counts distinct users "
+    "active age weeks later. Cohort assignment is a per-user window "
+    "min; dedup and the final count partial-aggregate map-side — no "
+    "join, no global sort (operators/timeseries.py:cohort_retention).",
+)
+def cohort_retention_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events, "user_id", "ts", 604800)

@@ -48,7 +48,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (), doc:
 def _load_all() -> None:
     # Import side-effect registration; kept lazy so a syntax error in one
     # module is visible at call time, not package import time.
-    from . import ais_queries, tpch_queries, tpch_ext_queries, llm_queries, advanced_queries  # noqa: F401
+    from . import (  # noqa: F401
+        ais_queries,
+        tpch_queries,
+        tpch_ext_queries,
+        llm_queries,
+        advanced_queries,
+        analytics_queries,
+    )
 
 
 # The driver oracle-checks the FIRST 50 registry entries in iteration order

@@ -1,0 +1,89 @@
+"""Event-analytics operator semantics: funnel ordering/window gates,
+SCD2 interval construction, cohort retention triangle."""
+
+from __future__ import annotations
+
+from redpanda_ais_demo_spark.operators.timeseries import (
+    cohort_retention,
+    funnel,
+    scd2_intervals,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def _events(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, d, h, 0, 0), u, t) for i, (d, h, u, t) in enumerate(rows)],
+        SCHEMA,
+    )
+
+
+def test_funnel_orders_and_windows(spark):
+    rows = [
+        # user 1: full ordered chain view(d1h1) click(d1h2) purchase(d1h3)
+        (1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "purchase"),
+        # user 2: purchase BEFORE click — strict order stops at depth 2
+        (1, 1, 2, "view"), (1, 3, 2, "click"), (1, 2, 2, "purchase"),
+        # user 3: click only — no step-1 event, depth 0
+        (1, 1, 3, "click"), (1, 2, 3, "purchase"),
+        # user 4: click outside the window — depth 1
+        (1, 1, 4, "view"), (3, 1, 4, "click"),
+    ]
+    out = {
+        r.user_id: r
+        for r in funnel(
+            _events(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], window_sec=86400,
+        ).collect()
+    }
+    assert out[1].depth == 3 and out[1].t3 is not None
+    assert out[2].depth == 2 and out[2].t3 is None  # purchase at t< click ignored
+    assert out[3].depth == 0 and out[3].t1 is None
+    assert out[4].depth == 1 and out[4].t2 is None  # outside 1-day window
+    # greedy-earliest: user 1 chain anchors at its first view
+    assert out[1].t1 < out[1].t2 < out[1].t3
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    rows = [
+        (1, 1, 1, "a"), (1, 2, 1, "a"), (1, 3, 1, "b"), (1, 4, 1, "a"),
+        (1, 1, 2, "x"),
+    ]
+    out = sorted(
+        scd2_intervals(_events(spark, rows), "user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: (r.user_id, r.version),
+    )
+    u1 = [r for r in out if r.user_id == 1]
+    # run of two 'a' collapses; a->b->a reopens a THIRD version
+    assert [(r.event_type, r.version) for r in u1] == [("a", 1), ("b", 2), ("a", 3)]
+    # half-open chain: valid_to of v equals valid_from of v+1
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from
+    # open version carries the end-of-time sentinel
+    assert u1[2].valid_to == 253402300800
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].valid_to == 253402300800
+
+
+def test_cohort_retention_triangle(spark):
+    day = 86400
+    rows = [
+        (1, 1, 1, "view"), (2, 1, 1, "view"), (3, 1, 1, "view"),  # u1 active d1,d2,d3
+        (1, 2, 2, "view"), (2, 1, 2, "view"),                      # u2 active d1,d2
+        (2, 1, 3, "view"),                                         # u3 starts d2
+    ]
+    out = {
+        (r.cohort_ts, r.age): r.n_active
+        for r in cohort_retention(_events(spark, rows), "user_id", "ts", day).collect()
+    }
+    d1 = 1704067200  # 2024-01-01 bucket
+    d2 = d1 + day
+    assert out[(d1, 0)] == 2  # u1, u2 cohorted day 1
+    assert out[(d1, 1)] == 2  # both back on day 2
+    assert out[(d1, 2)] == 1  # only u1 on day 3
+    assert out[(d2, 0)] == 1  # u3's own cohort
+    # duplicate same-day activity never double-counts
+    assert all(v <= 2 for (c, a), v in out.items() if c == d1)
