@@ -102,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     # ext-query operator classes
     "above_nation_avg_customers",
     "topk_orders_per_customer",
-    "anti_customers_without_orders",
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
     "pivot_status_by_priority",
@@ -155,6 +154,15 @@ PRIORITY: tuple[str, ...] = (
     # oracle-bearing and pytest-oracle-swept.
     "bm25_topk_docs",
     "pii_redact_docs",
+    # funnel analysis (ClickHouse-windowFunnel analogue, new r7 class)
+    # replaces anti_customers_without_orders, whose driver check was
+    # vacuous — every fixture customer has orders, so its hash row pinned
+    # an empty result at both sf0.001 and sf0.01. The anti/semi-join
+    # family keeps semi_customers_with_urgent_orders in-window; the anti
+    # join stays registered, oracle-bearing, pytest-oracle-swept, and its
+    # non-empty semantics are pinned by a crafted-data unit test
+    # (tests/test_analytics_ops.py::test_left_anti_join_semantics).
+    "funnel_user_conversion",
 )
 
 

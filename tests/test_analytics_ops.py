@@ -87,3 +87,26 @@ def test_cohort_retention_triangle(spark):
     assert out[(d2, 0)] == 1  # u3's own cohort
     # duplicate same-day activity never double-counts
     assert all(v <= 2 for (c, a), v in out.items() if c == d1)
+
+
+def test_left_anti_join_semantics(spark):
+    """The declared anti join's fixture result is empty at every SF (all
+    customers have orders), so its oracle row is vacuous — this crafted
+    frame pins the non-empty semantics: exactly the keys WITHOUT a match
+    survive, nulls on the probe side never match, duplicates on the
+    build side never multiply rows."""
+    cust = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "d")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(1,), (1,), (4,), (None,)], "o_custkey long"
+    )
+    out = sorted(
+        (r.c_name)
+        for r in cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        ).collect()
+    )
+    # 1 matched (twice — no multiplication either way); 2, 3 unmatched;
+    # the NULL probe key matches nothing (NULL = NULL is not TRUE) → kept
+    assert out == ["b", "c", "d"]

@@ -25,7 +25,6 @@ REQUIRED_IN_WINDOW = {
     # ext classes
     "above_nation_avg_customers",
     "topk_orders_per_customer",
-    "anti_customers_without_orders",
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
     "pivot_status_by_priority",
@@ -65,9 +64,13 @@ REQUIRED_IN_WINDOW = {
     "dup_span_intervals",
     # round-7 classes rotated into the window (udtf_sentences rotated out —
     # the X5 text class keeps four in-window reps; map_props_stats rotated
-    # out behind f6_json_extract's semi-structured access)
+    # out behind f6_json_extract's semi-structured access;
+    # anti_customers_without_orders rotated out behind semi_ — its fixture
+    # result is empty at every SF, so its hash row carried no signal)
     "bm25_topk_docs",
     "pii_redact_docs",
+    "semdedup_embeddings",
+    "funnel_user_conversion",
 }
 
 
