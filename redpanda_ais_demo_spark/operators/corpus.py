@@ -399,3 +399,52 @@ def shuffle_training_order(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("okey")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-window chunking step that turns raw documents into
+    training/embedding sequences (chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_size)``; ``stride < chunk_size``
+    gives overlap, ``stride == chunk_size`` gives disjoint blocks).
+
+    Output: one row per (doc, chunk) with ``chunk_id`` (0-based),
+    ``chunk_tokens`` (actual length — the final chunk may be short) and
+    ``chunk_text``. The last start is the smallest one whose chunk
+    reaches the document end (``ceil((len - chunk_size) / stride)``), so
+    every token is covered and no tail chunk is wholly contained in its
+    predecessor — the standard sliding-window rule.
+
+    Plan: narrow map-side expansion only — split, a bounded ``sequence``
+    explode (ceil(len/stride) chunk starts per doc), ``slice`` +
+    ``array_join``. No shuffle, no Python; the 100 TB corpus streams
+    through whole-stage codegen and the expansion factor is exactly the
+    chunk overlap the caller asked for.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    # last start = smallest s*stride with s*stride + chunk_size >= n
+    last_id = F.greatest(
+        F.lit(0), F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride)))
+    ).cast("int")
+    d = d.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), last_id)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

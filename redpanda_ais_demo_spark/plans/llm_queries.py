@@ -1417,3 +1417,31 @@ def resample_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shuffle_training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.shuffle_training_order(docs, seed=7, n_shards=8)
+
+
+@query(
+    "chunk_documents_stride",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        chunks AS (
+            SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+                   w[ci*16+1 : ci*16+32] AS piece
+            FROM toks, LATERAL unnest(generate_series(0,
+                greatest(0, CAST(ceil((len(w)-32)/16.0) AS BIGINT)))) AS t(ci)
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(piece) AS BIGINT) AS chunk_tokens,
+               array_to_string(piece, ' ') AS chunk_text
+        FROM chunks
+    """,
+    tags=("chunking", "text", "scale-path"),
+    doc="Context-window chunking: split every document into overlapping "
+    "32-token windows advancing by 16 (chunk i covers tokens "
+    "[i*16, i*16+32)) — the doc→training-sequence step of an embedding "
+    "or pretraining pipeline. Narrow map-side expansion only: split, a "
+    "bounded sequence-explode of chunk starts, slice + array_join; no "
+    "shuffle, no Python (operators/corpus.py:chunk_documents).",
+)
+def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(docs, chunk_size=32, stride=16)

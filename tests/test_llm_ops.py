@@ -766,3 +766,25 @@ def test_shuffle_training_order_is_seeded_permutation(spark):
     out3 = corpus.shuffle_training_order(docs, seed=4, n_shards=4).toPandas()
     merged = a.merge(out3, on="doc_id", suffixes=("_a", "_b"))
     assert ((merged.shard_a != merged.shard_b) | (merged.pos_a != merged.pos_b)).any()
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    # overlapping: size 4, stride 2 → starts 0,2,4,6 for the 10-token doc
+    # (last start is the first whose chunk reaches the end — no redundant tail)
+    out = corpus.chunk_documents(docs, chunk_size=4, stride=2).collect()
+    d1 = sorted((r.chunk_id, r.chunk_text) for r in out if r.doc_id == 1)
+    assert [c for c, _ in d1] == [0, 1, 2, 3]
+    assert d1[0][1] == "t0 t1 t2 t3"
+    assert d1[1][1] == "t2 t3 t4 t5"  # consecutive chunks share stride tokens
+    assert d1[3][1] == "t6 t7 t8 t9"  # final chunk ends exactly at the doc end
+    # disjoint mode (stride == chunk_size) reconstructs the document
+    disjoint = corpus.chunk_documents(docs, chunk_size=4, stride=4).collect()
+    d2 = [t for _, t in sorted((r.chunk_id, r.chunk_text) for r in disjoint if r.doc_id == 1)]
+    assert " ".join(d2) == " ".join(f"t{i}" for i in range(10))
+    # short doc → exactly one chunk
+    d3 = [r for r in out if r.doc_id == 2]
+    assert len(d3) == 1 and d3[0].chunk_text == "a b c" and d3[0].chunk_tokens == 3
