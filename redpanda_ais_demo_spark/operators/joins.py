@@ -63,3 +63,42 @@ def salted_join(
         salted_fact[_SALT] == salted_dim[_SALT]
     )
     return salted_fact.join(salted_dim, cond, how).drop(_SALT)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-bucketed (optionally per-bucket-sorted)
+    parquet table registered in the session catalog at an explicit
+    ``path`` (external table — no warehouse-dir dependency).
+
+    Bucketing is the storage-level answer to the shuffle problem: every
+    row lands in bucket ``hash(bucket_cols) % num_buckets`` at WRITE
+    time, so any later equi-join or aggregation on the bucket key
+    between tables bucketed the same way needs NO Exchange — Catalyst
+    recognizes the child distributions as already compatible. At 100 TB
+    the big fact-fact join (orders x lineitem, events x entities) is the
+    single largest shuffle in the pipeline; paying the hash once at
+    ingest amortizes it over every downstream query. ``sort_cols``
+    additionally pre-sorts inside each bucket file, which removes the
+    Sort below a SortMergeJoin too.
+    """
+    w = df.write.format("parquet").mode(mode).option("path", path)
+    w = w.bucketBy(num_buckets, bucket_cols[0], *bucket_cols[1:])
+    if sort_cols:
+        w = w.sortBy(sort_cols[0], *sort_cols[1:])
+    w.saveAsTable(table_name)
+
+
+def colocated_join(spark, left_table: str, right_table: str, on, how: str = "inner") -> DataFrame:
+    """Join two catalog tables previously written by ``write_bucketed``
+    with identical bucket spec on the join key. The resulting physical
+    plan contains no Exchange on either side (pin:
+    tests/test_plan_shapes.py::test_bucketed_join_has_no_exchange)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

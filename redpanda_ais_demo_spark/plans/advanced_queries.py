@@ -673,3 +673,59 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     return sketches.cms_estimate(sketch, top, "term").orderBy("term")
+
+
+# --- Bucketed (storage-co-located) join -------------------------------------
+
+
+@query(
+    "bucketed_join_segment_sales",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "layout", "scale-path"),
+    doc="Fact-fact join over storage-bucketed tables: both sides are "
+    "persisted hash-bucketed on the join key (write_bucketed), so the "
+    "join itself needs NO Exchange - the shuffle is paid once at ingest "
+    "and amortized over every downstream query, the decisive layout for "
+    "the largest recurring join at 100 TB. Exchange-free plan pinned by "
+    "tests/test_plan_shapes.py::test_bucketed_join_has_no_exchange "
+    "(operators/joins.py:write_bucketed).",
+)
+def bucketed_join_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+
+    from ..operators import joins
+    from .tpch_queries import _money
+
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/"))) or "default"
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".bucketed",
+        tag,
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joins.write_bucketed(
+        orders, f"bkt_orders_{tag}", os.path.join(base, "orders"), ["o_custkey"], 8, ["o_custkey"]
+    )
+    joins.write_bucketed(
+        cust, f"bkt_customer_{tag}", os.path.join(base, "customer"), ["c_custkey"], 8, ["c_custkey"]
+    )
+    j = joins.colocated_join(
+        spark,
+        f"bkt_orders_{tag}",
+        f"bkt_customer_{tag}",
+        spark.table(f"bkt_orders_{tag}")["o_custkey"]
+        == spark.table(f"bkt_customer_{tag}")["c_custkey"],
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        _money(F.col("o_totalprice"), 100).alias("revenue"),
+    )

@@ -309,3 +309,42 @@ def test_shuffle_training_order_has_no_global_sort(spark):
     plan = _physical_plan(spark, "shuffle_training_order_docs")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables bucketed identically on the join key must join with zero
+    Exchange nodes — the storage-level shuffle elimination the 100 TB
+    ingest pays for once. Broadcast is disabled so the test exercises the
+    sort-merge path a fact-fact join would take."""
+    from redpanda_ais_demo_spark.operators import joins
+    from redpanda_ais_demo_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    joins.write_bucketed(
+        orders, "t_bkt_orders", str(tmp_path / "o"), ["o_custkey"], 4, ["o_custkey"]
+    )
+    joins.write_bucketed(
+        cust, "t_bkt_cust", str(tmp_path / "c"), ["c_custkey"], 4, ["c_custkey"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = joins.colocated_join(
+            spark,
+            "t_bkt_orders",
+            "t_bkt_cust",
+            spark.table("t_bkt_orders")["o_custkey"] == spark.table("t_bkt_cust")["c_custkey"],
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side shuffles: bucket-compatible scans
+        assert "SelectedBucketsCount" in plan  # scans are genuinely bucketed
+        # per-bucket sortBy at write time also removes the SMJ's Sort
+        assert df.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_cust")
