@@ -448,3 +448,83 @@ def chunk_documents(
         F.size(piece).cast("long").alias("chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def decontaminate_bloom(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    n_bits: int = 8192,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination — the scale form of ``decontaminate``
+    for when the eval set's distinct shingle strings outgrow a broadcast
+    (many benchmarks x many contamination windows). The eval shingles
+    collapse into a fixed ``n_bits``-bit Bloom bitset (``n_bits/64``
+    longs — size chosen by the caller, independent of eval size); train
+    shingles probe it. One-sided error: never misses a real overlap,
+    may over-flag at the classic ``(1-e^{-kn/m})^k`` false-positive rate
+    (bounded in tests/test_llm_ops.py against the exact operator).
+
+    Engine-portable by construction: bit positions come from md5 of
+    ``"j:shingle"`` (first 15 hex chars as a 60-bit int, mod ``n_bits``)
+    — DuckDB computes the identical positions, so the declared query
+    hash-checks end-to-end, false positives included.
+
+    Plan: the bitset build is a partial-agg shuffle of ≤ ``n_bits/64``
+    word rows; the probe is ``n_hashes`` map-side broadcast hash joins
+    of the corpus's shingle stream against that word table — no explode,
+    no corpus-sized shuffle anywhere; only flagged doc ids (tiny)
+    aggregate.
+    """
+    from .dedup import doc_shingles
+
+    def pos(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))), 1, 15), 16, 10
+            ).cast("bigint")
+            % n_bits
+        )
+
+    ev_pos = doc_shingles(eval_docs, id_col, text_col, k).select("shingle").distinct()
+    ev_words = (
+        ev_pos.select(F.explode(F.array(*[pos(j) for j in range(1, n_hashes + 1)])).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("word"),
+            # SQL form: the Python shiftleft() wrapper only takes a literal
+            # shift amount, the SQL function takes a column
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.col("b")).alias("mask"))
+    )
+    probe = doc_shingles(train_docs, id_col, text_col, k).select(
+        "id", *[pos(j).alias(f"__p{j}") for j in range(1, n_hashes + 1)]
+    )
+    all_hit = F.lit(True)
+    for j in range(1, n_hashes + 1):
+        w_j = F.broadcast(
+            ev_words.select(
+                F.col("word").alias(f"__w{j}"), F.col("mask").alias(f"__m{j}")
+            )
+        )
+        probe = probe.join(
+            w_j, (F.col(f"__p{j}") / 64).cast("int") == F.col(f"__w{j}"), "left"
+        )
+        hit_j = F.col(f"__m{j}").isNotNull() & F.expr(
+            f"(shiftright(__m{j}, cast(__p{j} % 64 as int)) & 1) = 1"
+        )
+        all_hit = all_hit & hit_j
+    flagged = probe.filter(all_hit).select("id").distinct()
+    return (
+        train_docs.join(
+            F.broadcast(flagged.withColumnRenamed("id", id_col).withColumn("__hit", F.lit(True))),
+            id_col,
+            "left",
+        )
+        .withColumn("is_contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )

@@ -1445,3 +1445,66 @@ def shuffle_training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.chunk_documents(docs, chunk_size=32, stride=16)
+
+
+@query(
+    "decontaminate_docs_bloom",
+    oracle="""
+        WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        train AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 <> 0),
+        evsh AS (
+            SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 4),
+                                                  i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT string_split(text, ' ') AS w FROM ev) WHERE len(w) >= 5
+        ),
+        evpos AS (
+            SELECT DISTINCT
+                CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15)
+                     AS BIGINT) % 8192 AS p
+            FROM evsh, LATERAL unnest([1, 2, 3]) AS t(j)
+        ),
+        words AS (
+            SELECT p // 64 AS word, bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INT)) AS mask
+            FROM evpos GROUP BY 1
+        ),
+        trsh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 4),
+                                         i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) WHERE len(w) >= 5
+        ),
+        trpos AS (
+            SELECT doc_id, shingle, j,
+                CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 15)
+                     AS BIGINT) % 8192 AS p
+            FROM trsh, LATERAL unnest([1, 2, 3]) AS t(j)
+        ),
+        shingle_hits AS (
+            SELECT t.doc_id, t.shingle,
+                   min(CASE WHEN w.mask IS NOT NULL
+                             AND ((w.mask >> CAST(t.p % 64 AS INT)) & 1) = 1
+                       THEN 1 ELSE 0 END) AS all_hit
+            FROM trpos t LEFT JOIN words w ON t.p // 64 = w.word
+            GROUP BY t.doc_id, t.shingle
+        ),
+        flagged AS (SELECT DISTINCT doc_id FROM shingle_hits WHERE all_hit = 1)
+        SELECT t.doc_id, t.lang, t.doc_id IN (SELECT doc_id FROM flagged) AS is_contaminated
+        FROM train t
+    """,
+    tags=("dedup", "join", "sketch", "scale-path"),
+    doc="Bloom-filter decontamination - the scale form of "
+    "decontaminate_docs: eval shingles collapse into a fixed 8192-bit "
+    "bitset (128 longs) instead of broadcasting their strings; train "
+    "shingles probe it with 3 md5-derived positions via map-side "
+    "broadcast joins. One-sided error (never misses a true overlap); "
+    "positions are md5-portable so DuckDB replays the filter bit-for-"
+    "bit, false positives included (operators/corpus.py:"
+    "decontaminate_bloom).",
+)
+def decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text", "lang")
+    return corpus.decontaminate_bloom(train, ev, k=5, n_bits=8192, n_hashes=3).select(
+        "doc_id", "lang", "is_contaminated"
+    )

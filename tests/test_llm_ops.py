@@ -788,3 +788,29 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # short doc → exactly one chunk
     d3 = [r for r in out if r.doc_id == 2]
     assert len(d3) == 1 and d3[0].chunk_text == "a b c" and d3[0].chunk_tokens == 3
+
+
+def test_bloom_decontaminate_one_sided_vs_exact(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    exact = {
+        r.doc_id
+        for r in corpus.decontaminate(train, ev, k=5).collect()
+        if r.is_contaminated
+    }
+    # roomy filter: should agree with exact (FP rate ~1e-8 at this load)
+    roomy = {
+        r.doc_id
+        for r in corpus.decontaminate_bloom(train, ev, k=5, n_bits=1 << 20).collect()
+        if r.is_contaminated
+    }
+    assert roomy == exact
+    # saturated filter: false positives appear, but NEVER false negatives
+    tight = {
+        r.doc_id
+        for r in corpus.decontaminate_bloom(train, ev, k=5, n_bits=64).collect()
+        if r.is_contaminated
+    }
+    assert exact <= tight  # one-sided error: every true overlap still flagged
+    assert len(tight) > len(exact)  # 64 bits vs ~500 shingles must saturate
