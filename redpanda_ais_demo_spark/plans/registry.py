@@ -105,13 +105,17 @@ PRIORITY: tuple[str, ...] = (
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
     "pivot_status_by_priority",
-    # LLM-data-pipeline suite (X1-X5)
+    # LLM-data-pipeline suite (X1-X5). The X5 text family keeps two
+    # direct reps in-window (token_stats, text_quality) plus bm25/pii
+    # below; doc_fingerprint, lang_id_ngram and bpe_token_estimate
+    # rotated out in r7 for the three new classes at the tail of this
+    # tuple (chunking, bucketed-layout join, Bloom decontamination —
+    # decontamination previously had NO in-window representative). All
+    # rotated-out entries stay registered, oracle-bearing, and
+    # pytest-oracle-swept.
     "dedup_exact_docs",
-    "doc_fingerprint",
     "token_stats",
     "text_quality",
-    "lang_id_ngram",
-    "bpe_token_estimate",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_near_dups",
@@ -163,6 +167,14 @@ PRIORITY: tuple[str, ...] = (
     # non-empty semantics are pinned by a crafted-data unit test
     # (tests/test_analytics_ops.py::test_left_anti_join_semantics).
     "funnel_user_conversion",
+    # round-7 session additions, each a class with no in-window sibling:
+    # sliding-window document chunking, the Exchange-free storage-
+    # bucketed join (layout-level shuffle elimination), and Bloom-filter
+    # decontamination (first in-window rep of the decontamination class;
+    # the broadcast-semi-join form trails, oracle-bearing).
+    "chunk_documents_stride",
+    "bucketed_join_segment_sales",
+    "decontaminate_docs_bloom",
 )
 
 

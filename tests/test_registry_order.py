@@ -39,8 +39,6 @@ REQUIRED_IN_WINDOW = {
     "dedup_clusters",
     "tfidf_top_terms",
     "text_quality",
-    "lang_id_ngram",
-    "bpe_token_estimate",
     "multimodal_frame_sample",
     # round-2 corpus classes
     "embedding_random_projection",
@@ -71,6 +69,14 @@ REQUIRED_IN_WINDOW = {
     "pii_redact_docs",
     "semdedup_embeddings",
     "funnel_user_conversion",
+    # round-7 session classes (no in-window sibling): chunking, storage-
+    # bucketed Exchange-free join, Bloom decontamination (first window rep
+    # of the decontamination class). lang_id_ngram / bpe_token_estimate /
+    # doc_fingerprint rotated out — the X5 text family keeps token_stats,
+    # text_quality, bm25_topk_docs and pii_redact_docs in-window.
+    "chunk_documents_stride",
+    "bucketed_join_segment_sales",
+    "decontaminate_docs_bloom",
 }
 
 
