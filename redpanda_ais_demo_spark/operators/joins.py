@@ -102,3 +102,48 @@ def colocated_join(spark, left_table: str, right_table: str, on, how: str = "inn
     plan contains no Exchange on either side (pin:
     tests/test_plan_shapes.py::test_bucketed_join_has_no_exchange)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    cell_size: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join as an equi-join on a coarse grid — the
+    scale path for LARGE interval tables, where the broadcast-nested-
+    loop form (``range_join_value_bands``) stops being an option.
+
+    Each interval ``[lo, hi)`` explodes into the grid cells it covers
+    (``floor(lo/cell) .. floor(hi/cell)`` — pick ``cell_size`` near the
+    typical interval span so that's ~2 cells); each point maps to one
+    cell. The join is then a plain hash equi-join on the cell id —
+    shuffle both sides by cell, O(points + intervals + matches), versus
+    the O(points x intervals) comparison of a nested loop. Exact
+    half-open containment (``lo <= p < hi``) filters after the cell
+    match, so results are identical to the naive inequality join.
+
+    Skew note: a hot cell (many intervals/points in one value range)
+    behaves like any hot join key — AQE skew-join splitting or
+    ``salted_join`` applies unchanged, which is exactly why reducing the
+    interval join to an equi-join is the 100 TB-safe formulation.
+    """
+    lo, hi, p = F.col(lo_col), F.col(hi_col), F.col(point_col)
+    cells = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(cell_size)).cast("long"),
+                F.floor(hi / F.lit(cell_size)).cast("long"),
+            )
+        ),
+    )
+    keyed_points = points.withColumn("__cell", F.floor(p / F.lit(cell_size)).cast("long"))
+    return (
+        keyed_points.join(cells, "__cell", how)
+        .filter((lo <= p) & (p < hi))
+        .drop("__cell")
+    )

@@ -729,3 +729,43 @@ def bucketed_join_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         _money(F.col("o_totalprice"), 100).alias("revenue"),
     )
+
+
+@query(
+    "interval_join_order_bands",
+    oracle="""
+        SELECT o.o_orderkey,
+               count(*) AS n_events,
+               min(e.value) AS min_value,
+               max(e.value) AS max_value
+        FROM orders o JOIN events e
+          ON o.o_totalprice / 1000.0 - 1.0 <= e.value
+         AND e.value < o.o_totalprice / 1000.0 + 1.0
+        GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range", "scale-path"),
+    doc="Interval join at scale: every order defines a value band "
+    "[price/1000 - 1, price/1000 + 1) and matches the events inside it. "
+    "Unlike range_join_value_bands (broadcast nested loop over a tiny "
+    "band table), the interval side here is the full orders table, so "
+    "the join reduces to a grid-cell equi-join: intervals explode into "
+    "the ~2 cells they cover, points hash to one cell, exact "
+    "containment filters after the cell match - O(points + intervals + "
+    "matches), AQE/salting-compatible "
+    "(operators/joins.py:interval_join_bucketed).",
+)
+def interval_join_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import joins
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice") / 1000.0 - 1.0).alias("lo"),
+        (F.col("o_totalprice") / 1000.0 + 1.0).alias("hi"),
+    )
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    j = joins.interval_join_bucketed(events, orders, "value", "lo", "hi", cell_size=2.0)
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -110,3 +110,32 @@ def test_left_anti_join_semantics(spark):
     # 1 matched (twice — no multiplication either way); 2, 3 unmatched;
     # the NULL probe key matches nothing (NULL = NULL is not TRUE) → kept
     assert out == ["b", "c", "d"]
+
+
+def test_interval_join_bucketed_matches_naive(spark):
+    """Grid-cell interval join must equal the naive inequality join on
+    crafted data covering boundaries (p == lo in, p == hi out), intervals
+    spanning multiple cells, and points matching several intervals."""
+    from redpanda_ais_demo_spark.operators import joins
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 9.999), (4, 10.0), (5, 17.5), (6, -3.0)],
+        "pid long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 4.0, 18.0), (300, -5.0, -1.0), (400, 30.0, 40.0)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in joins.interval_join_bucketed(points, ivs, "v", "lo", "hi", 3.0).collect()
+    }
+    naive = {
+        (p, i)
+        for p, v in [(1, 0.0), (2, 5.0), (3, 9.999), (4, 10.0), (5, 17.5), (6, -3.0)]
+        for i, lo, hi in [(100, 0.0, 10.0), (200, 4.0, 18.0), (300, -5.0, -1.0), (400, 30.0, 40.0)]
+        if lo <= v < hi
+    }
+    assert got == naive
+    assert (1, 100) in got and (4, 100) not in got  # half-open [lo, hi)
+    assert (6, 300) in got  # negative values bucket correctly (floor, not trunc)
