@@ -107,6 +107,12 @@ R7_ADDITIONS = [
     "pack_token_stream_sharded",
     "dup_span_intervals",
     "gapfill_user_value",
+    # round-7 session classes: chunking (narrow map-side explode), Bloom
+    # decontamination (bitset build + map-side probes), grid-cell
+    # interval join (equi-join reduction of a range join).
+    "chunk_documents_stride",
+    "decontaminate_docs_bloom",
+    "interval_join_order_bands",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -528,3 +528,49 @@ def decontaminate_bloom(
         .withColumn("is_contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
         .drop("__hit")
     )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    n_features: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick linear text classifier scoring — the model-based
+    quality-filter shape (fastText / logistic-regression style): each
+    token hashes into one of ``n_features`` buckets, each bucket carries
+    an integer weight in [-1000, 1000], a document's margin is the sum
+    of its token weights and the score normalizes by length. Here the
+    weight table is a deterministic md5 stub (weight(b) = md5-derived
+    int of the bucket id) — production swaps in trained weights, the
+    plumbing (feature hashing, weight lookup, per-doc reduction) is
+    identical.
+
+    Scale shape: the weight "lookup" folds into the per-row expression
+    (weights derive from the bucket id), so scoring is a zero-shuffle
+    whole-stage-codegen map — no explode, no join, no Python. With a
+    trained table instead, the weight array broadcasts and the lookup
+    stays map-side. Margins sum as exact integers (order-independent),
+    so the score is bit-stable across partitionings and engines; the
+    DuckDB oracle replays it exactly.
+    """
+    # bucket(t) = md5-u32(t) % n_features; weight(b) = md5-u32('w:'||b) % 2001 - 1000
+    margin_sql = (
+        f"aggregate(transform(split({text_col}, ' '), t -> "
+        "(cast(conv(substring(md5(concat('w:', cast("
+        f"cast(conv(substring(md5(t),1,8),16,10) as bigint) % {n_features}"
+        " as string))),1,8),16,10) as bigint) % 2001) - 1000), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.expr(margin_sql).alias("margin"),
+    ).withColumn(
+        # one IEEE division of two exact integers — bit-identical in any
+        # engine, no rounding rule to disagree on (Spark HALF_UP vs
+        # DuckDB HALF_EVEN differ on exact .5 at the cut digit)
+        "quality",
+        F.col("margin") / (1000.0 * F.col("n_tokens")),
+    )

@@ -739,13 +739,14 @@ def bucketed_join_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(e.value) AS min_value,
                max(e.value) AS max_value
         FROM orders o JOIN events e
-          ON o.o_totalprice / 1000.0 - 1.0 <= e.value
-         AND e.value < o.o_totalprice / 1000.0 + 1.0
+          ON o.o_totalprice / 1000.0 - 0.1 <= e.value
+         AND e.value < o.o_totalprice / 1000.0 + 0.1
         GROUP BY o.o_orderkey
     """,
     tags=("join", "range", "scale-path"),
     doc="Interval join at scale: every order defines a value band "
-    "[price/1000 - 1, price/1000 + 1) and matches the events inside it. "
+    "[price/1000 - 0.1, price/1000 + 0.1) and matches the events inside "
+    "it. "
     "Unlike range_join_value_bands (broadcast nested loop over a tiny "
     "band table), the interval side here is the full orders table, so "
     "the join reduces to a grid-cell equi-join: intervals explode into "
@@ -759,11 +760,11 @@ def interval_join_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        (F.col("o_totalprice") / 1000.0 - 1.0).alias("lo"),
-        (F.col("o_totalprice") / 1000.0 + 1.0).alias("hi"),
+        (F.col("o_totalprice") / 1000.0 - 0.1).alias("lo"),
+        (F.col("o_totalprice") / 1000.0 + 0.1).alias("hi"),
     )
     events = load_table(spark, sf_dir, "events").select("event_id", "value")
-    j = joins.interval_join_bucketed(events, orders, "value", "lo", "hi", cell_size=2.0)
+    j = joins.interval_join_bucketed(events, orders, "value", "lo", "hi", cell_size=0.25)
     return j.groupBy("o_orderkey").agg(
         F.count("*").alias("n_events"),
         F.min("value").alias("min_value"),

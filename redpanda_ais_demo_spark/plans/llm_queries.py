@@ -1508,3 +1508,35 @@ def decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate_bloom(train, ev, k=5, n_bits=8192, n_hashes=3).select(
         "doc_id", "lang", "is_contaminated"
     )
+
+
+@query(
+    "quality_linear_docs",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(string_split(text, ' '), t ->
+                       (CAST('0x' || substring(md5('w:' ||
+                            CAST(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 4096
+                                 AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000
+                   )) AS BIGINT) AS margin
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, margin,
+               CAST(margin AS DOUBLE) / (1000.0 * n_tokens) AS quality
+        FROM scored
+    """,
+    tags=("quality", "text", "scale-path"),
+    doc="Model-based quality scoring via the hashing trick: tokens hash "
+    "into 4096 feature buckets with integer weights (deterministic md5 "
+    "stub standing in for trained classifier weights - the plumbing is "
+    "a fastText-style linear scorer), per-doc margin = exact integer "
+    "weight sum, score = margin/(1000*len). Zero-shuffle codegen map: "
+    "no explode, no join, no Python; integer margins make the result "
+    "bit-stable across engines (operators/corpus.py:"
+    "linear_quality_score).",
+)
+def quality_linear_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.linear_quality_score(docs, n_features=4096)
