@@ -500,6 +500,10 @@ def decontaminate_bloom(
         )
         .groupBy("word")
         .agg(F.bit_or(F.col("b")).alias("mask"))
+        # materialize the (≤ n_bits/64)-row bitset once: each of the
+        # n_hashes probe joins broadcasts it, and without a checkpoint
+        # Spark would re-run the whole eval-shingle build per join
+        .localCheckpoint(eager=False)
     )
     probe = doc_shingles(train_docs, id_col, text_col, k).select(
         "id", *[pos(j).alias(f"__p{j}") for j in range(1, n_hashes + 1)]

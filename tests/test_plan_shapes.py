@@ -348,3 +348,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS t_bkt_cust")
+
+
+def test_chunk_documents_is_narrow_map_only(spark):
+    """Chunking must stay a pure map-side expansion: no shuffle, no join —
+    at 100 TB the corpus streams through without redistribution."""
+    plan = _physical_plan(spark, "chunk_documents_stride")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_bloom_decontaminate_probes_are_broadcast(spark):
+    """The Bloom probe must be map-side broadcast hash joins against the
+    fixed-size bitset — never a sort-merge join (which would shuffle the
+    corpus's shingle stream) or a nested loop."""
+    plan = _physical_plan(spark, "decontaminate_docs_bloom")
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 probes + flag join (x2 in detail)
+    # bitset build materializes once (lazy localCheckpoint) — without it the
+    # eval-shingle aggregation subtree replays once per probe join
+    assert plan.count("bit_or") <= 2  # tree+detail of a single build, not 3x
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The grid-cell reduction's whole point: a point-in-interval join
+    against a LARGE interval table must run as a hash equi-join on the
+    cell id, never as BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = _physical_plan(spark, "interval_join_order_bands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
