@@ -126,3 +126,124 @@ def test_voyage_tracker_recovers_state_from_checkpoint(spark, tmp_path):
         ).sum()
     )
     assert ship1.total_km == pytest.approx(expect_km, abs=1e-4)
+
+
+def test_admit_first_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """transformWithStateInPandas idempotent ingest: only the first record
+    per event_id survives, across micro-batches; within a batch the
+    lowest order-col row wins. The state-server protocol needs protobuf
+    (absent in some environments) - the kernel-level test below runs
+    everywhere."""
+    pytest.importorskip("google.protobuf")
+    from redpanda_ais_demo_spark.streaming import idempotent
+
+    path = str(tmp_path / "adm1")
+    schema = "event_id long, seq long, payload string"
+    b1 = spark.createDataFrame(
+        [(1, 11, "a-dup-late"), (1, 10, "a"), (2, 20, "b"), (3, 30, "c")], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        idempotent.admit_first(stream, ["event_id"], "seq")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("admit1")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: redeliveries of 1 and 2, plus a new id 4
+    spark.createDataFrame([(2, 21, "b-redelivery"), (4, 40, "d"), (1, 12, "x")], schema)\
+        .coalesce(1).write.mode("append").parquet(path)
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.event_id: r for r in spark.table("admit1").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].payload == "a"  # in-batch tie broken by seq, not arrival
+    assert rows[2].payload == "b"  # redelivery suppressed
+    assert rows[4].payload == "d"  # genuinely new key admitted
+
+
+def test_admit_first_state_survives_checkpoint_restart(spark, tmp_path):
+    """Restart from the checkpoint: admitted-key state must recover, so a
+    redelivery arriving after the restart is still suppressed."""
+    pytest.importorskip("google.protobuf")
+    from redpanda_ais_demo_spark.streaming import idempotent
+
+    path = str(tmp_path / "adm2")
+    ckpt = str(tmp_path / "adm2_ckpt")
+    out = str(tmp_path / "adm2_out")
+    schema = "event_id long, seq long, payload string"
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(path)
+        deduped = idempotent.admit_first(stream, ["event_id"], "seq")
+
+        def sink(df, _bid):
+            df.write.mode("append").parquet(out)
+
+        return (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], schema).coalesce(1)\
+        .write.mode("overwrite").parquet(path)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    spark.createDataFrame([(1, 11, "a-redelivery"), (3, 30, "c")], schema).coalesce(1)\
+        .write.mode("append").parquet(path)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id: r.payload for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # post-restart redelivery of 1 suppressed
+
+
+class _FakeValueState:
+    """Stands in for the state-store ValueState so the processor kernel
+    executes for real without the protobuf state server."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+def test_first_seen_processor_kernel_semantics():
+    """Direct execution of the FirstSeenProcessor kernel: batch 1 admits
+    the lowest-seq row per key, batch 2's redeliveries are suppressed by
+    the carried state — the exact per-key contract the streaming wrapper
+    shuffles into place."""
+    import pandas as pd
+
+    from redpanda_ais_demo_spark.streaming.idempotent import FirstSeenProcessor
+
+    proc = FirstSeenProcessor("seq", ttl_ms=None)
+    proc._seen = _FakeValueState()  # init() needs a live handle; kernel doesn't
+    b1 = pd.DataFrame({"event_id": [1, 1], "seq": [11, 10], "payload": ["late", "first"]})
+    out1 = list(proc.handleInputRows((1,), iter([b1.iloc[:1], b1.iloc[1:]]), None))
+    assert len(out1) == 1 and out1[0]["payload"].iloc[0] == "first"
+    assert proc._seen.get() == (10,)
+    # same key, later batch: state suppresses everything
+    b2 = pd.DataFrame({"event_id": [1], "seq": [12], "payload": ["redelivery"]})
+    out2 = list(proc.handleInputRows((1,), iter([b2]), None))
+    assert out2 == []
+    # fresh key on a fresh state admits again
+    proc2 = FirstSeenProcessor("seq", ttl_ms=None)
+    proc2._seen = _FakeValueState()
+    out3 = list(proc2.handleInputRows((2,), iter([pd.DataFrame({"event_id": [2], "seq": [5], "payload": ["b"]})]), None))
+    assert len(out3) == 1 and out3[0]["payload"].iloc[0] == "b"
