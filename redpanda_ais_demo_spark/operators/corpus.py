@@ -578,3 +578,56 @@ def linear_quality_score(
         "quality",
         F.col("margin") / (1000.0 * F.col("n_tokens")),
     )
+
+
+def pps_systematic_sample(
+    docs: DataFrame,
+    n_per_shard: int,
+    shard_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted sampling, PPS-systematic form: within each shard, draw
+    exactly ``n_per_shard`` picks with inclusion probability
+    proportional to size (token count) — the classic way to build a
+    token-budgeted subset where long documents are proportionally more
+    likely, without any RNG. Lay the shard's docs on a line in id order,
+    each occupying a segment as long as its weight; drop ``n`` equally
+    spaced pins; a doc is picked once per pin in its segment
+    (``n_copies`` ≥ 2 means its weight exceeds the sampling step — the
+    standard PPS multiplicity).
+
+    Selection is pure integer arithmetic — pin j lands in doc i iff
+    ``floor(cum_i·n/total) > floor(cum_{i-1}·n/total)`` — so the result
+    is bit-identical on any engine/partitioning (no RNG, no floats; the
+    determinism-by-id also makes the draw reproducible run to run).
+    Guard ``cum·n`` against int64 at extreme scale (ANSI mode throws
+    rather than wraps); shard totals in the trillions with n in the
+    thousands still fit.
+
+    Plan: per-shard windows only (cumsum + shard total) — one hash
+    shuffle on the shard key, parallel per-shard sorts, never a
+    SinglePartition sort (the pack_token_stream_sharded doctrine).
+    """
+    n_tok = T.n_tokens(F.col(text_col)).cast("long")
+    w_cum = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("shard")
+    d = (
+        docs.select(F.col(shard_col).alias("shard"), F.col(id_col), n_tok.alias("weight"))
+        .withColumn("cum", F.sum("weight").over(w_cum))
+        .withColumn("total", F.sum("weight").over(w_all))
+    )
+    # integer division, not floor(float-div): floor(a/b) on doubles loses
+    # exactness past 2^53 and a/b already differs last-ulp across engines;
+    # a div b on positive longs is the same value, computed exactly
+    n = int(n_per_shard)
+    picks = F.expr(f"(cum * {n}) div total") - F.expr(f"((cum - weight) * {n}) div total")
+    return (
+        d.withColumn("n_copies", picks.cast("long"))
+        .filter(F.col("n_copies") >= 1)
+        .select("shard", id_col, "weight", "n_copies")
+    )

@@ -1540,3 +1540,37 @@ def decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_linear_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.linear_quality_score(docs, n_features=4096)
+
+
+@query(
+    "pps_sample_docs",
+    oracle="""
+        WITH d AS (
+            SELECT source AS shard, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+            FROM documents
+        ),
+        cums AS (
+            SELECT shard, doc_id, weight,
+                   CAST(sum(weight) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(sum(weight) OVER (PARTITION BY shard) AS BIGINT) AS total
+            FROM d
+        )
+        SELECT shard, doc_id, weight,
+               (cum * 20) // total - ((cum - weight) * 20) // total AS n_copies
+        FROM cums
+        WHERE (cum * 20) // total - ((cum - weight) * 20) // total >= 1
+    """,
+    tags=("sampling", "window", "scale-path"),
+    doc="Weighted (probability-proportional-to-size) systematic sampling: "
+    "20 equally spaced pins per source shard over the cumulative token "
+    "line - long documents proportionally more likely, zero RNG, pure "
+    "integer selection arithmetic (bit-identical on any engine or "
+    "partitioning). Per-shard windows only: one hash shuffle + parallel "
+    "sorts, never a SinglePartition (operators/corpus.py:"
+    "pps_systematic_sample).",
+)
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pps_systematic_sample(docs, n_per_shard=20, shard_col="source")

@@ -814,3 +814,30 @@ def test_bloom_decontaminate_one_sided_vs_exact(spark):
     }
     assert exact <= tight  # one-sided error: every true overlap still flagged
     assert len(tight) > len(exact)  # 64 bits vs ~500 shingles must saturate
+
+
+def test_pps_sample_exact_pin_count_and_proportionality(spark):
+    """PPS systematic sampling must place exactly n pins per shard
+    (sum of n_copies == n), give every doc heavier than the step >= 1
+    copy, and never pick a zero-weight segment."""
+    rows = [(i, "s1", "w " * (10 if i != 5 else 500)) for i in range(10)]
+    rows += [(100 + i, "s2", "x y z") for i in range(4)]
+    docs = spark.createDataFrame([(i, s, t.strip()) for i, s, t in rows],
+                                 "doc_id long, source string, text string")
+    out = corpus.pps_systematic_sample(docs, n_per_shard=6, shard_col="source").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(r.n_copies for r in by_shard["s1"]) == 6
+    assert sum(r.n_copies for r in by_shard["s2"]) == 6
+    # doc 5 carries 500 of s1's 590 tokens → must take most of the pins
+    heavy = next(r for r in by_shard["s1"] if r.doc_id == 5)
+    assert heavy.n_copies >= 5
+    assert all(r.n_copies >= 1 for r in out)
+    # determinism: identical result on a different partitioning
+    out2 = corpus.pps_systematic_sample(
+        docs.repartition(7), n_per_shard=6, shard_col="source"
+    ).collect()
+    assert sorted((r.shard, r.doc_id, r.n_copies) for r in out) == sorted(
+        (r.shard, r.doc_id, r.n_copies) for r in out2
+    )
