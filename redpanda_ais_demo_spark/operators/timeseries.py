@@ -198,3 +198,53 @@ def cohort_retention(
         .groupBy("cohort_ts", "age")
         .agg(F.count("*").cast("long").alias("n_active"))
     )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    drift_cents: int,
+    threshold_cents: int,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per key: the classic control-chart
+    statistic ``s_i = max(0, s_{i-1} + (x_i - k))`` with an alert when
+    ``s_i >= h`` — the standard streaming-metrics drift/step-change
+    monitor (k = allowed drift per observation, h = alarm threshold).
+
+    The recurrence looks inherently sequential, but the prefix-min
+    identity ``s_i = cum_i - min(0, min_{j<=i} cum_j)`` (cum = running
+    sum of deviations) turns it into two stock window functions — so the
+    detector runs as one per-key shuffle + windowed pass, no UDF, no
+    iteration, at any scale.
+
+    Values quantize to integer cents before summing: running sums stay
+    exact integers, immune to windowed-float association differences
+    across engines (DuckDB's segment-tree windowed SUM associates
+    differently than a sequential fold), so the declared query
+    hash-checks bit-for-bit.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        (cents - F.lit(int(drift_cents))).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = e.withColumn("cum", F.sum("dev").over(w)).withColumn(
+        "cusum", F.col("cum") - F.least(F.min("cum").over(w), F.lit(0).cast("long"))
+    )
+    return e.select(
+        F.col("key").alias(key_col),
+        F.col("ts"),
+        F.col("tb").alias(tiebreak_col),
+        F.col("cusum"),
+        (F.col("cusum") >= threshold_cents).alias("alert"),
+    )

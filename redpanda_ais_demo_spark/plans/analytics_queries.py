@@ -134,3 +134,46 @@ def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return cohort_retention(events, "user_id", "ts", 604800)
+
+
+@query(
+    "cusum_user_value_drift",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                   CAST(round(value * 100) AS BIGINT) - 5000 AS dev
+            FROM events
+        ),
+        cums AS (
+            SELECT user_id, event_id, ts,
+                   CAST(sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM e
+        ),
+        c AS (
+            SELECT user_id, event_id, ts, cum,
+                   least(CAST(min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT),
+                         CAST(0 AS BIGINT)) AS runmin
+            FROM cums
+        )
+        SELECT user_id, ts, event_id, cum - runmin AS cusum,
+               (cum - runmin) >= 100000 AS alert
+        FROM c
+    """,
+    tags=("analytics", "timeseries", "window", "scale-path"),
+    doc="One-sided CUSUM drift detector per user over event value: "
+    "s = max(0, s_prev + (value_cents - 5000)), alert at s >= 100000. "
+    "The sequential-looking recurrence runs as two stock windows via "
+    "the prefix-min identity s_i = cum_i - min(0, min cum) - one "
+    "per-key shuffle, no UDF/iteration; integer cents keep running "
+    "sums exact across engines "
+    "(operators/timeseries.py:cusum_alerts).",
+)
+def cusum_user_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_alerts
+
+    events = load_table(spark, sf_dir, "events")
+    return cusum_alerts(events, "user_id", "ts", "value", "event_id",
+                        drift_cents=5000, threshold_cents=100000)

@@ -3,6 +3,8 @@ SCD2 interval construction, cohort retention triangle."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from redpanda_ais_demo_spark.operators.timeseries import (
     cohort_retention,
     funnel,
@@ -139,3 +141,28 @@ def test_interval_join_bucketed_matches_naive(spark):
     assert got == naive
     assert (1, 100) in got and (4, 100) not in got  # half-open [lo, hi)
     assert (6, 300) in got  # negative values bucket correctly (floor, not trunc)
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The prefix-min formulation must equal the literal sequential
+    recurrence s_i = max(0, s_{i-1} + dev_i), including resets to zero
+    and alert onset."""
+    from redpanda_ais_demo_spark.operators.timeseries import cusum_alerts
+
+    vals = [10.0, 80.0, 5.0, 5.0, 90.0, 100.0, 1.0]
+    rows = [("u1", i, 1_700_000_000 + i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, sec long, value double")
+    df = df.withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    out = {
+        r.event_id: (r.cusum, r.alert)
+        for r in cusum_alerts(df, "user_id", "ts", "value", "event_id",
+                              drift_cents=3000, threshold_cents=9000).collect()
+    }
+    s, expect = 0, {}
+    for i, v in enumerate(vals):
+        s = max(0, s + int(round(v * 100)) - 3000)
+        expect[i] = (s, s >= 9000)
+    assert out == expect
+    # the statistic must actually reset: after the 80.0 spike decays
+    # through two low values, cusum returns to 0, then re-alarms
+    assert expect[3][0] == 0 and expect[5][1]
