@@ -80,3 +80,76 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias("est_count"))
     )
+
+
+# --- Mergeable sketch rollups (HLL distinct / KLL quantiles) ---------------
+#
+# The pre-aggregation pattern that makes "distinct users last N days" and
+# "p95 latency last N days" answerable without ever rescanning raw data:
+# materialize one small binary sketch per (bucket, group), then any query
+# window is a cheap MERGE of the covered buckets. Sketch union is exact
+# over the sketch state (merging per-bucket HLL registers yields the very
+# same registers as sketching the union directly), so rollup-then-merge
+# loses nothing vs direct sketching — pinned by
+# tests/test_sketches.py::test_hll_rollup_merge_equals_direct.
+
+
+def hll_rollup(
+    df: DataFrame, bucket_cols: list[str], key_col: str, lgk: int = 12
+) -> DataFrame:
+    """One HLL sketch of ``key_col`` per bucket — the daily/hourly
+    distinct-count rollup table. Size: ~2^lgk bytes per bucket row,
+    independent of cardinality."""
+    return df.groupBy(*bucket_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_rollup_estimate(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge rollup sketches up to ``group_cols`` granularity and
+    estimate distinct counts — the query-time side: reads only the tiny
+    rollup table, never the raw events."""
+    return rollup.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))).alias("approx_distinct")
+    )
+
+
+def kll_rollup(
+    df: DataFrame, bucket_cols: list[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """One KLL quantile sketch of ``value_col`` (as double) per bucket —
+    the rank/percentile companion to ``hll_rollup``."""
+    return df.groupBy(*bucket_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("kll")
+    )
+
+
+def kll_rollup_quantiles(
+    rollup: DataFrame, group_cols: list[str], quantiles: list[float]
+) -> DataFrame:
+    """Merge bucket sketches and read quantiles: one output column per
+    requested quantile (``q50``-style names). Unlike HLL (hll_union_agg),
+    KLL ships only a binary pairwise merge — fold it over the group's
+    collected sketch list (bucket counts per group are small by
+    construction: that's what a rollup is)."""
+    merged = rollup.groupBy(*group_cols).agg(
+        F.collect_list("kll").alias("__sketches")
+    ).select(
+        *group_cols,
+        F.aggregate(
+            F.col("__sketches"),
+            F.lit(None).cast("binary"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.kll_sketch_merge_double(acc, x)
+            ),
+        ).alias("kll"),
+    )
+    return merged.select(
+        *group_cols,
+        *[
+            F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q)).alias(
+                f"q{int(round(q * 100)):02d}"
+            )
+            for q in quantiles
+        ],
+    )

@@ -13,6 +13,7 @@ bit-deterministic (registry determinism rules).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.timeseries import cohort_retention, funnel, scd2_intervals
 from ..sources import load_table
@@ -177,3 +178,24 @@ def cusum_user_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return cusum_alerts(events, "user_id", "ts", "value", "event_id",
                         drift_cents=5000, threshold_cents=100000)
+
+
+@query(
+    "sketch_rollup_daily_users",
+    oracle=None,  # DataSketches-internal estimates; merge-exactness and
+    # accuracy bounds are pytest-pinned (tests/test_sketches.py)
+    tags=("sketch", "approx", "agg", "scale-path"),
+    doc="Mergeable-sketch rollup, the 100 TB distinct-count pattern: one "
+    "HLL sketch of user_id per (day, event_type) bucket materializes "
+    "once; any query window then MERGES the tiny rollup rows instead of "
+    "rescanning raw events. Sketch union is exact over sketch state "
+    "(merged-vs-direct equality pytest-pinned), estimates within ~2% at "
+    "lgk=12. KLL quantile rollup companion in operators/sketches.py "
+    "(operators/sketches.py:hll_rollup).",
+)
+def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date(F.col("ts")))
+    rollup = sketches.hll_rollup(events, ["day", "event_type"], "user_id")
+    return sketches.hll_rollup_estimate(rollup, ["event_type"]).orderBy("event_type")

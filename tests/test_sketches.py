@@ -199,3 +199,62 @@ def test_bucket_binary_search_equals_filter_count(spark):
     for r in rows:
         expect = sum(1 for e in edges if e <= r.v)
         assert got[r.id] == expect, (r.id, r.v, got[r.id], expect)
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """Sketch union is exact over sketch state: estimating after merging
+    per-day sketches must give the IDENTICAL estimate as sketching the
+    whole table directly — rollup-then-merge loses nothing."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators import sketches
+    from redpanda_ais_demo_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn("day", F.to_date(F.col("ts")))
+    rollup = sketches.hll_rollup(ev, ["day", "event_type"], "user_id")
+    merged = {
+        r.event_type: r.approx_distinct
+        for r in sketches.hll_rollup_estimate(rollup, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.approx_distinct
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("approx_distinct"))
+        .collect()
+    }
+    assert merged == direct
+    # and the estimate is a real cardinality estimate: within 5% of exact
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05
+
+
+def test_kll_rollup_quantiles_near_exact_ranks(spark):
+    """Quantiles read from merged per-day KLL sketches must sit within
+    KLL's rank-error band of the exact quantiles."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators import sketches
+    from redpanda_ais_demo_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn("day", F.to_date(F.col("ts")))
+    rollup = sketches.kll_rollup(ev, ["day", "event_type"], "value")
+    got = {
+        r.event_type: (r.q50, r.q95)
+        for r in sketches.kll_rollup_quantiles(rollup, ["event_type"], [0.5, 0.95]).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, (q50, q95) in got.items():
+        xs = sorted(vals[et])
+        # rank of the sketch answer must be within ±2.5% of the target rank
+        # (k=200 guarantees ~1.65% normalized rank error at 99% confidence)
+        import bisect
+
+        for q, ans in ((0.5, q50), (0.95, q95)):
+            rank = bisect.bisect_left(xs, ans) / len(xs)
+            assert abs(rank - q) < 0.025, (et, q, ans, rank)
