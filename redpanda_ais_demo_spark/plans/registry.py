@@ -105,16 +105,14 @@ PRIORITY: tuple[str, ...] = (
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
     "pivot_status_by_priority",
-    # LLM-data-pipeline suite (X1-X5). The X5 text family keeps two
-    # direct reps in-window (token_stats, text_quality) plus bm25/pii
-    # below; doc_fingerprint, lang_id_ngram and bpe_token_estimate
-    # rotated out in r7 for the three new classes at the tail of this
-    # tuple (chunking, bucketed-layout join, Bloom decontamination —
-    # decontamination previously had NO in-window representative). All
-    # rotated-out entries stay registered, oracle-bearing, and
+    # LLM-data-pipeline suite (X1-X5). The X5 text family keeps
+    # text_quality in-window plus bm25/pii below; doc_fingerprint,
+    # lang_id_ngram, bpe_token_estimate and token_stats rotated out in
+    # r7 for the new classes at the tail of this tuple (chunking,
+    # bucketed-layout join, Bloom decontamination, PPS sampling, CUSUM).
+    # All rotated-out entries stay registered, oracle-bearing, and
     # pytest-oracle-swept.
     "dedup_exact_docs",
-    "token_stats",
     "text_quality",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
@@ -133,7 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "asof_last_order_per_event",
     "range_join_value_bands",
     "value_percentiles",
-    "running_revenue_by_customer",
     "salted_join_segment_traffic",
     "grouping_sets_sql",
     "unpivot_part_measures",
@@ -175,6 +172,15 @@ PRIORITY: tuple[str, ...] = (
     "chunk_documents_stride",
     "bucketed_join_segment_sales",
     "decontaminate_docs_bloom",
+    # PPS systematic sampling gives the sampling family its first
+    # in-window rep (sample_stratified_docs / resample_temperature_docs
+    # trail, oracle-bearing); CUSUM is the new drift-detection class.
+    # Rotated out for them: token_stats (X5 keeps text_quality, bm25,
+    # pii_redact in-window) and running_revenue_by_customer (the
+    # cumulative-window shape is doubly represented by gapfill's running
+    # last() and cusum's running sum/min).
+    "pps_sample_docs",
+    "cusum_user_value_drift",
 )
 
 

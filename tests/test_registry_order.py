@@ -52,7 +52,6 @@ REQUIRED_IN_WINDOW = {
     "value_percentiles",
     "grouping_sets_sql",
     "salted_join_segment_traffic",
-    "running_revenue_by_customer",
     "unpivot_part_measures",
     # round-6 classes rotated into the window in r7 (gap-fill resampling and
     # span-level dedup have no same-class sibling elsewhere in the window;
@@ -77,6 +76,11 @@ REQUIRED_IN_WINDOW = {
     "chunk_documents_stride",
     "bucketed_join_segment_sales",
     "decontaminate_docs_bloom",
+    # sampling family's first in-window rep + the drift-detection class
+    # (token_stats and running_revenue_by_customer rotated out; both stay
+    # registered, oracle-bearing, pytest-oracle-swept)
+    "pps_sample_docs",
+    "cusum_user_value_drift",
 }
 
 
