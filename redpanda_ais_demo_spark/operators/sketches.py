@@ -153,3 +153,60 @@ def kll_rollup_quantiles(
             for q in quantiles
         ],
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    min_freq_pct: float = 1.0,
+    k: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus heavy hitters (tokens with frequency ≥ ``min_freq_pct`` %
+    of all tokens) in bounded memory — the Misra-Gries two-pass shape:
+
+    1. *Prune pass* (mapInPandas, one narrow scan): each partition
+       counts its own tokens and keeps only those above ``n_p/k`` —
+       bounded candidate state per partition. The MG merge bound
+       applies: an item dropped everywhere loses at most ``Σ n_p/k =
+       n/k`` total count, so with ``k > 100/min_freq_pct`` every true
+       heavy hitter provably survives into the candidate set, on ANY
+       partitioning.
+    2. *Verify pass*: candidates (small) broadcast; exact recount via
+       left-semi + partial agg; threshold on the exact counts.
+
+    The final answer is therefore exact and partitioning-independent —
+    unlike raw merged-MG estimates — while the shuffle carries only
+    candidate tokens instead of the whole vocabulary. The single
+    Python stage is the bounded-state prune; counting stays JVM-side.
+    """
+    if k * min_freq_pct <= 100.0:
+        raise ValueError(
+            f"k={k} cannot guarantee {min_freq_pct}% hitters: need k > {100.0 / min_freq_pct}"
+        )
+    from ..dist import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+
+    def prune(batches):
+        import pandas as pd
+
+        counts = {}
+        n_part = 0
+        for pdf in batches:
+            for text in pdf[text_col]:
+                for t in text.split(" "):
+                    counts[t] = counts.get(t, 0) + 1
+                    n_part += 1
+        cut = n_part / k
+        yield pd.DataFrame({"term": [t for t, c in counts.items() if c > cut]})
+
+    candidates = docs.select(text_col).mapInPandas(prune, "term string").distinct()
+    toks = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    total = toks.count()
+    exact = (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * 100 >= F.lit(float(min_freq_pct)) * total)
+    )
+    return exact.withColumn("corpus_tokens", F.lit(total))

@@ -1574,3 +1574,32 @@ def quality_linear_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.pps_systematic_sample(docs, n_per_shard=20, shard_col="source")
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences,
+               (SELECT n FROM tot) AS corpus_tokens
+        FROM toks GROUP BY term
+        HAVING count(*) * 100 >= 1.0 * (SELECT n FROM tot)
+    """,
+    tags=("sketch", "text", "agg", "scale-path"),
+    doc="Heavy hitters (tokens >= 1% of the corpus token stream) in "
+    "bounded memory: per-partition prune keeps only locally-frequent "
+    "candidates (Misra-Gries bound - with k=128 > 100 no true 1% "
+    "hitter can be pruned everywhere, on any partitioning), then an "
+    "exact broadcast-semi recount thresholds them. Final answer is "
+    "exact and partitioning-independent; only candidate tokens ever "
+    "shuffle, not the vocabulary "
+    "(operators/sketches.py:heavy_hitters).",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.heavy_hitters(docs, min_freq_pct=1.0, k=128)

@@ -258,3 +258,32 @@ def test_kll_rollup_quantiles_near_exact_ranks(spark):
         for q, ans in ((0.5, q50), (0.95, q95)):
             rank = bisect.bisect_left(xs, ans) / len(xs)
             assert abs(rank - q) < 0.025, (et, q, ans, rank)
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    """The two-pass MG shape must return EXACTLY the >= threshold tokens
+    (same as a full exact count) on any partitioning, and reject k too
+    small for the requested threshold."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators import sketches
+    from redpanda_ais_demo_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    total = toks.count()
+    expect = {
+        (r.term, r.n)
+        for r in toks.groupBy("term").agg(F.count("*").alias("n")).collect()
+        if r.n * 100 >= total
+    }
+    assert expect, "fixture should have >=1% tokens"
+    for parts in (1, 7):
+        got = {
+            (r.term, r.n_occurrences)
+            for r in sketches.heavy_hitters(docs.repartition(parts), 1.0, k=128).collect()
+        }
+        assert got == expect
+    with pytest.raises(ValueError):
+        sketches.heavy_hitters(docs, min_freq_pct=0.5, k=128)  # k too small for 0.5%
