@@ -379,3 +379,13 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_pps_and_cusum_windows_are_partitioned(spark):
+    """Both new window-based operators must keep their windows per-key —
+    a SinglePartition window would serialize the corpus through one task
+    (the pack_token_stream lesson, regression-pinned for each new op)."""
+    for name in ("pps_sample_docs", "cusum_user_value_drift"):
+        plan = _physical_plan(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "Window" in plan, name
