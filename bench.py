@@ -109,10 +109,15 @@ R7_ADDITIONS = [
     "gapfill_user_value",
     # round-7 session classes: chunking (narrow map-side explode), Bloom
     # decontamination (bitset build + map-side probes), grid-cell
-    # interval join (equi-join reduction of a range join).
+    # interval join (equi-join reduction of a range join), hashed linear
+    # quality scoring, PPS sampling, CUSUM windows, MG heavy hitters.
     "chunk_documents_stride",
     "decontaminate_docs_bloom",
     "interval_join_order_bands",
+    "quality_linear_docs",
+    "pps_sample_docs",
+    "cusum_user_value_drift",
+    "heavy_hitter_tokens",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -248,3 +248,56 @@ def cusum_alerts(
         F.col("cusum"),
         (F.col("cusum") >= threshold_cents).alias("alert"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """M4 visualization-driven downsampling (Jugel et al., VLDB 2014):
+    per (key, time bucket), keep exactly the four value-defining points a
+    pixel column can render — first, last, min, max — so a dashboard
+    draws a 100 TB series from ``4 × width`` rows with zero visual error
+    at the chosen resolution.
+
+    Values quantize to integer cents (the fixture values are 2-decimal)
+    so min/max/first/last are exact integer picks with deterministic
+    (ts, tiebreak) ordering — bit-identical across engines.
+
+    Plan: one partial-aggregable groupBy — min/max/min_by/max_by all
+    combine map-side, so the shuffle carries 1 row per (key, bucket)
+    regardless of raw density. No windows, no sort.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    sec = F.unix_timestamp(F.col(ts_col)).cast("long")
+    e = df.select(
+        F.col(key_col).alias("key"),
+        (sec - (sec % F.lit(int(bucket_seconds)))).alias("bucket_ts"),
+        sec.alias("ts"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+        cents.alias("v"),
+    )
+    # deterministic first/last: min_by/max_by on a composite (ts, tb) key
+    # packed into one long — epoch seconds (< 2^33) x 2^30 stays under
+    # 2^63; requires tb < 2^30 (a row id within a series bucket)
+    ord_key = F.col("ts") * F.lit(1 << 30) + F.col("tb")
+    agg = e.groupBy("key", "bucket_ts").agg(
+        F.min_by("v", ord_key).alias("v_first"),
+        F.max_by("v", ord_key).alias("v_last"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.count("*").alias("n_points"),
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        "bucket_ts",
+        (F.col("v_first") / 100.0).alias("v_first"),
+        (F.col("v_last") / 100.0).alias("v_last"),
+        (F.col("v_min") / 100.0).alias("v_min"),
+        (F.col("v_max") / 100.0).alias("v_max"),
+        "n_points",
+    )

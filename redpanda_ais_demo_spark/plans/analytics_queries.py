@@ -199,3 +199,42 @@ def sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date(F.col("ts")))
     rollup = sketches.hll_rollup(events, ["day", "event_type"], "user_id")
     return sketches.hll_rollup_estimate(rollup, ["event_type"]).orderBy("event_type")
+
+
+@query(
+    "m4_downsample_event_values",
+    oracle="""
+        WITH e AS (
+            SELECT event_type AS key,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        b AS (
+            SELECT key, ts - (ts % 86400) AS bucket_ts, v,
+                   ts * 1073741824 + event_id AS ord
+            FROM e
+        )
+        SELECT key AS event_type, bucket_ts,
+               min_by(v, ord) / 100.0 AS v_first,
+               max_by(v, ord) / 100.0 AS v_last,
+               min(v) / 100.0 AS v_min,
+               max(v) / 100.0 AS v_max,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM b GROUP BY key, bucket_ts
+    """,
+    tags=("analytics", "timeseries", "agg", "scale-path"),
+    doc="M4 visualization downsampling (Jugel et al., VLDB 2014): per "
+    "(series, day bucket) keep exactly the four pixel-defining points - "
+    "first, last, min, max - so a dashboard renders a 100 TB series "
+    "from 4 x width rows with zero visual error. One partial-aggregable "
+    "groupBy (min/max/min_by/max_by all combine map-side): the shuffle "
+    "carries one row per bucket regardless of raw density; integer "
+    "cents + packed (ts,id) ordering keep every pick bit-exact "
+    "(operators/timeseries.py:m4_downsample).",
+)
+def m4_downsample_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import m4_downsample
+
+    events = load_table(spark, sf_dir, "events")
+    return m4_downsample(events, "event_type", "ts", "value", "event_id", 86400)

@@ -166,3 +166,25 @@ def test_cusum_matches_sequential_recurrence(spark):
     # the statistic must actually reset: after the 80.0 spike decays
     # through two low values, cusum returns to 0, then re-alarms
     assert expect[3][0] == 0 and expect[5][1]
+
+
+def test_m4_downsample_picks_exact_four_points(spark):
+    """M4 must return the exact first/last/min/max of each bucket with
+    deterministic (ts, id) ordering for the endpoint picks."""
+    from redpanda_ais_demo_spark.operators.timeseries import m4_downsample
+
+    rows = [
+        # one key, one day bucket: first at t=0 (v=5), last at t=50 (v=7),
+        # min 1.25 in the middle, max 9.5; same-ts tie at t=0 broken by id
+        ("k", 0, 1, 5.0), ("k", 0, 2, 6.0), ("k", 10, 3, 1.25),
+        ("k", 20, 4, 9.5), ("k", 50, 5, 7.0),
+        # second bucket (next day): single point
+        ("k", 86400 + 3, 6, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, sec long, event_id long, value double")
+    df = df.withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    out = {r.bucket_ts: r for r in m4_downsample(df, "key", "ts", "value", "event_id", 86400).collect()}
+    b0 = out[0]
+    assert (b0.v_first, b0.v_last, b0.v_min, b0.v_max, b0.n_points) == (5.0, 7.0, 1.25, 9.5, 5)
+    b1 = out[86400]
+    assert (b1.v_first, b1.v_last, b1.v_min, b1.v_max, b1.n_points) == (2.0, 2.0, 2.0, 2.0, 1)
