@@ -118,6 +118,7 @@ R7_ADDITIONS = [
     "pps_sample_docs",
     "cusum_user_value_drift",
     "heavy_hitter_tokens",
+    "m4_downsample_event_values",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -111,7 +111,6 @@ def interval_join_bucketed(
     lo_col: str,
     hi_col: str,
     cell_size: float,
-    how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval join as an equi-join on a coarse grid — the
     scale path for LARGE interval tables, where the broadcast-nested-
@@ -132,6 +131,10 @@ def interval_join_bucketed(
     interval join to an equi-join is the 100 TB-safe formulation.
     """
     lo, hi, p = F.col(lo_col), F.col(hi_col), F.col(point_col)
+    # inverted intervals (hi < lo) match nothing by definition — drop them
+    # BEFORE the explode, where sequence(start, stop) with start > stop
+    # would otherwise generate a useless descending cell list
+    intervals = intervals.filter(lo <= hi)
     cells = intervals.withColumn(
         "__cell",
         F.explode(
@@ -142,8 +145,10 @@ def interval_join_bucketed(
         ),
     )
     keyed_points = points.withColumn("__cell", F.floor(p / F.lit(cell_size)).cast("long"))
+    # inner only: the exact-containment filter after the cell match would
+    # defeat any outer variant's unmatched rows anyway
     return (
-        keyed_points.join(cells, "__cell", how)
+        keyed_points.join(cells, "__cell", "inner")
         .filter((lo <= p) & (p < hi))
         .drop("__cell")
     )
