@@ -1603,3 +1603,25 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sketches.heavy_hitters(docs, min_freq_pct=1.0, k=128)
+
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # the merge loop carries state across rounds - not
+    # SQL-expressible; exact merge-table equality vs a pure-Python
+    # reference BPE is pinned in tests/test_llm_ops.py (fixture corpus
+    # included), which is an external oracle in all but SQL form
+    tags=("vocab", "iterative", "text", "scale-path"),
+    doc="BPE tokenizer training (Sennrich et al. 2016): learn the first "
+    "6 merges over the corpus. The corpus collapses ONCE into the "
+    "distinct-word frequency table; each round is a vocab-sized pair "
+    "count + a 1-row driver argmax + a higher-order-function merge "
+    "rewrite (aggregate fold, no Python per row). Deterministic "
+    "tie-break (count desc, pair asc) makes the merge sequence a pure "
+    "function of the corpus (operators/vocab.py:bpe_train).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab.bpe_train(docs, n_merges=6)

@@ -841,3 +841,67 @@ def test_pps_sample_exact_pin_count_and_proportionality(spark):
     assert sorted((r.shard, r.doc_id, r.n_copies) for r in out) == sorted(
         (r.shard, r.doc_id, r.n_copies) for r in out2
     )
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE (Sennrich et al. 2016): word-frequency table,
+    argmax pair with (count desc, pair asc) tie-break, greedy leftmost
+    merge — the external oracle for the Spark implementation."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    table = {w: tuple(list(w) + ["</w>"]) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, syms in table.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for w, syms in table.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            table[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from redpanda_ais_demo_spark.operators import vocab
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new low",
+        "wider wide widest lower",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in vocab.bpe_train(docs, n_merges=8).collect()
+    ]
+    assert got == _bpe_reference(texts, 8)
+    # greedy-leftmost overlap rule: 'aaa' merges to ('aa','a'), not ('a','aa')
+    tri = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    m = vocab.bpe_train(tri, n_merges=2).collect()
+    assert (m[0].left, m[0].right) == ("a", "a")
+    assert [(r.left, r.right) for r in m] == [(t[1], t[2]) for t in _bpe_reference(["aaa aaa"], 2)]
+
+
+def test_bpe_train_on_fixture_matches_reference(spark):
+    from redpanda_ais_demo_spark.operators import vocab
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    texts = [r.text for r in docs.select("text").collect()]
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in vocab.bpe_train(docs, n_merges=6).collect()
+    ]
+    assert got == _bpe_reference(texts, 6)
