@@ -100,3 +100,49 @@ def bpe_train(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> Da
     return spark.createDataFrame(
         out, "merge_rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Tokenize with a learned merge table: apply the merges in rank
+    order to every word, then count subwords per document — the encode
+    side of ``bpe_train`` (train → ship merge table → encode corpus).
+
+    Each merge is one ``aggregate`` fold over the symbol arrays, chained
+    in rank order inside a single projection — all codegen, no shuffle,
+    no Python; the corpus streams through once regardless of merge count.
+    Returns (id row ..., n_words, n_subwords).
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    syms_per_word = F.transform(
+        words,
+        lambda w: F.concat(F.transform(F.split(w, ""), lambda c: c), F.array(F.lit(_END))),
+    )
+    # closure factory, not default-arg binding: PySpark infers a HOF's
+    # arity from the lambda's parameter count, so extra defaulted params
+    # would read as a 3-argument transform lambda
+    def _merge_lambda(left: str, right: str):
+        a, b = F.lit(left), F.lit(right)
+
+        def apply(syms):
+            return F.aggregate(
+                syms,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+
+        return apply
+
+    col = syms_per_word
+    for left, right in merges:
+        col = F.transform(col, _merge_lambda(left, right))
+    n_sub = F.aggregate(
+        F.transform(col, lambda syms: F.size(syms)), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "*",
+        F.size(words).alias("n_words"),
+        n_sub.cast("long").alias("n_subwords"),
+    )

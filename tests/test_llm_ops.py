@@ -905,3 +905,34 @@ def test_bpe_train_on_fixture_matches_reference(spark):
         for r in vocab.bpe_train(docs, n_merges=6).collect()
     ]
     assert got == _bpe_reference(texts, 6)
+
+
+def test_bpe_encode_matches_reference_segmentation(spark):
+    from redpanda_ais_demo_spark.operators import vocab
+
+    texts = ["low lower lowest", "newer new lowest low"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = [(l, r) for _, l, r, _, _ in _bpe_reference(texts, 5)]
+    out = {r.doc_id: (r.n_words, r.n_subwords)
+           for r in vocab.bpe_encode(docs, merges).collect()}
+
+    def ref_encode(text):
+        total = 0
+        for w in text.split(" "):
+            syms = list(w) + ["</w>"]
+            for l, r in merges:
+                out_s, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out_s.append(l + r); i += 2
+                    else:
+                        out_s.append(syms[i]); i += 1
+                syms = out_s
+            total += len(syms)
+        return total
+
+    for i, t in enumerate(texts):
+        assert out[i] == (len(t.split(" ")), ref_encode(t)), t
+    # merges genuinely compress: subword count strictly below character count
+    assert all(ns < sum(len(w) + 1 for w in t.split(" "))
+               for (i, t), (nw, ns) in zip(enumerate(texts), out.values()))
