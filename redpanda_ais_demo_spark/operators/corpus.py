@@ -631,3 +631,37 @@ def pps_systematic_sample(
         .filter(F.col("n_copies") >= 1)
         .select("shard", id_col, "weight", "n_copies")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiling — the ANALYZE-statistics step a pipeline
+    runs before choosing join strategies, partition keys and quality
+    thresholds: per column, row count, null count, exact distinct count,
+    and min/max (stringified so heterogeneous column types share one
+    output schema).
+
+    Plan: a single aggregation over one scan — every non-distinct
+    statistic combines map-side; the distinct counts ride Spark's
+    multi-distinct Expand (one shuffle total, not one per column). The
+    wide 1-row aggregate then unpivots to one row per column via stack;
+    output is |cols| rows regardless of table size.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __nulls_{c}, __ndv_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) as "
+            "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

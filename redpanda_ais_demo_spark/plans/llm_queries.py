@@ -1625,3 +1625,38 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab.bpe_train(docs, n_merges=6)
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+        SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_value,
+               CAST(max(o_custkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+    """,
+    tags=("stats", "agg", "scale-path"),
+    doc="One-pass column profiling (the ANALYZE step before strategy "
+    "choices): per column - rows, nulls, exact distinct, min/max. All "
+    "non-distinct stats combine map-side in a single aggregation; the "
+    "distinct counts share one multi-distinct Expand shuffle; the 1-row "
+    "wide result unpivots to |cols| rows via stack "
+    "(operators/corpus.py:profile_columns).",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return corpus.profile_columns(orders, ["o_custkey", "o_orderstatus", "o_totalprice"])

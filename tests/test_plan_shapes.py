@@ -426,3 +426,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_m4_is_partial_aggregable_and_heavy_hitters_broadcasts(spark):
+    """M4 must partial-aggregate map-side (one row per bucket shuffles);
+    the heavy-hitter recount must broadcast the candidate set, never
+    shuffle the token stream against it."""
+    plan = _physical_plan(spark, "m4_downsample_event_values")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Window" not in plan  # pure groupBy, no sort/window
+    plan2 = _physical_plan(spark, "heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2
