@@ -936,3 +936,15 @@ def test_bpe_encode_matches_reference_segmentation(spark):
     # merges genuinely compress: subword count strictly below character count
     assert all(ns < sum(len(w) + 1 for w in t.split(" "))
                for (i, t), (nw, ns) in zip(enumerate(texts), out.values()))
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a"), (2, "b")],
+        "x long, s string",
+    )
+    out = {r.column: r for r in corpus.profile_columns(df, ["x", "s"]).collect()}
+    assert (out["x"].n_rows, out["x"].n_nulls, out["x"].n_distinct) == (4, 1, 2)
+    assert (out["x"].min_value, out["x"].max_value) == ("1", "2")  # nulls excluded
+    assert (out["s"].n_rows, out["s"].n_nulls, out["s"].n_distinct) == (4, 1, 2)
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
