@@ -121,7 +121,6 @@ PRIORITY: tuple[str, ...] = (
     "semdedup_embeddings",
     "ann_lsh_topk",
     "dedup_clusters",
-    "tfidf_top_terms",
     "pack_token_stream_sharded",
     "embedding_random_projection",
     "source_mixture_weights",
@@ -133,7 +132,6 @@ PRIORITY: tuple[str, ...] = (
     "value_percentiles",
     "salted_join_segment_traffic",
     "grouping_sets_sql",
-    "unpivot_part_measures",
     # round-6 classes with no earlier in-window sibling (rotated in r7:
     # rollup_cascade_traffic is represented by grouping_sets_sql's grouping
     # family and order_price_dispersion by value_percentiles' percentile
@@ -181,6 +179,15 @@ PRIORITY: tuple[str, ...] = (
     # last() and cusum's running sum/min).
     "pps_sample_docs",
     "cusum_user_value_drift",
+    # heavy hitters carries the sketch family's first full-hash window
+    # row (its MG-prune answer is exact, unlike the rows-only CMS/HLL
+    # entries); M4 is the new downsampling class. Rotated out for them:
+    # tfidf_top_terms (bm25_topk_docs covers term-weighting retrieval)
+    # and unpivot_part_measures (pivot_status_by_priority covers the
+    # reshaping family) — both stay registered, oracle-bearing,
+    # pytest-oracle-swept.
+    "heavy_hitter_tokens",
+    "m4_downsample_event_values",
 )
 
 

@@ -37,7 +37,6 @@ REQUIRED_IN_WINDOW = {
     "semdedup_embeddings",
     "ann_lsh_topk",
     "dedup_clusters",
-    "tfidf_top_terms",
     "text_quality",
     "multimodal_frame_sample",
     # round-2 corpus classes
@@ -52,7 +51,6 @@ REQUIRED_IN_WINDOW = {
     "value_percentiles",
     "grouping_sets_sql",
     "salted_join_segment_traffic",
-    "unpivot_part_measures",
     # round-6 classes rotated into the window in r7 (gap-fill resampling and
     # span-level dedup have no same-class sibling elsewhere in the window;
     # rollup_cascade_traffic is covered by grouping_sets_sql's family and
@@ -81,6 +79,11 @@ REQUIRED_IN_WINDOW = {
     # registered, oracle-bearing, pytest-oracle-swept)
     "pps_sample_docs",
     "cusum_user_value_drift",
+    # sketch family's first full-hash window row + the downsampling class
+    # (tfidf_top_terms behind bm25's term-weighting retrieval and
+    # unpivot_part_measures behind pivot's reshaping family rotated out)
+    "heavy_hitter_tokens",
+    "m4_downsample_event_values",
 }
 
 
