@@ -121,3 +121,13 @@ def pii_counts(text: Column) -> list[Column]:
         F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
         for name, pattern, _ in PII_PATTERNS
     ]
+
+
+def canonicalize(text: Column) -> Column:
+    """Dedup canonicalization: lowercase, strip non-alphanumerics to
+    spaces, collapse runs of whitespace, trim — so trivially reformatted
+    duplicates ("Hello,  World!" vs "hello world") hash identically.
+    Pure JVM expression chain (lower + two regexp_replace + trim); the
+    regexes live in the Java∩RE2 subset like the PII patterns."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))

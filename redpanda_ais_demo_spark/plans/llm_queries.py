@@ -1660,3 +1660,31 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return corpus.profile_columns(orders, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+@query(
+    "dedup_exact_canonical",
+    oracle="""
+        WITH canon AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                       ' +', ' ', 'g')) AS ctext
+            FROM documents
+        )
+        SELECT min(doc_id) AS doc_id, count(*) AS n_dups, ctext
+        FROM canon GROUP BY ctext
+    """,
+    tags=("dedup", "text", "agg"),
+    doc="Exact dedup after canonicalization (lowercase, punctuation to "
+    "spaces, whitespace collapse): catches trivially reformatted "
+    "duplicates the raw-text X1 dedup misses - the standard normalize-"
+    "then-hash first stage of a dedup cascade. Same map-side partial-agg "
+    "shape as dedup_exact_docs; the canonical form is a pure JVM "
+    "expression (functions/text.py:canonicalize).",
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select("doc_id", TXT.canonicalize(F.col("text")).alias("ctext"))
+    return canon.groupBy("ctext").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
+    ).select("doc_id", "n_dups", "ctext")

@@ -948,3 +948,16 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert (out["x"].min_value, out["x"].max_value) == ("1", "2")  # nulls excluded
     assert (out["s"].n_rows, out["s"].n_nulls, out["s"].n_distinct) == (4, 1, 2)
     assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+
+
+def test_canonicalize_collapses_reformatted_duplicates(spark):
+    from redpanda_ais_demo_spark.functions import text as TXT
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO-WORLD"),
+         (4, "hello worlds")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.c for r in df.select("doc_id", TXT.canonicalize(F.col("text")).alias("c")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[4] == "hello worlds"  # no false merging
