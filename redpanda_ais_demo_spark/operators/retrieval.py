@@ -28,6 +28,7 @@ per the BASELINE.json north star, same family as X5 text analysis).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -94,4 +95,105 @@ def bm25_topk(
     w = Window.orderBy(F.col("score").desc(), F.col("id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "score", "rank"
+    )
+
+
+def query_cosine_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` rows by cosine similarity against ONE literal query
+    vector — the single-query retrieval primitive (vs the all-pairs
+    ``similarity.brute_force_topk``).
+
+    Scale design: the query vector rides the expression tree as literals,
+    so this is a NARROW projection over one corpus scan — no join, no
+    shuffle of the embedding table; top-k plans TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver merge). At 100 TB the ANN
+    paths (``similarity.lsh_topk`` / ``ivf_topk``) answer first and this
+    exact form is the verifier/re-ranker.
+
+    Determinism: the dot product is a left-to-right ``aggregate`` fold
+    over the same doubles DuckDB's ``list_dot_product`` folds, the query
+    norm is the same sequential Python sum, and the cosine is rounded to
+    6 dp before ordering (registry determinism rules).
+
+    Returns (id_col, cos_sim, rank), rank dense over (cos desc, id asc).
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = emb.select(
+        F.col(id_col).alias("id"),
+        F.round(dot / (nrm * F.lit(qnorm)), 6).alias("cos_sim"),
+    )
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "cos_sim", "rank"
+    )
+
+
+def rrf_fuse(
+    legs: Sequence[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse N retrieval rankings by ``score(d) = Σ_legs 1/(k0 + rank_leg(d))``
+    — the standard hybrid-search combiner (lexical BM25 + semantic ANN)
+    because it needs no score calibration between legs, only ranks.
+
+    Each leg must carry (id_col, rank). A document absent from a leg
+    contributes 0 from that leg. Output: (id_col, rank_0..rank_{n-1}
+    per-leg ranks — NULL where absent, kept for explainability —
+    rrf_score, rank).
+
+    Scale design: every leg is already a top-k (≤ tens of rows at any
+    corpus size), so the fusion full-outer joins and final sort touch
+    O(Σ leg sizes) rows — broadcastable, cost independent of corpus size.
+    Determinism: per-leg contributions quantize to integer micro-units
+    (round(1e6/(k0+rank))) and ADD as BIGINTs — associativity-free
+    cross-engine; with k0=60 and leg depth ≤ 20 no contribution lands on
+    a .5 rounding boundary (1e6/d is never half-integral for 61 ≤ d ≤ 80).
+    """
+    if not legs:
+        raise ValueError("legs must be non-empty")
+    fused = None
+    for i, leg in enumerate(legs):
+        sel = leg.select(
+            F.col(id_col).alias("id"), F.col("rank").alias(f"rank_{i}")
+        )
+        fused = sel if fused is None else fused.join(sel, "id", "full_outer")
+    micro = None
+    for i in range(len(legs)):
+        c = F.coalesce(
+            F.round(F.lit(1e6) / (F.lit(float(k0)) + F.col(f"rank_{i}")), 0).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        micro = c if micro is None else micro + c
+    scored = fused.withColumn("rrf_micro", micro)
+    topk = scored.orderBy(F.col("rrf_micro").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .withColumn("rrf_score", (F.col("rrf_micro") / 1e6))
+        .select(
+            F.col("id").alias(id_col),
+            *[f"rank_{i}" for i in range(len(legs))],
+            "rrf_score",
+            "rank",
+        )
     )

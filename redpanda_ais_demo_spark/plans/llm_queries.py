@@ -574,6 +574,107 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+# --- Hybrid retrieval: Reciprocal Rank Fusion ------------------------------
+
+# Lexical leg = the BM25 CTE chain above at depth 20; semantic leg = cosine
+# against the vec_id=0 embedding (the literal "query vector" — excluded from
+# candidates); fusion = Σ round(1e6/(60+rank)) summed as BIGINTs (no .5
+# boundary for depth ≤ 20, see operators/retrieval.py:rrf_fuse).
+_HYBRID_RRF_ORACLE = """
+    WITH base AS (
+        SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM base),
+    postings AS (SELECT id, len(w) AS dl, unnest(w) AS t FROM base),
+    tf AS (
+        SELECT id, t, count(*) AS tf, max(dl) AS dl
+        FROM postings WHERE t IN ('hash', 'merge', 'scan')
+        GROUP BY id, t
+    ),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    idf AS (
+        SELECT t, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dfreq, stats s
+    ),
+    contrib AS (
+        SELECT tf.id,
+               CAST(round(idf.idf * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                          * 1e6) AS BIGINT) AS micro
+        FROM tf JOIN idf ON tf.t = idf.t CROSS JOIN stats s
+    ),
+    bm25 AS (
+        SELECT id, CAST(SUM(micro) AS BIGINT) / 1e6 AS score
+        FROM contrib GROUP BY id
+    ),
+    lex AS (
+        SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rank
+        FROM bm25 ORDER BY score DESC, id LIMIT 20
+    ),
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    sem_scored AS (
+        SELECT vec_id AS id,
+               round(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                     6) AS cos_sim
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id <> 0), q
+    ),
+    sem AS (
+        SELECT id, CAST(row_number() OVER (ORDER BY cos_sim DESC, id) AS INTEGER) AS rank
+        FROM sem_scored ORDER BY cos_sim DESC, id LIMIT 20
+    ),
+    fused AS (
+        SELECT COALESCE(l.id, s.id) AS id, l.rank AS lex_rank, s.rank AS sem_rank,
+               COALESCE(CAST(round(1e6 / (60.0 + l.rank)) AS BIGINT), 0)
+               + COALESCE(CAST(round(1e6 / (60.0 + s.rank)) AS BIGINT), 0) AS rrf_micro
+        FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+    )
+    SELECT id AS doc_id, lex_rank, sem_rank, rrf_micro / 1e6 AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_micro DESC, id) AS INTEGER) AS rank
+    FROM fused ORDER BY rrf_micro DESC, id LIMIT 10
+"""
+
+
+@query(
+    "hybrid_rrf_topk_docs",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("retrieval", "fusion", "topk"),
+    doc="Hybrid retrieval — Reciprocal Rank Fusion (Cormack et al. 2009) of "
+    "a BM25 lexical leg (depth 20) and a query-vector cosine semantic leg "
+    "(depth 20, vec_id=0 as the literal query). Each leg is already top-k, "
+    "so the fusion join + final sort touch O(leg depth) rows at any corpus "
+    "size; the semantic leg is a zero-shuffle narrow scan (query vector as "
+    "literals) planned as TakeOrderedAndProject. Integer micro-unit RRF "
+    "contributions keep the fused score associativity-free cross-engine. "
+    "At 100 TB the semantic leg swaps to similarity.lsh_topk/ivf_topk; "
+    "rrf_fuse is leg-agnostic.",
+)
+def hybrid_rrf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    lex = retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+    sem = retrieval.query_cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=20)
+    fused = retrieval.rrf_fuse(
+        [lex.select(F.col("doc_id"), "rank"),
+         sem.select(F.col("vec_id").alias("doc_id"), "rank")],
+        k0=60, k=10,
+    )
+    return fused.select(
+        "doc_id",
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("sem_rank"),
+        "rrf_score",
+        "rank",
+    )
+
+
 # --- Similarity search (X3) ------------------------------------------------
 
 _COSINE_ORACLE = """

@@ -961,3 +961,21 @@ def test_canonicalize_collapses_reformatted_duplicates(spark):
     out = {r.doc_id: r.c for r in df.select("doc_id", TXT.canonicalize(F.col("text")).alias("c")).collect()}
     assert out[1] == out[2] == out[3] == "hello world"
     assert out[4] == "hello worlds"  # no false merging
+
+
+def test_rrf_fuse_combines_and_tolerates_missing_leg(spark):
+    """RRF semantics on crafted legs: a doc present in both legs outranks
+    single-leg docs; absent legs contribute exactly 0; per-leg ranks
+    survive as NULLable explainability columns."""
+    from redpanda_ais_demo_spark.operators.retrieval import rrf_fuse
+
+    leg_a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    leg_b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = rrf_fuse([leg_a, leg_b], k0=60, k=10).collect()
+    rows = {r.doc_id: r for r in out}
+    # micro contributions: rank r -> round(1e6/(60+r))
+    assert [r.doc_id for r in out] == [2, 1, 4, 3]
+    assert rows[2].rrf_score == (16129 + 16393) / 1e6  # rank 2 in A, 1 in B
+    assert rows[1].rrf_score == 16393 / 1e6
+    assert rows[3].rank_1 is None and rows[4].rank_0 is None
+    assert [r.rank for r in out] == [1, 2, 3, 4]

@@ -438,3 +438,31 @@ def test_m4_is_partial_aggregable_and_heavy_hitters_broadcasts(spark):
     plan2 = _physical_plan(spark, "heavy_hitter_tokens")
     assert "BroadcastHashJoin" in plan2
     assert "SortMergeJoin" not in plan2
+
+
+def test_query_cosine_topk_is_narrow_scan(spark):
+    """The single-query cosine leg must stay a zero-shuffle narrow scan:
+    query vector as literals, no join, top-k via TakeOrderedAndProject
+    (per-partition heaps) — at 100 TB the corpus streams through once."""
+    from redpanda_ais_demo_spark.operators import retrieval
+    from redpanda_ais_demo_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = retrieval.query_cosine_topk(emb, [1.0] * 16, k=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the only Exchange allowed is the 5-row single-partition pass feeding
+    # the rank window (runs over <=k rows, never the corpus)
+    assert plan.count("Exchange") <= 2  # tree + detail of that one node
+
+
+def test_hybrid_rrf_fuses_topk_legs_only(spark):
+    """RRF must join the two <=20-row top-k legs, never corpus-sized
+    inputs: both leg sorts plan TakeOrderedAndProject, and the final
+    fused sort-limit runs over <=40 rows."""
+    plan = _physical_plan(spark, "hybrid_rrf_topk_docs")
+    assert plan.count("TakeOrderedAndProject") >= 3  # lex leg, sem leg, fused
+    assert "CartesianProduct" not in plan
