@@ -665,3 +665,69 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    max_symbol_ratio: float = 0.1,
+    max_dup_bigram_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A) as one composite
+    per-document filter — the standard pretraining heuristic gate: word
+    count bounds, mean word length 3-10, >=80% alphabetic words, >=2
+    stopwords, #/ellipsis symbol ratio <=0.1, plus the repeated-bigram
+    gate (token-count analogue of the paper's character-fraction rule).
+
+    Returns one row per doc with the raw signals, one boolean per rule,
+    and ``passes`` = AND of all rules — keep the signals, not just the
+    verdict, so threshold sweeps re-filter without rescanning text.
+
+    Scale design: every signal is an in-array lambda / string-length
+    expression over the tokenized text — a NARROW codegen projection,
+    no explode, no shuffle, no UDF; the corpus streams through one scan.
+    Determinism: ratios are int/int double divisions rounded to 6 dp,
+    identical cross-engine; rule booleans compare those rounded values.
+    """
+    w = T.tokens(F.col(text_col))
+    n = F.size(w)
+    txt = F.col(text_col)
+    mean_len = F.round((F.length(txt) - (n - F.lit(1))) / n, 6)
+    alpha = F.round(
+        F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))) / n, 6
+    )
+    n_stop = T.stopword_count(txt).cast("long")
+    hashes = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    ellipses = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol = F.round((hashes + ellipses) / n, 6)
+    dup_bg = F.when(n >= 2, F.round(T.dup_ngram_fraction(w, 2), 6)).otherwise(F.lit(0.0))
+    out = docs.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha.alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        symbol.alias("symbol_ratio"),
+        dup_bg.alias("dup_bigram_ratio"),
+    )
+    rules = {
+        "ok_word_count": F.col("n_words").between(min_words, max_words),
+        "ok_mean_word_len": F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len),
+        "ok_alpha": F.col("alpha_word_ratio") >= min_alpha_ratio,
+        "ok_stopwords": F.col("n_stopwords") >= min_stopwords,
+        "ok_symbol": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_repetition": F.col("dup_bigram_ratio") <= max_dup_bigram_ratio,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    verdict = None
+    for name in rules:
+        verdict = F.col(name) if verdict is None else verdict & F.col(name)
+    return out.withColumn("passes", verdict)

@@ -1174,6 +1174,56 @@ def dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gopher_quality_docs",
+    oracle="""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        b AS (
+            SELECT doc_id, text, w,
+                   list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                  i -> array_to_string(w[i:i+1], ' ')) AS bg
+            FROM t
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   round((length(text) - (len(w) - 1)) / len(w), 6) AS mean_word_len,
+                   round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w), 6) AS alpha_word_ratio,
+                   CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS BIGINT) AS n_stopwords,
+                   round(((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) / 3)
+                         / len(w), 6) AS symbol_ratio,
+                   CASE WHEN len(w) >= 2
+                        THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+                        ELSE 0.0 END AS dup_bigram_ratio
+            FROM b
+        )
+        SELECT *,
+               n_words BETWEEN 50 AND 100000 AS ok_word_count,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+               alpha_word_ratio >= 0.8 AS ok_alpha,
+               n_stopwords >= 2 AS ok_stopwords,
+               symbol_ratio <= 0.1 AS ok_symbol,
+               dup_bigram_ratio <= 0.2 AS ok_repetition,
+               (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND alpha_word_ratio >= 0.8 AND n_stopwords >= 2
+               AND symbol_ratio <= 0.1 AND dup_bigram_ratio <= 0.2 AS passes
+        FROM s
+    """,
+    tags=("text", "quality", "filter"),
+    doc="Composite Gopher quality gate (Rae et al. 2021, Appendix A) at "
+    "the published thresholds: word count 50-100k, mean word length 3-10, "
+    ">=80% alphabetic words, >=2 stopwords, symbol ratio <=0.1, repeated-"
+    "bigram <=0.2. Emits raw signals + per-rule booleans + the AND "
+    "verdict, so threshold sweeps re-filter without rescanning text. "
+    "Every signal is an in-array lambda / string-length codegen "
+    "expression — narrow projection, no explode, no shuffle, no UDF.",
+)
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.gopher_quality(docs)
+
+
+@query(
     "doc_repetition_stats",
     oracle="""
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -466,3 +466,13 @@ def test_hybrid_rrf_fuses_topk_legs_only(spark):
     plan = _physical_plan(spark, "hybrid_rrf_topk_docs")
     assert plan.count("TakeOrderedAndProject") >= 3  # lex leg, sem leg, fused
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_quality_is_narrow_map_only(spark):
+    """The composite quality gate must stay a pure narrow projection —
+    no explode, no shuffle, no UDF: at 100 TB the corpus streams through
+    a single codegen'd scan."""
+    plan = _physical_plan(spark, "gopher_quality_docs")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
