@@ -18,7 +18,7 @@ All hashing is Spark's xxhash64 (deterministic across runs/executors).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -669,4 +669,44 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int | None = None
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    score: Column,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-retention policy — the decision step that turns near-dup
+    CLUSTERS into a training corpus: from each cluster keep exactly one
+    document, the one with the highest ``score`` (ties → smallest id);
+    documents in no cluster are their own singleton and always kept.
+    (Naive dedup keeps the smallest id; real pipelines keep the BEST
+    duplicate — longest / highest-quality — and drop the rest.)
+
+    ``clusters`` is (id_col, cluster_id) from ``dedup_clusters`` /
+    ``dedup_clusters_two_phase``; ``score`` is any deterministic Column
+    over ``docs``'s columns (use integer micro-units for cross-engine
+    exactness). Returns (id_col, cluster_id, score, kept).
+
+    Scale design: one hash join of the corpus against the cluster map
+    (only near-dup participants — usually a small fraction; AQE
+    broadcasts it when small) and one window partitioned by cluster_id
+    (never global). The corpus shuffles once on cluster_id; singleton
+    clusters ride the same window with one row each.
+    """
+    scored = docs.select(F.col(id_col).alias("id"), score.alias("score"))
+    cl = clusters.select(
+        F.col(id_col).alias("id"), F.col("cluster_id").alias("cl")
+    )
+    joined = scored.join(cl, "id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cl"), F.col("id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("id")
+    )
+    return (
+        joined.withColumn("kept", F.row_number().over(w) == 1)
+        .select(F.col("id").alias(id_col), "cluster_id", "score", "kept")
     )

@@ -879,6 +879,59 @@ _CLUSTERS_ORACLE = f"""
     """
 
 
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) jp
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, other) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.node, e.dst
+        FROM reach r JOIN edges e ON r.other = e.src AND e.dst <> r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, least(node, min(other)) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(round(1e6 * len(list_distinct(string_split(d.text, ' ')))
+                          / len(string_split(d.text, ' '))) AS BIGINT) AS score
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, score,
+           row_number() OVER (
+               PARTITION BY cluster_id ORDER BY score DESC, doc_id) = 1 AS kept
+    FROM scored
+"""
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_KEEP_BEST_ORACLE,
+    tags=("dedup", "graph", "window", "quality"),
+    doc="X2 retention policy — the decision step after clustering: keep "
+    "the HIGHEST-QUALITY doc per near-dup cluster (type-token-ratio in "
+    "integer micro-units; ties -> min id), not merely the smallest id; "
+    "singletons keep themselves. One corpus-vs-cluster-map hash join "
+    "(cluster map is near-dup participants only — AQE broadcasts it "
+    "when small) + one window partitioned by cluster_id, never global. "
+    "Oracle: the recursive-CTE closure feeding the same argmax window.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, threshold=_JACCARD_THRESHOLD)
+    w = TXT.tokens(F.col("text"))
+    score = F.round(F.lit(1e6) * F.size(F.array_distinct(w)) / F.size(w)).cast("long")
+    return dedup.keep_best_per_cluster(docs, score, clusters)
+
+
 @query(
     "dedup_clusters",
     oracle=_CLUSTERS_ORACLE,

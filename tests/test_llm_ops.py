@@ -979,3 +979,22 @@ def test_rrf_fuse_combines_and_tolerates_missing_leg(spark):
     assert rows[1].rrf_score == 16393 / 1e6
     assert rows[3].rank_1 is None and rows[4].rank_0 is None
     assert [r.rank for r in out] == [1, 2, 3, 4]
+
+
+def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
+    """The retention policy must keep the HIGHEST-scoring doc per cluster
+    even when it has the larger id (where naive dedup keeps the min id),
+    and singletons must always survive as their own cluster."""
+    from redpanda_ais_demo_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5)], "doc_id long, q long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    out = {r.doc_id: r for r in keep_best_per_cluster(docs, F.col("q"), clusters).collect()}
+    assert not out[1].kept and out[2].kept          # doc 2 beats min-id doc 1 on score
+    assert out[1].cluster_id == out[2].cluster_id == 1
+    assert out[3].kept                              # 1-doc cluster
+    assert out[7].kept and out[7].cluster_id == 7   # singleton: own cluster
