@@ -113,13 +113,10 @@ PRIORITY: tuple[str, ...] = (
     # All rotated-out entries stay registered, oracle-bearing, and
     # pytest-oracle-swept.
     "dedup_exact_docs",
-    "text_quality",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
-    "simhash_near_dups",
     "embedding_cosine_topk",
     "semdedup_embeddings",
-    "ann_lsh_topk",
     "dedup_clusters",
     "pack_token_stream_sharded",
     "embedding_random_projection",
@@ -188,6 +185,22 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-swept.
     "heavy_hitter_tokens",
     "m4_downsample_event_values",
+    # round-7 session classes, batch 2 — each full-oracle with no
+    # in-window sibling: RRF hybrid retrieval (rank fusion over BM25 +
+    # query-vector cosine legs), the composite Gopher quality gate, and
+    # the keep-best-per-cluster retention policy. Rotated out for them:
+    # simhash_near_dups (the near-dup pair family keeps ngram_jaccard +
+    # minhash in-window; simhash carries its own full md5 oracle in the
+    # pytest sweep since r7), ann_lsh_topk (rows-only by design — the
+    # weakest window signal; the similarity family keeps
+    # embedding_cosine_topk + semdedup_embeddings, and ANN's real gate
+    # is the recall pytest), and text_quality (gopher_quality_docs is
+    # its strict superset: same signals plus per-rule verdicts). With
+    # ann_lsh_topk out, EVERY entry in the 50-row window now carries a
+    # full rows+schema+hash DuckDB oracle.
+    "hybrid_rrf_topk_docs",
+    "gopher_quality_docs",
+    "dedup_keep_best",
 )
 
 

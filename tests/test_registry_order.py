@@ -32,12 +32,9 @@ REQUIRED_IN_WINDOW = {
     "dedup_exact_docs",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
-    "simhash_near_dups",
     "embedding_cosine_topk",
     "semdedup_embeddings",
-    "ann_lsh_topk",
     "dedup_clusters",
-    "text_quality",
     "multimodal_frame_sample",
     # round-2 corpus classes
     "embedding_random_projection",
@@ -84,6 +81,13 @@ REQUIRED_IN_WINDOW = {
     # unpivot_part_measures behind pivot's reshaping family rotated out)
     "heavy_hitter_tokens",
     "m4_downsample_event_values",
+    # round-7 session batch 2: rank fusion, the composite quality gate
+    # (text_quality's strict superset), and the cluster-retention policy.
+    # simhash_near_dups / ann_lsh_topk / text_quality rotated out — all
+    # stay registered and pytest-swept; see registry.PRIORITY notes.
+    "hybrid_rrf_topk_docs",
+    "gopher_quality_docs",
+    "dedup_keep_best",
 }
 
 
