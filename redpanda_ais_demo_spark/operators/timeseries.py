@@ -15,7 +15,7 @@ ignorenulls)`` — no global sort or single-partition exchange anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -300,4 +300,64 @@ def m4_downsample(
         (F.col("v_min") / 100.0).alias("v_min"),
         (F.col("v_max") / 100.0).alias("v_max"),
         "n_points",
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    is_current: Column,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current slice
+    of one numeric column — the standard distribution-drift monitor
+    (complement of the CUSUM mean-drift detector: CUSUM alarms on level
+    shifts, PSI on SHAPE shifts): ``PSI = Σ_b (p_b - q_b) · ln(p_b/q_b)``
+    over fixed-width buckets, with add-one smoothing so empty buckets
+    stay finite. Rule of thumb: <0.1 stable, 0.1-0.25 drifting, >0.25
+    shifted.
+
+    ``is_current`` is a boolean Column splitting rows into current
+    (true) vs baseline (false). Returns one row per bucket with counts,
+    smoothed proportions, the micro-unit contribution, and ``psi_total``
+    replicated on every row (an exact BIGINT sum of the contributions —
+    associativity-free cross-engine).
+
+    Scale design: one conditional-aggregation groupBy on the bucket id
+    (partial-aggregable map-side — the 100 TB shape: the full scan
+    collapses to ``n_buckets`` rows before any shuffle); the totals and
+    the final sum are windows over those ``n_buckets`` rows, never the
+    raw data.
+    """
+    width = (hi - lo) / n_buckets
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+    counts = (
+        df.select(bucket.alias("bucket"), is_current.alias("cur"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    w = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # smoothed proportions: (n_b + 1) / (total + n_buckets) — same doubles
+    # both engines; contributions quantize to micro-units before summing
+    p = (F.col("n_base") + 1) / (F.sum("n_base").over(w) + F.lit(n_buckets))
+    q = (F.col("n_cur") + 1) / (F.sum("n_cur").over(w) + F.lit(n_buckets))
+    contrib = (q - p) * F.log(q / p)
+    out = counts.select(
+        "bucket",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_cur"),
+        F.round(contrib * 1e6).cast("long").alias("psi_contrib_micro"),
+    )
+    return out.withColumn(
+        "psi_total", F.sum("psi_contrib_micro").over(w) / 1e6
     )

@@ -238,3 +238,52 @@ def m4_downsample_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return m4_downsample(events, "event_type", "ts", "value", "event_id", 86400)
+
+
+@query(
+    "psi_value_drift",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(least(9, greatest(0, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS INTEGER) AS bucket,
+                   ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur
+            FROM events
+        ),
+        c AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                   CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+            FROM b GROUP BY bucket
+        ),
+        p AS (
+            SELECT bucket, n_base, n_cur,
+                   (n_base + 1) / (SUM(n_base) OVER () + 10) AS pb,
+                   (n_cur + 1) / (SUM(n_cur) OVER () + 10) AS pc
+            FROM c
+        ),
+        m AS (
+            SELECT bucket, n_base, n_cur,
+                   round(pb, 6) AS p_base, round(pc, 6) AS p_cur,
+                   CAST(round((pc - pb) * ln(pc / pb) * 1e6) AS BIGINT) AS psi_contrib_micro
+            FROM p
+        )
+        SELECT *, CAST(SUM(psi_contrib_micro) OVER () AS BIGINT) / 1e6 AS psi_total
+        FROM m
+    """,
+    tags=("analytics", "drift", "agg", "scale-path"),
+    doc="Population Stability Index over event value, first half-month "
+    "(baseline) vs second (current): distribution-shape drift, the "
+    "complement of CUSUM's level-shift alarm. Fixed-width buckets with "
+    "add-one smoothing; PSI = sum (p_cur - p_base) * ln(p_cur/p_base). "
+    "One conditional-agg groupBy collapses the full scan to 10 bucket "
+    "rows BEFORE any shuffle (partial-aggregable); totals and the final "
+    "sum are windows over those 10 rows, never the raw data — at 100 TB "
+    "the shuffle carries 10 rows. Micro-unit contributions sum as "
+    "BIGINTs (psi_total associativity-free cross-engine) "
+    "(operators/timeseries.py:psi_drift).",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import psi_drift
+
+    events = load_table(spark, sf_dir, "events")
+    cur = F.col("ts") >= F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    return psi_drift(events, "value", cur, lo=0.0, hi=500.0, n_buckets=10)

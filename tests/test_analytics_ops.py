@@ -188,3 +188,28 @@ def test_m4_downsample_picks_exact_four_points(spark):
     assert (b0.v_first, b0.v_last, b0.v_min, b0.v_max, b0.n_points) == (5.0, 7.0, 1.25, 9.5, 5)
     b1 = out[86400]
     assert (b1.v_first, b1.v_last, b1.v_min, b1.v_max, b1.n_points) == (2.0, 2.0, 2.0, 2.0, 1)
+
+
+def test_psi_drift_separates_stable_from_shifted(spark):
+    """PSI ~0 when both slices share a distribution; large when the
+    current slice concentrates in different buckets; bucket ids clamp
+    to [0, n_buckets); psi_total is the exact sum of contributions."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.timeseries import psi_drift
+
+    same = spark.createDataFrame(
+        [(float(v), c) for v in range(10) for c in (True, False)],
+        "v double, cur boolean",
+    )
+    out = psi_drift(same, "v", F.col("cur"), lo=0.0, hi=10.0, n_buckets=5).collect()
+    assert abs(out[0].psi_total) < 1e-6  # identical slices -> no drift
+
+    shifted = spark.createDataFrame(
+        [(1.0, False)] * 50 + [(9.0, True)] * 50 + [(-3.0, True), (99.0, False)],
+        "v double, cur boolean",
+    )
+    rows = psi_drift(shifted, "v", F.col("cur"), lo=0.0, hi=10.0, n_buckets=5).collect()
+    assert rows[0].psi_total > 0.25  # rule-of-thumb 'shifted' regime
+    assert {r.bucket for r in rows} <= set(range(5))  # outliers clamp
+    assert rows[0].psi_total == sum(r.psi_contrib_micro for r in rows) / 1e6
