@@ -731,3 +731,46 @@ def gopher_quality(
     for name in rules:
         verdict = F.col(name) if verdict is None else verdict & F.col(name)
     return out.withColumn("passes", verdict)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[tuple[str, int], ...] = (("train", 9000), ("val", 500), ("test", 500)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-splitting
+    step of a training pipeline, done the way it must be at 100 TB:
+    derived ONLY from (salt, key), no RNG, no state. The same key gets
+    the same split on any cluster, any partitioning, any engine, and —
+    because the hash is keyed, not positional — in ANY TABLE: sampling
+    docs and their embeddings on the same key keeps the splits aligned
+    (no eval-set leakage through a side table). Changing ``salt``
+    reshuffles all assignments atomically (split versioning).
+
+    ``weights`` are (name, per-ten-thousand) in priority order and must
+    sum to 10000. Hash = first 8 md5 hex chars of ``salt ':' key`` as a
+    u32 (portable: DuckDB replays it exactly), bucket = u32 mod 10000,
+    split by cumulative threshold. A NARROW zero-shuffle projection.
+    """
+    total = sum(w for _, w in weights)
+    if total != 10000:
+        raise ValueError(f"weights must sum to 10000, got {total}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.select(F.col(key_col), (h % 10000).alias("bucket"))
+    split = None
+    cum = 0
+    for name, w in weights[:-1]:
+        cum += w
+        cond = F.col("bucket") < cum
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    split = (
+        F.lit(weights[0][0]) if split is None else split.otherwise(weights[-1][0])
+    )
+    return out.withColumn("split", split)

@@ -1227,6 +1227,35 @@ def dedup_first_seen_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_train_val_test",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 10000 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    tags=("corpus", "sampling", "split"),
+    doc="Deterministic 90/5/5 train/val/test assignment keyed on "
+    "(salt, doc_id) via portable md5 — no RNG, no state: the same doc "
+    "gets the same split on any cluster/partitioning/engine, and in any "
+    "table sharing the key (embeddings split identically — no eval "
+    "leakage through side tables). Changing the salt reversions every "
+    "assignment atomically. Narrow zero-shuffle projection "
+    "(operators/corpus.py:split_assign).",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.split_assign(docs)
+
+
+@query(
     "gopher_quality_docs",
     oracle="""
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),

@@ -998,3 +998,24 @@ def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
     assert out[1].cluster_id == out[2].cluster_id == 1
     assert out[3].kept                              # 1-doc cluster
     assert out[7].kept and out[7].cluster_id == 7   # singleton: own cluster
+
+
+def test_split_assign_entity_consistent_and_proportional(spark):
+    """Splits derive from (salt, key) only: the embeddings table keyed on
+    vec_id must land every shared id in the SAME split as documents keyed
+    on doc_id; proportions track the 90/5/5 weights; a different salt
+    reshuffles; bad weights raise."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = {r.doc_id: r.split for r in corpus.split_assign(docs).collect()}
+    b = {r.vec_id: r.split for r in corpus.split_assign(emb, key_col="vec_id").collect()}
+    shared = set(a) & set(b)
+    assert shared and all(a[k] == b[k] for k in shared)
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.8 <= frac_train <= 0.97
+    c = {r.doc_id: r.split for r in corpus.split_assign(docs, salt="split-v2").collect()}
+    assert any(a[k] != c[k] for k in a)
+    with _pytest.raises(ValueError):
+        corpus.split_assign(docs, weights=(("train", 1),))
