@@ -1,0 +1,78 @@
+"""Graph centrality over DataFrame edge lists: fixed-iteration PageRank
+with exact integer arithmetic.
+
+Companion to the connected-components closures in ``operators/dedup.py``
+(which partition a near-dup graph); PageRank RANKS nodes within the
+graph — which customers/suppliers sit at the center of the order flow,
+or which documents are the boilerplate hubs of a duplication graph.
+
+Scale design (100 TB): the textbook distributed PageRank shape — per
+iteration one hash join of edges against the rank vector on ``src``
+(both sides partition on the same key; the degree join reuses that
+partitioning), then a partial-aggregable ``groupBy(dst)`` whose shuffle
+carries one row per node, then a node-vector left join. No driver
+collect inside the loop (the single up-front ``count()`` is the same
+1-row scalar pattern as the CC convergence signature); lineage is capped
+per round with a lazy ``localCheckpoint`` exactly like
+``connected_components``.
+
+Determinism: ranks live in integer SCALE-units and every update is
+integer multiply/floor-divide — ``r' = base + (d% · Σ_u r_u // deg_u)
+// 100`` — so Spark and DuckDB produce bit-identical BIGINTs at every
+iteration: the oracle unrolls the same recurrence in SQL. (Truncation
+means rank mass decays by a few units per round — this is a fixed-point
+determinism trade, irrelevant to ordering; float PageRank could not be
+hash-compared across engines at all.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-``iters`` PageRank over a directed edge list (symmetrize the
+    edges first for an undirected graph — then every node has out-degree
+    ≥ 1 and the dangling-mass term vanishes). Returns (node, rank) with
+    rank in integer SCALE-units (Σ ranks ≈ SCALE).
+
+    ``damping_pct`` is the damping factor in percent (85 = the classic
+    0.85) so the recurrence stays in exact integer arithmetic.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # 1-row driver scalar, parameterizes the literals
+    r0 = SCALE // n
+    base = ((100 - damping_pct) * r0) // 100
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(iters):
+        shares = (
+            e.join(ranks, e.src == F.col("node"))
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("share"))
+        )
+        s = shares.groupBy("dst").agg(F.sum("share").alias("s"))
+        ranks = (
+            nodes.join(s, nodes.node == s.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -287,3 +287,74 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     cur = F.col("ts") >= F.to_timestamp(F.lit("2024-01-16 00:00:00"))
     return psi_drift(events, "value", cur, lo=0.0, hi=500.0, n_buckets=10)
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled integer-PageRank oracle: DuckDB replays the exact
+    ``base + (85·Σ r//deg)//100`` recurrence per iteration (recursive
+    CTEs can't aggregate in the recursive term, so the fixed iteration
+    count unrolls into chained CTEs — one s{i}/r{i+1} pair per round).
+    CAST(SUM(..) AS BIGINT) guards DuckDB's HUGEINT widening."""
+    head = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, 1000000 + s AS dst FROM pairs
+            UNION ALL
+            SELECT 1000000 + s AS src, c AS dst FROM pairs
+        ),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f""",
+        s{i} AS (
+            SELECT e.dst AS node, CAST(SUM(r.rank // deg.d) AS BIGINT) AS s
+            FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+            SELECT nodes.node,
+                   CAST((15 * (1000000000000 // nn.n)) // 100
+                        + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON nodes.node = s{i}.node
+        )""")
+    parts.append(f"""
+        SELECT node, rank FROM r{iters}""")
+    return "".join(parts)
+
+
+@query(
+    "pagerank_customer_supplier",
+    oracle=_pagerank_oracle(5),
+    tags=("graph", "iterative", "join", "scale-path"),
+    doc="Fixed-5-iteration PageRank over the undirected customer<->"
+    "supplier order-flow graph (suppliers offset by 1e6 into a shared "
+    "node space) — which parties sit at the center of trade. Textbook "
+    "distributed shape: per round one edges-vs-ranks hash join on src "
+    "(degree join reuses the partitioning), a partial-aggregable "
+    "groupBy(dst) whose shuffle carries one row per NODE, and a node-"
+    "vector left join; lineage capped per round by lazy localCheckpoint "
+    "like the CC closures. Integer SCALE-unit recurrence (base + "
+    "(85*sum r//deg)//100) makes all 5 iterations bit-identical on both "
+    "engines — the oracle unrolls the same recurrence in SQL "
+    "(operators/graph.py:pagerank).",
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), (F.lit(1000000) + F.col("s")).alias("dst")).unionAll(
+        pairs.select((F.lit(1000000) + F.col("s")).alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=5)

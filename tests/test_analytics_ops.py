@@ -213,3 +213,42 @@ def test_psi_drift_separates_stable_from_shifted(spark):
     assert rows[0].psi_total > 0.25  # rule-of-thumb 'shifted' regime
     assert {r.bucket for r in rows} <= set(range(5))  # outliers clamp
     assert rows[0].psi_total == sum(r.psi_contrib_micro for r in rows) / 1e6
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """The integer recurrence must match an independent pure-Python
+    implementation node-for-node, and the hub of a star graph must
+    outrank every leaf."""
+    from redpanda_ais_demo_spark.operators.graph import SCALE, pagerank
+
+    # star: hub 0 <-> leaves 1..4, plus a 5-6 pendant pair
+    pairs = [(0, i) for i in range(1, 5)] + [(5, 6)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), iters=5
+        ).collect()
+    }
+
+    def ref(edges, iters):
+        from collections import defaultdict
+
+        out = defaultdict(list)
+        for s, d in edges:
+            out[s].append(d)
+        nodes = sorted(out)
+        n = len(nodes)
+        r = {v: SCALE // n for v in nodes}
+        base = (15 * (SCALE // n)) // 100
+        for _ in range(iters):
+            s = defaultdict(int)
+            for u in nodes:
+                share = r[u] // len(out[u])
+                for v in out[u]:
+                    s[v] += share
+            r = {v: base + (85 * s[v]) // 100 for v in nodes}
+        return dict(r)
+
+    assert got == ref(edges, 5)
+    assert all(got[0] > got[i] for i in range(1, 5))  # hub beats leaves
