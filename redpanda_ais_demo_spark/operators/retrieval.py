@@ -197,3 +197,29 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def hard_negatives(
+    lex_topk: DataFrame,
+    sem_topk: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: documents
+    the LEXICAL ranker surfaces (top-k BM25 — plausible surface matches)
+    that the SEMANTIC ranking rejects (absent from the embedding top-k).
+    These "close but wrong" candidates are the negatives that teach an
+    embedding model the most (cf. DPR, Karpukhin et al. 2020); random
+    negatives are too easy, semantic-positive ones are false negatives.
+
+    Inputs are the two ranked legs (id, rank) — the same leg contract as
+    ``rrf_fuse``. Output: (id_col, lex_rank), hardest (best-lexical-rank)
+    first. Scale: an anti-join of two ≤k-row top-k results — broadcast,
+    corpus-size-independent; at 100 TB the legs swap to their ANN forms.
+    """
+    lex = lex_topk.select(F.col(id_col).alias("id"), F.col("rank").alias("lex_rank"))
+    sem = sem_topk.select(F.col(id_col).alias("id"))
+    return (
+        lex.join(sem, "id", "left_anti")
+        .orderBy("lex_rank")
+        .select(F.col("id").alias(id_col), "lex_rank")
+    )

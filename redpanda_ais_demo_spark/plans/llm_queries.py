@@ -675,6 +675,47 @@ def hybrid_rrf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same CTE chain as the RRF oracle, but the semantic leg widens to depth 50
+# (a deeper semantic sweep shrinks false negatives) and the fusion flips to
+# an anti-join: lexical hits the embedding ranking rejects.
+_HARD_NEG_ORACLE = (
+    _HYBRID_RRF_ORACLE.split("    fused AS (")[0].rstrip().rstrip(",")
+    .replace("FROM sem_scored ORDER BY cos_sim DESC, id LIMIT 20",
+             "FROM sem_scored ORDER BY cos_sim DESC, id LIMIT 50")
+    + """
+    SELECT l.id AS doc_id, l.rank AS lex_rank
+    FROM lex l LEFT JOIN sem s ON l.id = s.id
+    WHERE s.id IS NULL
+    ORDER BY l.rank
+"""
+)
+
+
+@query(
+    "hard_negatives_docs",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("retrieval", "training", "anti-join"),
+    doc="Hard-negative mining (DPR-style): BM25 top-20 docs ABSENT from "
+    "the query vector's cosine top-50 — lexically plausible, "
+    "semantically rejected, the negatives that teach a retriever most. "
+    "An anti-join of two top-k legs: broadcast-sized, corpus-"
+    "independent; legs swap to ANN at scale "
+    "(operators/retrieval.py:hard_negatives).",
+)
+def hard_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    lex = retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+    sem = retrieval.query_cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=50)
+    return retrieval.hard_negatives(
+        lex.select("doc_id", "rank"),
+        sem.select(F.col("vec_id").alias("doc_id"), "rank"),
+    )
+
+
 # --- Similarity search (X3) ------------------------------------------------
 
 _COSINE_ORACLE = """
