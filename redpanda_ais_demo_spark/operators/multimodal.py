@@ -311,3 +311,105 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+def synthesize_ppm_assets(docs: DataFrame) -> DataFrame:
+    """Adapter: deterministic 9x8 binary-PPM "bag-of-shingles" image per
+    document — each distinct token paints the pixel its md5 addresses,
+    so documents sharing most tokens yield images differing in few
+    pixels: the text fixture's NEAR-dups become image near-dups (the
+    ground truth an image-dedup operator needs), and identical texts
+    yield identical images. Real PPM bytes: the full decode path runs,
+    not the fake."""
+
+    # fixed pseudorandom background, identical for every doc: shingle
+    # pixels overwrite it, so shared shingles leave shared pixels and the
+    # unpainted canvas still carries gradients (an all-black background
+    # would make every sparse image hash-collide). Paints key on 3-gram
+    # SHINGLES, not tokens — the fixture vocabulary is ~30 words, so
+    # distinct-token sets are near-constant corpus-wide; shingle sets
+    # carry the actual near-dup structure.
+    seed, bg = b"dhash-bg", b""
+    while len(bg) < 216:
+        seed = hashlib.md5(seed).digest()
+        bg += seed
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = bytearray(bg[:216])  # 9*8*3 canvas: every pixel
+                # survives the 9x8 dHash grid, none of the paint wasted
+                toks = text.split(" ")
+                for sh in {" ".join(toks[i : i + 3]) for i in range(max(1, len(toks) - 2))}:
+                    d = hashlib.md5(sh.encode("utf-8")).digest()
+                    p = d[0] % 72  # pixel 0..71
+                    raw[3 * p : 3 * p + 3] = d[1:4]
+                payloads.append(codecs.encode_ppm(9, 8, bytes(raw)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"].astype("int64"),
+                    "modality": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                }
+            )
+
+    schema = "asset_id long, modality string, payload binary, mime string"
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema)
+
+
+def _dhash_bytes(payload: bytes) -> int | None:
+    """64-bit difference hash (dHash): decode → grayscale → 9x8 nearest
+    resize → bit b = (gray[x] < gray[x+1]) row-major. Gradient-based, so
+    uniform brightness shifts leave the hash unchanged; NULL when no
+    real decode path accepts the payload (quarantine, like the audio
+    kernel — a hash of fake pixels would be a fake fingerprint)."""
+    import numpy as np
+
+    rgb = w = h = None
+    if payload and codecs.is_ppm(payload):
+        try:
+            w, h, rgb = codecs.decode_ppm(payload)
+        except ValueError:
+            pass
+    if rgb is None:
+        img = _pil_open(payload)
+        if img is None:
+            return None
+        img = img.convert("RGB")
+        w, h, rgb = img.width, img.height, img.tobytes()
+    small = codecs.resize_rgb_nearest(rgb, w, h, 9, 8)
+    arr = np.frombuffer(small, dtype=np.uint8).reshape(8, 9, 3).astype(np.int64)
+    gray = (299 * arr[..., 0] + 587 * arr[..., 1] + 114 * arr[..., 2]) // 1000
+    v = 0
+    for bit in (gray[:, :-1] < gray[:, 1:]).flatten():
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Perceptual image fingerprints: (id, simhash) rows ready for the
+    banded Hamming joiner (``dedup.simhash_pairs``) — image near-dup
+    detection is TEXT near-dup detection with a perceptual hash swapped
+    in for the token fold. Arrow-batched kernel, one row out per asset;
+    undecodable payloads hash to NULL and drop from pairing.
+
+    Scale: narrow 1-in-1-out kernel (the decode is the cost — at 100 TB
+    this is the same embarrassingly parallel shape as feature
+    extraction), then simhash_pairs' pigeonhole banding keeps candidate
+    generation linear."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [_dhash_bytes(bytes(p) if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["asset_id"].astype("int64"),
+                    "simhash": pd.Series(hs, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(kernel, "id long, simhash long").filter(
+        F.col("simhash").isNotNull()
+    )

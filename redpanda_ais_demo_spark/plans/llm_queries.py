@@ -878,6 +878,29 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dhash_near_dups",
+    oracle=None,  # pixel decode + perceptual hash live in the Arrow kernel —
+    # not SQL-expressible; invariance/pipeline semantics are pytest-pinned
+    # (tests/test_llm_ops.py: brightness-shift invariance, noise tolerance,
+    # and 100% recall of true Jaccard>=0.5 near-dups at bounded candidate
+    # overhead through the full PPM encode->decode->hash path)
+    tags=("multimodal", "dedup", "pandas-udf"),
+    doc="X4 image near-dup detection: deterministic 9x8 bag-of-shingles PPM "
+    "per doc (shared shingles = shared pixels), REAL "
+    "stdlib pixel decode -> grayscale -> 9x8 dHash (gradient hash, "
+    "brightness-shift invariant), then the SAME pigeonhole-banded "
+    "Hamming joiner as text SimHash (dedup.simhash_pairs): image dedup "
+    "is text dedup with a perceptual hash swapped in for the token "
+    "fold. Narrow 1-in-1-out decode kernel; linear candidate "
+    "generation (operators/multimodal.py:image_dhash).",
+)
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_ppm_assets(docs)
+    return dedup.simhash_pairs(multimodal.image_dhash(assets), max_hamming=5)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
         SELECT doc_id AS asset_id, f.i AS frame_idx, CAST(f.i * 1000 AS BIGINT) AS pts_ms

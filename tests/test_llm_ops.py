@@ -1019,3 +1019,45 @@ def test_split_assign_entity_consistent_and_proportional(spark):
     assert any(a[k] != c[k] for k in a)
     with _pytest.raises(ValueError):
         corpus.split_assign(docs, weights=(("train", 1),))
+
+
+def test_image_dhash_invariances_and_pipeline(spark):
+    """dHash semantics on REAL decoded pixels: identical images collide,
+    uniform brightness shifts don't change the hash (gradient-based),
+    mild noise stays within small Hamming distance, unrelated images are
+    far, undecodable payloads quarantine to NULL; the full PPM pipeline
+    recovers exact-duplicate docs as image near-dup pairs."""
+    import random
+
+    from redpanda_ais_demo_spark.operators import codecs
+    from redpanda_ais_demo_spark.operators.multimodal import _dhash_bytes
+
+    rnd = random.Random(7)
+    base_px = bytes(rnd.randrange(30, 200) for _ in range(12 * 10 * 3))
+    img = codecs.encode_ppm(12, 10, base_px)
+    h0 = _dhash_bytes(img)
+    # uniform brightness shift: every gradient comparison is preserved
+    brighter = codecs.encode_ppm(12, 10, bytes(min(255, b + 40) for b in base_px))
+    assert _dhash_bytes(brighter) == h0
+    # light noise: most gradients survive
+    noisy_px = bytes(max(0, min(255, b + rnd.randrange(-6, 7))) for b in base_px)
+    ham = bin((h0 ^ _dhash_bytes(codecs.encode_ppm(12, 10, noisy_px))) & (2**64 - 1)).count("1")
+    assert ham <= 12
+    # unrelated image: far away
+    other_px = bytes(rnd.randrange(0, 256) for _ in range(12 * 10 * 3))
+    far = bin((h0 ^ _dhash_bytes(codecs.encode_ppm(12, 10, other_px))) & (2**64 - 1)).count("1")
+    assert far > 12
+    assert _dhash_bytes(b"not an image") is None
+
+    # pipeline over the fixture: shingle-similar texts -> near-identical
+    # bag-of-shingles images -> every TRUE near-dup pair (Jaccard>=0.5)
+    # surfaces from the banded Hamming joiner, at bounded candidate
+    # overhead (calibrated ~2x at sf0.01 — the SimHash-prefilter contract)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from redpanda_ais_demo_spark.operators import multimodal as MM
+
+    pairs = dedup.simhash_pairs(MM.image_dhash(MM.synthesize_ppm_assets(docs)), max_hamming=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    true_pairs = _pairs(dedup.jaccard_pairs(dedup.doc_shingles(docs), 0.5))
+    assert true_pairs and true_pairs <= got  # 100% recall of true near-dups
+    assert len(got) <= 5 * len(true_pairs)  # bounded false-candidate overhead
