@@ -1369,6 +1369,120 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.gopher_quality(docs)
 
 
+_CURATE_ORACLE = f"""
+    WITH RECURSIVE gb AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w,
+               list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                              i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')) AS bg
+        FROM documents
+    ),
+    gs AS (
+        SELECT doc_id, text,
+               CAST(len(w) AS BIGINT) AS n_words,
+               round((length(text) - (len(w) - 1)) / len(w), 6) AS mwl,
+               round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w), 6) AS alpha,
+               len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS n_stop,
+               round(((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3)
+                     / len(w), 6) AS symb,
+               CASE WHEN len(w) >= 2
+                    THEN round(1 - len(list_distinct(bg)) / len(bg), 6)
+                    ELSE 0.0 END AS dupbg
+        FROM gb
+    ),
+    gkeep AS (
+        SELECT doc_id, text FROM gs
+        WHERE n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+          AND alpha >= 0.8 AND n_stop >= 2 AND symb <= 0.1 AND dupbg <= 0.2
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM gkeep),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 2),
+                                     i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(w) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS (
+        SELECT id_a, id_b FROM common
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE common / (sa.sz + sb.sz - common) >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jp
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM jp
+    ),
+    reach(node, other) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.node, e.dst
+        FROM reach r JOIN edges e ON r.other = e.src AND e.dst <> r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, least(node, min(other)) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(round(1e6 * len(list_distinct(string_split(d.text, ' ')))
+                          / len(string_split(d.text, ' '))) AS BIGINT) AS score
+        FROM gkeep d LEFT JOIN clusters c USING (doc_id)
+    ),
+    kept AS (
+        SELECT doc_id, cluster_id, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, cluster_id, score,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT *,
+               CAST('0x' || substring(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 10000 AS bucket
+        FROM kept
+    )
+"""
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=_CURATE_ORACLE,
+    tags=("pipeline", "quality", "dedup", "graph", "split"),
+    doc="End-to-end corpus CURATION — the decision chain a pretraining "
+    "data job ships: Gopher composite gate (published thresholds) -> "
+    "near-dup clustering over the survivors (exact Jaccard pairs + "
+    "connected components) -> keep the highest-quality doc per cluster "
+    "-> deterministic 90/5/5 split assignment for the kept docs. Four "
+    "of this engine's operators composed as DataFrames; the quality "
+    "gate and split are narrow projections, clustering shuffles only "
+    "survivor shingles, retention is one join + per-cluster window. "
+    "Full oracle replays every stage including the recursive closure.",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    good = corpus.gopher_quality(docs).filter(F.col("passes")).select("doc_id")
+    survivors = docs.join(good, "doc_id")
+    clusters = dedup.dedup_clusters(survivors, threshold=_JACCARD_THRESHOLD)
+    w = TXT.tokens(F.col("text"))
+    score = F.round(F.lit(1e6) * F.size(F.array_distinct(w)) / F.size(w)).cast("long")
+    kb = dedup.keep_best_per_cluster(survivors, score, clusters)
+    kept = kb.filter(F.col("kept")).select("doc_id", "cluster_id", "score")
+    assigned = corpus.split_assign(kept.select("doc_id"))
+    return kept.join(assigned, "doc_id").select("doc_id", "cluster_id", "score", "split")
+
+
 @query(
     "doc_repetition_stats",
     oracle="""
