@@ -119,6 +119,20 @@ R7_ADDITIONS = [
     "cusum_user_value_drift",
     "heavy_hitter_tokens",
     "m4_downsample_event_values",
+    # round-7 session batch 2: hybrid retrieval (two top-k legs + fusion),
+    # the composite Gopher gate (narrow projection), cluster-retention
+    # dedup (closure + argmax window), PSI drift (10-row shuffle),
+    # deterministic splitting (narrow md5 projection), integer PageRank
+    # (5 iterative join+agg rounds), perceptual image dedup (decode
+    # kernel + banded Hamming join), and the 4-stage curation pipeline.
+    "hybrid_rrf_topk_docs",
+    "gopher_quality_docs",
+    "dedup_keep_best",
+    "psi_value_drift",
+    "split_train_val_test",
+    "pagerank_customer_supplier",
+    "image_dhash_near_dups",
+    "pipeline_curate_corpus",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -476,3 +476,31 @@ def test_gopher_quality_is_narrow_map_only(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_psi_collapses_before_shuffle(spark):
+    """PSI's conditional aggregation must partial-aggregate map-side —
+    the shuffle carries n_buckets rows, not the event scan — and the
+    totals windows must run over those bucket rows only."""
+    plan = _physical_plan(spark, "psi_value_drift")
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    # map-side partial agg present: two HashAggregate levels around one Exchange
+    assert plan.count("Exchange") <= 6  # agg + the two tiny window exchanges (tree+detail)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_assign_is_narrow_zero_shuffle(spark):
+    """Split assignment must stay a pure narrow projection: no shuffle,
+    no join, no UDF — at 100 TB the corpus streams through one scan."""
+    plan = _physical_plan(spark, "split_train_val_test")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curate_pipeline_has_no_quadratic_operator(spark):
+    """The 4-stage curation chain must never plan a cartesian/nested-loop
+    product: the only self-join is the shingle inverted index."""
+    plan = _physical_plan(spark, "pipeline_curate_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
