@@ -131,3 +131,27 @@ def canonicalize(text: Column) -> Column:
     regexes live in the Java∩RE2 subset like the PII patterns."""
     cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
     return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def syllable_count(token_array: Column) -> Column:
+    """Total syllable estimate over a token array: vowel-group runs per
+    word (``[aeiouy]+``), floored at 1 per word — the standard cheap
+    syllable proxy readability formulas are calibrated against. Integer
+    fold, exact on both engines."""
+    per_word = F.transform(
+        token_array,
+        lambda t: F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+        ),
+    )
+    return F.aggregate(per_word, F.lit(0), lambda a, x: a + x)
+
+
+def sentence_count(text: Column) -> Column:
+    """Sentence count = terminal-punctuation occurrences (. ! ?), floored
+    at 1 so punctuation-free text counts as one sentence."""
+    n = sum(
+        F.length(text) - F.length(F.replace(text, F.lit(ch), F.lit("")))
+        for ch in ".!?"
+    )
+    return F.greatest(F.lit(1), n)

@@ -1320,6 +1320,53 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "readability_docs",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT) AS n_syllables,
+                   greatest(1, (length(text) - length(replace(text, '.', '')))
+                               + (length(text) - length(replace(text, '!', '')))
+                               + (length(text) - length(replace(text, '?', '')))) AS n_sentences
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_syllables,
+               round(206.835 - 1.015 * (n_words / n_sentences)
+                     - 84.6 * (n_syllables / n_words), 6) AS flesch_ease,
+               round(0.39 * (n_words / n_sentences)
+                     + 11.8 * (n_syllables / n_words) - 15.59, 6) AS fk_grade
+        FROM s
+    """,
+    tags=("text", "quality", "readability"),
+    doc="Flesch reading ease + Flesch-Kincaid grade per doc, with the "
+    "standard vowel-group syllable proxy (runs of [aeiouy], >=1 per "
+    "word) and terminal-punctuation sentence counting. Pure in-array "
+    "integer folds + one rounded double formula — narrow codegen "
+    "projection, no explode/shuffle/UDF "
+    "(functions/text.py:syllable_count).",
+)
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = TXT.tokens(F.col("text"))
+    nw = F.size(w).cast("long")
+    ns = TXT.syllable_count(w).cast("long")
+    sent = TXT.sentence_count(F.col("text")).cast("long")
+    return docs.select(
+        "doc_id",
+        nw.alias("n_words"),
+        ns.alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - 1.015 * (nw / sent) - 84.6 * (ns / nw), 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * (nw / sent) + 11.8 * (ns / nw) - 15.59, 6
+        ).alias("fk_grade"),
+    )
+
+
+@query(
     "gopher_quality_docs",
     oracle="""
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
