@@ -223,3 +223,54 @@ def hard_negatives(
         .orderBy("lex_rank")
         .select(F.col("id").alias(id_col), "lex_rank")
     )
+
+
+def phrase_proximity(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Proximity ranking: documents where ``term_a`` and ``term_b`` occur
+    CLOSE TOGETHER rank first (min token-position distance over all
+    occurrence pairs) — the classic relevance signal bag-of-words BM25
+    cannot see ("hash join" as a phrase vs the two words pages apart).
+
+    Scale design: positions come from indexed higher-order lambdas over
+    the token array — a NARROW projection, no explode (a positional
+    explode would shuffle every token); the pairwise min runs inside the
+    row over the few occurrence positions. Top-k is sort-limit →
+    TakeOrderedAndProject. Returns (id_col, min_dist, rank), nearest
+    first, docs containing both terms only.
+    """
+    w = T.tokens(F.col(text_col))
+    indexed = F.transform(w, lambda x, i: F.struct(x.alias("t"), i.alias("i")))
+
+    def positions(term: str):
+        return F.transform(
+            F.filter(indexed, lambda s: s.t == term), lambda s: s.i
+        )
+
+    pa, pb = positions(term_a), positions(term_b)
+    min_dist = F.array_min(
+        F.transform(
+            pa, lambda a: F.array_min(F.transform(pb, lambda b: F.abs(a - b)))
+        )
+    )
+    scored = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            pa.alias("pa"),
+            pb.alias("pb"),
+            min_dist.alias("min_dist"),
+        )
+        .filter((F.size("pa") > 0) & (F.size("pb") > 0))
+        .select("id", F.col("min_dist").cast("int").alias("min_dist"))
+    )
+    topk = scored.orderBy("min_dist", "id").limit(k)
+    w_rank = Window.orderBy("min_dist", "id")
+    return topk.withColumn("rank", F.row_number().over(w_rank)).select(
+        F.col("id").alias(id_col), "min_dist", "rank"
+    )

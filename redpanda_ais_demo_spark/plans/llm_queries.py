@@ -574,6 +574,44 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+@query(
+    "phrase_proximity_docs",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (
+            SELECT doc_id,
+                   list_transform(list_filter(list_transform(w, (x, i) -> {'t': x, 'i': i}),
+                                              s -> s.t = 'hash'), s -> s.i) AS pa,
+                   list_transform(list_filter(list_transform(w, (x, i) -> {'t': x, 'i': i}),
+                                              s -> s.t = 'merge'), s -> s.i) AS pb
+            FROM t
+        ),
+        d AS (
+            SELECT doc_id,
+                   CAST(list_min(list_transform(pa,
+                        a -> list_min(list_transform(pb, b -> abs(a - b))))) AS INTEGER) AS min_dist
+            FROM p WHERE len(pa) > 0 AND len(pb) > 0
+        )
+        SELECT doc_id, min_dist,
+               CAST(row_number() OVER (ORDER BY min_dist, doc_id) AS INTEGER) AS rank
+        FROM d ORDER BY min_dist, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "text", "topk"),
+    doc="Phrase-proximity ranking for ('hash','merge'): min token-"
+    "position distance over all occurrence pairs — the relevance signal "
+    "bag-of-words scoring can't see. Positions via indexed higher-order "
+    "lambdas (narrow, NO positional explode/shuffle); in-row pairwise "
+    "min; TakeOrderedAndProject top-k. Position distances are offset-"
+    "invariant, so Spark's 0-based and DuckDB's 1-based lambda indexes "
+    "agree exactly (operators/retrieval.py:phrase_proximity).",
+)
+def phrase_proximity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.phrase_proximity(docs, "hash", "merge", k=20)
+
+
 # --- Hybrid retrieval: Reciprocal Rank Fusion ------------------------------
 
 # Lexical leg = the BM25 CTE chain above at depth 20; semantic leg = cosine
