@@ -361,3 +361,51 @@ def psi_drift(
     return out.withColumn(
         "psi_total", F.sum("psi_contrib_micro").over(w) / 1e6
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    (Iglewicz & Hoaglin 1993): ``0.6745 · (x - median) / MAD``, flag at
+    |z| > 3.5 — the data-cleaning gate that survives the outliers it
+    hunts (mean/stddev z-scores are dragged by the very points they
+    should flag). Groups whose MAD is 0 (>50% identical values) are
+    excluded — no finite z exists there.
+
+    Returns (id_col, group_col, value_col, robust_z) for flagged rows.
+
+    Scale design: two group-level aggregations (median, then MAD of the
+    deviations) each collapse to one row per GROUP and broadcast back —
+    the fact table never shuffles; one scan per percentile pass (exact
+    interpolated percentile needs a sorted buffer per group — at larger
+    group cardinality swap in percentile_approx, same shape).
+    Determinism: medians/MAD round to 6 dp BEFORE deviations, so both
+    engines branch on identical doubles.
+    """
+    med = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "ad", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    z = (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "robust_z",
+            F.round(
+                F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"), 6
+            ),
+        )
+    )
+    return z.filter(F.abs(F.col("robust_z")) > z_threshold).select(
+        id_col, group_col, value_col, "robust_z"
+    )

@@ -358,3 +358,41 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select((F.lit(1000000) + F.col("s")).alias("src"), F.col("c").alias("dst"))
     )
     return pagerank(edges, iters=5)
+
+
+@query(
+    "mad_outlier_events",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value,
+               round(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE m.mad > 0
+          AND abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) > 3.5
+    """,
+    tags=("analytics", "quality", "quantile", "agg"),
+    doc="Robust outlier detection per event type: modified z-score "
+    "0.6745*(x-median)/MAD, flag at |z|>3.5 (Iglewicz-Hoaglin) — the "
+    "cleaning gate mean/stddev z-scores can't provide (they're dragged "
+    "by the outliers themselves). Median and MAD each collapse to one "
+    "row per GROUP and broadcast back — the event scan never shuffles; "
+    "6dp-rounded stats before deviations keep both engines branching on "
+    "identical doubles (operators/timeseries.py:mad_outliers).",
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import mad_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return mad_outliers(events, "event_type", "value", "event_id")
