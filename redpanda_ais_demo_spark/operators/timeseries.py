@@ -409,3 +409,49 @@ def mad_outliers(
     return z.filter(F.abs(F.col("robust_z")) > z_threshold).select(
         id_col, group_col, value_col, "robust_z"
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    gap_us: int = 1_800_000_000,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams —
+    the behavioral-analytics staple (which state follows which: funnel
+    discovery, next-action prediction, anomaly grounding). Consecutive
+    events of the same key form a transition unless separated by more
+    than ``gap_us`` microseconds (the session boundary, matching the
+    sessionizer's idle-gap rule).
+
+    Returns (prev_state, state, n, p) with p = n / Σ n per prev_state.
+
+    Scale design: one lag window per key (the same per-key shuffle every
+    sequential operator here pays — never global), then a partial-
+    aggregable groupBy collapsing to |states|² rows; the probability
+    normalizer is a window over those few matrix rows, not the events.
+    Exact integer microsecond gaps; counts exact; p is one int/int
+    division rounded to 6 dp — identical cross-engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    lagged = df.select(
+        F.col(state_col).alias("state"),
+        F.lag(state_col).over(w).alias("prev_state"),
+        (F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)).alias("gap"),
+    )
+    trans = (
+        lagged.filter(F.col("prev_state").isNotNull() & (F.col("gap") <= gap_us))
+        .groupBy("prev_state", "state")
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("prev_state")
+    return trans.select(
+        "prev_state",
+        "state",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )

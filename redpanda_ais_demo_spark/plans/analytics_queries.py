@@ -396,3 +396,41 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return mad_outliers(events, "event_type", "value", "event_id")
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+        ),
+        lagged AS (
+            SELECT event_type AS state,
+                   lag(event_type) OVER w AS prev_state,
+                   us - lag(us) OVER w AS gap
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        trans AS (
+            SELECT prev_state, state, CAST(count(*) AS BIGINT) AS n
+            FROM lagged
+            WHERE prev_state IS NOT NULL AND gap <= 1800000000
+            GROUP BY 1, 2
+        )
+        SELECT prev_state, state, n,
+               round(n / CAST(SUM(n) OVER (PARTITION BY prev_state) AS BIGINT), 6) AS p
+        FROM trans
+    """,
+    tags=("analytics", "window", "agg", "markov"),
+    doc="First-order Markov transition matrix of user event types within "
+    "30-min sessions: which action follows which, with per-source "
+    "transition probabilities — funnel discovery without pre-declaring "
+    "the funnel. One per-user lag window (never global), partial-agg "
+    "collapse to |states|^2 rows, probability normalizer windows over "
+    "those matrix rows only; exact integer microsecond gaps "
+    "(operators/timeseries.py:markov_transitions).",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import markov_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    return markov_transitions(events, "user_id", "ts", "event_type", "event_id")
