@@ -455,3 +455,47 @@ def markov_transitions(
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) events: for
+    every directed item pair A -> B, ``support`` = P(basket has both),
+    ``confidence`` = P(B | A), ``lift`` = confidence / P(B) — the
+    classic affinity-mining triple (lift > 1: B is overrepresented in
+    A-baskets).
+
+    Scale design: the corpus collapses FIRST to distinct (basket, item)
+    rows (partial-aggregable — the only corpus-sized shuffle); the pair
+    self-join runs on the basket key over those collapsed rows; item
+    marginals and the basket total are tiny aggregates broadcast back.
+    Counts are exact BIGINTs; each measure is one int/int (or
+    int·int/int·int) division rounded to 6 dp — identical cross-engine.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = bi.agg(F.countDistinct("b").alias("nb"))
+    item_n = bi.groupBy("i").agg(F.count("*").alias("ni"))
+    a, b = bi.alias("a"), bi.alias("x")
+    pair_n = (
+        a.join(b, (F.col("a.b") == F.col("x.b")) & (F.col("a.i") != F.col("x.i")))
+        .groupBy(F.col("a.i").alias("ante"), F.col("x.i").alias("cons"))
+        .agg(F.count("*").alias("nab"))
+    )
+    enriched = (
+        pair_n.join(F.broadcast(item_n.select(F.col("i").alias("ante"), F.col("ni").alias("na"))), "ante")
+        .join(F.broadcast(item_n.select(F.col("i").alias("cons"), F.col("ni").alias("nc"))), "cons")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return enriched.select(
+        "ante",
+        "cons",
+        F.col("nab").cast("long").alias("n_both"),
+        F.round(F.col("nab") / F.col("nb"), 6).alias("support"),
+        F.round(F.col("nab") / F.col("na"), 6).alias("confidence"),
+        F.round((F.col("nab") * F.col("nb")) / (F.col("na") * F.col("nc")), 6).alias("lift"),
+    )

@@ -434,3 +434,39 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return markov_transitions(events, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "association_rules_events",
+    oracle="""
+        WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+        nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY i),
+        pair_n AS (
+            SELECT a.i AS ante, x.i AS cons, CAST(count(*) AS BIGINT) AS nab
+            FROM bi a JOIN bi x ON a.b = x.b AND a.i <> x.i
+            GROUP BY 1, 2
+        )
+        SELECT ante, cons, nab AS n_both,
+               round(nab / nb.nb, 6) AS support,
+               round(nab / na.ni, 6) AS confidence,
+               round((nab * nb.nb) / (na.ni * nc.ni), 6) AS lift
+        FROM pair_n
+        JOIN item_n na ON na.i = ante
+        JOIN item_n nc ON nc.i = cons
+        CROSS JOIN nb
+    """,
+    tags=("analytics", "agg", "join", "association"),
+    doc="Association rules over per-user event-type baskets: "
+    "support/confidence/lift per directed pair (lift>1 = affinity). "
+    "The event scan collapses FIRST to distinct (user, type) rows — "
+    "the only corpus-sized shuffle; the pair self-join runs over the "
+    "collapsed baskets; marginals and the basket total broadcast back. "
+    "Exact BIGINT counts; measures are single divisions rounded 6dp "
+    "(operators/timeseries.py:association_rules).",
+)
+def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import association_rules
+
+    events = load_table(spark, sf_dir, "events")
+    return association_rules(events, "user_id", "event_type")
