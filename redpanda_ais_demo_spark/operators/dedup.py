@@ -456,9 +456,16 @@ def connected_components(
     doesn't deepen linearly with iterations (Spark's iterative-algorithm
     tax; same pattern GraphX/GraphFrames use internally).
     """
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # Pin the symmetrized edge list once: every propagation round joins
+    # against it, and without the checkpoint the EDGE-GENERATION subtree
+    # (for dedup_clusters: the full shingle inverted-index self-join)
+    # replays per round — at diameter D that is D redundant passes over
+    # pair generation. The two-phase variant pins its input the same way.
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
     # Init = one propagation round for free: label(x) = min(x, neighbors(x))
     # straight from the adjacency aggregation (star graphs converge here).
     labels = sym.groupBy(F.col("src").alias("node")).agg(

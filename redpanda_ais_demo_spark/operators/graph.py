@@ -50,9 +50,14 @@ def pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # pin the edge list once: without this the edge-derivation subtree
+    # (often a join+distinct) replays inside every iteration's join — at
+    # 5 iterations that is 5 redundant passes over the source tables
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
     n = nodes.count()  # 1-row driver scalar, parameterizes the literals
     r0 = SCALE // n
     base = ((100 - damping_pct) * r0) // 100
