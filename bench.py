@@ -133,6 +133,17 @@ R7_ADDITIONS = [
     "pagerank_customer_supplier",
     "image_dhash_near_dups",
     "pipeline_curate_corpus",
+    # batch 3: readability folds, phrase proximity (indexed lambdas),
+    # MAD outliers (two broadcast-back group stats), Markov transitions
+    # (per-key lag window), association rules (collapsed-basket self-join),
+    # and the min-label CC closure itself (newly edge-pinned — its per-
+    # round pair-generation replay was this round's perf fix).
+    "readability_docs",
+    "phrase_proximity_docs",
+    "mad_outlier_events",
+    "markov_event_transitions",
+    "association_rules_events",
+    "dedup_clusters",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS
