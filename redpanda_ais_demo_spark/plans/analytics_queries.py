@@ -12,7 +12,7 @@ bit-deterministic (registry determinism rules).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import cohort_retention, funnel, scd2_intervals
@@ -470,3 +470,72 @@ def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return association_rules(events, "user_id", "event_type")
+
+
+@query(
+    "track_length_by_user",
+    oracle="""
+        WITH pos AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   value / 10 - 24.5 AS lat,
+                   (value * 7) % 360 - 180 AS lon
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id,
+                   lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon
+            FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        d AS (
+            SELECT user_id,
+                   CAST(round(2 * 6371.0 * asin(sqrt(
+                        sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+                        + cos(radians(plat)) * cos(radians(lat))
+                          * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+                   )) * 1e6) AS BIGINT) AS seg_micro
+            FROM seg WHERE plat IS NOT NULL
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(SUM(seg_micro) AS BIGINT) / 1e6 AS track_km
+        FROM d GROUP BY user_id
+    """,
+    tags=("analytics", "geo", "window", "agg"),
+    doc="Per-entity great-circle track length — the ship-tracking "
+    "distance op the reference's console never computes (it only "
+    "interpolates positions, lib/console.py:98): haversine over "
+    "consecutive fixes per key. Positions derive deterministically from "
+    "the fixture (value -> lat, value*7 mod 360 -> lon). One per-key lag "
+    "window (never global) + a partial-aggregable per-key sum; segments "
+    "quantize to integer micro-km BEFORE summing, so totals are exact "
+    "BIGINT sums on both engines (functions/geo.py:haversine_km).",
+)
+def track_length_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import haversine_km
+
+    events = load_table(spark, sf_dir, "events")
+    pos = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        (F.col("value") / 10 - 24.5).alias("lat"),
+        ((F.col("value") * 7) % 360 - 180).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = pos.select(
+        "user_id",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        "lat",
+        "lon",
+    ).filter(F.col("plat").isNotNull())
+    seg_micro = F.round(
+        haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")) * 1e6
+    ).cast("long")
+    return (
+        seg.select("user_id", seg_micro.alias("seg_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            (F.sum("seg_micro") / 1e6).alias("track_km"),
+        )
+    )
