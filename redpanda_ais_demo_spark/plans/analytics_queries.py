@@ -539,3 +539,49 @@ def track_length_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("seg_micro") / 1e6).alias("track_km"),
         )
     )
+
+
+@query(
+    "validate_orders_constraints",
+    oracle="""
+        WITH m AS (
+            SELECT round(avg(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END), 6) AS m0,
+                   round(count(DISTINCT o_orderkey) / count(*), 6) AS m1,
+                   round(count(DISTINCT o_custkey) / count(*), 6) AS m2,
+                   round(avg(CASE WHEN o_totalprice BETWEEN 0.0 AND 600000.0 THEN 1 ELSE 0 END), 6) AS m3,
+                   round(avg(CASE WHEN regexp_matches(o_orderstatus, '^[OFP]$') THEN 1 ELSE 0 END), 6) AS m4,
+                   round(avg(CASE WHEN o_totalprice BETWEEN 0.0 AND 100000.0 THEN 1 ELSE 0 END), 6) AS m5
+            FROM orders
+        )
+        SELECT 'orderkey_complete' AS check_name, m0 AS metric, CAST(1.0 AS DOUBLE) AS threshold, m0 >= CAST(1.0 AS DOUBLE) AS passed FROM m
+        UNION ALL SELECT 'orderkey_unique', m1, CAST(1.0 AS DOUBLE), m1 >= CAST(1.0 AS DOUBLE) FROM m
+        UNION ALL SELECT 'custkey_unique', m2, CAST(0.99 AS DOUBLE), m2 >= CAST(0.99 AS DOUBLE) FROM m
+        UNION ALL SELECT 'totalprice_range', m3, CAST(1.0 AS DOUBLE), m3 >= CAST(1.0 AS DOUBLE) FROM m
+        UNION ALL SELECT 'status_pattern', m4, CAST(1.0 AS DOUBLE), m4 >= CAST(1.0 AS DOUBLE) FROM m
+        UNION ALL SELECT 'totalprice_under_100k', m5, CAST(0.95 AS DOUBLE), m5 >= CAST(0.95 AS DOUBLE) FROM m
+    """,
+    tags=("analytics", "quality", "agg", "validation"),
+    doc="Declarative data validation (the Deequ pattern, Schelter et al. "
+    "2018): a 6-constraint suite — key completeness/uniqueness, foreign-"
+    "key cardinality, range and pattern conformance — compiled into ONE "
+    "aggregation over one scan regardless of suite size (the property "
+    "that makes nightly 100 TB validation affordable); the unpivot runs "
+    "over the single metrics row. custkey_unique and totalprice_under_"
+    "100k FAIL on this data by design — the verdict column carries "
+    "signal both ways (operators/validate.py).",
+)
+def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import validate as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    return V.check_constraints(
+        orders,
+        [
+            ("orderkey_complete", V.completeness("o_orderkey"), 1.0),
+            ("orderkey_unique", V.uniqueness("o_orderkey"), 1.0),
+            ("custkey_unique", V.uniqueness("o_custkey"), 0.99),
+            ("totalprice_range", V.in_range("o_totalprice", 0.0, 600000.0), 1.0),
+            ("status_pattern", V.matches("o_orderstatus", "^[OFP]$"), 1.0),
+            ("totalprice_under_100k", V.in_range("o_totalprice", 0.0, 100000.0), 0.95),
+        ],
+    )
