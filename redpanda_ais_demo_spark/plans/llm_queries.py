@@ -841,6 +841,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_topk",
+    oracle=None,  # approximate by design; recall + ADC-distortion bounds
+    # pytest-pinned on the clustered fixture (tests/test_llm_ops.py)
+    tags=("similarity", "pq", "scale-path"),
+    doc="X3 memory-bound regime — product quantization (Jegou et al. "
+    "2011): the corpus lives as m=8 codebook ids (32x smaller than raw "
+    "float32 at dim=64), each query builds an (m x k) dot-product "
+    "lookup table and ADC-scans the COMPRESSED codes; the top k*10 "
+    "shortlist then re-ranks with exact cosine over raw vectors (the "
+    "production IVF-PQ refine step — restores fine in-cluster ranks "
+    "below quantization error). Same 2-D block sharding as brute force, "
+    "no driver collect; at 100 TB compose with IVF lists so each query "
+    "scans n_probe lists of codes (operators/similarity.py:pq_topk).",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, k=5)
+
+
+@query(
     "ann_ivf_topk_distributed",
     oracle=None,  # approximate by design; recall vs brute force in tests
     tags=("similarity", "ivf", "scale-path"),

@@ -1061,3 +1061,33 @@ def test_image_dhash_invariances_and_pipeline(spark):
     true_pairs = _pairs(dedup.jaccard_pairs(dedup.doc_shingles(docs), 0.5))
     assert true_pairs and true_pairs <= got  # 100% recall of true near-dups
     assert len(got) <= 5 * len(true_pairs)  # bounded false-candidate overhead
+
+
+def test_pq_recall_and_distortion(spark):
+    """PQ with the refine step (ADC shortlist -> exact rescore, the
+    production IVF-PQ pipeline) must reach >=0.9 recall@5 vs brute force
+    on the clustered fixture; the pure-ADC path must bound its
+    reconstruction error; codes must actually compress (m small ints)."""
+    emb = _clustered_embeddings(spark)
+    exact_rows = similarity.brute_force_topk(emb, k=5).collect()
+    exact = {(r.vec_id, r.neighbor_id) for r in exact_rows}
+    exact_sim = {(r.vec_id, r.neighbor_id): r.cos_sim for r in exact_rows}
+    refined = similarity.pq_topk(emb, k=5).collect()
+    recall = len(exact & {(r.vec_id, r.neighbor_id) for r in refined}) / len(exact)
+    assert recall >= 0.9, f"PQ+rerank recall on clustered embeddings: {recall:.3f}"
+    # rescored sims are EXACT cosine — identical to brute force on hits
+    assert all(
+        r.cos_sim == exact_sim[(r.vec_id, r.neighbor_id)]
+        for r in refined if (r.vec_id, r.neighbor_id) in exact_sim
+    )
+    adc_rows = similarity.pq_topk(emb, k=5, rerank=0).collect()
+    errs = [
+        abs(r.approx_sim - exact_sim[(r.vec_id, r.neighbor_id)])
+        for r in adc_rows
+        if (r.vec_id, r.neighbor_id) in exact_sim
+    ]
+    assert errs and sum(errs) / len(errs) < 0.1  # bounded ADC distortion
+    codes = similarity.pq_encode(
+        emb, similarity.pq_train_codebooks(emb)
+    ).limit(3).collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
