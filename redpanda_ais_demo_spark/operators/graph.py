@@ -81,3 +81,29 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph — the standard graph
+    statistic (clustering coefficient numerator; here: how clique-like
+    near-dup clusters are, distinguishing boilerplate families from
+    chains). Input: one row per undirected edge in either orientation.
+
+    Algorithm: orient every edge low->high, then count paths a<b<c with
+    (a,b), (b,c) edges closed by (a,c) — each triangle counted exactly
+    once. Two hash joins on node keys; the classic MapReduce triangle
+    join (at 100 TB, pre-partition the oriented edge list by src and
+    broadcast nothing — both joins shuffle linear edge rows, and the
+    ordering trick bounds the path fan-out by orienting along degree).
+    Returns a single row (n_triangles) — exact BIGINT.
+    """
+    e = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+    ).distinct().localCheckpoint(eager=False)
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    paths = ab.join(bc, "b")
+    closed = paths.join(ac, ["a", "c"])
+    return closed.agg(F.count("*").cast("long").alias("n_triangles"))

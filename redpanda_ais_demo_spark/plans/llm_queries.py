@@ -2204,3 +2204,30 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.groupBy("ctext").agg(
         F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups")
     ).select("doc_id", "n_dups", "ctext")
+
+
+@query(
+    "dup_graph_triangles",
+    oracle=f"""
+        WITH jp AS (SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) j),
+        e AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi FROM jp)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT lo AS a, hi AS b FROM e) ab
+        JOIN (SELECT lo AS b, hi AS c FROM e) bc USING (b)
+        JOIN (SELECT lo AS a, hi AS c FROM e) ac USING (a, c)
+    """,
+    tags=("graph", "join", "dedup"),
+    doc="Triangle count of the near-dup graph — how clique-like the "
+    "duplicate clusters are (boilerplate families close into cliques; "
+    "drifting chains don't). Edges orient low->high so each triangle "
+    "counts exactly once; two linear hash joins close the paths — the "
+    "classic MapReduce triangle join, no node ever sees more than its "
+    "neighborhood (operators/graph.py:triangle_count).",
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs)
+    pairs = dedup.jaccard_pairs(sh, _JACCARD_THRESHOLD).select("id_a", "id_b")
+    return triangle_count(pairs, "id_a", "id_b")

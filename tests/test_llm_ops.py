@@ -1091,3 +1091,17 @@ def test_pq_recall_and_distortion(spark):
         emb, similarity.pq_train_codebooks(emb)
     ).limit(3).collect()
     assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes)
+
+
+def test_triangle_count_on_known_graphs(spark):
+    """K4 has exactly 4 triangles; a chain has none; duplicate/reversed
+    edge rows must not inflate the count."""
+    from redpanda_ais_demo_spark.operators.graph import triangle_count
+    from itertools import combinations
+
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    noisy = k4 + [(b, a) for a, b in k4] + k4[:2]  # reversed + repeated rows
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
+    assert triangle_count(chain).collect()[0].n_triangles == 0
