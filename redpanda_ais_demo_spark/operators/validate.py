@@ -57,3 +57,52 @@ def check_constraints(
         f"stack({len(checks)}, {stack_args}) AS (check_name, metric, threshold)"
     )
     return rows.withColumn("passed", F.col("metric") >= F.col("threshold"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change detection between two snapshots of a keyed table — the
+    data-engineering diff behind incremental syncs, audit trails, and
+    CDC backfills: one row per key whose state differs, labeled
+    ``added`` (key only in new), ``removed`` (only in old) or
+    ``changed`` (present in both, any compare column differs,
+    null-safely). Unchanged keys are dropped — at 100 TB the diff is
+    usually tiny relative to the snapshots, so nothing downstream ever
+    sees the unchanged mass.
+
+    Scale design: ONE full-outer hash join on the key (both snapshots
+    shuffle once — unavoidable for an arbitrary-key diff; co-locate via
+    bucketed layout to eliminate even that, see joins.write_bucketed);
+    the change classification is a narrow projection.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"o_{c}") for c in compare_cols],
+        F.lit(True).alias("in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"n_{c}") for c in compare_cols],
+        F.lit(True).alias("in_new"),
+    )
+    j = o.join(n, [f"k_{c}" for c in key_cols], "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(differs, "changed")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[F.col(f"k_{c}").alias(c) for c in key_cols], "change"
+        )
+    )

@@ -585,3 +585,54 @@ def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("totalprice_under_100k", V.in_range("o_totalprice", 0.0, 100000.0), 0.95),
         ],
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE o_orderkey % 97 <> 0
+        ),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 89 <> 0
+        )
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                         OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'changed'
+               END AS change
+        FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey)
+        WHERE CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                   WHEN b.o_orderkey IS NULL THEN 'removed'
+                   WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                        OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus THEN 'changed'
+              END IS NOT NULL
+    """,
+    tags=("analytics", "diff", "join", "validation"),
+    doc="Snapshot diff / change detection between two keyed table "
+    "versions (simulated deterministically: v2 drops every 89th key, "
+    "v1 every 97th, v2 bumps every 13th price): added/removed/changed "
+    "per key via ONE full-outer hash join + null-safe column compares; "
+    "unchanged keys never leave the join. The CDC/audit primitive "
+    "(operators/validate.py:snapshot_diff).",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(v1, v2, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
