@@ -144,6 +144,13 @@ R7_ADDITIONS = [
     "markov_event_transitions",
     "association_rules_events",
     "dedup_clusters",
+    # batch 4: geo window+agg, one-pass validation suite, PQ ANN with
+    # refine, triangle join, snapshot diff.
+    "track_length_by_user",
+    "validate_orders_constraints",
+    "ann_pq_topk",
+    "dup_graph_triangles",
+    "snapshot_diff_orders",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS
