@@ -717,3 +717,45 @@ def keep_best_per_cluster(
         joined.withColumn("kept", F.row_number().over(w) == 1)
         .select(F.col("id").alias(id_col), "cluster_id", "score", "kept")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int = 4,
+    block: Column | None = None,
+) -> DataFrame:
+    """Fuzzy entity matching by edit distance — the record-linkage
+    primitive ("red widget" vs "rod widget"): candidate pairs from a
+    BLOCKING key (default: last token of the name), verified by exact
+    Levenshtein ≤ ``max_distance``. A custom ``block`` Column is
+    evaluated over the aliased ``name`` column.
+
+    Scale design, in order of importance: (1) match on the DISTINCT name
+    dictionary, never the row stream — entity resolution is a vocabulary
+    problem, and the dictionary is orders of magnitude smaller than the
+    table; (2) the self-join runs per BLOCK (equi-join on the blocking
+    key), so candidates are Σ|block|², not |names|² — pick the key so
+    blocks stay bounded (sorted-neighborhood or multi-key blocking for
+    hostile data); (3) Levenshtein (quadratic per pair) runs only on
+    survivors of the equi-join. Returns (name_a, name_b, distance),
+    each unordered pair once.
+    """
+    blk = block if block is not None else F.element_at(F.split(F.col("name"), " "), -1)
+    names = df.select(F.col(name_col).alias("name")).distinct().select(
+        "name", blk.alias("blk")
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .withColumn("distance", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )

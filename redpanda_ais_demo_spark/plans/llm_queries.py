@@ -2231,3 +2231,27 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.doc_shingles(docs)
     pairs = dedup.jaccard_pairs(sh, _JACCARD_THRESHOLD).select("id_a", "id_b")
     return triangle_count(pairs, "id_a", "id_b")
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+        WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        p AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+        FROM p a JOIN p b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 4
+    """,
+    tags=("dedup", "fuzzy", "join", "text"),
+    doc="Fuzzy entity matching (record linkage): near-identical part "
+    "names by Levenshtein <= 4, blocked on the last name token. The "
+    "scale story in order: match the DISTINCT name dictionary (64 names "
+    "stand in for 2000 rows here — at 100 TB the vocabulary is orders "
+    "of magnitude smaller than the table), equi-join per block (sum of "
+    "block^2 candidates, never names^2), edit distance only on equi-"
+    "join survivors (operators/dedup.py:fuzzy_name_pairs).",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return dedup.fuzzy_name_pairs(part, "p_name", max_distance=4)
