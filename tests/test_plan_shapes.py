@@ -504,3 +504,51 @@ def test_curate_pipeline_has_no_quadratic_operator(spark):
     plan = _physical_plan(spark, "pipeline_curate_corpus")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_readability_is_narrow_map_only(spark):
+    """Readability folds must never explode or shuffle."""
+    plan = _physical_plan(spark, "readability_docs")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_phrase_proximity_has_no_positional_explode(spark):
+    """Positions come from indexed lambdas in-row — a positional explode
+    would shuffle every token of the corpus."""
+    plan = _physical_plan(spark, "phrase_proximity_docs")
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_markov_and_track_windows_are_partitioned(spark):
+    """Per-key sequential operators must window PARTITION BY the key —
+    an empty partition spec would serialize the corpus through one task."""
+    for name in ("markov_event_transitions", "track_length_by_user"):
+        plan = _physical_plan(spark, name)
+        assert "partitionSpec=[]" not in plan.replace(" ", ""), name
+
+
+def test_validation_suite_is_single_aggregation(spark):
+    """The whole constraint suite must compile to ONE aggregation over
+    one scan — per-constraint scans would make suite cost linear in
+    constraint count."""
+    plan = _physical_plan(spark, "validate_orders_constraints")
+    assert plan.count("Scan parquet") <= 2  # tree + detail of ONE scan
+
+
+def test_fuzzy_and_triangles_have_no_cartesian(spark):
+    """Blocked fuzzy matching and the oriented triangle join must plan
+    hash equi-joins, never a cartesian/nested-loop product."""
+    for name in ("fuzzy_part_name_pairs", "dup_graph_triangles"):
+        plan = _physical_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_snapshot_diff_is_one_join(spark):
+    """The diff is ONE full-outer join: no second pass, no broadcast of
+    a snapshot-sized side."""
+    plan = _physical_plan(spark, "snapshot_diff_orders")
+    assert plan.count("SortMergeJoin FullOuter") + plan.count("ShuffledHashJoin FullOuter") >= 1
+    assert "CartesianProduct" not in plan
