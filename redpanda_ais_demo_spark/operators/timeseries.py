@@ -387,17 +387,9 @@ def mad_outliers(
     Determinism: medians/MAD round to 6 dp BEFORE deviations, so both
     engines branch on identical doubles.
     """
-    med = df.groupBy(group_col).agg(
-        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("med")
-    )
-    dev = df.join(F.broadcast(med), group_col).withColumn(
-        "ad", F.abs(F.col(value_col) - F.col("med"))
-    )
-    mad = dev.groupBy(group_col).agg(
-        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
-    )
+    stats = mad_stats(df, group_col, value_col)
     z = (
-        dev.join(F.broadcast(mad), group_col)
+        df.join(F.broadcast(stats), group_col)
         .filter(F.col("mad") > 0)
         .withColumn(
             "robust_z",
@@ -499,3 +491,20 @@ def association_rules(
         F.round(F.col("nab") / F.col("na"), 6).alias("confidence"),
         F.round((F.col("nab") * F.col("nb")) / (F.col("na") * F.col("nc")), 6).alias("lift"),
     )
+
+
+def mad_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group robust location/scale — (group, med, mad), 6dp-rounded
+    so both engines (and any later scorer) branch on identical doubles.
+    The trained 'model' of the MAD detector: tiny (one row per group),
+    broadcastable into batch scoring or a live stream."""
+    med = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "ad", F.abs(F.col(value_col) - F.col("med"))
+    )
+    return dev.groupBy(group_col).agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
+        F.first("med").alias("med"),
+    ).select(group_col, "med", "mad")

@@ -294,3 +294,30 @@ def test_rate_limiter_paces():
         bucket.acquire()
     # 60 acquisitions at 50/s with burst capacity → must take measurable time
     assert time.monotonic() - t0 < 10  # sanity: no deadlock
+
+
+def test_mad_anomaly_stream_matches_batch_semantics(spark, tmp_path):
+    """Stream scoring against batch-trained MAD stats must flag exactly
+    the rows the batch operator flags on the same data — the model-apply
+    path adds no drift — and normal rows must pass silently."""
+    from redpanda_ais_demo_spark.operators.timeseries import mad_outliers, mad_stats
+    from redpanda_ais_demo_spark.streaming.anomaly import mad_anomaly_stream
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 10, 11, 9, 10, 12, 500])]
+    rows += [(100 + i, "b", float(v)) for i, v in enumerate([5, 5, 6, 4, 5, 6, 5, 4, -300])]
+    batch = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    stats = mad_stats(batch, "grp", "value")
+    expected = {r.event_id for r in mad_outliers(batch, "grp", "value", "event_id").collect()}
+    assert expected  # the crafted spikes must be flagged in batch
+
+    path = str(tmp_path / "anom_in")
+    batch.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        mad_anomaly_stream(stream, stats, "grp", "value")
+        .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.event_id for r in spark.sql("SELECT * FROM anom").collect()}
+    assert got == expected
