@@ -151,6 +151,7 @@ R7_ADDITIONS = [
     "ann_pq_topk",
     "dup_graph_triangles",
     "snapshot_diff_orders",
+    "fuzzy_part_name_pairs",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS
