@@ -1578,7 +1578,11 @@ _CURATE_ORACLE = f"""
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     good = corpus.gopher_quality(docs).filter(F.col("passes")).select("doc_id")
-    survivors = docs.join(good, "doc_id")
+    # pin the gated survivor table once: clustering, retention scoring and
+    # the split join each materialize it, and the quality-gate signals are
+    # the expensive part of the subtree (at scale: persist the stage
+    # boundary, exactly like a multi-job pipeline would)
+    survivors = docs.join(good, "doc_id").localCheckpoint(eager=False)
     clusters = dedup.dedup_clusters(survivors, threshold=_JACCARD_THRESHOLD)
     w = TXT.tokens(F.col("text"))
     score = F.round(F.lit(1e6) * F.size(F.array_distinct(w)) / F.size(w)).cast("long")
