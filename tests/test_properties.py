@@ -320,3 +320,77 @@ def test_cms_never_undercounts_property(spark, stream):
     assert all(est[t] >= n for t, n in true.items())
     # total sketch mass bounds every estimate
     assert all(v <= len(stream) for v in est.values())
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 20)),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    ),
+    k0=st.integers(10, 90),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_fuse_leg_order_invariant(spark, pairs, k0):
+    """RRF is a sum over legs: permuting the leg list must not change any
+    fused score, only the rank_i column labels."""
+    from redpanda_ais_demo_spark.operators.retrieval import rrf_fuse
+
+    half = max(1, len(pairs) // 2)
+    leg_a = spark.createDataFrame(pairs[:half], "doc_id long, rank int")
+    leg_b = spark.createDataFrame(pairs[half:] or pairs[:1], "doc_id long, rank int")
+    ab = {r.doc_id: r.rrf_score for r in rrf_fuse([leg_a, leg_b], k0=k0, k=50).collect()}
+    ba = {r.doc_id: r.rrf_score for r in rrf_fuse([leg_b, leg_a], k0=k0, k=50).collect()}
+    assert ab == ba
+
+
+@given(n_parts=st.integers(1, 6), salt=st.sampled_from(["s1", "s2", "v9"]))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_assign_partitioning_invariant(spark, n_parts, salt):
+    """Split assignment derives from (salt, key) alone — any physical
+    repartitioning must produce the identical assignment map."""
+    from redpanda_ais_demo_spark.operators.corpus import split_assign
+
+    df = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_assign(df, salt=salt).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_assign(df.repartition(n_parts), salt=salt).collect()
+    }
+    assert a == b
+
+
+def test_snapshot_diff_identity_and_antisymmetry_cases(spark):
+    """diff(x, x) is empty; swapping snapshots swaps added<->removed and
+    keeps the changed set fixed."""
+    from redpanda_ais_demo_spark.operators.validate import snapshot_diff
+
+    rows = [(i, i % 4, float(i * 3 % 7)) for i in range(25)]
+    x = spark.createDataFrame(rows, "k long, a int, v double")
+    y = spark.createDataFrame(
+        [(k, a + (1 if k % 5 == 0 else 0), v) for k, a, v in rows[:20]]
+        + [(100 + i, 0, 0.0) for i in range(3)],
+        "k long, a int, v double",
+    )
+    assert snapshot_diff(x, x, ["k"], ["a", "v"]).count() == 0
+    fwd = {(r.k, r.change) for r in snapshot_diff(x, y, ["k"], ["a", "v"]).collect()}
+    rev = {(r.k, r.change) for r in snapshot_diff(y, x, ["k"], ["a", "v"]).collect()}
+    swap = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert {(k, swap[c]) for k, c in fwd} == rev
+
+
+def test_haversine_metric_properties(spark):
+    """distance(p, p) = 0; symmetry; known reference distance (Paris to
+    London ~343-344 km) lands within 1 km."""
+    from redpanda_ais_demo_spark.functions.geo import haversine_km
+
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], "la1 double, lo1 double, la2 double, lo2 double"
+    )
+    d = df.select(
+        haversine_km(F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2")).alias("ab"),
+        haversine_km(F.col("la2"), F.col("lo2"), F.col("la1"), F.col("lo1")).alias("ba"),
+        haversine_km(F.col("la1"), F.col("lo1"), F.col("la1"), F.col("lo1")).alias("aa"),
+    ).collect()[0]
+    assert d.aa == 0.0
+    assert abs(d.ab - d.ba) < 1e-9
+    assert 342.5 < d.ab < 344.5
