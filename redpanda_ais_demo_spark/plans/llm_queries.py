@@ -2259,3 +2259,72 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return dedup.fuzzy_name_pairs(part, "p_name", max_distance=4)
+
+
+@query(
+    "resolve_part_names",
+    oracle="""
+        WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+        p AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n),
+        fp AS (
+            SELECT a.name AS name_a, b.name AS name_b
+            FROM p a JOIN p b ON a.blk = b.blk AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 4
+        ),
+        edges AS (
+            SELECT name_a AS src, name_b AS dst FROM fp
+            UNION ALL
+            SELECT name_b AS src, name_a AS dst FROM fp
+        ),
+        reach(node, other) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.node, e.dst
+            FROM reach r JOIN edges e ON r.other = e.src AND e.dst <> r.node
+        ),
+        clusters AS (
+            SELECT node AS name, least(node, min(other)) AS canonical
+            FROM reach GROUP BY node
+        ),
+        counts AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows FROM part GROUP BY p_name)
+        SELECT c.name, COALESCE(cl.canonical, c.name) AS canonical, c.n_rows
+        FROM counts c LEFT JOIN clusters cl USING (name)
+    """,
+    tags=("dedup", "fuzzy", "graph", "join"),
+    doc="Entity RESOLUTION end-to-end — the dirty-dimension harmonizer: "
+    "blocked-Levenshtein pairs over the distinct name dictionary, "
+    "connected components over the match graph (labels ride xxhash64 "
+    "node ids; membership is label-agnostic), canonical = "
+    "lexicographic min name per component (labels ride 32-bit hashes — "
+    "membership is label-agnostic), mapped back onto per-name row counts (singletons canonicalize to themselves). All graph "
+    "work runs on the DICTIONARY — the fact rows only join the final "
+    "tiny mapping. Oracle replays the closure recursively on the name "
+    "strings themselves.",
+)
+def resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank  # noqa: F401 (module warm for CC import path)
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = dedup.fuzzy_name_pairs(part, "p_name", max_distance=4)
+    # 32-bit node ids: CC's convergence signature SUMs labels, and 64-bit
+    # hash labels overflow a BIGINT sum under ANSI; component membership is
+    # label-agnostic, so the narrower id space only has to be collision-
+    # free over the name DICTIONARY (use dense ids at warehouse scale)
+    names = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "nid", F.hash("name").cast("long")
+    )
+    edges = (
+        pairs.join(names.select(F.col("name").alias("name_a"), F.col("nid").alias("id_a")), "name_a")
+        .join(names.select(F.col("name").alias("name_b"), F.col("nid").alias("id_b")), "name_b")
+        .select("id_a", "id_b")
+    )
+    cc = dedup.connected_components(edges)
+    clusters = cc.join(names, cc.node == names.nid).select("name", "component")
+    canonical = clusters.groupBy("component").agg(F.min("name").alias("canonical"))
+    mapping = clusters.join(canonical, "component").select("name", "canonical")
+    counts = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    return counts.join(mapping, "name", "left").select(
+        "name", F.coalesce("canonical", "name").alias("canonical"), "n_rows"
+    )
