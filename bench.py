@@ -152,6 +152,7 @@ R7_ADDITIONS = [
     "dup_graph_triangles",
     "snapshot_diff_orders",
     "fuzzy_part_name_pairs",
+    "resolve_part_names",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS
