@@ -508,3 +508,56 @@ def mad_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
         F.first("med").alias("med"),
     ).select(group_col, "med", "mad")
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Concentration / inequality metrics per group — the revenue-
+    concentration question every business review asks: Gini coefficient
+    of per-entity totals (0 = equal, ->1 = winner-take-all) plus the
+    top-decile share, via the sorted-cumulative identity
+    ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`` (i = 1-based ascending rank).
+
+    Scale design: the raw stream collapses FIRST to one row per
+    (group, entity) — partial-aggregable, the only corpus-sized shuffle;
+    ranking windows partition per GROUP over those collapsed rows.
+    Exact integer cents everywhere: Σ i·xᵢ and Σx are BIGINT sums, the
+    two final divisions are the only doubles (6 dp) — engine-identical.
+    """
+    per_entity = (
+        df.groupBy(group_col, entity_col)
+        .agg(F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy(group_col).orderBy("cents", entity_col)
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        per_entity.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(wn).cast("long"))
+        # top decile by rank: the ceil(n/10) highest-value entities —
+        # i > (9n) div 10 with integer division, mirrored in the oracle
+        .withColumn("in_top", F.col("i") > F.expr("(9 * n) div 10"))
+    )
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).alias("iw"),
+            F.sum(F.when(F.col("in_top"), F.col("cents")).otherwise(F.lit(0).cast("long"))).alias("top_cents"),
+        )
+        .select(
+            group_col,
+            "n_entities",
+            (F.col("total_cents") / 100.0).alias("total_value"),
+            F.round(
+                F.lit(2.0) * F.col("iw") / (F.col("n_entities") * F.col("total_cents"))
+                - (F.col("n_entities") + 1) / F.col("n_entities"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top_cents") / F.col("total_cents"), 6).alias("top_decile_share"),
+        )
+    )

@@ -636,3 +636,43 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     return snapshot_diff(v1, v2, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle="""
+        WITH pe AS (
+            SELECT o_orderpriority AS grp, o_custkey AS ent,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT grp, cents,
+                   CAST(row_number() OVER (PARTITION BY grp ORDER BY cents, ent) AS BIGINT) AS i,
+                   CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+            FROM pe
+        )
+        SELECT grp AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_entities,
+               CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value,
+               round(2.0 * CAST(SUM(i * cents) AS BIGINT)
+                     / (CAST(count(*) AS BIGINT) * CAST(SUM(cents) AS BIGINT))
+                     - (CAST(count(*) AS BIGINT) + 1) / CAST(count(*) AS BIGINT), 6) AS gini,
+               round(CAST(SUM(CASE WHEN i > (9 * n) // 10 THEN cents ELSE 0 END) AS BIGINT)
+                     / CAST(SUM(cents) AS BIGINT), 6) AS top_decile_share
+        FROM r GROUP BY grp
+    """,
+    tags=("analytics", "window", "agg", "concentration"),
+    doc="Revenue concentration per order priority: Gini coefficient of "
+    "per-customer spend (sorted-cumulative identity, exact BIGINT "
+    "i*cents sums — only the two final divisions are doubles) plus the "
+    "top-decile share. The order stream collapses FIRST to one row per "
+    "(group, customer) — the only corpus-sized shuffle; ranking windows "
+    "run per group over collapsed rows "
+    "(operators/timeseries.py:gini_concentration).",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gini_concentration
+
+    orders = load_table(spark, sf_dir, "orders")
+    return gini_concentration(orders, "o_orderpriority", "o_custkey", "o_totalprice")

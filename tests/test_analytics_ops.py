@@ -252,3 +252,22 @@ def test_pagerank_matches_pure_python_reference(spark):
 
     assert got == ref(edges, 5)
     assert all(got[0] > got[i] for i in range(1, 5))  # hub beats leaves
+
+
+def test_gini_known_distributions(spark):
+    """Perfect equality -> gini 0; extreme concentration -> gini near 1
+    with the top decile owning ~everything."""
+    from redpanda_ais_demo_spark.operators.timeseries import gini_concentration
+
+    equal = spark.createDataFrame(
+        [("g", i, 10.0) for i in range(100)], "grp string, ent long, v double"
+    )
+    r = gini_concentration(equal, "grp", "ent", "v").collect()[0]
+    assert r.gini == 0.0 and r.n_entities == 100
+    skew = spark.createDataFrame(
+        [("g", i, 0.01) for i in range(99)] + [("g", 99, 10000.0)],
+        "grp string, ent long, v double",
+    )
+    s = gini_concentration(skew, "grp", "ent", "v").collect()[0]
+    assert s.gini > 0.95
+    assert s.top_decile_share > 0.99
