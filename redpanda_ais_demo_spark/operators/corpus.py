@@ -774,3 +774,61 @@ def split_assign(
         F.lit(weights[0][0]) if split is None else split.otherwise(weights[-1][0])
     )
     return out.withColumn("split", split)
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean CONDITIONAL log-probability under the corpus's
+    own add-alpha bigram LM — degree 2 of the CCNet-style perplexity
+    filter (``unigram_logprob_score`` is degree 1): P(wᵢ|wᵢ₋₁) =
+    (c(wᵢ₋₁wᵢ)+α)/(c(wᵢ₋₁)+α·V), scored over the dl−1 transitions, so
+    word-salad with frequent tokens in impossible ORDER — invisible to
+    the unigram filter — scores low. Docs with <2 tokens drop (no
+    transition to score).
+
+    Shape (100 TB): bigram and unigram counts are two vocab-sized
+    partial-agg shuffles; the LM joins back on bigram then on the
+    PREVIOUS token; per-doc sums shuffle on doc id. V is one scalar,
+    literalized. Per-(doc, bigram-type) contributions quantize to BIGINT
+    micro-units before the per-doc sum (associativity-free).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w")
+    ).filter(F.size("w") >= 2)
+    toks = base.select("id", F.explode("w").alias("t"))
+    c1 = toks.groupBy("t").agg(F.count("*").alias("c1"))
+    vocab = float(c1.count())  # 1-row scalar job, literalized below
+    bgs = base.select(
+        "id",
+        (F.size("w") - 1).alias("nb"),
+        F.explode(T.word_shingles(F.col("w"), 2)).alias("bg"),
+    )
+    c2 = bgs.groupBy("bg").agg(F.count("*").alias("c2"))
+    tf2 = bgs.groupBy("id", "bg").agg(
+        F.count("*").alias("tf"), F.first("nb").alias("nb")
+    )
+    contrib = (
+        tf2.join(c2, "bg")
+        .withColumn("prev", F.element_at(F.split(F.col("bg"), " "), 1))
+        .join(c1.select(F.col("t").alias("prev"), "c1"), "prev")
+        .withColumn(
+            "micro",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("c2") + alpha) / (F.col("c1") + F.lit(alpha * vocab)))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(
+            (F.sum("micro") / 1e6 / F.first("nb")).alias("mean_cond_logprob"),
+            (F.first("nb") + 1).cast("long").alias("n_tokens"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "mean_cond_logprob")
+    )

@@ -457,6 +457,54 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_logprob_score(docs)
 
 
+@query(
+    "bigram_logprob_quality",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ),
+        toks AS (SELECT id, unnest(w) AS t FROM base),
+        c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY t),
+        v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM c1),
+        bgs AS (
+            SELECT id, len(w) - 1 AS nb,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> array_to_string(w[i:i+1], ' '))) AS bg
+            FROM base
+        ),
+        c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgs GROUP BY bg),
+        tf2 AS (
+            SELECT id, bg, CAST(count(*) AS BIGINT) AS tf, max(nb) AS nb
+            FROM bgs GROUP BY id, bg
+        ),
+        contrib AS (
+            SELECT tf2.id, tf2.nb,
+                   CAST(round(tf2.tf * ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.vocab)) * 1e6) AS BIGINT) AS micro
+            FROM tf2
+            JOIN c2 USING (bg)
+            JOIN c1 ON c1.t = string_split(tf2.bg, ' ')[1]
+            CROSS JOIN v
+        )
+        SELECT id AS doc_id,
+               CAST(max(nb) + 1 AS BIGINT) AS n_tokens,
+               CAST(SUM(micro) AS BIGINT) / 1e6 / max(nb) AS mean_cond_logprob
+        FROM contrib GROUP BY id
+    """,
+    tags=("text", "quality", "lm"),
+    doc="LM-quality signal, degree 2 — per-doc mean CONDITIONAL log-"
+    "probability under the corpus's own add-0.5 bigram LM: word-salad "
+    "with frequent tokens in impossible ORDER (invisible to the unigram "
+    "filter) scores low. Two vocab-sized partial-agg count shuffles, "
+    "bigram + previous-token LM join-backs, per-doc micro-unit sums "
+    "over the dl-1 transitions (operators/corpus.py:"
+    "bigram_logprob_score).",
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bigram_logprob_score(docs)
+
+
 # --- PII redaction (X5 family extension) ------------------------------------
 
 # The synthetic corpus carries no PII, so the declared query plants

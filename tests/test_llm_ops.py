@@ -1105,3 +1105,17 @@ def test_triangle_count_on_known_graphs(spark):
     assert triangle_count(df).collect()[0].n_triangles == 4
     chain = spark.createDataFrame([(i, i + 1) for i in range(5)], "src long, dst long")
     assert triangle_count(chain).collect()[0].n_triangles == 0
+
+
+def test_bigram_logprob_detects_scrambled_order(spark):
+    """The bigram LM must separate natural-order text from the same
+    tokens scrambled — exactly what the unigram filter cannot do."""
+    from redpanda_ais_demo_spark.operators import corpus as C
+
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(8)]
+    rows += [(100, "mat the ran dog cat on and sat the the")]  # same bag, wrong order
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.mean_logprob for r in C.unigram_logprob_score(df).collect()}
+    bi = {r.doc_id: r.mean_cond_logprob for r in C.bigram_logprob_score(df).collect()}
+    assert abs(uni[0] - uni[100]) < 1e-9  # unigram: identical bags, identical score
+    assert bi[100] < bi[0] - 0.5  # bigram: scrambled order scores clearly lower
