@@ -153,6 +153,8 @@ R7_ADDITIONS = [
     "snapshot_diff_orders",
     "fuzzy_part_name_pairs",
     "resolve_part_names",
+    "gini_revenue_concentration",
+    "bigram_logprob_quality",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS
