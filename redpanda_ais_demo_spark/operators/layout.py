@@ -226,3 +226,33 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic: bool = True,
+) -> None:
+    """Hive-partitioned parquet write with DYNAMIC partition overwrite —
+    the idempotent-backfill primitive: re-running a job for one day
+    replaces ONLY the day-partitions present in ``df``; every other
+    partition's files are untouched (static overwrite mode would wipe
+    the whole table root — the classic backfill footgun).
+
+    At scale this is what makes partition-scoped reprocessing safe and
+    cheap: a backfill touches exactly the partitions it recomputes, and
+    readers prune to partitions via the directory layout
+    (PartitionFilters in the scan, no file listing outside the pruned
+    set).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "dynamic" if dynamic else "static",
+        )
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -87,3 +87,41 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_dynamic_partition_overwrite_backfills_only_touched_days(spark, tmp_path):
+    """Re-running one day's job must replace exactly that day's
+    partition: other partitions' files (and data) survive byte-for-byte;
+    static mode would have wiped them. Readers prune to the partition
+    directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.layout import write_partitioned
+
+    path = str(tmp_path / "by_day")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03") for i in range(10)],
+        "day string, k long, v double",
+    )
+    write_partitioned(full, path, ["day"])
+    files_before = {
+        f for f in os.listdir(os.path.join(path, "day=2024-01-01")) if f.endswith(".parquet")
+    }
+    # backfill day 2 only, with corrected values
+    fix = spark.createDataFrame(
+        [("2024-01-02", i, float(i) + 100.0) for i in range(10)], "day string, k long, v double"
+    )
+    write_partitioned(fix, path, ["day"])
+    out = spark.read.parquet(path)
+    assert out.count() == 30  # days 1 and 3 survived
+    assert out.filter(F.col("day") == "2024-01-02").agg(F.min("v")).collect()[0][0] == 100.0
+    assert out.filter(F.col("day") == "2024-01-01").agg(F.max("v")).collect()[0][0] == 9.0
+    files_after = {
+        f for f in os.listdir(os.path.join(path, "day=2024-01-01")) if f.endswith(".parquet")
+    }
+    assert files_before == files_after  # untouched partition: same files
+    # partition pruning reaches the scan
+    plan = out.filter(F.col("day") == "2024-01-03")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
