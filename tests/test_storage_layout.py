@@ -125,3 +125,28 @@ def test_dynamic_partition_overwrite_backfills_only_touched_days(spark, tmp_path
     # partition pruning reaches the scan
     plan = out.filter(F.col("day") == "2024-01-03")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_schema_evolution_across_partitions(spark, tmp_path):
+    """A column added by a later day's job must be readable across the
+    whole table with mergeSchema (old partitions surface NULLs), and the
+    old reader path (no mergeSchema) must keep working on the original
+    columns — the append-only schema-evolution contract of a parquet
+    lake."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.layout import write_partitioned
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [("2024-01-01", i, float(i)) for i in range(5)], "day string, k long, v double"
+    )
+    write_partitioned(v1, path, ["day"])
+    v2 = v1.withColumn("quality", F.lit(0.5)).withColumn("day", F.lit("2024-01-02"))
+    write_partitioned(v2, path, ["day"])
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"day", "k", "v", "quality"}
+    old = merged.filter(F.col("day") == "2024-01-01")
+    assert old.filter(F.col("quality").isNull()).count() == 5  # old rows: NULL
+    new = merged.filter(F.col("day") == "2024-01-02")
+    assert new.filter(F.col("quality") == 0.5).count() == 5
