@@ -155,6 +155,7 @@ R7_ADDITIONS = [
     "resolve_part_names",
     "gini_revenue_concentration",
     "bigram_logprob_quality",
+    "twap_user_value",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -561,3 +561,51 @@ def gini_concentration(
             F.round(F.col("top_cents") / F.col("total_cents"), 6).alias("top_decile_share"),
         )
     )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average per key over an IRREGULAR series — the
+    hypertable staple plain AVG gets wrong (a value that held for an
+    hour must weigh 3600x one that held a second): each observation is
+    weighted by how long it remained current (seconds until the next
+    observation; the last observation of a key carries no interval and
+    drops, the standard left-closed convention).
+
+    Returns (key, n_intervals, span_s, twap).
+
+    Scale design: one per-key lead window (never global), then a
+    partial-aggregable per-key sum — same two-shuffle shape as every
+    sequential operator here. Exactness: durations are whole seconds
+    (floor-µs diff / 1_000_000 — exact integer), values integer cents;
+    Σ cents·seconds and Σ seconds are BIGINT sums (≤ ~1e15 at any
+    plausible per-key density — no overflow), and the single final
+    division is the only double, rounded to 6 dp.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    us = F.unix_micros(F.col(ts_col))
+    seg = (
+        df.select(
+            F.col(key_col),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+            ((F.lead(us).over(w) - us) / F.lit(1_000_000)).cast("long").alias("dur_s"),
+        )
+        .filter(F.col("dur_s").isNotNull())
+    )
+    return (
+        seg.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("dur_s").alias("span_s"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dur_s")) / F.sum("dur_s") / 100.0, 6
+            ).alias("twap"),
+        )
+    )

@@ -676,3 +676,34 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return gini_concentration(orders, "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+@query(
+    "twap_user_value",
+    oracle="""
+        WITH seg AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST((lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS BIGINT) AS dur_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dur_s) AS BIGINT) AS span_s,
+               round(CAST(SUM(cents * dur_s) AS BIGINT)
+                     / CAST(SUM(dur_s) AS BIGINT) / 100.0, 6) AS twap
+        FROM seg WHERE dur_s IS NOT NULL GROUP BY user_id
+    """,
+    tags=("analytics", "timeseries", "window", "agg"),
+    doc="Time-weighted average per user over the irregular event series "
+    "— each value weighted by how long it stayed current (plain AVG "
+    "overweights bursts). One per-key lead window + one partial-agg "
+    "sum; whole-second integer durations x integer cents keep both "
+    "BIGINT sums exact, single final division rounded 6dp "
+    "(operators/timeseries.py:time_weighted_average).",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import time_weighted_average
+
+    events = load_table(spark, sf_dir, "events")
+    return time_weighted_average(events, "user_id", "ts", "value", "event_id")

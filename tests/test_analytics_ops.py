@@ -271,3 +271,21 @@ def test_gini_known_distributions(spark):
     s = gini_concentration(skew, "grp", "ent", "v").collect()[0]
     assert s.gini > 0.95
     assert s.top_decile_share > 0.99
+
+
+def test_twap_weights_by_holding_time(spark):
+    """A value held 9x longer must dominate the average 9:1 — plain AVG
+    would say 50/50; the last observation (no interval) drops."""
+    from datetime import datetime
+
+    from redpanda_ais_demo_spark.operators.timeseries import time_weighted_average
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 10.0, 1),   # held 90 s
+        (1, datetime(2024, 1, 1, 0, 1, 30), 100.0, 2),  # held 10 s
+        (1, datetime(2024, 1, 1, 0, 1, 40), 999.0, 3),  # last: dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    r = time_weighted_average(df, "user_id", "ts", "value", "event_id").collect()[0]
+    assert (r.n_intervals, r.span_s) == (2, 100)
+    assert r.twap == (10.0 * 90 + 100.0 * 10) / 100  # 19.0
