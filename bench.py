@@ -167,6 +167,12 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
         sf_dir = prepare_split_fixture(sf_dir)
     spark = get_spark(app_name="bench")
+    # Workers must import the package even when bench runs from an
+    # arbitrary cwd (a bare `python /root/repo/bench.py` from elsewhere
+    # otherwise dies in the first pandas-UDF query with ModuleNotFoundError).
+    from redpanda_ais_demo_spark.dist import ensure_shipped
+
+    ensure_shipped(spark)
 
     queries = get_queries()
     # Warm up: JVM, codegen, parquet footer caches — and the Arrow/Python
@@ -209,22 +215,41 @@ def main() -> None:
     # core_set_sec is directly comparable to BENCH_r06's value (same 28
     # queries, same interleaved harness); value covers the full set.
     core_total = round(sum(timings[n] for n in CORE_QUERIES), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "core_set_sec": core_total,
-                "r7_additions_sec": round(total - core_total, 3),
-                "queries": timings,
-                "spread": spread,
-                "samples": samples,
-                "sf": sf,
-            }
-        )
-    )
+    # Full record (per-query minima, spread, raw samples) goes to a
+    # committed file; stdout gets ONLY the compact summary. The driver
+    # captures a bounded tail of stdout, and the full record overflowed it
+    # in rounds 6-7 (BENCH_r06/r07 landed parsed:null) — the summary line
+    # is kept under 200 chars so the tail always parses.
+    full_record = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "core_set_sec": core_total,
+        "additions_sec": round(total - core_total, 3),
+        "queries": timings,
+        "spread": spread,
+        "samples": samples,
+        "sf": sf,
+    }
+    with open(os.path.join(REPO_DIR, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full_record, f, indent=1)
+        f.write("\n")
+    print(json.dumps(summary_line(total, core_total, sf)))
     spark.stop()
+
+
+def summary_line(total: float, core_total: float, sf: float) -> dict:
+    """The compact stdout record. Keys only — kept <200 chars serialized
+    (test-enforced in tests/test_bench_contract.py) so the driver's
+    bounded stdout-tail capture always contains valid JSON."""
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "core_set_sec": core_total,
+        "additions_sec": round(total - core_total, 3),
+        "sf": sf,
+    }
 
 
 if __name__ == "__main__":

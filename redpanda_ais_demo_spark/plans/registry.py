@@ -83,13 +83,15 @@ def _load_all() -> None:
 # packing scale path) holds the packing-class window slot; the global
 # variant trails, pytest-oracle-swept.
 PRIORITY: tuple[str, ...] = (
-    # AIS dashboard + streaming-analogue surface
+    # AIS dashboard + streaming-analogue surface. r8 rotation: a1 holds the
+    # count-distinct metric family (a2 is its filtered variant, a3 the
+    # column-mean sibling of the same dashboard card — both rotated out,
+    # registered, oracle-bearing, pytest-oracle-swept), and f6_json_extract
+    # holds the scalar-function family (f_scalar_display rotated out, same
+    # status) — freeing four slots for r7 session classes with no window rep.
     "a1_total_ships",
-    "a2_moving_ships",
-    "a3_map_center",
     "p1_route_positions",
     "p2_validity_filter",
-    "f_scalar_display",
     "f6_json_extract",
     "j1_dashboard_join",
     "w1_latest_per_key",
@@ -112,11 +114,15 @@ PRIORITY: tuple[str, ...] = (
     # bucketed-layout join, Bloom decontamination, PPS sampling, CUSUM).
     # All rotated-out entries stay registered, oracle-bearing, and
     # pytest-oracle-swept.
+    # r8 rotation within the dedup/similarity families: minhash_lsh_pairs is
+    # the declared scale path for near-dup pairs (ngram_jaccard_pairs is its
+    # exact-verifier sibling — rotated out), and embedding_cosine_topk holds
+    # the embedding-similarity slot (semdedup_embeddings runs the same
+    # round(cosine,6) pair mechanism in-cluster — rotated out). Both stay
+    # registered, oracle-bearing, pytest-oracle-swept.
     "dedup_exact_docs",
-    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
-    "semdedup_embeddings",
     "dedup_clusters",
     "pack_token_stream_sharded",
     "embedding_random_projection",
@@ -201,6 +207,17 @@ PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_topk_docs",
     "gopher_quality_docs",
     "dedup_keep_best",
+    # r8 rotation: five r7 session classes previously outside the window,
+    # each the sole representative of its operator family and each carrying
+    # a full DuckDB oracle — end-to-end entity resolution (blocking +
+    # similarity + CC + canonicalization), iterative integer PageRank
+    # (recursive-CTE oracle), CDC snapshot diff, the Deequ-style one-pass
+    # validation suite, and the 4-stage corpus-curation composite pipeline.
+    "resolve_part_names",
+    "pagerank_customer_supplier",
+    "snapshot_diff_orders",
+    "validate_orders_constraints",
+    "pipeline_curate_corpus",
 )
 
 

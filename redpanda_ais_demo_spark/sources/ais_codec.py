@@ -191,7 +191,7 @@ def decode_payload(payload: str, fill_bits: int = 0) -> dict | None:
         hdg = _u(bits, n, 128, 9)
         base.update(
             status=NAV_STATUS[status],
-            speed=None if sog == 1023 else int(round(sog / 10.0)),
+            speed=None if sog == 1023 else sog // 10,
             lon=None if lon_raw == _LON_NA else lon_raw / 600_000.0,
             lat=None if lat_raw == _LAT_NA else lat_raw / 600_000.0,
             heading=None if hdg == 511 else hdg,
@@ -203,7 +203,7 @@ def decode_payload(payload: str, fill_bits: int = 0) -> dict | None:
         lat_raw = _s(bits, n, 85, 27)
         hdg = _u(bits, n, 124, 9)
         base.update(
-            speed=None if sog == 1023 else int(round(sog / 10.0)),
+            speed=None if sog == 1023 else sog // 10,
             lon=None if lon_raw == _LON_NA else lon_raw / 600_000.0,
             lat=None if lat_raw == _LAT_NA else lat_raw / 600_000.0,
             heading=None if hdg == 511 else hdg,

@@ -83,13 +83,18 @@ def decode_nmea(lines: DataFrame) -> DataFrame:
                     except Exception:
                         continue  # malformed sentences drop
                     rec = {f: msg.get(f) for f in fields}
-                    # pyais yields fractional knots; the native codec emits
-                    # int(round(sog/10)). Apply the SAME rule here so the
-                    # two decode paths agree on every sentence (and the
-                    # pandas→Arrow int cast never sees a non-integral
-                    # float).
+                    # pyais yields fractional knots; the reference pipes
+                    # that float into an Avro "int" field, and the Avro
+                    # writer's int cast TRUNCATES (producer-from-ais-api
+                    # .py:67 + schemas/ship-position-event.avsc "speed":
+                    # "int"). The native codec floors the raw tenths
+                    # (sog // 10) — the same value for every sentence,
+                    # since sog/10.0's float error (~1e-16) never crosses
+                    # an integer boundary. Truncate here too so both
+                    # decode paths and the reference agree exactly
+                    # (test_ais_codec.py::test_sog_rule_cross_path_parity).
                     if rec.get("speed") is not None:
-                        rec["speed"] = int(round(rec["speed"]))
+                        rec["speed"] = int(rec["speed"])
                     rows.append(rec)
                 yield pd.DataFrame(rows, columns=fields)
         else:

@@ -138,6 +138,39 @@ def test_unfielded_valid_types_emit_envelope_only():
     assert m["lat"] is None and m["shipname"] is None
 
 
+def test_sog_rule_cross_path_parity():
+    """The two decode paths must emit the SAME integer speed for every raw
+    SOG value, fractional knots included — and that value is the
+    reference's: pyais hands fractional knots (raw/10) to an Avro "int"
+    field, whose writer cast TRUNCATES (producer-from-ais-api.py:67 +
+    schemas/ship-position-event.avsc). Native codec: sog // 10. pyais
+    kernel (ais_feed.decode_nmea): int(knots). Feeds every fractional-
+    knot raw value through a crafted type-1 sentence (the encoder only
+    emits whole knots, so the payload is built raw here) and the
+    simulated pyais leg."""
+    n = 168
+    for raw in range(0, 1023):  # 1023 = not-available sentinel, excluded
+        bits = 0
+
+        def put(start, width, value):
+            nonlocal bits
+            bits |= (value & ((1 << width) - 1)) << (n - start - width)
+
+        put(0, 6, 1)
+        put(8, 30, 257000000)
+        put(38, 4, 0)
+        put(50, 10, raw)
+        put(61, 28, int(round(10.0 * 600_000)))
+        put(89, 27, int(round(60.0 * 600_000)))
+        put(128, 9, 90)
+        payload, fill = C.bits_to_payload(bits, n)
+        native = C.decode_payload(payload, fill)["speed"]
+        # pyais leg: fractional knots -> the kernel's truncation rule
+        pyais_knots = raw / 10.0
+        kernel = int(pyais_knots)
+        assert native == kernel == raw // 10, (raw, native, kernel)
+
+
 def test_reference_sentence_matches_published_decode():
     """External layout cross-check: a sentence published with its decode
     in the GPSd AIVDM/AIVDO protocol documentation (type 1, MMSI

@@ -1,0 +1,40 @@
+"""bench.py's stdout contract: the driver captures a bounded tail of stdout
+and parses the last JSON line. Rounds 6-7 printed the full per-query record
+(queries/spread/samples) on that line and overflowed the capture — both
+BENCH files landed ``parsed: null``. The compact summary line must stay well
+under the capture window; the full record goes to BENCH_LOCAL.json.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_summary_line_under_driver_tail_cap():
+    bench = _load_bench()
+    # worst-plausible widths: hundreds of seconds with 3-decimal rounding
+    line = json.dumps(bench.summary_line(9999.999, 9999.999, 0.1))
+    assert len(line) < 200, f"summary line {len(line)} chars — driver tail may truncate"
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_runtime"
+    assert parsed["unit"] == "sec"
+    assert set(parsed) == {"metric", "value", "unit", "core_set_sec", "additions_sec", "sf"}
+
+
+def test_full_record_fields_live_in_bench_local_not_stdout():
+    """The per-query detail must not creep back onto the stdout line."""
+    bench = _load_bench()
+    line = bench.summary_line(1.0, 0.5, 0.1)
+    for heavy_key in ("queries", "spread", "samples"):
+        assert heavy_key not in line

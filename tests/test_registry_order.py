@@ -28,12 +28,12 @@ REQUIRED_IN_WINDOW = {
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
     "pivot_status_by_priority",
-    # LLM-data-pipeline suite
+    # LLM-data-pipeline suite (r8: ngram_jaccard_pairs rotated out behind
+    # minhash_lsh_pairs — the declared near-dup scale path; semdedup
+    # rotated out behind embedding_cosine_topk — same pair mechanism)
     "dedup_exact_docs",
-    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
-    "semdedup_embeddings",
     "dedup_clusters",
     "multimodal_frame_sample",
     # round-2 corpus classes
@@ -61,7 +61,6 @@ REQUIRED_IN_WINDOW = {
     # result is empty at every SF, so its hash row carried no signal)
     "bm25_topk_docs",
     "pii_redact_docs",
-    "semdedup_embeddings",
     "funnel_user_conversion",
     # round-7 session classes (no in-window sibling): chunking, storage-
     # bucketed Exchange-free join, Bloom decontamination (first window rep
@@ -88,6 +87,14 @@ REQUIRED_IN_WINDOW = {
     "hybrid_rrf_topk_docs",
     "gopher_quality_docs",
     "dedup_keep_best",
+    # r8 rotation: the five r7 classes that previously had no in-window
+    # representative — entity resolution, iterative graph, CDC diff,
+    # validation suite, composite curation pipeline.
+    "resolve_part_names",
+    "pagerank_customer_supplier",
+    "snapshot_diff_orders",
+    "validate_orders_constraints",
+    "pipeline_curate_corpus",
 }
 
 
