@@ -45,6 +45,12 @@ def pagerank(
     ≥ 1 and the dangling-mass term vanishes). Returns (node, rank) with
     rank in integer SCALE-units (Σ ranks ≈ SCALE).
 
+    The node set is src ∪ dst, so sink nodes (in-edges only) keep a rank
+    row — they accumulate shares but redistribute nothing (their mass
+    leaks, the standard dangling-node decay unless edges are
+    symmetrized). Deriving nodes from src alone would silently drop
+    sinks from the vector AND the mass routed to them.
+
     ``damping_pct`` is the damping factor in percent (85 = the classic
     0.85) so the recurrence stays in exact integer arithmetic.
     """
@@ -57,7 +63,12 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = nodes.count()  # 1-row driver scalar, parameterizes the literals
     r0 = SCALE // n
     base = ((100 - damping_pct) * r0) // 100

@@ -123,8 +123,12 @@ def query_cosine_topk(
 
     Returns (id_col, cos_sim, rank), rank dense over (cos desc, id asc).
     """
+    if not query_vec:
+        raise ValueError("query_vec must be non-empty")
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    if qnorm == 0.0:
+        raise ValueError("query_vec has zero norm — cosine undefined")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(v, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -134,10 +138,21 @@ def query_cosine_topk(
             F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
-    scored = emb.select(
-        F.col(id_col).alias("id"),
-        F.round(dot / (nrm * F.lit(qnorm)), 6).alias("cos_sim"),
+    # a query/embedding dimension mismatch would silently zip-pad with
+    # nulls and emit NULL cos_sim for every row — fail the job instead,
+    # at the first mismatching row (one size() compare per row)
+    cos = F.when(
+        F.size(F.col(vec_col)) == len(query_vec),
+        F.round(dot / (nrm * F.lit(qnorm)), 6),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"query_cosine_topk: query dim {len(query_vec)} != embedding dim %s",
+                F.size(F.col(vec_col)),
+            )
+        )
     )
+    scored = emb.select(F.col(id_col).alias("id"), cos.alias("cos_sim"))
     topk = scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(

@@ -592,13 +592,28 @@ def pq_train_codebooks(
     sample_size: int = 4096,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou et al., TPAMI 2011): split
     the (L2-normalized) vector into ``m`` contiguous subspaces and run
     plain Lloyd k-means per subspace on a driver sample. Returns
     (m, n_centroids, dim/m) float64 — tiny (m·k·dsub floats) at any
-    corpus scale, broadcast to the encoders."""
-    sample = embeddings.select(vec_col).limit(sample_size).toPandas()
+    corpus scale, broadcast to the encoders.
+
+    The sample is the ``sample_size`` LOWEST ids — an unordered
+    limit() would hand back whichever partitions answered first, making
+    the codebooks (and every downstream code/ANN result) run- and
+    partitioning-dependent. A keyed hash-order sample
+    (orderBy(xxhash64(id))) would be equally deterministic and less
+    clustered if ids correlate with content; id order keeps the oracle
+    fixture stable."""
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_size)
+        .select(vec_col)
+        .toPandas()
+    )
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     dim = X.shape[1]
@@ -680,9 +695,12 @@ def pq_topk(
     TB compose with IVF lists (IVF-PQ) so each query scans n_probe
     lists of codes instead of everything.
 
-    Output schema matches brute_force_topk with ``approx_sim`` in place
-    of cos_sim. Approximation error is the subspace-reconstruction
-    error; recall/distortion are pytest-pinned on the clustered fixture.
+    Output schema: with ``rerank=0`` the ADC scores surface as
+    ``approx_sim``; the default rerank path rescores the shortlist with
+    exact cosine over raw vectors, so its output matches
+    brute_force_topk (``cos_sim``). Approximation error is the
+    subspace-reconstruction error; recall/distortion are pytest-pinned
+    on the clustered fixture.
     """
     spark = embeddings.sparkSession
     from ..dist import ensure_shipped
@@ -690,7 +708,7 @@ def pq_topk(
     ensure_shipped(spark)
     books = pq_train_codebooks(
         embeddings, m=m, n_centroids=n_centroids, vec_col=vec_col,
-        **(train_kwargs or {}),
+        id_col=id_col, **(train_kwargs or {}),
     )
     bc = spark.sparkContext.broadcast(books)
     codes = pq_encode(embeddings, books, id_col, vec_col)

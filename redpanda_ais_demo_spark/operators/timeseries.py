@@ -331,11 +331,20 @@ def psi_drift(
     the final sum are windows over those ``n_buckets`` rows, never the
     raw data.
     """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
     width = (hi - lo) / n_buckets
     b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
     bucket = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
     counts = (
-        df.select(bucket.alias("bucket"), is_current.alias("cur"))
+        # NULL values would form a NULL bucket group that still feeds a
+        # smoothed term into psi_total and inflates both smoothing
+        # denominators — drop them: PSI is defined over observed values
+        # (route nulls to a separate completeness check, not the drift stat)
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"), is_current.alias("cur"))
         .groupBy("bucket")
         .agg(
             F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("n_base"),

@@ -46,11 +46,17 @@ def check_constraints(
     the stack-unpivot runs over the single result row."""
     if not checks:
         raise ValueError("checks must be non-empty")
+    for name, _, thr in checks:
+        if not isinstance(thr, (int, float)) or isinstance(thr, bool):
+            raise ValueError(f"threshold for {name!r} must be numeric, got {thr!r}")
     aggd = df.agg(
         *[F.round(metric, 6).alias(f"m{i}") for i, (_, metric, _) in enumerate(checks)]
     )
+    # check names are embedded in the stack() SQL as string literals —
+    # escape embedded quotes so a name like "o'brien" can't break (or
+    # inject into) the generated expression
     stack_args = ", ".join(
-        f"'{name}', m{i}, CAST({thr} AS DOUBLE)"
+        "'{}', m{}, CAST({} AS DOUBLE)".format(name.replace("\\", "\\\\").replace("'", "\\'"), i, float(thr))
         for i, (name, _, thr) in enumerate(checks)
     )
     rows = aggd.selectExpr(
@@ -89,6 +95,17 @@ def snapshot_diff(
         *[F.col(c).alias(f"n_{c}") for c in compare_cols],
         F.lit(True).alias("in_new"),
     )
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not compare_cols:
+        # F.when(None, ...) below would raise an opaque TypeError; make
+        # the contract explicit — an empty compare set means the caller
+        # wants a key-presence diff, which degenerates to added/removed
+        # only (no column can differ), so differs = False.
+        raise ValueError(
+            "compare_cols must be non-empty — for a key-presence-only diff "
+            "pass a key column as the compare column"
+        )
     j = o.join(n, [f"k_{c}" for c in key_cols], "full_outer")
     differs = None
     for c in compare_cols:

@@ -306,7 +306,7 @@ def _pagerank_oracle(iters: int = 5) -> str:
             SELECT 1000000 + s AS src, c AS dst FROM pairs
         ),
         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
-        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nn)"""
     parts = [head]

@@ -289,3 +289,68 @@ def test_twap_weights_by_holding_time(spark):
     r = time_weighted_average(df, "user_id", "ts", "value", "event_id").collect()[0]
     assert (r.n_intervals, r.span_s) == (2, 100)
     assert r.twap == (10.0 * 90 + 100.0 * 10) / 100  # 19.0
+
+
+def test_pagerank_keeps_sink_nodes_in_rank_vector(spark):
+    """On a DIRECTED edge list, nodes with in-edges only (sinks) must
+    still get a rank row — 1 -> 2 -> 3: node 3 is a pure sink, gets base
+    rank + shares but redistributes nothing (dangling-mass decay), and
+    must outrank nothing silently by being absent."""
+    from redpanda_ais_demo_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert set(got) == {1, 2, 3}
+    # 3 receives mass from 2; 1 receives nothing (source) — sink beats source
+    assert got[3] > got[1]
+
+
+def test_psi_drift_ignores_nulls_and_validates_params(spark):
+    """NULL values must not form a phantom bucket or inflate smoothing
+    denominators; bad (lo, hi, n_buckets) raise clear errors."""
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import psi_drift
+
+    base = [(float(v % 10), c) for v in range(20) for c in (True, False)]
+    clean = spark.createDataFrame(base, "v double, cur boolean")
+    noisy = spark.createDataFrame(
+        base + [(None, True)] * 7 + [(None, False)] * 3, "v double, cur boolean"
+    )
+    a = sorted(psi_drift(clean, "v", F.col("cur"), 0.0, 10.0, 5).collect())
+    b = sorted(psi_drift(noisy, "v", F.col("cur"), 0.0, 10.0, 5).collect())
+    assert a == b  # nulls contribute nothing
+    with pytest.raises(ValueError, match="n_buckets"):
+        psi_drift(clean, "v", F.col("cur"), 0.0, 10.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        psi_drift(clean, "v", F.col("cur"), 10.0, 10.0, 5)
+
+
+def test_check_constraints_escapes_names_and_rejects_bad_thresholds(spark):
+    """A check name containing a quote must survive the generated
+    stack() SQL verbatim; non-numeric thresholds fail fast."""
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.validate import (
+        check_constraints,
+        completeness,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    rows = check_constraints(df, [("o'brien's check", completeness("x"), 0.5)]).collect()
+    assert rows[0].check_name == "o'brien's check"
+    assert rows[0].passed
+    with pytest.raises(ValueError, match="numeric"):
+        check_constraints(df, [("bad", completeness("x"), "0.5 OR 1=1")])
+
+
+def test_snapshot_diff_rejects_empty_key_or_compare_cols(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.validate import snapshot_diff
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="compare_cols"):
+        snapshot_diff(df, df, ["k"], [])
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(df, df, [], ["v"])

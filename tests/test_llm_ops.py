@@ -1119,3 +1119,38 @@ def test_bigram_logprob_detects_scrambled_order(spark):
     bi = {r.doc_id: r.mean_cond_logprob for r in C.bigram_logprob_score(df).collect()}
     assert abs(uni[0] - uni[100]) < 1e-9  # unigram: identical bags, identical score
     assert bi[100] < bi[0] - 0.5  # bigram: scrambled order scores clearly lower
+
+
+def test_query_cosine_topk_rejects_dim_mismatch(spark):
+    """A query vector of the wrong dimension must fail the job loudly —
+    zip_with would otherwise null-pad and emit NULL cos_sim for every
+    row (silent empty-ish results)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from redpanda_ais_demo_spark.operators import retrieval
+    from redpanda_ais_demo_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    bad = retrieval.query_cosine_topk(emb, [1.0] * 16, k=5)
+    with pytest.raises(Exception, match="query dim 16"):
+        bad.collect()
+    with pytest.raises(ValueError, match="non-empty"):
+        retrieval.query_cosine_topk(emb, [], k=5)
+    with pytest.raises(ValueError, match="zero norm"):
+        retrieval.query_cosine_topk(emb, [0.0] * 64, k=5)
+
+
+def test_pq_codebook_sample_is_partitioning_independent(spark):
+    """The PQ training sample is the lowest-id rows, so codebooks (and
+    downstream codes) must be identical under any input partitioning —
+    an unordered limit() would hand back arbitrary partitions."""
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators import similarity
+    from redpanda_ais_demo_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    b1 = similarity.pq_train_codebooks(emb, sample_size=200)
+    b2 = similarity.pq_train_codebooks(emb.repartition(13), sample_size=200)
+    assert np.array_equal(b1, b2)

@@ -448,7 +448,7 @@ def test_query_cosine_topk_is_narrow_scan(spark):
     from redpanda_ais_demo_spark.sources import load_table
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    df = retrieval.query_cosine_topk(emb, [1.0] * 16, k=5)
+    df = retrieval.query_cosine_topk(emb, [1.0] * 64, k=5)  # fixture dim
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
