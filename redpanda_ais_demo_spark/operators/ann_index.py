@@ -1,0 +1,310 @@
+"""Persisted ANN indexes: build once, probe many.
+
+The in-memory paths (``similarity.pq_topk`` / ``similarity.ivf_topk``)
+retrain + re-encode on every call — fine for a one-shot batch join,
+wrong for the serve side of a 100 TB pipeline where an index is built
+nightly and probed thousands of times. This module splits the two:
+
+- ``pq_build`` / ``pq_probe``: codebooks + the m-byte-per-vector coded
+  corpus persist as parquet under an index directory with a versioned
+  JSON manifest; a probe loads the tiny codebooks to the driver and
+  ADC-scans ONLY the coded corpus — the raw embeddings table is never
+  touched (plan-asserted in tests).
+- ``ivf_build`` / ``ivf_probe``: spherical-k-means centroids persist as
+  parquet; the corpus vectors persist INSIDE their inverted lists —
+  ``lists/`` is partitioned by ``list_id``, so a probe's
+  ``list_id IN (...)`` filter becomes parquet PARTITION PRUNING: the
+  scan reads n_probe/n_centroids of the index from disk, the on-disk
+  analogue of IVF's candidate-scan bound (plan-asserted in tests).
+
+Artifacts are plain parquet + JSON — versioned via ``format_version``
+in the manifest and readable by anything. Build is deterministic
+(lowest-id training samples; see pq_train_codebooks), so rebuilding an
+index from the same corpus bit-reproduces it.
+
+This implementation writes the manifest/codebooks with local-filesystem
+I/O; on a cluster, point ``index_dir`` at a shared mount (the parquet
+pieces already go through Spark writers and work on any Hadoop URI).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import similarity
+
+FORMAT_VERSION = 1
+
+
+def _write_manifest(index_dir: str, payload: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def read_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    if m.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version {m.get('format_version')}, "
+            f"this build reads {FORMAT_VERSION}"
+        )
+    return m
+
+
+# --- PQ (codebooks + coded corpus) ------------------------------------------
+
+
+def pq_build(
+    embeddings: DataFrame,
+    index_dir: str,
+    m: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_kwargs: dict | None = None,
+) -> dict:
+    """Train PQ codebooks, encode the corpus, persist both. Layout:
+
+    - ``manifest.json``   — format_version, kind=pq, m, n_centroids,
+      dim, count, id/vec column names
+    - ``codebooks.parquet`` — (subspace, centroid, cvec array<double>)
+    - ``codes/``           — Spark parquet dir, (id long, codes array<int>)
+
+    The codebooks are m·n_centroids·(dim/m) float64 — parquet doubles
+    round-trip exactly, so a probe after reload is bit-identical to the
+    in-memory path. Returns the manifest dict.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    books = similarity.pq_train_codebooks(
+        embeddings, m=m, n_centroids=n_centroids, vec_col=vec_col,
+        id_col=id_col, **(train_kwargs or {}),
+    )
+    dim = books.shape[0] * books.shape[2]
+    codes = similarity.pq_encode(embeddings, books, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    count = codes.sparkSession.read.parquet(os.path.join(index_dir, "codes")).count()
+
+    rows = [
+        {"subspace": j, "centroid": c, "cvec": books[j, c].tolist()}
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    table = pa.Table.from_pylist(rows)
+    pq_.write_table(table, os.path.join(index_dir, "codebooks.parquet"))
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "kind": "pq",
+        "m": m,
+        "n_centroids": n_centroids,
+        "dim": dim,
+        "count": count,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+def pq_load_codebooks(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq_
+
+    man = read_manifest(index_dir)
+    t = pq_.read_table(os.path.join(index_dir, "codebooks.parquet")).to_pylist()
+    books = np.empty((man["m"], man["n_centroids"], man["dim"] // man["m"]))
+    for row in t:
+        books[row["subspace"], row["centroid"]] = row["cvec"]
+    return books
+
+
+def pq_probe(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Probe a persisted PQ index with a DataFrame of query vectors —
+    (vec_id, neighbor_id, approx_sim, rank), exactly ``pq_topk(...,
+    rerank=0)``'s output. Scans ONLY codes/ + the tiny codebooks file;
+    the raw embeddings table does not appear in the plan. Queries that
+    share an id with a corpus vector skip their self-match, same as the
+    in-memory path."""
+    books = pq_load_codebooks(index_dir)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    qbase = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    local = similarity.adc_scan(qbase, codes, books, k, n_shards=n_shards)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    return local.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
+# --- IVF (centroids + vectors stored inside their inverted lists) -----------
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    sample_size: int = 4096,
+    train: str = "sample",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train IVF centroids and persist the corpus partitioned by its
+    inverted list. Layout:
+
+    - ``manifest.json``      — format_version, kind=ivf, n_centroids, …
+    - ``centroids.parquet``  — (list_id, cvec array<double>)
+    - ``lists/list_id=N/``   — Spark parquet dir PARTITIONED BY list_id,
+      rows (id long, v array<double>): the vectors live co-located in
+      their list, so probing n lists = reading n directories.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    spark = embeddings.sparkSession
+    from ..dist import ensure_shipped
+
+    ensure_shipped(spark)
+    if train == "distributed":
+        centroids = similarity.train_ivf_centroids_distributed(
+            embeddings, vec_col, n_centroids, kmeans_iters, seed, sample_size,
+            id_col=id_col,
+        )
+    else:
+        sample = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_size)
+            .select(vec_col)
+            .toPandas()
+        )
+        X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.default_rng(seed)
+        centroids = similarity._kmeanspp_init(X, n_centroids, rng)
+        for _ in range(kmeans_iters):
+            assign = np.argmax(X @ centroids.T, axis=1)
+            for c in range(len(centroids)):
+                members = X[assign == c]
+                if len(members):
+                    mvec = members.sum(axis=0)
+                    centroids[c] = mvec / np.linalg.norm(mvec)
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def corpus_assign(batches):
+        C = bc.value
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "v": pdf[vec_col],
+                    "list_id": np.argmax(Vn @ C.T, axis=1).astype(np.int32),
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        corpus_assign, "id long, v array<double>, list_id int"
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(index_dir, "lists")
+    )
+    count = spark.read.parquet(os.path.join(index_dir, "lists")).count()
+
+    table = pa.Table.from_pylist(
+        [{"list_id": i, "cvec": centroids[i].tolist()} for i in range(len(centroids))]
+    )
+    pq_.write_table(table, os.path.join(index_dir, "centroids.parquet"))
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "kind": "ivf",
+        "n_centroids": n_centroids,
+        "dim": int(centroids.shape[1]),
+        "count": count,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+def ivf_load_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq_
+
+    man = read_manifest(index_dir)
+    t = pq_.read_table(os.path.join(index_dir, "centroids.parquet")).to_pylist()
+    cents = np.empty((man["n_centroids"], man["dim"]))
+    for row in t:
+        cents[row["list_id"]] = row["cvec"]
+    return cents
+
+
+def ivf_probe(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve-path single-query probe: pick the query's ``n_probe``
+    nearest centroids ON THE DRIVER (centroids are tiny), then read only
+    those inverted lists — the ``list_id IN (...)`` filter prunes to
+    n_probe parquet partitions, so disk I/O is bounded by
+    n_probe/n_centroids of the index no matter how large the corpus.
+    Exact cosine re-scores the candidates (narrow projection, top-k via
+    TakeOrderedAndProject). Returns (id_col, cos_sim, rank).
+    """
+    cents = ivf_load_centroids(index_dir)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if q.shape[0] != cents.shape[1]:
+        raise ValueError(f"query dim {q.shape[0]} != index dim {cents.shape[1]}")
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("query_vec has zero norm — cosine undefined")
+    probes = np.argsort(-(cents @ (q / qn)))[:n_probe].tolist()
+
+    lists = spark.read.parquet(os.path.join(index_dir, "lists")).filter(
+        F.col("list_id").isin([int(p) for p in probes])
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    qnorm = float(math.sqrt(sum(float(x) * float(x) for x in q)))
+    v = F.transform(F.col("v"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = lists.select(
+        F.col("id"), F.round(dot / (nrm * F.lit(qnorm)), 6).alias("cos_sim")
+    )
+    topk = scored.orderBy(F.col("cos_sim").desc(), F.col("id")).limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "cos_sim", "rank"
+    )

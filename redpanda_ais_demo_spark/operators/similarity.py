@@ -198,6 +198,7 @@ def train_ivf_centroids_distributed(
     iters: int = 8,
     seed: int = 42,
     init_sample: int = 4096,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Full-corpus spherical k-means for IVF: k-means++ init on a bounded
     driver sample, then distributed Lloyd iterations — each pass assigns
@@ -214,7 +215,15 @@ def train_ivf_centroids_distributed(
 
     ensure_shipped(spark)
     base = embeddings.select(vec_col)
-    sample = base.limit(init_sample).toPandas()
+    # lowest-id init sample: an unordered limit() would make the k-means++
+    # seeds (hence centroids and list assignments) partitioning-dependent
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(init_sample)
+        .select(vec_col)
+        .toPandas()
+    )
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
@@ -296,10 +305,12 @@ def ivf_topk(
     base = embeddings.select(id_col, vec_col)
     if train == "distributed":
         centroids = train_ivf_centroids_distributed(
-            embeddings, vec_col, n_centroids, kmeans_iters, seed, sample_size
+            embeddings, vec_col, n_centroids, kmeans_iters, seed, sample_size,
+            id_col=id_col,
         )
     else:
-        sample = base.limit(sample_size).toPandas()
+        # lowest-id sample — deterministic under any partitioning
+        sample = base.orderBy(F.col(id_col).asc()).limit(sample_size).toPandas()
         X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
         rng = np.random.default_rng(seed)
@@ -671,6 +682,85 @@ def pq_encode(
     )
 
 
+def adc_scan(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: np.ndarray,
+    shortlist_k: int,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """The PQ asymmetric-distance scan, shared by the in-memory path
+    (``pq_topk``) and the persisted-index serve path
+    (``ann_index.pq_probe``): queries carry raw vectors (``id``, ``v``),
+    the corpus is its m-byte codes (``id``, ``codes``), and the
+    codebooks ride a broadcast. Same 2-D block grid as
+    ``brute_force_topk`` — no driver collect, per-executor memory
+    ~2·n/s rows of which the corpus side is m ints/row.
+
+    Emits the per-query ``shortlist_k`` best (vec_id, neighbor_id,
+    approx_sim) rows per block (exact-tie deterministic: lexsort on
+    (-sim, id)); callers window a global top-k over the per-block
+    shortlists. Rows where query id == corpus id are excluded
+    (self-match). Bit-identical results regardless of which path built
+    the codes — pinned by tests/test_ann_index.py.
+    """
+    spark = queries.sparkSession
+    from ..dist import ensure_shipped
+
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast(books)
+    if n_shards is None:
+        par = spark.sparkContext.defaultParallelism
+        n_shards = max(2, math.isqrt(max(par - 1, 0)) + 1)
+    own_q = F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
+    all_shards = F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+    q = queries.withColumn("qs", own_q).withColumn("cs", all_shards)
+    corpus = codes.withColumn(
+        "cs", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
+    ).withColumn("qs", all_shards)
+
+    def block_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "approx_sim": []}).astype(
+            {"vec_id": np.int64, "neighbor_id": np.int64, "approx_sim": np.float64}
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        B = bc.value
+        mm, _, dsub = B.shape
+        q_ids = qpdf["id"].to_numpy(dtype=np.int64)
+        c_ids = cpdf["id"].to_numpy(dtype=np.int64)
+        Q = np.stack(qpdf["v"].to_numpy()).astype(np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        C = np.stack(cpdf["codes"].to_numpy()).astype(np.int64)
+        # ADC tables: lut[q, j, c] = <q_subj, codebook[j][c]>
+        lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), B)
+        sims = np.zeros((len(Q), len(C)))
+        for j in range(mm):
+            sims += lut[:, j, C[:, j]]
+        sims = np.round(sims, 6)
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        kk = min(shortlist_k, sims.shape[1])
+        out_vec, out_nbr, out_sim = [], [], []
+        for i in range(len(q_ids)):
+            order = np.lexsort((c_ids, -sims[i]))[:kk]
+            vals = sims[i][order]
+            keep = vals > -np.inf
+            out_vec.extend([q_ids[i]] * int(keep.sum()))
+            out_nbr.extend(c_ids[order][keep])
+            out_sim.extend(vals[keep])
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_vec, dtype=np.int64),
+                "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
+                "approx_sim": np.asarray(out_sim, dtype=np.float64),
+            }
+        )
+
+    return q.groupBy("qs", "cs").cogroup(corpus.groupBy("qs", "cs")).applyInPandas(
+        block_topk, "vec_id long, neighbor_id long, approx_sim double"
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -710,60 +800,9 @@ def pq_topk(
         embeddings, m=m, n_centroids=n_centroids, vec_col=vec_col,
         id_col=id_col, **(train_kwargs or {}),
     )
-    bc = spark.sparkContext.broadcast(books)
     codes = pq_encode(embeddings, books, id_col, vec_col)
-
-    if n_shards is None:
-        par = spark.sparkContext.defaultParallelism
-        n_shards = max(2, math.isqrt(max(par - 1, 0)) + 1)
     qbase = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    own_q = F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
-    all_shards = F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
-    queries = qbase.withColumn("qs", own_q).withColumn("cs", all_shards)
-    corpus = codes.withColumn(
-        "cs", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
-    ).withColumn("qs", all_shards)
-
-    def block_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "approx_sim": []}).astype(
-            {"vec_id": np.int64, "neighbor_id": np.int64, "approx_sim": np.float64}
-        )
-        if len(qpdf) == 0 or len(cpdf) == 0:
-            return empty
-        B = bc.value
-        mm, _, dsub = B.shape
-        q_ids = qpdf["id"].to_numpy(dtype=np.int64)
-        c_ids = cpdf["id"].to_numpy(dtype=np.int64)
-        Q = np.stack(qpdf["v"].to_numpy()).astype(np.float64)
-        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        C = np.stack(cpdf["codes"].to_numpy()).astype(np.int64)
-        # ADC tables: lut[q, j, c] = <q_subj, codebook[j][c]>
-        lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), B)
-        sims = np.zeros((len(Q), len(C)))
-        for j in range(mm):
-            sims += lut[:, j, C[:, j]]
-        sims = np.round(sims, 6)
-        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
-        kk = min(k * max(1, rerank), sims.shape[1])
-        out_vec, out_nbr, out_sim = [], [], []
-        for i in range(len(q_ids)):
-            order = np.lexsort((c_ids, -sims[i]))[:kk]
-            vals = sims[i][order]
-            keep = vals > -np.inf
-            out_vec.extend([q_ids[i]] * int(keep.sum()))
-            out_nbr.extend(c_ids[order][keep])
-            out_sim.extend(vals[keep])
-        return pd.DataFrame(
-            {
-                "vec_id": np.asarray(out_vec, dtype=np.int64),
-                "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
-                "approx_sim": np.asarray(out_sim, dtype=np.float64),
-            }
-        )
-
-    local = queries.groupBy("qs", "cs").cogroup(corpus.groupBy("qs", "cs")).applyInPandas(
-        block_topk, "vec_id long, neighbor_id long, approx_sim double"
-    )
+    local = adc_scan(qbase, codes, books, k * max(1, rerank), n_shards=n_shards)
     w = Window.partitionBy("vec_id").orderBy(F.col("approx_sim").desc(), F.col("neighbor_id"))
     if not rerank:
         return local.withColumn("rank", F.row_number().over(w).cast("long")).filter(

@@ -909,6 +909,39 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_topk_from_index",
+    oracle=None,  # approximate by design; bit-equality with the in-memory
+    # ADC path and the never-scans-raw-embeddings plan contract are
+    # pytest-pinned (tests/test_ann_index.py)
+    tags=("similarity", "pq", "index", "scale-path"),
+    doc="X3 build/serve split — probes a PERSISTED product-quantization "
+    "index (codebooks + m-byte coded corpus as parquet with a versioned "
+    "manifest, built once per fixture and cached under .ann_index/; "
+    "rebuilt only when the source parquet is newer). The corpus side of "
+    "the probe reads ONLY the index codes — at 100 TB the nightly build "
+    "pays the encode scan once and every probe thereafter touches "
+    "1/32nd of the bytes (operators/ann_index.py:pq_probe). Queries "
+    "here are the embedding rows themselves (the all-pairs analogue of "
+    "ann_pq_topk with rerank=0).",
+)
+def ann_pq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    idx = os.path.join(repo_root, ".ann_index", os.path.basename(sf_dir.rstrip("/")), "pq")
+    manifest = os.path.join(idx, "manifest.json")
+    if not os.path.exists(manifest) or (
+        os.path.exists(src) and os.path.getmtime(manifest) < os.path.getmtime(src)
+    ):
+        ann_index.pq_build(emb, idx)
+    return ann_index.pq_probe(spark, idx, emb, k=5)
+
+
+@query(
     "ann_ivf_topk_distributed",
     oracle=None,  # approximate by design; recall vs brute force in tests
     tags=("similarity", "ivf", "scale-path"),
