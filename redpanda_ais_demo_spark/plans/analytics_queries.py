@@ -20,11 +20,12 @@ from ..sources import load_table
 from .registry import query
 
 _FUNNEL_WINDOW = 7 * 86400  # 7 days from the step-1 event
+_FUNNEL_WINDOW_TIGHT = 86400  # 24h — BINDS on the fixture (see the tight query)
 
 
-@query(
-    "funnel_user_conversion",
-    oracle=f"""
+def _funnel_oracle(window_sec: int) -> str:
+    """windowFunnel oracle, parameterized by the max-window bound."""
+    return f"""
         WITH e AS (
             SELECT user_id, event_type AS et,
                    CAST(floor(epoch(ts)) AS BIGINT) AS ts
@@ -37,13 +38,13 @@ _FUNNEL_WINDOW = 7 * 86400  # 7 days from the step-1 event
         ),
         l2 AS (
             SELECT *, min(CASE WHEN et = 'click' AND ts > t1
-                               AND ts <= t1 + {_FUNNEL_WINDOW} THEN ts END)
+                               AND ts <= t1 + {window_sec} THEN ts END)
                       OVER (PARTITION BY user_id) AS t2
             FROM l1
         ),
         l3 AS (
             SELECT *, min(CASE WHEN et = 'purchase' AND ts > t2
-                               AND ts <= t1 + {_FUNNEL_WINDOW} THEN ts END)
+                               AND ts <= t1 + {window_sec} THEN ts END)
                       OVER (PARTITION BY user_id) AS t3
             FROM l2
         )
@@ -54,7 +55,12 @@ _FUNNEL_WINDOW = 7 * 86400  # 7 days from the step-1 event
                min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
         FROM l3
         GROUP BY user_id, depth
-    """,
+    """
+
+
+@query(
+    "funnel_user_conversion",
+    oracle=_funnel_oracle(_FUNNEL_WINDOW),
     tags=("analytics", "funnel", "window"),
     doc="Ordered funnel view→click→purchase within 7 days of the first "
     "view — the ClickHouse windowFunnel analogue (strict-order, "
@@ -69,6 +75,25 @@ def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(
         events, "user_id", "ts", "event_type",
         ["view", "click", "purchase"], _FUNNEL_WINDOW,
+    )
+
+
+@query(
+    "funnel_user_conversion_24h",
+    oracle=_funnel_oracle(_FUNNEL_WINDOW_TIGHT),
+    tags=("analytics", "funnel", "window"),
+    doc="windowFunnel(window) semantics with a max-window bound that "
+    "BINDS: same view→click→purchase funnel, 24-hour window. At sf0.01 "
+    "the 7-day variant lets 126/150 users reach depth 3; the 24h bound "
+    "cuts that to 14 (90 users stall at depth 1) — the oracle hash "
+    "therefore proves the time constraint is enforced, not dead code. "
+    "Identical one-shuffle plan (operators/timeseries.py:funnel).",
+)
+def funnel_user_conversion_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return funnel(
+        events, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], _FUNNEL_WINDOW_TIGHT,
     )
 
 
