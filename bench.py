@@ -161,6 +161,14 @@ R7_ADDITIONS = [
     # is paid on the first warm-up pass and amortizes across rounds,
     # exactly the production asymmetry the operator exists for).
     "ann_pq_topk_from_index",
+    # round-8 session classes: windowFunnel with a binding 24h bound
+    # (conditional-min window chain), closed-form OLS trend (window min +
+    # five-sum agg), exact Pearson correlation (one narrow agg), token
+    # entropy by source (explode + two cascaded aggs — the heavy one).
+    "funnel_user_conversion_24h",
+    "trend_user_value",
+    "corr_value_hour_by_type",
+    "entropy_tokens_by_source",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -1,0 +1,94 @@
+"""Exact distributed statistics: Pearson correlation and Shannon entropy
+as mergeable-sum aggregations — the EDA/feature-screening layer of a
+training-data pipeline (which signals co-move, how concentrated is a
+categorical column) computed the only way that scales: partial
+aggregates, never a per-group model fit or a driver collect.
+
+Determinism engineering (registry rules): every input quantizes to
+exact integers (cents / small ints / counts), the five correlation sums
+stay in BIGINT, and the products-of-sums that would overflow BIGINT are
+formed in DECIMAL(38,0) on the Spark side and HUGEINT on the DuckDB
+side — both exact at these magnitudes — before ONE well-defined
+integer→double conversion each. Entropy terms quantize to micro-nat
+BIGINTs before summing (the PSI pattern), because a float Σ p·ln p is
+partial-aggregation-order dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def pearson_corr(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group Pearson correlation of two integer-quantized expressions:
+    ``r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²))``.
+
+    ``x`` and ``y`` must already be exact integer columns (cast/round
+    upstream) so all five sums are exact BIGINTs. Groups with <2 rows or
+    zero variance in either variable yield NULL r (undefined).
+
+    Plan: ONE partial-aggregable groupBy over one scan — the 100 TB
+    shape; output is one row per group.
+    """
+    e = df.select(
+        F.col(group_col).alias("g"), x.cast("long").alias("x"), y.cast("long").alias("y")
+    )
+    agg = e.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    denx = d("n") * d("sxx") - d("sx") * d("sx")
+    deny = d("n") * d("syy") - d("sy") * d("sy")
+    ok = (F.col("n") >= 2) & (denx != 0) & (deny != 0)
+    r = num.cast("double") / F.sqrt(denx.cast("double") * deny.cast("double"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        F.when(ok, F.round(r, 6)).alias("r"),
+    )
+
+
+def shannon_entropy(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+) -> DataFrame:
+    """Per-group Shannon entropy (nats) of a categorical column — the
+    diversity/concentration screen (near-0 = degenerate source, high =
+    diverse vocabulary): ``H = −Σ_v (c_v/N)·ln(c_v/N)``.
+
+    Exactness: each term is computed from exact BIGINT counts, quantized
+    to micro-nats (round(term·1e6) as BIGINT) and summed exactly — a
+    double Σ would depend on partial-aggregation order. Two cascaded
+    partial-aggregable groupBys ((group, value) counts → group sum);
+    the shuffle carries one row per distinct value, never raw rows.
+    """
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(token_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    term = -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))
+    micro = F.round(term * 1e6).cast("long")
+    return (
+        counts.join(F.broadcast(tot), "g")
+        .select("g", micro.alias("micro"))
+        .groupBy("g")
+        .agg((F.sum("micro") / 1e6).alias("entropy_nats"))
+        .select(F.col("g").alias(group_col), "entropy_nats")
+    )

@@ -618,3 +618,54 @@ def time_weighted_average(
             ).alias("twap"),
         )
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key closed-form OLS of value against time — the trend-mining
+    primitive (is each user's/sensor's metric drifting up or down, and
+    how fast) computed exactly from five mergeable sums, never a
+    per-key model fit: ``slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)``.
+
+    Determinism engineering (registry rules): time is rebased per key to
+    MINUTES since the key's first event (one window min — the rebase
+    also bounds the sum magnitudes: minute offsets over a month are
+    ≤ 4.4e4, so every product of two sums stays far inside BIGINT even
+    at thousands of events per key) and values quantize to integer
+    cents, so all five sums are exact BIGINTs on both engines and the
+    final slope/intercept are single double divisions of identical
+    integers. Keys with <2 events or zero time variance yield NULL
+    slope (no line exists).
+
+    Scale: one window-min shuffle on the key + one partial-aggregable
+    groupBy on the same key — AQE coalesces them into a single exchange
+    of the events; the output is one row per key.
+    """
+    t_raw = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = Window.partitionBy("key")
+    e = df.select(
+        F.col(key_col).alias("key"),
+        t_raw.alias("t"),
+        F.round(F.col(value_col) * 100).cast("long").alias("y"),
+    ).withColumn("tm", ((F.col("t") - F.min("t").over(w)) / 60).cast("long"))
+    agg = e.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("tm").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("tm") * F.col("tm")).alias("stt"),
+        F.sum(F.col("tm") * F.col("y")).alias("sty"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    slope_c = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / den
+    intercept_c = (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")) / den
+    ok = (F.col("n") >= 2) & (den != 0)
+    return agg.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("long").alias("n_events"),
+        F.when(ok, F.round(slope_c / 100.0, 6)).alias("slope_per_min"),
+        F.when(ok, F.round(intercept_c / 100.0, 6)).alias("intercept"),
+    )

@@ -732,3 +732,103 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return time_weighted_average(events, "user_id", "ts", "value", "event_id")
+
+
+@query(
+    "trend_user_value",
+    oracle="""
+        WITH e AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ),
+        rb AS (
+            SELECT user_id, y,
+                   CAST(floor((t - min(t) OVER (PARTITION BY user_id)) / 60.0) AS BIGINT) AS tm
+            FROM e
+        ),
+        s AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(tm) AS BIGINT) AS st,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(tm * tm) AS BIGINT) AS stt,
+                   CAST(SUM(tm * y) AS BIGINT) AS sty
+            FROM rb GROUP BY user_id
+        )
+        SELECT user_id, n AS n_events,
+               CASE WHEN n >= 2 AND n * stt - st * st <> 0
+                    THEN round((n * sty - st * sy) / (n * stt - st * st) / 100.0, 6)
+               END AS slope_per_min,
+               CASE WHEN n >= 2 AND n * stt - st * st <> 0
+                    THEN round((sy * stt - st * sty) / (n * stt - st * st) / 100.0, 6)
+               END AS intercept
+        FROM s
+    """,
+    tags=("analytics", "timeseries", "regression", "agg"),
+    doc="Per-user OLS trend of event value over time — closed-form "
+    "slope/intercept from five mergeable BIGINT sums (n, Σt, Σy, Σt², "
+    "Σty), never a per-key model fit: the regression-as-aggregation "
+    "pattern that scales to any key count as one partial-aggregable "
+    "groupBy. Time is rebased to minutes since each key's first event "
+    "(bounds every product-of-sums far inside BIGINT) and values "
+    "quantize to cents, so both engines divide identical exact "
+    "integers; <2 events or zero time variance yields NULL slope "
+    "(operators/timeseries.py:linear_trend).",
+)
+def trend_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import linear_trend
+
+    events = load_table(spark, sf_dir, "events")
+    return linear_trend(events, "user_id", "ts", "value")
+
+
+@query(
+    "corr_value_hour_by_type",
+    oracle="""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM e GROUP BY event_type
+        )
+        SELECT event_type, n AS n_rows,
+               CASE WHEN n >= 2
+                         AND CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+                         AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy <> 0
+                    THEN round(
+                        CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                        / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                               * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+               END AS r
+        FROM s
+    """,
+    tags=("analytics", "statistics", "agg"),
+    doc="Per-event-type Pearson correlation between hour-of-day and "
+    "event value — the feature-screening statistic (does this signal "
+    "co-move with time of day) as ONE partial-aggregable groupBy: five "
+    "exact BIGINT sums per group, products-of-sums formed in "
+    "DECIMAL(38,0)/HUGEINT (exact far past the BIGINT edge), one "
+    "integer->double conversion each before the final division — "
+    "identical doubles cross-engine (operators/stats.py:pearson_corr).",
+)
+def corr_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import pearson_corr
+
+    events = load_table(spark, sf_dir, "events")
+    return pearson_corr(
+        events, "event_type",
+        F.hour(F.col("ts")),
+        F.round(F.col("value") * 100),
+    )

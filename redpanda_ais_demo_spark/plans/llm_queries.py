@@ -2409,3 +2409,40 @@ def resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(mapping, "name", "left").select(
         "name", F.coalesce("canonical", "name").alias("canonical"), "n_rows"
     )
+
+
+@query(
+    "entropy_tokens_by_source",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(str_split(text, ' ')) AS v FROM documents
+        ),
+        counts AS (
+            SELECT source, v, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, v
+        ),
+        tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source)
+        SELECT counts.source,
+               CAST(SUM(CAST(round(-(c / CAST(n AS DOUBLE))
+                        * ln(c / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 AS entropy_nats
+        FROM counts JOIN tot ON counts.source = tot.source
+        GROUP BY counts.source
+    """,
+    tags=("text", "statistics", "agg", "scale-path"),
+    doc="Shannon entropy (nats) of each source's token distribution — "
+    "the vocabulary-diversity screen of a corpus audit (near-0 = "
+    "degenerate boilerplate source). Two cascaded partial-aggregable "
+    "groupBys: the shuffle carries one row per DISTINCT (source, "
+    "token), never raw tokens; per-term contributions quantize to "
+    "micro-nat BIGINTs before the exact sum (a double sum would be "
+    "partial-aggregation-order dependent; the PSI pattern) "
+    "(operators/stats.py:shannon_entropy).",
+)
+def entropy_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT2
+    from ..operators.stats import shannon_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TXT2.tokens(F.col("text"))).alias("token"))
+    return shannon_entropy(toks, "source", "token")

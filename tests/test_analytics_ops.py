@@ -354,3 +354,63 @@ def test_snapshot_diff_rejects_empty_key_or_compare_cols(spark):
         snapshot_diff(df, df, ["k"], [])
     with pytest.raises(ValueError, match="key_cols"):
         snapshot_diff(df, df, [], ["v"])
+
+
+def test_linear_trend_recovers_known_slope(spark):
+    """Crafted series with exact slope: y = 2.4 + 0.6*t_minutes (cents
+    integers) recovers slope/intercept exactly; a constant series has
+    slope 0; a single-event key yields NULL slope."""
+    from redpanda_ais_demo_spark.operators.timeseries import linear_trend
+
+    rows = []
+    for i in range(10):  # user 1: perfect line, one point per minute
+        rows.append((1, 60 * i, 2.40 + 0.60 * i))
+    for i in range(5):  # user 2: constant
+        rows.append((2, 60 * i, 7.25))
+    rows.append((3, 0, 1.00))  # user 3: single event
+    for i in range(4):  # user 4: all events in the same minute -> no variance
+        rows.append((4, i, 5.0 + i))
+    df = spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows], "user_id long, tsec long, value double"
+    ).selectExpr("user_id", "to_timestamp(tsec) AS ts", "value")
+    out = {r.user_id: r for r in linear_trend(df, "user_id", "ts", "value").collect()}
+    assert out[1].slope_per_min == 0.6 and out[1].intercept == 2.4
+    assert out[2].slope_per_min == 0.0 and out[2].intercept == 7.25
+    assert out[3].slope_per_min is None and out[3].n_events == 1
+    assert out[4].slope_per_min is None  # zero time variance
+
+
+def test_pearson_corr_known_values(spark):
+    """Perfect positive/negative lines give r=±1; independent constant
+    y gives NULL (zero variance); <2 rows give NULL."""
+    from redpanda_ais_demo_spark.operators.stats import pearson_corr
+
+    rows = (
+        [("up", i, 3 * i + 7) for i in range(20)]
+        + [("down", i, 100 - 2 * i) for i in range(20)]
+        + [("flat", i, 5) for i in range(20)]
+        + [("one", 1, 1)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in pearson_corr(df, "g", F.col("x"), F.col("y")).collect()}
+    assert out["up"].r == 1.0
+    assert out["down"].r == -1.0
+    assert out["flat"].r is None  # zero y-variance
+    assert out["one"].r is None and out["one"].n_rows == 1
+
+
+def test_shannon_entropy_known_distributions(spark):
+    """Uniform k-way distribution has H=ln k; a single value has H=0
+    (micro-nat quantization tolerance 1e-6)."""
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import shannon_entropy
+
+    rows = (
+        [("u4", f"t{i % 4}") for i in range(400)]
+        + [("mono", "same") for _ in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r.entropy_nats for r in shannon_entropy(df, "g", "v").collect()}
+    assert abs(out["u4"] - math.log(4)) < 1e-5
+    assert out["mono"] == 0.0
