@@ -169,6 +169,10 @@ R7_ADDITIONS = [
     "trend_user_value",
     "corr_value_hour_by_type",
     "entropy_tokens_by_source",
+    # attribution (per-key carried-last window) and chi-squared over the
+    # cell table (contingency windows never touch raw rows).
+    "attribution_last_touch",
+    "chi2_type_vs_daypart",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

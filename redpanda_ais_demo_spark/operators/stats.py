@@ -16,7 +16,7 @@ partial-aggregation-order dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -91,4 +91,63 @@ def shannon_entropy(
         .groupBy("g")
         .agg((F.sum("micro") / 1e6).alias("entropy_nats"))
         .select(F.col("g").alias(group_col), "entropy_nats")
+    )
+
+
+def chi_squared_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns
+    — the drift/association screen over a contingency table: ``X² =
+    Σ_cells (O − E)² / E`` with ``E = row_total·col_total / N``.
+
+    Exactness: observed and marginal counts are exact BIGINTs; each
+    cell's E and term are computed in double FROM those identical
+    integers (one fixed expression order — IEEE-deterministic
+    cross-engine) and quantized to micro-units before the exact BIGINT
+    sum. Returns one row: (chi2, dof, n_rows). dof =
+    (distinct_a − 1)·(distinct_b − 1).
+
+    Plan: one groupBy on the cell, marginals as two window sums over the
+    CELL table (rows = distinct (a,b) pairs, never raw data), final
+    single-row aggregate. Only zero-count cells of the full cross
+    product are absent — they contribute E>0 terms, handled by summing
+    (N − Σ_present E)·1e6 micro-units analytically: Σ_absent (0−E)²/E =
+    Σ_absent E = N − Σ_present E, since Σ_all E = N exactly.
+    """
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("o"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = (
+        cells.withColumn("rt", F.sum("o").over(wa))
+        .withColumn("ct", F.sum("o").over(wb))
+        .withColumn("n", F.sum("o").over(wall))
+    )
+    e = (F.col("rt") * F.col("ct")) / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    micro = F.round(term * 1e6).cast("long")
+    emicro = F.round(e * 1e6).cast("long")
+    agg = m.select(
+        micro.alias("micro"), emicro.alias("em"), "a", "b", "n"
+    ).agg(
+        F.sum("micro").alias("present_micro"),
+        F.sum("em").alias("present_e_micro"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+        F.max("n").alias("n"),
+    )
+    absent_micro = F.col("n") * F.lit(1_000_000) - F.col("present_e_micro")
+    return agg.select(
+        ((F.col("present_micro") + absent_micro) / 1e6).alias("chi2"),
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n_rows"),
     )

@@ -669,3 +669,62 @@ def linear_trend(
         F.when(ok, F.round(slope_c / 100.0, 6)).alias("slope_per_min"),
         F.when(ok, F.round(intercept_c / 100.0, 6)).alias("intercept"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    window_sec: int,
+) -> DataFrame:
+    """Last-touch attribution: credit each conversion event to the most
+    recent qualifying touch event of the same key within ``window_sec``
+    — the marketing/product-analytics staple next to the funnel (which
+    asks "did they convert"; this asks "what gets the credit").
+
+    Declarative form: one conditional ``last(..., ignorenulls)`` window
+    per carried attribute over rows [unbounded preceding, 1 preceding]
+    in (ts, id) order — the whole operator is ONE per-key shuffle, no
+    self-join of conversions against touches (the naive form shuffles
+    the events twice and explodes on skewed keys). Conversions whose
+    latest touch is outside the window report NULL touch columns
+    (unattributed) rather than dropping — the unattributed rate is
+    itself the metric people audit.
+
+    Output: one row per conversion — (key, conv_id, conv_ts, touch_id,
+    touch_ts, touch_type, age_sec).
+    """
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("ts"),
+        F.col(type_col).alias("et"),
+        F.col(id_col).alias("eid"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("et").isin(*touch_types)
+    carried = (
+        e.withColumn("t_ts", F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w))
+        .withColumn("t_id", F.last(F.when(is_touch, F.col("eid")), ignorenulls=True).over(w))
+        .withColumn("t_et", F.last(F.when(is_touch, F.col("et")), ignorenulls=True).over(w))
+    )
+    conv = carried.filter(F.col("et") == conversion_type)
+    in_window = F.col("t_ts").isNotNull() & (
+        (F.col("ts") - F.col("t_ts")) <= window_sec
+    )
+    return conv.select(
+        F.col("key").alias(key_col),
+        F.col("eid").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        F.when(in_window, F.col("t_id")).alias("touch_id"),
+        F.when(in_window, F.col("t_ts")).alias("touch_ts"),
+        F.when(in_window, F.col("t_et")).alias("touch_type"),
+        F.when(in_window, F.col("ts") - F.col("t_ts")).alias("age_sec"),
+    )

@@ -832,3 +832,100 @@ def corr_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(F.col("ts")),
         F.round(F.col("value") * 100),
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                   event_type AS et
+            FROM events
+        ),
+        carried AS (
+            SELECT *,
+                   last_value(CASE WHEN et IN ('view', 'click') THEN ts END IGNORE NULLS)
+                       OVER w AS t_ts,
+                   last_value(CASE WHEN et IN ('view', 'click') THEN event_id END IGNORE NULLS)
+                       OVER w AS t_id,
+                   last_value(CASE WHEN et IN ('view', 'click') THEN et END IGNORE NULLS)
+                       OVER w AS t_et
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+               CASE WHEN t_ts IS NOT NULL AND ts - t_ts <= 86400 THEN t_id END AS touch_id,
+               CASE WHEN t_ts IS NOT NULL AND ts - t_ts <= 86400 THEN t_ts END AS touch_ts,
+               CASE WHEN t_ts IS NOT NULL AND ts - t_ts <= 86400 THEN t_et END AS touch_type,
+               CASE WHEN t_ts IS NOT NULL AND ts - t_ts <= 86400 THEN ts - t_ts END AS age_sec
+        FROM carried WHERE et = 'purchase'
+    """,
+    tags=("analytics", "attribution", "window"),
+    doc="Last-touch attribution: each purchase credited to the user's "
+    "most recent view/click within 24h — one conditional last(..., "
+    "ignorenulls) window over [unbounded preceding, 1 preceding] in "
+    "(ts, event_id) order, i.e. ONE per-user shuffle and no conversions"
+    "-vs-touches self-join (the naive join shuffles events twice and "
+    "explodes on skewed keys). Out-of-window conversions surface with "
+    "NULL touch columns — the unattributed rate is the audited metric "
+    "(operators/timeseries.py:last_touch_attribution).",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import last_touch_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        events, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase", touch_types=["view", "click"],
+        window_sec=86400,
+    )
+
+
+@query(
+    "chi2_type_vs_daypart",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS a,
+                   CAST(hour(ts) // 6 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY a, b
+        ),
+        m AS (
+            SELECT *,
+                   CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS rt,
+                   CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS ct,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM cells
+        ),
+        terms AS (
+            SELECT a, b, n,
+                   CAST(round((o - (rt * ct) / n) * (o - (rt * ct) / n)
+                              / ((rt * ct) / n) * 1000000) AS BIGINT) AS micro,
+                   CAST(round((rt * ct) / n * 1000000) AS BIGINT) AS em
+            FROM m
+        )
+        SELECT (CAST(SUM(micro) AS BIGINT)
+                + max(n) * 1000000 - CAST(SUM(em) AS BIGINT)) / 1000000.0 AS chi2,
+               CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+               CAST(max(n) AS BIGINT) AS n_rows
+        FROM terms
+    """,
+    tags=("analytics", "statistics", "agg"),
+    doc="Chi-squared independence test between event type and 6-hour "
+    "day-part — the categorical-association screen over a contingency "
+    "table that never materializes raw rows: one groupBy to cell "
+    "counts, marginals as window sums over the CELL table, per-cell "
+    "terms micro-quantized then summed exactly; absent zero-cells "
+    "contribute analytically (sum of their E = N - sum of present E) "
+    "(operators/stats.py:chi_squared_independence).",
+)
+def chi2_type_vs_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import chi_squared_independence
+
+    events = load_table(spark, sf_dir, "events")
+    typed = events.select(
+        "event_type", (F.hour(F.col("ts")) / 6).cast("long").alias("daypart")
+    )
+    return chi_squared_independence(typed, "event_type", "daypart")

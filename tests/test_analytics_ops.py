@@ -414,3 +414,55 @@ def test_shannon_entropy_known_distributions(spark):
     out = {r.g: r.entropy_nats for r in shannon_entropy(df, "g", "v").collect()}
     assert abs(out["u4"] - math.log(4)) < 1e-5
     assert out["mono"] == 0.0
+
+
+def test_last_touch_attribution_credits_most_recent_touch(spark):
+    """The purchase credits the LAST prior touch (not the first), window
+    bound excludes stale touches, and a purchase with no prior touch is
+    unattributed; later touches never leak backward."""
+    from redpanda_ais_demo_spark.operators.timeseries import last_touch_attribution
+
+    rows = [
+        # user 1: view@10, click@20, purchase@30 -> credit click@20
+        (1, 10, "view", 100), (1, 20, "click", 101), (1, 30, "purchase", 102),
+        # user 2: view@0, purchase@50000 (outside 3600s window) -> unattributed
+        (2, 0, "view", 200), (2, 50000, "purchase", 201),
+        # user 3: purchase first, view after -> unattributed
+        (3, 5, "purchase", 300), (3, 10, "view", 301),
+        # user 4: two purchases share the same earlier touch
+        (4, 0, "click", 400), (4, 10, "purchase", 401), (4, 20, "purchase", 402),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_type string, event_id long"
+    ).selectExpr("user_id", "to_timestamp(tsec) AS ts", "event_type", "event_id")
+    out = {
+        r.conv_id: r
+        for r in last_touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id",
+            "purchase", ["view", "click"], window_sec=3600,
+        ).collect()
+    }
+    assert out[102].touch_id == 101 and out[102].touch_type == "click"
+    assert out[102].age_sec == 10
+    assert out[201].touch_id is None  # outside window
+    assert out[300].touch_id is None  # no prior touch
+    assert out[401].touch_id == 400 and out[402].touch_id == 400  # shared credit
+
+
+def test_chi2_independence_known_tables(spark):
+    """A perfectly independent 2x2 table gives chi2=0; a perfectly
+    dependent one gives chi2=N; dof=(ka-1)(kb-1)."""
+    from redpanda_ais_demo_spark.operators.stats import chi_squared_independence
+
+    indep = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 30 + [("b", "x")] * 20 + [("b", "y")] * 60,
+        "u string, v string",
+    )
+    r = chi_squared_independence(indep, "u", "v").collect()[0]
+    assert r.chi2 == 0.0 and r.dof == 1 and r.n_rows == 120
+
+    dep = spark.createDataFrame(
+        [("a", "x")] * 25 + [("b", "y")] * 25, "u string, v string"
+    )
+    r2 = chi_squared_independence(dep, "u", "v").collect()[0]
+    assert r2.chi2 == 50.0 and r2.dof == 1  # phi=1 -> chi2 = N

@@ -135,3 +135,84 @@ def test_ivf_probe_validates_query(spark, emb, tmp_path):
         ann_index.ivf_probe(spark, idx, [1.0] * 16)
     with pytest.raises(ValueError, match="zero norm"):
         ann_index.ivf_probe(spark, idx, [0.0] * 64)
+
+
+def test_pq_append_encodes_with_frozen_codebooks(spark, emb, tmp_path):
+    """Incremental maintenance: vectors appended later are encoded with
+    the PERSISTED codebooks (bit-equal to pq_encode with those books),
+    the manifest count updates, and probes see the appended ids."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators import ann_index, similarity
+
+    idx = str(tmp_path / "pq_idx")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    ann_index.pq_build(first, idx)
+    man = ann_index.pq_append(rest, idx)
+    assert man["count"] == emb.count()
+
+    books = ann_index.pq_load_codebooks(idx)
+    import os
+
+    stored = {
+        r.id: list(r.codes)
+        for r in spark.read.parquet(os.path.join(idx, "codes"))
+        .filter(F.col("id") >= 250)
+        .collect()
+    }
+    fresh = {
+        r.id: list(r.codes)
+        for r in similarity.pq_encode(rest, books).collect()
+    }
+    assert stored == fresh  # frozen-codebook encoding, bit-equal
+
+    probed = ann_index.pq_probe(spark, idx, emb.filter(F.col("vec_id") == 0), k=400)
+    assert any(r.neighbor_id >= 250 for r in probed.collect())
+
+    with pytest.raises(ValueError, match="pq index"):
+        ivf = str(tmp_path / "ivf_idx")
+        ann_index.ivf_build(emb, ivf, n_centroids=4)
+        ann_index.pq_append(rest, ivf)
+
+
+def test_ivfpq_probe_matches_numpy_adc_on_pruned_lists(spark, emb, tmp_path):
+    """The composed IVF-PQ index: probe plan prunes to n_probe list
+    partitions, and the expression-side ADC scores (literal LUT +
+    element_at adds) equal a numpy replay over the same pruned codes
+    bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators import ann_index
+
+    idx = str(tmp_path / "ivfpq_idx")
+    man = ann_index.ivfpq_build(emb, idx, n_centroids=8)
+    assert man["count"] == emb.count() and man["kind"] == "ivfpq"
+
+    qvec = [float((j * 3) % 7) for j in range(64)]
+    probe = ann_index.ivfpq_probe(spark, idx, qvec, k=10, n_probe=3)
+    plan = _plan(probe)
+    assert "embeddings.parquet" not in plan
+    assert "PartitionFilters" in plan and "list_id" in plan
+    rows = probe.collect()
+    assert len(rows) == 10
+
+    cents = ann_index.ivf_load_centroids(idx)
+    books = ann_index.pq_load_codebooks(idx)
+    q = np.asarray(qvec)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(cents @ qn))[:3].tolist()
+    mm, _, dsub = books.shape
+    lut = np.einsum("jd,jcd->jc", qn.reshape(mm, dsub), books)
+    pruned = (
+        spark.read.parquet(os.path.join(idx, "lists"))
+        .filter(F.col("list_id").isin(probes))
+        .collect()
+    )
+    sims = {}
+    for r in pruned:
+        sims[r.id] = round(float(sum(lut[j, r.codes[j]] for j in range(mm))), 6)
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.vec_id, r.approx_sim) for r in rows] == want
