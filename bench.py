@@ -173,6 +173,9 @@ R7_ADDITIONS = [
     # cell table (contingency windows never touch raw rows).
     "attribution_last_touch",
     "chi2_type_vs_daypart",
+    # Naive Bayes trained+applied as aggregation (tf-table x class
+    # likelihood join — the heaviest of the r8 statistics batch).
+    "nb_lang_classify_docs",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

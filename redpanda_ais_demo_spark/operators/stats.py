@@ -151,3 +151,93 @@ def chi_squared_independence(
         ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
         F.col("n").cast("long").alias("n_rows"),
     )
+
+
+def naive_bayes_classify(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied as pure aggregation
+    — the "model fitting is just a groupBy" pattern that makes simple
+    classifiers free at 100 TB (no ML runtime, no iteration): token
+    likelihoods with add-one smoothing from per-(token, class) counts,
+    class priors from doc counts, prediction = argmax of
+    ``log P(c) + Σ_t tf_t · log P(t|c)``. Resubstitution scoring (train
+    and predict on the same corpus) — the operator demo; split first
+    for honest accuracy.
+
+    Determinism: every log-prob quantizes to micro-nat BIGINTs computed
+    from exact integer ratios, per-doc scores are exact BIGINT sums,
+    and the argmax tie-breaks on class name — bit-identical
+    cross-engine.
+
+    Scale plan: scoring joins the per-doc TERM-FREQUENCY table (distinct
+    tokens per doc, not raw occurrences) against the (token, class)
+    likelihood table on the token key — one shuffle each side; class
+    stats, priors and smoothing defaults are tiny broadcasts; the
+    number-of-classes blowup rides the tf table, never raw text.
+
+    Output: (id_col, predicted, actual, score_micro, correct).
+    """
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("actual"), F.col(text_col).alias("t")
+    )
+    toks = base.select(
+        "id", "actual", F.explode(F.split(F.col("t"), " ")).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    labels = base.select("id", "actual")
+    cnt_tc = toks.groupBy("token", "actual").agg(F.count("*").alias("cnt"))
+    tok_c = toks.groupBy("actual").agg(F.count("*").alias("tok_c"))
+    n_c = base.groupBy("actual").agg(F.count("*").alias("n_docs"))
+    n_total = base.count()  # 1-row driver scalar (the pagerank pattern)
+    vocab = toks.select("token").distinct().count()
+
+    classes = n_c.select(F.col("actual").alias("cls"), "n_docs")
+    prior = classes.select(
+        "cls",
+        F.round(F.log(F.col("n_docs") / F.lit(n_total)) * 1e6).cast("long").alias("prior_micro"),
+    )
+    logp = (
+        cnt_tc.join(tok_c, "actual")
+        .select(
+            "token",
+            F.col("actual").alias("cls"),
+            F.round(F.log((F.col("cnt") + 1) / (F.col("tok_c") + F.lit(vocab))) * 1e6)
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    default = tok_c.select(
+        F.col("actual").alias("cls"),
+        F.round(F.log(F.lit(1.0) / (F.col("tok_c") + F.lit(vocab))) * 1e6)
+        .cast("long")
+        .alias("dlp"),
+    )
+    cand = tf.crossJoin(F.broadcast(classes.select("cls")))
+    scored = (
+        cand.join(logp, ["token", "cls"], "left")
+        .join(F.broadcast(default), "cls")
+        .groupBy("id", "cls")
+        .agg(F.sum(F.col("tf") * F.coalesce(F.col("lp"), F.col("dlp"))).alias("s"))
+        .join(F.broadcast(prior), "cls")
+        .select("id", "cls", (F.col("s") + F.col("prior_micro")).alias("score_micro"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("id").orderBy(F.col("score_micro").desc(), F.col("cls").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cls").alias("predicted"), "score_micro")
+    )
+    return best.join(labels, "id").select(
+        F.col("id").alias(id_col),
+        "predicted",
+        "actual",
+        F.col("score_micro").cast("long").alias("score_micro"),
+        (F.col("predicted") == F.col("actual")).alias("correct"),
+    )

@@ -2446,3 +2446,59 @@ def entropy_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(TXT2.tokens(F.col("text"))).alias("token"))
     return shannon_entropy(toks, "source", "token")
+
+
+@query(
+    "nb_lang_classify_docs",
+    oracle="""
+        WITH base AS (SELECT doc_id AS id, lang AS actual, text AS t FROM documents),
+        toks AS (SELECT id, actual, unnest(str_split(t, ' ')) AS token FROM base),
+        tf AS (SELECT id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, token),
+        cnt_tc AS (SELECT token, actual, CAST(count(*) AS BIGINT) AS cnt
+                   FROM toks GROUP BY token, actual),
+        tok_c AS (SELECT actual, CAST(count(*) AS BIGINT) AS tok_c FROM toks GROUP BY actual),
+        n_c AS (SELECT actual, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY actual),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+        voc AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM toks),
+        prior AS (SELECT actual AS cls,
+                         CAST(round(ln(n_docs / n_total) * 1000000) AS BIGINT) AS prior_micro
+                  FROM n_c CROSS JOIN tot),
+        logp AS (SELECT token, cnt_tc.actual AS cls,
+                        CAST(round(ln((cnt + 1) / (tok_c + v)) * 1000000) AS BIGINT) AS lp
+                 FROM cnt_tc JOIN tok_c ON cnt_tc.actual = tok_c.actual CROSS JOIN voc),
+        dflt AS (SELECT actual AS cls,
+                        CAST(round(ln(1.0 / (tok_c + v)) * 1000000) AS BIGINT) AS dlp
+                 FROM tok_c CROSS JOIN voc),
+        cand AS (SELECT tf.id, tf.token, tf.tf, p.cls
+                 FROM tf CROSS JOIN (SELECT DISTINCT cls FROM prior) p),
+        sc AS (SELECT cand.id, cand.cls,
+                      CAST(SUM(cand.tf * coalesce(logp.lp, dflt.dlp)) AS BIGINT) AS s
+               FROM cand
+               LEFT JOIN logp ON cand.token = logp.token AND cand.cls = logp.cls
+               JOIN dflt ON cand.cls = dflt.cls
+               GROUP BY cand.id, cand.cls),
+        best AS (SELECT sc.id, sc.cls, sc.s + prior.prior_micro AS score_micro,
+                        row_number() OVER (PARTITION BY sc.id
+                            ORDER BY sc.s + prior.prior_micro DESC, sc.cls ASC) AS rn
+                 FROM sc JOIN prior ON sc.cls = prior.cls)
+        SELECT base.id AS doc_id, best.cls AS predicted, base.actual,
+               CAST(best.score_micro AS BIGINT) AS score_micro,
+               best.cls = base.actual AS correct
+        FROM best JOIN base ON best.id = base.id WHERE best.rn = 1
+    """,
+    tags=("text", "ml", "classification", "scale-path"),
+    doc="Multinomial Naive Bayes language classifier, trained AND "
+    "applied as pure aggregation (add-one-smoothed token likelihoods "
+    "from per-(token, class) counts; priors from doc counts; argmax of "
+    "exact micro-nat BIGINT score sums, tie-broken on class name) — "
+    "the model-fitting-is-a-groupBy pattern: no ML runtime, no "
+    "iteration, scoring joins the per-doc TERM-FREQUENCY table to the "
+    "(token, class) likelihood table on the token key; class stats "
+    "ride broadcasts. The statistical complement of the heuristic "
+    "lang_id_ngram (operators/stats.py:naive_bayes_classify).",
+)
+def nb_lang_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import naive_bayes_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_classify(docs, "doc_id", "text", "lang")

@@ -1154,3 +1154,30 @@ def test_pq_codebook_sample_is_partitioning_independent(spark):
     b1 = similarity.pq_train_codebooks(emb, sample_size=200)
     b2 = similarity.pq_train_codebooks(emb.repartition(13), sample_size=200)
     assert np.array_equal(b1, b2)
+
+
+def test_naive_bayes_separates_crafted_vocabularies(spark):
+    """On a corpus whose classes have (mostly) disjoint vocabularies the
+    classifier must recover every label, including docs with overlap
+    words, and tie-break deterministically."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.stats import naive_bayes_classify
+
+    rows = []
+    for i in range(20):
+        rows.append((i, f"apfel birne kirsche traube b{i % 3}", "de"))
+    for i in range(20):
+        rows.append((100 + i, f"apple pear cherry grape b{i % 3}", "en"))
+    # ambiguous doc: shared token only -> falls to prior+smoothing,
+    # deterministic tie-break keeps it stable
+    rows.append((999, "b0", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = naive_bayes_classify(docs, "doc_id", "text", "lang")
+    res = {r.doc_id: r for r in out.collect()}
+    clean = [r for i, r in res.items() if i != 999]
+    assert all(r.correct for r in clean)
+    assert res[999].predicted in ("de", "en")  # defined, not an error
+    # accuracy is exactly recomputable from the output
+    acc = out.agg(F.avg(F.col("correct").cast("double"))).collect()[0][0]
+    assert acc >= 40 / 41
