@@ -89,9 +89,12 @@ PRIORITY: tuple[str, ...] = (
     # registered, oracle-bearing, pytest-oracle-swept), and f6_json_extract
     # holds the scalar-function family (f_scalar_display rotated out, same
     # status) — freeing four slots for r7 session classes with no window rep.
+    # (r8b) p2_validity_filter rotated out: route_positions APPLIES the
+    # same validity predicate inside p1_route_positions' oracle-checked
+    # plan, so its window row was mechanically redundant; it stays
+    # registered, oracle-bearing, pytest-oracle-swept.
     "a1_total_ships",
     "p1_route_positions",
-    "p2_validity_filter",
     "f6_json_extract",
     "j1_dashboard_join",
     "w1_latest_per_key",
@@ -130,10 +133,14 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "zorder_events",
     # advanced relational operators
+    # (r8b) salted_join_segment_traffic rotated out: its oracle checks
+    # the same join RESULT as the plain join (the salting is a strategy,
+    # pinned by tests/test_plan_shapes.py::test_salted_join_matches_
+    # plain_join); the join-strategy family keeps j1 (broadcast),
+    # bucketed_join (layout co-location), asof and range in-window.
     "asof_last_order_per_event",
     "range_join_value_bands",
     "value_percentiles",
-    "salted_join_segment_traffic",
     "grouping_sets_sql",
     # round-6 classes with no earlier in-window sibling (rotated in r7:
     # rollup_cascade_traffic is represented by grouping_sets_sql's grouping
@@ -154,7 +161,9 @@ PRIORITY: tuple[str, ...] = (
     # round(cosine,6) >= threshold pair mechanism in-cluster, so
     # dedup_embedding_cosine (the corpus-wide exact verifier) trails,
     # oracle-bearing and pytest-oracle-swept.
-    "bm25_topk_docs",
+    # (r8b) bm25_topk_docs rotated out: hybrid_rrf_topk_docs runs the
+    # identical BM25 leg inside its oracle-checked fusion, so BM25 keeps
+    # full driver coverage through its superset; registered + swept.
     "pii_redact_docs",
     # funnel analysis (ClickHouse-windowFunnel analogue, new r7 class)
     # replaces anti_customers_without_orders, whose driver check was
@@ -164,7 +173,11 @@ PRIORITY: tuple[str, ...] = (
     # join stays registered, oracle-bearing, pytest-oracle-swept, and its
     # non-empty semantics are pinned by a crafted-data unit test
     # (tests/test_analytics_ops.py::test_left_anti_join_semantics).
-    "funnel_user_conversion",
+    # (r8b) the 24h variant replaces the 7-day original in-window: the
+    # identical operator and oracle shape, but the max-window bound BINDS
+    # at the fixture (depth-3 126 -> 14), so the hash row proves the
+    # time constraint — the 7-day form stays registered + swept.
+    "funnel_user_conversion_24h",
     # round-7 session additions, each a class with no in-window sibling:
     # sliding-window document chunking, the Exchange-free storage-
     # bucketed join (layout-level shuffle elimination), and Bloom-filter
@@ -218,6 +231,14 @@ PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders",
     "validate_orders_constraints",
     "pipeline_curate_corpus",
+    # round-8 session classes with no in-window sibling, filling the
+    # three slots freed above: model-fitting-as-aggregation (Naive
+    # Bayes), conversion attribution (carried-last window), and
+    # closed-form OLS regression. The remaining r8 statistics classes
+    # (corr / entropy / chi2) trail, oracle-bearing, pytest-swept.
+    "nb_lang_classify_docs",
+    "attribution_last_touch",
+    "trend_user_value",
 )
 
 

@@ -47,7 +47,7 @@ REQUIRED_IN_WINDOW = {
     "range_join_value_bands",
     "value_percentiles",
     "grouping_sets_sql",
-    "salted_join_segment_traffic",
+    # salted_join rotated out r8b (strategy pinned by plan-shape pytest)
     # round-6 classes rotated into the window in r7 (gap-fill resampling and
     # span-level dedup have no same-class sibling elsewhere in the window;
     # rollup_cascade_traffic is covered by grouping_sets_sql's family and
@@ -59,9 +59,11 @@ REQUIRED_IN_WINDOW = {
     # out behind f6_json_extract's semi-structured access;
     # anti_customers_without_orders rotated out behind semi_ — its fixture
     # result is empty at every SF, so its hash row carried no signal)
-    "bm25_topk_docs",
+    # (r8b) bm25_topk_docs rotated out behind hybrid_rrf's identical BM25
+    # leg; the 7-day funnel swapped for the binding 24h variant; p2 out
+    # behind p1's in-plan validity predicate
     "pii_redact_docs",
-    "funnel_user_conversion",
+    "funnel_user_conversion_24h",
     # round-7 session classes (no in-window sibling): chunking, storage-
     # bucketed Exchange-free join, Bloom decontamination (first window rep
     # of the decontamination class). lang_id_ngram / bpe_token_estimate /
@@ -95,6 +97,10 @@ REQUIRED_IN_WINDOW = {
     "snapshot_diff_orders",
     "validate_orders_constraints",
     "pipeline_curate_corpus",
+    # r8 session classes: ML-classification, attribution, regression
+    "nb_lang_classify_docs",
+    "attribution_last_touch",
+    "trend_user_value",
 }
 
 
