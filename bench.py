@@ -176,6 +176,8 @@ R7_ADDITIONS = [
     # Naive Bayes trained+applied as aggregation (tf-table x class
     # likelihood join — the heaviest of the r8 statistics batch).
     "nb_lang_classify_docs",
+    # incremental view maintenance (delta partial-agg + outer merge join)
+    "ivm_orders_rollup",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -929,3 +929,39 @@ def chi2_type_vs_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", (F.hour(F.col("ts")) / 6).cast("long").alias("daypart")
     )
     return chi_squared_independence(typed, "event_type", "daypart")
+
+
+@query(
+    "ivm_orders_rollup",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "ivm", "agg", "scale-path"),
+    doc="Incremental view maintenance: the per-priority revenue rollup "
+    "is built as MV state over orders BEFORE 1997-07-01, then the "
+    "remaining orders fold in as a delta via merge_agg — one partial "
+    "aggregate of the delta plus one outer join on the group key, the "
+    "base data never rescanned. The oracle is the FULL single-pass "
+    "aggregate: the hash match proves merge(agg(prefix), delta) == "
+    "agg(all) — the associativity contract every nightly rollup "
+    "refresh rides on (operators/ivm.py:merge_agg).",
+)
+def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import agg_state, merge_agg
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    measures = {
+        "revenue_cents": ("sum", "cents"),
+        "n_orders": ("count", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    cut = F.to_timestamp(F.lit("1997-07-01 00:00:00"))
+    mv = agg_state(orders.filter(F.col("o_orderdate") < cut), ["o_orderpriority"], measures)
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    return merge_agg(mv, delta, ["o_orderpriority"], measures)

@@ -466,3 +466,24 @@ def test_chi2_independence_known_tables(spark):
     )
     r2 = chi_squared_independence(dep, "u", "v").collect()[0]
     assert r2.chi2 == 50.0 and r2.dof == 1  # phi=1 -> chi2 = N
+
+
+def test_ivm_merge_equals_full_rebuild_any_split(spark):
+    """merge(agg(prefix), delta) == agg(all) for several split points,
+    including all-in-MV, all-in-delta, and delta introducing new groups."""
+    from redpanda_ais_demo_spark.operators.ivm import agg_state, merge_agg
+
+    rows = [(f"g{i % 5}", i, float(i % 17)) for i in range(200)] + [("gNEW", 999, 3.0)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    measures = {"s": ("sum", "v"), "n": ("count", "v"), "lo": ("min", "v"), "hi": ("max", "v")}
+    want = {r.g: r for r in agg_state(df, ["g"], measures).collect()}
+    for cut in (0, 50, 200, 201):
+        mv = agg_state(df.filter(F.col("k") < cut), ["g"], measures)
+        got = {
+            r.g: r
+            for r in merge_agg(mv, df.filter(F.col("k") >= cut), ["g"], measures).collect()
+        }
+        assert set(got) == set(want), cut
+        for g in want:
+            for f in ("s", "n", "lo", "hi"):
+                assert getattr(got[g], f) == getattr(want[g], f), (cut, g, f)
