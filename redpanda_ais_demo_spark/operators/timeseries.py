@@ -728,3 +728,97 @@ def last_touch_attribution(
         F.when(in_window, F.col("t_et")).alias("touch_type"),
         F.when(in_window, F.col("ts") - F.col("t_ts")).alias("age_sec"),
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    window_sec: int,
+    max_touches: int = 64,
+) -> DataFrame:
+    """Linear multi-touch attribution: every qualifying touch inside
+    ``window_sec`` before a conversion shares the credit equally
+    (credit = 1/n each) — the standard companion to last-touch when a
+    journey has several touchpoints.
+
+    Plan: per key, a running ``collect_list`` window carries the
+    preceding touches as (ts, id, type) structs — ONE per-key shuffle,
+    no conversions-vs-touches range self-join (which explodes on skewed
+    keys). The carried list is capped at the LAST ``max_touches``
+    touches (a slice of the running list): per-row memory stays bounded
+    on hot keys, and since credit only flows inside the window, the cap
+    only affects conversions with more than ``max_touches`` in-window
+    touches — the documented approximation bound, exact below it.
+
+    Output: one row per (conversion, credited touch) — (key, conv_id,
+    conv_ts, touch_id, touch_ts, touch_type, credit_micro) with
+    credit_micro = round(1e6/n) per touch (exact BIGINT, cross-engine).
+    Unattributed conversions (no in-window touch) emit one row with
+    NULL touch columns and credit_micro NULL.
+    """
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("ts"),
+        F.col(type_col).alias("et"),
+        F.col(id_col).alias("eid"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "eid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("et").isin(*touch_types)
+    touch_struct = F.when(is_touch, F.struct(F.col("ts"), F.col("eid"), F.col("et")))
+    # collect_list skips the NULLs the when() leaves on non-touch rows,
+    # so the carried array holds touches only. Keep the LAST k via an
+    # explicit start = max(size-k+1, 1): a negative slice start whose
+    # magnitude exceeds the array size returns EMPTY in Spark (not the
+    # whole array), which would silently unattribute every conversion
+    # with fewer than k prior touches.
+    lst = F.collect_list(touch_struct).over(w)
+    carried = e.withColumn(
+        "touches",
+        F.slice(
+            lst,
+            F.greatest(F.size(lst) - (max_touches - 1), F.lit(1)),
+            max_touches,
+        ),
+    )
+    conv = carried.filter(F.col("et") == conversion_type)
+    in_win = conv.withColumn(
+        "tw",
+        F.filter(
+            F.col("touches"),
+            lambda t: (F.col("ts") - t["ts"] <= window_sec) & (t["ts"] < F.col("ts")),
+        ),
+    ).withColumn("n", F.size("tw"))
+    credited = in_win.filter(F.col("n") > 0).select(
+        "key",
+        F.col("eid").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        F.explode("tw").alias("t"),
+        F.round(F.lit(1e6) / F.col("n")).cast("long").alias("credit_micro"),
+    )
+    unattributed = in_win.filter(F.col("n") == 0).select(
+        "key",
+        F.col("eid").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        F.lit(None).cast("long").alias("touch_id"),
+        F.lit(None).cast("long").alias("touch_ts"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast("long").alias("credit_micro"),
+    )
+    return credited.select(
+        F.col("key").alias(key_col),
+        "conv_id",
+        "conv_ts",
+        F.col("t.eid").alias("touch_id"),
+        F.col("t.ts").alias("touch_ts"),
+        F.col("t.et").alias("touch_type"),
+        "credit_micro",
+    ).unionByName(unattributed.withColumnRenamed("key", key_col))

@@ -965,3 +965,69 @@ def ivm_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = agg_state(orders.filter(F.col("o_orderdate") < cut), ["o_orderpriority"], measures)
     delta = orders.filter(F.col("o_orderdate") >= cut)
     return merge_agg(mv, delta, ["o_orderpriority"], measures)
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id AS eid,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                   event_type AS et
+            FROM events
+        ),
+        carried AS (
+            SELECT *,
+                   list(CASE WHEN et IN ('view', 'click')
+                             THEN struct_pack(ts := ts, eid := eid, et := et) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, eid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS raw
+            FROM e
+        ),
+        cleaned AS (
+            SELECT user_id, eid AS conv_id, ts AS conv_ts,
+                   list_filter(coalesce(raw, []), x -> x IS NOT NULL) AS touches
+            FROM carried WHERE et = 'purchase'
+        ),
+        conv2 AS (
+            SELECT user_id, conv_id, conv_ts,
+                   list_filter(
+                       touches[greatest(len(touches) - 63, 1):],
+                       x -> conv_ts - x.ts <= 86400 AND x.ts < conv_ts
+                   ) AS tw
+            FROM cleaned
+        ),
+        credited AS (
+            SELECT user_id, conv_id, conv_ts, unnest(tw) AS t,
+                   CAST(round(1000000.0 / len(tw)) AS BIGINT) AS credit_micro
+            FROM conv2 WHERE len(tw) > 0
+        )
+        SELECT user_id, conv_id, conv_ts,
+               t.eid AS touch_id, t.ts AS touch_ts, t.et AS touch_type, credit_micro
+        FROM credited
+        UNION ALL
+        SELECT user_id, conv_id, conv_ts,
+               NULL AS touch_id, NULL AS touch_ts, NULL AS touch_type,
+               NULL AS credit_micro
+        FROM conv2 WHERE len(tw) = 0
+    """,
+    tags=("analytics", "attribution", "window"),
+    doc="Linear multi-touch attribution: every view/click inside 24h "
+    "before a purchase shares the credit equally (credit_micro = "
+    "round(1e6/n) per touch, exact BIGINT). A running collect_list "
+    "window carries preceding touches as structs over ONE per-key "
+    "shuffle — no conversions-vs-touches range self-join — capped at "
+    "the last 64 touches (bounded per-row memory on hot keys; exact "
+    "whenever a conversion has <=64 in-window touches, which the "
+    "fixture always does). Unattributed conversions surface with NULL "
+    "touch columns (operators/timeseries.py:linear_attribution).",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import linear_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return linear_attribution(
+        events, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase", touch_types=["view", "click"],
+        window_sec=86400, max_touches=64,
+    )

@@ -487,3 +487,45 @@ def test_ivm_merge_equals_full_rebuild_any_split(spark):
         for g in want:
             for f in ("s", "n", "lo", "hi"):
                 assert getattr(got[g], f) == getattr(want[g], f), (cut, g, f)
+
+
+def test_linear_attribution_splits_credit_equally(spark):
+    """Two in-window touches share 50/50; the stale touch outside the
+    window is excluded; no-touch conversions emit one NULL row; the
+    last-k cap keeps the NEWEST touches."""
+    from redpanda_ais_demo_spark.operators.timeseries import linear_attribution
+
+    rows = [
+        (1, 10, "view", 100), (1, 20, "click", 101), (1, 30, "purchase", 102),
+        (2, 0, "view", 200), (2, 50000, "click", 201), (2, 50010, "purchase", 202),
+        (3, 5, "purchase", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, event_type string, event_id long"
+    ).selectExpr("user_id", "to_timestamp(tsec) AS ts", "event_type", "event_id")
+    out = linear_attribution(
+        df, "user_id", "ts", "event_type", "event_id",
+        "purchase", ["view", "click"], window_sec=3600,
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    u1 = sorted(by_conv[102], key=lambda r: r.touch_id)
+    assert [r.touch_id for r in u1] == [100, 101]
+    assert all(r.credit_micro == 500000 for r in u1)
+    # user 2: view@0 is stale at t=50010, click@50000 in-window -> full credit
+    (u2,) = by_conv[202]
+    assert u2.touch_id == 201 and u2.credit_micro == 1000000
+    (u3,) = by_conv[300]
+    assert u3.touch_id is None and u3.credit_micro is None
+
+    # cap: with max_touches=2, only the 2 NEWEST of 3 touches credit
+    rows4 = [(4, t, "view", 400 + t) for t in (1, 2, 3)] + [(4, 10, "purchase", 499)]
+    df4 = spark.createDataFrame(
+        rows4, "user_id long, tsec long, event_type string, event_id long"
+    ).selectExpr("user_id", "to_timestamp(tsec) AS ts", "event_type", "event_id")
+    got4 = linear_attribution(
+        df4, "user_id", "ts", "event_type", "event_id",
+        "purchase", ["view"], window_sec=3600, max_touches=2,
+    ).collect()
+    assert sorted(r.touch_id for r in got4) == [402, 403]
