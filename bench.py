@@ -178,6 +178,10 @@ R7_ADDITIONS = [
     "nb_lang_classify_docs",
     # incremental view maintenance (delta partial-agg + outer merge join)
     "ivm_orders_rollup",
+    # linear multi-touch attribution (carried-touch list window + explode)
+    # and the IVF-PQ serve-path probe (pruned-partition scan + literal LUT)
+    "attribution_linear",
+    "ann_ivfpq_topk_from_index",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

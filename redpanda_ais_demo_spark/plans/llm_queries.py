@@ -2502,3 +2502,37 @@ def nb_lang_classify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return naive_bayes_classify(docs, "doc_id", "text", "lang")
+
+
+@query(
+    "ann_ivfpq_topk_from_index",
+    oracle=None,  # LUT/centroid arithmetic is engine-internal; numpy
+    # bit-parity + partition-pruning plan contracts are pytest-pinned
+    # (tests/test_ann_index.py::test_ivfpq_probe_matches_numpy_adc_...)
+    tags=("similarity", "ivfpq", "index", "scale-path"),
+    doc="X3 at full composition — serve-path probe of the persisted "
+    "IVF-PQ index (inverted lists of m-byte PQ codes, built once per "
+    "fixture and cached under .ann_index/): the driver picks n_probe "
+    "lists from the tiny centroids file, the query's ADC lookup table "
+    "ships as literal arrays, and the scan reads EXACTLY those list "
+    "partitions (parquet partition pruning) scoring candidates with m "
+    "array-index adds — no Python worker in the probe. I/O and compute "
+    "are both bounded fractions of the corpus, the FAISS-IVFPQ shape "
+    "at 100 TB (operators/ann_index.py:ivfpq_probe).",
+)
+def ann_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    idx = os.path.join(repo_root, ".ann_index", os.path.basename(sf_dir.rstrip("/")), "ivfpq")
+    manifest = os.path.join(idx, "manifest.json")
+    if not os.path.exists(manifest) or (
+        os.path.exists(src) and os.path.getmtime(manifest) < os.path.getmtime(src)
+    ):
+        ann_index.ivfpq_build(emb, idx, n_centroids=16)
+    qvec = [float((j * 3) % 7) for j in range(64)]  # fixed deterministic probe
+    return ann_index.ivfpq_probe(spark, idx, qvec, k=10, n_probe=4)
