@@ -182,6 +182,12 @@ R7_ADDITIONS = [
     # and the IVF-PQ serve-path probe (pruned-partition scan + literal LUT)
     "attribution_linear",
     "ann_ivfpq_topk_from_index",
+    # feature engineering trio: target encoding (tiny agg), rank-space
+    # normalization (percentile sketch + bucket search), hashing trick
+    # (narrow md5 projection + explode)
+    "target_encode_priority",
+    "rank_normalize_event_values",
+    "feature_hash_orders",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -1,0 +1,125 @@
+"""Feature-engineering operators for model training pipelines: smoothed
+target encoding, rank-space (quantile) normalization, and the hashing
+trick — the tabular-feature counterparts to the text/embedding pipeline
+in ``operators/corpus.py`` / ``operators/similarity.py``.
+
+All three are aggregation + broadcast-join shapes (no per-row Python,
+no global sort), and all three are engineered for exact cross-engine
+replay (integer-cent sums, portable md5 hashing, 6-dp rounded edges) so
+their declared queries carry full DuckDB oracle hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: int = 20,
+) -> DataFrame:
+    """Smoothed target encoding (the empirical-Bayes shrinkage form):
+    ``enc(c) = (Σ_c target + m·global_mean) / (n_c + m)`` — rare
+    categories shrink toward the global mean instead of memorizing
+    noise; ``m`` is the pseudo-count weight.
+
+    Exactness: target quantizes to integer cents, category sums and the
+    global sum are exact BIGINTs, and the encoding is ONE double
+    expression over those integers, rounded to 6 dp — identical
+    cross-engine. Beware leakage in real pipelines: encode on the train
+    split only (compose with split_assign), exactly like any fitted
+    transform.
+
+    Plan: one partial-aggregable groupBy (category stats) + a 1-row
+    global aggregate broadcast into the expression — output is one row
+    per category, joined back wherever needed.
+    """
+    cents = F.round(F.col(target_col) * 100).cast("long")
+    cat = df.select(F.col(cat_col).alias("cat"), cents.alias("y"))
+    per_cat = cat.groupBy("cat").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    tot = cat.agg(
+        F.count("*").alias("n_all"), F.sum("y").alias("s_all")
+    )
+    g = F.col("s_all") / F.col("n_all")  # cents, double
+    enc = (F.col("s") + F.lit(m) * g) / (F.col("n") + F.lit(m)) / 100.0
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cat").alias(cat_col),
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(enc, 6).alias("encoded"),
+        )
+    )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    bits: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """Rank-space normalization: map a skewed numeric column to a
+    near-uniform [0, 1] score via its quantile bucket — the
+    skew-proof normalization a 100 TB feature pipeline can afford
+    (a global percent_rank() is an all-data single-partition sort; this
+    is one mergeable percentile aggregate + a branchless bucket search,
+    the same machinery as the Z-order layout key).
+
+    Output: id columns + ``norm`` = bucket / (2^bits - 1), rounded 6 dp.
+    Ties land in the same bucket (same score) on both engines.
+    """
+    from .layout import bucket_by_edges
+
+    keyed, _ = bucket_by_edges(df, [value_col], bits=bits, exact=exact)
+    denom = float((1 << bits) - 1)
+    return keyed.select(
+        *id_cols,
+        F.round(F.col(f"__b_{value_col}") / F.lit(denom), 6).alias("norm"),
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    cat_cols: list[str],
+    n_buckets: int = 1024,
+    salt: str = "fh-v1",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): map arbitrary
+    categorical values into a fixed ``n_buckets``-dimensional sparse
+    space with a signed hash — the unbounded-vocabulary encoder (new
+    categories never change the schema; collisions average out under
+    the sign trick).
+
+    Portable hash (DuckDB replays it exactly, like split_assign): the
+    first 8 md5 hex chars of ``salt:col=value`` as a u32 — bucket =
+    u32 mod n_buckets, sign = +1 if the NEXT hex char is even else -1.
+    Output: one row per (row, column) — (id, bucket, signed value 1/-1)
+    — the sparse COO the trainer sums per (id, bucket). A NARROW
+    zero-shuffle projection + explode.
+    """
+    pairs = []
+    for c in cat_cols:
+        h = F.md5(F.concat_ws("", F.lit(f"{salt}:{c}="), F.col(c).cast("string")))
+        u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        sign9 = F.conv(F.substring(h, 9, 1), 16, 10).cast("long")
+        pairs.append(
+            F.struct(
+                F.pmod(u32, F.lit(n_buckets)).cast("long").alias("bucket"),
+                F.when(sign9 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("val"),
+            )
+        )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array(*pairs)).alias("p"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("p.bucket").alias("bucket"),
+            F.col("p.val").alias("val"),
+        )
+    )

@@ -1031,3 +1031,108 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         conversion_type="purchase", touch_types=["view", "click"],
         window_sec=86400, max_touches=64,
     )
+
+
+def _rank_norm_oracle() -> str:
+    fracs = ", ".join(str(i / 256) for i in range(1, 256))
+    return f"""
+        SELECT e.event_id,
+               round(len(list_filter(d.ev, x -> x <= e.value)) / 255.0, 6) AS norm
+        FROM events e,
+             (SELECT list_transform(quantile_cont(value, [{fracs}]), x -> round(x, 6)) AS ev
+              FROM events) d
+    """
+
+
+@query(
+    "target_encode_priority",
+    oracle="""
+        WITH cat AS (
+            SELECT o_orderpriority AS cat,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS y
+            FROM orders
+        ),
+        per_cat AS (
+            SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+            FROM cat GROUP BY cat
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(SUM(y) AS BIGINT) AS s_all
+            FROM cat
+        )
+        SELECT cat AS o_orderpriority, n AS n_rows,
+               round((s + 20 * (s_all / n_all)) / (n + 20) / 100.0, 6) AS encoded
+        FROM per_cat CROSS JOIN tot
+    """,
+    tags=("features", "encoding", "agg"),
+    doc="Smoothed target encoding of order priority against order value "
+    "(empirical-Bayes shrinkage, pseudo-count m=20): rare categories "
+    "shrink toward the global mean instead of memorizing noise. One "
+    "partial-aggregable groupBy + a broadcast 1-row global aggregate; "
+    "exact BIGINT cent sums, one rounded double expression "
+    "(operators/features.py:target_encode).",
+)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import target_encode
+
+    orders = load_table(spark, sf_dir, "orders")
+    return target_encode(orders, "o_orderpriority", "o_totalprice", m=20)
+
+
+@query(
+    "rank_normalize_event_values",
+    oracle=_rank_norm_oracle(),
+    tags=("features", "normalization", "scale-path"),
+    doc="Rank-space normalization of the skewed event value column to "
+    "[0,1] via 256 quantile buckets — the skew-proof normalization a "
+    "100 TB feature pipeline can afford: one mergeable percentile "
+    "aggregate + a branchless broadcast bucket search (the Z-order "
+    "machinery), never a global percent_rank() single-partition sort "
+    "(operators/features.py:rank_normalize).",
+)
+def rank_normalize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import rank_normalize
+
+    events = load_table(spark, sf_dir, "events")
+    return rank_normalize(events, "value", ["event_id"], bits=8, exact=True)
+
+
+@query(
+    "feature_hash_orders",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderkey AS id, col, val_s FROM (
+                SELECT o_orderkey,
+                       'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS val_s
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey, 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+            )
+        ),
+        hashed AS (
+            SELECT id,
+                   md5('fh-v1:' || col || '=' || val_s) AS h
+            FROM src
+        )
+        SELECT id AS o_orderkey,
+               CAST(CAST(('0x' || substr(h, 1, 8))::UBIGINT % 1024 AS BIGINT) AS BIGINT) AS bucket,
+               CASE WHEN ('0x' || substr(h, 9, 1))::UBIGINT % 2 = 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS val
+        FROM hashed
+    """,
+    tags=("features", "hashing", "scale-path"),
+    doc="The hashing trick over order priority + status: arbitrary "
+    "categorical values map into a fixed 1024-bucket signed sparse "
+    "space (new categories never change the schema; collisions average "
+    "out under the sign trick). Portable md5-derived bucket/sign — the "
+    "oracle replays the identical hex arithmetic — and the plan is a "
+    "NARROW zero-shuffle projection + explode "
+    "(operators/features.py:feature_hash).",
+)
+def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import feature_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    return feature_hash(
+        orders, "o_orderkey", ["o_orderpriority", "o_orderstatus"], n_buckets=1024
+    )

@@ -529,3 +529,60 @@ def test_linear_attribution_splits_credit_equally(spark):
         "purchase", ["view"], window_sec=3600, max_touches=2,
     ).collect()
     assert sorted(r.touch_id for r in got4) == [402, 403]
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    """A rare category's encoding sits between its own mean and the
+    global mean; a huge category's encoding ~= its own mean; encoding
+    is exact for a hand-computable case."""
+    from redpanda_ais_demo_spark.operators.features import target_encode
+
+    rows = [("big", 10.0)] * 100 + [("rare", 100.0)] * 2
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {r.cat: r.encoded for r in target_encode(df, "cat", "y", m=10).collect()}
+    g = (100 * 10.0 + 2 * 100.0) / 102  # global mean
+    big_expected = round((100 * 1000 + 10 * (100 * 1000 + 2 * 10000) / 102) / 110 / 100.0, 6)
+    assert out["big"] == big_expected
+    assert out["big"] < g < out["rare"] < 100.0  # shrinkage direction
+    # rare shrinks far toward global: (2*10000 + 10*g_cents)/(12)/100
+    rare_expected = round((2 * 10000 + 10 * (100 * 1000 + 2 * 10000) / 102) / 12 / 100.0, 6)
+    assert out["rare"] == rare_expected
+
+
+def test_rank_normalize_is_monotone_and_bounded(spark):
+    from redpanda_ais_demo_spark.operators.features import rank_normalize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 2, 3, 100, 1000, 10**6])],
+        "event_id long, value double",
+    )
+    rows = sorted(
+        rank_normalize(df, "value", ["event_id"], bits=8).collect(),
+        key=lambda r: r.event_id,
+    )
+    norms = [r.norm for r in rows]
+    assert all(0.0 <= n <= 1.0 for n in norms)
+    assert norms == sorted(norms)  # monotone in value
+    assert norms[1] == norms[2]  # ties share a bucket
+
+
+def test_feature_hash_fixed_space_and_determinism(spark):
+    """Buckets stay inside [0, n); identical values hash identically
+    regardless of row or partitioning; signs are ±1."""
+    from redpanda_ais_demo_spark.operators.features import feature_hash
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 7}", f"s{i % 3}") for i in range(50)],
+        "id long, a string, b string",
+    )
+    out = feature_hash(df, "id", ["a", "b"], n_buckets=64).collect()
+    assert all(0 <= r.bucket < 64 and r.val in (1, -1) for r in out)
+    by_row = {}
+    for r in out:
+        by_row.setdefault(r.id, set()).add((r.bucket, r.val))
+    # rows with identical (a, b) values get identical feature sets
+    assert by_row[0] == by_row[21]  # 21 % 7 == 0, 21 % 3 == 0
+    out2 = feature_hash(df.repartition(13), "id", ["a", "b"], n_buckets=64).collect()
+    assert sorted((r.id, r.bucket, r.val) for r in out2) == sorted(
+        (r.id, r.bucket, r.val) for r in out
+    )
