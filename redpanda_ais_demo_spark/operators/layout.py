@@ -256,3 +256,50 @@ def write_partitioned(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def expire_partitions(
+    spark,
+    table_dir: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Retention expiry for a Hive-partitioned table: drop every
+    ``{partition_col}={value}`` directory whose value sorts strictly
+    below ``keep_from`` — the TTL companion to dynamic-partition
+    backfill (``write_partitioned``) and compaction
+    (``compact_parquet``): together they are the maintenance loop of a
+    partitioned 100 TB table (append today, backfill yesterday, expire
+    last year).
+
+    Deletion is partition-directory-scoped — a metadata/filesystem
+    operation, NO data pass and no rewrite of surviving partitions
+    (a filter-and-rewrite "delete" would cost a full table scan and
+    reset every file statistic). Values compare as strings, which is
+    correct for the canonical zero-padded date/hour partition values
+    this repo writes (e.g. ``d=2024-01-15``). Returns the dropped
+    partition values (sorted) for the caller's audit log.
+
+    Safety rails: refuses a directory with no ``{partition_col}=``
+    subdirectories (wrong root or unpartitioned table — deleting would
+    be data loss, the caller must look), and ignores non-partition
+    entries (_SUCCESS, stray files).
+    """
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    parts = [
+        d for d in os.listdir(table_dir)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(table_dir, d))
+    ]
+    if not parts:
+        raise ValueError(
+            f"{table_dir} has no {prefix}* partition directories — refusing to expire"
+        )
+    dropped = sorted(
+        d[len(prefix):] for d in parts if d[len(prefix):] < keep_from
+    )
+    for v in dropped:
+        shutil.rmtree(os.path.join(table_dir, f"{prefix}{v}"))
+    return dropped

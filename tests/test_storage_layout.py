@@ -150,3 +150,49 @@ def test_schema_evolution_across_partitions(spark, tmp_path):
     assert old.filter(F.col("quality").isNull()).count() == 5  # old rows: NULL
     new = merged.filter(F.col("day") == "2024-01-02")
     assert new.filter(F.col("quality") == 0.5).count() == 5
+
+
+def test_expire_partitions_drops_only_old_and_refuses_bad_root(spark, tmp_path):
+    """Expiry removes exactly the below-cutoff partition directories,
+    surviving partitions' files are byte-identical, and a root without
+    partition dirs is refused (data-loss rail)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.layout import expire_partitions, write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(d * 10, d * 10 + 5)],
+        "id long, d string",
+    )
+    root = str(tmp_path / "t")
+    write_partitioned(df, root, ["d"])
+
+    def files_of(day):
+        p = os.path.join(root, f"d={day}")
+        return {
+            f: os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    keep_before = files_of("2024-01-03")
+    dropped = expire_partitions(spark, root, "d", keep_from="2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    assert not os.path.exists(os.path.join(root, "d=2024-01-01"))
+    assert files_of("2024-01-03") == keep_before  # survivors untouched
+    left = spark.read.parquet(root)
+    # partition discovery type-infers d as a date; compare formatted
+    got_days = sorted(
+        r.d for r in left.select(F.date_format("d", "yyyy-MM-dd").alias("d")).distinct().collect()
+    )
+    assert got_days == ["2024-01-03", "2024-01-04"]
+    assert left.count() == 10
+
+    # idempotent: nothing else to drop
+    assert expire_partitions(spark, root, "d", keep_from="2024-01-03") == []
+
+    with pytest.raises(ValueError, match="refusing"):
+        expire_partitions(spark, str(tmp_path), "d", keep_from="x")
