@@ -289,3 +289,64 @@ def phrase_proximity(
     return topk.withColumn("rank", F.row_number().over(w_rank)).select(
         F.col("id").alias(id_col), "min_dist", "rank"
     )
+
+
+def ranking_metrics(
+    truth: DataFrame,
+    candidate: DataFrame,
+    k: int,
+    query_col: str = "vec_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Evaluate an approximate ranking against exact truth — the
+    evaluation layer of the similarity family (build → serve →
+    MEASURE): per query, recall@k (|cand∩truth| / min(k, |truth|)) and
+    NDCG@k with binary relevance (rel=1 iff the candidate item is in
+    the truth top-k; ideal DCG = the first min(k,|truth|) positions).
+
+    Exactness: hit counts are integers; DCG terms 1/log2(rank+1) are
+    fixed doubles from integer ranks, quantized to micro-units and
+    summed exactly, then ONE division per query — deterministic
+    cross-engine and partition-independent.
+
+    Plan: one inner join on (query, item) ranks the hits, two
+    partial-aggregable groupBys — never a per-query collect. Queries
+    with no truth rows are dropped (undefined metrics).
+    """
+    t = truth.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("q"), F.col(item_col).alias("item")
+    )
+    c = candidate.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("q"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).alias("crank"),
+    )
+    t_sizes = t.groupBy("q").agg(F.count("*").alias("n_truth"))
+    hits = c.join(t, ["q", "item"])  # inner: candidate items that are relevant
+    # DCG in micro-units: Σ_hits round(1e6 / log2(crank + 1))
+    dcg_term = F.round(F.lit(1e6) / F.log2(F.col("crank") + 1)).cast("long")
+    per_q = hits.groupBy("q").agg(
+        F.count("*").alias("n_hits"),
+        F.sum(dcg_term).alias("dcg_micro"),
+    )
+    # ideal DCG for n relevant docs: Σ_{i=1..min(k,n)} round(1e6 / log2(i+1))
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_truth"))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.round(F.lit(1e6) / F.log2(i + 1)).cast("long"),
+    )
+    joined = t_sizes.join(per_q, "q", "left").select(
+        F.col("q").alias(query_col),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            / F.least(F.lit(k), F.col("n_truth")),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.col("dcg_micro"), F.lit(0)) / ideal, 6
+        ).alias("ndcg_at_k"),
+    )
+    return joined

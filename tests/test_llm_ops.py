@@ -1181,3 +1181,35 @@ def test_naive_bayes_separates_crafted_vocabularies(spark):
     # accuracy is exactly recomputable from the output
     acc = out.agg(F.avg(F.col("correct").cast("double"))).collect()[0][0]
     assert acc >= 40 / 41
+
+
+def test_ranking_metrics_known_rankings(spark):
+    """Crafted rankings: perfect = recall/NDCG 1; order among hits at the
+    same rank-set gives identical DCG; a miss costs both metrics exactly
+    the micro-quantized amounts; empty candidate -> zeros."""
+    import math
+
+    from redpanda_ais_demo_spark.operators.retrieval import ranking_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (3, 30, 1), (3, 31, 2), (3, 32, 3)],
+        "vec_id long, neighbor_id long, rank long",
+    )
+    cand = spark.createDataFrame(
+        # q1: perfect
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         # q2: 2 hits at ranks 1 and 3 (rank-2 slot wasted on a non-hit)
+         (2, 20, 1), (2, 99, 2), (2, 22, 3)],
+        # q3: no rows at all
+        "vec_id long, neighbor_id long, rank long",
+    )
+    out = {r.vec_id: r for r in ranking_metrics(truth, cand, k=3).collect()}
+    assert out[1].recall_at_k == 1.0 and out[1].ndcg_at_k == 1.0
+    micro = lambda r: round(1e6 / math.log2(r + 1))
+    idcg = micro(1) + micro(2) + micro(3)
+    assert out[2].n_hits == 2
+    assert out[2].recall_at_k == round(2 / 3, 6)
+    assert out[2].ndcg_at_k == round((micro(1) + micro(3)) / idcg, 6)
+    assert out[3].n_hits == 0 and out[3].recall_at_k == 0.0 and out[3].ndcg_at_k == 0.0
