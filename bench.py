@@ -188,6 +188,10 @@ R7_ADDITIONS = [
     "target_encode_priority",
     "rank_normalize_event_values",
     "feature_hash_orders",
+    # survival analysis (per-user agg + windows over <=30 distinct
+    # durations) and the ANN evaluation layer (joins two top-k rankings)
+    "survival_user_churn",
+    "ann_pq_eval_metrics",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS

@@ -241,3 +241,78 @@ def naive_bayes_classify(
         F.col("score_micro").cast("long").alias("score_micro"),
         (F.col("predicted") == F.col("actual")).alias("correct"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator — churn/retention curves over
+    censored durations: ``S(t) = Π_{t_i <= t} (1 − d_i / n_i)`` where
+    ``d_i`` = events (deaths/churns) at time t_i and ``n_i`` = subjects
+    still at risk. ``event_col`` is 1 for an observed event, 0 for
+    right-censored (still alive at last observation — censored subjects
+    leave the risk set but contribute no factor).
+
+    Determinism: the running product is exp of a running SUM of
+    per-step ln(1 − d/n) terms, each computed from exact BIGINT counts
+    and quantized to micro-units BEFORE the cumulative sum — the sum is
+    exact, and the single exp/round at the end is IEEE-identical
+    cross-engine. (A direct float product would depend on nothing here
+    — the window product is sequential either way — but the micro form
+    keeps the same discipline as every other composed float in this
+    repo.)
+
+    Plan: one groupBy to per-time (d_i, leave_i) counts, then windows
+    over the TIME table (rows = distinct durations, never subjects) per
+    group — n_i is total-at-risk minus a running sum of prior leavers.
+    Output: (group?, t, n_risk, n_events, survival) — survival rounded
+    6 dp, monotone non-increasing per group.
+    """
+    gcols = [group_col] if group_col else []
+    base = df.select(
+        *gcols,
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("ev"),
+    )
+    times = base.groupBy(*gcols, "t").agg(
+        F.sum("ev").alias("d"),
+        F.count("*").alias("leave"),  # events + censored both exit the risk set
+    )
+    totals = base.groupBy(*gcols).agg(F.count("*").alias("n_total"))
+    if gcols:
+        times = times.join(F.broadcast(totals), gcols)
+        w = Window.partitionBy(*gcols).orderBy("t")
+    else:
+        times = times.crossJoin(F.broadcast(totals))
+        w = Window.orderBy("t")
+    prior_left = F.coalesce(
+        F.sum("leave").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    stepped = times.withColumn("n_risk", F.col("n_total") - prior_left)
+    # d == n_risk extinguishes the curve: ln(0) diverges (and the engines
+    # disagree on it — Spark log(0) is NULL, DuckDB -inf), so track the
+    # extinction step as a flag and pin survival to exactly 0.0 from there
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")) * 1e6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    extinct = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(term).over(wrun)
+    any_extinct = F.max(extinct).over(wrun)
+    out = stepped.withColumn(
+        "survival",
+        F.when(any_extinct == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(cum / F.lit(1e6)), 6)
+        ),
+    )
+    return out.select(
+        *gcols,
+        F.col("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        "survival",
+    )

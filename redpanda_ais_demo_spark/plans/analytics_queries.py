@@ -1136,3 +1136,68 @@ def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash(
         orders, "o_orderkey", ["o_orderpriority", "o_orderstatus"], n_buckets=1024
     )
+
+
+@query(
+    "survival_user_churn",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST((max(CAST(floor(epoch(ts)) AS BIGINT))
+                         - min(CAST(floor(epoch(ts)) AS BIGINT))) // 86400 AS BIGINT) AS t,
+                   CASE WHEN max(CAST(floor(epoch(ts)) AS BIGINT))
+                             < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) - 604800 FROM events)
+                        THEN 1 ELSE 0 END AS ev
+            FROM events GROUP BY user_id
+        ),
+        times AS (
+            SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS leave
+            FROM per_user GROUP BY t
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM per_user),
+        stepped AS (
+            SELECT t, d, leave, n_total,
+                   n_total - coalesce(CAST(SUM(leave) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+            FROM times CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT *,
+                   CASE WHEN d > 0 AND d < n_risk
+                        THEN CAST(round(ln(1.0 - d / n_risk) * 1000000) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS term,
+                   CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS extinct
+            FROM stepped
+        )
+        SELECT t, n_risk, d AS n_events,
+               CASE WHEN max(extinct) OVER wr = 1 THEN 0.0
+                    ELSE round(exp(CAST(SUM(term) OVER wr AS BIGINT) / 1000000.0), 6)
+               END AS survival
+        FROM terms
+        WINDOW wr AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("analytics", "survival", "window"),
+    doc="Kaplan-Meier user-churn curve: per-user active lifetime in "
+    "days, churned iff the last activity predates the corpus horizon "
+    "minus 7 days (otherwise right-censored). S(t) = product of "
+    "(1 - d/n) steps computed as exp of an EXACT micro-quantized "
+    "cumulative sum of ln terms; the engines disagree on ln(0) (NULL "
+    "vs -inf) so curve extinction (d = n_risk) is tracked as a flag "
+    "and pins survival to 0. Windows run over the distinct-duration "
+    "table (<= ~30 rows at any SF), never over subjects "
+    "(operators/stats.py:kaplan_meier).",
+)
+def survival_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kaplan_meier
+
+    events = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    per_user = events.groupBy("user_id").agg(
+        F.min(ts).alias("t0"), F.max(ts).alias("t1")
+    )
+    horizon = events.agg((F.max(ts) - 604800).alias("cut"))
+    subjects = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("t1") - F.col("t0")) / 86400).cast("long").alias("dur_days"),
+        (F.col("t1") < F.col("cut")).cast("int").alias("churned"),
+    )
+    return kaplan_meier(subjects, "dur_days", "churned")

@@ -586,3 +586,37 @@ def test_feature_hash_fixed_space_and_determinism(spark):
     assert sorted((r.id, r.bucket, r.val) for r in out2) == sorted(
         (r.id, r.bucket, r.val) for r in out
     )
+
+
+def test_kaplan_meier_textbook_case(spark):
+    """The classic worked example: subjects with durations/events
+    (1,e)(2,e)(3,c)(4,e)(5,c) -> S(1)=4/5, S(2)=3/5, S(4)=3/10; censored
+    times leave the risk set without dropping the curve; extinction pins
+    survival to exactly 0."""
+    from redpanda_ais_demo_spark.operators.stats import kaplan_meier
+
+    rows = [(1, 1), (2, 1), (3, 0), (4, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    out = {r.t: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    import math
+
+    def s(*steps):
+        micro = sum(round(math.log(1 - d / n) * 1e6) for d, n in steps)
+        return round(math.exp(micro / 1e6), 6)
+
+    assert out[1].n_risk == 5 and out[1].survival == s((1, 5))
+    assert out[2].n_risk == 4 and out[2].survival == s((1, 5), (1, 4))
+    assert out[3].survival == out[2].survival  # censored step: no factor
+    assert out[4].n_risk == 2 and out[4].survival == s((1, 5), (1, 4), (1, 2))
+    assert out[5].survival == out[4].survival
+
+    # everyone dies at t=1 -> extinction, survival exactly 0.0
+    allgone = spark.createDataFrame([(1, 1), (1, 1)], "dur long, ev int")
+    assert kaplan_meier(allgone, "dur", "ev").collect()[0].survival == 0.0
+
+    # grouped curves stay independent
+    g = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 0), ("b", 1, 0), ("b", 2, 1)], "g string, dur long, ev int"
+    )
+    got = {(r.g, r.t): r.survival for r in kaplan_meier(g, "dur", "ev", "g").collect()}
+    assert got[("a", 1)] == 0.5 and got[("b", 1)] == 1.0
