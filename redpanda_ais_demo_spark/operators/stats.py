@@ -316,3 +316,57 @@ def kaplan_meier(
         F.col("d").cast("long").alias("n_events"),
         "survival",
     )
+
+
+def ab_test_conversion(
+    subjects: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Two-proportion experiment analysis — the readout step of an A/B
+    test: conversion rate per variant, absolute/relative lift, and the
+    pooled two-proportion z-statistic
+    ``z = (p_t − p_c) / sqrt(p̂(1−p̂)(1/n_c + 1/n_t))``.
+
+    Composes with the deterministic splitter (``corpus.split_assign``):
+    assignment is a pure hash of the subject key, so the whole
+    experiment pipeline — assign, observe, analyze — replays
+    bit-identically on any cluster.
+
+    Exactness: counts are exact BIGINTs; rates, lift and z are a fixed
+    chain of double ops over those integers, each rounded to 6 dp —
+    identical cross-engine. One partial-aggregable groupBy over the
+    subject table; output is a single row.
+    """
+    agg = (
+        subjects.filter(F.col(variant_col).isin(control, treatment))
+        .groupBy(variant_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(converted_col).cast("long")).alias("c"),
+        )
+    )
+    p = agg.groupBy().pivot(variant_col, [control, treatment]).sum("n", "c")
+    nc, cc = F.col(f"{control}_sum(n)"), F.col(f"{control}_sum(c)")
+    nt, ct = F.col(f"{treatment}_sum(n)"), F.col(f"{treatment}_sum(c)")
+    p_c = cc / nc
+    p_t = ct / nt
+    pooled = (cc + ct) / (nc + nt)
+    # degenerate experiments (all or none converted, or an empty arm)
+    # have zero pooled variance — z is undefined, not infinite
+    z = F.when(
+        (nc > 0) & (nt > 0) & (cc + ct > 0) & (cc + ct < nc + nt),
+        (p_t - p_c) / F.sqrt(pooled * (1 - pooled) * (1 / nc + 1 / nt)),
+    )
+    return p.select(
+        nc.cast("long").alias("n_control"),
+        cc.cast("long").alias("conv_control"),
+        nt.cast("long").alias("n_treatment"),
+        ct.cast("long").alias("conv_treatment"),
+        F.round(p_c, 6).alias("rate_control"),
+        F.round(p_t, 6).alias("rate_treatment"),
+        F.round(p_t - p_c, 6).alias("lift_abs"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -1201,3 +1201,61 @@ def survival_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t1") < F.col("cut")).cast("int").alias("churned"),
     )
     return kaplan_meier(subjects, "dur_days", "churned")
+
+
+@query(
+    "abtest_purchase_lift",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS c
+            FROM subjects GROUP BY variant
+        ),
+        wide AS (
+            SELECT max(CASE WHEN variant = 'A' THEN n END) AS nc,
+                   max(CASE WHEN variant = 'A' THEN c END) AS cc,
+                   max(CASE WHEN variant = 'B' THEN n END) AS nt,
+                   max(CASE WHEN variant = 'B' THEN c END) AS ct
+            FROM agg
+        )
+        SELECT nc AS n_control, cc AS conv_control, nt AS n_treatment, ct AS conv_treatment,
+               round(cc / nc, 6) AS rate_control,
+               round(ct / nt, 6) AS rate_treatment,
+               round(ct / nt - cc / nc, 6) AS lift_abs,
+               CASE WHEN nc > 0 AND nt > 0 AND cc + ct > 0 AND cc + ct < nc + nt
+                    THEN round((ct / nt - cc / nc)
+                         / sqrt(((cc + ct) / (nc + nt)) * (1 - (cc + ct) / (nc + nt))
+                                * (1.0 / nc + 1.0 / nt)), 6)
+               END AS z_score
+        FROM wide
+    """,
+    tags=("analytics", "experimentation", "agg"),
+    doc="A/B experiment readout: users deterministically hash-assigned "
+    "50/50 to variants (the split_assign mechanism — same key, same "
+    "variant on any cluster or engine), conversion = any purchase "
+    "event; reports per-variant rates, absolute lift, and the pooled "
+    "two-proportion z-statistic, every number a fixed double chain "
+    "over exact BIGINT counts. One subject-level aggregate + a pivot "
+    "of 2 rows (operators/stats.py:ab_test_conversion).",
+)
+def abtest_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_assign
+    from ..operators.stats import ab_test_conversion
+
+    events = load_table(spark, sf_dir, "events")
+    conv = events.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+    )
+    assigned = split_assign(
+        conv, key_col="user_id", weights=(("A", 5000), ("B", 5000)), salt="exp-r8"
+    ).select("user_id", "split")
+    subjects = conv.join(assigned, "user_id").select(
+        F.col("split").alias("variant"), "converted"
+    )
+    return ab_test_conversion(subjects, "variant", "converted", control="A", treatment="B")

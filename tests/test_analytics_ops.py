@@ -620,3 +620,26 @@ def test_kaplan_meier_textbook_case(spark):
     )
     got = {(r.g, r.t): r.survival for r in kaplan_meier(g, "dur", "ev", "g").collect()}
     assert got[("a", 1)] == 0.5 and got[("b", 1)] == 1.0
+
+
+def test_ab_test_known_proportions(spark):
+    """Hand-computable experiment: 100 vs 100 subjects, 20 vs 30
+    conversions; degenerate experiments yield NULL z."""
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import ab_test_conversion
+
+    rows = (
+        [("A", 1)] * 20 + [("A", 0)] * 80 + [("B", 1)] * 30 + [("B", 0)] * 70
+    )
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = ab_test_conversion(df, "variant", "converted", "A", "B").collect()[0]
+    assert (r.n_control, r.conv_control, r.n_treatment, r.conv_treatment) == (100, 20, 100, 30)
+    assert r.rate_control == 0.2 and r.rate_treatment == 0.3
+    assert r.lift_abs == round(0.3 - 0.2, 6)
+    pooled = 50 / 200
+    z = (0.3 - 0.2) / math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
+    assert r.z_score == round(z, 6)
+
+    all_conv = spark.createDataFrame([("A", 1)] * 5 + [("B", 1)] * 5, "variant string, converted int")
+    assert ab_test_conversion(all_conv, "variant", "converted", "A", "B").collect()[0].z_score is None
