@@ -102,7 +102,7 @@ CORE_QUERIES = [
 # Round-7 additions: the round-6 operator classes whose perf was previously
 # unmeasured round-over-round (layout write, sharded packing, span-level
 # dedup, gap-fill resampling).
-R7_ADDITIONS = [
+ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator classes)
     "zorder_events",
     "pack_token_stream_sharded",
     "dup_span_intervals",
@@ -194,7 +194,7 @@ R7_ADDITIONS = [
     "ann_pq_eval_metrics",
 ]
 
-BENCH_QUERIES = CORE_QUERIES + R7_ADDITIONS
+BENCH_QUERIES = CORE_QUERIES + ADDITIONS
 
 
 def main() -> None:
