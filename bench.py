@@ -244,6 +244,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
+        # Round-boundary driver GC (untimed): the iterative operators pin
+        # lineage with lazy localCheckpoint, and those cached blocks only
+        # free when the async ContextCleaner collects the RDD handles —
+        # this bounds worst-case storage accumulation across the ~500
+        # query executions of a full run. Measured effect on spread is
+        # small: the dominant variance on this box is environment-level
+        # turbulence (multi-x sample spikes hit even checkpoint-free
+        # narrow queries; identical code measured core totals 14.8-17.1s
+        # across back-to-back runs), which the interleaved min-of-5
+        # design absorbs into the min.
+        spark.sparkContext._jvm.System.gc()
 
     timings = {name: min(s) for name, s in samples.items()}
     spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
