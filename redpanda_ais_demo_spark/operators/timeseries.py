@@ -822,3 +822,92 @@ def linear_attribution(
         F.col("t.et").alias("touch_type"),
         "credit_micro",
     ).unionByName(unattributed.withColumnRenamed("key", key_col))
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    half_weight_steps: int = 1,
+    window: int = 16,
+) -> DataFrame:
+    """Windowed exponentially-weighted moving average per key — the
+    smoothing primitive of monitoring/trend pipelines: ``ewma_t =
+    Σ_{i=0..W-1} w_i · y_{t-i} / Σ w_i`` with ``w_i = 2^(-i/h)``
+    restricted to DYADIC decay (``h = half_weight_steps`` such that
+    weights are powers of 1/2): every weight is then an EXACT binary
+    double, so no libm pow() is involved and the result replays
+    bit-identically on any engine — the reason this operator pins
+    alpha to the 2^-k family instead of accepting arbitrary floats
+    (whose pow() differs in the last ULP across math libraries).
+
+    The window bound (default 16 obs ≈ weight 2^-16 tail) makes the
+    carried state finite: a slice of the running collect_list — same
+    bounded-window discipline as linear_attribution. Missing history
+    (< W observations) renormalizes over what exists (standard
+    bias-corrected EWMA head).
+
+    Per-term products quantize to micro-units and sum exactly; ONE
+    per-key shuffle. Output: (key, ts, tiebreak, value, ewma).
+    """
+    if half_weight_steps < 1:
+        raise ValueError("half_weight_steps must be >= 1")
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lst = F.collect_list("cents").over(w)
+    hist = F.slice(
+        F.reverse(lst), 1, window
+    )  # hist[1] = newest, hist[i] age i-1
+    # weight for age i-1: 2^(-(i-1)/h) — exact only when (i-1)/h is an
+    # integer; restrict to integer steps by flooring the exponent, i.e.
+    # piecewise-constant decay between halvings (still exact doubles)
+    num = F.aggregate(
+        F.zip_with(
+            hist,
+            F.sequence(F.lit(0), F.size(hist) - 1),
+            lambda v, i: v * F.pow(F.lit(0.5), F.floor(i / half_weight_steps)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round(x * F.lit(1e4)).cast("long"),
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size(hist) - 1),
+            lambda i: F.pow(F.lit(0.5), F.floor(i / half_weight_steps)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round(x * F.lit(1e4)).cast("long"),
+    )
+    # final rounding in EXACT integer arithmetic: round-half-up of
+    # (num·1e4)/den micro-units is (2·num·1e4 + den) div (2·den) — a
+    # float round(x, 6) here can straddle a half-boundary by one ULP
+    # differently per engine (observed on the fixture); the integer form
+    # cannot
+    micro = F.expr(
+        f"(2 * {'num'} * 10000 + den) div (2 * den)"
+    )
+    return e.select(
+        F.col("key").alias(key_col),
+        F.col("ts"),
+        F.col("tb").alias(tiebreak_col),
+        (F.col("cents") / 100.0).alias("value"),
+        num.alias("num"),
+        den.alias("den"),
+    ).select(
+        key_col,
+        "ts",
+        tiebreak_col,
+        "value",
+        (micro / F.lit(1e6)).alias("ewma"),
+    )

@@ -1259,3 +1259,48 @@ def abtest_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split").alias("variant"), "converted"
     )
     return ab_test_conversion(subjects, "variant", "converted", control="A", treatment="B")
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+        WITH e AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                   event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        hist AS (
+            SELECT user_id, ts, event_id, cents,
+                   list_reverse(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))[1:16] AS h
+            FROM e
+        ),
+        scored AS (
+            SELECT user_id, ts, event_id, cents,
+                   CAST(list_sum(list_transform(range(len(h)),
+                        i -> CAST(round(h[i + 1] * pow(0.5, i) * 10000) AS BIGINT))) AS BIGINT) AS num,
+                   CAST(list_sum(list_transform(range(len(h)),
+                        i -> CAST(round(pow(0.5, i) * 10000) AS BIGINT))) AS BIGINT) AS den
+            FROM hist
+        )
+        SELECT user_id, ts, event_id, cents / 100.0 AS value,
+               ((2 * num * 10000 + den) // (2 * den)) / 1000000.0 AS ewma
+        FROM scored
+    """,
+    tags=("analytics", "timeseries", "smoothing", "window"),
+    doc="Per-user exponentially-weighted moving average of event value "
+    "with DYADIC decay (weights 2^-i — exact binary doubles, no libm "
+    "pow-ULP divergence between engines) over the last 16 observations "
+    "(a slice of the running collect_list — bounded carried state, the "
+    "linear_attribution discipline). Per-term products quantize to "
+    "integer micro-units and sum exactly; one per-key shuffle "
+    "(operators/timeseries.py:ewma).",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma(events, "user_id", "ts", "value", "event_id",
+                half_weight_steps=1, window=16)

@@ -643,3 +643,33 @@ def test_ab_test_known_proportions(spark):
 
     all_conv = spark.createDataFrame([("A", 1)] * 5 + [("B", 1)] * 5, "variant string, converted int")
     assert ab_test_conversion(all_conv, "variant", "converted", "A", "B").collect()[0].z_score is None
+
+
+def test_ewma_dyadic_decay_hand_computed(spark):
+    """Three observations 1.00, 2.00, 4.00 with half-weight-per-step:
+    ewma_3 = (4 + 2/2 + 1/4) / (1 + 1/2 + 1/4); the first row equals its
+    own value; the bounded window drops old history exactly."""
+    from redpanda_ais_demo_spark.operators.timeseries import ewma
+
+    rows = [(1, 10, 1.0, 100), (1, 20, 2.0, 101), (1, 30, 4.0, 102)]
+    df = spark.createDataFrame(
+        rows, "user_id long, tsec long, value double, event_id long"
+    ).selectExpr("user_id", "to_timestamp(tsec) AS ts", "value", "event_id")
+    out = {r.event_id: r.ewma for r in ewma(df, "user_id", "ts", "value", "event_id").collect()}
+    assert out[100] == 1.0
+    # num/den in the operator's exact micro arithmetic
+    num = round(200 * 1e4) + round(100 * 0.5 * 1e4)
+    den = round(1e4) + round(0.5 * 1e4)
+    assert out[101] == ((2 * num * 10000 + den) // (2 * den)) / 1e6
+    num3 = round(400 * 1e4) + round(200 * 0.5 * 1e4) + round(100 * 0.25 * 1e4)
+    den3 = round(1e4) + round(0.5 * 1e4) + round(0.25 * 1e4)
+    assert out[102] == ((2 * num3 * 10000 + den3) // (2 * den3)) / 1e6
+
+    # window=2: the oldest observation falls out of the third row's state
+    out2 = {
+        r.event_id: r.ewma
+        for r in ewma(df, "user_id", "ts", "value", "event_id", window=2).collect()
+    }
+    num3w = round(400 * 1e4) + round(200 * 0.5 * 1e4)
+    den3w = round(1e4) + round(0.5 * 1e4)
+    assert out2[102] == ((2 * num3w * 10000 + den3w) // (2 * den3w)) / 1e6
