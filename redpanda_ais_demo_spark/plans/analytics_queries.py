@@ -1304,3 +1304,81 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return ewma(events, "user_id", "ts", "value", "event_id",
                 half_weight_steps=1, window=16)
+
+
+@query(
+    "share_of_parent_revenue",
+    oracle="""
+        WITH leaf AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        ),
+        lvl AS (
+            SELECT *,
+                   CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+                   CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+            FROM leaf
+        )
+        SELECT region, nation,
+               round(cents / 100.0, 2) AS revenue,
+               CAST((2 * CAST(cents AS HUGEINT) * 1000000 + region_cents)
+                    // (2 * CAST(region_cents AS HUGEINT)) AS BIGINT) / 1000000.0
+                   AS share_of_region,
+               CAST((2 * CAST(region_cents AS HUGEINT) * 1000000 + total_cents)
+                    // (2 * CAST(total_cents AS HUGEINT)) AS BIGINT) / 1000000.0
+                   AS region_share_of_total
+        FROM lvl
+    """,
+    tags=("analytics", "olap", "window", "agg"),
+    doc="Ratio-to-parent contribution report: nation revenue as a share "
+    "of its region, and region as a share of the total — the OLAP "
+    "drill-down staple next to rollup/grouping sets. Three broadcast "
+    "dimension joins, ONE partial-aggregable leaf aggregate, then "
+    "window sums over the <= nations-sized leaf table; shares round at "
+    "6dp in pure integer arithmetic ((2a+b) div 2b — immune to the "
+    "float-round half-boundary ULP divergence the EWMA operator hit).",
+)
+def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    leaf = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.orderBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lvl = leaf.withColumn("region_cents", F.sum("cents").over(wr)).withColumn(
+        "total_cents", F.sum("cents").over(wall)
+    )
+    return lvl.select(
+        "region",
+        "nation",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        # products in DECIMAL(38,0)/HUGEINT: cents*1e6 would clear BIGINT
+        # around ~9e12 total revenue cents — true at a few hundred x this SF
+        (
+            F.expr(
+                "CAST((2 * CAST(cents AS DECIMAL(38,0)) * 1000000 + region_cents)"
+                " div (2 * CAST(region_cents AS DECIMAL(38,0))) AS BIGINT)"
+            )
+            / 1e6
+        ).alias("share_of_region"),
+        (
+            F.expr(
+                "CAST((2 * CAST(region_cents AS DECIMAL(38,0)) * 1000000 + total_cents)"
+                " div (2 * CAST(total_cents AS DECIMAL(38,0))) AS BIGINT)"
+            )
+            / 1e6
+        ).alias("region_share_of_total"),
+    )
