@@ -20,7 +20,7 @@ error bounds are pytest-verified (tests/test_sketches.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -210,3 +210,47 @@ def heavy_hitters(
         .filter(F.col("n_occurrences") * 100 >= F.lit(float(min_freq_pct)) * total)
     )
     return exact.withColumn("corpus_tokens", F.lit(total))
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    lgk: int = 12,
+) -> DataFrame:
+    """Sliding-window distinct-count via HLL sketch ROLLUP — the pattern
+    that makes "7-day active users, daily" affordable at 100 TB: the raw
+    stream collapses ONCE into one ~2^lgk-byte sketch per day (a
+    partial-aggregable groupBy), and every sliding window is a UNION of
+    ≤window_days sketches — never a re-scan of raw events, and the daily
+    sketch table is reusable for 30-day / monthly rollups of the same
+    data (the property exact count-distinct fundamentally lacks:
+    distincts don't merge, sketches do).
+
+    The window union runs hll_union_agg as a window aggregate over the
+    DAY table (≤ one row per day — the WindowExec single-partition
+    warning is about this tiny table, not raw data; partition by
+    year/tenant at real scale if the day table itself grows).
+
+    Output: (day, exact_day, approx_window) — the per-day exact count
+    rides along for in-query error visibility. Estimate-bearing
+    (rows-only oracle; the relative-error bound is pytest-pinned
+    against exact sliding distincts).
+    """
+    daily = (
+        df.select(F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"), F.col(key_col).alias("k"))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg(F.col("k"), F.lit(lgk)).alias("hll"),
+            F.count_distinct("k").alias("exact_day"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    return daily.select(
+        "day",
+        F.col("exact_day").cast("long").alias("exact_day"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll").over(w))
+        .cast("long")
+        .alias("approx_window"),
+    )

@@ -2565,3 +2565,22 @@ def ann_pq_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = similarity.brute_force_topk(emb, k=5)
     cand = similarity.pq_topk(emb, k=5, rerank=0)
     return ranking_metrics(truth, cand, k=5)
+
+
+@query(
+    "hll_sliding_active_users",
+    oracle=None,  # estimate-bearing (DataSketches HLL internals); the
+    # relative-error bound vs exact sliding distincts is pytest-pinned
+    tags=("sketch", "approx", "window", "scale-path"),
+    doc="7-day sliding distinct users, daily, via HLL sketch rollup: "
+    "raw events collapse once into one per-day sketch (partial-agg), "
+    "every window is a union of <=7 sketches — never a raw re-scan, "
+    "and the same daily sketch table serves 30-day/monthly rollups "
+    "(distincts don't merge; sketches do). The window union runs over "
+    "the <=31-row day table (operators/sketches.py:hll_sliding_distinct).",
+)
+def hll_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    return sketches.hll_sliding_distinct(events, "user_id", "ts", window_days=7)

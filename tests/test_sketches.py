@@ -287,3 +287,32 @@ def test_heavy_hitters_exact_and_partitioning_independent(spark):
         assert got == expect
     with pytest.raises(ValueError):
         sketches.heavy_hitters(docs, min_freq_pct=0.5, k=128)  # k too small for 0.5%
+
+
+def test_hll_sliding_distinct_tracks_exact_within_bound(spark):
+    """The sliding estimate stays within HLL's relative-error envelope
+    of the exact sliding distinct, and the union is genuinely windowed
+    (day 1's window = day 1 alone)."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.sketches import hll_sliding_distinct
+    from redpanda_ais_demo_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = {r.day: r for r in hll_sliding_distinct(ev, "user_id", "ts", 7).collect()}
+
+    # recompute exact sliding windows driver-side (tiny)
+    days = sorted(got)
+    day_users = {
+        r.day: set(r.us)
+        for r in ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    for i, d in enumerate(days):
+        win = days[max(0, i - 6) : i + 1]
+        exact_n = len(set().union(*(day_users[x] for x in win)))
+        est = got[d].approx_window
+        assert abs(est - exact_n) <= max(3, 0.05 * exact_n), (d, est, exact_n)
+    assert got[days[0]].approx_window <= got[days[0]].exact_day * 1.05 + 3
