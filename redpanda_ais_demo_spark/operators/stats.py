@@ -370,3 +370,44 @@ def ab_test_conversion(
         F.round(p_t - p_c, 6).alias("lift_abs"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Per-group equi-width histogram — the distribution panel behind
+    every metrics dashboard: bucket = floor((x − lo) / width) clamped to
+    [0, n_buckets), one exact count per (group, bucket). NULLs drop
+    (distribution of observed values; pair with a completeness check),
+    out-of-range values clamp into the edge buckets so totals reconcile
+    with row counts.
+
+    ONE partial-aggregable groupBy; the shuffle carries at most
+    groups × n_buckets rows. Bucket bounds ride along so the result is
+    self-describing.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
+    width = (hi - lo) / n_buckets
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), bucket.alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("g").alias(group_col),
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("bucket_lo"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * F.lit(width), 6).alias("bucket_hi"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -1382,3 +1382,31 @@ def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("region_share_of_total"),
     )
+
+
+@query(
+    "histogram_value_by_type",
+    oracle="""
+        WITH b AS (
+            SELECT event_type AS g,
+                   least(19, greatest(0, CAST(floor((value - 0.0) / 25.0) AS BIGINT))) AS bucket
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT g AS event_type, bucket,
+               round(0.0 + bucket * 25.0, 6) AS bucket_lo,
+               round(0.0 + (bucket + 1) * 25.0, 6) AS bucket_hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY g, bucket
+    """,
+    tags=("analytics", "histogram", "agg"),
+    doc="Per-event-type equi-width histogram of value (20 buckets over "
+    "[0, 500)) — the distribution panel primitive: one partial-"
+    "aggregable groupBy, shuffle carries <= types x 20 rows, edge "
+    "buckets absorb out-of-range values so totals reconcile with row "
+    "counts (operators/stats.py:equi_width_histogram).",
+)
+def histogram_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import equi_width_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    return equi_width_histogram(events, "event_type", "value", 0.0, 500.0, 20)
