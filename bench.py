@@ -192,6 +192,14 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     # durations) and the ANN evaluation layer (joins two top-k rankings)
     "survival_user_churn",
     "ann_pq_eval_metrics",
+    # r8 final batch: dyadic EWMA (bounded collect window), ratio-to-
+    # parent shares, equi-width histograms, HLL sliding sketch rollup,
+    # and the A/B readout.
+    "ewma_user_value",
+    "share_of_parent_revenue",
+    "histogram_value_by_type",
+    "hll_sliding_active_users",
+    "abtest_purchase_lift",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
