@@ -844,10 +844,15 @@ def ewma(
     (whose pow() differs in the last ULP across math libraries).
 
     The window bound (default 16 obs ≈ weight 2^-16 tail) makes the
-    carried state finite: a slice of the running collect_list — same
-    bounded-window discipline as linear_attribution. Missing history
-    (< W observations) renormalizes over what exists (standard
-    bias-corrected EWMA head).
+    carried state finite: W explicit lag() columns over ONE per-key
+    ordering — bounded per-row work by construction. (A running
+    collect_list + slice computes the same values but materializes the
+    full prefix history per row — O(n²) copying that grows with key
+    hotness, modestly slower already at sf0.1's ~670 events/key and
+    unbounded at real scale. The lag form is bounded per row by
+    construction.) Missing
+    history (< W observations: lag() yields NULL) renormalizes over
+    what exists (standard bias-corrected EWMA head).
 
     Per-term products quantize to micro-units and sum exactly; ONE
     per-key shuffle. Output: (key, ts, tiebreak, value, ewma).
@@ -860,35 +865,26 @@ def ewma(
         F.col(tiebreak_col).alias("tb"),
         F.round(F.col(value_col) * 100).cast("long").alias("cents"),
     )
-    w = (
-        Window.partitionBy("key")
-        .orderBy("ts", "tb")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    lst = F.collect_list("cents").over(w)
-    hist = F.slice(
-        F.reverse(lst), 1, window
-    )  # hist[1] = newest, hist[i] age i-1
-    # weight for age i-1: 2^(-(i-1)/h) — exact only when (i-1)/h is an
-    # integer; restrict to integer steps by flooring the exponent, i.e.
-    # piecewise-constant decay between halvings (still exact doubles)
-    num = F.aggregate(
-        F.zip_with(
-            hist,
-            F.sequence(F.lit(0), F.size(hist) - 1),
-            lambda v, i: v * F.pow(F.lit(0.5), F.floor(i / half_weight_steps)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.round(x * F.lit(1e4)).cast("long"),
-    )
-    den = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.size(hist) - 1),
-            lambda i: F.pow(F.lit(0.5), F.floor(i / half_weight_steps)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.round(x * F.lit(1e4)).cast("long"),
-    )
+    w = Window.partitionBy("key").orderBy("ts", "tb")
+    # weight for age i: 2^(-floor(i/h)) — an exact binary double; each
+    # micro term is round(cents · w_i · 1e4) as BIGINT, NULL lags (head
+    # of the series) contribute neither to num nor den
+    num_terms, den_terms = [], []
+    for i in range(window):
+        weight = 0.5 ** (i // half_weight_steps)  # exact python float
+        li = F.lag("cents", i).over(w)
+        num_terms.append(
+            F.when(li.isNotNull(), F.round(li * F.lit(weight) * F.lit(1e4)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        # half-UP like F.round/DuckDB round (python round() is banker's —
+        # 312.5 would go to 312 instead of the engines' 313)
+        den_terms.append(
+            F.when(li.isNotNull(), F.lit(int(weight * 1e4 + 0.5)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    num = sum(num_terms[1:], num_terms[0])
+    den = sum(den_terms[1:], den_terms[0])
     # final rounding in EXACT integer arithmetic: round-half-up of
     # (num·1e4)/den micro-units is (2·num·1e4 + den) div (2·den) — a
     # float round(x, 6) here can straddle a half-boundary by one ULP
