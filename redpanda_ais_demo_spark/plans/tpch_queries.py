@@ -712,3 +712,32 @@ def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "topk_with_ties_lineitems",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, rnk
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, CAST(rank() OVER (
+                PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS BIGINT) AS rnk
+            FROM lineitem
+        ) WHERE rnk <= 2
+    """,
+    tags=("window", "ties"),
+    doc="Top-2 quantities per order WITH TIES (rank(), not row_number): "
+    "every row tied at an admitted rank is kept, so the result can "
+    "exceed k rows per group — the SQL:2008 FETCH ... WITH TIES "
+    "semantics reports need when an arbitrary tie-break would be a "
+    "lie. l_quantity is integral (1-50), so ties are common and the "
+    "variant is meaningfully different from the row_number top-k "
+    "(same one-shuffle ranked-window plan, no tie-break sort key).",
+)
+def topk_with_ties_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc())
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+    )
