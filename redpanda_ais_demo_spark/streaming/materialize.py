@@ -97,3 +97,65 @@ def run_pipeline(
         position_query=start_memory_mv(enriched, POS_MV, checkpoint_dir),
         info_query=start_memory_mv(info, INFO_MV, checkpoint_dir),
     )
+
+
+def start_rollup_mv(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    name: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> StreamingQuery:
+    """Continuously-maintained AGGREGATE materialized view: each
+    micro-batch folds into the persisted rollup via incremental view
+    maintenance (``operators/ivm.py:merge_agg``) — the real MV
+    semantics (the append-only parquet MV stores raw rows and defers
+    aggregation to read time; this one stores one row per group and
+    pays only a delta partial-agg + outer merge per batch, the shape
+    that survives an unbounded stream).
+
+    Exactly-once across restarts: a manifest records the last folded
+    ``batch_id``; Structured Streaming replays the last uncommitted
+    batch after a crash, and the replay is SKIPPED if the manifest
+    shows it already folded (the same idempotent-sink trick as the
+    JSONL manifest sink). State swaps via write-new-then-rename; a
+    production deployment would put a transactional table format under
+    this for reader-atomic swaps — the fold logic is unchanged.
+    """
+    import json
+    import shutil
+
+    from ..operators.ivm import agg_state, merge_agg
+
+    manifest = path + ".manifest.json"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = -1
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                last = json.load(f)["last_batch_id"]
+        if batch_id <= last:
+            return  # replayed batch already folded — idempotent skip
+        if os.path.exists(path):
+            new = merge_agg(spark.read.parquet(path), batch_df, keys, measures)
+        else:
+            new = agg_state(batch_df, keys, measures)
+        staging = f"{path}.staging-{batch_id}"
+        new.write.mode("overwrite").parquet(staging)
+        old = f"{path}.old-{batch_id}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        with open(manifest, "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+
+    return (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .queryName(name)
+        .start()
+    )

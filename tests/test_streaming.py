@@ -321,3 +321,55 @@ def test_mad_anomaly_stream_matches_batch_semantics(spark, tmp_path):
     q.stop()
     got = {r.event_id for r in spark.sql("SELECT * FROM anom").collect()}
     assert got == expected
+
+
+def test_rollup_mv_folds_batches_and_equals_full_aggregate(spark, tmp_path):
+    """The continuously-maintained rollup equals the one-shot aggregate
+    of everything streamed, across multiple micro-batches, and a
+    restart from the same checkpoint does not double-fold."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.ivm import agg_state
+    from redpanda_ais_demo_spark.streaming.materialize import start_rollup_mv
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "g string, v double"
+    measures = {"s": ("sum", "v"), "n": ("count", "v"), "hi": ("max", "v")}
+
+    def write_batch(rows, mode="append"):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    write_batch([("a", 1.0), ("b", 2.0)], mode="overwrite")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_rollup_mv(stream, mv, ckpt, "rollup1", ["g"], measures)
+    q.processAllAvailable()
+    write_batch([("a", 3.0), ("c", 5.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.g: r for r in spark.read.parquet(mv).collect()}
+    want = {
+        r.g: r for r in agg_state(spark.read.parquet(src), ["g"], measures).collect()
+    }
+    assert set(got) == set(want) == {"a", "b", "c"}
+    for g in want:
+        for f in ("s", "n", "hi"):
+            assert getattr(got[g], f) == getattr(want[g], f), (g, f)
+
+    # restart from the same checkpoint: no new data -> no double-fold
+    q2 = start_rollup_mv(
+        spark.readStream.schema(schema).parquet(src), mv, ckpt, "rollup1", ["g"], measures
+    )
+    q2.processAllAvailable()
+    write_batch([("a", 4.0)])
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {r.g: r for r in spark.read.parquet(mv).collect()}
+    want2 = {
+        r.g: r for r in agg_state(spark.read.parquet(src), ["g"], measures).collect()
+    }
+    for g in want2:
+        for f in ("s", "n", "hi"):
+            assert getattr(got2[g], f) == getattr(want2[g], f), ("restart", g, f)
