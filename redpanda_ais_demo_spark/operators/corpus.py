@@ -838,3 +838,63 @@ def bigram_logprob_score(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "mean_cond_logprob")
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations ranked by pointwise mutual
+    information — the phrase-mining signal (PMI = ln(p(x,y)/(p(x)p(y))))
+    that separates real multiword expressions from merely-frequent
+    bigrams (top_ngrams ranks "of the" first; PMI ranks it last).
+
+    Determinism (registry rules): ln is monotone, so ranking by PMI is
+    ranking by the exact rational (c_xy * N) / (c_x * c_y). Both factors
+    are exact BIGINT products of integer counts; the only float op is
+    ONE division — bit-identical cross-engine, no ln, no float sums.
+    Marginals c_x (left slot) and c_y (right slot) are sums over the
+    bigram-position table itself, so the probability space is
+    self-consistent (Σ_x c_x = Σ_y c_y = N).
+
+    Shape: narrow zip-shift pair build (no positional explode), one
+    corpus-wide groupBy(t1, t2) whose shuffle carries ~|distinct
+    bigrams| rows after partial aggregation, then BOTH marginals and the
+    N scalar derive from that counts table (vocab-sized — never a second
+    corpus pass), broadcast back. TakeOrderedAndProject top-k.
+    """
+    w = T.tokens(F.col(text_col))
+    shifted = F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1)))
+    pair_arr = F.slice(
+        F.zip_with(w, shifted, lambda a, b: F.struct(a.alias("t1"), b.alias("t2"))),
+        1,
+        F.size(w) - 1,
+    )
+    pairs = docs.filter(F.size(w) >= 2).select(F.explode(pair_arr).alias("p"))
+    counts = pairs.groupBy(
+        F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
+    ).agg(F.count("*").alias("pair_cnt"))
+    total = counts.agg(F.sum("pair_cnt").alias("n"))
+    left = counts.groupBy("t1").agg(F.sum("pair_cnt").alias("left_cnt"))
+    right = counts.groupBy("t2").agg(F.sum("pair_cnt").alias("right_cnt"))
+    ratio = (F.col("pmi_num").cast("double") / F.col("pmi_den").cast("double"))
+    return (
+        counts.filter(F.col("pair_cnt") >= min_count)
+        .join(F.broadcast(left), "t1")
+        .join(F.broadcast(right), "t2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t1",
+            "t2",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            F.col("left_cnt").cast("long").alias("left_cnt"),
+            F.col("right_cnt").cast("long").alias("right_cnt"),
+            (F.col("pair_cnt") * F.col("n")).cast("long").alias("pmi_num"),
+            (F.col("left_cnt") * F.col("right_cnt")).cast("long").alias("pmi_den"),
+        )
+        .withColumn("pmi_ratio", F.round(ratio, 6))
+        .orderBy(ratio.desc(), "t1", "t2")
+        .limit(k)
+    )

@@ -118,3 +118,56 @@ def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     paths = ab.join(bc, "b")
     closed = paths.join(ac, ["a", "c"])
     return closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS: minimal hop distance (<= ``k``) from a seed set
+    over a directed edge list. Returns (node, dist) — one row per node
+    reachable within ``k`` hops, dist = shortest hop count (seeds at 0).
+
+    Layered frontier expansion, the distributed BFS shape: per level one
+    edges-vs-frontier hash join on src (shuffle carries the frontier's
+    out-edges, never the visited set's), a distinct on the next layer,
+    and a left-anti join against visited to drop already-settled nodes —
+    which is exactly what makes the first-settled distance minimal, so
+    no min-aggregation over path enumerations is ever needed (the oracle
+    enumerates paths; the operator never does). Lineage is capped per
+    level by lazy localCheckpoint like the CC/PageRank loops, and the
+    driver action per level is a 1-row isEmpty early-stop scalar, never
+    a data collect. At 100 TB the visited set is the frontier history —
+    ``k`` is small and fixed, each level is one join + one anti-join,
+    both partitioned on the node key.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for depth in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():  # 1-row driver scalar, bounds wasted levels
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

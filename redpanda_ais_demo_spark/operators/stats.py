@@ -411,3 +411,63 @@ def equi_width_histogram(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_cents: Column,
+    order_col: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Per-group robust mean: drop the lowest and highest ``trim_pct``
+    percent of rows by value (the classic trimmed mean — the outlier-
+    resistant center the plain mean isn't), alongside the untrimmed mean
+    for contrast. Returns (group, n, n_kept, sum_cents, mean_value,
+    trimmed_mean_value).
+
+    Determinism (registry rules): values enter as exact integer cents;
+    the trim boundary is integer arithmetic (trim = n*pct//100 rows off
+    each tail, ranked by (cents, order_col) so ties cut identically on
+    both engines); each output mean is ONE float division of two exact
+    integers. No float sums anywhere.
+
+    Shape: one hash shuffle on the group key for the ranking window;
+    the groupBy that follows reuses that partitioning (same key), with
+    the kept-row restriction folded into conditional aggregates so the
+    whole thing is a single pass — no self-join against per-group
+    counts.
+    """
+    if not 0 <= trim_pct < 50:
+        raise ValueError("trim_pct must be in [0, 50)")
+    w = Window.partitionBy(group_col).orderBy("cents", order_col)
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, value_cents.cast("long").alias("cents"), order_col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    trim = (F.col("n") * trim_pct) / 100
+    kept = (F.col("rn") > F.floor(trim)) & (F.col("rn") <= F.col("n") - F.floor(trim))
+    return (
+        ranked.withColumn("kept", kept.cast("long"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.col("cents") * F.col("kept")).cast("long").alias("sum_cents"),
+            F.sum("cents").cast("long").alias("sum_cents_all"),
+        )
+        .select(
+            group_col,
+            "n",
+            "n_kept",
+            "sum_cents",
+            F.round(
+                F.col("sum_cents_all").cast("double") / (F.col("n") * 100).cast("long"), 6
+            ).alias("mean_value"),
+            F.round(
+                F.col("sum_cents").cast("double") / (F.col("n_kept") * 100).cast("long"), 6
+            ).alias("trimmed_mean_value"),
+        )
+    )

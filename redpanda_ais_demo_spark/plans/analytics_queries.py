@@ -1410,3 +1410,109 @@ def histogram_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return equi_width_histogram(events, "event_type", "value", 0.0, 500.0, 20)
+
+
+@query(
+    "khop_supplier_reach",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, 1000000 + s AS dst FROM pairs
+            UNION ALL
+            SELECT 1000000 + s AS src, c AS dst FROM pairs
+        ),
+        bfs AS (
+            SELECT 1000000 + s_suppkey AS node, 0 AS dist
+            FROM supplier WHERE s_suppkey <= 2
+            UNION
+            SELECT e.dst AS node, b.dist + 1 AS dist
+            FROM bfs b JOIN edges e ON e.src = b.node
+            WHERE b.dist < 3
+        )
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM bfs GROUP BY node
+    """,
+    tags=("graph", "iterative", "join", "scale-path"),
+    doc="Bounded-depth BFS (k=3) from suppliers 1-2 over the undirected "
+    "customer<->supplier order-flow graph — the blast-radius / "
+    "supply-chain-exposure question (which parties sit within 3 hops of "
+    "a compromised supplier). Distributed BFS: per level one edges-vs-"
+    "frontier hash join + distinct + anti-join vs visited, lineage "
+    "capped by lazy localCheckpoint; the anti-join IS the min-distance "
+    "guarantee, so the operator never enumerates paths — the oracle "
+    "does (recursive CTE, UNION-deduped (node,dist) state, min() at "
+    "the end) and the hash match proves both agree "
+    "(operators/graph.py:khop_distances).",
+)
+def khop_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import khop_distances
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.lit(1000000) + F.col("s")).alias("dst")
+    ).unionAll(
+        pairs.select((F.lit(1000000) + F.col("s")).alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = supplier.filter(F.col("s_suppkey") <= 2).select(
+        (F.lit(1000000) + F.col("s_suppkey")).alias("node")
+    )
+    return khop_distances(edges, seeds, k=3)
+
+
+@query(
+    "trimmed_mean_value_by_type",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, cents,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY cents, event_id) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM e
+        ),
+        flagged AS (
+            SELECT *, CAST(rn > (n * 10) // 100
+                           AND rn <= n - (n * 10) // 100 AS BIGINT) AS kept
+            FROM ranked
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(cents * kept) AS BIGINT) AS sum_cents,
+               round(CAST(sum(cents) AS BIGINT) / CAST(count(*) * 100 AS BIGINT), 6)
+                   AS mean_value,
+               round(CAST(sum(cents * kept) AS BIGINT) / CAST(sum(kept) * 100 AS BIGINT), 6)
+                   AS trimmed_mean_value
+        FROM flagged GROUP BY event_type
+    """,
+    tags=("analytics", "quality", "window", "agg"),
+    doc="10%-trimmed mean of event value per type next to the plain mean "
+    "— the robust-center complement to mad_outlier_events (MAD flags "
+    "outliers; the trimmed mean reports a center they can't drag). "
+    "Integer-cents ranking with (cents, event_id) tie-break, integer "
+    "trim boundary n*10//100, conditional aggregates in the SAME pass "
+    "as the ranking window (one shuffle on event_type, reused by the "
+    "groupBy — no per-group-count self-join), one float division per "
+    "mean (operators/stats.py:trimmed_mean).",
+)
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import trimmed_mean
+
+    events = load_table(spark, sf_dir, "events")
+    return trimmed_mean(
+        events, "event_type", F.round(F.col("value") * 100), "event_id", trim_pct=10
+    )

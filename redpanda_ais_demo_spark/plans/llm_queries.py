@@ -2584,3 +2584,53 @@ def hll_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return sketches.hll_sliding_distinct(events, "user_id", "ts", window_days=7)
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+        WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        bg AS (
+            SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> {'t1': w[i], 't2': w[i+1]})) AS s
+            FROM t WHERE len(w) >= 2
+        ),
+        p AS (
+            SELECT s.t1 AS t1, s.t2 AS t2, count(*) AS pair_cnt
+            FROM bg GROUP BY 1, 2
+        ),
+        tot AS (SELECT sum(pair_cnt) AS n FROM p),
+        lm AS (SELECT t1, sum(pair_cnt) AS left_cnt FROM p GROUP BY t1),
+        rm AS (SELECT t2, sum(pair_cnt) AS right_cnt FROM p GROUP BY t2)
+        SELECT p.t1, p.t2,
+               CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+               CAST(lm.left_cnt AS BIGINT) AS left_cnt,
+               CAST(rm.right_cnt AS BIGINT) AS right_cnt,
+               CAST(p.pair_cnt * tot.n AS BIGINT) AS pmi_num,
+               CAST(lm.left_cnt * rm.right_cnt AS BIGINT) AS pmi_den,
+               round(CAST(p.pair_cnt * tot.n AS DOUBLE)
+                     / CAST(lm.left_cnt * rm.right_cnt AS DOUBLE), 6) AS pmi_ratio
+        FROM p
+        JOIN lm USING (t1)
+        JOIN rm USING (t2)
+        CROSS JOIN tot
+        WHERE p.pair_cnt >= 5
+        ORDER BY CAST(p.pair_cnt * tot.n AS DOUBLE)
+                 / CAST(lm.left_cnt * rm.right_cnt AS DOUBLE) DESC, t1, t2
+        LIMIT 100
+    """,
+    tags=("text", "agg", "topk"),
+    doc="PMI collocation mining: top-100 adjacent-token pairs by "
+    "pointwise mutual information with min-count 5 — the phrase-mining "
+    "complement to top_bigrams_corpus (raw frequency ranks 'of the' "
+    "first; PMI ranks it last). ln is monotone, so the rank key is the "
+    "exact rational (c_xy*N)/(c_x*c_y): BIGINT products, ONE float "
+    "division, no ln — bit-deterministic cross-engine. One corpus "
+    "groupBy(t1,t2) (shuffle ~ |distinct bigrams| after partial agg); "
+    "marginals and N derive from the counts table itself and broadcast "
+    "back — never a second corpus pass "
+    "(operators/corpus.py:pmi_bigrams).",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pmi_bigrams(docs, min_count=5, k=100)
