@@ -907,3 +907,72 @@ def ewma(
         "value",
         (micro / F.lit(1e6)).alias("ewma"),
     )
+
+
+def session_pattern_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    pattern: str,
+    gap_sec: int,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: sessionize each key's event stream on a
+    ``gap_sec`` inactivity gap, render each session as a string of
+    event-type initials in (ts, tiebreak) order, and count the
+    non-overlapping occurrences of a regex ``pattern`` (e.g. ``vc*p`` =
+    view, any clicks, purchase). Returns (key, session_idx, n_events,
+    seq, n_matches) — the sequence-pattern detection SQL engines expose
+    as MATCH_RECOGNIZE, expressed as windows + one regex per session.
+
+    Keep the pattern in the common Java-regex/RE2 subset (literals,
+    classes, ``*``/``+``/``?``): leftmost non-overlapping match counts
+    then agree across engines.
+
+    Scale shape: one hash shuffle on the key for the session-break
+    window; the groupBy on (key, session) reuses that partitioning.
+    Per-group state is one session's events — bounded by the gap, not
+    by key lifetime (the unbounded-key safety sessionization exists
+    for). The in-group ordering is array_sort over (ts, tiebreak,
+    initial) structs, so no per-group sort-within-shuffle assumption.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    e = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        F.substring(F.col(type_col), 1, 1).alias("c"),
+    ).withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(
+                Window.partitionBy("key").orderBy("ts", "tb")
+            ).isNull()
+            | (F.col("ts") - F.lag("ts").over(Window.partitionBy("key").orderBy("ts", "tb")) > gap_sec),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("brk").over(
+            Window.partitionBy("key").orderBy("ts", "tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    grouped = e.groupBy("key", "sess").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "tb", "c"))),
+                lambda s: s["c"],
+            ),
+        ).alias("seq"),
+    )
+    return grouped.select(
+        F.col("key"),
+        F.col("sess").alias("session_idx"),
+        "n_events",
+        "seq",
+        F.size(F.expr(f"regexp_extract_all(seq, '{pattern}', 0)")).cast("long").alias("n_matches"),
+    )

@@ -1516,3 +1516,56 @@ def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_mean(
         events, "event_type", F.round(F.col("value") * 100), "event_id", trim_pct=10
     )
+
+
+@query(
+    "pattern_match_sessions",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                   substr(event_type, 1, 1) AS c
+            FROM events
+        ),
+        b AS (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > 604800
+                      THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+            FROM b
+        ),
+        g AS (
+            SELECT user_id, sess AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(c, '' ORDER BY ts, event_id) AS seq
+            FROM s GROUP BY user_id, sess
+        )
+        SELECT user_id, session_idx, n_events, seq,
+               CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
+        FROM g
+    """,
+    tags=("analytics", "window", "sessionize", "text"),
+    doc="Sequence-pattern detection (MATCH_RECOGNIZE-lite): sessionize "
+    "each user's stream on a 7-day inactivity gap, render sessions as "
+    "event-initial strings in (ts, event_id) order, count non-"
+    "overlapping 'vc*p' matches (view, any clicks, purchase) — the "
+    "regex-over-sessions complement to the funnel operators (funnel "
+    "finds ONE anchored chain per user; this counts every in-session "
+    "occurrence). One shuffle on user_id (break window + session "
+    "groupBy share it); per-group state is one session, bounded by the "
+    "gap — not key lifetime "
+    "(operators/timeseries.py:session_pattern_counts).",
+)
+def pattern_match_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import session_pattern_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return session_pattern_counts(
+        events, "user_id", "ts", "event_type", "event_id", "vc*p", 7 * 86400
+    ).withColumnRenamed("key", "user_id")
