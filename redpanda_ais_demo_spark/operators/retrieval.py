@@ -72,6 +72,25 @@ def bm25_topk(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    return bm25_score_topk(tf, dfreq, n_docs, avgdl, k, k1, b, id_col)
+
+
+def bm25_score_topk(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail: (id, t, tf, dl) postings + (t, df) doc
+    frequencies + literalized corpus stats -> (id_col, score, rank)
+    top-``k``. Both the direct path (``bm25_topk``) and the persisted-
+    index probe (``text_index.bm25_probe``) end in this exact expression
+    tree, which is what makes probe-vs-direct results bit-identical.
+    """
     idf = dfreq.select(
         "t",
         F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),

@@ -2634,3 +2634,36 @@ def hll_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.pmi_bigrams(docs, min_count=5, k=100)
+
+
+@query(
+    "bm25_topk_from_index",
+    oracle=_BM25_ORACLE,
+    tags=("retrieval", "text", "index", "scale-path"),
+    doc="X5/retrieval build/serve split — the SAME Okapi BM25 query as "
+    "bm25_topk_docs, served from a PERSISTED inverted index (term-major "
+    "postings + docfreq parquet + exact-integer corpus stats in a "
+    "versioned manifest, built once per fixture under .ann_index/ and "
+    "rebuilt only when the source parquet is newer). The probe never "
+    "scans documents: the terms filter pushes into the postings scan "
+    "(row-group pruning on the term-sorted layout), so a 3-term query "
+    "reads postings of 3 terms, not a corpus tokenization. Shares the "
+    "direct path's scoring tail (retrieval.bm25_score_topk) and exact "
+    "stats, so it answers the full rows+schema+hash oracle — unlike the "
+    "ANN from-index entries, the lexical serve path is exactly "
+    "verifiable (operators/text_index.py).",
+)
+def bm25_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import text_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    idx = os.path.join(repo_root, ".ann_index", os.path.basename(sf_dir.rstrip("/")), "lexical")
+    manifest = os.path.join(idx, "manifest.json")
+    if not os.path.exists(manifest) or (
+        os.path.exists(src) and os.path.getmtime(manifest) < os.path.getmtime(src)
+    ):
+        text_index.lexical_build(load_table(spark, sf_dir, "documents"), idx)
+    return text_index.bm25_probe(spark, idx, _BM25_TERMS, k=10)
