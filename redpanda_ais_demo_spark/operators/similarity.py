@@ -823,3 +823,94 @@ def pq_topk(
         .select(F.col("vec_id_src").alias(id_col), F.col("v").alias(vec_col)),
         shortlist, k, id_col, vec_col
     )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+):
+    """Distributed PCA fit: one corpus pass computes per-partition
+    (count, Σv, Σvvᵀ) partials executor-side (mapInPandas, Arrow
+    batches, numpy BLAS for the d×d Gram), partials reduce through a
+    posexplode + groupBy(idx) whose shuffle carries 1+d+d² rows PER
+    PARTITION (for d=64 that is 4,161 doubles — independent of corpus
+    size), and the driver assembles the d×d covariance and runs eigh on
+    it. Driver memory is O(d²) at any corpus size — the standard
+    tall-skinny decomposition split.
+
+    Returns (components, explained_variance, mean): numpy arrays with a
+    deterministic sign convention (each component's largest-|coefficient|
+    entry is positive). Partial Gram sums are float (cross-partition
+    reduce order can drift ULPs), so PCA results are tolerance-checked
+    in pytest, never hash-oracled (registry rules: no oracle entry).
+    """
+    spark = embeddings.sparkSession
+    from ..dist import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            flat = np.concatenate(
+                ([float(len(X))], X.sum(axis=0), (X.T @ X).ravel())
+            )
+            yield pd.DataFrame({"vals": [flat.tolist()]})
+
+    agg = (
+        embeddings.select(vec_col)
+        .mapInPandas(partials, "vals array<double>")
+        .select(F.posexplode("vals").alias("idx", "v"))
+        .groupBy("idx")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    flat = np.zeros(max(r.idx for r in agg) + 1)
+    for r in agg:
+        flat[r.idx] = r.s
+    n = int(round(flat[0]))
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    d = int(round(math.sqrt(len(flat) - 1 + 0.25) - 0.5))  # 1 + d + d^2 = len
+    mean = flat[1 : 1 + d] / n
+    gram = flat[1 + d :].reshape(d, d)
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    components = evecs[:, order].T
+    # deterministic sign: largest-|coeff| entry positive per component
+    for c in components:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1.0
+    return components, evals[order], mean
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components,
+    mean,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Project vectors onto fitted components — JVM-side, no Python in
+    the hot path: each projection is zip_with(vec, literal component,
+    multiply) folded by F.aggregate, minus the precomputed μ·c offset.
+    A narrow codegen'd map over the corpus; the fit's literals ride the
+    closure, so the projection scales as a plain scan.
+    """
+    out = [F.col(id_col)]
+    for j, c in enumerate(components):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        offset = float(np.dot(mean, c))
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out.append(F.round(dot - F.lit(offset), decimals).alias(f"pc{j + 1}"))
+    return embeddings.select(*out)

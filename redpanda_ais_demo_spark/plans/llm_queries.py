@@ -2667,3 +2667,27 @@ def bm25_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         text_index.lexical_build(load_table(spark, sf_dir, "documents"), idx)
     return text_index.bm25_probe(spark, idx, _BM25_TERMS, k=10)
+
+
+@query(
+    "pca_embeddings_project",
+    oracle=None,  # float Gram partials reduce in nondeterministic order
+    # (ULP drift) — correctness vs a numpy full-data PCA is tolerance-
+    # pinned in tests/test_llm_ops.py (components, variance, projection)
+    tags=("similarity", "embedding", "decomposition", "scale-path"),
+    doc="Distributed PCA over the embedding corpus, projected onto the "
+    "top-2 components — the whitening/dim-reduction step ahead of ANN "
+    "indexing and embedding QA. Fit is ONE corpus pass of per-partition "
+    "(n, Σv, Σvvᵀ) partials (mapInPandas + numpy BLAS); the reduce "
+    "shuffle carries 1+d+d² rows per partition (4,161 doubles at d=64, "
+    "corpus-size-independent) and the driver eigh sees only the d×d "
+    "covariance. Projection is JVM-side zip_with/aggregate dot products "
+    "with literalized components — a narrow codegen'd scan "
+    "(operators/similarity.py:pca_fit/pca_project).",
+)
+def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _evals, mean = similarity.pca_fit(emb, n_components=2)
+    return similarity.pca_project(emb, comps, mean)

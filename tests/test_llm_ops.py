@@ -1213,3 +1213,36 @@ def test_ranking_metrics_known_rankings(spark):
     assert out[2].recall_at_k == round(2 / 3, 6)
     assert out[2].ndcg_at_k == round((micro(1) + micro(3)) / idcg, 6)
     assert out[3].n_hits == 0 and out[3].recall_at_k == 0.0 and out[3].ndcg_at_k == 0.0
+
+
+def test_pca_matches_numpy_full_data(spark):
+    """Distributed (n, Σv, Σvvᵀ)-partial PCA must agree with a single-
+    machine numpy PCA on the same data: components/projections to float
+    tolerance (Gram partials reduce in float), variance ordered desc,
+    components orthonormal, sign convention deterministic."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    comps, evals, mean = similarity.pca_fit(emb, n_components=3)
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    np.testing.assert_allclose(mean, X.mean(0), atol=1e-9)
+    Xc = X - X.mean(0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    ref = evec[:, order].T.copy()
+    for c in ref:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1.0
+    np.testing.assert_allclose(evals, ev[order], rtol=1e-9)
+    assert evals[0] >= evals[1] >= evals[2]
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(comps, ref, atol=1e-7)
+
+    proj = similarity.pca_project(emb, comps, mean).orderBy("vec_id").toPandas()
+    np.testing.assert_allclose(
+        proj[["pc1", "pc2", "pc3"]].to_numpy(), Xc @ ref.T, atol=1e-5
+    )
