@@ -98,7 +98,14 @@ PRIORITY: tuple[str, ...] = (
     "f6_json_extract",
     "j1_dashboard_join",
     "w1_latest_per_key",
-    "l1_top_events",
+    # (r8c) l1_top_events rotated out: the deterministic ORDER BY+LIMIT
+    # shape is mechanically embedded in topk_orders_per_customer and
+    # every top-k retrieval row in the window; l1 stays registered,
+    # oracle-bearing, pytest-oracle-swept. Its slot goes to
+    # bm25_topk_from_index below — the persisted-index serve path's
+    # first hash-checked window row (the ANN from-index entries are
+    # rows-only by design; the lexical serve path answers the full
+    # BM25 oracle, so the window gains a class at no density cost).
     "st_window_traffic",
     "st_sessionize",
     # TPC-H shape representatives
@@ -239,6 +246,11 @@ PRIORITY: tuple[str, ...] = (
     "nb_lang_classify_docs",
     "attribution_last_touch",
     "trend_user_value",
+    # (r8c) the persisted-index serve path's hash-checked row (takes
+    # l1_top_events' slot — see the AIS block note): same Okapi BM25
+    # oracle as bm25_topk_docs, but the plan probes the committed-on-
+    # first-build inverted index and never scans documents.
+    "bm25_topk_from_index",
 )
 
 

@@ -101,6 +101,10 @@ REQUIRED_IN_WINDOW = {
     "nb_lang_classify_docs",
     "attribution_last_touch",
     "trend_user_value",
+    # r8c: the index-serve class's first hash-checked window row
+    # (l1_top_events rotated out behind topk_orders_per_customer's
+    # sort-limit shape; stays registered, oracle-bearing, swept)
+    "bm25_topk_from_index",
 }
 
 
