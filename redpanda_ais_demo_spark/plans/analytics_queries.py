@@ -1569,3 +1569,46 @@ def pattern_match_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_pattern_counts(
         events, "user_id", "ts", "event_type", "event_id", "vc*p", 7 * 86400
     ).withColumnRenamed("key", "user_id")
+
+
+@query(
+    "skyline_parts_price_size",
+    oracle="""
+        WITH base AS (
+            SELECT p_partkey AS id,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+                   CAST(p_size AS BIGINT) AS y
+            FROM part
+        ),
+        marked AS (
+            SELECT id, x, y,
+                   CAST(max(y) OVER (PARTITION BY x) AS BIGINT) AS y_at_x,
+                   CAST(max(y) OVER (ORDER BY x
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT) AS y_cheaper
+            FROM base
+        )
+        SELECT id, x, y FROM marked
+        WHERE y = y_at_x AND (y_cheaper IS NULL OR y > y_cheaper)
+    """,
+    tags=("analytics", "window", "skyline"),
+    doc="Skyline / Pareto-frontier query over parts (minimize retail "
+    "price, maximize size): the parts no other part beats on both "
+    "dimensions — the dominance operator from the DB literature "
+    "(Borzsonyi et al., ICDE 2001). Distributed two-phase plan: a LOCAL "
+    "frontier per 10-dollar price bucket first (hash-partitioned "
+    "windows; in-bucket dominance implies global dominance, so pruning "
+    "is safe), then the exact global RANGE-frame pass over the "
+    "surviving candidates only — the single-ordered window never sees "
+    "the raw table. Integer-cents x keeps the strictly-cheaper frame "
+    "exact cross-engine; the oracle runs the global formulation "
+    "directly and the hash match proves the pruning lossless "
+    "(operators/skyline.py:skyline_2d).",
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_2d(
+        part, F.round(F.col("p_retailprice") * 100), "p_size", "p_partkey"
+    )

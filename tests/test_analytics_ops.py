@@ -673,3 +673,39 @@ def test_ewma_dyadic_decay_hand_computed(spark):
     num3w = round(400 * 1e4) + round(200 * 0.5 * 1e4)
     den3w = round(1e4) + round(0.5 * 1e4)
     assert out2[102] == ((2 * num3w * 10000 + den3w) // (2 * den3w)) / 1e6
+
+
+def test_skyline_matches_bruteforce_with_ties(spark):
+    """Two-phase pruned skyline == O(n^2) dominance on crafted data with
+    x-ties, y-ties, and full (x,y) duplicates (both duplicates must stay:
+    dominance requires one strict inequality)."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.skyline import skyline_2d
+
+    pts = [  # (id, x, y)
+        (1, 100, 50), (2, 100, 50), (3, 100, 40),   # dup frontier point + dominated tie
+        (4, 150, 50),                                # same y, dearer -> dominated
+        (5, 200, 60), (6, 250, 60),                  # second step + dominated y-tie
+        (7, 300, 55),                                # behind the frontier
+        (8, 1300, 70),                               # different bucket, frontier
+        (9, 1400, 70), (10, 1250, 65),               # dominated across buckets
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(
+        tuple(r) for r in skyline_2d(df, F.col("x"), "y", "id", bucket_width=1000).collect()
+    )
+    expect = sorted(
+        (i, x, y)
+        for (i, x, y) in pts
+        if not any(
+            (x2 <= x and y2 >= y) and (x2 < x or y2 > y) for (_, x2, y2) in pts
+        )
+    )
+    assert got == expect
+    assert (1, 100, 50) in got and (2, 100, 50) in got
+    # cross-bucket: 9 is dominated by 8 (equal y, strictly cheaper) even
+    # though they sit in different price buckets; 10 stays (nothing both
+    # cheaper and >= 65)
+    assert (9, 1400, 70) not in got
+    assert (10, 1250, 65) in got
