@@ -1,0 +1,168 @@
+"""Spatio-temporal proximity join — close-encounter detection over a
+position stream (the classic AIS collision-risk / rendezvous analytic the
+reference's dashboard never computes; its console stops at per-ship latest
+position, ``lib/console.py:48``).
+
+Problem shape: given N timestamped fixes, find all pairs of fixes from
+*different* keys within ``dist_km`` great-circle kilometres and
+``window_s`` seconds of each other. A naive self-join is O(N²) — at 100 TB
+that is never an option. The scale path here is the published grid-file /
+spatial-bucketing pattern (Šidlauskas & Jensen, VLDB 2014 family):
+
+1. Assign every fix an integer grid cell ``(cx, cy)`` of ``cell_deg``
+   degrees and a time bucket ``tb`` of ``window_s`` seconds. Longitude
+   cells are MODULAR (360 / cell_deg cells) so the antimeridian seam
+   pairs up correctly.
+2. Replicate ONE side into its 3×3 neighbor cells × 2 adjacent time
+   buckets (18× on the probe side only — the build side stays single-copy)
+   and hash-join on the equality key ``(tb, cx, cy)``. Any pair within the
+   thresholds must share a join key: ``|Δt| <= window_s`` implies same or
+   adjacent bucket, and ``cell_deg`` is validated so one cell spans
+   ``>= dist_km`` in BOTH axes over the data's latitude band, hence a
+   qualifying pair is never more than one cell apart.
+3. Exact refine: haversine <= dist_km, |Δt| <= window_s, canonical
+   ordering (id_a < id_b) and a distinct() to collapse the multi-path
+   candidates (a pair can surface via several (offset, bucket) routes).
+
+The only corpus-sized shuffle is the (tb, cx, cy) hash partition; the time
+bucket inside the key bounds hotspot skew (a busy strait spreads over
+time), and the refine runs cell-locally. Partial aggregation applies to
+any per-pair rollup stacked on top. Distances quantize to integer
+micro-km BEFORE min/sum aggregation (repo-standard exact-compare rule).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geo import haversine_km
+
+KM_PER_DEG = 111.3195  # 2*pi*R/360 for R=6371.0 — mean great-circle degree
+
+
+def close_pairs(
+    fixes: DataFrame,
+    id_col: str,
+    key_col: str,
+    ts_us_col: str,
+    lat_col: str,
+    lon_col: str,
+    dist_km: float = 50.0,
+    window_s: int = 3600,
+    cell_deg: float = 1.0,
+    max_abs_lat: float = 70.0,
+) -> DataFrame:
+    """All cross-key fix pairs within ``dist_km`` and ``window_s``.
+
+    Output: one row per qualifying unordered pair of fixes —
+    (id_a, id_b, key_a, key_b, dist_micro_km, dt_us), id_a < id_b.
+
+    ``max_abs_lat`` declares the data's latitude band; the constructor
+    refuses cell sizes too small for the neighbor-cell guarantee there
+    (lon degrees shrink by cos(lat) toward the poles).
+    """
+    if not dist_km > 0 or not window_s > 0:
+        raise ValueError(f"need dist_km > 0 and window_s > 0, got {dist_km}, {window_s}")
+    lat_span_km = cell_deg * KM_PER_DEG
+    lon_span_km = cell_deg * KM_PER_DEG * math.cos(math.radians(max_abs_lat))
+    if lat_span_km < dist_km or lon_span_km < dist_km:
+        raise ValueError(
+            f"cell_deg={cell_deg} spans ({lat_span_km:.1f}, {lon_span_km:.1f}) km "
+            f"at |lat|<={max_abs_lat} — must be >= dist_km={dist_km} on both axes "
+            "for the 3x3 neighbor join to be exhaustive; raise cell_deg"
+        )
+    n_lon_cells = int(round(360.0 / cell_deg))
+
+    win_us = F.lit(int(window_s) * 1_000_000)
+    base = fixes.select(
+        F.col(id_col).alias("fid"),
+        F.col(key_col).alias("fkey"),
+        F.col(ts_us_col).cast("long").alias("us"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    ).withColumns(
+        {
+            # pmod folds any out-of-range longitude (e.g. 180.4 from an
+            # unnormalized feed) into the modular cell ring — haversine is
+            # already periodic in Δlon, so cells must be too.
+            "cx": F.pmod(
+                F.floor((F.col("lon") + 180.0) / cell_deg).cast("long"),
+                F.lit(n_lon_cells),
+            ),
+            "cy": F.floor((F.col("lat") + 90.0) / cell_deg).cast("long"),
+            "tb": F.floor(F.col("us") / (int(window_s) * 1_000_000)).cast("long"),
+        }
+    )
+
+    # Probe side: explode into the 9 neighbor offsets x 2 time buckets.
+    # (dx, dy) targets the neighbor's cell; dt targets same/next bucket —
+    # together with the build side's single copy this covers Δtb in
+    # {-1, 0, +1} exactly once per (offset, direction).
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dt in (0, 1)
+        ]
+    )
+    probe = (
+        base.withColumn("o", F.explode(offsets))
+        .select(
+            F.col("fid").alias("id_a"),
+            F.col("fkey").alias("key_a"),
+            F.col("us").alias("us_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_lon_cells)).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+            (F.col("tb") + F.col("o.dt")).alias("jt"),
+        )
+    )
+    build = base.select(
+        F.col("fid").alias("id_b"),
+        F.col("fkey").alias("key_b"),
+        F.col("us").alias("us_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+        F.col("tb").alias("jt"),
+    )
+
+    d_km = haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    pairs = (
+        probe.join(build, on=["jt", "jx", "jy"])
+        .filter(F.col("key_a") != F.col("key_b"))
+        .filter(F.abs(F.col("us_a") - F.col("us_b")) <= win_us)
+        .filter(d_km <= F.lit(float(dist_km)))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("key_a")).otherwise(F.col("key_b")).alias("key_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("key_b")).otherwise(F.col("key_a")).alias("key_b"),
+            F.round(d_km * 1e6).cast("long").alias("dist_micro_km"),
+            F.abs(F.col("us_a") - F.col("us_b")).alias("dt_us"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def encounter_summary(pairs: DataFrame) -> DataFrame:
+    """Roll qualifying fix pairs up to unordered key pairs:
+    (key_a, key_b, n_encounters, min_dist_micro_km). Partial-aggregable
+    groupBy — the heavy lifting already happened in close_pairs."""
+    ka = F.least("key_a", "key_b")
+    kb = F.greatest("key_a", "key_b")
+    return (
+        pairs.select(ka.alias("key_a"), kb.alias("key_b"), "dist_micro_km")
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_encounters"),
+            F.min("dist_micro_km").alias("min_dist_micro_km"),
+        )
+    )

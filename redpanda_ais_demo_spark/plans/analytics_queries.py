@@ -1612,3 +1612,79 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(
         part, F.round(F.col("p_retailprice") * 100), "p_size", "p_partkey"
     )
+
+
+@query(
+    "close_encounter_pairs",
+    oracle="""
+        WITH pos AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   value / 10 - 24.5 AS lat,
+                   (value * 7) % 360 - 180 AS lon,
+                   CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS tb
+            FROM events
+        ),
+        pairs AS (
+            SELECT a.user_id AS ua, b.user_id AS ub,
+                   CAST(round(2 * 6371.0 * asin(sqrt(
+                        sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+                        + cos(radians(a.lat)) * cos(radians(b.lat))
+                          * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+                   )) * 1e6) AS BIGINT) AS dist_micro_km
+            FROM pos a JOIN pos b
+              ON b.tb BETWEEN a.tb - 1 AND a.tb + 1
+             AND a.event_id < b.event_id
+             AND a.user_id <> b.user_id
+            WHERE abs(b.us - a.us) <= 3600000000
+              AND 2 * 6371.0 * asin(sqrt(
+                    sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+                    + cos(radians(a.lat)) * cos(radians(b.lat))
+                      * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+                  )) <= 50.0
+        )
+        SELECT least(ua, ub) AS user_a, greatest(ua, ub) AS user_b,
+               CAST(count(*) AS BIGINT) AS n_encounters,
+               CAST(min(dist_micro_km) AS BIGINT) AS min_dist_micro_km
+        FROM pairs GROUP BY 1, 2
+    """,
+    tags=("analytics", "geo", "join", "spatial"),
+    doc="Spatio-temporal proximity self-join — close-encounter detection "
+    "(pairs of entities within 50 km and 1 h), the AIS collision-risk "
+    "analytic. Scale path: grid-file bucketing — modular 1-degree cells "
+    "+ window-sized time buckets, probe side replicated into 3x3 "
+    "neighbor cells x 2 adjacent buckets, hash-join on (tb, cx, cy), "
+    "exact haversine refine; never an O(N^2) cross join. The oracle IS "
+    "the brute-force formulation (time-bucket-banded nested loop), so "
+    "the hash match proves the grid pruning lossless, antimeridian wrap "
+    "included (operators/spatial.py:close_pairs). Distances quantize to "
+    "integer micro-km before the min.",
+)
+def close_encounter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import close_pairs, encounter_summary
+
+    events = load_table(spark, sf_dir, "events")
+    fixes = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("value") / 10 - 24.5).alias("lat"),
+        ((F.col("value") * 7) % 360 - 180).alias("lon"),
+    )
+    pairs = close_pairs(
+        fixes,
+        id_col="event_id",
+        key_col="user_id",
+        ts_us_col="us",
+        lat_col="lat",
+        lon_col="lon",
+        dist_km=50.0,
+        window_s=3600,
+        cell_deg=1.0,
+        max_abs_lat=60.0,
+    )
+    return encounter_summary(pairs).select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        F.col("n_encounters").cast("long").alias("n_encounters"),
+        F.col("min_dist_micro_km").alias("min_dist_micro_km"),
+    )

@@ -1,0 +1,116 @@
+"""close_pairs grid proximity join — crafted edge cases (antimeridian,
+cell boundary, time-bucket boundary, same-key exclusion) plus brute-force
+parity on a deterministic scatter."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from redpanda_ais_demo_spark.operators.spatial import close_pairs, encounter_summary
+
+DIST_KM = 50.0
+WINDOW_S = 3600
+
+
+def _haversine(lat1, lon1, lat2, lon2):
+    s1 = math.sin(math.radians(lat2 - lat1) / 2)
+    s2 = math.sin(math.radians(lon2 - lon1) / 2)
+    a = s1 * s1 + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * s2 * s2
+    return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+
+def _fixes_df(spark, rows):
+    return spark.createDataFrame(rows, "fid long, fkey string, us long, lat double, lon double")
+
+
+def _run(spark, rows, **kw):
+    df = _fixes_df(spark, rows)
+    kw.setdefault("max_abs_lat", 60.0)
+    out = close_pairs(
+        df, "fid", "fkey", "us", "lat", "lon", dist_km=DIST_KM, window_s=WINDOW_S, **kw
+    )
+    return {(r.id_a, r.id_b) for r in out.collect()}
+
+
+H = 3600 * 1_000_000  # one window in µs
+
+
+def test_crafted_pairs(spark):
+    rows = [
+        # pair 1: ~15 km apart, same hour — qualifies
+        (1, "a", 0, 10.0, 20.0),
+        (2, "b", 60_000_000, 10.1, 20.1),
+        # 3 is ~300 km from 1/2 — excluded by distance
+        (3, "c", 0, 12.7, 20.0),
+        # 4 near 1 spatially but 2 windows later — excluded by time
+        (4, "d", 2 * H + 1, 10.0, 20.0),
+        # antimeridian: 5/6 straddle ±180 at lat 0 — ~11 km apart, qualifies
+        (5, "e", 0, 0.0, 179.95),
+        (6, "f", 0, 0.0, -179.95),
+        # cell boundary: 7/8 sit either side of the lon=21 cell line, ~2 km apart
+        (7, "g", 0, 10.0, 20.999),
+        (8, "h", 0, 10.0, 21.001),
+        # time-bucket boundary: 9 at end of bucket 0, 10 at start of bucket 1,
+        # Δt << window — qualifies across the bucket seam
+        (9, "i", H - 1_000_000, 50.0, 100.0),
+        (10, "j", H + 1_000_000, 50.0, 100.0),
+        # same key twice, co-located — cross-key only, excluded
+        (11, "k", 0, -30.0, 5.0),
+        (12, "k", 1, -30.0, 5.0),
+    ]
+    got = _run(spark, rows)
+    assert got == {(1, 2), (5, 6), (7, 8), (9, 10)}
+
+
+def test_exact_window_edge_inclusive(spark):
+    rows = [
+        (1, "a", 0, 0.0, 0.0),
+        (2, "b", WINDOW_S * 1_000_000, 0.0, 0.0),  # Δt == window exactly
+        (3, "c", WINDOW_S * 1_000_000 + 1, 0.01, 0.0),  # one µs past
+    ]
+    got = _run(spark, rows)
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_brute_force_parity(spark):
+    # deterministic scatter: 120 fixes, 8 keys, clustered around 4 hot spots
+    rows = []
+    for i in range(120):
+        spot = i % 4
+        lat = [10.0, 10.3, -40.0, 59.5][spot] + (i * 7 % 13) * 0.05
+        lon = [20.0, 20.3, 179.8, -5.0][spot] + (i * 11 % 17) * 0.06
+        if spot == 2 and i % 2:
+            lon = -179.9 + (i * 11 % 17) * 0.05  # wrap partners
+        rows.append((i, f"k{i % 8}", (i * 977_000_003) % (5 * H), lat, lon))
+    expect = set()
+    for a in rows:
+        for b in rows:
+            if a[0] >= b[0] or a[1] == b[1]:
+                continue
+            if abs(a[2] - b[2]) <= WINDOW_S * 1_000_000 and _haversine(a[3], a[4], b[3], b[4]) <= DIST_KM:
+                expect.add((a[0], b[0]))
+    got = _run(spark, rows)
+    assert got == expect
+    # summary invariant: encounter counts sum to the pair count
+    df = _fixes_df(spark, rows)
+    pairs = close_pairs(
+        df, "fid", "fkey", "us", "lat", "lon",
+        dist_km=DIST_KM, window_s=WINDOW_S, max_abs_lat=60.0,
+    )
+    summ = encounter_summary(pairs).collect()
+    assert sum(r.n_encounters for r in summ) == len(expect)
+    for r in summ:
+        assert r.key_a < r.key_b
+
+
+def test_cell_too_small_refused(spark):
+    df = _fixes_df(spark, [(1, "a", 0, 0.0, 0.0)])
+    with pytest.raises(ValueError, match="cell_deg"):
+        close_pairs(
+            df, "fid", "fkey", "us", "lat", "lon",
+            dist_km=100.0, window_s=60, cell_deg=0.5, max_abs_lat=70.0,
+        )
+    with pytest.raises(ValueError, match="dist_km"):
+        close_pairs(df, "fid", "fkey", "us", "lat", "lon", dist_km=0.0, window_s=60)
