@@ -1688,3 +1688,49 @@ def close_encounter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_encounters").cast("long").alias("n_encounters"),
         F.col("min_dist_micro_km").alias("min_dist_micro_km"),
     )
+
+
+@query(
+    "auc_quality_vs_lang",
+    oracle="""
+        WITH d AS (
+            SELECT n_chars AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        c AS (SELECT s, count(*) AS n, sum(y) AS n_pos FROM d GROUP BY s),
+        r AS (
+            SELECT n, n_pos,
+                   coalesce(sum(n) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_less
+            FROM c
+        )
+        SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
+               CASE WHEN sum(n_pos) > 0 AND sum(n) - sum(n_pos) > 0 THEN
+                    CAST(sum(n_pos * (2 * cum_less + n + 1))
+                         - sum(n_pos) * (sum(n_pos) + 1) AS DOUBLE)
+                    / CAST(2 * sum(n_pos) * (sum(n) - sum(n_pos)) AS DOUBLE)
+               END AS auc
+        FROM r
+    """,
+    tags=("analytics", "stats", "eval", "window"),
+    doc="Exact ROC AUC (Mann-Whitney U with mid-rank ties — the "
+    "roc_auc_score value) of document length as a predictor of "
+    "lang='en': the classifier-eval metric every curation-quality "
+    "model needs next to recall@k. Integer numerator/denominator with "
+    "ONE final division (bit-identical doubles cross-engine); the "
+    "corpus pass is a single partial-agg groupBy(score), the rank "
+    "window runs over distinct scores only "
+    "(operators/stats.py:roc_auc).",
+)
+def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import roc_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return roc_auc(scored, "s", "y")

@@ -709,3 +709,33 @@ def test_skyline_matches_bruteforce_with_ties(spark):
     # cheaper and >= 65)
     assert (9, 1400, 70) not in got
     assert (10, 1250, 65) in got
+
+
+def test_roc_auc_hand_computed(spark):
+    from redpanda_ais_demo_spark.operators.stats import roc_auc
+
+    # pos scores [3, 5, 5, 8], neg scores [1, 3, 5, 7, 9]:
+    # midranks -> sum_pos = 2.5 + 5 + 5 + 8 = 20.5; U = 10.5; AUC = 0.525
+    rows = [(3, 1), (5, 1), (5, 1), (8, 1), (1, 0), (3, 0), (5, 0), (7, 0), (9, 0)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    r = roc_auc(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (4, 5)
+    assert r.auc == 10.5 / 20.0
+
+    # perfect separation -> 1.0; reversed -> 0.0
+    df2 = spark.createDataFrame([(10, 1), (11, 1), (1, 0), (2, 0)], "s long, y long")
+    assert roc_auc(df2, "s", "y").collect()[0].auc == 1.0
+    df3 = spark.createDataFrame([(1, 1), (2, 1), (10, 0), (11, 0)], "s long, y long")
+    assert roc_auc(df3, "s", "y").collect()[0].auc == 0.0
+
+    # degenerate (single class) -> NULL auc, not an error
+    df4 = spark.createDataFrame([(1, 1), (2, 1)], "s long, y long")
+    r4 = roc_auc(df4, "s", "y").collect()[0]
+    assert r4.auc is None and (r4.n_pos, r4.n_neg) == (2, 0)
+
+    # NULL scores/labels excluded up front
+    df5 = spark.createDataFrame(
+        [(3, 1), (None, 1), (1, 0), (2, None)], "s long, y long"
+    )
+    r5 = roc_auc(df5, "s", "y").collect()[0]
+    assert (r5.n_pos, r5.n_neg) == (1, 1) and r5.auc == 1.0
