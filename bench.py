@@ -200,6 +200,9 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "histogram_value_by_type",
     "hll_sliding_active_users",
     "abtest_purchase_lift",
+    # r8d batch: grid-cell spatial proximity join, exact ROC AUC.
+    "close_encounter_pairs",
+    "auc_quality_vs_lang",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
