@@ -200,9 +200,13 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "histogram_value_by_type",
     "hll_sliding_active_users",
     "abtest_purchase_lift",
-    # r8d batch: grid-cell spatial proximity join, exact ROC AUC.
+    # r8d batch: grid-cell spatial proximity join, exact ROC AUC,
+    # A-ES weighted sampling, CDC merge-apply, FK orphan audit.
     "close_encounter_pairs",
     "auc_quality_vs_lang",
+    "weighted_sample_docs",
+    "cdc_apply_orders",
+    "fk_orphan_rates",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

@@ -898,3 +898,51 @@ def pmi_bigrams(
         .orderBy(ratio.desc(), "t1", "t2")
         .limit(k)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis-Spirakis
+    A-ES reservoir scheme (IPL 2006), derandomized the split_assign way:
+    each row's uniform draw u comes from md5(salt ':' id), its priority
+    is u^(1/w), and the sample is the global top-k by priority. Unlike
+    pps_systematic_sample (with-replacement multiplicities inside a
+    shard), this yields k DISTINCT rows whose inclusion is
+    probability-proportional-to-weight, reproducible from the salt alone
+    on any engine or partitioning.
+
+    Exactness: rank by ln(u)/w (monotone in u^(1/w)); ln quantizes to
+    integer micro-nats FIRST (the repo's Naive-Bayes/Kaplan-Meier
+    idiom), so the sort key is one division of exact integers — the
+    same IEEE double everywhere. u = (u32+1)/2^32 ∈ (0, 1], never
+    ln(0).
+
+    Plan: a narrow zero-shuffle projection + global top-k
+    (TakeOrderedAndProject — k rows per partition merge on the driver;
+    no global sort). Non-positive weights are excluded (a zero-weight
+    row has inclusion probability 0 by definition).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    lnu_micro = F.round(F.log((u32 + 1) / F.lit(4294967296.0)) * 1e6).cast("long")
+    w = F.col(weight_col).cast("long")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            (lnu_micro.cast("double") / w).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -12,7 +12,7 @@ divisions rounded to 6 dp) keep verdicts engine-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -122,4 +122,107 @@ def snapshot_diff(
         .select(
             *[F.col(f"k_{c}").alias(c) for c in key_cols], "change"
         )
+    )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed to a snapshot — the MERGE half of the CDC
+    pair (snapshot_diff derives a feed; this consumes one): ``changes``
+    carries (keys, payload, seq, op ∈ 'I'|'U'|'D'); the result is the
+    post-image snapshot. Semantics match Delta/Iceberg MERGE with
+    last-writer-wins: only each key's HIGHEST-``seq`` change applies —
+    'D' removes the key, 'I'/'U' upsert the payload — and unmentioned
+    base keys pass through untouched.
+
+    Plan: the feed first collapses to one row per key (per-key window
+    top-1 — a feed-sized shuffle, never base-sized), then ONE full-outer
+    join against base on the key. At 100 TB the base never rewrites
+    wholesale in practice — partition-prune to touched partitions via a
+    dynamic-overwrite writer (see backfill_overwrite) — but the operator
+    itself is the partition-local merge those writers run.
+
+    Ties on (key, seq) break by op precedence D > U > I (a delete and an
+    upsert with the same seq resolve to the delete — deterministic, and
+    the conservative read of an ill-formed feed).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    payload_cols = [c for c in base.columns if c not in key_cols]
+    missing = [c for c in payload_cols + key_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing base columns: {missing}")
+    ops = changes.select(
+        *key_cols, *payload_cols, F.col(seq_col).alias("__seq"), F.col(op_col).alias("__op")
+    )
+    bad = ~F.col("__op").isin("I", "U", "D")
+    ops = ops.withColumn(
+        "__op", F.when(bad, F.raise_error(F.concat(F.lit("cdc_apply: bad op "), "__op"))).otherwise(F.col("__op"))
+    )
+    # op precedence on seq ties: D > U > I
+    op_rank = F.when(F.col("__op") == "D", 0).when(F.col("__op") == "U", 1).otherwise(2)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc(), op_rank.asc())
+    latest = (
+        ops.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+    b = base.select(
+        *key_cols,
+        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+        F.lit(True).alias("__in_base"),
+    )
+    j = b.join(latest, key_cols, "full_outer")
+    keep = F.col("__op").isNull() | (F.col("__op") != "D")
+    merged = [
+        F.when(F.col("__op").isin("I", "U"), F.col(c)).otherwise(F.col(f"b_{c}")).alias(c)
+        for c in payload_cols
+    ]
+    return j.filter(keep).select(*key_cols, *merged)
+
+
+def fk_orphan_rate(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one FK relation: how many child
+    rows point at a missing parent key. The join-health check a pipeline
+    runs before trusting any star join — a nonzero orphan rate means the
+    fact table silently shrinks under an inner join.
+
+    SQL FK semantics: a NULL FK is not a violation — NULLs are counted
+    separately (``n_null_fk``) and excluded from the rate's denominator.
+
+    Plan: project parent to DISTINCT keys (key-sized, broadcastable for
+    dimension tables), ONE left join + ONE aggregate over the child —
+    no cross join, no second child pass. ``orphan_rate`` is one division
+    of exact BIGINTs (NULL when no non-null FK rows exist).
+    """
+    p = (
+        parent.select(F.col(parent_key).alias("__pk"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    j = child.select(F.col(child_key).alias("__pk")).join(p, "__pk", "left")
+    # coalesce: SUM over an empty child is NULL, but "no rows" means 0
+    n_nonnull = F.coalesce(F.sum(F.col("__pk").isNotNull().cast("long")), F.lit(0))
+    n_orphans = F.coalesce(
+        F.sum((F.col("__pk").isNotNull() & F.col("__hit").isNull()).cast("long")), F.lit(0)
+    )
+    return j.agg(
+        F.lit(relation).alias("relation"),
+        n_nonnull.alias("n_child"),
+        F.coalesce(F.sum(F.col("__pk").isNull().cast("long")), F.lit(0)).alias("n_null_fk"),
+        n_orphans.alias("n_orphans"),
+        F.when(
+            n_nonnull > 0, n_orphans.cast("double") / n_nonnull.cast("double")
+        ).alias("orphan_rate"),
     )

@@ -1734,3 +1734,125 @@ def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
     )
     return roc_auc(scored, "s", "y")
+
+
+@query(
+    "cdc_apply_orders",
+    oracle="""
+        WITH survivors AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 97 = 1
+                        THEN o_totalprice + 1 ELSE o_totalprice END AS price
+            FROM orders WHERE o_orderkey % 97 <> 0
+        ),
+        inserted AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                   'I' AS o_orderstatus, o_totalprice AS price
+            FROM orders WHERE o_orderkey % 97 = 2
+        ),
+        final AS (
+            SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(price * 100) AS BIGINT) AS price_cents
+        FROM final
+    """,
+    tags=("analytics", "cdc", "join", "window"),
+    doc="CDC feed application (the MERGE half of the snapshot_diff "
+    "pair): a deterministic change feed — delete every 97th key, "
+    "double-update every (97k+1)th (seq 1 then seq 2: last-writer-"
+    "wins must pick the +1.00 image, not the +5.00), insert shifted "
+    "copies of every (97k+2)th — merges into the orders snapshot via "
+    "per-key top-1-by-seq collapse + ONE full-outer join. The oracle "
+    "states the expected post-image declaratively, so the hash match "
+    "proves the merge machinery (dedup, op precedence, pass-through) "
+    "end to end (operators/validate.py:cdc_apply).",
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+
+    def feed(pred, seq, op, price=None, key=None):
+        d = base.filter(pred)
+        if price is not None:
+            d = d.withColumn("o_totalprice", price)
+        if key is not None:
+            d = d.withColumn("o_orderkey", key)
+        if op == "I":
+            d = d.withColumn("o_orderstatus", F.lit("I"))
+        return d.withColumn("seq", F.lit(seq)).withColumn("op", F.lit(op))
+
+    changes = (
+        feed(k % 97 == 0, 2, "D")
+        .unionByName(feed(k % 97 == 1, 1, "U", price=F.col("o_totalprice") + 5))
+        .unionByName(feed(k % 97 == 1, 2, "U", price=F.col("o_totalprice") + 1))
+        .unionByName(feed(k % 97 == 2, 1, "I", key=k + 10_000_000))
+    )
+    out = cdc_apply(base, changes, key_cols=["o_orderkey"], seq_col="seq")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+
+def _fk_oracle(child: str, ck: str, parent: str, pk: str, rel: str) -> str:
+    return f"""
+        SELECT '{rel}' AS relation,
+               CAST(count({ck}) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_fk,
+               CAST(sum(CASE WHEN {ck} IS NOT NULL AND p.__pk IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+               CASE WHEN count({ck}) > 0 THEN
+                    CAST(sum(CASE WHEN {ck} IS NOT NULL AND p.__pk IS NULL
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count({ck}) AS DOUBLE)
+               END AS orphan_rate
+        FROM {child} c LEFT JOIN
+             (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+          ON c.{ck} = p.__pk
+    """
+
+
+@query(
+    "fk_orphan_rates",
+    oracle=" UNION ALL ".join(
+        [
+            _fk_oracle("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+            _fk_oracle("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+            _fk_oracle("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+            _fk_oracle("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem->supplier"),
+        ]
+    ),
+    tags=("analytics", "validation", "join"),
+    doc="Referential-integrity audit across the star schema's four FK "
+    "relations: orphan count + rate per relation (NULL FKs tallied "
+    "separately per SQL FK semantics). Each relation is ONE left join "
+    "against the parent's distinct-key projection (broadcastable) + "
+    "ONE aggregate — the join-health check that catches silent fact-"
+    "table shrinkage before it corrupts every downstream inner join "
+    "(operators/validate.py:fk_orphan_rate).",
+)
+def fk_orphan_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import fk_orphan_rate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    parts = [
+        fk_orphan_rate(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        fk_orphan_rate(orders, customer, "o_custkey", "c_custkey", "orders->customer"),
+        fk_orphan_rate(li, part, "l_partkey", "p_partkey", "lineitem->part"),
+        fk_orphan_rate(li, supplier, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

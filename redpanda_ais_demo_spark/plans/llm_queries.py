@@ -2691,3 +2691,38 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     comps, _evals, mean = similarity.pca_fit(emb, n_components=2)
     return similarity.pca_project(emb, comps, mean)
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   CAST('0x' || substring(
+                       md5('aes-v1:' || CAST(doc_id AS VARCHAR)), 1, 8
+                   ) AS BIGINT) AS u32
+            FROM documents WHERE n_chars > 0
+        ),
+        p AS (
+            SELECT doc_id, w,
+                   CAST(round(ln((u32 + 1) / 4294967296.0) * 1e6) AS BIGINT)
+                   AS lnu_micro
+            FROM d
+        )
+        SELECT doc_id, w AS weight,
+               CAST(lnu_micro AS DOUBLE) / w AS sample_key
+        FROM p ORDER BY sample_key DESC, doc_id LIMIT 64
+    """,
+    tags=("sampling", "scale-path"),
+    doc="Weighted sampling without replacement — derandomized "
+    "Efraimidis-Spirakis A-ES: priority u^(1/w) with u = md5(salt:id), "
+    "ranked as micro-nat-quantized ln(u)/w so the key is one exact-"
+    "integer division (bit-stable cross-engine). 64 distinct docs, "
+    "inclusion probability-proportional-to-length, reproducible from "
+    "the salt on any partitioning. Narrow zero-shuffle projection + "
+    "TakeOrderedAndProject top-k — never a global sort "
+    "(operators/corpus.py:weighted_sample_topk).",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.weighted_sample_topk(docs, k=64, weight_col="n_chars")

@@ -739,3 +739,63 @@ def test_roc_auc_hand_computed(spark):
     )
     r5 = roc_auc(df5, "s", "y").collect()[0]
     assert (r5.n_pos, r5.n_neg) == (1, 1) and r5.auc == 1.0
+
+
+def test_cdc_apply_semantics(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.validate import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: U seq1 then D seq2 -> deleted
+            (1, "a2", 11, 1, "U"),
+            (1, "a2", 11, 2, "D"),
+            # k=2: two updates, last wins
+            (2, "b1", 21, 1, "U"),
+            (2, "b2", 22, 2, "U"),
+            # k=4: insert
+            (4, "d", 40, 1, "I"),
+            # k=5: seq TIE between D and U -> precedence D
+            (5, "e", 50, 1, "U"),
+            (5, "e", 50, 1, "D"),
+        ],
+        "k long, name string, v long, seq long, op string",
+    )
+    got = {
+        (r.k, r.name, r.v)
+        for r in cdc_apply(base, changes, ["k"], "seq").collect()
+    }
+    # 3 passes through untouched; 1 deleted; 2 -> b2/22; 4 inserted; 5 never lands
+    assert got == {(2, "b2", 22), (3, "c", 30), (4, "d", 40)}
+
+    with pytest.raises(Exception, match="bad op"):
+        bad = spark.createDataFrame(
+            [(1, "x", 1, 1, "Z")], "k long, name string, v long, seq long, op string"
+        )
+        cdc_apply(base, bad, ["k"], "seq").collect()
+
+    with pytest.raises(ValueError, match="missing base columns"):
+        cdc_apply(base, changes.drop("name"), ["k"], "seq")
+    with pytest.raises(ValueError, match="key_cols"):
+        cdc_apply(base, changes, [], "seq")
+
+
+def test_fk_orphan_rate_counts_orphans_and_nulls(spark):
+    from redpanda_ais_demo_spark.operators.validate import fk_orphan_rate
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_orphan_rate(child, parent, "fk", "pk", "t").collect()[0]
+    assert (r.relation, r.n_child, r.n_null_fk, r.n_orphans) == ("t", 4, 1, 1)
+    assert r.orphan_rate == 1 / 4
+
+    # empty child -> NULL rate, zero counts
+    empty = spark.createDataFrame([], "fk long")
+    r0 = fk_orphan_rate(empty, parent, "fk", "pk", "e").collect()[0]
+    assert (r0.n_child, r0.n_orphans, r0.orphan_rate) == (0, 0, None)

@@ -1246,3 +1246,47 @@ def test_pca_matches_numpy_full_data(spark):
     np.testing.assert_allclose(
         proj[["pc1", "pc2", "pc3"]].to_numpy(), Xc @ ref.T, atol=1e-5
     )
+
+
+def test_weighted_sample_topk_matches_reference_formula(spark):
+    import hashlib
+    import math
+
+    from redpanda_ais_demo_spark.operators.corpus import weighted_sample_topk
+
+    rows = [(f"d{i:03d}", (i * 37) % 400 + 1) for i in range(200)]
+    rows.append(("zero", 0))  # non-positive weight: excluded
+    df = spark.createDataFrame(rows, "doc_id string, w long")
+    got = weighted_sample_topk(df, k=20, weight_col="w", id_col="doc_id").collect()
+
+    def key(doc_id, w):
+        u32 = int(hashlib.md5(f"aes-v1:{doc_id}".encode()).hexdigest()[:8], 16)
+        lnu_micro = round(math.log((u32 + 1) / 2**32) * 1e6)
+        return lnu_micro / w
+
+    expect = sorted(
+        ((key(d, w), d, w) for d, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    assert [(r.doc_id, r.weight, r.sample_key) for r in got] == [
+        (d, w, k) for k, d, w in expect
+    ]
+    assert all(r.doc_id != "zero" for r in got)
+
+
+def test_weighted_sample_topk_favors_heavy_rows(spark):
+    from redpanda_ais_demo_spark.operators.corpus import weighted_sample_topk
+
+    # 50 heavy rows (w=2000) among 950 light rows (w=1): heavy rows carry
+    # ~99% of the total weight, so a 100-row PPS-ish sample must include
+    # nearly all of them (uniform sampling would include ~5).
+    rows = [(f"h{i}", 2000) for i in range(50)] + [(f"l{i}", 1) for i in range(950)]
+    df = spark.createDataFrame(rows, "doc_id string, w long")
+    got = weighted_sample_topk(df, k=100, weight_col="w", id_col="doc_id").collect()
+    n_heavy = sum(1 for r in got if r.doc_id.startswith("h"))
+    assert n_heavy >= 40
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_topk(df, k=0, weight_col="w", id_col="doc_id")
