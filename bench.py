@@ -207,6 +207,8 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "weighted_sample_docs",
     "cdc_apply_orders",
     "fk_orphan_rates",
+    "dict_encode_doc_sources",
+    "hard_negative_topk_embeddings",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

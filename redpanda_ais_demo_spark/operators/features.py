@@ -11,7 +11,7 @@ their declared queries carry full DuckDB oracle hashes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,42 @@ def feature_hash(
             F.col("p.val").alias("val"),
         )
     )
+
+
+def dict_encode(
+    df: DataFrame,
+    col: str,
+    id_offset: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Dictionary / label encoding: map a categorical column to dense
+    integer ids, most-frequent-first — the vocabulary-building step for
+    embedding tables and categorical features. Returns
+    ``(vocab, encoded)``: vocab is (term, term_id, n) with ids assigned
+    by (frequency DESC, term ASC) — deterministic on any engine and
+    stable under repartitioning; encoded is the input plus
+    ``{col}_id`` (NULL category rows get NULL ids — encode a sentinel
+    upstream if OOV handling is wanted).
+
+    Scale plan: the corpus pass is ONE partial-aggregable
+    groupBy(term); the rank window runs over the VOCABULARY (distinct
+    terms), not the corpus; the encode side joins the vocab back —
+    vocabulary-sized, so Spark broadcasts it and the corpus never
+    shuffles for the join.
+    """
+    vocab = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("term"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "term_id",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
+            + F.lit(int(id_offset) - 1),
+        )
+        .select("term", F.col("term_id").cast("long"), F.col("n").cast("long"))
+    )
+    encoded = df.join(
+        F.broadcast(vocab.select("term", "term_id")),
+        df[col] == F.col("term"),
+        "left",
+    ).drop("term").withColumnRenamed("term_id", f"{col}_id")
+    return vocab, encoded

@@ -914,3 +914,74 @@ def pca_project(
         )
         out.append(F.round(dot - F.lit(offset), decimals).alias(f"pc{j + 1}"))
     return embeddings.select(*out)
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Filtered vector search — top-k most-similar vectors from a
+    DIFFERENT group: hard-negative mining for contrastive training
+    (per query, the closest examples that are *not* its class are the
+    informative negatives), and the general shape of predicate-filtered
+    ANN (the filter applies per-(query, candidate) pair, so it cannot be
+    a static corpus pre-filter).
+
+    Same 2-D block-sharded exact plan as brute_force_topk — the group
+    label rides along into each block, the same-group mask applies
+    INSIDE the block before the local top-k (the local-topk-superset
+    argument holds per filtered candidate set), and a narrow window
+    merge takes the global top-k. NULL groups compare equal to each
+    other (a NULL-group query excludes NULL-group candidates), matching
+    SQL's IS DISTINCT FROM.
+    """
+    if n_shards is None:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        n_shards = max(2, math.isqrt(max(par - 1, 0)) + 1)
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(group_col).alias("g")
+    )
+    own = F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
+    all_shards = F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+    queries = base.withColumn("qs", own).withColumn("cs", all_shards)
+    corpus = base.withColumn("cs", own).withColumn("qs", all_shards)
+
+    def block_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_sim": []}).astype(
+                {"vec_id": np.int64, "neighbor_id": np.int64, "cos_sim": np.float64}
+            )
+        q_ids, c_ids, sims = _block_sims(qpdf, cpdf)
+        q_g = qpdf["g"].to_numpy(dtype=object)
+        c_g = cpdf["g"].to_numpy(dtype=object)
+        sims[q_g[:, None] == c_g[None, :]] = -np.inf  # same group (or both NULL)
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self (belt-and-braces)
+        kk = min(k, sims.shape[1])
+        out_vec, out_nbr, out_sim = [], [], []
+        for i in range(len(q_ids)):
+            order = np.lexsort((c_ids, -sims[i]))[:kk]
+            vals = sims[i][order]
+            keep = vals > -np.inf
+            out_vec.extend([q_ids[i]] * int(keep.sum()))
+            out_nbr.extend(c_ids[order][keep])
+            out_sim.extend(vals[keep])
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_vec, dtype=np.int64),
+                "neighbor_id": np.asarray(out_nbr, dtype=np.int64),
+                "cos_sim": np.asarray(out_sim, dtype=np.float64),
+            }
+        )
+
+    local = queries.groupBy("qs", "cs").cogroup(corpus.groupBy("qs", "cs")).applyInPandas(
+        block_topk, "vec_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

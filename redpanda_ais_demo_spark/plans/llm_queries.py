@@ -2726,3 +2726,75 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.weighted_sample_topk(docs, k=64, weight_col="n_chars")
+
+
+@query(
+    "dict_encode_doc_sources",
+    oracle="""
+        WITH v AS (
+            SELECT source AS term, CAST(count(*) AS BIGINT) AS n
+            FROM documents WHERE source IS NOT NULL GROUP BY source
+        ),
+        vocab AS (
+            SELECT term,
+                   CAST(row_number() OVER (ORDER BY n DESC, term ASC) - 1
+                        AS BIGINT) AS term_id,
+                   n
+            FROM v
+        )
+        SELECT d.doc_id, vocab.term_id AS source_id
+        FROM documents d LEFT JOIN vocab ON d.source = vocab.term
+    """,
+    tags=("features", "encoding", "agg"),
+    doc="Dictionary / label encoding of the source column: dense ids "
+    "assigned most-frequent-first (ties by term — deterministic under "
+    "any partitioning). One partial-agg groupBy builds the vocabulary; "
+    "the rank window runs over DISTINCT TERMS only; the encode join "
+    "broadcasts the vocab so the corpus never shuffles "
+    "(operators/features.py:dict_encode).",
+)
+def dict_encode_doc_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import dict_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    _vocab, encoded = dict_encode(docs, "source")
+    return encoded.select("doc_id", F.col("source_id"))
+
+
+@query(
+    "hard_negative_topk_embeddings",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        s AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM v a JOIN v b
+              ON a.vec_id <> b.vec_id AND a.label IS DISTINCT FROM b.label
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id
+            ) AS rank FROM s
+        )
+        SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+    """,
+    tags=("similarity", "filtered-ann", "join"),
+    doc="Filtered vector search / hard-negative mining: per vector, the "
+    "top-5 most-similar vectors with a DIFFERENT label — the "
+    "informative negatives for contrastive training, and the "
+    "pair-predicate ANN shape no static corpus pre-filter can express. "
+    "Same 2-D block-sharded exact matmul as embedding_cosine_topk with "
+    "the same-group mask applied inside each block before the local "
+    "top-k; NULL groups compare equal (IS DISTINCT FROM semantics) "
+    "(operators/similarity.py:hard_negative_topk).",
+)
+def hard_negative_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(emb, k=5)

@@ -1290,3 +1290,24 @@ def test_weighted_sample_topk_favors_heavy_rows(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_topk(df, k=0, weight_col="w", id_col="doc_id")
+
+
+def test_hard_negative_topk_skips_same_group(spark):
+    from redpanda_ais_demo_spark.operators.similarity import hard_negative_topk
+
+    # v1's nearest by far is v2 (identical, same group) — must be skipped;
+    # its hard negative is v3. NULL groups (v4, v5) exclude each other.
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.0], "a"),
+        (3, [0.9, 0.1], "b"),
+        (4, [0.0, 1.0], None),
+        (5, [0.0, 1.0], None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = hard_negative_topk(df, k=1, group_col="label").collect()
+    top = {r.vec_id: r.neighbor_id for r in out}
+    assert top[1] == 3 and top[2] == 3
+    # v4/v5 exclude each other (NULL == NULL): best differing-group is a/b vec
+    assert top[4] in (1, 2, 3) and top[5] in (1, 2, 3)
+    assert all(r.rank == 1 for r in out)

@@ -146,3 +146,92 @@ def test_invalid_args_refused(spark):
         interval_join_streams(df, df, "zone", "fix_ts", "fix_ts", 1, 1, 1, how="fullOuter")
     with pytest.raises(ValueError, match="before_s"):
         interval_join_streams(df, df, "zone", "fix_ts", "fix_ts", -1, 1, 1)
+
+
+def test_streaming_close_encounters_self_join(spark, tmp_path):
+    """The spatial close-pairs analytic as a LIVE query: a position
+    stream interval-joined with itself on grid cell, refined by exact
+    haversine — streaming parity with the batch operator's semantics on
+    the same fixture."""
+    from redpanda_ais_demo_spark.functions.geo import haversine_km
+    from redpanda_ais_demo_spark.operators.spatial import close_pairs
+
+    src = str(tmp_path / "fixes")
+    schema = "zone string, fix_ts timestamp, ship long"
+    rows = [
+        # same 1-degree cell, 15 km apart, 5 min apart -> pair (1, 2)
+        ("c1", "2024-01-01 10:00:00", 1),
+        ("c1", "2024-01-01 10:05:00", 2),
+        # same cell but 2 h apart -> excluded by time
+        ("c1", "2024-01-01 12:30:00", 3),
+        # different far-away cell -> no partner
+        ("c9", "2024-01-01 10:00:00", 4),
+    ]
+    cell_lat = {"c1": 10.0, "c9": -40.0}
+    cell_lon = {"c1": 20.0, "c9": 100.0}
+    _write_batch(spark, src, schema, rows, "b0")
+
+    def with_pos(df):
+        lat = F.coalesce(
+            *[F.when(F.col("zone") == z, F.lit(v)) for z, v in cell_lat.items()]
+        ) + F.col("ship") * 0.1
+        lon = F.coalesce(
+            *[F.when(F.col("zone") == z, F.lit(v)) for z, v in cell_lon.items()]
+        )
+        return df.withColumn("lat", lat).withColumn("lon", lon).withColumn(
+            "cell", F.concat(F.floor(F.col("lat")), F.lit(":"), F.floor(F.col("lon")))
+        )
+
+    stream = with_pos(spark.readStream.schema(schema).parquet(src))
+    left = stream.select("cell", "fix_ts", "ship", "lat", "lon")
+    right = stream.select(
+        "cell",
+        F.col("fix_ts").alias("obs_ts"),
+        F.col("ship").alias("ship_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    joined = (
+        interval_join_streams(
+            left, right, "cell", "fix_ts", "obs_ts",
+            before_s=3600, after_s=3600, watermark_s=3600,
+        )
+        .filter(F.col("ship") < F.col("r_ship_b"))
+        .filter(
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.col("r_lat_b"), F.col("r_lon_b")
+            )
+            <= 50.0
+        )
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enc_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.ship, r.r_ship_b)
+            for r in spark.sql("select * from enc_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 2)}
+
+    # batch-operator parity on the identical fixture
+    batch = with_pos(
+        spark.read.parquet(src)
+    ).select(
+        "ship",
+        F.col("zone"),
+        F.unix_micros("fix_ts").alias("us"),
+        "lat",
+        "lon",
+    )
+    pairs = close_pairs(
+        batch, "ship", "ship", "us", "lat", "lon",
+        dist_km=50.0, window_s=3600, max_abs_lat=60.0,
+    )
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}

@@ -81,7 +81,26 @@ def build(dest: str = DEST, src: str = SRC, replicas: int = REPLICAS) -> str:
         ),
         "lineitem.parquet",
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
+    # events: 10 TIME-SHIFTED replicas (replica i moves 32 days later,
+    # ids/users offset) — the axis real position history grows on: more
+    # months, same per-hour traffic density. Cross-replica close-pair
+    # candidates are impossible (the 1 h window never spans the 32-day
+    # gap), so proximity-join work scales linearly like the real thing —
+    # replicating users in-place instead would quadratically inflate
+    # pair density, which no real 10x dataset does.
+    events = os.path.join(src, "events.parquet")
+    n_events, n_users = con.execute(
+        f"SELECT count(*), count(DISTINCT user_id) FROM read_parquet('{events}')"
+    ).fetchone()
+    replicate(
+        lambda i: f"""SELECT event_id + {n_events * i} AS event_id,
+            ts + INTERVAL {32 * i} DAYS AS ts,
+            user_id + {n_users * i} AS user_id,
+            event_type, value, props
+            FROM read_parquet('{events}')""",
+        "events.parquet",
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
         s = os.path.join(src, f"{t}.parquet")
         if os.path.exists(s):
             shutil.copyfile(s, os.path.join(dest, f"{t}.parquet"))
