@@ -154,7 +154,15 @@ PRIORITY: tuple[str, ...] = (
     # family and order_price_dispersion by value_percentiles' percentile
     # family — both remain registered, oracle-bearing, pytest-oracle-swept)
     "gapfill_user_value",
-    "dup_span_intervals",
+    # (r8d) dup_span_intervals rotated out: the dedup family held FIVE
+    # window reps (exact, minhash pair, CC cluster, keep-best retention,
+    # span intervals) — the span-interval mechanism keeps its full
+    # DuckDB oracle in the pytest sweep and stays registered. Its slot
+    # goes to close_encounter_pairs: the spatio-temporal proximity
+    # self-join (grid-file cell bucketing + exact haversine refine), a
+    # NEW operator class with no window sibling, whose brute-force
+    # oracle proves the grid pruning lossless.
+    "close_encounter_pairs",
     # round-7 classes with no in-window sibling: BM25 full-text retrieval
     # and PII redaction. Rotated out to make room: udtf_sentences (the
     # per-row UDTF mechanism demo — the X5 text-analysis class keeps four

@@ -53,7 +53,9 @@ REQUIRED_IN_WINDOW = {
     # rollup_cascade_traffic is covered by grouping_sets_sql's family and
     # order_price_dispersion by value_percentiles')
     "gapfill_user_value",
-    "dup_span_intervals",
+    # r8d: dup_span_intervals rotated out (dedup family kept 5 window
+    # reps); the slot carries the new spatial proximity-join class
+    "close_encounter_pairs",
     # round-7 classes rotated into the window (udtf_sentences rotated out —
     # the X5 text class keeps four in-window reps; map_props_stats rotated
     # out behind f6_json_extract's semi-structured access;
