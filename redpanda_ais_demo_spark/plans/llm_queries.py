@@ -2796,5 +2796,8 @@ def dict_encode_doc_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/similarity.py:hard_negative_topk).",
 )
 def hard_negative_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dist import ensure_shipped
+
+    ensure_shipped(spark)  # block kernel runs package code on workers
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negative_topk(emb, k=5)
