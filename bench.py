@@ -209,6 +209,7 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "fk_orphan_rates",
     "dict_encode_doc_sources",
     "hard_negative_topk_embeddings",
+    "mi_source_vs_lang",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

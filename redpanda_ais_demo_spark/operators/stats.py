@@ -521,3 +521,56 @@ def roc_auc(
         F.col("q").cast("long").alias("n_neg"),
         F.when(denom > 0, numer.cast("double") / denom.cast("double")).alias("auc"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact mutual information I(X; Y) between two categorical columns
+    — the feature-relevance metric of filter-style feature selection
+    (how much knowing the source tells you about the language, etc.),
+    complementing the chi-squared independence TEST with an effect-size
+    in nats.
+
+        I = Σ_cells (c_xy / N) · ln(N·c_xy / (c_x·c_y))
+
+    Determinism: each cell's log-ratio argument is ONE division of exact
+    BIGINT products (identical doubles cross-engine), its ln quantizes
+    to integer micro-nats (the repo's Naive-Bayes idiom), and the
+    weighted sum Σ c_xy·ln_micro stays BIGINT until one final division
+    by N·1e6. Absent cells contribute 0 (c_xy = 0), exactly as in the
+    analytic definition — no smoothing.
+
+    Scale plan: ONE partial-aggregable groupBy((x, y)) is the only
+    corpus-sized pass; marginals derive from the CELL table via window
+    sums (|X|·|Y| rows); NULLs in either column are excluded (treat
+    missing as a category upstream if that is the question). Output:
+    one row (n, n_cells, mi_nats >= 0 up to quantization).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        cells.withColumn("cx", F.sum("c").over(wx))
+        .withColumn("cy", F.sum("c").over(wy))
+        .withColumn("n", F.sum("c").over(wall))
+    )
+    ratio = (F.col("c") * F.col("n")).cast("double") / (F.col("cx") * F.col("cy")).cast("double")
+    ln_micro = F.round(F.log(ratio) * 1e6).cast("long")
+    return t.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.sum(F.col("c") * ln_micro).cast("double")
+            / (F.max("n") * F.lit(1_000_000)).cast("double")
+        ).alias("mi_nats"),
+    )

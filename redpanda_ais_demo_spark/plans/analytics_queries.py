@@ -1856,3 +1856,43 @@ def fk_orphan_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "mi_source_vs_lang",
+    oracle="""
+        WITH cells AS (
+            SELECT source AS x, lang AS y, count(*) AS c
+            FROM documents
+            WHERE source IS NOT NULL AND lang IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT c,
+                   sum(c) OVER (PARTITION BY x) AS cx,
+                   sum(c) OVER (PARTITION BY y) AS cy,
+                   sum(c) OVER () AS n
+            FROM cells
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(c * CAST(round(ln(CAST(c * n AS DOUBLE)
+                                          / CAST(cx * cy AS DOUBLE)) * 1e6)
+                                 AS BIGINT)) AS DOUBLE)
+               / CAST(max(n) * 1000000 AS DOUBLE) AS mi_nats
+        FROM t
+    """,
+    tags=("analytics", "stats", "feature-selection", "window"),
+    doc="Exact mutual information I(source; lang) in nats — the filter-"
+    "method feature-relevance metric (effect size to chi-squared's "
+    "test): per-cell log-ratios are one exact-BIGINT-product division "
+    "each, quantized to micro-nats, summed as BIGINT, divided once. "
+    "The only corpus pass is the partial-agg groupBy(x, y); marginal "
+    "windows run over the CELL table "
+    "(operators/stats.py:mutual_information).",
+)
+def mi_source_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "source", "lang")

@@ -799,3 +799,28 @@ def test_fk_orphan_rate_counts_orphans_and_nulls(spark):
     empty = spark.createDataFrame([], "fk long")
     r0 = fk_orphan_rate(empty, parent, "fk", "pk", "e").collect()[0]
     assert (r0.n_child, r0.n_orphans, r0.orphan_rate) == (0, 0, None)
+
+
+def test_mutual_information_textbook(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import mutual_information
+
+    # perfectly dependent: X determines Y -> I = H(X) = ln 2 for a 50/50 split
+    rows = [("a", "p")] * 10 + [("b", "q")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r.n == 20 and r.n_cells == 2
+    assert abs(r.mi_nats - math.log(2)) < 1e-5
+
+    # independent: uniform product distribution -> I = 0 exactly
+    rows = [(x, y) for x in "ab" for y in "pq" for _ in range(5)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r.mi_nats == 0.0 and r.n_cells == 4
+
+    # NULLs excluded
+    rows = [("a", "p"), ("a", None), (None, "q"), ("b", "q")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r.n == 2 and abs(r.mi_nats - math.log(2)) < 1e-5
