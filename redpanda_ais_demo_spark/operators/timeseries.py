@@ -976,3 +976,71 @@ def session_pattern_counts(
         "seq",
         F.size(F.expr(f"regexp_extract_all(seq, '{pattern}', 0)")).cast("long").alias("n_matches"),
     )
+
+
+def change_point(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_cents_col: str,
+) -> DataFrame:
+    """Single change-point detection per group — binary segmentation's
+    first split (Scott & Knott / CUSUM-of-squares family): the index k
+    that maximizes the between-segment sum of squares of an ordered
+    integer-cents series. Where cusum_drift ALARMS on sustained drift,
+    this LOCATES the most likely level-shift point.
+
+    Exactness: BSS(k) = D(k)² / (n·k·(n−k)) with D = n·S_k − k·S — all
+    BIGINT (S_k = prefix sum). The score is computed with one fixed IEEE
+    sequence (cast, square, divide) from identical integers, so doubles
+    match cross-engine bit-for-bit; ties break to the SMALLEST k.
+    Guard: |D| can reach n·|S| — int64-safe for series whose
+    cents-total × length stays under ~9e18 (a per-group daily rollup at
+    any realistic scale; pre-aggregate before detecting).
+
+    Plan: per-group windows only (prefix sum + group totals) — one hash
+    shuffle on the group key; the argmax is a per-group top-1, never a
+    global sort. Output: (group, k, n, bss, left_mean, right_mean) as
+    raw doubles (deterministic — see the in-code note); groups with
+    n < 2 yield no row (no interior split exists).
+    """
+    w_ord = (
+        Window.partitionBy("g").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    t = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(order_col),
+            F.col(value_cents_col).cast("long").alias("v"),
+        )
+        .withColumn("sk", F.sum("v").over(w_ord))
+        .withColumn("k", F.count(F.lit(1)).over(w_ord))
+        .withColumn("s", F.sum("v").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .filter((F.col("k") < F.col("n")) & (F.col("n") >= 2))
+    )
+    d = F.col("n") * F.col("sk") - F.col("k") * F.col("s")
+    denom = (F.col("n") * F.col("k") * (F.col("n") - F.col("k"))).cast("double")
+    scored = t.withColumn("bss", (d.cast("double") * d.cast("double")) / denom)
+    w_pick = Window.partitionBy("g").orderBy(F.col("bss").desc(), F.col("k").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            # raw doubles, deliberately unrounded: each is one fixed IEEE
+            # op sequence over identical integers, so it is bit-identical
+            # cross-engine — whereas round(x, 6) at 1e9 magnitudes splits
+            # engines on the last decimal digit
+            F.col("bss").alias("bss"),
+            (F.col("sk").cast("double") / F.col("k").cast("double")).alias("left_mean"),
+            (
+                (F.col("s") - F.col("sk")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double")
+            ).alias("right_mean"),
+        )
+    )

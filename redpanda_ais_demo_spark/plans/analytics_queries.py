@@ -1896,3 +1896,66 @@ def mi_source_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mutual_information(docs, "source", "lang")
+
+
+@query(
+    "changepoint_daily_value_by_type",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS g, date_trunc('day', ts) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS v
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT g,
+                   sum(v) OVER (PARTITION BY g ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sk,
+                   count(*) OVER (PARTITION BY g ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS k,
+                   sum(v) OVER (PARTITION BY g) AS s,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM daily
+        ),
+        scored AS (
+            SELECT g, k, n,
+                   CAST(n * sk - k * s AS DOUBLE)
+                   * CAST(n * sk - k * s AS DOUBLE)
+                   / CAST(n * k * (n - k) AS DOUBLE) AS bss,
+                   sk, s
+            FROM t WHERE k < n AND n >= 2
+        ),
+        best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY g ORDER BY bss DESC, k ASC
+            ) AS rn FROM scored
+        )
+        SELECT g AS event_type, CAST(k AS BIGINT) AS k,
+               CAST(n AS BIGINT) AS n, bss,
+               CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) AS left_mean,
+               CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE) AS right_mean
+        FROM best WHERE rn = 1
+    """,
+    tags=("analytics", "timeseries", "window", "changepoint"),
+    doc="Single change-point per event type over the daily value-cents "
+    "series — binary segmentation's first split: argmax of the between-"
+    "segment sum of squares via the exact-BIGINT identity BSS(k) = "
+    "(n·S_k − k·S)² / (n·k·(n−k)); one fixed IEEE op sequence from "
+    "identical integers, ties to the smallest k. Per-group windows "
+    "only; the daily rollup is the sole corpus pass "
+    "(operators/timeseries.py:change_point).",
+)
+def changepoint_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import change_point
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    return change_point(daily, "event_type", "day", "v")

@@ -824,3 +824,58 @@ def test_mutual_information_textbook(spark):
     df = spark.createDataFrame(rows, "x string, y string")
     r = mutual_information(df, "x", "y").collect()[0]
     assert r.n == 2 and abs(r.mi_nats - math.log(2)) < 1e-5
+
+
+def test_snapshot_diff_cdc_apply_roundtrip(spark):
+    """diff(v1, v2) turned into a change feed and applied to v1 must
+    reproduce v2 exactly — the property that makes the CDC pair a pair."""
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.validate import cdc_apply, snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, v long",
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c2", 31), (4, "d", 41), (5, "e", 50)],
+        "k long, name string, v long",
+    )
+    diff = snapshot_diff(v1, v2, ["k"], ["name", "v"])
+    upserts = (
+        diff.filter(F.col("change") != "removed")
+        .join(v2, "k")
+        .select("k", "name", "v", F.lit(1).alias("seq"), F.lit("U").alias("op"))
+    )
+    deletes = (
+        diff.filter(F.col("change") == "removed")
+        .select(
+            "k",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("long").alias("v"),
+            F.lit(1).alias("seq"),
+            F.lit("D").alias("op"),
+        )
+    )
+    feed = upserts.unionByName(deletes)
+    result = cdc_apply(v1, feed, ["k"], "seq")
+    assert {tuple(r) for r in result.collect()} == {tuple(r) for r in v2.collect()}
+
+
+def test_change_point_locates_level_shift(spark):
+    from redpanda_ais_demo_spark.operators.timeseries import change_point
+
+    # clean level shift after index 5: [10]*5 then [50]*5 -> k = 5
+    rows = [("g1", i, 1000 if i < 5 else 5000) for i in range(10)]
+    # constant series: every split scores 0 -> tie-break picks k = 1
+    rows += [("g2", i, 700) for i in range(6)]
+    # singleton group: no interior split -> no row
+    rows += [("g3", 0, 42)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = {r.g: r for r in change_point(df, "g", "t", "v").collect()}
+    assert out["g1"].k == 5 and out["g1"].n == 10
+    assert out["g1"].left_mean == 1000.0 and out["g1"].right_mean == 5000.0
+    # m = 3000: BSS = 5*(1000-3000)^2 + 5*(5000-3000)^2 = 4e7
+    assert out["g1"].bss == 4.0e7
+    assert out["g2"].k == 1 and out["g2"].bss == 0.0
+    assert "g3" not in out
