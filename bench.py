@@ -211,6 +211,7 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "hard_negative_topk_embeddings",
     "mi_source_vs_lang",
     "changepoint_daily_value_by_type",
+    "winsorized_mean_value_by_type",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

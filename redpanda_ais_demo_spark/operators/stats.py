@@ -574,3 +574,69 @@ def mutual_information(
             / (F.max("n") * F.lit(1_000_000)).cast("double")
         ).alias("mi_nats"),
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_cents: Column,
+    order_col: str,
+    pct: int = 10,
+) -> DataFrame:
+    """Per-group winsorized mean — trimmed_mean's clamping sibling: the
+    lowest/highest ``pct`` percent of rows by value are not DROPPED but
+    CLAMPED to the nearest surviving order statistic (Tukey's
+    winsorization — keeps n constant, which matters when the mean feeds
+    a ratio with a fixed denominator). Returns (group, n, lo_cents,
+    hi_cents, mean_value, winsorized_mean_value).
+
+    Determinism: integer cents, integer clamp boundary (k = n·pct//100
+    rows per tail, ranked by (cents, order_col)); the clamp values are
+    the order statistics at ranks k+1 and n−k pulled via conditional
+    MAX over the ranked window; each mean is ONE division of exact
+    integers.
+
+    Shape: the same single hash shuffle on the group key as
+    trimmed_mean — ranking window, boundary broadcast via a second
+    window over the SAME partitioning (no extra Exchange), one
+    partial-aggregable groupBy.
+    """
+    if not 0 <= pct < 50:
+        raise ValueError("pct must be in [0, 50)")
+    w = Window.partitionBy(group_col).orderBy("cents", order_col)
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, value_cents.cast("long").alias("cents"), order_col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    k = F.floor((F.col("n") * pct) / 100)
+    bounded = (
+        ranked.withColumn("k", k)
+        .withColumn("lo", F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))).over(wn))
+        .withColumn("hi", F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))).over(wn))
+    )
+    clamped = (
+        F.when(F.col("rn") <= F.col("k"), F.col("lo"))
+        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi"))
+        .otherwise(F.col("cents"))
+    )
+    return (
+        bounded.withColumn("cl", clamped)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("lo").cast("long").alias("lo_cents"),
+            F.max("hi").cast("long").alias("hi_cents"),
+            F.sum("cents").cast("long").alias("sum_cents_all"),
+            F.sum("cl").cast("long").alias("sum_cents_w"),
+        )
+        .select(
+            group_col,
+            "n",
+            "lo_cents",
+            "hi_cents",
+            (F.col("sum_cents_all").cast("double") / F.col("n").cast("double") / 100).alias("mean_value"),
+            (F.col("sum_cents_w").cast("double") / F.col("n").cast("double") / 100).alias("winsorized_mean_value"),
+        )
+    )

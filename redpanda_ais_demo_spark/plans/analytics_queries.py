@@ -1959,3 +1959,63 @@ def changepoint_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
     )
     return change_point(daily, "event_type", "day", "v")
+
+
+@query(
+    "winsorized_mean_value_by_type",
+    oracle="""
+        WITH r AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        b AS (
+            SELECT *,
+                   CAST(floor(n * 10 / 100) AS BIGINT) AS k
+            FROM r
+        ),
+        lohi AS (
+            SELECT *,
+                   max(CASE WHEN rn = k + 1 THEN cents END)
+                       OVER (PARTITION BY g) AS lo,
+                   max(CASE WHEN rn = n - k THEN cents END)
+                       OVER (PARTITION BY g) AS hi
+            FROM b
+        )
+        SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(lo) AS BIGINT) AS lo_cents,
+               CAST(max(hi) AS BIGINT) AS hi_cents,
+               CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100
+                   AS mean_value,
+               CAST(sum(CASE WHEN rn <= k THEN lo
+                             WHEN rn > n - k THEN hi
+                             ELSE cents END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 100 AS winsorized_mean_value
+        FROM lohi GROUP BY g
+    """,
+    tags=("analytics", "stats", "window", "agg"),
+    doc="Per-type winsorized mean (10% per tail) of event values — "
+    "trimmed_mean's clamping sibling: tail rows clamp to the nearest "
+    "surviving order statistic instead of dropping, keeping n constant. "
+    "Integer-cents ranking, integer clamp boundary, conditional-MAX "
+    "order-stat broadcast inside the SAME group window partitioning, "
+    "one exact-integer division per mean "
+    "(operators/stats.py:winsorized_mean).",
+)
+def winsorized_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import winsorized_mean
+
+    events = load_table(spark, sf_dir, "events")
+    return winsorized_mean(
+        events.select("event_type", "value", "event_id"),
+        "event_type",
+        F.round(F.col("value") * 100),
+        "event_id",
+        pct=10,
+    )

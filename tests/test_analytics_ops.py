@@ -879,3 +879,36 @@ def test_change_point_locates_level_shift(spark):
     assert out["g1"].bss == 4.0e7
     assert out["g2"].k == 1 and out["g2"].bss == 0.0
     assert "g3" not in out
+
+
+def test_winsorized_mean_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.operators.stats import winsorized_mean
+
+    # 10 values 100..1000, pct=10 -> k=1: clamp 100->200 and 1000->900
+    rows = [("g", (i + 1) * 100, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, cents long, event_id long")
+    r = winsorized_mean(df, "g", F.col("cents"), "event_id", pct=10).collect()[0]
+    assert r.n == 10 and (r.lo_cents, r.hi_cents) == (200, 900)
+    assert r.mean_value == 5.5  # 550 cents
+    # symmetric clamp: 100->200 and 1000->900 -> sum unchanged (5500)
+    assert r.winsorized_mean_value == 5.5
+
+    # ASYMMETRIC case: an extreme high outlier moves the winsorized mean
+    rows2 = [("h", v, i) for i, v in enumerate([100, 200, 300, 400, 500,
+                                                600, 700, 800, 900, 100000])]
+    df2 = spark.createDataFrame(rows2, "g string, cents long, event_id long")
+    r2 = winsorized_mean(df2, "g", F.col("cents"), "event_id", pct=10).collect()[0]
+    # clamp 100->200, 100000->900: sum = 4500 - 100 + 200 + 900 = ...
+    assert r2.winsorized_mean_value == (100 + sum(range(200, 1000, 100)) + 100000
+                                        - 100 + 200 - 100000 + 900) / 10 / 100
+
+    # pct=0 -> identity; tiny group (n*pct//100 == 0) -> no clamping
+    r0 = winsorized_mean(df, "g", F.col("cents"), "event_id", pct=0).collect()[0]
+    assert r0.winsorized_mean_value == r0.mean_value
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pct"):
+        winsorized_mean(df, "g", F.col("cents"), "event_id", pct=50)
