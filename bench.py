@@ -212,6 +212,7 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "mi_source_vs_lang",
     "changepoint_daily_value_by_type",
     "winsorized_mean_value_by_type",
+    "mv_answer_type_revenue",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

@@ -69,3 +69,74 @@ def merge_agg(
         for out, (op, _) in measures.items()
     ]
     return j.select(*keys, *merged)
+
+
+class RewriteError(ValueError):
+    """Query not answerable from the MV state — fall back to the base scan."""
+
+
+def mv_answer(
+    mv: DataFrame,
+    mv_keys: list[str],
+    mv_measures: dict[str, tuple[str, str]],
+    want_keys: list[str],
+    want_measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Aggregate-MV query rewrite — the serving half of the IVM pair
+    (merge_agg maintains the state; this ANSWERS queries from it): an
+    aggregate over the base table re-targets to the vastly smaller MV
+    when the rewrite is legal, i.e.
+
+    - every requested group key is one of the MV's keys (roll-up only —
+      the MV can coarsen, never refine), and
+    - every requested measure derives from mergeable MV state:
+      sum→sum(sum), count→sum(count), min→min(min), max→max(max),
+      avg→sum(sum)/sum(count) (ONE division of exact partials).
+
+    ``want_measures`` maps output → (op, mv_state_col); for avg the
+    state col is "sum_col/count_col". Illegal rewrites raise
+    RewriteError so a planner can fall back to the base scan — the
+    Calcite/Materialize MV-matching rule, reduced to the algebraic
+    aggregate class Spark's own partial aggregation already relies on.
+
+    At 100 TB this is the difference between scanning the corpus and
+    scanning one row per (key-combination): the MV is key-cardinality-
+    sized, and the re-aggregation is a partial-aggregable groupBy over
+    it.
+    """
+    for k in want_keys:
+        if k not in mv_keys:
+            raise RewriteError(f"group key {k!r} not in MV keys {mv_keys} (cannot refine)")
+    aggs = []
+    for out, (op, col) in want_measures.items():
+        if op == "avg":
+            try:
+                sum_col, cnt_col = col.split("/")
+            except ValueError:
+                raise RewriteError(f"avg state for {out!r} must be 'sum_col/count_col', got {col!r}")
+            for c in (sum_col, cnt_col):
+                if c not in mv_measures:
+                    raise RewriteError(f"avg for {out!r} needs MV state {c!r}")
+            if mv_measures[sum_col][0] != "sum" or mv_measures[cnt_col][0] != "count":
+                raise RewriteError(f"avg for {out!r} needs (sum, count) state, got "
+                                   f"{mv_measures[sum_col][0]}/{mv_measures[cnt_col][0]}")
+            aggs.append(
+                (F.sum(sum_col).cast("double") / F.sum(cnt_col).cast("double")).alias(out)
+            )
+            continue
+        if col not in mv_measures:
+            raise RewriteError(f"measure {out!r} wants MV state {col!r} which the MV lacks")
+        state_op = mv_measures[col][0]
+        if op == "sum" and state_op in ("sum", "count"):
+            aggs.append(F.sum(col).alias(out))
+        elif op == "count" and state_op == "count":
+            aggs.append(F.sum(col).alias(out))
+        elif op in ("min", "max") and state_op == op:
+            aggs.append(getattr(F, op)(col).alias(out))
+        else:
+            raise RewriteError(
+                f"{op} over {state_op} state is not a legal merge for {out!r}"
+            )
+    if not aggs:
+        raise RewriteError("no measures requested")
+    return mv.groupBy(*want_keys).agg(*aggs)

@@ -2019,3 +2019,48 @@ def winsorized_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id",
         pct=10,
     )
+
+
+@query(
+    "mv_answer_type_revenue",
+    oracle="""
+        SELECT event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_cents
+        FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "mv", "agg", "rewrite"),
+    doc="Aggregate answered FROM THE MV, not the base table — the "
+    "serving half of the IVM pair: a (type, day)-grained rollup of "
+    "event value-cents is rolled up again to per-type revenue / count "
+    "/ avg via the mergeable-state rewrite rules (sum of sums, sum of "
+    "counts, one exact division for avg). The oracle aggregates the "
+    "BASE table directly, so the hash match proves the rewrite "
+    "lossless; the answering plan touches only key-cardinality-sized "
+    "state (operators/ivm.py:mv_answer).",
+)
+def mv_answer_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import agg_state, mv_answer
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mv_measures = {"sum_cents": ("sum", "cents"), "n": ("count", "cents")}
+    mv = agg_state(base, ["event_type", "day"], mv_measures)
+    return mv_answer(
+        mv,
+        ["event_type", "day"],
+        mv_measures,
+        ["event_type"],
+        {
+            "revenue_cents": ("sum", "sum_cents"),
+            "n_events": ("count", "n"),
+            "avg_cents": ("avg", "sum_cents/n"),
+        },
+    )

@@ -912,3 +912,42 @@ def test_winsorized_mean_hand_computed(spark):
 
     with pytest.raises(ValueError, match="pct"):
         winsorized_mean(df, "g", F.col("cents"), "event_id", pct=50)
+
+
+def test_mv_answer_rewrite_rules(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.ivm import RewriteError, agg_state, mv_answer
+
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("b", 1, 40)],
+        "g string, day long, v long",
+    )
+    measures = {
+        "s": ("sum", "v"), "n": ("count", "v"),
+        "mn": ("min", "v"), "mx": ("max", "v"),
+    }
+    mv = agg_state(base, ["g", "day"], measures)
+    got = {
+        r.g: r
+        for r in mv_answer(
+            mv, ["g", "day"], measures, ["g"],
+            {"total": ("sum", "s"), "cnt": ("count", "n"),
+             "lo": ("min", "mn"), "hi": ("max", "mx"),
+             "mean": ("avg", "s/n")},
+        ).collect()
+    }
+    assert (got["a"].total, got["a"].cnt, got["a"].lo, got["a"].hi) == (60, 3, 10, 30)
+    assert got["a"].mean == 20.0 and got["b"].mean == 40.0
+
+    # refinement is illegal: the MV cannot answer a finer grouping
+    with pytest.raises(RewriteError, match="cannot refine"):
+        mv_answer(mv, ["g"], measures, ["g", "day"], {"total": ("sum", "s")})
+    # min over sum state is not a legal merge
+    with pytest.raises(RewriteError, match="not a legal merge"):
+        mv_answer(mv, ["g", "day"], measures, ["g"], {"lo": ("min", "s")})
+    # avg needs (sum, count) state
+    with pytest.raises(RewriteError, match="needs"):
+        mv_answer(mv, ["g", "day"], measures, ["g"], {"m": ("avg", "mn/n")})
+    with pytest.raises(RewriteError, match="no measures"):
+        mv_answer(mv, ["g", "day"], measures, ["g"], {})
