@@ -213,6 +213,8 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "changepoint_daily_value_by_type",
     "winsorized_mean_value_by_type",
     "mv_answer_type_revenue",
+    "stickiness_dau_mau",
+    "lpa_communities_customer_supplier",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

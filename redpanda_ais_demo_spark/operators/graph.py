@@ -27,7 +27,7 @@ hash-compared across engines at all.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -171,3 +171,58 @@ def khop_distances(
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the GraphX LPA variant made deterministic): every node
+    starts with its own id as label; each round it adopts the most
+    common label among its neighbors, ties broken by SMALLEST label —
+    fully deterministic, no RNG, partition-order-free. Unlike
+    connected components (which merge everything reachable), LPA splits
+    a component into dense regions: two cliques joined by one bridge
+    edge keep separate communities.
+
+    Input: one row per undirected edge in either orientation (the
+    operator symmetrizes). Returns (node, label) after ``iters``
+    synchronous rounds (sync LPA may oscillate on bipartite-ish
+    structures rather than converge — fixed iterations are the
+    standard cure and keep results reproducible).
+
+    Plan per round: join labels to the symmetrized edge list (one hash
+    shuffle on node), count (dst, label) — partial-aggregable — then a
+    per-node argmax window over the (node, label) counts, which is
+    neighbor-label-cardinality-sized, not edge-sized. Lineage pins via
+    lazy localCheckpoint per round (the PageRank doctrine).
+    """
+    if iters <= 0:
+        raise ValueError(f"iters must be positive, got {iters}")
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.filter(F.col("a") != F.col("b")).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        neigh = (
+            sym.join(labels, sym.a == labels.node)
+            .select(F.col("b").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

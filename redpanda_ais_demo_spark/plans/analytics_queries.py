@@ -2064,3 +2064,138 @@ def mv_answer_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cents": ("avg", "sum_cents/n"),
         },
     )
+
+
+@query(
+    "stickiness_dau_mau",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud),
+        mau AS (
+            SELECT d.day,
+                   count(DISTINCT u.user_id) AS mau
+            FROM days d JOIN ud u
+              ON u.day BETWEEN d.day - INTERVAL 27 DAYS AND d.day
+            GROUP BY d.day
+        ),
+        dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+        SELECT CAST(strftime(dau.day, '%Y-%m-%d') AS VARCHAR) AS day,
+               CAST(dau.dau AS BIGINT) AS dau,
+               CAST(mau.mau AS BIGINT) AS mau,
+               CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+                   AS stickiness
+        FROM dau JOIN mau USING (day)
+    """,
+    tags=("analytics", "engagement", "window", "distinct"),
+    doc="DAU/MAU stickiness per day — the engagement ratio every "
+    "product dashboard carries: exact distinct users per day over "
+    "exact distinct users in the trailing 28 days. The corpus "
+    "collapses FIRST to distinct (user, day) rows (the only corpus-"
+    "sized shuffle); the 28-day re-dedup is a banded self-join over "
+    "that key-sized table. This is the EXACT VERIFIER; the declared "
+    "scale path for sliding distinct counts is the mergeable-HLL "
+    "rollup (hll_sliding_active_users) whose union-of-daily-sketches "
+    "avoids the re-dedup entirely. One division of exact BIGINTs.",
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    mau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 27), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("mau"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias("stickiness"),
+        )
+    )
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled sync-LPA oracle: one (neighbor-count, argmax) CTE pair
+    per round, replaying the operator's exact deterministic recurrence
+    (most-common neighbor label, ties to the smallest label)."""
+    head = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        sym AS (
+            SELECT c AS a, 1000000 + s AS b FROM pairs
+            UNION
+            SELECT 1000000 + s AS a, c AS b FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f""",
+        n{i} AS (
+            SELECT e.b AS node, l.label, count(*) AS c
+            FROM sym e JOIN l{i} l ON e.a = l.node
+            GROUP BY e.b, l.label
+        ),
+        l{i + 1} AS (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                FROM n{i}
+            ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM l{iters}""")
+    return "".join(parts)
+
+
+@query(
+    "lpa_communities_customer_supplier",
+    oracle=_lpa_oracle(4),
+    tags=("graph", "iterative", "join", "community"),
+    doc="Synchronous label-propagation communities over the customer<->"
+    "supplier order-flow graph — market-segment discovery: unlike the "
+    "CC closure (which merges everything reachable), LPA splits a "
+    "component into dense regions (bridged cliques stay separate — "
+    "pinned by pytest). Deterministic: most-common neighbor label, "
+    "ties to the SMALLEST label, fixed 4 sync rounds (no RNG). Per "
+    "round: one edges-vs-labels hash join, a partial-aggregable "
+    "(node, label) count, and a per-node argmax window over the "
+    "neighbor-label table; the oracle unrolls the same recurrence "
+    "(operators/graph.py:label_propagation).",
+)
+def lpa_communities_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.lit(1000000) + F.col("s")).alias("dst")
+    )
+    out = label_propagation(edges, iters=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

@@ -951,3 +951,28 @@ def test_mv_answer_rewrite_rules(spark):
         mv_answer(mv, ["g", "day"], measures, ["g"], {"m": ("avg", "mn/n")})
     with pytest.raises(RewriteError, match="no measures"):
         mv_answer(mv, ["g", "day"], measures, ["g"], {})
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.graph import label_propagation
+
+    # two 4-cliques {1..4} and {11..14} joined by one bridge 4-11
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=5).collect()}
+    left = {out[n] for n in (1, 2, 3)}
+    right = {out[n] for n in (12, 13, 14)}
+    # each clique converges to ONE label, and the two differ (CC would merge)
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+    # determinism: same input twice -> identical labeling
+    out2 = {r.node: r.label for r in label_propagation(df, iters=5).collect()}
+    assert out == out2
+
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(df, iters=0)
