@@ -215,6 +215,8 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "mv_answer_type_revenue",
     "stickiness_dau_mau",
     "lpa_communities_customer_supplier",
+    "cell_density_hotspots",
+    "track_compact_fixes",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import haversine_km
@@ -165,4 +165,108 @@ def encounter_summary(pairs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_encounters"),
             F.min("dist_micro_km").alias("min_dist_micro_km"),
         )
+    )
+
+
+def cell_density(
+    fixes: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    key_col: str,
+    cell_deg: float = 1.0,
+    top_n: int = 20,
+) -> DataFrame:
+    """Traffic heat-map: fix count + distinct-key count per grid cell,
+    top-N densest cells — the density layer an AIS dashboard draws
+    under its markers (the reference's map shows raw markers only,
+    `lib/console.py:98`). Cells use the same modular (cx, cy) space as
+    close_pairs, so the heat-map and the proximity join share one
+    layout vocabulary.
+
+    ONE partial-aggregable groupBy(cell) over a narrow projection, then
+    a global top-N (TakeOrderedAndProject — never a full sort). At
+    100 TB the distinct-key count per cell is the only non-algebraic
+    piece; swap in approx_count_distinct (HLL) when exactness is not
+    required.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    n_lon_cells = int(round(360.0 / cell_deg))
+    cx = F.pmod(
+        F.floor((F.col(lon_col) + 180.0) / cell_deg).cast("long"), F.lit(n_lon_cells)
+    )
+    cy = F.floor((F.col(lat_col) + 90.0) / cell_deg).cast("long")
+    return (
+        fixes.select(cx.alias("cx"), cy.alias("cy"), F.col(key_col).alias("k"))
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.count_distinct("k").alias("n_keys"),
+        )
+        .orderBy(F.col("n_fixes").desc(), F.col("cx").asc(), F.col("cy").asc())
+        .limit(top_n)
+    )
+
+
+def track_compact(
+    fixes: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    lat_col: str,
+    lon_col: str,
+    eps_km: float = 1.0,
+) -> DataFrame:
+    """Trajectory compaction by linear-prediction pruning — the
+    dead-reckoning filter AIS archiving pipelines run before long-term
+    storage: a fix is REDUNDANT when its position lies within
+    ``eps_km`` of the time-linear interpolation between its previous
+    and next fix (the vessel was where a straight track predicted — no
+    information). First/last fix per key always survive.
+
+    This is the windowed single pass of Douglas-Peucker's spirit
+    (per-point deviation against the local chord, not the recursive
+    global split — the recursion is sequential by nature; the one-pass
+    form is embarrassingly parallel per key and removes the bulk of
+    straight-line steaming).
+
+    Determinism: deviation quantizes to integer micro-km BEFORE the
+    threshold compare (repo rule). Interpolation is done per axis in
+    degrees then measured with haversine against the actual fix —
+    exact same arithmetic on both engines. Plan: one per-key window
+    (lag/lead), narrow projection, no joins.
+    """
+    if eps_km <= 0:
+        raise ValueError(f"eps_km must be positive, got {eps_km}")
+    # lat/lon tie-breaks keep lag/lead deterministic if two fixes of a
+    # key share a timestamp
+    w = Window.partitionBy("k").orderBy("us", "lat", "lon")
+    t = fixes.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_us_col).cast("long").alias("us"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    ).select(
+        "*",
+        F.lag("us").over(w).alias("pus"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lead("us").over(w).alias("nus"),
+        F.lead("lat").over(w).alias("nlat"),
+        F.lead("lon").over(w).alias("nlon"),
+    )
+    # fraction of the way from prev to next, in time
+    frac = (F.col("us") - F.col("pus")).cast("double") / (
+        F.col("nus") - F.col("pus")
+    ).cast("double")
+    ilat = F.col("plat") + frac * (F.col("nlat") - F.col("plat"))
+    ilon = F.col("plon") + frac * (F.col("nlon") - F.col("plon"))
+    dev_micro = F.round(
+        haversine_km(F.col("lat"), F.col("lon"), ilat, ilon) * 1e6
+    ).cast("long")
+    endpoint = F.col("pus").isNull() | F.col("nus").isNull()
+    # zero-duration chord (duplicate timestamps): keep the fix
+    degenerate = ~endpoint & (F.col("nus") == F.col("pus"))
+    keep = endpoint | degenerate | (dev_micro > int(eps_km * 1e6))
+    return t.filter(keep).select(
+        F.col("k").alias(key_col), "us", "lat", "lon"
     )

@@ -2199,3 +2199,100 @@ def lpa_communities_customer_supplier(spark: SparkSession, sf_dir: str) -> DataF
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+@query(
+    "cell_density_hotspots",
+    oracle="""
+        WITH pos AS (
+            SELECT user_id,
+                   value / 10 - 24.5 AS lat,
+                   (value * 7) % 360 - 180 AS lon
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(floor((lon + 180.0) / 1.0) AS BIGINT) % 360 AS cx,
+                   CAST(floor((lat + 90.0) / 1.0) AS BIGINT) AS cy,
+                   user_id
+            FROM pos
+        )
+        SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_fixes,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+        FROM cells GROUP BY cx, cy
+        ORDER BY n_fixes DESC, cx ASC, cy ASC LIMIT 20
+    """,
+    tags=("analytics", "geo", "agg", "spatial"),
+    doc="Traffic heat-map: top-20 densest 1-degree grid cells by fix "
+    "count (+ distinct entities) — the density layer under an AIS "
+    "dashboard's markers, in the same modular cell space as the "
+    "proximity join. ONE partial-aggregable groupBy(cell) + "
+    "TakeOrderedAndProject; swap count_distinct for HLL when exactness "
+    "is optional (operators/spatial.py:cell_density).",
+)
+def cell_density_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import cell_density
+
+    events = load_table(spark, sf_dir, "events")
+    fixes = events.select(
+        "user_id",
+        (F.col("value") / 10 - 24.5).alias("lat"),
+        ((F.col("value") * 7) % 360 - 180).alias("lon"),
+    )
+    return cell_density(fixes, "lat", "lon", "user_id", cell_deg=1.0, top_n=20)
+
+
+@query(
+    "track_compact_fixes",
+    oracle="""
+        WITH pos AS (
+            SELECT user_id AS k, epoch_us(ts) AS us,
+                   value / 10 - 24.5 AS lat,
+                   (value * 7) % 360 - 180 AS lon
+            FROM events
+        ),
+        t AS (
+            SELECT k, us, lat, lon,
+                   lag(us) OVER w AS pus, lag(lat) OVER w AS plat,
+                   lag(lon) OVER w AS plon,
+                   lead(us) OVER w AS nus, lead(lat) OVER w AS nlat,
+                   lead(lon) OVER w AS nlon
+            FROM pos WINDOW w AS (PARTITION BY k ORDER BY us, lat, lon)
+        ),
+        d AS (
+            SELECT k, us, lat, lon, pus, nus,
+                   plat + (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+                        * (nlat - plat) AS ilat,
+                   plon + (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+                        * (nlon - plon) AS ilon
+            FROM t
+        )
+        SELECT k AS user_id, CAST(us AS BIGINT) AS us, lat, lon
+        FROM d
+        WHERE pus IS NULL OR nus IS NULL OR nus = pus
+           OR CAST(round(2 * 6371.0 * asin(sqrt(
+                sin(radians(lat - ilat) / 2) * sin(radians(lat - ilat) / 2)
+                + cos(radians(ilat)) * cos(radians(lat))
+                  * sin(radians(lon - ilon) / 2) * sin(radians(lon - ilon) / 2)
+              )) * 1e6) AS BIGINT) > 1000000
+    """,
+    tags=("analytics", "geo", "window", "compaction"),
+    doc="Trajectory compaction by dead-reckoning pruning: a fix whose "
+    "position lies within 1 km of the time-linear interpolation "
+    "between its neighbors is redundant and drops (endpoints and "
+    "duplicate-timestamp chords always survive) — the archive "
+    "compaction an AIS store runs before long-term retention. One "
+    "per-key lag/lead window, narrow projection, no joins; deviation "
+    "quantizes to integer micro-km before the threshold "
+    "(operators/spatial.py:track_compact).",
+)
+def track_compact_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import track_compact
+
+    events = load_table(spark, sf_dir, "events")
+    fixes = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("value") / 10 - 24.5).alias("lat"),
+        ((F.col("value") * 7) % 360 - 180).alias("lon"),
+    )
+    return track_compact(fixes, "user_id", "us", "lat", "lon", eps_km=1.0)

@@ -114,3 +114,56 @@ def test_cell_too_small_refused(spark):
         )
     with pytest.raises(ValueError, match="dist_km"):
         close_pairs(df, "fid", "fkey", "us", "lat", "lon", dist_km=0.0, window_s=60)
+
+
+def test_cell_density_counts(spark):
+    from redpanda_ais_demo_spark.operators.spatial import cell_density
+
+    rows = [
+        ("u1", 10.5, 20.5), ("u1", 10.6, 20.6), ("u2", 10.4, 20.4),  # cell (200,100)
+        ("u3", -40.5, 100.5),  # cell (280, 49)
+        ("u4", 0.0, 180.4),    # out-of-range lon folds modularly -> cx 0
+    ]
+    df = spark.createDataFrame(rows, "k string, lat double, lon double")
+    out = {(r.cx, r.cy): (r.n_fixes, r.n_keys) for r in cell_density(df, "lat", "lon", "k").collect()}
+    assert out[(200, 100)] == (3, 2)
+    assert out[(280, 49)] == (1, 1)
+    assert out[(0, 90)] == (1, 1)
+
+
+def test_track_compact_prunes_straight_line(spark):
+    from redpanda_ais_demo_spark.operators.spatial import track_compact
+
+    M = 60_000_000  # one minute in µs
+    rows = [
+        # straight equator track at constant speed: interior fixes redundant
+        ("a", 0 * M, 0.0, 10.0),
+        ("a", 1 * M, 0.0, 10.1),
+        ("a", 2 * M, 0.0, 10.2),
+        ("a", 3 * M, 0.0, 10.3),
+        # a detour fix well off the chord: kept
+        ("b", 0 * M, 0.0, 20.0),
+        ("b", 1 * M, 1.0, 20.1),
+        ("b", 2 * M, 0.0, 20.2),
+        # duplicate-timestamp chord: kept
+        ("c", 0, 5.0, 5.0),
+        ("c", 0, 5.5, 5.0),
+        ("c", 0, 6.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, us long, lat double, lon double")
+    kept = {(r.user_id if hasattr(r, "user_id") else r.k, r.us, r.lat, r.lon)
+            for r in track_compact(df, "k", "us", "lat", "lon", eps_km=1.0).collect()}
+    keys = {(k, us) for (k, us, _, _) in kept}
+    # a: only endpoints survive
+    assert (("a", 0 * M) in keys and ("a", 3 * M) in keys)
+    assert ("a", 1 * M) not in keys and ("a", 2 * M) not in keys
+    # b: the detour survives along with endpoints
+    assert sum(1 for (k, _) in keys if k == "b") == 3
+    # c: all three survive (degenerate chords) — count full tuples, the
+    # three fixes share one timestamp
+    assert sum(1 for (k, _, _, _) in kept if k == "c") == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="eps_km"):
+        track_compact(df, "k", "us", "lat", "lon", eps_km=0)
