@@ -552,3 +552,39 @@ def test_snapshot_diff_is_one_join(spark):
     plan = _physical_plan(spark, "snapshot_diff_orders")
     assert plan.count("SortMergeJoin FullOuter") + plan.count("ShuffledHashJoin FullOuter") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_close_pairs_is_equi_join_not_cartesian(spark):
+    plan = _physical_plan(spark, "close_encounter_pairs")
+    # the grid reduction must yield a hash-joinable equality key — a
+    # range-condition plan would degrade to CartesianProduct/BNLJ
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert plan.count("HashAggregate") >= 2  # pair rollup stays partial+final
+
+
+def test_track_compact_is_single_window_no_join(spark):
+    plan = _physical_plan(spark, "track_compact_fixes")
+    assert "Join" not in plan  # lag/lead only — no self-join formulation
+    assert "Window" in plan
+    assert "SinglePartition" not in plan  # per-key window, never global
+
+
+def test_mv_answer_is_two_aggregations_no_join(spark):
+    plan = _physical_plan(spark, "mv_answer_type_revenue")
+    assert "Join" not in plan  # rewrite = re-aggregate the MV state
+    # MV build (partial+final) + answering rollup (partial+final)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = _physical_plan(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "Exchange" not in plan or "rangepartitioning" not in plan.lower()
+
+
+def test_hard_negative_matches_cosine_topk_shape(spark):
+    plan = _physical_plan(spark, "hard_negative_topk_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan  # block-sharded kernel, not a pair join
