@@ -1044,3 +1044,65 @@ def change_point(
             ).alias("right_mean"),
         )
     )
+
+
+def frequent_episodes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    order_tiebreak_col: str,
+    length: int = 3,
+    max_gap_s: int = 3600,
+    top_n: int = 25,
+) -> DataFrame:
+    """Frequent sequential episodes — top-N length-``length`` ordered
+    event patterns whose CONSECUTIVE steps occur within ``max_gap_s``
+    of each other (WINEPI-style serial episodes; the order-(length-1)
+    generalization of markov_transitions' order-1 pairs). "login →
+    search → purchase within an hour per step" is the canonical ask.
+
+    Occurrences are CONSECUTIVE-row subsequences of each key's ordered
+    event stream (contiguous episodes — the windowed-lag formulation;
+    skip-gram episodes explode combinatorially and need a miner, not a
+    query). Each row contributes one candidate ending at itself: the
+    previous ``length-1`` events via bounded lag(), gap-checked
+    pairwise.
+
+    Plan: ONE per-key window with ``length-1`` lag columns (bounded
+    per-row work — the EWMA-rewrite doctrine), a partial-aggregable
+    groupBy(pattern), and a global top-N via TakeOrderedAndProject.
+    Exact BIGINT counts; ties rank by pattern string ascending.
+    """
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    if max_gap_s <= 0 or top_n <= 0:
+        raise ValueError("need max_gap_s > 0 and top_n > 0")
+    w = Window.partitionBy("k").orderBy("us", order_tiebreak_col)
+    t = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("long").alias("us"),
+        F.col(event_col).cast("string").alias("e"),
+        F.col(order_tiebreak_col),
+    )
+    lag_cols = {}
+    for i in range(1, length):
+        lag_cols[f"e{i}"] = F.lag("e", i).over(w)
+        lag_cols[f"us{i}"] = F.lag("us", i).over(w)
+    t = t.withColumns(lag_cols)
+    gap_ok = F.lit(True)
+    prev_us = F.col("us")
+    for i in range(1, length):
+        gap_ok = gap_ok & (
+            (prev_us - F.col(f"us{i}")) <= F.lit(int(max_gap_s) * 1_000_000)
+        )
+        prev_us = F.col(f"us{i}")
+    steps = [F.col(f"e{i}") for i in range(length - 1, 0, -1)] + [F.col("e")]
+    pattern = F.concat_ws(">", *steps)
+    return (
+        t.filter(F.col(f"e{length - 1}").isNotNull() & gap_ok)
+        .groupBy(pattern.alias("pattern"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pattern").asc())
+        .limit(top_n)
+    )

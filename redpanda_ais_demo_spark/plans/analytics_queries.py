@@ -2296,3 +2296,47 @@ def track_compact_fixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("value") * 7) % 360 - 180).alias("lon"),
     )
     return track_compact(fixes, "user_id", "us", "lat", "lon", eps_km=1.0)
+
+
+@query(
+    "frequent_episodes_events",
+    oracle="""
+        WITH t AS (
+            SELECT user_id AS k, epoch_us(ts) AS us, event_type AS e,
+                   lag(event_type, 1) OVER w AS e1,
+                   lag(epoch_us(ts), 1) OVER w AS us1,
+                   lag(event_type, 2) OVER w AS e2,
+                   lag(epoch_us(ts), 2) OVER w AS us2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT e2 || '>' || e1 || '>' || e AS pattern,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t
+        WHERE e2 IS NOT NULL
+          AND us - us1 <= 3600000000
+          AND us1 - us2 <= 3600000000
+        GROUP BY 1 ORDER BY n DESC, pattern ASC LIMIT 25
+    """,
+    tags=("analytics", "sequence", "window", "agg"),
+    doc="Top-25 frequent 3-step serial episodes (consecutive per-user "
+    "events, <= 1 h between steps) — WINEPI-style sequential pattern "
+    "counting, the order-2 generalization of the Markov transition "
+    "matrix. One per-key window with two bounded lags, partial-agg "
+    "pattern counts, TakeOrderedAndProject top-N "
+    "(operators/timeseries.py:frequent_episodes).",
+)
+def frequent_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import frequent_episodes
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_type",
+        "event_id",
+    )
+    return frequent_episodes(
+        t, "user_id", "us", "event_type", "event_id",
+        length=3, max_gap_s=3600, top_n=25,
+    )

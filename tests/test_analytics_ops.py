@@ -976,3 +976,30 @@ def test_label_propagation_splits_bridged_cliques(spark):
 
     with pytest.raises(ValueError, match="iters"):
         label_propagation(df, iters=0)
+
+
+def test_frequent_episodes_gap_and_order(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import frequent_episodes
+
+    S = 1_000_000
+    rows = [
+        # u1: a>b>c twice within gaps
+        ("u1", 0, "a", 1), ("u1", 10 * S, "b", 2), ("u1", 20 * S, "c", 3),
+        ("u1", 30 * S, "a", 4), ("u1", 40 * S, "b", 5), ("u1", 50 * S, "c", 6),
+        # u2: a>b then c arrives 2h later -> gap breaks the episode
+        ("u2", 0, "a", 7), ("u2", 10 * S, "b", 8), ("u2", 7200 * S + 10 * S, "c", 9),
+    ]
+    df = spark.createDataFrame(rows, "k string, us long, e string, id long")
+    out = {r.pattern: r.n for r in frequent_episodes(
+        df, "k", "us", "e", "id", length=3, max_gap_s=3600, top_n=10
+    ).collect()}
+    assert out.get("a>b>c") == 2
+    assert out.get("b>c>a") == 1  # u1's cross-boundary window (gaps ok)
+    # u1 contributes exactly 4 interior windows; u2's only candidate is
+    # gap-broken -> total occurrences across all patterns is 4
+    assert sum(out.values()) == 4
+
+    with pytest.raises(ValueError, match="length"):
+        frequent_episodes(df, "k", "us", "e", "id", length=1)
