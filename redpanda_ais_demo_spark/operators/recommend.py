@@ -1,0 +1,82 @@
+"""Co-occurrence recommendation mining — the "customers who bought X
+also bought Y" layer every commerce/content stack runs next to its
+dashboard aggregates (the reference's backing store ships this as a
+self-join recipe over its MergeTree order tables; reference scope:
+``sql/clickhouse-ddl.sql`` order-flow schema).
+
+Item-item collaborative filtering reduced to pure relational algebra:
+within-basket pair generation (bounded — basket sizes are small and
+capped by the domain, so the pair explode is Σ_b |b|² ≈ linear in rows,
+never items²), exact BIGINT co-occurrence counts, and a cosine
+association score ``co / sqrt(n_a · n_b)`` formed as ONE division of
+exact-integer-valued doubles (IEEE-identical cross-engine — the
+registry determinism rules).
+
+At 100 TB: the only corpus-sized passes are the distinct (basket, item)
+projection and the self-join on the basket key — both hash-partition on
+basket, so the pair generation is co-located; item marginals ride a
+partial-aggregable groupBy of the SAME distinct table; the final top-N
+is a TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def item_cooccurrence_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top-N item pairs by cosine co-occurrence association.
+
+    ``co(a, b)`` = number of distinct baskets containing BOTH items;
+    ``n_i`` = number of distinct baskets containing item i; score =
+    ``co / sqrt(n_a · n_b)`` (the binary-vector cosine). Pairs are
+    emitted once with ``item_a < item_b``; ``min_co`` prunes the
+    singleton noise floor before the marginal join. Ties rank by
+    (item_a, item_b) ascending so the cut is deterministic.
+
+    Plan: distinct (basket, item) → self-join co-located on basket →
+    partial-aggregable pair counts; marginals join back on the item
+    keys (hash joins — the item dictionary is NOT assumed
+    broadcast-small); TakeOrderedAndProject top-N.
+    """
+    if min_co < 1 or top_n <= 0:
+        raise ValueError("need min_co >= 1 and top_n > 0")
+    b = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    n_i = b.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "bk")
+        .filter(F.col("x.it") < F.col("y.it"))
+        .groupBy(
+            F.col("x.it").alias("item_a"), F.col("y.it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    scored = (
+        pairs.join(n_i.select(F.col("it").alias("item_a"), F.col("n").alias("n_a")), "item_a")
+        .join(n_i.select(F.col("it").alias("item_b"), F.col("n").alias("n_b")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            F.col("n_a"),
+            F.col("n_b"),
+            (
+                F.col("co").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(top_n)

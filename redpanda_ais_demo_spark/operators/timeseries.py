@@ -1106,3 +1106,137 @@ def frequent_episodes(
         .orderBy(F.col("n").desc(), F.col("pattern").asc())
         .limit(top_n)
     )
+
+
+def acf(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-group sample autocorrelation function at lags 1..``max_lag``
+    — the seasonality/persistence screen of a series audit (is
+    yesterday predictive, is there a weekly cycle): the textbook
+    estimator ``r_k = Σ_{t<=n-k}(x_t − x̄)(x_{t+k} − x̄) /
+    Σ_t(x_t − x̄)²`` over each group's series ordered by ``order_col``
+    (values must already be exact integers — cents/counts — and the
+    series is taken as observed: the index is rank order, so upstream
+    should aggregate to a regular grid first).
+
+    Exactness (registry rules): multiply the deviations through by n —
+    ``(n·x_t − Σx)(n·x_{t+k} − Σx)`` — so numerator and denominator are
+    exact DECIMAL(38,0) sums (HUGEINT on the oracle side); ``r_k`` is
+    ONE division of those exact integers, rounded 6 dp.
+
+    Plan shape: per-group totals are one partial-aggregable groupBy
+    broadcast back; the ``max_lag`` lag columns ride ONE per-group
+    window (bounded per-row state — the EWMA-rewrite doctrine); the
+    final per-(group, lag) sums are again partial-aggregable. No
+    global sort, no self-join: lag depth is a constant, not data.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    tot = t.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    w = Window.partitionBy("g").orderBy("o")
+    lags = {f"x{k}": F.lag("x", k).over(w) for k in range(1, max_lag + 1)}
+    t = t.withColumns(lags).join(F.broadcast(tot), "g")
+    dev = ((F.col("n") * F.col("x")) - F.col("sx")).cast("decimal(38,0)")
+    den = t.groupBy("g").agg(
+        F.sum(dev * dev).alias("den"), F.max("n").cast("long").alias("n_obs")
+    )
+    # one narrow posexplode fans each row into its max_lag numerator
+    # terms — the windowed subtree computes ONCE (a per-lag union would
+    # replay the scan + window max_lag times)
+    term_arr = F.array(
+        *[
+            F.when(
+                F.col(f"x{k}").isNotNull(),
+                dev
+                * ((F.col("n") * F.col(f"x{k}")) - F.col("sx")).cast("decimal(38,0)"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    num = (
+        t.select("g", F.posexplode(term_arr).alias("pos", "num_term"))
+        .groupBy("g", (F.col("pos") + 1).cast("long").alias("lag"))
+        .agg(F.sum("num_term").alias("num"))
+    )
+    agg = num.join(F.broadcast(den), "g")
+    ok = (F.col("den").isNotNull()) & (F.col("den") != 0)
+    return agg.select(
+        F.col("g").alias(group_col),
+        "lag",
+        "n_obs",
+        F.when(
+            ok, F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6)
+        ).alias("acf"),
+    )
+
+
+def max_concurrent_intervals(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_len_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Peak concurrency per time bucket — the sweep-line classic ("max
+    simultaneous sessions per day"): each half-open interval [start, end)
+    contributes +1 at start and −1 at end; peak concurrency is the max
+    of the running delta sum. Reported per ``bucket_len_us`` bucket (a
+    bucket only appears if an endpoint lands in it — quiet buckets where
+    a constant plateau spans the whole bucket are the carry-in of the
+    NEXT reported bucket, and their plateau equals some earlier max).
+
+    The 100 TB shape — the naive formulation is a GLOBAL ordered running
+    sum (single-partition Exchange, the one shape this repo bans). The
+    distributed sweep splits it in two exact halves:
+
+      1. per-bucket endpoint deltas get a LOCAL prefix sum (window
+         partitioned by bucket — parallel across buckets), and
+      2. the carry-in at each bucket boundary is the cumulative sum of
+         per-bucket delta TOTALS — a table with one row per bucket
+         (days, not events), cumulated with a window over that tiny
+         table and broadcast back.
+
+    carry_in(b) + local_prefix == global_prefix exactly, so the result
+    is bit-identical to the single-machine sweep the oracle runs.
+    Within a timestamp, −1 sorts before +1 (half-open: a session ending
+    exactly when another starts does not overlap it); remaining ties
+    are order-insensitive for the max since the sum is commutative up
+    to a fixed endpoint set per instant.
+    """
+    if bucket_len_us <= 0:
+        raise ValueError("bucket_len_us must be positive")
+    deltas = intervals.select(
+        F.col(start_col).cast("long").alias("ts"), F.lit(1).alias("d")
+    ).unionAll(
+        intervals.select(
+            F.col(end_col).cast("long").alias("ts"), F.lit(-1).alias("d")
+        )
+    ).withColumn("bucket", F.floor(F.col("ts") / F.lit(bucket_len_us)))
+    per_bucket = deltas.groupBy("bucket").agg(F.sum("d").alias("tot"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_bucket.withColumn(
+        "carry_in", F.coalesce(F.sum("tot").over(wb), F.lit(0))
+    ).select("bucket", "carry_in")
+    wloc = Window.partitionBy("bucket").orderBy("ts", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = (
+        deltas.join(F.broadcast(carry), "bucket")
+        .withColumn("conc", F.col("carry_in") + F.sum("d").over(wloc))
+    )
+    return (
+        running.groupBy("bucket")
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+        .select(F.col("bucket").cast("long").alias("bucket"), "max_concurrent")
+    )

@@ -226,3 +226,55 @@ def fk_orphan_rate(
             n_nonnull > 0, n_orphans.cast("double") / n_nonnull.cast("double")
         ).alias("orphan_rate"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_cents: Column,
+) -> DataFrame:
+    """First-digit Benford's-law audit of an amount column — the
+    fraud/fabrication screen auditors run over financial magnitudes:
+    naturally-occurring multi-scale amounts follow P(d) = log10(1+1/d);
+    fabricated or constrained data drifts (uniform digits, clustered
+    at thresholds). Emits one row per leading digit 1-9 with observed
+    vs expected shares and the standardized residual
+    ``z = (p_obs − p_exp) / sqrt(p_exp·(1 − p_exp) / N)``.
+
+    ``amount_cents`` must be an exact positive integer expression
+    (cents); rows <= 0 are excluded (Benford applies to magnitudes).
+    The leading digit is taken from the DECIMAL STRING — no float log10
+    whose floor misrounds at powers of ten.
+
+    Exactness: counts are exact BIGINTs from ONE partial-aggregable
+    groupBy (9-row shuffle); expected shares and z are a fixed chain of
+    double ops over those integers, rounded 6 dp — IEEE-identical
+    cross-engine. Digits with zero observations still appear (expected
+    share present, z < 0) via a 9-row literal frame left-joined to the
+    counts, so a missing digit — the loudest red flag — is visible.
+    """
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    obs = (
+        df.select(amount_cents.cast("long").alias("c"))
+        .filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = obs.agg(F.sum("n").alias("n_total"))
+    t = (
+        digits.join(obs, "digit", "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(total))
+    )
+    p_exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    p_obs = F.col("n").cast("double") / F.col("n_total").cast("double")
+    z = (p_obs - p_exp) / F.sqrt(p_exp * (1 - p_exp) / F.col("n_total").cast("double"))
+    return t.select(
+        "digit",
+        "n",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(p_obs, 6).alias("observed_p"),
+        F.round(p_exp, 6).alias("expected_p"),
+        F.round(z, 6).alias("z_score"),
+    )

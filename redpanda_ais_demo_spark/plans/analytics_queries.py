@@ -2340,3 +2340,220 @@ def frequent_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, "user_id", "us", "event_type", "event_id",
         length=3, max_gap_s=3600, top_n=25,
     )
+
+
+@query(
+    "item_cooccurrence_parts",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        ),
+        n_i AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY it),
+        co AS (
+            SELECT x.it AS item_a, y.it AS item_b,
+                   CAST(count(*) AS BIGINT) AS co
+            FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        )
+        SELECT item_a, item_b, co,
+               ca.n AS n_a, cb.n AS n_b,
+               co / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+        FROM co
+        JOIN n_i ca ON co.item_a = ca.it
+        JOIN n_i cb ON co.item_b = cb.it
+        ORDER BY cosine DESC, item_a ASC, item_b ASC
+        LIMIT 50
+    """,
+    tags=("analytics", "join", "agg", "recommend", "scale-path"),
+    doc="Top-50 'bought together' part pairs by cosine co-occurrence "
+    "over order baskets — item-item collaborative filtering as pure "
+    "relational algebra: distinct (order, part) -> basket-co-located "
+    "self-join (pair explode is bounded by basket size, never "
+    "items**2) -> exact BIGINT counts, one IEEE division for the "
+    "score, TakeOrderedAndProject for the cut "
+    "(operators/recommend.py:item_cooccurrence_topk).",
+)
+def item_cooccurrence_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recommend import item_cooccurrence_topk
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return item_cooccurrence_topk(
+        lineitem, "l_orderkey", "l_partkey", min_co=2, top_n=50
+    )
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    """HUGEINT replay of the n-scaled ACF recurrence at lags 1..K."""
+    lag_defs = ",\n                   ".join(
+        f"lag(x, {k}) OVER w AS x{k}" for k in range(1, max_lag + 1)
+    )
+    num_legs = "\n            UNION ALL\n".join(
+        f"""            SELECT g, CAST({k} AS BIGINT) AS lag,
+                   SUM(CAST(n * x - sx AS HUGEINT) * CAST(n * x{k} - sx AS HUGEINT)) AS num
+            FROM lagd WHERE x{k} IS NOT NULL GROUP BY g"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS o,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+            FROM daily GROUP BY g
+        ),
+        lagd AS (
+            SELECT daily.g, o, x, n, sx,
+                   {lag_defs}
+            FROM daily JOIN tot USING (g)
+            WINDOW w AS (PARTITION BY daily.g ORDER BY o)
+        ),
+        den AS (
+            SELECT g,
+                   SUM(CAST(n * x - sx AS HUGEINT) * CAST(n * x - sx AS HUGEINT)) AS den,
+                   MAX(n) AS n_obs
+            FROM lagd GROUP BY g
+        ),
+        num AS (
+{num_legs}
+        )
+        SELECT den.g AS event_type, num.lag, CAST(den.n_obs AS BIGINT) AS n_obs,
+               CASE WHEN den.den <> 0
+                    THEN round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+               END AS acf
+        FROM num JOIN den USING (g)
+    """
+
+
+@query(
+    "acf_daily_value_by_type",
+    oracle=_acf_oracle(7),
+    tags=("analytics", "timeseries", "statistics", "window"),
+    doc="Sample autocorrelation of each event type's daily value total "
+    "at lags 1-7 — the persistence/weekly-seasonality screen. "
+    "Deviations are scaled through by n so numerator and denominator "
+    "are exact DECIMAL(38,0)/HUGEINT sums; the lag columns ride ONE "
+    "per-type window and fan out through a narrow posexplode (the "
+    "windowed subtree computes once, not per lag) "
+    "(operators/timeseries.py:acf).",
+)
+def acf_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import acf
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    return acf(daily, "event_type", "day", "cents", max_lag=7)
+
+
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        o AS (
+            SELECT user_id, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ),
+        s AS (
+            SELECT user_id, us,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        ),
+        iv AS (
+            SELECT min(us) AS st, max(us) + 1800000000 AS en
+            FROM s GROUP BY user_id, sid
+        ),
+        d AS (
+            SELECT st AS ts, 1 AS dlt FROM iv
+            UNION ALL
+            SELECT en AS ts, -1 AS dlt FROM iv
+        ),
+        r AS (
+            SELECT ts, SUM(dlt) OVER (ORDER BY ts, dlt
+                                      ROWS UNBOUNDED PRECEDING) AS conc
+            FROM d
+        )
+        SELECT CAST(floor(ts / 86400000000) AS BIGINT) AS bucket,
+               CAST(max(conc) AS BIGINT) AS max_concurrent
+        FROM r GROUP BY 1
+    """,
+    tags=("analytics", "timeseries", "window", "scale-path"),
+    doc="Peak simultaneous user sessions per day — 30-minute-idle "
+    "sessionization (per-user lag/prefix windows) feeding the "
+    "DISTRIBUTED sweep-line: +1/-1 endpoint deltas get per-day local "
+    "prefix sums; the cross-day carry-in is the cumulated per-day "
+    "delta totals (a days-sized table, broadcast back) — exactly the "
+    "global running sum, without the single-partition Exchange the "
+    "naive sweep needs (operators/timeseries.py:max_concurrent_intervals).",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import max_concurrent_intervals
+
+    GAP = 1_800_000_000  # 30 min idle timeout, microseconds
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("user_id", F.unix_micros(F.col("ts")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    ns = F.when(
+        F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > GAP),
+        1,
+    ).otherwise(0)
+    sid = F.sum(ns).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sessions = (
+        e.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("st"), (F.max("us") + GAP).alias("en"))
+    )
+    return max_concurrent_intervals(sessions, "st", "en")
+
+
+@query(
+    "benford_order_totals",
+    oracle="""
+        WITH obs AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM obs),
+        d AS (SELECT CAST(range AS BIGINT) AS digit FROM range(1, 10))
+        SELECT d.digit,
+               CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+               tot.n_total,
+               round(coalesce(obs.n, 0) / CAST(tot.n_total AS DOUBLE), 6)
+                   AS observed_p,
+               round(log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)), 6) AS expected_p,
+               round((coalesce(obs.n, 0) / CAST(tot.n_total AS DOUBLE)
+                      - log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)))
+                     / sqrt(log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE))
+                            * (1 - log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)))
+                            / CAST(tot.n_total AS DOUBLE)), 6) AS z_score
+        FROM d LEFT JOIN obs ON d.digit = obs.digit CROSS JOIN tot
+    """,
+    tags=("analytics", "validation", "statistics", "agg"),
+    doc="Benford's-law first-digit audit of order totals — the "
+    "fraud/fabrication screen: observed vs log10(1+1/d) expected "
+    "shares with standardized residuals, digits taken from the exact "
+    "cents DECIMAL STRING (no float log10 floor misrounding at powers "
+    "of ten). One 9-row partial-aggregable groupBy; missing digits "
+    "surface via a literal digit frame "
+    "(operators/validate.py:benford_audit).",
+)
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import benford_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_audit(orders, F.round(F.col("o_totalprice") * 100))

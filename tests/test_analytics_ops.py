@@ -1003,3 +1003,85 @@ def test_frequent_episodes_gap_and_order(spark):
 
     with pytest.raises(ValueError, match="length"):
         frequent_episodes(df, "k", "us", "e", "id", length=1)
+
+
+def test_item_cooccurrence_cosine_and_pruning(spark):
+    import math
+
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.recommend import item_cooccurrence_topk
+
+    rows = [  # baskets: {A,B,C}, {A,B}, {A,B}, {B,C}, {A}
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "B"), (3, "B"),  # dup item in basket -> counted once
+        (4, "B"), (4, "C"),
+        (5, "A"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = item_cooccurrence_topk(df, "bk", "it", min_co=2, top_n=10).collect()
+    got = {(r.item_a, r.item_b): r for r in out}
+    # co(A,B)=3, n_A=4, n_B=4 -> 3/4; co(B,C)=2, n_C=2 -> 2/sqrt(8)
+    assert set(got) == {("A", "B"), ("B", "C")}  # co(A,C)=1 pruned by min_co
+    assert got[("A", "B")].co == 3 and got[("A", "B")].n_a == 4
+    assert abs(got[("A", "B")].cosine - 0.75) < 1e-12
+    assert abs(got[("B", "C")].cosine - 2 / math.sqrt(8)) < 1e-12
+    assert out[0].item_a == "A"  # 0.75 > 0.707 -> (A,B) ranks first
+
+    with pytest.raises(ValueError, match="min_co"):
+        item_cooccurrence_topk(df, "bk", "it", min_co=0)
+
+
+def test_acf_alternating_series(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import acf
+
+    n = 8
+    rows = [("s", i, 1 if i % 2 == 0 else -1) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, o long, x long")
+    out = {r.lag: r for r in acf(df, "g", "o", "x", max_lag=3).collect()}
+    # alternating +-1, mean 0: r_k = (-1)^k * (n-k)/n
+    assert out[1].acf == -0.875 and out[2].acf == 0.75 and out[3].acf == -0.625
+    assert out[1].n_obs == n
+
+    # constant series: zero variance -> NULL acf, not a crash
+    const = spark.createDataFrame([("c", i, 5) for i in range(4)], "g string, o long, x long")
+    assert all(r.acf is None for r in acf(const, "g", "o", "x", max_lag=2).collect())
+
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(df, "g", "o", "x", max_lag=0)
+
+
+def test_max_concurrent_intervals_carry_across_buckets(spark):
+    from redpanda_ais_demo_spark.operators.timeseries import max_concurrent_intervals
+
+    D = 86_400_000_000
+    rows = [
+        (0, 10),            # bucket 0
+        (5, 15),            # overlaps -> conc 2 in bucket 0
+        (8, D + 5),         # spans the boundary: carry-in of 1 into bucket 1
+        (D + 1, D + 3),     # bucket 1: with the carried interval -> 2
+        (D + 3, D + 4),     # half-open: starts exactly when prev ends -> still 2
+    ]
+    df = spark.createDataFrame(rows, "st long, en long")
+    out = {r.bucket: r.max_concurrent for r in
+           max_concurrent_intervals(df, "st", "en", bucket_len_us=D).collect()}
+    assert out == {0: 3, 1: 2}  # t=8: three open; bucket 1 peaks at 2
+
+
+def test_benford_audit_digits_and_missing(spark):
+    from redpanda_ais_demo_spark.operators.validate import benford_audit
+    from pyspark.sql import functions as F
+
+    # cents values: leading digits 1,1,2,9; zero/negative rows excluded
+    df = spark.createDataFrame(
+        [(100,), (19999,), (250,), (90,), (0,), (-5,)], "c long"
+    )
+    out = {r.digit: r for r in benford_audit(df, F.col("c")).collect()}
+    assert sorted(out) == list(range(1, 10))  # all nine digits present
+    assert out[1].n == 2 and out[2].n == 1 and out[9].n == 1
+    assert out[3].n == 0 and out[3].z_score < 0  # missing digit is visible
+    assert out[1].n_total == 4
+    assert abs(out[1].expected_p - 0.30103) < 1e-6
