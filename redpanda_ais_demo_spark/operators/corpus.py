@@ -946,3 +946,67 @@ def weighted_sample_topk(
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def log_odds_keyness(
+    toks: DataFrame,
+    token_col: str,
+    flag_col: str,
+    min_count: int = 5,
+    top_n: int = 25,
+) -> DataFrame:
+    """Keyness — which tokens are DISTINCTIVE of one sub-corpus vs the
+    rest ("Fightin' Words", Monroe et al. 2008, the add-0.5 Haldane
+    variant): the corpus-comparison tool behind domain audits ("what
+    does this source talk about that the others don't"). For token w
+    with count y1 in the target corpus (n1 tokens) and y2 elsewhere
+    (n2):
+
+        delta = ln((y1+.5)/(n1-y1+.5)) - ln((y2+.5)/(n2-y2+.5))
+        z     = delta / sqrt(1/(y1+.5) + 1/(n1-y1+.5)
+                             + 1/(y2+.5) + 1/(n2-y2+.5))
+
+    ``flag_col`` is 1 for target-corpus rows, 0 otherwise; tokens with
+    fewer than ``min_count`` total occurrences are pruned before
+    scoring (rare-token z-scores are noise). Top-N by |z| with sign
+    kept, ties by token ascending.
+
+    Determinism: counts are exact BIGINTs; delta/z are one fixed chain
+    of double ops over those integers, rounded 6 dp pre-sort. Scale:
+    ONE vocab-sized partial-aggregable groupBy (conditional sums — no
+    pivot), totals broadcast back from a 1-row aggregate, top-N via
+    TakeOrderedAndProject.
+    """
+    if top_n <= 0 or min_count < 1:
+        raise ValueError("need top_n > 0 and min_count >= 1")
+    y = F.col(flag_col).cast("long")
+    counts = (
+        toks.select(F.col(token_col).alias("token"), y.alias("y"))
+        .groupBy("token")
+        .agg(
+            F.sum("y").alias("y1"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("y2"),
+        )
+        .filter((F.col("y1") + F.col("y2")) >= min_count)
+    )
+    tot = counts.agg(
+        F.sum("y1").alias("n1"), F.sum("y2").alias("n2")
+    )
+    t = counts.crossJoin(F.broadcast(tot))
+    a1 = F.col("y1").cast("double") + F.lit(0.5)
+    b1 = (F.col("n1") - F.col("y1")).cast("double") + F.lit(0.5)
+    a2 = F.col("y2").cast("double") + F.lit(0.5)
+    b2 = (F.col("n2") - F.col("y2")).cast("double") + F.lit(0.5)
+    delta = F.log(a1 / b1) - F.log(a2 / b2)
+    z = delta / F.sqrt(1 / a1 + 1 / b1 + 1 / a2 + 1 / b2)
+    return (
+        t.select(
+            "token",
+            F.col("y1").cast("long").alias("n_target"),
+            F.col("y2").cast("long").alias("n_rest"),
+            F.round(delta, 6).alias("log_odds"),
+            F.round(z, 6).alias("z_score"),
+        )
+        .orderBy(F.abs(F.col("z_score")).desc(), F.col("token").asc())
+        .limit(top_n)
+    )

@@ -226,3 +226,81 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    graph — the quality score that turns "LPA printed labels" into "the
+    partition is (not) better than chance": ``Q = Σ_c [m_c/m −
+    (D_c/2m)²]`` with m = undirected edge count, m_c = edges inside
+    community c, D_c = total degree in c. Q≈0 — no structure; dense
+    communities push toward 1.
+
+    Exactness: everything stays integer — ``Q·4m² = Σ_c (4·m·m_c −
+    D_c²)`` in DECIMAL(38,0) (HUGEINT on the oracle side) — until ONE
+    final division. Edges may arrive directed/duplicated: they
+    canonicalize to a<b distinct pairs first; self-loops drop.
+
+    Scale: canonicalize + distinct is one shuffle; m_c needs two hash
+    joins of the edge list against the label map (each co-located on a
+    node key); degrees are a partial-aggregable explode of endpoints;
+    the per-community table is |communities| rows. Output one row:
+    (n_communities, m_edges, modularity).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("c")
+    )
+    within = (
+        e.join(lab.select(F.col("n").alias("a"), F.col("c").alias("ca")), "a")
+        .join(lab.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(lab, "n")
+        .groupBy("c")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    per_c = (
+        deg.join(within, "c", "left")
+        .withColumn("m_c", F.coalesce("m_c", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+    )
+    # widen BEFORE multiplying: 4·m·m_c in BIGINT overflows near 1e9
+    # edges — the decimal products stay exact to 1e38
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    term = F.lit(4).cast("decimal(38,0)") * dec("m") * dec("m_c") - dec(
+        "d_c"
+    ) * dec("d_c")
+    return per_c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("m").cast("long").alias("m_edges"),
+        F.when(
+            F.max("m") > 0,
+            F.round(
+                F.sum(term).cast("double")
+                / (F.lit(4.0) * F.max("m").cast("double") * F.max("m").cast("double")),
+                6,
+            ),
+        ).alias("modularity"),
+    )

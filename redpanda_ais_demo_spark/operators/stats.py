@@ -640,3 +640,65 @@ def winsorized_mean(
             (F.col("sum_cents_w").cast("double") / F.col("n").cast("double") / 100).alias("winsorized_mean_value"),
         )
     )
+
+
+def gains_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_deciles: int = 10,
+) -> DataFrame:
+    """Gains/lift table — the campaign-targeting readout of a binary
+    scorer ("mail the top decile, capture X% of responders"): rows rank
+    by score DESCENDING into ``n_deciles`` equal-count bins (ntile);
+    per bin: exact counts, response rate, lift vs the base rate, and
+    the cumulative capture share of all positives.
+
+    Determinism: ntile over (score DESC, tiebreak ASC) cuts ties
+    identically on both engines; counts are exact BIGINTs; every rate
+    is one division of integers (6 dp). The ranking is the one global-
+    sort-shaped stage — at 100 TB replace ntile with quantile
+    boundaries from approx_percentile and a broadcast bin lookup (the
+    documented scale path; the exact ntile is the oracle-checkable
+    small-scale form and the two agree wherever boundaries are exact).
+
+    Output: one row per decile 1..n_deciles.
+    """
+    if n_deciles < 2:
+        raise ValueError(f"n_deciles must be >= 2, got {n_deciles}")
+    w = Window.orderBy(F.col("s").desc(), F.col("tb").asc())
+    t = (
+        df.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+            F.col(tiebreak_col).alias("tb"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .withColumn("decile", F.ntile(n_deciles).over(w))
+    )
+    per = t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_total"), F.sum("n_pos").alias("pos_total")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    g = per.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_pos", F.sum("n_pos").over(wcum)
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base = F.col("pos_total").cast("double") / F.col("n_total").cast("double")
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(rate, 6).alias("response_rate"),
+        F.when(F.col("pos_total") > 0, F.round(rate / base, 6)).alias("lift"),
+        F.when(
+            F.col("pos_total") > 0,
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("pos_total").cast("double"), 6
+            ),
+        ).alias("cum_capture"),
+    )

@@ -1240,3 +1240,63 @@ def max_concurrent_intervals(
         .agg(F.max("conc").cast("long").alias("max_concurrent"))
         .select(F.col("bucket").cast("long").alias("bucket"), "max_concurrent")
     )
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Forecast-baseline evaluation per group — MASE (Hyndman &
+    Koehler 2006) of the seasonal-naive forecast ``x̂_t = x_{t−period}``
+    scaled by the one-step naive ``x̂_t = x_{t−1}``, over each group's
+    integer series ordered by ``order_col``:
+
+        MASE = mean|x_t − x_{t−period}| / mean|x_t − x_{t−1}|
+
+    < 1 means the seasonal cycle is real (it out-forecasts persistence);
+    values must be exact integers (cents/counts). Output: (group,
+    n_seasonal, n_naive, mae_naive, mae_seasonal, mase).
+
+    Exactness: both error sums are exact BIGINT Σ|Δ| with exact term
+    counts; each reported mean is one integer division; the MASE cross-
+    ratio multiplies the integer sums BEFORE dividing (no mean-of-means
+    float drift). Plan: two bounded lags on ONE per-group window, one
+    partial-aggregable groupBy — the CUSUM/EWMA shape.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    w = Window.partitionBy("g").orderBy("o")
+    t = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .withColumn("x1", F.lag("x", 1).over(w))
+        .withColumn("xp", F.lag("x", period).over(w))
+    )
+    agg = t.groupBy("g").agg(
+        F.count("xp").cast("long").alias("n_seasonal"),
+        F.count("x1").cast("long").alias("n_naive"),
+        F.sum(F.abs(F.col("x") - F.col("x1"))).alias("se_naive"),
+        F.sum(F.abs(F.col("x") - F.col("xp"))).alias("se_seasonal"),
+    )
+    ok = (F.col("n_seasonal") > 0) & (F.col("n_naive") > 0) & (F.col("se_naive") > 0)
+    mase = (F.col("se_seasonal") * F.col("n_naive")).cast("double") / (
+        F.col("se_naive") * F.col("n_seasonal")
+    ).cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_seasonal",
+        "n_naive",
+        F.round(F.col("se_naive").cast("double") / F.col("n_naive").cast("double"), 6).alias(
+            "mae_naive"
+        ),
+        F.round(
+            F.col("se_seasonal").cast("double") / F.col("n_seasonal").cast("double"), 6
+        ).alias("mae_seasonal"),
+        F.when(ok, F.round(mase, 6)).alias("mase"),
+    )

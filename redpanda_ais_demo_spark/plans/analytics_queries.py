@@ -2557,3 +2557,190 @@ def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return benford_audit(orders, F.round(F.col("o_totalprice") * 100))
+
+
+def _lpa_modularity_oracle(iters: int = 4) -> str:
+    """Modularity of the unrolled-LPA partition — the LPA oracle nests
+    as a derived table (the recursive-CTE wrapping idiom), then the
+    exact-HUGEINT modularity fold runs on top."""
+    lpa = _lpa_oracle(iters)
+    return f"""
+        WITH labels AS (SELECT * FROM ({lpa}) lpa_t),
+        pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        e AS (
+            SELECT DISTINCT least(c, 1000000 + s) AS a,
+                            greatest(c, 1000000 + s) AS b
+            FROM pairs
+        ),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        win AS (
+            SELECT la.label AS cm, CAST(count(*) AS BIGINT) AS m_c
+            FROM e
+            JOIN labels la ON e.a = la.node
+            JOIN labels lb ON e.b = lb.node
+            WHERE la.label = lb.label
+            GROUP BY 1
+        ),
+        deg AS (
+            SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+            GROUP BY n
+        ),
+        dc AS (
+            SELECT labels.label AS cm, CAST(SUM(d) AS BIGINT) AS d_c
+            FROM deg JOIN labels ON deg.n = labels.node
+            GROUP BY 1
+        ),
+        per AS (
+            SELECT dc.cm, CAST(coalesce(win.m_c, 0) AS BIGINT) AS m_c, dc.d_c
+            FROM dc LEFT JOIN win ON dc.cm = win.cm
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(max(m.m) AS BIGINT) AS m_edges,
+               CASE WHEN max(m.m) > 0 THEN
+                   round(CAST(SUM(CAST(4 AS HUGEINT) * m.m * m_c
+                                  - CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
+                         / (4.0 * max(m.m) * max(m.m)), 6)
+               END AS modularity
+        FROM per CROSS JOIN m
+    """
+
+
+@query(
+    "modularity_lpa_communities",
+    oracle=_lpa_modularity_oracle(4),
+    tags=("graph", "statistics", "iterative", "community"),
+    doc="Newman modularity of the LPA partition over the customer<->"
+    "supplier graph — turns 'LPA printed labels' into a quality score "
+    "(Q approx 0 = no better than chance). Exact to the end: Q*4m**2 "
+    "accumulates in DECIMAL(38,0)/HUGEINT, ONE final division; the "
+    "corpus-sized passes are the canonical edge distinct, two "
+    "co-located label joins, and a partial-aggregable endpoint-degree "
+    "fold (operators/graph.py:modularity).",
+)
+def modularity_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation, modularity
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.lit(1000000) + F.col("s")).alias("dst")
+    )
+    labels = label_propagation(edges, iters=4)
+    return modularity(edges, labels)
+
+
+@query(
+    "mase_daily_value_by_type",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS o,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagd AS (
+            SELECT g, x, lag(x, 1) OVER w AS x1, lag(x, 7) OVER w AS xp
+            FROM daily WINDOW w AS (PARTITION BY g ORDER BY o)
+        )
+        SELECT g AS event_type,
+               CAST(count(xp) AS BIGINT) AS n_seasonal,
+               CAST(count(x1) AS BIGINT) AS n_naive,
+               round(CAST(SUM(abs(x - x1)) AS DOUBLE)
+                     / CAST(count(x1) AS DOUBLE), 6) AS mae_naive,
+               round(CAST(SUM(abs(x - xp)) AS DOUBLE)
+                     / CAST(count(xp) AS DOUBLE), 6) AS mae_seasonal,
+               CASE WHEN count(xp) > 0 AND count(x1) > 0 AND SUM(abs(x - x1)) > 0
+                    THEN round(CAST(SUM(abs(x - xp)) * count(x1) AS DOUBLE)
+                               / CAST(SUM(abs(x - x1)) * count(xp) AS DOUBLE), 6)
+               END AS mase
+        FROM lagd GROUP BY g
+    """,
+    tags=("analytics", "timeseries", "eval", "window"),
+    doc="MASE of the 7-day seasonal-naive forecast per event type "
+    "(Hyndman-Koehler): is the weekly cycle real, i.e. does x[t-7] "
+    "out-forecast yesterday? Exact BIGINT error sums, integer cross-"
+    "ratio multiplied BEFORE the one division; two bounded lags on ONE "
+    "per-type window (operators/timeseries.py:seasonal_naive_mase).",
+)
+def mase_daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import seasonal_naive_mase
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    return seasonal_naive_mase(daily, "event_type", "day", "cents", period=7)
+
+
+@query(
+    "gains_lift_length_vs_en",
+    oracle="""
+        WITH d AS (
+            SELECT n_chars AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   doc_id AS tb
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        t AS (
+            SELECT y, ntile(10) OVER (ORDER BY s DESC, tb ASC) AS decile
+            FROM d
+        ),
+        per AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM t GROUP BY decile
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(SUM(n_pos) AS BIGINT) AS pos_total
+            FROM per
+        ),
+        g AS (
+            SELECT per.*, CAST(SUM(n_pos) OVER (ORDER BY decile
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+            FROM per
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+               round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS response_rate,
+               CASE WHEN pos_total > 0 THEN
+                   round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(pos_total AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+               END AS lift,
+               CASE WHEN pos_total > 0 THEN
+                   round(CAST(cum_pos AS DOUBLE) / CAST(pos_total AS DOUBLE), 6)
+               END AS cum_capture
+        FROM g CROSS JOIN tot
+    """,
+    tags=("analytics", "eval", "statistics", "window"),
+    doc="Gains/lift decile table of document length as a predictor of "
+    "lang='en' — the campaign-targeting readout next to the AUC "
+    "(same score/label pairing as auc_quality_vs_lang): response rate, "
+    "lift vs base, cumulative positive capture per score decile. "
+    "Deterministic ntile over (score DESC, doc_id); exact counts, one "
+    "division per rate. The exact ntile is the oracle-checkable form; "
+    "at 100 TB the documented swap is approx-quantile boundaries + a "
+    "broadcast bin lookup (operators/stats.py:gains_lift).",
+)
+def gains_lift_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import gains_lift
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.col("doc_id").alias("tb"),
+    )
+    return gains_lift(d, "s", "y", "tb", n_deciles=10)

@@ -2801,3 +2801,52 @@ def hard_negative_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     ensure_shipped(spark)  # block kernel runs package code on workers
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negative_topk(emb, k=5)
+
+
+@query(
+    "keyness_tokens_en",
+    oracle="""
+        WITH tok AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   unnest(str_split(text, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(SUM(y) AS BIGINT) AS y1,
+                   CAST(count(*) - SUM(y) AS BIGINT) AS y2
+            FROM tok GROUP BY token HAVING count(*) >= 5
+        ),
+        tot AS (
+            SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2
+            FROM counts
+        )
+        SELECT token, y1 AS n_target, y2 AS n_rest,
+               round(ln((y1 + 0.5) / (n1 - y1 + 0.5))
+                     - ln((y2 + 0.5) / (n2 - y2 + 0.5)), 6) AS log_odds,
+               round((ln((y1 + 0.5) / (n1 - y1 + 0.5))
+                      - ln((y2 + 0.5) / (n2 - y2 + 0.5)))
+                     / sqrt(1 / (y1 + 0.5) + 1 / (n1 - y1 + 0.5)
+                            + 1 / (y2 + 0.5) + 1 / (n2 - y2 + 0.5)), 6) AS z_score
+        FROM counts CROSS JOIN tot
+        ORDER BY abs(z_score) DESC, token ASC
+        LIMIT 25
+    """,
+    tags=("text", "statistics", "agg", "scale-path"),
+    doc="Keyness: top-25 tokens most DISTINCTIVE of English vs the rest "
+    "of the corpus by weighted log-odds z-score ('Fightin' Words', "
+    "Monroe et al. 2008, add-0.5 variant) — the corpus-comparison tool "
+    "behind source/domain audits. ONE vocab-sized partial-aggregable "
+    "groupBy with conditional sums (no pivot), totals broadcast back "
+    "from a 1-row aggregate, TakeOrderedAndProject cut "
+    "(operators/corpus.py:log_odds_keyness).",
+)
+def keyness_tokens_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT2
+    from ..operators.corpus import log_odds_keyness
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.explode(TXT2.tokens(F.col("text"))).alias("token"),
+    )
+    return log_odds_keyness(toks, "token", "y", min_count=5, top_n=25)

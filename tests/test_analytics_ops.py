@@ -1085,3 +1085,82 @@ def test_benford_audit_digits_and_missing(spark):
     assert out[3].n == 0 and out[3].z_score < 0  # missing digit is visible
     assert out[1].n_total == 4
     assert abs(out[1].expected_p - 0.30103) < 1e-6
+
+
+def test_log_odds_keyness_sign_and_pruning(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.corpus import log_odds_keyness
+
+    rows = (
+        [(1, "cat")] * 8 + [(1, "the")] * 10          # target corpus
+        + [(0, "dog")] * 8 + [(0, "the")] * 10        # rest
+        + [(1, "rare")]                                # below min_count
+    )
+    df = spark.createDataFrame(rows, "y long, token string")
+    out = {r.token: r for r in
+           log_odds_keyness(df, "token", "y", min_count=3, top_n=10).collect()}
+    assert "rare" not in out
+    assert out["cat"].z_score > 0 and out["dog"].z_score < 0  # signs point home
+    assert abs(out["cat"].z_score + out["dog"].z_score) < 1e-6  # symmetric setup
+    # hand-check cat: y1=8,y2=0, n1=18,n2=18
+    d = math.log(8.5 / 10.5) - math.log(0.5 / 18.5)
+    z = d / math.sqrt(1 / 8.5 + 1 / 10.5 + 1 / 0.5 + 1 / 18.5)
+    assert abs(out["cat"].log_odds - round(d, 6)) < 1e-9
+    assert abs(out["cat"].z_score - round(z, 6)) < 1e-9
+    # balanced token scores ~0 and ranks last of the three
+    assert abs(out["the"].z_score) < 1e-6
+
+
+def test_modularity_two_cliques(spark):
+    from redpanda_ais_demo_spark.operators.graph import modularity
+
+    # two triangles joined by one bridge; perfect 2-community split
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (2, 1)],
+        "src long, dst long",
+    )  # (2,1) duplicates (1,2) -> canonicalized away
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)], "node long, label long"
+    )
+    r = modularity(edges, labels).collect()[0]
+    # m=7, m_c=3 each, D_1=D_2=7: Q = 2*(3/7 - (7/14)^2) = 5/14
+    assert r.m_edges == 7 and r.n_communities == 2
+    assert abs(r.modularity - round(5 / 14, 6)) < 1e-9
+
+    # everything in ONE community: Q = m/m - (2m/2m)^2 = 0
+    one = labels.select("node", (F.lit(9)).alias("label"))
+    assert modularity(edges, one).collect()[0].modularity == 0.0
+
+
+def test_seasonal_naive_mase_periodic_series(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import seasonal_naive_mase
+
+    # period-2 series 10,20,10,20,... -> seasonal (lag-2) error 0, naive error 10
+    rows = [("s", i, 10 if i % 2 == 0 else 20) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, o long, x long")
+    r = seasonal_naive_mase(df, "g", "o", "x", period=2).collect()[0]
+    assert r.n_naive == 7 and r.n_seasonal == 6
+    assert r.mae_naive == 10.0 and r.mae_seasonal == 0.0 and r.mase == 0.0
+
+    # constant series: naive MAE 0 -> MASE undefined (NULL), not a crash
+    const = spark.createDataFrame([("c", i, 5) for i in range(6)], "g string, o long, x long")
+    assert seasonal_naive_mase(const, "g", "o", "x", period=2).collect()[0].mase is None
+
+    with pytest.raises(ValueError, match="period"):
+        seasonal_naive_mase(df, "g", "o", "x", period=1)
+
+
+def test_gains_lift_separable_scores(spark):
+    from redpanda_ais_demo_spark.operators.stats import gains_lift
+
+    # 20 rows, scores 20..1; positives = the top 4 scores exactly
+    rows = [(20 - i, 1 if i < 4 else 0, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "s long, y long, tb long")
+    out = {r.decile: r for r in gains_lift(df, "s", "y", "tb", n_deciles=5).collect()}
+    assert [out[d].n for d in range(1, 6)] == [4] * 5
+    assert out[1].n_pos == 4 and out[2].n_pos == 0
+    assert out[1].response_rate == 1.0 and out[1].lift == 5.0  # base rate 0.2
+    assert out[1].cum_capture == 1.0 and out[5].cum_capture == 1.0
