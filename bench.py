@@ -217,6 +217,20 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "lpa_communities_customer_supplier",
     "cell_density_hotspots",
     "track_compact_fixes",
+    # r8f batch: WINEPI episode mining (bounded-lag window), item-item
+    # co-occurrence CF (basket self-join), ACF (one window + posexplode
+    # fan-out), distributed sweep-line concurrency, Benford audit
+    # (9-row agg), keyness (one vocab shuffle), LPA modularity (exact
+    # HUGEINT fold over the partition), seasonal-naive MASE, gains/lift.
+    "frequent_episodes_events",
+    "item_cooccurrence_parts",
+    "acf_daily_value_by_type",
+    "max_concurrent_sessions",
+    "benford_order_totals",
+    "keyness_tokens_en",
+    "modularity_lpa_communities",
+    "mase_daily_value_by_type",
+    "gains_lift_length_vs_en",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

@@ -588,3 +588,62 @@ def test_hard_negative_matches_cosine_topk_shape(spark):
     plan = _physical_plan(spark, "hard_negative_topk_embeddings")
     assert "CartesianProduct" not in plan
     assert "FlatMapCoGroupsInPandas" in plan  # block-sharded kernel, not a pair join
+
+
+def test_item_cooccurrence_takes_ordered_no_cartesian(spark):
+    """Pair generation must ride the basket-key equi-join (bounded by
+    basket size), and the final cut must be a TakeOrderedAndProject —
+    a cartesian pair space or a global sort kills it at 100 TB."""
+    plan = _physical_plan(spark, "item_cooccurrence_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # pair counts stay partial+final
+
+
+def test_acf_windows_once_per_type_not_per_lag(spark):
+    """The lag columns must ride ONE per-group window (posexplode fans
+    the numerator terms) — a per-lag union would replay the scan and
+    the window max_lag times."""
+    plan = _physical_plan(spark, "acf_daily_value_by_type")
+    assert plan.count("Window") <= 2  # tree+detail sections of ONE window node
+    assert "Generate" in plan  # the posexplode fan-out
+    assert "SinglePartition" not in plan or "broadcast" in plan.lower()
+    assert "partitionSpec=[]" not in plan.replace(" ", "")
+
+
+def test_sweep_line_local_prefix_is_bucket_partitioned(spark):
+    """The running concurrency sum must be the per-bucket LOCAL window
+    plus a broadcast carry-in — the only single-partition window allowed
+    is the one over per-bucket TOTALS (a days-sized table)."""
+    plan = _physical_plan(spark, "max_concurrent_sessions")
+    assert "BroadcastHashJoin" in plan  # carry-in joins back as a broadcast
+    # the event-sized windows (sessionize, local prefix) stay partitioned
+    s = plan.replace(" ", "")
+    assert s.count("partitionSpec=[]") <= 2  # tree+detail of the tiny carry window
+
+
+def test_benford_is_one_nine_row_aggregate(spark):
+    """The corpus pass must be ONE partial-aggregable groupBy to 9 rows;
+    the digit frame and total join back as broadcasts."""
+    plan = _physical_plan(spark, "benford_order_totals")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing here is big enough to SMJ
+
+
+def test_keyness_single_vocab_shuffle_take_ordered(spark):
+    """Keyness must groupBy the token ONCE (conditional sums, no pivot)
+    and cut with TakeOrderedAndProject."""
+    plan = _physical_plan(spark, "keyness_tokens_en")
+    assert "TakeOrderedAndProject" in plan
+    assert "PivotFirst" not in plan
+    # token counts + 1-row totals: two aggregates, each partial+final
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_mase_is_single_partitioned_window(spark):
+    """Both lags ride one per-type window; no join, no global sort."""
+    plan = _physical_plan(spark, "mase_daily_value_by_type")
+    assert "Join" not in plan
+    assert "partitionSpec=[]" not in plan.replace(" ", "")
