@@ -231,6 +231,13 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "modularity_lpa_communities",
     "mase_daily_value_by_type",
     "gains_lift_length_vs_en",
+    # r8g batch: sliced AUC (partitioned rank windows), Fano burstiness,
+    # closed-form OLS (one aggregate), shingle containment (inverted-
+    # index join).
+    "auc_by_source_length_vs_en",
+    "fano_daily_events_by_type",
+    "ols_value_on_hour_dow",
+    "containment_pairs_docs",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

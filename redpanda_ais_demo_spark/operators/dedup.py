@@ -759,3 +759,39 @@ def fuzzy_name_pairs(
             F.col("distance").cast("int").alias("distance"),
         )
     )
+
+
+def containment_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT — the subset-
+    document detector Jaccard structurally misses: a short doc pasted
+    inside a long one has J = |A|/|B| (tiny) but containment
+    ``C = common / min(|A|, |B|)`` ≈ 1. This is the quote/boilerplate/
+    excerpt screen of a dedup cascade (run after exact + Jaccard; keep
+    the superset doc, or strip the contained span).
+
+    Same inverted-index self-join as ``jaccard_pairs`` (shuffle on the
+    hashed shingle, pair counts partial-aggregable, sizes joined back
+    on the id keys); the score is ONE int/int division — bit-identical
+    cross-engine. Returns (id_a, id_b, common, size_a, size_b,
+    containment) with id_a < id_b and containment >= threshold.
+    """
+    hashed = shingles.select("id", F.xxhash64("shingle").alias("sh"))
+    sizes = hashed.groupBy("id").agg(F.count("*").alias("sz"))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment", F.col("common") / F.least("size_a", "size_b")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "containment")
+    )

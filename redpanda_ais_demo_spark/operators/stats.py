@@ -702,3 +702,157 @@ def gains_lift(
             ),
         ).alias("cum_capture"),
     )
+
+
+def roc_auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Sliced ROC AUC — ``roc_auc`` per group, the model-eval slice
+    analysis every responsible eval runs after the headline number
+    ("the scorer is 0.8 overall but 0.5 on src13"): same exact
+    Mann-Whitney mid-rank formulation, all integer until one division
+    per group.
+
+    Scale plan: the corpus pass is ONE partial-aggregable
+    groupBy(group, score); the rank window partitions BY GROUP over
+    distinct scores (parallel across slices, never a global sort);
+    the final fold is one groupBy(group). Degenerate slices (single
+    class) yield NULL auc.
+
+    Output: (group, n_pos, n_neg, auc).
+    """
+    y = F.col(label_col).cast("long")
+    counts = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(F.col(group_col).alias("g"), F.col(score_col).alias("s"), y.alias("y"))
+        .groupBy("g", "s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    )
+    w = Window.partitionBy("g").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.withColumn("cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    agg = ranked.groupBy("g").agg(
+        F.sum("n_pos").alias("p"),
+        (F.sum("n") - F.sum("n_pos")).alias("q"),
+        F.sum(F.col("n_pos") * (2 * F.col("cum_less") + F.col("n") + 1)).alias("two_mid"),
+    )
+    numer = F.col("two_mid") - F.col("p") * (F.col("p") + 1)
+    denom = 2 * F.col("p") * F.col("q")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        F.when(denom > 0, numer.cast("double") / denom.cast("double")).alias("auc"),
+    )
+
+
+def fano_factor(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-bucket counts — the
+    burstiness screen of an arrival process: F = Var(c)/Mean(c) with
+    population variance. F ≈ 1 is Poisson (memoryless arrivals);
+    F >> 1 is bursty/clumped; F < 1 is regular/underdispersed.
+
+    Exactness: ``F = (n·Σc² − S²) / (n·S)`` — numerator and
+    denominator stay DECIMAL(38,0)/HUGEINT (n·Σc² brushes BIGINT range
+    at large n), ONE division, 6 dp. One partial-aggregable groupBy;
+    output one row per group. Empty/zero-sum groups yield NULL.
+    """
+    t = df.select(
+        F.col(group_col).alias("g"), F.col(count_col).cast("long").alias("c")
+    )
+    agg = t.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    num = d("n") * d("scc") - d("s") * d("s")
+    den = d("n") * d("s")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias("mean_count"),
+        F.when(
+            F.col("s") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("fano"),
+    )
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant with a FIXED expansion order (first-row cofactors)
+    — the oracle spells the same polynomial so the exact integers agree."""
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def ols_two_features(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    u_col: str,
+    v_col: str,
+) -> DataFrame:
+    """Per-group two-feature OLS with intercept, solved in CLOSED FORM —
+    "model fitting is just a groupBy": β = (X'X)⁻¹X'y for X = [1, u, v]
+    via Cramer's rule on the normal equations, so the whole fit is ONE
+    partial-aggregable pass accumulating nine integer sums and a few
+    fixed-order polynomial evaluations. No ML runtime, no iteration,
+    no driver-side solve — the coefficients fall out of the aggregate.
+
+    Inputs must be exact integers (cents / small-int features). The
+    determinant polynomials are degree-3 products of the sums, formed
+    in DECIMAL(38,0) (HUGEINT oracle-side) with a pinned cofactor
+    expansion; each β is ONE exact-integer division rounded 6 dp.
+    Magnitude ceiling: |sums|³ must stay under 1e38 — holds for
+    cent-scale targets with small-integer features up to ~1e9 rows per
+    group; wider regimes should center/rescale features first (the
+    documented contract). Singular groups (collinear features,
+    det = 0) yield NULL coefficients rather than a crash.
+
+    Output: (group, n, b0, b1, b2) for y ≈ b0 + b1·u + b2·v.
+    """
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(u_col).cast("long").alias("u"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    agg = t.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("y")).alias("suy"),
+        F.sum(F.col("v") * F.col("y")).alias("svy"),
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    det = _det3(d("n"), d("su"), d("sv"),
+                d("su"), d("suu"), d("suv"),
+                d("sv"), d("suv"), d("svv"))
+    det0 = _det3(d("sy"), d("su"), d("sv"),
+                 d("suy"), d("suu"), d("suv"),
+                 d("svy"), d("suv"), d("svv"))
+    det1 = _det3(d("n"), d("sy"), d("sv"),
+                 d("su"), d("suy"), d("suv"),
+                 d("sv"), d("svy"), d("svv"))
+    det2 = _det3(d("n"), d("su"), d("sy"),
+                 d("su"), d("suu"), d("suy"),
+                 d("sv"), d("suv"), d("svy"))
+    ok = det != 0
+    beta = lambda dd: F.when(ok, F.round(dd.cast("double") / det.cast("double"), 6))  # noqa: E731
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        beta(det0).alias("b0"),
+        beta(det1).alias("b1"),
+        beta(det2).alias("b2"),
+    )

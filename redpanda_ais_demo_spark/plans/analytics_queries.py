@@ -2744,3 +2744,152 @@ def gains_lift_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("tb"),
     )
     return gains_lift(d, "s", "y", "tb", n_deciles=10)
+
+
+@query(
+    "auc_by_source_length_vs_en",
+    oracle="""
+        WITH d AS (
+            SELECT source AS g, n_chars AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        c AS (SELECT g, s, count(*) AS n, sum(y) AS n_pos FROM d GROUP BY g, s),
+        r AS (
+            SELECT g, n, n_pos,
+                   coalesce(sum(n) OVER (PARTITION BY g ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_less
+            FROM c
+        )
+        SELECT g AS source,
+               CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
+               CASE WHEN sum(n_pos) > 0 AND sum(n) - sum(n_pos) > 0 THEN
+                    CAST(sum(n_pos * (2 * cum_less + n + 1))
+                         - sum(n_pos) * (sum(n_pos) + 1) AS DOUBLE)
+                    / CAST(2 * sum(n_pos) * (sum(n) - sum(n_pos)) AS DOUBLE)
+               END AS auc
+        FROM r GROUP BY g
+    """,
+    tags=("analytics", "stats", "eval", "window"),
+    doc="Sliced ROC AUC — the length-predicts-English scorer evaluated "
+    "PER SOURCE (the slice analysis after auc_quality_vs_lang's "
+    "headline number): same exact Mann-Whitney mid-rank integers, rank "
+    "window partitioned by slice over distinct scores, one division "
+    "per slice (operators/stats.py:roc_auc_by_group).",
+)
+def auc_by_source_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import roc_auc_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        "source",
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return roc_auc_by_group(d, "source", "s", "y")
+
+
+@query(
+    "fano_daily_events_by_type",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS o,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS scc
+            FROM daily GROUP BY g
+        )
+        SELECT g AS event_type, n AS n_buckets,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_count,
+               CASE WHEN s > 0 THEN
+                   round(CAST(CAST(n AS HUGEINT) * scc
+                              - CAST(s AS HUGEINT) * s AS DOUBLE)
+                         / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6)
+               END AS fano
+        FROM agg
+    """,
+    tags=("analytics", "timeseries", "statistics", "agg"),
+    doc="Index of dispersion (Fano factor) of daily arrival counts per "
+    "event type — the burstiness screen (~1 Poisson, >>1 clumped): "
+    "(n*Sum(c^2) - S^2)/(n*S) in exact DECIMAL(38,0)/HUGEINT, one "
+    "division. Two cascaded partial-aggregable groupBys "
+    "(operators/stats.py:fano_factor).",
+)
+def fano_daily_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import fano_factor
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return fano_factor(daily, "event_type", "c")
+
+
+@query(
+    "ols_value_on_hour_dow",
+    oracle="""
+        WITH t AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100) AS BIGINT) AS y,
+                   CAST(hour(ts) AS BIGINT) AS u,
+                   CAST(isodow(ts) - 1 AS BIGINT) AS v
+            FROM events
+        ),
+        a AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(u * u) AS BIGINT) AS suu,
+                   CAST(SUM(u * v) AS BIGINT) AS suv,
+                   CAST(SUM(v * v) AS BIGINT) AS svv,
+                   CAST(SUM(u * y) AS BIGINT) AS suy,
+                   CAST(SUM(v * y) AS BIGINT) AS svy
+            FROM t GROUP BY g
+        ),
+        dets AS (
+            SELECT g, n,
+                   CAST(n AS HUGEINT) * (suu * CAST(svv AS HUGEINT) - suv * CAST(suv AS HUGEINT))
+                   - CAST(su AS HUGEINT) * (su * CAST(svv AS HUGEINT) - suv * CAST(sv AS HUGEINT))
+                   + CAST(sv AS HUGEINT) * (su * CAST(suv AS HUGEINT) - suu * CAST(sv AS HUGEINT)) AS det,
+                   CAST(sy AS HUGEINT) * (suu * CAST(svv AS HUGEINT) - suv * CAST(suv AS HUGEINT))
+                   - CAST(su AS HUGEINT) * (suy * CAST(svv AS HUGEINT) - suv * CAST(svy AS HUGEINT))
+                   + CAST(sv AS HUGEINT) * (suy * CAST(suv AS HUGEINT) - suu * CAST(svy AS HUGEINT)) AS det0,
+                   CAST(n AS HUGEINT) * (suy * CAST(svv AS HUGEINT) - suv * CAST(svy AS HUGEINT))
+                   - CAST(sy AS HUGEINT) * (su * CAST(svv AS HUGEINT) - suv * CAST(sv AS HUGEINT))
+                   + CAST(sv AS HUGEINT) * (su * CAST(svy AS HUGEINT) - suy * CAST(sv AS HUGEINT)) AS det1,
+                   CAST(n AS HUGEINT) * (suu * CAST(svy AS HUGEINT) - suy * CAST(suv AS HUGEINT))
+                   - CAST(su AS HUGEINT) * (su * CAST(svy AS HUGEINT) - suy * CAST(sv AS HUGEINT))
+                   + CAST(sy AS HUGEINT) * (su * CAST(suv AS HUGEINT) - suu * CAST(sv AS HUGEINT)) AS det2
+            FROM a
+        )
+        SELECT g AS event_type, n,
+               CASE WHEN det <> 0 THEN round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS b0,
+               CASE WHEN det <> 0 THEN round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS b1,
+               CASE WHEN det <> 0 THEN round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) END AS b2
+        FROM dets
+    """,
+    tags=("analytics", "stats", "ml", "agg", "scale-path"),
+    doc="Two-feature OLS with intercept per event type (value cents on "
+    "hour-of-day and Monday-based weekday), solved in CLOSED FORM via "
+    "Cramer's rule on the normal equations — model fitting as ONE "
+    "partial-aggregable pass over nine integer sums; determinants are "
+    "pinned-order DECIMAL(38,0)/HUGEINT polynomials, one division per "
+    "coefficient (operators/stats.py:ols_two_features).",
+)
+def ols_value_on_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ols_two_features
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.hour("ts").cast("long").alias("u"),
+        F.weekday("ts").cast("long").alias("v"),
+    )
+    return ols_two_features(t, "event_type", "y", "u", "v")

@@ -2850,3 +2850,40 @@ def keyness_tokens_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TXT2.tokens(F.col("text"))).alias("token"),
     )
     return log_odds_keyness(toks, "token", "y", min_count=5, top_n=25)
+
+
+@query(
+    "containment_pairs_docs",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM toks WHERE len(w) >= 3
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+               common / least(sa.sz, sb.sz) AS containment
+        FROM common
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE common / least(sa.sz, sb.sz) >= 0.8
+    """,
+    tags=("dedup", "join", "text"),
+    doc="X2 asymmetric — near-dup pairs by shingle CONTAINMENT "
+    "common/min(|A|,|B|), the subset-document detector Jaccard misses "
+    "(a short doc pasted inside a long one scores ~1 here, ~|A|/|B| "
+    "there). Same inverted-index self-join + size join-back as the "
+    "Jaccard verifier; the excerpt/quote screen of the dedup cascade "
+    "(operators/dedup.py:containment_pairs).",
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, "doc_id", "text", k=3)
+    return dedup.containment_pairs(sh, 0.8)

@@ -1164,3 +1164,61 @@ def test_gains_lift_separable_scores(spark):
     assert out[1].n_pos == 4 and out[2].n_pos == 0
     assert out[1].response_rate == 1.0 and out[1].lift == 5.0  # base rate 0.2
     assert out[1].cum_capture == 1.0 and out[5].cum_capture == 1.0
+
+
+def test_roc_auc_by_group_slices(spark):
+    from redpanda_ais_demo_spark.operators.stats import roc_auc_by_group
+
+    rows = (
+        # slice A: perfectly separable -> auc 1.0
+        [("A", s, 1 if s >= 10 else 0) for s in range(20)]
+        # slice B: score independent of label -> auc 0.5 (paired ties)
+        + [("B", s % 5, s % 2) for s in range(20)]
+        # slice C: all positive -> degenerate, NULL
+        + [("C", s, 1) for s in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    out = {r.g: r for r in roc_auc_by_group(df, "g", "s", "y").collect()}
+    assert out["A"].auc == 1.0 and out["A"].n_pos == 10
+    assert out["B"].auc == 0.5
+    assert out["C"].auc is None and out["C"].n_neg == 0
+
+
+def test_fano_factor_regular_vs_bursty(spark):
+    from redpanda_ais_demo_spark.operators.stats import fano_factor
+
+    rows = (
+        [("const", i, 7) for i in range(10)]          # zero variance -> 0
+        + [("bursty", 0, 100)] + [("bursty", i, 0) for i in range(1, 10)]
+    )
+    df = spark.createDataFrame(rows, "g string, o long, c long")
+    out = {r.g: r for r in fano_factor(df, "g", "c").collect()}
+    assert out["const"].fano == 0.0 and out["const"].mean_count == 7.0
+    # bursty: n=10, S=100, Scc=10000 -> (10*10000-10000)/(10*100) = 90
+    assert out["bursty"].fano == 90.0
+
+
+def test_ols_two_features_recovers_plane(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators.stats import ols_two_features
+
+    rng = [(u, v) for u in range(6) for v in range(5)]
+    # exact plane y = 40 + 3u - 2v plus a deterministic pseudo-residual
+    rows = [("p", 40 + 3 * u - 2 * v + ((u * 7 + v * 3) % 5 - 2), u, v)
+            for u, v in rng]
+    df = spark.createDataFrame(rows, "g string, y long, u long, v long")
+    r = ols_two_features(df, "g", "y", "u", "v").collect()[0]
+    X = np.array([[1, u, v] for u, v in rng], dtype=float)
+    yv = np.array([row[1] for row in rows], dtype=float)
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    assert abs(r.b0 - beta[0]) < 1e-4
+    assert abs(r.b1 - beta[1]) < 1e-4
+    assert abs(r.b2 - beta[2]) < 1e-4
+
+    # collinear features -> singular system -> NULLs, no crash
+    sing = spark.createDataFrame(
+        [("s", 10 + 2 * u, u, 2 * u) for u in range(8)], "g string, y long, u long, v long"
+    )
+    rs = ols_two_features(sing, "g", "y", "u", "v").collect()[0]
+    assert rs.b0 is None and rs.b1 is None and rs.b2 is None

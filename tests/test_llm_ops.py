@@ -1311,3 +1311,23 @@ def test_hard_negative_topk_skips_same_group(spark):
     # v4/v5 exclude each other (NULL == NULL): best differing-group is a/b vec
     assert top[4] in (1, 2, 3) and top[5] in (1, 2, 3)
     assert all(r.rank == 1 for r in out)
+
+
+def test_containment_catches_subset_docs(spark):
+    from redpanda_ais_demo_spark.operators import dedup
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "gamma delta epsilon zeta eta"          # contained span of big
+    other = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string"
+    )
+    sh = dedup.doc_shingles(docs, "doc_id", "text", k=3)
+    pairs = {(r.id_a, r.id_b): r for r in
+             dedup.containment_pairs(sh, 0.8).collect()}
+    assert (1, 2) in pairs                      # containment = 3/3 = 1.0
+    assert pairs[(1, 2)].containment == 1.0
+    assert len(pairs) == 1                      # nothing else is contained
+    # the same pair fails a 0.5 JACCARD gate (3 common / 13 union)
+    jac = dedup.jaccard_pairs(sh, 0.5).collect()
+    assert not any(r.id_a == 1 and r.id_b == 2 for r in jac)

@@ -647,3 +647,30 @@ def test_mase_is_single_partitioned_window(spark):
     plan = _physical_plan(spark, "mase_daily_value_by_type")
     assert "Join" not in plan
     assert "partitionSpec=[]" not in plan.replace(" ", "")
+
+
+def test_ols_closed_form_is_one_aggregate_no_join(spark):
+    """The whole fit must be ONE partial+final aggregation of nine
+    integer sums — no join, no window, no iteration artifacts."""
+    plan = _physical_plan(spark, "ols_value_on_hour_dow")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 2  # tree+detail of the single group shuffle
+
+
+def test_auc_by_group_rank_window_is_partitioned(spark):
+    """The cum-rank window must PARTITION BY the slice — a global-order
+    window would serialize all slices through one task."""
+    plan = _physical_plan(spark, "auc_by_source_length_vs_en")
+    assert "partitionSpec=[]" not in plan.replace(" ", "")
+    assert "SinglePartition" not in plan
+
+
+def test_containment_matches_jaccard_join_shape(spark):
+    """Containment must reuse the inverted-index equi-join — never a
+    cartesian/BNLJ pair space."""
+    plan = _physical_plan(spark, "containment_pairs_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
