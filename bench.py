@@ -238,6 +238,14 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "fano_daily_events_by_type",
     "ols_value_on_hour_dow",
     "containment_pairs_docs",
+    # r8h batch: Welch revenue t-test (one aggregate + pivot, join-free
+    # inline variant hash), Adamic-Adar link prediction (shared-neighbor
+    # equi-join), k-anonymity audit (class-size agg), audience overlap
+    # (in-row bounded pair explode).
+    "welch_purchase_value_by_variant",
+    "adamic_adar_customers",
+    "k_anonymity_orders",
+    "audience_overlap_event_types",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

@@ -759,27 +759,38 @@ def split_assign(
     u32 (portable: DuckDB replays it exactly), bucket = u32 mod 10000,
     split by cumulative threshold. A NARROW zero-shuffle projection.
     """
-    total = sum(w for _, w in weights)
-    if total != 10000:
-        raise ValueError(f"weights must sum to 10000, got {total}")
+    out = df.select(
+        F.col(key_col), split_bucket_col(F.col(key_col), salt).alias("bucket")
+    )
+    return out.withColumn("split", split_col(F.col("bucket"), weights))
+
+
+def split_bucket_col(key, salt: str):
+    """The portable hash bucket behind ``split_assign`` as a bare Column
+    — first 8 md5 hex chars of ``salt ':' key`` as a u32, mod 10000."""
     h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 8
-        ),
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8),
         16,
         10,
     ).cast("bigint")
-    out = df.select(F.col(key_col), (h % 10000).alias("bucket"))
+    return h % 10000
+
+
+def split_col(bucket, weights: tuple[tuple[str, int], ...]):
+    """Cumulative-threshold split name for a 0-9999 ``bucket`` Column —
+    exposed so composing queries (A/B readouts, eval slicing) can
+    assign inline as a NARROW projection instead of joining back
+    against a ``split_assign`` output."""
+    total = sum(w for _, w in weights)
+    if total != 10000:
+        raise ValueError(f"weights must sum to 10000, got {total}")
     split = None
     cum = 0
     for name, w in weights[:-1]:
         cum += w
-        cond = F.col("bucket") < cum
+        cond = bucket < cum
         split = F.when(cond, name) if split is None else split.when(cond, name)
-    split = (
-        F.lit(weights[0][0]) if split is None else split.otherwise(weights[-1][0])
-    )
-    return out.withColumn("split", split)
+    return F.lit(weights[0][0]) if split is None else split.otherwise(weights[-1][0])
 
 
 def bigram_logprob_score(

@@ -304,3 +304,57 @@ def modularity(
             ),
         ).alias("modularity"),
     )
+
+
+def adamic_adar_links(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_n: int = 50,
+) -> DataFrame:
+    """Adamic–Adar link prediction over a bipartite edge list — "which
+    two customers look alike because they share rare suppliers": for
+    left-side nodes u, v the score sums 1/ln(deg(z)) over shared
+    right-side neighbors z, so a neighbor shared with everyone counts
+    for ~nothing and an exclusive shared neighbor counts most.
+
+    Determinism: deg(z) is an exact BIGINT; each 1/ln(deg) term
+    quantizes to micro-units BEFORE the exact BIGINT sum (a double Σ
+    would be partial-aggregation-order dependent — the entropy/PSI
+    pattern); degree-1 neighbors (ln 1 = 0) can't co-occur and drop
+    out structurally. Ties rank by (node_a, node_b).
+
+    Scale: candidate pairs come from the self-join on the shared
+    right-side key — Σ_z deg(z)², the standard link-prediction cost,
+    linear for bounded fan-out; a power-law hub makes deg² explode, so
+    production runs cap/sample hub neighborhoods first (the documented
+    skew contract — same caveat as every common-neighbor method).
+    Output: (node_a, node_b, common, score) top-N.
+    """
+    if top_n <= 0:
+        raise ValueError("top_n must be positive")
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("z")).distinct()
+    deg = e.groupBy("z").agg(F.count(F.lit(1)).alias("dz"))
+    term = e.join(deg, "z").withColumn(
+        "micro",
+        F.when(
+            F.col("dz") >= 2,
+            F.round(F.lit(1e6) / F.log(F.col("dz").cast("double"))).cast("long"),
+        ),
+    ).filter(F.col("micro").isNotNull())
+    a = term.alias("a")
+    b = term.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.z") == F.col("b.z")) & (F.col("a.u") < F.col("b.u")),
+        )
+        .groupBy(F.col("a.u").alias("node_a"), F.col("b.u").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            (F.sum(F.col("a.micro")) / 1e6).alias("score"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("score").desc(), F.col("node_a").asc(), F.col("node_b").asc()
+    ).limit(top_n)

@@ -80,3 +80,68 @@ def item_cooccurrence_topk(
     return scored.orderBy(
         F.col("cosine").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(top_n)
+
+
+def audience_overlap(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Pairwise audience overlap between items drawn from a SMALL item
+    domain (event types, channels, product lines — dozens, not
+    millions): for every item pair, the exact count of keys touching
+    both, plus Jaccard of the two audiences. The segmentation matrix
+    behind "do purchasers also file errors".
+
+    The plan exploits the bounded domain — the complement of
+    ``item_cooccurrence_topk``'s join strategy: each key's distinct
+    item set collapses to ONE sorted array row (collect_set + sort),
+    pairs explode IN-ROW via indexed lambdas (≤ |domain|²/2 per key,
+    a constant), and the pair counts partial-aggregate. No self-join,
+    no shuffle of raw (key, item) rows beyond the per-key collapse.
+    Jaccard = pair / (n_a + n_b − pair), one int/int division.
+    Output: (item_a, item_b, n_both, n_a, n_b, jaccard), item_a <
+    item_b, every co-touched pair present.
+    """
+    b = df.select(
+        F.col(key_col).alias("k"), F.col(item_col).alias("it")
+    ).distinct()
+    n_i = b.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sets = b.groupBy("k").agg(F.sort_array(F.collect_set("it")).alias("its"))
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("its"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("its"), i + 2, F.size("its")),
+                        lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    return (
+        counts.join(
+            F.broadcast(n_i.select(F.col("it").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(n_i.select(F.col("it").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )

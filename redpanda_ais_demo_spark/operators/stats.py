@@ -856,3 +856,87 @@ def ols_two_features(
         beta(det1).alias("b1"),
         beta(det2).alias("b2"),
     )
+
+
+def welch_ttest(
+    subjects: DataFrame,
+    variant_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test on a continuous metric — the
+    means-based sibling of ``ab_test_conversion`` (that one reads
+    conversion RATES; this one reads revenue/latency/engagement per
+    subject): t = (m_t − m_c)/sqrt(s²_c/n_c + s²_t/n_t) with the
+    Welch–Satterthwaite degrees of freedom.
+
+    Values must be exact integer units (cents). Each arm accumulates
+    (n, Σx, Σx²) in one partial-aggregable pass — Σx² sums in
+    DECIMAL(38,0) so cent-scale metrics survive ~1e9 subjects; sample
+    variance is the exact-integer identity (n·Σx² − (Σx)²)/(n·(n−1))
+    converted to double ONCE. Degenerate inputs (an arm with n < 2, or
+    zero variance in both arms) yield NULL t/dof rather than a division
+    error. Output: one row with per-arm stats, diff, t, dof.
+    """
+    agg = (
+        subjects.filter(F.col(variant_col).isin(control, treatment))
+        .groupBy(variant_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("s"),
+            F.sum(
+                (F.col(value_col).cast("long") * F.col(value_col).cast("long")).cast(
+                    _DEC
+                )
+            ).alias("sxx"),
+        )
+    )
+    p = agg.groupBy().pivot(variant_col, [control, treatment]).sum("n", "s", "sxx")
+    nc, sc, xc = (
+        F.col(f"{control}_sum(n)"),
+        F.col(f"{control}_sum(s)"),
+        F.col(f"{control}_sum(sxx)"),
+    )
+    nt, st, xt = (
+        F.col(f"{treatment}_sum(n)"),
+        F.col(f"{treatment}_sum(s)"),
+        F.col(f"{treatment}_sum(sxx)"),
+    )
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    # ANSI mode evaluates both branches' subexpressions eagerly in
+    # codegen, so the n(n-1)=0 denominator must be guarded IN the
+    # expression, not just by a downstream F.when
+    var_c = F.when(
+        nc >= 2,
+        (d(nc) * xc - d(sc) * d(sc)).cast("double")
+        / (nc * (nc - 1)).cast("double"),
+    )
+    var_t = F.when(
+        nt >= 2,
+        (d(nt) * xt - d(st) * d(st)).cast("double")
+        / (nt * (nt - 1)).cast("double"),
+    )
+    m_c = sc.cast("double") / nc.cast("double")
+    m_t = st.cast("double") / nt.cast("double")
+    a = var_c / nc.cast("double")
+    b = var_t / nt.cast("double")
+    ok = (nc >= 2) & (nt >= 2)
+    se2 = a + b
+    t_stat = F.when(ok & (se2 > 0), (m_t - m_c) / F.sqrt(se2))
+    dof = F.when(
+        ok & (a + b > 0) & ((a * a / (nc - 1).cast("double") + b * b / (nt - 1).cast("double")) > 0),
+        (se2 * se2)
+        / (a * a / (nc - 1).cast("double") + b * b / (nt - 1).cast("double")),
+    )
+    return p.select(
+        nc.cast("long").alias("n_control"),
+        nt.cast("long").alias("n_treatment"),
+        F.round(m_c, 6).alias("mean_control"),
+        F.round(m_t, 6).alias("mean_treatment"),
+        F.round(var_c, 6).alias("var_control"),
+        F.round(var_t, 6).alias("var_treatment"),
+        F.round(m_t - m_c, 6).alias("diff"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )

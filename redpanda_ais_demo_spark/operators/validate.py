@@ -278,3 +278,43 @@ def benford_audit(
         F.round(p_exp, 6).alias("expected_p"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the governance
+    screen a training-data release needs: every row must be
+    indistinguishable from at least k−1 others on the quasi-identifiers
+    (Sweeney's k-anonymity), else the "anonymized" table re-identifies.
+    NULLs count as a value (an all-NULL tuple is its own equivalence
+    class — the conservative reading).
+
+    One partial-aggregable groupBy to equivalence-class sizes (the
+    shuffle carries one row per DISTINCT tuple, never raw rows), one
+    single-row fold. Exact BIGINTs; ``at_risk_rate`` is one division.
+    Output: (k_threshold, n_rows, n_classes, min_class_size,
+    n_classes_at_risk, n_rows_at_risk, at_risk_rate).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("c"))
+    risk = F.col("c") < k
+    agg = classes.agg(
+        F.lit(k).cast("long").alias("k_threshold"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("c").cast("long").alias("min_class_size"),
+        F.sum(risk.cast("long")).cast("long").alias("n_classes_at_risk"),
+        F.sum(F.when(risk, F.col("c")).otherwise(F.lit(0))).cast("long").alias("n_rows_at_risk"),
+    )
+    return agg.withColumn(
+        "at_risk_rate",
+        F.round(
+            F.col("n_rows_at_risk").cast("double") / F.col("n_rows").cast("double"), 6
+        ),
+    )

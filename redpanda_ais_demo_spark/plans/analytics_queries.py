@@ -1245,18 +1245,18 @@ def survival_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of 2 rows (operators/stats.py:ab_test_conversion).",
 )
 def abtest_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.corpus import split_assign
+    from ..operators.corpus import split_bucket_col, split_col
     from ..operators.stats import ab_test_conversion
 
     events = load_table(spark, sf_dir, "events")
     conv = events.groupBy("user_id").agg(
         F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
     )
-    assigned = split_assign(
-        conv, key_col="user_id", weights=(("A", 5000), ("B", 5000)), salt="exp-r8"
-    ).select("user_id", "split")
-    subjects = conv.join(assigned, "user_id").select(
-        F.col("split").alias("variant"), "converted"
+    subjects = conv.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "converted",
     )
     return ab_test_conversion(subjects, "variant", "converted", control="A", treatment="B")
 
@@ -2893,3 +2893,211 @@ def ols_value_on_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekday("ts").cast("long").alias("v"),
     )
     return ols_two_features(t, "event_type", "y", "u", "v")
+
+
+@query(
+    "welch_purchase_value_by_variant",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS cents
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sxx
+            FROM subjects GROUP BY variant
+        ),
+        wide AS (
+            SELECT max(CASE WHEN variant = 'A' THEN n END) AS nc,
+                   max(CASE WHEN variant = 'A' THEN s END) AS sc,
+                   max(CASE WHEN variant = 'A' THEN sxx END) AS xc,
+                   max(CASE WHEN variant = 'B' THEN n END) AS nt,
+                   max(CASE WHEN variant = 'B' THEN s END) AS st,
+                   max(CASE WHEN variant = 'B' THEN sxx END) AS xt
+            FROM agg
+        ),
+        stats AS (
+            SELECT nc, nt,
+                   CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS m_c,
+                   CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS m_t,
+                   CASE WHEN nc >= 2 THEN
+                       CAST(CAST(nc AS HUGEINT) * xc - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                           / CAST(nc * (nc - 1) AS DOUBLE) END AS var_c,
+                   CASE WHEN nt >= 2 THEN
+                       CAST(CAST(nt AS HUGEINT) * xt - CAST(st AS HUGEINT) * st AS DOUBLE)
+                           / CAST(nt * (nt - 1) AS DOUBLE) END AS var_t
+            FROM wide
+        ),
+        ab AS (
+            SELECT stats.*, var_c / CAST(nc AS DOUBLE) AS a,
+                   var_t / CAST(nt AS DOUBLE) AS b
+            FROM stats
+        )
+        SELECT nc AS n_control, nt AS n_treatment,
+               round(m_c, 6) AS mean_control, round(m_t, 6) AS mean_treatment,
+               round(var_c, 6) AS var_control, round(var_t, 6) AS var_treatment,
+               round(m_t - m_c, 6) AS diff,
+               CASE WHEN nc >= 2 AND nt >= 2 AND a + b > 0
+                    THEN round((m_t - m_c) / sqrt(a + b), 6) END AS t_stat,
+               CASE WHEN nc >= 2 AND nt >= 2 AND a + b > 0
+                         AND a * a / CAST(nc - 1 AS DOUBLE)
+                             + b * b / CAST(nt - 1 AS DOUBLE) > 0
+                    THEN round(((a + b) * (a + b))
+                               / (a * a / CAST(nc - 1 AS DOUBLE)
+                                  + b * b / CAST(nt - 1 AS DOUBLE)), 6)
+               END AS dof
+        FROM ab
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="Welch's t-test on per-user purchase REVENUE between the same "
+    "hash-assigned variants as abtest_purchase_lift — the means-based "
+    "readout next to the conversion-rate z (a revenue experiment needs "
+    "both). Exact BIGINT/DECIMAL(38,0) sums (Sum(x^2) widened so 1e9 "
+    "subjects survive), sample variance via the integer identity, one "
+    "fixed double chain for t and the Welch-Satterthwaite dof "
+    "(operators/stats.py:welch_ttest).",
+)
+def welch_purchase_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import welch_ttest
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    subjects = per_user.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "cents",
+    )
+    return welch_ttest(subjects, "variant", "cents", control="A", treatment="B")
+
+
+@query(
+    "adamic_adar_customers",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS z
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dz FROM e GROUP BY z),
+        term AS (
+            SELECT u, e.z,
+                   CAST(round(1000000 / ln(CAST(dz AS DOUBLE))) AS BIGINT) AS micro
+            FROM e JOIN deg ON e.z = deg.z WHERE dz >= 2
+        ),
+        p AS (
+            SELECT a.u AS node_a, b.u AS node_b,
+                   CAST(count(*) AS BIGINT) AS common,
+                   CAST(SUM(a.micro) AS BIGINT) AS sm
+            FROM term a JOIN term b ON a.z = b.z AND a.u < b.u
+            GROUP BY 1, 2
+        )
+        SELECT node_a, node_b, common, sm / 1000000.0 AS score
+        FROM p
+        ORDER BY score DESC, node_a ASC, node_b ASC
+        LIMIT 50
+    """,
+    tags=("graph", "join", "agg", "recommend"),
+    doc="Adamic-Adar link prediction over the customer<->supplier "
+    "bipartite graph: top-50 customer pairs by Sum(1/ln(deg(shared "
+    "supplier))) — rare shared neighbors dominate, ubiquitous ones "
+    "vanish. 1/ln terms quantize to micro-units BEFORE the exact "
+    "BIGINT sum (the entropy pattern); candidate pairs ride the "
+    "shared-neighbor equi-join (Sum deg^2 — cap hubs first on power-"
+    "law graphs, the documented skew contract) "
+    "(operators/graph.py:adamic_adar_links).",
+)
+def adamic_adar_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import adamic_adar_links
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    return adamic_adar_links(edges, "src", "dst", top_n=50)
+
+
+@query(
+    "k_anonymity_orders",
+    oracle="""
+        WITH classes AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   strftime(o_orderdate, '%Y-%m-%d') AS d,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2, 3
+        )
+        SELECT CAST(5 AS BIGINT) AS k_threshold,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(c) AS BIGINT) AS min_class_size,
+               CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_at_risk,
+               CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+               round(CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE), 6) AS at_risk_rate
+        FROM classes
+    """,
+    tags=("analytics", "validation", "privacy", "agg"),
+    doc="k-anonymity audit of orders on the quasi-identifier tuple "
+    "(priority, status, order date): how many equivalence classes fall "
+    "below k=5 and what fraction of rows they expose — the governance "
+    "screen before a data release. One partial-aggregable groupBy to "
+    "class sizes (shuffle carries distinct tuples, never rows), one "
+    "single-row fold (operators/validate.py:k_anonymity_audit).",
+)
+def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import k_anonymity_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    return k_anonymity_audit(t, ["o_orderpriority", "o_orderstatus", "d"], k=5)
+
+
+@query(
+    "audience_overlap_event_types",
+    oracle="""
+        WITH b AS (SELECT DISTINCT user_id AS k, event_type AS it FROM events),
+        n_i AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY it),
+        p AS (
+            SELECT x.it AS item_a, y.it AS item_b, CAST(count(*) AS BIGINT) AS n_both
+            FROM b x JOIN b y ON x.k = y.k AND x.it < y.it
+            GROUP BY 1, 2
+        )
+        SELECT item_a, item_b, n_both, na.n AS n_a, nb.n AS n_b,
+               n_both / (na.n + nb.n - n_both) AS jaccard
+        FROM p
+        JOIN n_i na ON p.item_a = na.it
+        JOIN n_i nb ON p.item_b = nb.it
+    """,
+    tags=("analytics", "agg", "recommend"),
+    doc="Audience-overlap matrix between event types: exact users-in-"
+    "both and Jaccard per pair. Exploits the BOUNDED item domain — "
+    "each user's distinct type set collapses to one sorted array and "
+    "pairs explode IN-ROW via indexed lambdas (no self-join; the "
+    "complement of item_cooccurrence_topk's strategy for unbounded "
+    "catalogs); marginals broadcast back "
+    "(operators/recommend.py:audience_overlap).",
+)
+def audience_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recommend import audience_overlap
+
+    events = load_table(spark, sf_dir, "events")
+    return audience_overlap(events, "user_id", "event_type")

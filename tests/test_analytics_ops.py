@@ -1222,3 +1222,101 @@ def test_ols_two_features_recovers_plane(spark):
     )
     rs = ols_two_features(sing, "g", "y", "u", "v").collect()[0]
     assert rs.b0 is None and rs.b1 is None and rs.b2 is None
+
+
+def test_welch_ttest_known_samples(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators.stats import welch_ttest
+
+    a = [10, 12, 14, 16, 18, 20]
+    b = [30, 31, 29, 35, 25]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "variant string, cents long")
+    r = welch_ttest(df, "variant", "cents", "A", "B").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = np.mean(a), np.mean(b)
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    aa, bb = va / na, vb / nb
+    t = (mb - ma) / np.sqrt(aa + bb)
+    dof = (aa + bb) ** 2 / (aa**2 / (na - 1) + bb**2 / (nb - 1))
+    assert r.n_control == na and r.n_treatment == nb
+    assert abs(r.t_stat - round(t, 6)) < 1e-9
+    assert abs(r.dof - round(dof, 6)) < 1e-9
+    assert abs(r.mean_treatment - round(mb, 6)) < 1e-9
+
+    # degenerate: single-row arm -> NULL t, no crash
+    tiny = spark.createDataFrame([("A", 5), ("B", 7), ("B", 9)], "variant string, cents long")
+    assert welch_ttest(tiny, "variant", "cents", "A", "B").collect()[0].t_stat is None
+
+
+def test_adamic_adar_rare_neighbor_dominates(spark):
+    import math
+
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.graph import adamic_adar_links
+
+    edges = [
+        # z=100 shared by u1,u2 only (deg 2 -> weight 1/ln2)
+        (1, 100), (2, 100),
+        # z=200 shared by u3,u4 and everyone-ish (deg 4 -> weight 1/ln4)
+        (3, 200), (4, 200), (1, 200), (2, 200),
+        # z=300 touches only u5 (deg 1 -> no pairs, no term)
+        (5, 300),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r.node_a, r.node_b): r for r in
+           adamic_adar_links(df, "src", "dst", top_n=20).collect()}
+    w2 = round(1e6 / math.log(2)) / 1e6
+    w4 = round(1e6 / math.log(4)) / 1e6
+    assert out[(1, 2)].score == w2 + w4  # shares BOTH suppliers
+    assert out[(3, 4)].score == w4
+    assert out[(1, 2)].common == 2
+    assert (1, 5) not in out and (4, 5) not in out  # degree-1 neighbor inert
+    # rare-shared pair outranks common-shared pair
+    first = adamic_adar_links(df, "src", "dst", top_n=1).collect()[0]
+    assert (first.node_a, first.node_b) == (1, 2)
+
+    with pytest.raises(ValueError, match="top_n"):
+        adamic_adar_links(df, top_n=0)
+
+
+def test_k_anonymity_audit_counts(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.validate import k_anonymity_audit
+
+    rows = (
+        [("a", "x")] * 5      # safe class (k=3)
+        + [("a", "y")] * 2    # at risk
+        + [("b", None)] * 1   # NULL tuple is its own (at-risk) class
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    r = k_anonymity_audit(df, ["q1", "q2"], k=3).collect()[0]
+    assert r.n_rows == 8 and r.n_classes == 3 and r.min_class_size == 1
+    assert r.n_classes_at_risk == 2 and r.n_rows_at_risk == 3
+    assert r.at_risk_rate == 0.375
+
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_audit(df, [], k=3)
+
+
+def test_audience_overlap_matches_brute_force(spark):
+    from redpanda_ais_demo_spark.operators.recommend import audience_overlap
+
+    rows = [
+        (1, "view"), (1, "click"), (1, "buy"), (1, "view"),  # dup collapses
+        (2, "view"), (2, "click"),
+        (3, "buy"),
+        (4, "click"), (4, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "k long, it string")
+    out = {(r.item_a, r.item_b): r for r in audience_overlap(df, "k", "it").collect()}
+    # audiences: view={1,2}, click={1,2,4}, buy={1,3,4}
+    assert out[("click", "view")].n_both == 2
+    assert out[("click", "view")].jaccard == 2 / 3
+    assert out[("buy", "click")].n_both == 2 and out[("buy", "click")].n_a == 3
+    assert out[("buy", "view")].n_both == 1
+    assert out[("buy", "view")].jaccard == 1 / 4
+    assert len(out) == 3

@@ -674,3 +674,34 @@ def test_containment_matches_jaccard_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_welch_is_one_aggregate_pivot(spark):
+    """One subject pass + a 2-row pivot — no join, no window."""
+    plan = _physical_plan(spark, "welch_purchase_value_by_variant")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_adamic_adar_rides_equi_join_take_ordered(spark):
+    plan = _physical_plan(spark, "adamic_adar_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_k_anonymity_is_two_aggregates(spark):
+    """Class sizes partial-aggregate map-side; the fold is single-row.
+    No join, no window — the scan streams once."""
+    plan = _physical_plan(spark, "k_anonymity_orders")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_audience_overlap_explodes_in_row_no_self_join(spark):
+    """The bounded-domain strategy: pairs come from an in-row indexed-
+    lambda explode over the per-key set — never a (key,item) self-join."""
+    plan = _physical_plan(spark, "audience_overlap_event_types")
+    assert "Generate" in plan  # the in-row pair explode
+    assert "SortMergeJoin" not in plan  # marginals broadcast back
+    assert "CartesianProduct" not in plan
