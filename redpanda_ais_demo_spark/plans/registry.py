@@ -116,7 +116,11 @@ PRIORITY: tuple[str, ...] = (
     "topk_orders_per_customer",
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
-    "pivot_status_by_priority",
+    # (r8f) pivot_status_by_priority rotated out: the reshaping family
+    # keeps grouping_sets_sql in-window (cube/rollup/unpivot swept);
+    # its slot goes to k_anonymity_orders below — the privacy/
+    # governance class's first window rep. Pivot stays registered,
+    # oracle-bearing, pytest-oracle-swept.
     # LLM-data-pipeline suite (X1-X5). The X5 text family keeps
     # text_quality in-window plus bm25/pii below; doc_fingerprint,
     # lang_id_ngram, bpe_token_estimate and token_stats rotated out in
@@ -133,7 +137,15 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
-    "dedup_clusters",
+    # (r8f) dedup_clusters rotated out: the CC-closure mechanism keeps
+    # TWO in-window representatives — resolve_part_names and
+    # pipeline_curate_corpus both run the identical min-label closure
+    # inside their oracle-checked plans — so its standalone row was
+    # mechanically redundant; stays registered, oracle-bearing (its
+    # recursive-CTE oracle), pytest-oracle-swept. The slot goes to
+    # item_cooccurrence_parts: first window rep of the recommendation/
+    # collaborative-filtering class (basket-co-located pair join).
+    "item_cooccurrence_parts",
     "pack_token_stream_sharded",
     "embedding_random_projection",
     "source_mixture_weights",
@@ -232,7 +244,14 @@ PRIORITY: tuple[str, ...] = (
     # its strict superset: same signals plus per-rule verdicts). With
     # ann_lsh_topk out, EVERY entry in the 50-row window now carries a
     # full rows+schema+hash DuckDB oracle.
-    "hybrid_rrf_topk_docs",
+    # (r8f) hybrid_rrf_topk_docs rotated out: BOTH of its legs hold
+    # their own window rows (bm25_topk_from_index lexical,
+    # embedding_cosine_topk semantic) and the fusion arithmetic is
+    # leg-order-invariance property-tested; stays registered, oracle-
+    # bearing, pytest-oracle-swept. Its slot goes to the Welch t-test —
+    # the experimentation class's first window rep (abtest z-readout is
+    # its sibling, swept).
+    "welch_purchase_value_by_variant",
     "gopher_quality_docs",
     "dedup_keep_best",
     # r8 rotation: five r7 session classes previously outside the window,
@@ -253,12 +272,19 @@ PRIORITY: tuple[str, ...] = (
     # (corr / entropy / chi2) trail, oracle-bearing, pytest-swept.
     "nb_lang_classify_docs",
     "attribution_last_touch",
-    "trend_user_value",
+    # (r8f) trend_user_value rotated out for its strict upgrade: the
+    # closed-form TWO-feature OLS (Cramer on the normal equations)
+    # subsumes the single-feature trend's mechanism; trend stays
+    # registered, oracle-bearing, pytest-oracle-swept.
+    "ols_value_on_hour_dow",
     # (r8c) the persisted-index serve path's hash-checked row (takes
     # l1_top_events' slot — see the AIS block note): same Okapi BM25
     # oracle as bm25_topk_docs, but the plan probes the committed-on-
     # first-build inverted index and never scans documents.
     "bm25_topk_from_index",
+    # (r8f) the privacy/governance class's first window rep — see the
+    # pivot_status_by_priority rotation note above.
+    "k_anonymity_orders",
 )
 
 

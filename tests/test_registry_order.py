@@ -27,14 +27,15 @@ REQUIRED_IN_WINDOW = {
     "topk_orders_per_customer",
     "semi_customers_with_urgent_orders",
     "setop_active_nations",
-    "pivot_status_by_priority",
+    # (r8f) pivot rotated out behind grouping_sets_sql's reshaping slot
     # LLM-data-pipeline suite (r8: ngram_jaccard_pairs rotated out behind
     # minhash_lsh_pairs — the declared near-dup scale path; semdedup
     # rotated out behind embedding_cosine_topk — same pair mechanism)
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
-    "dedup_clusters",
+    # (r8f) dedup_clusters rotated out — the CC closure runs inside the
+    # in-window resolve_part_names and pipeline_curate_corpus plans
     "multimodal_frame_sample",
     # round-2 corpus classes
     "embedding_random_projection",
@@ -88,7 +89,8 @@ REQUIRED_IN_WINDOW = {
     # (text_quality's strict superset), and the cluster-retention policy.
     # simhash_near_dups / ann_lsh_topk / text_quality rotated out — all
     # stay registered and pytest-swept; see registry.PRIORITY notes.
-    "hybrid_rrf_topk_docs",
+    # (r8f) hybrid RRF rotated out — both legs hold their own rows
+    # (bm25_topk_from_index + embedding_cosine_topk)
     "gopher_quality_docs",
     "dedup_keep_best",
     # r8 rotation: the five r7 classes that previously had no in-window
@@ -102,7 +104,13 @@ REQUIRED_IN_WINDOW = {
     # r8 session classes: ML-classification, attribution, regression
     "nb_lang_classify_docs",
     "attribution_last_touch",
-    "trend_user_value",
+    # r8f rotation: closed-form OLS upgrades the regression slot;
+    # recommendation (CF), experimentation (Welch), and privacy
+    # (k-anonymity) gain their first window reps
+    "ols_value_on_hour_dow",
+    "item_cooccurrence_parts",
+    "welch_purchase_value_by_variant",
+    "k_anonymity_orders",
     # r8c: the index-serve class's first hash-checked window row
     # (l1_top_events rotated out behind topk_orders_per_customer's
     # sort-limit shape; stays registered, oracle-bearing, swept)
