@@ -246,6 +246,14 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "adamic_adar_customers",
     "k_anonymity_orders",
     "audience_overlap_event_types",
+    # r8i batch: contamination severity (broadcast shingle probe),
+    # conversion cycle-time percentiles (funnel + exact quantiles),
+    # RFM segmentation (three key-tiebroken ntiles), header/detail
+    # reconciliation (rollup + join + fold).
+    "contamination_coverage_docs",
+    "conversion_time_percentiles",
+    "rfm_customer_segments",
+    "reconcile_order_totals",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

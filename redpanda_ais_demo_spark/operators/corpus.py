@@ -1021,3 +1021,49 @@ def log_odds_keyness(
         .orderBy(F.abs(F.col("z_score")).desc(), F.col("token").asc())
         .limit(top_n)
     )
+
+
+def contamination_coverage(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Contamination SEVERITY report — the graded companion to the
+    binary ``decontaminate`` gate: for every train document that shares
+    at least one k-shingle with the eval set, the FRACTION of its
+    distinct shingles that appear there. A doc at 0.02 shares a stock
+    phrase; a doc at 0.9 IS the eval item — the gate drops both, this
+    report says which, so the threshold debate is data, not vibes.
+
+    Scale shape: identical to the gate — the eval shingle set is tiny
+    and broadcasts; the corpus-sized side is ONE distinct-shingle
+    explode probed map-side; per-doc totals and hits are two
+    partial-aggregable groupBys on the doc key. Coverage is one
+    int/int division. Output: (doc_id, n_shingles, n_hit, coverage),
+    hit docs only.
+    """
+    from .dedup import doc_shingles
+
+    ev = (
+        doc_shingles(eval_docs, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    tr = doc_shingles(train_docs, id_col, text_col, k)
+    sizes = tr.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_shingles")).alias("coverage"),
+        )
+    )

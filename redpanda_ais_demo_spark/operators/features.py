@@ -162,3 +162,61 @@ def dict_encode(
         "left",
     ).drop("term").withColumnRenamed("term_id", f"{col}_id")
     return vocab, encoded
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_cents,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the classic commerce customer taxonomy:
+    score every key 1..``n_bins`` on Recency (days since last
+    purchase; 5 = most recent), Frequency (order count; 5 = most), and
+    Monetary (lifetime cents; 5 = biggest), segment = the
+    concatenated "RFM" code, and report each segment's population and
+    average spend. The recency anchor is the dataset's own max
+    timestamp, so the result is reproducible from the data alone.
+
+    Determinism: each score is an ntile over (metric, key) — the key
+    tiebreak cuts identical metrics identically on any engine; spends
+    are exact cents; per-segment mean is one division. The three
+    ranking windows are the one global-sort-shaped stage (same
+    contract as gains_lift: at 100 TB swap ntile for approx-quantile
+    boundaries + a broadcast bin lookup; the exact ntile is the
+    oracle-checkable form).
+
+    Output: (segment, n_keys, avg_monetary) — at most n_bins³ rows.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.max(F.col(ts_col).cast("long")).alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(amount_cents.cast("long")).alias("cents"),
+    )
+    anchor = per.agg(F.max("last_ts").alias("anchor"))
+    t = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.floor((F.col("anchor") - F.col("last_ts")) / F.lit(86400)).cast("long"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("k").asc())
+    w_f = Window.orderBy(F.col("freq").asc(), F.col("k").asc())
+    w_m = Window.orderBy(F.col("cents").asc(), F.col("k").asc())
+    scored = (
+        t.withColumn("r", F.ntile(n_bins).over(w_r))
+        .withColumn("f", F.ntile(n_bins).over(w_f))
+        .withColumn("m", F.ntile(n_bins).over(w_m))
+    )
+    seg = F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
+    return (
+        scored.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / 100.0,
+                6,
+            ).alias("avg_monetary"),
+        )
+    )

@@ -318,3 +318,56 @@ def k_anonymity_audit(
             F.col("n_rows_at_risk").cast("double") / F.col("n_rows").cast("double"), 6
         ),
     )
+
+
+def reconcile_totals(
+    header: DataFrame,
+    detail: DataFrame,
+    header_key: str,
+    detail_key: str,
+    header_cents,
+    detail_cents,
+    tolerance_cents: int = 0,
+) -> DataFrame:
+    """Header/detail reconciliation audit — the accounting-style check
+    behind every invoice/ledger pipeline: does each header total equal
+    the sum of its detail lines (within ``tolerance_cents``)? Reports
+    the discrepancy profile, not just a boolean: headers with no
+    detail rows reconcile against 0 (they surface as mismatches unless
+    the header is 0 too — pair with the FK orphan audit for the
+    reverse direction).
+
+    Exactness: both sides quantize to integer cents per ROW before any
+    sum; the diff is exact BIGINT. One partial-aggregable detail
+    rollup, one hash join on the key, one single-row fold. Output:
+    (n_headers, n_matched, n_mismatch, n_no_detail, max_abs_diff_cents,
+    total_abs_diff_cents, mismatch_rate).
+    """
+    if tolerance_cents < 0:
+        raise ValueError("tolerance_cents must be >= 0")
+    h = header.select(
+        F.col(header_key).alias("k"), header_cents.cast("long").alias("expected")
+    )
+    d = detail.groupBy(F.col(detail_key).alias("k")).agg(
+        F.sum(detail_cents.cast("long")).alias("actual")
+    )
+    j = h.join(d, "k", "left").select(
+        "k",
+        "expected",
+        F.coalesce("actual", F.lit(0)).alias("actual"),
+        F.col("actual").isNull().alias("no_detail"),
+    )
+    diff = F.abs(F.col("actual") - F.col("expected"))
+    bad = diff > tolerance_cents
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_headers"),
+        F.sum((~bad).cast("long")).cast("long").alias("n_matched"),
+        F.sum(bad.cast("long")).cast("long").alias("n_mismatch"),
+        F.sum(F.col("no_detail").cast("long")).cast("long").alias("n_no_detail"),
+        F.max(diff).cast("long").alias("max_abs_diff_cents"),
+        F.sum(diff).cast("long").alias("total_abs_diff_cents"),
+        F.round(
+            F.sum(bad.cast("long")).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mismatch_rate"),
+    )

@@ -3101,3 +3101,143 @@ def audience_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return audience_overlap(events, "user_id", "event_type")
+
+
+@query(
+    "conversion_time_percentiles",
+    oracle=f"""
+        WITH f AS ({_funnel_oracle(_FUNNEL_WINDOW)})
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(t3 - t1, 0.25), 6) AS p25,
+               round(quantile_cont(t3 - t1, 0.50), 6) AS p50,
+               round(quantile_cont(t3 - t1, 0.75), 6) AS p75,
+               round(quantile_cont(t3 - t1, 0.90), 6) AS p90
+        FROM f WHERE t3 IS NOT NULL
+    """,
+    tags=("analytics", "funnel", "quantile", "window"),
+    doc="Cycle-time analytics: exact interpolated percentiles of "
+    "view->purchase completion time over converted funnels — 'how "
+    "long does conversion take', the question after 'how many "
+    "convert'. Composes the windowFunnel chain with the established "
+    "percentile()==quantile_cont parity; completion deltas are exact "
+    "epoch-second integers (operators/timeseries.py:funnel).",
+)
+def conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    f = funnel(events, "user_id", "ts", "event_type",
+               ["view", "click", "purchase"], _FUNNEL_WINDOW)
+    dt = (F.col("t3") - F.col("t1")).alias("dt")
+    done = f.filter(F.col("t3").isNotNull()).select(dt)
+    return done.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(dt, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(dt, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(dt, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(dt, 0.90)"), 6).alias("p90"),
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+        WITH per AS (
+            SELECT o_custkey AS k,
+                   CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS BIGINT) AS last_ts,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT max(last_ts) AS anchor FROM per),
+        t AS (
+            SELECT per.*, CAST(floor((anchor - last_ts) / 86400) AS BIGINT) AS recency_days
+            FROM per CROSS JOIN anchor
+        ),
+        scored AS (
+            SELECT k, cents,
+                   ntile(5) OVER (ORDER BY recency_days DESC, k ASC) AS r,
+                   ntile(5) OVER (ORDER BY freq ASC, k ASC) AS f,
+                   ntile(5) OVER (ORDER BY cents ASC, k ASC) AS m
+            FROM t
+        )
+        SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               round(CAST(SUM(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
+                   AS avg_monetary
+        FROM scored GROUP BY 1
+    """,
+    tags=("analytics", "window", "agg", "segmentation"),
+    doc="RFM customer segmentation over orders: recency/frequency/"
+    "monetary quintile scores (5 = best, key-tiebroken ntiles), "
+    "segment = the concatenated code, population + average spend per "
+    "segment. The data's own max order date anchors recency; exact "
+    "cents; the exact ntile is the oracle-checkable form (the 100 TB "
+    "swap is quantile boundaries + broadcast lookup, as gains_lift) "
+    "(operators/features.py:rfm_segments).",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("ts"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return rfm_segments(t, "o_custkey", "ts", F.col("cents"), n_bins=5)
+
+
+@query(
+    "reconcile_order_totals",
+    oracle="""
+        WITH h AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS expected
+            FROM orders
+        ),
+        d AS (
+            SELECT l_orderkey AS k,
+                   CAST(SUM(CAST(round(((l_extendedprice * (1 - l_discount))
+                                        * (1 + l_tax)) * 100) AS BIGINT)) AS BIGINT) AS actual
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT h.k, h.expected, coalesce(d.actual, 0) AS actual,
+                   d.actual IS NULL AS no_detail
+            FROM h LEFT JOIN d ON h.k = d.k
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_headers,
+               CAST(SUM(CASE WHEN abs(actual - expected) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN abs(actual - expected) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+               CAST(SUM(CASE WHEN no_detail THEN 1 ELSE 0 END) AS BIGINT) AS n_no_detail,
+               CAST(max(abs(actual - expected)) AS BIGINT) AS max_abs_diff_cents,
+               CAST(SUM(abs(actual - expected)) AS BIGINT) AS total_abs_diff_cents,
+               round(CAST(SUM(CASE WHEN abs(actual - expected) > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS mismatch_rate
+        FROM j
+    """,
+    tags=("analytics", "validation", "join", "agg"),
+    doc="Header/detail reconciliation audit: does each order total "
+    "equal the sum of its lines at line-level cent quantization "
+    "(ext*(1-disc)*(1+tax))? Reports the discrepancy PROFILE (match "
+    "rate, max/total absolute drift, headers with no lines) — the "
+    "accounting-style check next to the FK orphan audit. One detail "
+    "rollup + one hash join + a single-row fold "
+    "(operators/validate.py:reconcile_totals).",
+)
+def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import reconcile_totals
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return reconcile_totals(
+        orders,
+        lineitem,
+        "o_orderkey",
+        "l_orderkey",
+        F.round(F.col("o_totalprice") * 100),
+        F.round(
+            ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             * (1 + F.col("l_tax"))) * 100
+        ),
+        tolerance_cents=0,
+    )

@@ -2887,3 +2887,44 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.doc_shingles(docs, "doc_id", "text", k=3)
     return dedup.containment_pairs(sh, 0.8)
+
+
+@query(
+    "contamination_coverage_docs",
+    oracle="""
+        WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        train AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+        evsh AS (
+            SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 4),
+                                                  i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT string_split(text, ' ') AS w FROM ev) WHERE len(w) >= 5
+        ),
+        trsh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 4),
+                                         i -> array_to_string(w[i:i+4], ' '))) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)
+            WHERE len(w) >= 5
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                  FROM trsh GROUP BY doc_id),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM trsh WHERE shingle IN (SELECT shingle FROM evsh)
+                 GROUP BY doc_id)
+        SELECT h.doc_id, s.n_shingles, h.n_hit,
+               h.n_hit / s.n_shingles AS coverage
+        FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+    tags=("text", "dedup", "eval", "scale-path"),
+    doc="Contamination SEVERITY report — the graded companion to the "
+    "binary decontaminate gate: per contaminated train doc, the "
+    "fraction of its distinct 5-shingles present in the eval split "
+    "(0.02 = stock phrase, 0.9 = IS the eval item). Same broadcast "
+    "probe shape as the gate; two partial-aggregable doc-key groupBys "
+    "(operators/corpus.py:contamination_coverage).",
+)
+def contamination_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return corpus.contamination_coverage(train, ev, "doc_id", "text", k=5)

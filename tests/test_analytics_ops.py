@@ -1320,3 +1320,59 @@ def test_audience_overlap_matches_brute_force(spark):
     assert out[("buy", "view")].n_both == 1
     assert out[("buy", "view")].jaccard == 1 / 4
     assert len(out) == 3
+
+
+def test_rfm_segments_scores_and_means(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.features import rfm_segments
+
+    D = 86400
+    # 4 customers, 2 bins: c1 recent+frequent+big, c4 stale+rare+small
+    rows = [
+        (1, 10 * D, 1000), (1, 9 * D, 1000), (1, 8 * D, 1000),
+        (2, 9 * D, 500), (2, 8 * D, 500),
+        (3, 5 * D, 300),
+        (4, 1 * D, 100),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, cents long")
+    out = {r.segment: r for r in
+           rfm_segments(df, "k", "ts", F.col("cents"), n_bins=2).collect()}
+    # ntile(2) over 4 keys pairs them: {c1, c2} land "222" (recent,
+    # frequent, big) and {c3, c4} land "111" — avg spend 20.00 vs 2.00
+    assert out["222"].n_keys == 2 and out["222"].avg_monetary == 20.0
+    assert out["111"].n_keys == 2 and out["111"].avg_monetary == 2.0
+    assert set(out) == {"111", "222"}
+    assert sum(r.n_keys for r in out.values()) == 4
+
+    with pytest.raises(ValueError, match="n_bins"):
+        rfm_segments(df, "k", "ts", F.col("cents"), n_bins=1)
+
+
+def test_reconcile_totals_profiles_discrepancies(spark):
+    from redpanda_ais_demo_spark.operators.validate import reconcile_totals
+
+    headers = spark.createDataFrame(
+        [(1, 300), (2, 500), (3, 0), (4, 250)], "k long, cents long"
+    )
+    details = spark.createDataFrame(
+        [(1, 100), (1, 200),        # reconciles
+         (2, 499),                  # off by 1
+         (4, 100)],                 # off by 150
+        "k long, cents long",
+    )
+    r = reconcile_totals(
+        headers, details, "k", "k", F.col("cents"), F.col("cents")
+    ).collect()[0]
+    assert r.n_headers == 4
+    assert r.n_matched == 2       # order 1 exact; order 3 (0 vs no lines) matches
+    assert r.n_mismatch == 2 and r.n_no_detail == 1
+    assert r.max_abs_diff_cents == 150 and r.total_abs_diff_cents == 151
+    assert r.mismatch_rate == 0.5
+
+    # tolerance absorbs the 1-cent drift
+    r2 = reconcile_totals(
+        headers, details, "k", "k", F.col("cents"), F.col("cents"),
+        tolerance_cents=1,
+    ).collect()[0]
+    assert r2.n_mismatch == 1

@@ -1331,3 +1331,29 @@ def test_containment_catches_subset_docs(spark):
     # the same pair fails a 0.5 JACCARD gate (3 common / 13 union)
     jac = dedup.jaccard_pairs(sh, 0.5).collect()
     assert not any(r.id_a == 1 and r.id_b == 2 for r in jac)
+
+
+def test_contamination_coverage_grades_severity(spark):
+    from redpanda_ais_demo_spark.operators.corpus import contamination_coverage
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # full copy: every 3-shingle hits -> coverage 1.0
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # shares only the leading 3 words -> exactly one 3-shingle of 5
+            (2, "the quick brown cat naps on a warm mat"),
+            # disjoint -> absent from the report
+            (3, "completely different words here entirely now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           contamination_coverage(train, ev, "doc_id", "text", k=3).collect()}
+    assert out[1].coverage == 1.0 and out[1].n_hit == out[1].n_shingles == 7
+    assert out[2].n_hit == 1 and out[2].n_shingles == 7
+    assert out[2].coverage == 1 / 7
+    assert 3 not in out

@@ -705,3 +705,19 @@ def test_audience_overlap_explodes_in_row_no_self_join(spark):
     assert "Generate" in plan  # the in-row pair explode
     assert "SortMergeJoin" not in plan  # marginals broadcast back
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_coverage_probes_broadcast(spark):
+    """The eval shingle set must broadcast — the corpus side never
+    shuffles for the probe (the decontaminate-gate shape)."""
+    plan = _physical_plan(spark, "contamination_coverage_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reconcile_is_rollup_join_fold(spark):
+    """One detail rollup (partial+final), one join on the key, one
+    single-row fold — no window, no second scan of either table."""
+    plan = _physical_plan(spark, "reconcile_order_totals")
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
