@@ -394,3 +394,126 @@ def test_haversine_metric_properties(spark):
     assert d.aa == 0.0
     assert abs(d.ab - d.ba) < 1e-9
     assert 342.5 < d.ab < 344.5
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 86_400_000_000),
+            st.integers(min_value=1, max_value=90_000_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_sweep_line_matches_brute_force(spark, iv):
+    """The distributed carry-in sweep must equal the single-machine
+    sweep for arbitrary (possibly bucket-spanning) intervals."""
+    from redpanda_ais_demo_spark.operators.timeseries import max_concurrent_intervals
+
+    D = 86_400_000_000
+    rows = [(s, s + ln) for s, ln in iv]
+    df = spark.createDataFrame(rows, "st long, en long")
+    got = {r.bucket: r.max_concurrent for r in
+           max_concurrent_intervals(df, "st", "en", bucket_len_us=D).collect()}
+    # brute force: global sweep over sorted endpoints, max per bucket
+    deltas = sorted(
+        [(s, 1) for s, _ in rows] + [(e, -1) for _, e in [(s, s + ln) for s, ln in iv]],
+        key=lambda t: (t[0], t[1]),
+    )
+    run, expect = 0, {}
+    for ts, d in deltas:
+        run += d
+        b = ts // D
+        expect[b] = max(expect.get(b, -(10**9)), run)
+    assert got == expect
+
+
+@_settings
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=3, max_size=30)
+)
+def test_acf_bounded_and_lag_symmetric_base(spark, xs):
+    """|r_k| <= 1 (Cauchy-Schwarz over the truncated overlap can exceed
+    slightly in theory for the UNSCALED estimator — the textbook form
+    used here is the n-denominator one, bounded by 1) and constant
+    series yield NULL."""
+    from redpanda_ais_demo_spark.operators.timeseries import acf
+
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "g string, o long, x long"
+    )
+    out = acf(df, "g", "o", "x", max_lag=2).collect()
+    for r in out:
+        if r.acf is not None:
+            assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+    if len(set(xs)) == 1:
+        assert all(r.acf is None for r in out)
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_modularity_bounded_and_single_community_zero(spark, pairs, k):
+    """Q is in [-1/2, 1) for any partition; the all-one-community
+    partition scores exactly 0 (m_c = m, D_c = 2m)."""
+    from redpanda_ais_demo_spark.operators.graph import modularity
+
+    edges_list = [(a, b) for a, b in pairs if a != b]
+    if not edges_list:
+        return
+    df = spark.createDataFrame(edges_list, "src long, dst long")
+    nodes = sorted({n for e in edges_list for n in e})
+    labels = spark.createDataFrame(
+        [(n, n % k) for n in nodes], "node long, label long"
+    )
+    r = modularity(df, labels).collect()[0]
+    assert -0.5 - 1e-9 <= r.modularity <= 1.0
+    one = spark.createDataFrame([(n, 0) for n in nodes], "node long, label long")
+    assert modularity(df, one).collect()[0].modularity == 0.0
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_ols_matches_numpy_lstsq(spark, rows):
+    """Cramer's closed form must agree with numpy least squares
+    whenever the system is well-conditioned (non-singular)."""
+    from redpanda_ais_demo_spark.operators.stats import ols_two_features
+
+    df = spark.createDataFrame(
+        [("g", y, u, v) for u, v, y in rows], "g string, y long, u long, v long"
+    )
+    r = ols_two_features(df, "g", "y", "u", "v").collect()[0]
+    X = np.array([[1, u, v] for u, v, _ in rows], dtype=float)
+    yv = np.array([y for _, _, y in rows], dtype=float)
+    # singular detection must agree with exact rank
+    if r.b0 is None:
+        assert np.linalg.matrix_rank(X.T @ X) < 3
+        return
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    # numpy's float solve loses digits on ill-conditioned systems; use a
+    # tolerance scaled to the condition number
+    cond = np.linalg.cond(X.T @ X)
+    tol = max(1e-5, 1e-10 * cond)
+    for got, want in zip((r.b0, r.b1, r.b2), beta):
+        assert abs(got - want) <= tol * max(1.0, abs(want))
