@@ -254,6 +254,11 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "conversion_time_percentiles",
     "rfm_customer_segments",
     "reconcile_order_totals",
+    # r8j batch: Pareto/ABC classification, new-vs-returning split,
+    # seasonal-residual anomaly top-k.
+    "pareto_abc_parts",
+    "new_vs_returning_daily",
+    "seasonal_residual_outliers",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

@@ -3241,3 +3241,186 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tolerance_cents=0,
     )
+
+
+@query(
+    "pareto_abc_parts",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey AS pk,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+        ranked AS (
+            SELECT pk, cents,
+                   CAST(SUM(cents) OVER (ORDER BY cents DESC, pk ASC
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM rev
+        ),
+        classed AS (
+            SELECT pk, cents,
+                   CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+                        WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM ranked CROSS JOIN tot
+        )
+        SELECT abc,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+               round(CAST(SUM(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+                   AS revenue_share
+        FROM classed CROSS JOIN tot
+        GROUP BY abc
+    """,
+    tags=("analytics", "window", "agg", "segmentation"),
+    doc="Pareto/ABC inventory classification of parts by revenue: rank "
+    "desc, cumulative-share cut at 80%/95% (exact-integer cum/total "
+    "ratios -> identical class cuts cross-engine), per-class "
+    "population and share. The ranking window is the one global-sort-"
+    "shaped stage (same scale contract as gains_lift/RFM: quantile "
+    "boundaries + broadcast lookup at 100 TB).",
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("pk").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn("cum", F.sum("cents").over(w)).crossJoin(F.broadcast(tot))
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    abc = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc", abc)
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+        ),
+        first_day AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id)
+        SELECT ud.day,
+               CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN ud.day <> f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+               round(CAST(SUM(CASE WHEN ud.day <> f.d0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS returning_share
+        FROM ud JOIN first_day f ON ud.user_id = f.user_id
+        GROUP BY ud.day
+    """,
+    tags=("analytics", "agg", "cohort"),
+    doc="New-vs-returning daily split: a user is NEW on their first-"
+    "ever active day, RETURNING after — the acquisition/retention "
+    "panel next to DAU/MAU stickiness. Two partial-aggregable passes "
+    "over the distinct (user, day) table (first-day min + per-day "
+    "conditional counts) joined on the user key; the dedup table, "
+    "never raw events, shuffles.",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = ud.join(first_day, "user_id")
+    is_new = (F.col("day") == F.col("d0")).cast("long")
+    return j.groupBy("day").agg(
+        F.sum(is_new).cast("long").alias("n_new"),
+        F.sum(1 - is_new).cast("long").alias("n_returning"),
+        F.round(
+            F.sum(1 - is_new).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("returning_share"),
+    )
+
+
+@query(
+    "seasonal_residual_outliers",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, event_type AS g, hour(ts) AS h,
+                   CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        prof AS (
+            SELECT g, h, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+            FROM e GROUP BY g, h
+        ),
+        cells AS (
+            SELECT g, h, n, s,
+                   CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s > 0
+                        THEN sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                  / CAST(n * (n - 1) AS DOUBLE))
+                   END AS sd
+            FROM prof
+        )
+        SELECT e.event_id, e.g AS event_type, CAST(e.h AS BIGINT) AS hour,
+               round((e.x - CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE)) / c.sd, 6) AS z
+        FROM e JOIN cells c ON e.g = c.g AND e.h = c.h
+        WHERE c.sd IS NOT NULL
+        ORDER BY abs(round((e.x - CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE)) / c.sd, 6)) DESC,
+                 e.event_id ASC
+        LIMIT 25
+    """,
+    tags=("analytics", "timeseries", "anomaly", "agg"),
+    doc="Seasonality-adjusted anomaly detection: z-score each event "
+    "against ITS OWN (type, hour-of-day) profile — a value normal at "
+    "noon can be an outlier at 3am, which a global MAD/z screen "
+    "misses. Per-cell mean/sd from exact BIGINT/HUGEINT sums (type x "
+    "24 cells — tiny, broadcast back), one fixed double chain per "
+    "event, TakeOrderedAndProject top-25 by |z|.",
+)
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        F.col("event_type").alias("g"),
+        F.hour("ts").alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    prof = e.groupBy("g", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    dd = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dd("n") * F.col("sxx") - dd("s") * dd("s")
+    sd = F.when(
+        (F.col("n") >= 2) & (num > 0),
+        F.sqrt(num.cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")),
+    )
+    cells = prof.withColumn("sd", sd).filter(F.col("sd").isNotNull()).select(
+        "g", "h", "n", "s", "sd"
+    )
+    z = F.round(
+        (F.col("x") - F.col("s").cast("double") / F.col("n").cast("double"))
+        / F.col("sd"),
+        6,
+    )
+    return (
+        e.join(F.broadcast(cells), ["g", "h"])
+        .select(
+            "event_id",
+            F.col("g").alias("event_type"),
+            F.col("h").cast("long").alias("hour"),
+            z.alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), F.col("event_id").asc())
+        .limit(25)
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .conftest import SF_SMOKE
+
 from redpanda_ais_demo_spark.operators.timeseries import (
     cohort_retention,
     funnel,
@@ -1376,3 +1378,45 @@ def test_reconcile_totals_profiles_discrepancies(spark):
         tolerance_cents=1,
     ).collect()[0]
     assert r2.n_mismatch == 1
+
+
+def test_pareto_abc_classes_partition_revenue(spark):
+    from redpanda_ais_demo_spark.plans.analytics_queries import pareto_abc_parts
+
+    out = {r.abc: r for r in pareto_abc_parts(spark, SF_SMOKE).collect()}
+    assert set(out) <= {"A", "B", "C"} and "A" in out
+    # classes partition the catalog and shares sum to ~1
+    total_share = sum(r.revenue_share for r in out.values())
+    assert abs(total_share - 1.0) < 1e-4
+    # A holds at most 80% of revenue; by construction (rank-desc cut)
+    # average revenue per part is non-increasing A -> B -> C
+    assert out["A"].revenue_share <= 0.8 + 1e-9
+    avg = {k: r.revenue_cents / r.n_parts for k, r in out.items()}
+    if "B" in out:
+        assert avg["A"] >= avg["B"]
+    if "C" in out and "B" in out:
+        assert avg["B"] >= avg["C"]
+
+
+def test_new_vs_returning_first_day_all_new(spark):
+    from redpanda_ais_demo_spark.plans.analytics_queries import new_vs_returning_daily
+
+    rows = sorted(
+        new_vs_returning_daily(spark, SF_SMOKE).collect(), key=lambda r: r.day
+    )
+    assert rows[0].n_returning == 0 and rows[0].returning_share == 0.0
+    assert all(r.n_new >= 0 and r.n_returning >= 0 for r in rows)
+    # later days should see some returning users on this fixture
+    assert any(r.n_returning > 0 for r in rows[1:])
+
+
+def test_seasonal_outliers_z_beats_cell_mean(spark):
+    from redpanda_ais_demo_spark.plans.analytics_queries import (
+        seasonal_residual_outliers,
+    )
+
+    rows = seasonal_residual_outliers(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    zs = [abs(r.z) for r in rows]
+    assert zs == sorted(zs, reverse=True)  # ranked by |z|
+    assert zs[-1] > 1.0  # the top-25 are genuinely tail events
