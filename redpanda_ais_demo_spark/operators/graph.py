@@ -311,6 +311,7 @@ def adamic_adar_links(
     src_col: str = "src",
     dst_col: str = "dst",
     top_n: int = 50,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Adamic–Adar link prediction over a bipartite edge list — "which
     two customers look alike because they share rare suppliers": for
@@ -326,19 +327,28 @@ def adamic_adar_links(
 
     Scale: candidate pairs come from the self-join on the shared
     right-side key — Σ_z deg(z)², the standard link-prediction cost,
-    linear for bounded fan-out; a power-law hub makes deg² explode, so
-    production runs cap/sample hub neighborhoods first (the documented
-    skew contract — same caveat as every common-neighbor method).
-    Output: (node_a, node_b, common, score) top-N.
+    linear for bounded fan-out. A hub makes deg² explode while its
+    1/ln(deg) weight tends to 0, so ``max_degree`` (the documented
+    hub cap — same contract as every common-neighbor method) excludes
+    neighbors above it from candidate generation entirely; None keeps
+    the exact all-neighbors form. Run it on a SPARSE bipartite
+    projection (customers × parts, users × rare items) — on a near-
+    complete graph every pair is a candidate and the question itself
+    is meaningless. Output: (node_a, node_b, common, score) top-N.
     """
     if top_n <= 0:
         raise ValueError("top_n must be positive")
+    if max_degree is not None and max_degree < 2:
+        raise ValueError("max_degree must be >= 2 when set")
     e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("z")).distinct()
     deg = e.groupBy("z").agg(F.count(F.lit(1)).alias("dz"))
+    usable = (F.col("dz") >= 2) if max_degree is None else (
+        (F.col("dz") >= 2) & (F.col("dz") <= max_degree)
+    )
     term = e.join(deg, "z").withColumn(
         "micro",
         F.when(
-            F.col("dz") >= 2,
+            usable,
             F.round(F.lit(1e6) / F.log(F.col("dz").cast("double"))).cast("long"),
         ),
     ).filter(F.col("micro").isNotNull())

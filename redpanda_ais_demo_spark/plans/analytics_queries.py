@@ -2989,7 +2989,7 @@ def welch_purchase_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFra
     "adamic_adar_customers",
     oracle="""
         WITH e AS (
-            SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS z
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS z
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         ),
         deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dz FROM e GROUP BY z),
@@ -3011,13 +3011,13 @@ def welch_purchase_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFra
         LIMIT 50
     """,
     tags=("graph", "join", "agg", "recommend"),
-    doc="Adamic-Adar link prediction over the customer<->supplier "
-    "bipartite graph: top-50 customer pairs by Sum(1/ln(deg(shared "
-    "supplier))) — rare shared neighbors dominate, ubiquitous ones "
-    "vanish. 1/ln terms quantize to micro-units BEFORE the exact "
-    "BIGINT sum (the entropy pattern); candidate pairs ride the "
-    "shared-neighbor equi-join (Sum deg^2 — cap hubs first on power-"
-    "law graphs, the documented skew contract) "
+    doc="Adamic-Adar link prediction over the SPARSE customer<->part "
+    "bipartite graph (parts have bounded fan-in — the supplier graph "
+    "is near-complete at scale, where candidate generation is "
+    "quadratic AND the question meaningless): top-50 customer pairs "
+    "by Sum(1/ln(deg(shared part))). 1/ln terms quantize to micro-"
+    "units BEFORE the exact BIGINT sum (the entropy pattern); the "
+    "operator's max_degree hub cap is the documented skew contract "
     "(operators/graph.py:adamic_adar_links).",
 )
 def adamic_adar_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3027,7 +3027,7 @@ def adamic_adar_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     edges = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
     )
     return adamic_adar_links(edges, "src", "dst", top_n=50)
 

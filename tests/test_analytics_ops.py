@@ -1420,3 +1420,19 @@ def test_seasonal_outliers_z_beats_cell_mean(spark):
     zs = [abs(r.z) for r in rows]
     assert zs == sorted(zs, reverse=True)  # ranked by |z|
     assert zs[-1] > 1.0  # the top-25 are genuinely tail events
+
+
+def test_adamic_adar_max_degree_cap(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.graph import adamic_adar_links
+
+    edges = [(u, 100) for u in range(1, 6)] + [(1, 200), (2, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # z=100 has degree 5 -> excluded at cap 4; only z=200 contributes
+    out = adamic_adar_links(df, "src", "dst", top_n=50, max_degree=4).collect()
+    assert {(r.node_a, r.node_b) for r in out} == {(1, 2)}
+    assert out[0].common == 1
+
+    with pytest.raises(ValueError, match="max_degree"):
+        adamic_adar_links(df, max_degree=1)
