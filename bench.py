@@ -259,6 +259,12 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "pareto_abc_parts",
     "new_vs_returning_daily",
     "seasonal_residual_outliers",
+    # r8k batch: CUPED experiment adjustment (pooled sums + 2-row pivot),
+    # Zipf-law fit (top-k cut + exact regression sums), grid-DBSCAN
+    # (dense cells + two-phase CC closure).
+    "cuped_purchase_vs_preperiod",
+    "zipf_fit_tokens",
+    "grid_dbscan_hotspots",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

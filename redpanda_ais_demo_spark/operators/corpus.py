@@ -1067,3 +1067,66 @@ def contamination_coverage(
             (F.col("n_hit") / F.col("n_shingles")).alias("coverage"),
         )
     )
+
+
+def zipf_fit(
+    toks: DataFrame,
+    token_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf-law conformity fit — the corpus-naturalness screen: natural
+    language's token frequencies follow freq ∝ rank^s with s ≈ −1;
+    machine-generated/boilerplate corpora bend the line. Fits OLS of
+    ln(freq) on ln(rank) over the top-``top_k`` tokens and reports
+    (slope, intercept, r2, n_points).
+
+    Determinism: counts are exact; the top-k cut is
+    TakeOrderedAndProject under (cnt DESC, token ASC); ln values
+    quantize to integer micro-nats BEFORE the regression sums (the
+    entropy pattern), so the five OLS sums are exact BIGINT/DECIMAL
+    and slope/intercept/r² are single divisions. The rank window runs
+    over top_k rows only — never the vocabulary.
+    """
+    if top_k < 3:
+        raise ValueError(f"top_k must be >= 3, got {top_k}")
+    counts = (
+        toks.select(F.col(token_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    pts = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long").alias("lx"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("long").alias("ly"),
+    )
+    dec = "decimal(38,0)"
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast(dec)).alias("sxy"),
+        F.sum((F.col("ly") * F.col("ly")).cast(dec)).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast(dec)  # noqa: E731
+    num = d("n") * F.col("sxy") - d("sx") * d("sy")
+    denx = d("n") * F.col("sxx") - d("sx") * d("sx")
+    deny = d("n") * F.col("syy") - d("sy") * d("sy")
+    ok = (F.col("n") >= 3) & (denx != 0)
+    slope = num.cast("double") / denx.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double") / 1e6
+    r2 = F.when(
+        ok & (deny != 0),
+        (num.cast("double") * num.cast("double"))
+        / (denx.cast("double") * deny.cast("double")),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(intercept, 6)).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -270,3 +270,78 @@ def track_compact(
     return t.filter(keep).select(
         F.col("k").alias(key_col), "us", "lat", "lon"
     )
+
+
+def grid_dbscan(
+    cells: DataFrame,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    n_col: str = "n",
+    min_points: int = 10,
+    grid_w: int = 360,
+) -> DataFrame:
+    """Grid-DBSCAN spatial clustering — density clusters from a cell
+    census: a cell is DENSE when it holds ≥ ``min_points`` points;
+    dense cells that touch (8-neighborhood, modular in x for the
+    antimeridian) merge into one cluster. The grid-quantized form of
+    DBSCAN every telemetry stack actually runs at scale: the raw-point
+    ε-graph is quadratic, the cell graph is linear in OCCUPIED cells.
+
+    Plan: dense-cell filter → per-cell 8-neighbor key explode (bounded
+    ×8, map-side) → equi-join back on the cell key to form edges →
+    the large-star/small-star CC closure (diameter-independent —
+    dense-cell chains along a coastline are exactly the long-diameter
+    case; ``operators/dedup.py``). Isolated
+    dense cells are their own single-cell clusters (left join back).
+
+    Output: (cluster_id = min member cell key, n_cells, n_points) —
+    one row per cluster. Cell key = cx·100000 + cy (collision-free for
+    any earthly grid).
+    """
+    if min_points < 1:
+        raise ValueError("min_points must be positive")
+    if grid_w < 3:
+        raise ValueError("grid_w must be >= 3")
+    from .dedup import connected_components_two_phase
+
+    dense = cells.filter(F.col(n_col) >= min_points).select(
+        F.col(cx_col).alias("cx"),
+        F.col(cy_col).alias("cy"),
+        F.col(n_col).alias("n"),
+        (F.col(cx_col) * 100000 + F.col(cy_col)).cast("long").alias("cell_id"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(
+                ((F.col("cx") + dx + grid_w) % grid_w).alias("ncx"),
+                (F.col("cy") + dy).alias("ncy"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    probes = dense.select("cell_id", F.explode(offsets).alias("nb")).select(
+        F.col("cell_id").alias("id_a"), F.col("nb.ncx").alias("cx"), F.col("nb.ncy").alias("cy")
+    )
+    edges = (
+        probes.join(dense.select("cx", "cy", F.col("cell_id").alias("id_b")), ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # cells along a road/coast form LONG CHAINS — diameter-bound
+    # min-label propagation stalls; the large-star/small-star closure
+    # converges in ~log(component size) rounds regardless of diameter
+    comp = connected_components_two_phase(edges)
+    labeled = dense.join(
+        comp.withColumnRenamed("node", "cell_id"), "cell_id", "left"
+    ).withColumn("cluster_id", F.coalesce("component", "cell_id"))
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+        .select(F.col("cluster_id").cast("long").alias("cluster_id"), "n_cells", "n_points")
+    )

@@ -940,3 +940,90 @@ def welch_ttest(
         F.round(t_stat, 6).alias("t_stat"),
         F.round(dof, 6).alias("dof"),
     )
+
+
+def cuped_adjust(
+    subjects: DataFrame,
+    variant_col: str,
+    y_col: str,
+    x_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the experiment
+    readout upgrade every mature platform runs: shrink metric variance
+    with a pre-experiment covariate X (the same user's spend BEFORE
+    the test), ``y' = y − θ(x − x̄)`` with ``θ = cov(X,Y)/var(X)``
+    pooled across arms. Randomization makes the adjustment unbiased;
+    variance drops by ρ² (the fraction the covariate explains).
+
+    Exactness: the five pooled sums and the four per-arm sums are
+    BIGINT/DECIMAL(38,0); θ and ρ² are single divisions of exact
+    integers. Adjusted MEANS come from the algebraic identity
+    ``mean(y'_arm) = ȳ_arm − θ(x̄_arm − x̄)`` — per-arm integer sums
+    plus θ, never a float sum over per-row adjusted values (which
+    would be partial-aggregation-order dependent).
+
+    Output: one row — per-arm n / raw means / adjusted means, raw and
+    adjusted diff, theta, rho2. Degenerate X (zero variance) yields
+    θ = NULL and adjusted == raw.
+    """
+    t = subjects.filter(F.col(variant_col).isin(control, treatment)).select(
+        F.col(variant_col).alias("v"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    pooled = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).alias("syy"),
+    )
+    arms = (
+        t.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("an"), F.sum("x").alias("asx"), F.sum("y").alias("asy"))
+        .groupBy()
+        .pivot("v", [control, treatment])
+        .sum("an", "asx", "asy")
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    cov_num = d("n") * F.col("sxy") - d("sx") * d("sy")
+    varx_num = d("n") * F.col("sxx") - d("sx") * d("sx")
+    vary_num = d("n") * F.col("syy") - d("sy") * d("sy")
+    ok = varx_num != 0
+    theta = F.when(ok, cov_num.cast("double") / varx_num.cast("double"))
+    rho2 = F.when(
+        ok & (vary_num != 0),
+        (cov_num.cast("double") * cov_num.cast("double"))
+        / (varx_num.cast("double") * vary_num.cast("double")),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n").cast("double")
+    nc, xc, yc = (
+        F.col(f"{control}_sum(an)"),
+        F.col(f"{control}_sum(asx)"),
+        F.col(f"{control}_sum(asy)"),
+    )
+    nt, xt, yt = (
+        F.col(f"{treatment}_sum(an)"),
+        F.col(f"{treatment}_sum(asx)"),
+        F.col(f"{treatment}_sum(asy)"),
+    )
+    m = lambda s, n: s.cast("double") / n.cast("double")  # noqa: E731
+    adj = lambda s, xs, n: F.when(  # noqa: E731
+        ok, m(s, n) - theta * (m(xs, n) - xbar)
+    ).otherwise(m(s, n))
+    return j.select(
+        nc.cast("long").alias("n_control"),
+        nt.cast("long").alias("n_treatment"),
+        F.round(m(yc, nc), 6).alias("mean_raw_control"),
+        F.round(m(yt, nt), 6).alias("mean_raw_treatment"),
+        F.round(adj(yc, xc, nc), 6).alias("mean_adj_control"),
+        F.round(adj(yt, xt, nt), 6).alias("mean_adj_treatment"),
+        F.round(m(yt, nt) - m(yc, nc), 6).alias("diff_raw"),
+        F.round(adj(yt, xt, nt) - adj(yc, xc, nc), 6).alias("diff_adj"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho2"),
+    )

@@ -3424,3 +3424,188 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z")).desc(), F.col("event_id").asc())
         .limit(25)
     )
+
+
+@query(
+    "cuped_purchase_vs_preperiod",
+    oracle="""
+        WITH cut AS (
+            SELECT min(epoch_us(ts)) + 15 * 86400000000 AS cut_us FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' AND epoch_us(ts) < cut_us
+                                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= cut_us
+                                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+            FROM events CROSS JOIN cut GROUP BY user_id
+        ),
+        t AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS v, x, y
+            FROM per_user
+        ),
+        pooled AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM t
+        ),
+        arms AS (
+            SELECT max(CASE WHEN v = 'A' THEN an END) AS nc,
+                   max(CASE WHEN v = 'A' THEN asx END) AS xc,
+                   max(CASE WHEN v = 'A' THEN asy END) AS yc,
+                   max(CASE WHEN v = 'B' THEN an END) AS nt,
+                   max(CASE WHEN v = 'B' THEN asx END) AS xt,
+                   max(CASE WHEN v = 'B' THEN asy END) AS yt
+            FROM (SELECT v, CAST(count(*) AS BIGINT) AS an,
+                         CAST(SUM(x) AS BIGINT) AS asx, CAST(SUM(y) AS BIGINT) AS asy
+                  FROM t GROUP BY v)
+        ),
+        s AS (
+            SELECT arms.*, pooled.*,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_num,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx_num,
+                   CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary_num
+            FROM arms CROSS JOIN pooled
+        ),
+        z AS (
+            SELECT s.*,
+                   CASE WHEN varx_num <> 0
+                        THEN CAST(cov_num AS DOUBLE) / CAST(varx_num AS DOUBLE) END AS theta,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+            FROM s
+        )
+        SELECT nc AS n_control, nt AS n_treatment,
+               round(CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS mean_raw_control,
+               round(CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_raw_treatment,
+               round(CASE WHEN varx_num <> 0
+                     THEN CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE)
+                          - theta * (CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) - xbar)
+                     ELSE CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE) END, 6) AS mean_adj_control,
+               round(CASE WHEN varx_num <> 0
+                     THEN CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)
+                          - theta * (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) - xbar)
+                     ELSE CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) END, 6) AS mean_adj_treatment,
+               round(CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)
+                     - CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS diff_raw,
+               round((CASE WHEN varx_num <> 0
+                      THEN CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)
+                           - theta * (CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE) - xbar)
+                      ELSE CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE) END)
+                     - (CASE WHEN varx_num <> 0
+                        THEN CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE)
+                             - theta * (CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) - xbar)
+                        ELSE CAST(yc AS DOUBLE) / CAST(nc AS DOUBLE) END), 6) AS diff_adj,
+               round(theta, 6) AS theta,
+               round(CASE WHEN varx_num <> 0 AND vary_num <> 0
+                     THEN (CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE))
+                          / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE)) END, 6) AS rho2
+        FROM z
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="CUPED variance reduction (Deng et al. 2013) for the purchase-"
+    "revenue experiment: pre-period spend (first 15 days) is the "
+    "covariate, theta = cov/var from exact pooled DECIMAL(38,0)/"
+    "HUGEINT sums, adjusted means via the algebraic per-arm identity "
+    "(never a float sum over adjusted rows), rho2 = the variance "
+    "fraction removed. Same inline hash variants as the Welch/z "
+    "readouts (operators/stats.py:cuped_adjust).",
+)
+def cuped_purchase_vs_preperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import cuped_adjust
+
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(
+        (F.min(F.unix_micros("ts")) + F.lit(15 * 86_400_000_000)).alias("cut_us")
+    )
+    e = events.crossJoin(F.broadcast(cut))
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_p & (F.unix_micros("ts") < F.col("cut_us")), cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(is_p & (F.unix_micros("ts") >= F.col("cut_us")), cents).otherwise(0)
+        ).alias("y"),
+    )
+    subjects = per_user.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "x",
+        "y",
+    )
+    return cuped_adjust(subjects, "variant", "y", "x", control="A", treatment="B")
+
+
+@query(
+    "grid_dbscan_hotspots",
+    oracle="""
+        WITH RECURSIVE pos AS (
+            SELECT value / 10 - 24.5 AS lat, (value * 7) % 360 - 180 AS lon
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(floor((lon + 180.0) / 1.0) AS BIGINT) % 360 AS cx,
+                   CAST(floor((lat + 90.0) / 1.0) AS BIGINT) AS cy,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pos GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT cx, cy, n, cx * 100000 + cy AS cell_id
+            FROM cells WHERE n >= 5
+        ),
+        e0 AS (
+            SELECT a.cell_id AS src, b.cell_id AS dst
+            FROM dense a
+            CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+            JOIN dense b ON b.cx = (a.cx + o.dx + 360) % 360
+                        AND b.cy = a.cy + o.dy
+                        AND a.cell_id < b.cell_id
+        ),
+        edges AS (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+        ),
+        reach(node, other) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.node, e.dst
+            FROM reach r JOIN edges e ON r.other = e.src AND e.dst <> r.node
+        ),
+        comp AS (
+            SELECT node, least(node, min(other)) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT coalesce(comp.component, dense.cell_id) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(SUM(dense.n) AS BIGINT) AS n_points
+        FROM dense LEFT JOIN comp ON dense.cell_id = comp.node
+        GROUP BY 1
+    """,
+    tags=("analytics", "spatial", "graph", "iterative"),
+    doc="Grid-DBSCAN spatial clustering of position density: dense 1-"
+    "degree cells (>= 5 fixes) merge through 8-neighbor adjacency "
+    "(modular at the antimeridian) via the min-label CC closure — the "
+    "linear-in-occupied-cells form of DBSCAN (the raw-point epsilon "
+    "graph is quadratic). Bounded x8 neighbor explode + equi-join; "
+    "isolated dense cells stay singleton clusters "
+    "(operators/spatial.py:grid_dbscan).",
+)
+def grid_dbscan_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import grid_dbscan
+
+    events = load_table(spark, sf_dir, "events")
+    pos = events.select(
+        (F.col("value") / 10 - 24.5).alias("lat"),
+        ((F.col("value") * 7) % 360 - 180).alias("lon"),
+    )
+    cells = pos.select(
+        (F.floor((F.col("lon") + 180.0) / 1.0).cast("long") % 360).alias("cx"),
+        F.floor((F.col("lat") + 90.0) / 1.0).cast("long").alias("cy"),
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return grid_dbscan(cells, "cx", "cy", "n", min_points=5, grid_w=360)

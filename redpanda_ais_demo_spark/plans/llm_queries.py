@@ -2928,3 +2928,63 @@ def contamination_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return corpus.contamination_coverage(train, ev, "doc_id", "text", k=5)
+
+
+@query(
+    "zipf_fit_tokens",
+    oracle="""
+        WITH counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 500
+        ),
+        pts AS (
+            SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+                                      AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+            FROM counts
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(ly AS HUGEINT) * ly) AS HUGEINT) AS syy
+            FROM pts
+        ),
+        d AS (
+            SELECT n,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+                   CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny,
+                   sx, sy
+            FROM agg
+        )
+        SELECT n AS n_points,
+               CASE WHEN n >= 3 AND denx <> 0
+                    THEN round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6) END AS slope,
+               CASE WHEN n >= 3 AND denx <> 0
+                    THEN round((CAST(sy AS DOUBLE)
+                                - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+                                  * CAST(sx AS DOUBLE))
+                               / CAST(n AS DOUBLE) / 1000000.0, 6) END AS intercept,
+               CASE WHEN n >= 3 AND denx <> 0 AND deny <> 0
+                    THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                               / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+               END AS r2
+        FROM d
+    """,
+    tags=("text", "statistics", "agg"),
+    doc="Zipf-law conformity fit over the top-500 tokens: OLS of "
+    "ln(freq) on ln(rank) — natural language slopes ~-1; boilerplate/"
+    "machine text bends the line. Micro-nat-quantized lns feed exact "
+    "BIGINT/HUGEINT regression sums (the entropy pattern); the rank "
+    "window runs over the top-k only, never the vocabulary "
+    "(operators/corpus.py:zipf_fit).",
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT2
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT2.tokens(F.col("text"))).alias("token"))
+    return corpus.zipf_fit(toks, "token", top_k=500)

@@ -1436,3 +1436,75 @@ def test_adamic_adar_max_degree_cap(spark):
 
     with pytest.raises(ValueError, match="max_degree"):
         adamic_adar_links(df, max_degree=1)
+
+
+def test_cuped_matches_numpy_and_reduces_nothing_without_signal(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators.stats import cuped_adjust
+
+    # y = 2x + arm effect + deterministic wiggle: X explains most variance
+    rows = []
+    for i in range(40):
+        x = (i * 37) % 100
+        arm = "A" if i % 2 == 0 else "B"
+        y = 2 * x + (50 if arm == "B" else 0) + (i % 7)
+        rows.append((arm, y, x))
+    df = spark.createDataFrame(rows, "variant string, y long, x long")
+    r = cuped_adjust(df, "variant", "y", "x", "A", "B").collect()[0]
+
+    xs = np.array([x for _, _, x in rows], float)
+    ys = np.array([y for _, y, _ in rows], float)
+    theta = np.cov(xs, ys, bias=True)[0, 1] / np.var(xs)
+    assert abs(r.theta - round(theta, 6)) < 1e-6
+    assert r.rho2 > 0.8  # X explains most pooled variance
+    # adjustment must not change the POOLED mean decomposition:
+    # n_c*adj_c + n_t*adj_t == n_c*raw_c + n_t*raw_t (theta term cancels)
+    lhs = r.n_control * r.mean_adj_control + r.n_treatment * r.mean_adj_treatment
+    rhs = r.n_control * r.mean_raw_control + r.n_treatment * r.mean_raw_treatment
+    assert abs(lhs - rhs) < 1e-2
+
+    # constant covariate -> no adjustment, theta NULL
+    flat = spark.createDataFrame(
+        [("A", 10, 5), ("A", 14, 5), ("B", 20, 5), ("B", 22, 5)],
+        "variant string, y long, x long",
+    )
+    rf = cuped_adjust(flat, "variant", "y", "x", "A", "B").collect()[0]
+    assert rf.theta is None and rf.mean_adj_control == rf.mean_raw_control
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    from redpanda_ais_demo_spark.operators.corpus import zipf_fit
+
+    # freq(rank) = 2^20 / rank exactly -> slope -1, r2 ~ 1
+    rows = []
+    for rank in range(1, 33):
+        tok = f"t{rank:03d}"
+        rows.extend([(tok,)] * (2**20 // rank // 1024))
+    df = spark.createDataFrame(rows, "token string")
+    r = zipf_fit(df, "token", top_k=32).collect()[0]
+    assert r.n_points == 32
+    assert abs(r.slope + 1.0) < 0.01
+    assert r.r2 > 0.999
+
+
+def test_grid_dbscan_merges_chain_and_wraps_antimeridian(spark):
+    from redpanda_ais_demo_spark.operators.spatial import grid_dbscan
+
+    cells = spark.createDataFrame(
+        # a 3-cell horizontal chain (diagonal-adjacent would also merge)
+        [(10, 50, 9), (11, 50, 7), (12, 50, 8),
+         # isolated dense cell
+         (100, 20, 11),
+         # antimeridian pair: cx 359 and cx 0 are neighbors
+         (359, 70, 6), (0, 70, 6),
+         # below min_points -> not dense, breaks no chain
+         (14, 50, 2)],
+        "cx long, cy long, n long",
+    )
+    out = {r.cluster_id: r for r in
+           grid_dbscan(cells, min_points=5, grid_w=360).collect()}
+    sizes = sorted((r.n_cells, r.n_points) for r in out.values())
+    assert sizes == [(1, 11), (2, 12), (3, 24)]
+    # the wrap cluster is rooted at cell_id 0*100000+70
+    assert 70 in out and out[70].n_cells == 2

@@ -13,8 +13,11 @@ Scaling must multiply WORK, not blow up operator semantics:
   quadratically, which is the property a real 10x corpus has
   (duplicates-per-document density is scale-free).
 - ``orders``/``lineitem``: 10 disjoint key-shifted copies (orderkey
-  +150k*i, custkey +15k*i, suppkey +1k*i). The customer<->supplier graph
-  becomes 10 disjoint components; custkeys stay < 1e6 so the PageRank
+  +150k*i, custkey +15k*i, suppkey +1k*i, partkey +20k*i). The
+  customer<->supplier AND customer<->part graphs become 10 disjoint
+  components — a real 10x dataset grows its catalog with its orders, so
+  per-part fan-in (and thus Σdeg² candidate work in the link-prediction
+  joins) scales linearly, not 100x; custkeys stay < 1e6 so the PageRank
   node-space offset (supplier = 1e6 + suppkey) never collides.
 - everything else copies through unchanged (present so load_table works;
   the measured operators don't read them).
@@ -34,7 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEST = os.path.join(REPO, ".scale_data", "sf1")
 REPLICAS = 10
 
-N_DOCS, N_ORDERS, N_CUST, N_SUPP = 5_000, 150_000, 15_000, 1_000
+N_DOCS, N_ORDERS, N_CUST, N_SUPP, N_PART = 5_000, 150_000, 15_000, 1_000, 20_000
 
 
 def build(dest: str = DEST, src: str = SRC, replicas: int = REPLICAS) -> str:
@@ -70,12 +73,15 @@ def build(dest: str = DEST, src: str = SRC, replicas: int = REPLICAS) -> str:
     )
     li = os.path.join(src, "lineitem.parquet")
     li_cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{li}')").fetchall()]
-    passthrough = [c for c in li_cols if c not in ("l_orderkey", "l_suppkey")]
+    passthrough = [
+        c for c in li_cols if c not in ("l_orderkey", "l_suppkey", "l_partkey")
+    ]
 
     replicate(
         lambda i: (
             f"SELECT l_orderkey + {N_ORDERS * i} AS l_orderkey, "
             f"l_suppkey + {N_SUPP * i} AS l_suppkey, "
+            f"l_partkey + {N_PART * i} AS l_partkey, "
             + ", ".join(passthrough)
             + f" FROM read_parquet('{li}')"
         ),
