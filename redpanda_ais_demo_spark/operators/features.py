@@ -156,11 +156,21 @@ def dict_encode(
         )
         .select("term", F.col("term_id").cast("long"), F.col("n").cast("long"))
     )
-    encoded = df.join(
-        F.broadcast(vocab.select("term", "term_id")),
-        df[col] == F.col("term"),
-        "left",
-    ).drop("term").withColumnRenamed("term_id", f"{col}_id")
+    out_col = f"{col}_id"
+    if out_col in df.columns:
+        raise ValueError(
+            f"dict_encode output column {out_col!r} already exists on the input"
+        )
+    # reserved internal aliases so input frames that already carry
+    # 'term'/'term_id'/'n' columns join unambiguously and keep their data
+    enc_map = vocab.select(
+        F.col("term").alias("__de_term"), F.col("term_id").alias("__de_id")
+    )
+    encoded = (
+        df.join(F.broadcast(enc_map), df[col] == F.col("__de_term"), "left")
+        .drop("__de_term")
+        .withColumnRenamed("__de_id", out_col)
+    )
     return vocab, encoded
 
 

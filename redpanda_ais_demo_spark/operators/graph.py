@@ -203,6 +203,15 @@ def label_propagation(
     if iters <= 0:
         raise ValueError(f"iters must be positive, got {iters}")
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # every endpoint of the UNFILTERED edge list — keeps self-loop-only
+    # nodes in the output (parity with the CC operators, which emit
+    # (node, node) for them)
+    all_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.filter(F.col("a") != F.col("b")).localCheckpoint(eager=False)
     labels = (
@@ -225,7 +234,12 @@ def label_propagation(
             .select("node", "label")
             .localCheckpoint(eager=False)
         )
-    return labels
+    # nodes whose only edges are self-loops never appear in `sym`, so
+    # they keep their own id as label: emit (node, node) for them
+    isolated = all_nodes.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return labels.unionAll(isolated)
 
 
 def modularity(

@@ -1,0 +1,151 @@
+"""Distributed total-order analytics: global rank / prefix-sum / ntile
+WITHOUT a single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` is the classic Spark
+scale-killer: the physical plan is ``Exchange SinglePartition`` →
+``WindowExec`` — every row of the frame funnels through ONE task (the
+"No Partition Defined for Window operation" warning). Fine for a
+vocab-of-50 frame; fatal for a 100 TB corpus or a billion-key count
+table.
+
+These helpers compute the SAME total-order statistics with parallel
+sorts, the textbook two-phase prefix-sum:
+
+1. ``repartitionByRange`` on the sort key — each partition holds a
+   contiguous, disjoint key range, sorted in parallel (the same
+   machinery a global ``orderBy`` uses before output);
+2. per-partition window (partitioned by ``spark_partition_id()`` — no
+   single-partition exchange) for local rank / running sums;
+3. a per-partition offset table (one row per partition: row count +
+   value sums), cumulated over at most ``num_partitions`` rows and
+   broadcast back — global = local + offset of all prior partitions.
+
+Results are IDENTICAL to the single-partition window whenever
+``order_exprs`` is a total order (include a tiebreak column), and
+independent of where the range sampler happens to cut: equal keys land
+in one partition, and offsets are computed from the actual partition
+contents.
+
+Reference parity: these back the coverage-curve / Pareto / gains-lift /
+AUC family (reference analytics surface, SURVEY §2.6) — semantics
+unchanged, physical plan re-expressed for scale.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__go_pid"
+
+
+def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be positive")
+        return num_partitions
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200
+
+
+def rank_cumsum(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    rank_col: str | None = "rank",
+    cumsums: Mapping[str, Column] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a global ``rank_col`` (row_number under ``order_exprs``)
+    and/or inclusive running sums (``cumsums``: out_col -> value
+    expression, frame UNBOUNDED PRECEDING..CURRENT ROW) to ``df`` —
+    distributed as described in the module docstring; no
+    single-partition exchange anywhere in the plan.
+
+    ``order_exprs`` must be a total order (add a key tiebreak) for the
+    rank to be deterministic — same contract as the window it replaces.
+    For an EXCLUSIVE prefix (cum of strictly-preceding rows) subtract
+    the row's own value from the inclusive sum.
+    """
+    if not order_exprs:
+        raise ValueError("order_exprs must be non-empty")
+    cumsums = dict(cumsums or {})
+    if not rank_col and not cumsums:
+        raise ValueError("nothing to compute: no rank_col, no cumsums")
+    n = _num_partitions(df, num_partitions)
+
+    p = df.repartitionByRange(n, *order_exprs).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # one row per partition: row count + per-cumsum value total
+    per = p.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__go_cnt"),
+        *[F.sum(v).alias(f"__go_s_{o}") for o, v in cumsums.items()],
+    )
+    # offsets = totals of all PRIOR partitions; this window runs over at
+    # most `n` rows (one per partition) — driver-trivial at any scale
+    woff = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        _PID,
+        F.coalesce(F.sum("__go_cnt").over(woff), F.lit(0)).alias("__go_roff"),
+        *[
+            F.coalesce(F.sum(f"__go_s_{o}").over(woff), F.lit(0)).alias(
+                f"__go_off_{o}"
+            )
+            for o in cumsums
+        ],
+    )
+    w_in = Window.partitionBy(_PID).orderBy(*order_exprs)
+    out = p.join(F.broadcast(offs), _PID)
+    if rank_col:
+        out = out.withColumn(
+            rank_col,
+            (F.row_number().over(w_in) + F.col("__go_roff")).cast("long"),
+        )
+    for o, v in cumsums.items():
+        out = out.withColumn(
+            o,
+            F.sum(v).over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col(f"__go_off_{o}"),
+        )
+    return out.drop(_PID, "__go_roff", *[f"__go_off_{o}" for o in cumsums])
+
+
+def ntile_distributed(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    n_tiles: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ANSI ``ntile(n_tiles)`` under a global total order,
+    computed from the distributed rank + the total row count — the
+    first ``N mod k`` buckets get one extra row, exactly the
+    Spark/DuckDB tiling, with no single-partition window.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be positive")
+    ranked = rank_cumsum(
+        df, order_exprs, rank_col="__go_rank", num_partitions=num_partitions
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__go_n"))
+    r = F.col("__go_rank")
+    base = F.floor(F.col("__go_n") / n_tiles)
+    extra = F.col("__go_n") % n_tiles
+    fat = (base + 1) * extra  # rows living in the first `extra` fat buckets
+    tile = F.when(
+        base == 0,  # fewer rows than tiles: tile == rank
+        r,
+    ).otherwise(
+        F.when(r <= fat, F.floor((r - 1) / (base + 1)) + 1).otherwise(
+            extra + F.floor((r - fat - 1) / base) + 1
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__go_rank", "__go_n")
+    )

@@ -577,12 +577,12 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count("*").cast("long").alias("n"))
     total = counts.agg(F.sum("n").cast("long").alias("__total"))
-    w = Window.orderBy(F.col("n").desc(), "user_id")
+    # sort-limit FIRST (TakeOrderedAndProject) so no SinglePartition
+    # window ever sees the full per-key count table
+    top = counts.orderBy(F.col("n").desc(), "user_id").limit(20)
     return (
-        counts.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .withColumn("share", F.round(F.col("n") / F.col("__total").cast("double"), 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
         .select("user_id", "n", "share")
     )
 

@@ -73,7 +73,13 @@ def cached_result(
     old = None
     if os.path.exists(entry):
         old = entry + f".old-{uuid.uuid4().hex}"
-        os.rename(entry, old)
+        try:
+            os.rename(entry, old)
+        except OSError:
+            # a concurrent writer moved the entry between the exists()
+            # check and the rename — fall through; the tmp->entry swap
+            # below decides the race and the loser serves its own frame
+            old = None
     try:
         os.rename(tmp, entry)
     except OSError:

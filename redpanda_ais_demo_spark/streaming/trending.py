@@ -36,12 +36,33 @@ and it carries distinct batch tokens, never raw occurrences.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works
+    for any configured scheme (file://, hdfs://, s3a://), not just the
+    driver-local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_state_ids(spark: SparkSession, state_dir: str) -> list[int]:
+    """Batch ids of all persisted state partitions under ``state_dir``
+    (empty when the directory does not exist yet)."""
+    fs, jpath = _hadoop_fs(spark, state_dir)
+    if not fs.exists(jpath):
+        return []
+    ids = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("__batch_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    return ids
 
 
 def batch_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -92,27 +113,31 @@ def _latest_state_below(
     spark: SparkSession, state_dir: str, batch_id: int
 ) -> DataFrame | None:
     """Read the newest persisted state partition with id < batch_id —
-    the replay-stable predecessor."""
-    if not os.path.isdir(state_dir):
-        return None
-    prior = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(state_dir)
-        if d.startswith("__batch_id=") and int(d.split("=", 1)[1]) < batch_id
-    ]
+    the replay-stable predecessor. Resolved through the Hadoop
+    FileSystem API so non-local state dirs (hdfs://, s3a://) discover
+    prior state instead of silently resetting the counters."""
+    prior = [i for i in _list_state_ids(spark, state_dir) if i < batch_id]
     if not prior:
         return None
-    path = os.path.join(state_dir, f"__batch_id={max(prior)}")
-    return spark.read.parquet(path)
+    return spark.read.parquet(
+        state_dir.rstrip("/") + f"/__batch_id={max(prior)}"
+    )
 
 
-def _prune_state_partitions(state_dir: str, keep_from: int) -> None:
+def _prune_state_partitions(
+    spark: SparkSession, state_dir: str, keep_from: int
+) -> None:
     """Delete state partitions older than ``keep_from`` (idempotent)."""
-    if not os.path.isdir(state_dir):
-        return
-    for d in os.listdir(state_dir):
-        if d.startswith("__batch_id=") and int(d.split("=", 1)[1]) < keep_from:
-            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    fs, _ = _hadoop_fs(spark, state_dir)
+    jvm = spark._jvm
+    for i in _list_state_ids(spark, state_dir):
+        if i < keep_from:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    state_dir.rstrip("/") + f"/__batch_id={i}"
+                ),
+                True,
+            )
 
 
 def start_trending_tokens(
@@ -138,7 +163,7 @@ def start_trending_tokens(
         prior = _latest_state_below(spark, state_dir, batch_id)
         new_state = trend_merge(prior, counts, capacity).localCheckpoint()
         new_state.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"__batch_id={batch_id}")
+            state_dir.rstrip("/") + f"/__batch_id={batch_id}"
         )
         wtop = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
         top = (
@@ -152,9 +177,9 @@ def start_trending_tokens(
             )
         )
         top.write.mode("overwrite").parquet(
-            os.path.join(snapshots_dir, f"__batch_id={batch_id}")
+            snapshots_dir.rstrip("/") + f"/__batch_id={batch_id}"
         )
-        _prune_state_partitions(state_dir, batch_id - retain + 1)
+        _prune_state_partitions(spark, state_dir, batch_id - retain + 1)
 
     return (
         docs_stream.writeStream.foreachBatch(process)

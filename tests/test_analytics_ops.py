@@ -1508,3 +1508,36 @@ def test_grid_dbscan_merges_chain_and_wraps_antimeridian(spark):
     assert sizes == [(1, 11), (2, 12), (3, 24)]
     # the wrap cluster is rooted at cell_id 0*100000+70
     assert 70 in out and out[70].n_cells == 2
+
+
+def test_label_propagation_keeps_self_loop_only_nodes(spark):
+    """ADVICE r8: nodes whose only edges are self-loops must emit
+    (node, node) — parity with the CC operators' pinned behavior."""
+    from redpanda_ais_demo_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (9, 9)]  # 9 has only a self-loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert out[9] == 9
+    assert set(out) == {1, 2, 3, 9}
+
+
+def test_dict_encode_survives_reserved_column_names(spark):
+    """ADVICE r8: input frames already carrying term/term_id/n columns
+    must come through unharmed; a pre-existing {col}_id raises."""
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.features import dict_encode
+
+    df = spark.createDataFrame(
+        [("a", "keepT", 7, 100), ("b", "keepT2", 8, 200), ("a", "keepT3", 9, 300)],
+        "cat string, term string, term_id long, n long",
+    )
+    vocab, encoded = dict_encode(df, "cat")
+    assert {r.term: r.term_id for r in vocab.collect()} == {"a": 0, "b": 1}
+    rows = {r.term: (r.term_id, r.n, r.cat_id) for r in encoded.collect()}
+    # user's own term/term_id/n columns intact, cat_id appended
+    assert rows == {"keepT": (7, 100, 0), "keepT2": (8, 200, 1), "keepT3": (9, 300, 0)}
+
+    with pytest.raises(ValueError, match="cat_id"):
+        dict_encode(encoded, "cat")

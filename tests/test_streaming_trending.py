@@ -112,3 +112,25 @@ def test_trending_replayed_batch_is_idempotent(spark, tmp_path):
     first = run_batch_1()
     replay = run_batch_1()  # crash-after-write replay: same predecessor
     assert first == replay == _exact_counts(B1 + B2)
+
+
+def test_trending_state_paths_resolve_via_hadoop_fs(spark, tmp_path):
+    """ADVICE r8: state discovery/pruning goes through the Hadoop
+    FileSystem API — an explicit file:// scheme (the shape of any
+    non-local hdfs://, s3a:// dir) must discover prior state instead of
+    silently returning None and resetting counters."""
+    state = "file://" + str(tmp_path / "state")
+    counts1 = trending.batch_token_counts(spark.createDataFrame(B1, SCHEMA))
+    s1 = trending.trend_merge(None, counts1, capacity=100)
+    s1.write.mode("overwrite").parquet(state + "/__batch_id=0")
+
+    prior = trending._latest_state_below(spark, state, 1)
+    assert prior is not None
+    assert {r.token: r.cnt for r in prior.collect()} == _exact_counts(B1)
+
+    # prune through the same API: partition 0 removed, idempotent re-run
+    s1.write.mode("overwrite").parquet(state + "/__batch_id=5")
+    trending._prune_state_partitions(spark, state, keep_from=5)
+    assert trending._list_state_ids(spark, state) == [5]
+    trending._prune_state_partitions(spark, state, keep_from=5)
+    assert trending._list_state_ids(spark, state) == [5]
