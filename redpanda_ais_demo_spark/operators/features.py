@@ -211,13 +211,19 @@ def rfm_segments(
         "recency_days",
         F.floor((F.col("anchor") - F.col("last_ts")) / F.lit(86400)).cast("long"),
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("k").asc())
-    w_f = Window.orderBy(F.col("freq").asc(), F.col("k").asc())
-    w_m = Window.orderBy(F.col("cents").asc(), F.col("k").asc())
-    scored = (
-        t.withColumn("r", F.ntile(n_bins).over(w_r))
-        .withColumn("f", F.ntile(n_bins).over(w_f))
-        .withColumn("m", F.ntile(n_bins).over(w_m))
+    # three distributed ntiles (operators/ordered.py) — identical ANSI
+    # tiling with parallel range sorts instead of three single-partition
+    # windows over the full per-key table
+    from .ordered import ntile_distributed
+
+    scored = ntile_distributed(
+        t, [F.col("recency_days").desc(), F.col("k").asc()], n_bins, out_col="r"
+    )
+    scored = ntile_distributed(
+        scored, [F.col("freq").asc(), F.col("k").asc()], n_bins, out_col="f"
+    )
+    scored = ntile_distributed(
+        scored, [F.col("cents").asc(), F.col("k").asc()], n_bins, out_col="m"
     )
     seg = F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
     return (

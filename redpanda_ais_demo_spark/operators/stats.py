@@ -124,13 +124,13 @@ def chi_squared_independence(
     )
     wa = Window.partitionBy("a")
     wb = Window.partitionBy("b")
-    wall = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # grand total as a broadcast 1-row aggregate, not an unpartitioned
+    # window — no single-partition pass over the cell table
+    tot = cells.agg(F.sum("o").alias("n"))
     m = (
         cells.withColumn("rt", F.sum("o").over(wa))
         .withColumn("ct", F.sum("o").over(wb))
-        .withColumn("n", F.sum("o").over(wall))
+        .crossJoin(F.broadcast(tot))
     )
     e = (F.col("rt") * F.col("ct")) / F.col("n")
     term = (F.col("o") - e) * (F.col("o") - e) / e
@@ -282,16 +282,6 @@ def kaplan_meier(
         F.count("*").alias("leave"),  # events + censored both exit the risk set
     )
     totals = base.groupBy(*gcols).agg(F.count("*").alias("n_total"))
-    if gcols:
-        times = times.join(F.broadcast(totals), gcols)
-        w = Window.partitionBy(*gcols).orderBy("t")
-    else:
-        times = times.crossJoin(F.broadcast(totals))
-        w = Window.orderBy("t")
-    prior_left = F.coalesce(
-        F.sum("leave").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
-    stepped = times.withColumn("n_risk", F.col("n_total") - prior_left)
     # d == n_risk extinguishes the curve: ln(0) diverges (and the engines
     # disagree on it — Spark log(0) is NULL, DuckDB -inf), so track the
     # extinction step as a flag and pin survival to exactly 0.0 from there
@@ -300,15 +290,50 @@ def kaplan_meier(
         F.round(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")) * 1e6).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     extinct = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum(term).over(wrun)
-    any_extinct = F.max(extinct).over(wrun)
-    out = stepped.withColumn(
-        "survival",
-        F.when(any_extinct == 1, F.lit(0.0)).otherwise(
-            F.round(F.exp(cum / F.lit(1e6)), 6)
-        ),
-    )
+    if gcols:
+        times = times.join(F.broadcast(totals), gcols)
+        w = Window.partitionBy(*gcols).orderBy("t")
+        prior_left = F.coalesce(
+            F.sum("leave").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        stepped = times.withColumn("n_risk", F.col("n_total") - prior_left)
+        wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+        cum = F.sum(term).over(wrun)
+        any_extinct = F.max(extinct).over(wrun)
+        out = stepped.withColumn(
+            "survival",
+            F.when(any_extinct == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(cum / F.lit(1e6)), 6)
+            ),
+        )
+    else:
+        # ungrouped: the time table can be data-sized for fine-grained
+        # durations — two distributed prefix passes (operators/ordered.py)
+        # instead of single-partition windows; running max of a 0/1 flag
+        # == running sum >= 1
+        from .ordered import rank_cumsum
+
+        times = times.crossJoin(F.broadcast(totals))
+        s1 = rank_cumsum(
+            times, [F.col("t").asc()], rank_col=None, cumsums={"__cl": F.col("leave")}
+        )
+        stepped = s1.withColumn(
+            "n_risk", F.col("n_total") - (F.col("__cl") - F.col("leave"))
+        )
+        staged = stepped.withColumn("__term", term).withColumn("__ext", extinct)
+        s2 = rank_cumsum(
+            staged,
+            [F.col("t").asc()],
+            rank_col=None,
+            cumsums={"__cum": F.col("__term"), "__cex": F.col("__ext")},
+        )
+        out = s2.withColumn(
+            "survival",
+            F.when(F.col("__cex") >= 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.col("__cum") / F.lit(1e6)), 6)
+            ),
+        )
     return out.select(
         *gcols,
         F.col("t"),
@@ -507,8 +532,14 @@ def roc_auc(
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = counts.withColumn("cum_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    # distributed exclusive prefix count (operators/ordered.py): the
+    # distinct-score table can be data-sized for continuous scores, so
+    # no single-partition window — inclusive running sum minus own n
+    from .ordered import rank_cumsum
+
+    ranked = rank_cumsum(
+        counts, [F.col("s").asc()], rank_col=None, cumsums={"__ci": F.col("n")}
+    ).withColumn("cum_less", F.col("__ci") - F.col("n"))
     agg = ranked.agg(
         F.sum("n_pos").alias("p"),
         (F.sum("n") - F.sum("n_pos")).alias("q"),
@@ -556,13 +587,12 @@ def mutual_information(
     )
     wx = Window.partitionBy("x")
     wy = Window.partitionBy("y")
-    wall = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # grand total via broadcast 1-row aggregate (no unpartitioned window)
+    tot = cells.agg(F.sum("c").alias("n"))
     t = (
         cells.withColumn("cx", F.sum("c").over(wx))
         .withColumn("cy", F.sum("c").over(wy))
-        .withColumn("n", F.sum("c").over(wall))
+        .crossJoin(F.broadcast(tot))
     )
     ratio = (F.col("c") * F.col("n")).cast("double") / (F.col("cx") * F.col("cy")).cast("double")
     ln_micro = F.round(F.log(ratio) * 1e6).cast("long")
@@ -667,15 +697,18 @@ def gains_lift(
     """
     if n_deciles < 2:
         raise ValueError(f"n_deciles must be >= 2, got {n_deciles}")
-    w = Window.orderBy(F.col("s").desc(), F.col("tb").asc())
-    t = (
-        df.select(
-            F.col(score_col).alias("s"),
-            F.col(label_col).cast("long").alias("y"),
-            F.col(tiebreak_col).alias("tb"),
-        )
-        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
-        .withColumn("decile", F.ntile(n_deciles).over(w))
+    # ANSI ntile without the single-partition window: distributed rank
+    # + total-count bucket formula (operators/ordered.py) — identical
+    # tiling, parallel sort at any corpus size
+    from .ordered import ntile_distributed
+
+    base = df.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+        F.col(tiebreak_col).alias("tb"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    t = ntile_distributed(
+        base, [F.col("s").desc(), F.col("tb").asc()], n_deciles, out_col="decile"
     )
     per = t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")

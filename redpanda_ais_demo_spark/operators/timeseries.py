@@ -351,6 +351,10 @@ def psi_drift(
             F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("n_cur"),
         )
     )
+    # the bucket table is constructor-bounded (<= n_buckets rows), so
+    # the unpartitioned windows below run over a frame that never grows
+    # with the data — the single-partition pass is over dozens of rows,
+    # not the corpus, and avoids re-reading the counts subtree
     w = Window.orderBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -1224,10 +1228,21 @@ def max_concurrent_intervals(
         )
     ).withColumn("bucket", F.floor(F.col("ts") / F.lit(bucket_len_us)))
     per_bucket = deltas.groupBy("bucket").agg(F.sum("d").alias("tot"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    carry = per_bucket.withColumn(
-        "carry_in", F.coalesce(F.sum("tot").over(wb), F.lit(0))
-    ).select("bucket", "carry_in")
+    # distributed exclusive prefix over buckets (operators/ordered.py):
+    # the bucket table is time-range-sized, potentially huge at fine
+    # granularity — no single-partition window
+    from .ordered import rank_cumsum
+
+    carry = (
+        rank_cumsum(
+            per_bucket,
+            [F.col("bucket").asc()],
+            rank_col=None,
+            cumsums={"__ci": F.col("tot")},
+        )
+        .withColumn("carry_in", F.col("__ci") - F.col("tot"))
+        .select("bucket", "carry_in")
+    )
     wloc = Window.partitionBy("bucket").orderBy("ts", "d").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -1357,9 +1357,10 @@ def share_of_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("cents"))
     )
     wr = Window.partitionBy("region")
-    wall = Window.orderBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    lvl = leaf.withColumn("region_cents", F.sum("cents").over(wr)).withColumn(
-        "total_cents", F.sum("cents").over(wall)
+    # grand total via broadcast 1-row aggregate (no unpartitioned window)
+    tot = leaf.agg(F.sum("cents").alias("total_cents"))
+    lvl = leaf.withColumn("region_cents", F.sum("cents").over(wr)).crossJoin(
+        F.broadcast(tot)
     )
     return lvl.select(
         "region",
@@ -3277,20 +3278,25 @@ def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Pareto/ABC inventory classification of parts by revenue: rank "
     "desc, cumulative-share cut at 80%/95% (exact-integer cum/total "
     "ratios -> identical class cuts cross-engine), per-class "
-    "population and share. The ranking window is the one global-sort-"
-    "shaped stage (same scale contract as gains_lift/RFM: quantile "
-    "boundaries + broadcast lookup at 100 TB).",
+    "population and share. The cumulative ranking runs through "
+    "operators/ordered.py's distributed prefix-sum (range-partitioned "
+    "parallel sort + broadcast offsets) — no single-partition window "
+    "over the per-part revenue table at any key cardinality.",
 )
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import rank_cumsum
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     rev = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
     )
     tot = rev.agg(F.sum("cents").alias("total"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("pk").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.withColumn("cum", F.sum("cents").over(w)).crossJoin(F.broadcast(tot))
+    ranked = rank_cumsum(
+        rev,
+        [F.col("cents").desc(), F.col("pk").asc()],
+        rank_col=None,
+        cumsums={"cum": F.col("cents")},
+    ).crossJoin(F.broadcast(tot))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     abc = (
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")

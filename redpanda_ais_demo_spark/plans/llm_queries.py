@@ -1788,13 +1788,15 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Vocabulary coverage curve — the statistic tokenizer design reads "
     "off: terms ranked by frequency with cumulative share of the corpus "
     "token mass (how many vocab entries cover 99% of tokens). Explode + "
-    "partial-agg counts (shuffle is vocabulary-sized), then one ordered "
-    "window over the |vocab|-row aggregate — the window sorts vocab "
-    "rows, never the corpus. Integer cumulative sums, one division, "
-    "round 6 — bit-deterministic.",
+    "partial-agg counts (shuffle is vocabulary-sized); the global rank + "
+    "running sum come from operators/ordered.py's distributed prefix-sum "
+    "(range-partitioned parallel sort + broadcast per-partition offsets) "
+    "— no single-partition window even when the vocabulary is 100M "
+    "terms. Integer cumulative sums, one division, round 6 — "
+    "bit-deterministic.",
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.ordered import rank_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -1803,16 +1805,17 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     total = counts.agg(F.sum("n").alias("__total"))
-    w = Window.orderBy(F.col("n").desc(), "term")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "term",
-            "n",
-            F.row_number().over(w).cast("long").alias("rank"),
-            F.round(F.sum("n").over(wc) / F.col("__total"), 6).alias("cum_share"),
-        )
+    curved = rank_cumsum(
+        counts,
+        [F.col("n").desc(), F.col("term").asc()],
+        rank_col="rank",
+        cumsums={"__cum": F.col("n")},
+    )
+    return curved.crossJoin(F.broadcast(total)).select(
+        "term",
+        "n",
+        F.col("rank"),
+        F.round(F.col("__cum") / F.col("__total"), 6).alias("cum_share"),
     )
 
 

@@ -721,3 +721,26 @@ def test_reconcile_is_rollup_join_fold(spark):
     plan = _physical_plan(spark, "reconcile_order_totals")
     assert plan.count("HashAggregate") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_coverage_curve_family_uses_distributed_prefix_sum(spark):
+    """vocab_coverage / pareto_abc_parts: the global rank+cumsum over a
+    potentially key-cardinality-sized frame must be range-partitioned
+    (operators/ordered.py) — the only SinglePartition exchange allowed
+    is the per-partition offset aggregate (<= shuffle-partitions rows),
+    plus broadcast scalar totals."""
+    for name in ("vocab_coverage", "pareto_abc_parts"):
+        plan = _physical_plan(spark, name)
+        assert "rangepartitioning" in plan.lower(), name
+        # data-sized windows are partitioned by the range-partition id;
+        # SinglePartition exchanges are tiny (offset table, scalar total)
+        assert plan.lower().count("exchange singlepartition") <= 2, name
+
+
+def test_gains_lift_and_rfm_ntile_are_distributed(spark):
+    """The ntile family runs through the distributed rank + bucket
+    formula — range-partitioned sorts, no corpus-sized single-partition
+    window."""
+    for name in ("gains_lift_length_vs_en", "rfm_customer_segments"):
+        plan = _physical_plan(spark, name)
+        assert "rangepartitioning" in plan.lower(), name
