@@ -265,6 +265,13 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "cuped_purchase_vs_preperiod",
     "zipf_fit_tokens",
     "grid_dbscan_hotspots",
+    # r9 batch: exact-at-scale quantiles (distributed rank, no per-group
+    # buffer), weighted median, per-node clustering coefficient, k-core
+    # peel over the co-purchase graph.
+    "value_quantiles_global_exact",
+    "weighted_median_price_by_qty",
+    "copurchase_clustering_coeff",
+    "kcore_copurchase_parts",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

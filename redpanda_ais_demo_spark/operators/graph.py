@@ -196,9 +196,11 @@ def label_propagation(
 
     Plan per round: join labels to the symmetrized edge list (one hash
     shuffle on node), count (dst, label) — partial-aggregable — then a
-    per-node argmax window over the (node, label) counts, which is
-    neighbor-label-cardinality-sized, not edge-sized. Lineage pins via
-    lazy localCheckpoint per round (the PageRank doctrine).
+    per-node argmax as ``min(struct(-count, label))``: a second
+    partial-aggregable groupBy (map-side combine, no sort) instead of a
+    row_number window — same (count DESC, label ASC) tiebreak, one
+    struct-min per node. Lineage pins via lazy localCheckpoint per
+    round (the PageRank doctrine).
     """
     if iters <= 0:
         raise ValueError(f"iters must be positive, got {iters}")
@@ -227,11 +229,16 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+        # argmax by (c DESC, label ASC) == min of the lexicographic
+        # struct (-c, label) — partial-aggregable, no per-node sort
         labels = (
-            neigh.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            neigh.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
             .localCheckpoint(eager=False)
         )
     # nodes whose only edges are self-loops never appear in `sym`, so
@@ -382,3 +389,122 @@ def adamic_adar_links(
     return pairs.orderBy(
         F.col("score").desc(), F.col("node_a").asc(), F.col("node_b").asc()
     ).limit(top_n)
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph —
+    ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` where T(v) is the number
+    of triangles through v: how clique-like each node's neighborhood
+    is (the per-node refinement of ``triangle_count``; Watts-Strogatz
+    1998). Self-loops are dropped; parallel/bidirectional inputs are
+    deduplicated. Nodes of degree < 2 report 0.0.
+
+    Plan: the same oriented low->high two-join triangle closure as
+    ``triangle_count`` (fan-out bounded by orienting the edge list),
+    then one explode of each closed triangle into its three corners +
+    a partial-aggregable per-node count, joined to the per-node degree
+    count — every stage shuffles linear edge/triangle rows on node
+    keys, nothing collects.
+
+    Output: (node, degree, n_triangles, lcc), lcc rounded 6 dp.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    closed = ab.join(bc, "b").join(ac, ["a", "c"])
+    tri = (
+        closed.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0).cast("long"))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has degree >= ``k`` — the standard "dense backbone"
+    extraction (Seidman 1983; spam/bot rings, collaboration cores).
+    Computed by iterative peeling: drop every node with degree < k,
+    which lowers neighbors' degrees, repeat until stable.
+
+    Input: one row per undirected edge in either orientation
+    (symmetrized internally; self-loops dropped — a self-loop adds no
+    peer support). Output: (node, core_degree) for every surviving
+    node, core_degree = its degree INSIDE the k-core.
+
+    Plan per round: one partial-aggregable degree count + two hash
+    semi/anti joins of the edge list against the sub-k node set;
+    lineage pinned by lazy localCheckpoint, the per-round driver
+    action is a 1-row isEmpty convergence scalar (the CC doctrine).
+    Peeling is monotone, so rounds <= the graph's degeneracy ordering
+    depth — raises after ``max_rounds`` instead of returning a
+    non-converged answer (same contract as the CC closures).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be positive")
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    alive = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        bad = deg.filter(F.col("d") < k).select("a").localCheckpoint(eager=False)
+        if bad.isEmpty():  # 1-row driver scalar: converged
+            return (
+                alive.groupBy("a")
+                .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+                .select(F.col("a").alias("node"), "core_degree")
+            )
+        alive = (
+            alive.join(bad, "a", "left_anti")
+            .join(bad.select(F.col("a").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"k_core did not converge within {max_rounds} rounds — raise max_rounds"
+    )

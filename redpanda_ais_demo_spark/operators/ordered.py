@@ -149,3 +149,95 @@ def ntile_distributed(
         .withColumn(out_col, tile.cast("int"))
         .drop("__go_rank", "__go_n")
     )
+
+
+def quantiles_disc(
+    df: DataFrame,
+    value_col: str,
+    ps: Sequence[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact discrete quantiles (ANSI PERCENTILE_DISC: the smallest
+    value whose cumulative rank reaches ceil(p·n)) over an arbitrarily
+    large column — the scale-exact path where ``percentile()`` would
+    buffer the whole input per group and ``percentile_approx`` trades
+    exactness away. One distributed rank (range-partitioned parallel
+    sort) + a broadcast join against the ceil(p·n) target ranks.
+
+    NULLs are excluded (ANSI). Output: (p, value), one row per
+    requested p. Duplicated values make the rank-to-row mapping
+    non-unique, but the VALUE at any fixed rank is deterministic.
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"quantile p must be in (0, 1], got {p}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__qv")
+    )
+    ranked = rank_cumsum(
+        vals, [F.col("__qv").asc()], rank_col="__qr", num_partitions=num_partitions
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("__qn"))
+    targets = (
+        total.select(
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"), "__qn"
+        )
+        .select("p", F.ceil(F.col("p") * F.col("__qn")).cast("long").alias("__qr"))
+    )
+    return (
+        ranked.join(F.broadcast(targets), "__qr")
+        .select("p", F.col("__qv").alias("value"))
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact weighted discrete quantiles: the smallest value whose
+    cumulative weight reaches p·W (W = total weight) — weighted median
+    at p=0.5. Distributed prefix-sum of weights under the value order;
+    per requested p, the qualifying row with the smallest cumulative
+    weight wins (one tiny top-1 per p over the broadcast-joined
+    candidates).
+
+    Weights must be non-negative; NULL values/weights are excluded.
+    Ties on value: the cumulative weight at the LAST row of a tied run
+    decides, so the reported value is order-independent. Output:
+    (p, value, cum_weight).
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"quantile p must be in (0, 1], got {p}")
+    vals = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(F.col(value_col).alias("__qv"), F.col(weight_col).alias("__qw"))
+    # collapse duplicate values first: one row per distinct value with
+    # its total weight — the cum weight at a value is then unambiguous
+    per_val = vals.groupBy("__qv").agg(F.sum("__qw").alias("__qw"))
+    cum = rank_cumsum(
+        per_val,
+        [F.col("__qv").asc()],
+        rank_col=None,
+        cumsums={"__cw": F.col("__qw")},
+        num_partitions=num_partitions,
+    )
+    total = per_val.agg(F.sum("__qw").alias("__tw"))
+    targets = total.select(
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"), "__tw"
+    )
+    hits = cum.crossJoin(F.broadcast(targets)).filter(
+        F.col("__cw") >= F.col("p") * F.col("__tw")
+    )
+    return (
+        hits.groupBy("p")
+        .agg(F.min(F.struct(F.col("__qv").alias("v"), F.col("__cw").alias("c"))).alias("m"))
+        .select("p", F.col("m.v").alias("value"), F.col("m.c").alias("cum_weight"))
+    )

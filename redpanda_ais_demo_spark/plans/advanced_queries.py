@@ -191,6 +191,79 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_quantiles_global_exact",
+    oracle="""
+        WITH r AS (
+            SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                   count(*) OVER () AS n
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT p, value FROM r
+        JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p) t
+          ON rn = CAST(ceil(p * n) AS BIGINT)
+    """,
+    tags=("agg", "quantile", "scale-path"),
+    doc="EXACT global discrete quantiles (PERCENTILE_DISC) with neither "
+    "a whole-column memory buffer (what percentile() does per group) "
+    "nor sketch error (percentile_approx): one distributed rank via "
+    "operators/ordered.py's range-partitioned prefix machinery, then a "
+    "broadcast join against the ceil(p*n) target ranks. The missing "
+    "exact-at-scale member of the percentile family.",
+)
+def value_quantiles_global_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import quantiles_disc
+
+    events = load_table(spark, sf_dir, "events")
+    return quantiles_disc(events, "value", [0.5, 0.9, 0.99])
+
+
+@query(
+    "weighted_median_price_by_qty",
+    oracle="""
+        WITH pv AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1
+        ), c AS (
+            SELECT v, w,
+                   CAST(sum(w) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cw,
+                   CAST(sum(w) OVER () AS BIGINT) AS tw
+            FROM pv
+        )
+        SELECT p, min(v) AS value_cents,
+               CAST(min_by(cw, v) AS BIGINT) AS cum_weight
+        FROM c
+        JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE) AS p) t
+          ON cw >= p * tw
+        GROUP BY p
+    """,
+    tags=("agg", "quantile", "scale-path"),
+    doc="Exact weighted quantiles (weighted median at p=0.5) of line "
+    "price weighted by quantity — the smallest value whose cumulative "
+    "weight reaches p*W. Integer cents + BIGINT weights for "
+    "bit-determinism; cumulative weights via the distributed prefix-sum "
+    "(operators/ordered.py), qualifying rows broadcast-joined per p and "
+    "resolved with one struct-min aggregation.",
+)
+def weighted_median_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import weighted_quantiles
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    staged = lineitem.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    out = weighted_quantiles(staged, "v", "w", [0.25, 0.5, 0.75])
+    return out.select(
+        "p",
+        F.col("value").alias("value_cents"),
+        F.col("cum_weight").cast("long").alias("cum_weight"),
+    )
+
+
 # --- Deterministic dispersion stats ----------------------------------------
 
 

@@ -2178,8 +2178,9 @@ def _lpa_oracle(iters: int = 4) -> str:
     "pinned by pytest). Deterministic: most-common neighbor label, "
     "ties to the SMALLEST label, fixed 4 sync rounds (no RNG). Per "
     "round: one edges-vs-labels hash join, a partial-aggregable "
-    "(node, label) count, and a per-node argmax window over the "
-    "neighbor-label table; the oracle unrolls the same recurrence "
+    "(node, label) count, and a per-node argmax as a second "
+    "partial-aggregable struct-min (no sort window); the oracle "
+    "unrolls the same recurrence "
     "(operators/graph.py:label_propagation).",
 )
 def lpa_communities_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3615,3 +3616,119 @@ def grid_dbscan_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("lat") + 90.0) / 1.0).cast("long").alias("cy"),
     ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("n"))
     return grid_dbscan(cells, "cx", "cy", "n", min_points=5, grid_w=360)
+
+
+# --- Graph: local clustering coefficient + k-core (co-purchase) -----------
+
+_COPURCHASE_CTE = """
+    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pe AS (SELECT a.p AS lo, b.p AS hi FROM li a
+           JOIN li b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per co-purchase edge (src < dst): part pairs sharing at
+    least 2 orders — the support threshold that keeps the graph sparse
+    and meaningful (single co-occurrence is noise at any scale)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+
+
+@query(
+    "copurchase_clustering_coeff",
+    oracle=f"""
+        WITH {_COPURCHASE_CTE},
+        tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+                FROM pe ab
+                JOIN pe bc ON ab.hi = bc.lo
+                JOIN pe ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+        tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                   SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri) GROUP BY node),
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                   SELECT lo AS node FROM pe
+                   UNION ALL SELECT hi FROM pe) GROUP BY node)
+        SELECT d.node, d.degree,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN round(2.0 * coalesce(t.n_triangles, 0)
+                               / (d.degree * (d.degree - 1)), 6)
+                    ELSE 0.0 END AS lcc
+        FROM deg d LEFT JOIN tn t ON d.node = t.node
+    """,
+    tags=("graph", "join", "analytics"),
+    doc="Per-node local clustering coefficient over the co-purchase "
+    "graph (part pairs sharing >= 2 orders): 2T(v)/(deg(v)(deg(v)-1)) "
+    "— how clique-like each part's neighborhood is, the per-node "
+    "refinement of the global triangle count. Oriented low->high "
+    "two-join closure bounds the wedge fan-out; triangle corners "
+    "explode x3 then partial-aggregate "
+    "(operators/graph.py:local_clustering_coefficient).",
+)
+def copurchase_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import local_clustering_coefficient
+
+    return local_clustering_coefficient(_copurchase_edges(spark, sf_dir))
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel: each stage removes sub-k nodes' edges; extra
+    stages beyond convergence are no-ops (peeling is monotone), so a
+    fixed unroll >= the true round count reproduces the fixpoint."""
+    # AS MATERIALIZED: each stage references its predecessor three
+    # times — without materialization the inlined expansion is 3^rounds
+    # parquet scans
+    parts = [
+        "WITH ", _COPURCHASE_CTE,
+        ", e0 AS MATERIALIZED "
+        "(SELECT lo AS a, hi AS b FROM pe UNION ALL SELECT hi, lo FROM pe)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", bad{i} AS MATERIALIZED"
+            f" (SELECT a FROM e{i} GROUP BY a HAVING count(*) < {k})"
+        )
+        parts.append(
+            f", e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e"
+            f" WHERE e.a NOT IN (SELECT a FROM bad{i})"
+            f" AND e.b NOT IN (SELECT a FROM bad{i}))"
+        )
+    parts.append(
+        f" SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM e{rounds} GROUP BY a"
+    )
+    return "".join(parts)
+
+
+@query(
+    "kcore_copurchase_parts",
+    oracle=_kcore_oracle(3, 16),
+    tags=("graph", "iterative", "analytics"),
+    doc="3-core of the co-purchase graph: the maximal subgraph where "
+    "every part keeps >= 3 strong co-purchase partners — the dense "
+    "merchandising backbone, extracted by iterative peeling (drop "
+    "sub-k nodes, repeat to fixpoint; Seidman 1983). Per round one "
+    "partial-agg degree count + two anti-joins, 1-row isEmpty "
+    "convergence scalars, lazy localCheckpoint lineage pins; raises "
+    "rather than returning a non-converged answer. The oracle unrolls "
+    "16 peel stages — beyond-convergence stages are no-ops "
+    "(operators/graph.py:k_core).",
+)
+def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    return k_core(_copurchase_edges(spark, sf_dir), k=3)

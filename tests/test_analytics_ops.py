@@ -1541,3 +1541,65 @@ def test_dict_encode_survives_reserved_column_names(spark):
 
     with pytest.raises(ValueError, match="cat_id"):
         dict_encode(encoded, "cat")
+
+
+def _brute_kcore(edges, k):
+    """Reference peel on a python adjacency map."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_k_core_matches_bruteforce_and_raises_on_budget(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.graph import k_core
+
+    # two triangles sharing a chain of degree-1/2 nodes + a pendant:
+    # peeling cascades several rounds
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # triangle A (3-core needs deg>=3 -> dies at k=3)
+        (10, 11), (11, 12), (12, 10),    # triangle B
+        (3, 4), (4, 5), (5, 10),         # chain bridging them
+        (5, 6),                          # pendant
+        (20, 21), (21, 22), (22, 20), (20, 22),  # triangle C with dup edge
+        (30, 30),                        # self-loop only: never in any core
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (1, 2, 3):
+        got = {r.node: r.core_degree for r in k_core(df, k=k).collect()}
+        assert got == _brute_kcore(edges, k), f"k={k}"
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(df, k=0)
+    with pytest.raises(RuntimeError, match="converge"):
+        k_core(df, k=2, max_rounds=1)  # pendant cascade needs >1 round
+
+
+def test_local_clustering_coefficient_known_graph(spark):
+    from redpanda_ais_demo_spark.operators.graph import local_clustering_coefficient
+
+    # K4 minus one edge (1-4): 1,4 have deg 2 + 1 triangle -> lcc 1.0;
+    # 2,3 have deg 3 + 2 triangles -> lcc 2*2/(3*2)=0.666667; pendant 5
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1)]  # dup reversed edge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.degree, r.n_triangles, r.lcc) for r in
+           local_clustering_coefficient(df).collect()}
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (3, 2, 0.666667),
+        3: (3, 2, 0.666667),
+        4: (3, 1, 0.333333),
+        5: (1, 0, 0.0),
+    }

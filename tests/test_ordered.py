@@ -86,3 +86,61 @@ def test_rank_cumsum_validates_args(spark):
         rank_cumsum(df, _order(), num_partitions=0)
     with pytest.raises(ValueError, match="n_tiles"):
         ntile_distributed(df, _order(), 0)
+
+
+def test_quantiles_disc_matches_percentile_disc(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.ordered import quantiles_disc
+
+    vals = [((i * 37) % 50) / 2.0 for i in range(201)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    got = {r.p: r.value for r in quantiles_disc(df, "x", [0.1, 0.5, 0.99, 1.0]).collect()}
+    srt = sorted(vals)
+    want = {p: srt[math.ceil(p * len(vals)) - 1] for p in (0.1, 0.5, 0.99, 1.0)}
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ps"):
+        quantiles_disc(df, "x", [])
+    with pytest.raises(ValueError, match="quantile p"):
+        quantiles_disc(df, "x", [0.0])
+
+
+def test_weighted_quantiles_matches_bruteforce(spark):
+    from redpanda_ais_demo_spark.operators.ordered import weighted_quantiles
+
+    rows = [((i * 13) % 19, (i % 5) + 1) for i in range(157)]
+    df = spark.createDataFrame(rows, "v long, w long").repartition(8)
+    got = {r.p: (r.value, r.cum_weight) for r in
+           weighted_quantiles(df, "v", "w", [0.25, 0.5, 0.75, 1.0]).collect()}
+
+    # brute force: cum weight over distinct values ascending
+    agg = {}
+    for v, w in rows:
+        agg[v] = agg.get(v, 0) + w
+    total = sum(agg.values())
+    cum, cums = 0, []
+    for v in sorted(agg):
+        cum += agg[v]
+        cums.append((v, cum))
+    want = {}
+    for p in (0.25, 0.5, 0.75, 1.0):
+        for v, c in cums:
+            if c >= p * total:
+                want[p] = (v, c)
+                break
+    assert got == want
+
+
+def test_weighted_quantiles_value_order_independent_on_ties(spark):
+    from redpanda_ais_demo_spark.operators.ordered import weighted_quantiles
+
+    # duplicate values across partitions: collapse-first makes the
+    # reported cum_weight the total at that value, insert-order-free
+    df1 = spark.createDataFrame([(5, 1), (5, 3), (7, 2)], "v long, w long")
+    df2 = spark.createDataFrame([(7, 2), (5, 3), (5, 1)], "v long, w long").repartition(3)
+    a = {(r.p, r.value, r.cum_weight) for r in weighted_quantiles(df1, "v", "w", [0.5]).collect()}
+    b = {(r.p, r.value, r.cum_weight) for r in weighted_quantiles(df2, "v", "w", [0.5]).collect()}
+    assert a == b == {(0.5, 5, 4)}
