@@ -272,6 +272,9 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "weighted_median_price_by_qty",
     "copurchase_clustering_coeff",
     "kcore_copurchase_parts",
+    "copurchase_degree_assortativity",
+    "cap_docs_per_source",
+    "lexical_diversity_by_source",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

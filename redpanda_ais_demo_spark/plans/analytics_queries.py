@@ -3732,3 +3732,67 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import k_core
 
     return k_core(_copurchase_edges(spark, sf_dir), k=3)
+
+
+@query(
+    "copurchase_degree_assortativity",
+    oracle=f"""
+        WITH {_COPURCHASE_CTE},
+        e AS (SELECT lo AS a, hi AS b FROM pe UNION ALL SELECT hi, lo FROM pe),
+        deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+                FROM e GROUP BY a),
+        ed AS (SELECT da.d AS x, db.d AS y
+               FROM e JOIN deg da ON e.a = da.node
+                      JOIN deg db ON e.b = db.node),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS HUGEINT) AS sxx,
+                     CAST(sum(y * y) AS HUGEINT) AS syy,
+                     CAST(sum(x * y) AS HUGEINT) AS sxy
+              FROM ed)
+        SELECT n AS n_edge_ends,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS assortativity
+        FROM s
+    """,
+    tags=("graph", "stats", "analytics"),
+    doc="Degree assortativity of the co-purchase graph (Newman 2002): "
+    "Pearson correlation of endpoint degrees over every directed edge "
+    "end — do popular parts co-sell with popular parts (r > 0) or with "
+    "the long tail (r < 0)? Exact: degrees are BIGINT counts, the five "
+    "correlation sums are exact integer aggregates (DECIMAL(38,0) / "
+    "HUGEINT products), one double division at the end. Two hash joins "
+    "of the edge list against the degree table, one single-row "
+    "aggregate — no window, no collect.",
+)
+def copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e1 = _copurchase_edges(spark, sf_dir)
+    e = e1.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        e1.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("y")), "b")
+        .select("x", "y")
+    )
+    dec = "decimal(38,0)"
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    num = (F.col("n").cast(dec) * F.col("sxy") - (F.col("sx").cast(dec) * F.col("sy"))).cast("double")
+    vx = (F.col("n").cast(dec) * F.col("sxx") - (F.col("sx").cast(dec) * F.col("sx"))).cast("double")
+    vy = (F.col("n").cast(dec) * F.col("syy") - (F.col("sy").cast(dec) * F.col("sy"))).cast("double")
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )

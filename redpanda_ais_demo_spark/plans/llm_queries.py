@@ -2991,3 +2991,85 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TXT2.tokens(F.col("text"))).alias("token"))
     return corpus.zipf_fit(toks, "token", top_k=500)
+
+
+@query(
+    "cap_docs_per_source",
+    oracle="""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 40
+    """,
+    tags=("sampling", "corpus", "window"),
+    doc="Per-source document cap — the domain-balancing step of corpus "
+    "curation (no single crawl domain may dominate the mixture): keep "
+    "at most N docs per source, selected by md5(doc_id) order so the "
+    "sample is deterministic, engine-portable, and uniform-ish within "
+    "the source (no temporal or ingest-order bias). One window "
+    "PARTITIONED by source (never global), rank cut at N — at 100 TB "
+    "each source sorts in parallel and the shuffle carries "
+    "(source, hash) pairs only.",
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "lexical_diversity_by_source",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+               FROM tok WHERE t <> '' GROUP BY source, t)
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+               round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+        FROM tf GROUP BY source
+    """,
+    tags=("text", "agg", "quality"),
+    doc="Lexical diversity per source: type-token ratio and hapax-"
+    "legomenon share — the vocabulary-richness signals that separate "
+    "template/boilerplate sources (low TTR, few hapax) from organic "
+    "prose, a standard corpus-quality dimension alongside the Gopher "
+    "gate. Two partial-aggregable groupBys (corpus -> per-source term "
+    "counts -> per-source stats); the shuffle carries (source, term) "
+    "pairs, integer counts, two divisions at the end.",
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(TXT.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+    )
