@@ -275,6 +275,7 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "copurchase_degree_assortativity",
     "cap_docs_per_source",
     "lexical_diversity_by_source",
+    "sssp_copurchase_from_min_part",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS

@@ -508,3 +508,71 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds — raise max_rounds"
     )
+
+
+def sssp_bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Single/multi-source weighted shortest paths by distributed
+    Bellman-Ford relaxation — the weighted generalization of
+    ``khop_distances`` (which counts hops). Directed edge list with
+    non-negative integer weights; seeds start at distance 0.
+
+    Per round: one edges-vs-frontier hash join proposes
+    ``dist(src) + w`` to every out-neighbor, then a partial-aggregable
+    min-groupBy merges proposals with current distances; ONLY improved
+    nodes re-enter the frontier, so a settled region stops generating
+    join traffic (delta relaxation, not full-table). Lineage pins via
+    lazy localCheckpoint; the per-round driver action is a 1-row
+    isEmpty scalar. Raises after ``max_rounds`` rounds without
+    convergence (rounds needed <= shortest-path hop diameter).
+
+    Returns (node, dist) for every node reachable from a seed.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be positive")
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=False)
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        proposals = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # improved = proposals strictly better than (or new to) dist
+        improved = (
+            proposals.join(
+                dist.select(F.col("node"), F.col("dist").alias("old")), "node", "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=False)
+        )
+        if improved.isEmpty():  # 1-row driver scalar: converged
+            return dist
+        dist = (
+            dist.join(improved.select(F.col("node").alias("n2")), dist.node == F.col("n2"), "left_anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    raise RuntimeError(
+        f"sssp_bellman_ford did not converge within {max_rounds} rounds"
+    )

@@ -3796,3 +3796,70 @@ def copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n").alias("n_edge_ends"),
         F.round(num / F.sqrt(vx * vy), 6).alias("assortativity"),
     )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled Bellman-Ford: each stage min-merges current distances
+    with one relaxation step; stages beyond convergence are no-ops.
+    MATERIALIZED because each stage references its predecessor twice."""
+    parts = [
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pw AS (SELECT a.p AS lo, b.p AS hi, count(*) AS n FROM li a
+               JOIN li b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS MATERIALIZED (
+            SELECT lo AS src, hi AS dst, CAST(greatest(1, 5 - n) AS BIGINT) AS w FROM pw
+            UNION ALL
+            SELECT hi, lo, CAST(greatest(1, 5 - n) AS BIGINT) FROM pw),
+        d0 AS MATERIALIZED (
+            SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", d{i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i}"
+            f" UNION ALL SELECT e.dst AS node, d{i}.dist + e.w FROM e"
+            f" JOIN d{i} ON e.src = d{i}.node) GROUP BY node)"
+        )
+    parts.append(
+        f" SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+    return "".join(parts)
+
+
+@query(
+    "sssp_copurchase_from_min_part",
+    oracle=_sssp_oracle(20),
+    tags=("graph", "iterative", "analytics"),
+    doc="Weighted single-source shortest paths over the co-purchase "
+    "graph (edge weight greatest(1, 5 - co_occurrences): strong ties "
+    "are short) from its smallest part key — merchandising distance "
+    "from an anchor product. Distributed Bellman-Ford DELTA relaxation: "
+    "per round only IMPROVED nodes rejoin the edge list, a settled "
+    "region generates no further traffic; partial-aggregable min-merge, "
+    "1-row isEmpty convergence scalars, lazy localCheckpoint pins, "
+    "raises on a blown round budget. The oracle unrolls 20 materialized "
+    "relaxation stages (beyond-convergence stages are no-ops) "
+    "(operators/graph.py:sssp_bellman_ford).",
+)
+def sssp_copurchase_from_min_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp_bellman_ford
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pw = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("lo"), F.col("b.p").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    w = F.greatest(F.lit(1), F.lit(5) - F.col("n")).cast("long")
+    e = pw.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), w.alias("w")).unionAll(
+        pw.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), w.alias("w"))
+    )
+    seeds = e.agg(F.min("src").alias("node"))
+    return sssp_bellman_ford(e, seeds)

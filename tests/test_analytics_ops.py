@@ -1603,3 +1603,38 @@ def test_local_clustering_coefficient_known_graph(spark):
         4: (3, 1, 0.333333),
         5: (1, 0, 0.0),
     }
+
+
+def test_sssp_bellman_ford_matches_dijkstra_bruteforce(spark):
+    import heapq
+
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.graph import sssp_bellman_ford
+
+    edges = [  # directed, weighted: parallel paths with different costs
+        (1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 1), (3, 4, 7),
+        (4, 5, 2), (5, 6, 1), (6, 4, 1),  # cycle
+        (7, 8, 3),  # unreachable from 1
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in sssp_bellman_ford(df, seeds).collect()}
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist, pq = {1: 0}, [(0, 1)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            if du + w < dist.get(v, 1 << 60):
+                dist[v] = du + w
+                heapq.heappush(pq, (dist[v], v))
+    assert got == dist
+    assert 7 not in got and 8 not in got
+
+    with pytest.raises(RuntimeError, match="converge"):
+        sssp_bellman_ford(df, seeds, max_rounds=1)
