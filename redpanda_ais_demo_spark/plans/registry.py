@@ -159,7 +159,12 @@ PRIORITY: tuple[str, ...] = (
     # bucketed_join (layout co-location), asof and range in-window.
     "asof_last_order_per_event",
     "range_join_value_bands",
-    "value_percentiles",
+    # (r9) value_percentiles rotated out for value_quantiles_global_exact:
+    # same quantile family, but the rotated-in member is the SCALE-EXACT
+    # path (distributed rank via operators/ordered.py — no per-group
+    # memory buffer, no sketch error); value_percentiles stays
+    # registered, oracle-bearing, pytest-oracle-swept.
+    "value_quantiles_global_exact",
     "grouping_sets_sql",
     # round-6 classes with no earlier in-window sibling (rotated in r7:
     # rollup_cascade_traffic is represented by grouping_sets_sql's grouping

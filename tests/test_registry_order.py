@@ -46,7 +46,7 @@ REQUIRED_IN_WINDOW = {
     # advanced relational
     "asof_last_order_per_event",
     "range_join_value_bands",
-    "value_percentiles",
+    "value_quantiles_global_exact",  # r9: scale-exact quantile path
     "grouping_sets_sql",
     # salted_join rotated out r8b (strategy pinned by plan-shape pytest)
     # round-6 classes rotated into the window in r7 (gap-fill resampling and
