@@ -1060,3 +1060,68 @@ def cuped_adjust(
         F.round(theta, 6).alias("theta"),
         F.round(rho2, 6).alias("rho2"),
     )
+
+
+def ipf_rake_2d(
+    cells: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = 6,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming & Stephan 1940):
+    rescale a 2-D contingency table's cell weights so its row and
+    column margins match given targets — the survey-calibration /
+    panel-reweighting primitive (post-stratify last period's panel to
+    this period's demographic margins).
+
+    Inputs: ``cells`` (r, c, w_micro BIGINT micro-unit weights),
+    ``row_targets`` (r, t BIGINT), ``col_targets`` (c, t BIGINT).
+    Runs a FIXED ``rounds`` of row-scale + column-scale passes (raking
+    converges geometrically; a fixed unroll keeps the result exactly
+    reproducible and SQL-oracle-able). Determinism: weights live in
+    BIGINT micro-units and re-quantize after every scaling, so every
+    margin sum is an exact integer aggregate and each cell update is
+    the same double multiply+round on both engines — no float-sum
+    order dependence anywhere.
+
+    Plan per half-round: one partial-aggregable margin groupBy (1 row
+    per margin value) broadcast back onto the cells — cells shuffle
+    once per half-round on the margin key, margins are tiny. Cells
+    with a zero current margin keep weight 0 (target mass on an empty
+    margin is unreachable — standard raking behavior).
+
+    Output: (r, c, w_micro) after ``rounds`` full rounds.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be positive")
+    w = cells.select("r", "c", F.col("w_micro").cast("long").alias("w_micro"))
+    rt = F.broadcast(row_targets.select(F.col("r"), F.col("t").alias("__rt")))
+    ct = F.broadcast(col_targets.select(F.col("c"), F.col("t").alias("__ct")))
+    for _ in range(rounds):
+        rm = w.groupBy("r").agg(F.sum("w_micro").alias("__rm"))
+        w = (
+            w.join(F.broadcast(rm), "r")
+            .join(rt, "r")
+            .withColumn(
+                "w_micro",
+                F.when(F.col("__rm") > 0,
+                       F.round(F.col("w_micro") * (F.col("__rt") / F.col("__rm")))
+                       .cast("long"))
+                .otherwise(F.lit(0).cast("long")),
+            )
+            .drop("__rm", "__rt")
+        )
+        cm = w.groupBy("c").agg(F.sum("w_micro").alias("__cm"))
+        w = (
+            w.join(F.broadcast(cm), "c")
+            .join(ct, "c")
+            .withColumn(
+                "w_micro",
+                F.when(F.col("__cm") > 0,
+                       F.round(F.col("w_micro") * (F.col("__ct") / F.col("__cm")))
+                       .cast("long"))
+                .otherwise(F.lit(0).cast("long")),
+            )
+            .drop("__cm", "__ct")
+        ).localCheckpoint(eager=False)
+    return w

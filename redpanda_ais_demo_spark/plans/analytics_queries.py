@@ -3863,3 +3863,82 @@ def sssp_copurchase_from_min_part(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     seeds = e.agg(F.min("src").alias("node"))
     return sssp_bellman_ford(e, seeds)
+
+
+def _rake_oracle(rounds: int) -> str:
+    """Unrolled IPF: row-scale + column-scale per round, weights
+    re-quantized to BIGINT micro-units after every scaling (exact
+    margin sums, no float-sum order dependence). MATERIALIZED: each
+    stage references its predecessor twice."""
+    parts = [
+        """WITH base AS MATERIALIZED (
+            SELECT event_type AS r, CAST(isodow(ts) - 1 AS BIGINT) AS c,
+                   CAST(count(*) * 1000000 AS BIGINT) AS w
+            FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        rt AS MATERIALIZED (
+            SELECT event_type AS r, CAST(count(*) * 1000000 AS BIGINT) AS t
+            FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        ct AS MATERIALIZED (
+            SELECT CAST(isodow(ts) - 1 AS BIGINT) AS c,
+                   CAST(count(*) * 1000000 AS BIGINT) AS t
+            FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        w0 AS MATERIALIZED (SELECT r, c, w FROM base)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""", wr{i} AS MATERIALIZED (
+            SELECT w.r, w.c,
+                   CASE WHEN m.s > 0 THEN CAST(round(w.w * (rt.t / CAST(m.s AS DOUBLE))) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS w
+            FROM w{i} w
+            JOIN (SELECT r, sum(w) AS s FROM w{i} GROUP BY r) m ON w.r = m.r
+            JOIN rt ON w.r = rt.r)"""
+        )
+        parts.append(
+            f""", w{i + 1} AS MATERIALIZED (
+            SELECT w.r, w.c,
+                   CASE WHEN m.s > 0 THEN CAST(round(w.w * (ct.t / CAST(m.s AS DOUBLE))) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS w
+            FROM wr{i} w
+            JOIN (SELECT c, sum(w) AS s FROM wr{i} GROUP BY c) m ON w.c = m.c
+            JOIN ct ON w.c = ct.c)"""
+        )
+    parts.append(
+        f" SELECT r AS event_type, c AS dow, w AS w_micro FROM w{rounds}"
+    )
+    return "".join(parts)
+
+
+@query(
+    "rake_event_weights",
+    oracle=_rake_oracle(6),
+    tags=("analytics", "iterative", "agg", "experimentation"),
+    doc="Iterative proportional fitting (raking, Deming & Stephan 1940): "
+    "calibrate the even-half event panel's (event_type x weekday) cell "
+    "weights so both margins match the odd-half's — the survey/panel "
+    "post-stratification primitive. Six fixed row+column scaling "
+    "rounds; weights live in BIGINT micro-units and re-quantize after "
+    "every scaling so margin sums are exact integers (no float-sum "
+    "order dependence). Per half-round one partial-agg margin groupBy "
+    "broadcast back onto the cells; the oracle unrolls the same 12 "
+    "materialized stages (operators/stats.py:ipf_rake_2d).",
+)
+def rake_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ipf_rake_2d
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 2 == 0)
+    cur = events.filter(F.col("event_id") % 2 == 1)
+    cells = base.groupBy(
+        F.col("event_type").alias("r"), F.weekday("ts").cast("long").alias("c")
+    ).agg((F.count(F.lit(1)) * 1000000).cast("long").alias("w_micro"))
+    row_t = cur.groupBy(F.col("event_type").alias("r")).agg(
+        (F.count(F.lit(1)) * 1000000).cast("long").alias("t")
+    )
+    col_t = cur.groupBy(F.weekday("ts").cast("long").alias("c")).agg(
+        (F.count(F.lit(1)) * 1000000).cast("long").alias("t")
+    )
+    out = ipf_rake_2d(cells, row_t, col_t, rounds=6)
+    return out.select(
+        F.col("r").alias("event_type"), F.col("c").alias("dow"), "w_micro"
+    )

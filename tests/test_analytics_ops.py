@@ -1638,3 +1638,36 @@ def test_sssp_bellman_ford_matches_dijkstra_bruteforce(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         sssp_bellman_ford(df, seeds, max_rounds=1)
+
+
+def test_ipf_rake_converges_margins_to_targets(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.stats import ipf_rake_2d
+
+    cells = spark.createDataFrame(
+        [("a", 0, 10_000_000), ("a", 1, 10_000_000),
+         ("b", 0, 10_000_000), ("b", 1, 30_000_000)],
+        "r string, c int, w_micro long",
+    )
+    # targets: rows a=30M b=30M, cols 0=20M 1=40M (both sum to 60M)
+    rt = spark.createDataFrame([("a", 30_000_000), ("b", 30_000_000)], "r string, t long")
+    ct = spark.createDataFrame([(0, 20_000_000), (1, 40_000_000)], "c int, t long")
+    out = ipf_rake_2d(cells, rt, ct, rounds=8)
+    rows = {(r.r, r.c): r.w_micro for r in out.collect()}
+    row_m = {}
+    col_m = {}
+    for (r, c), w in rows.items():
+        row_m[r] = row_m.get(r, 0) + w
+        col_m[c] = col_m.get(c, 0) + w
+    # margins converge to targets within quantization slack
+    assert abs(row_m["a"] - 30_000_000) <= 50
+    assert abs(row_m["b"] - 30_000_000) <= 50
+    assert abs(col_m[0] - 20_000_000) <= 50
+    assert abs(col_m[1] - 40_000_000) <= 50
+    # determinism: rerun gives identical micro weights
+    rows2 = {(r.r, r.c): r.w_micro for r in ipf_rake_2d(cells, rt, ct, rounds=8).collect()}
+    assert rows == rows2
+
+    with pytest.raises(ValueError, match="rounds"):
+        ipf_rake_2d(cells, rt, ct, rounds=0)
