@@ -58,6 +58,7 @@ def rank_cumsum(
     rank_col: str | None = "rank",
     cumsums: Mapping[str, Column] | None = None,
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Append a global ``rank_col`` (row_number under ``order_exprs``)
     and/or inclusive running sums (``cumsums``: out_col -> value
@@ -69,6 +70,13 @@ def rank_cumsum(
     rank to be deterministic — same contract as the window it replaces.
     For an EXCLUSIVE prefix (cum of strictly-preceding rows) subtract
     the row's own value from the inclusive sum.
+
+    ``pin`` (default on) lazy-localCheckpoints the range-sorted frame:
+    it feeds BOTH the offset aggregate and the output join, and Spark
+    compiles the two subtrees separately (no exchange reuse under AQE)
+    — unpinned, the full data would range-sort TWICE. Pinning also
+    removes any reliance on the range sampler cutting identically on
+    the two runs. Pass ``pin=False`` only to inspect the raw plan.
     """
     if not order_exprs:
         raise ValueError("order_exprs must be non-empty")
@@ -80,6 +88,8 @@ def rank_cumsum(
     p = df.repartitionByRange(n, *order_exprs).withColumn(
         _PID, F.spark_partition_id()
     )
+    if pin:
+        p = p.localCheckpoint(eager=False)
     # one row per partition: row count + per-cumsum value total
     per = p.groupBy(_PID).agg(
         F.count(F.lit(1)).alias("__go_cnt"),

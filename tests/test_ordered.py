@@ -64,16 +64,24 @@ def test_ntile_distributed_matches_spark_ntile(spark, n, k):
 
 def test_rank_cumsum_plan_has_no_data_sized_single_partition_window(spark):
     df = _frame(spark)
-    got = rank_cumsum(df, _order(), rank_col="rank", cumsums={"cum_v": F.col("v")})
-    plan = got._jdf.queryExecution().executedPlan().toString()
-    # the data-sized sort is range-partitioned (parallel)
+    # pin=False exposes the raw plan: the data-sized sort must be
+    # range-partitioned (parallel), and the only single-partition
+    # exchange feeds the per-partition offset aggregate
+    raw = rank_cumsum(
+        df, _order(), rank_col="rank", cumsums={"cum_v": F.col("v")}, pin=False
+    )
+    plan = raw._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
-    # the only single-partition exchange feeds the per-partition offset
-    # aggregate (<= num_partitions rows), never the data: every
-    # SinglePartition occurrence must sit on the aggregated branch
-    import re
-
     assert plan.lower().count("singlepartition") <= 1
+
+    # default pin: the ranged frame materializes ONCE (lazy local
+    # checkpoint) and both consumers read the pinned RDD — no second
+    # range sort anywhere in the downstream plan
+    pinned = rank_cumsum(df, _order(), rank_col="rank", cumsums={"cum_v": F.col("v")})
+    pplan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in pplan.lower()
+    assert "existingrdd" in pplan.lower()
+    assert pplan.lower().count("singlepartition") <= 1
 
 
 def test_rank_cumsum_validates_args(spark):

@@ -731,9 +731,10 @@ def test_coverage_curve_family_uses_distributed_prefix_sum(spark):
     plus broadcast scalar totals."""
     for name in ("vocab_coverage", "pareto_abc_parts"):
         plan = _physical_plan(spark, name)
-        assert "rangepartitioning" in plan.lower(), name
-        # data-sized windows are partitioned by the range-partition id;
-        # SinglePartition exchanges are tiny (offset table, scalar total)
+        # the ranged frame is pinned (one sort, Scan ExistingRDD feeds
+        # both consumers); SinglePartition exchanges are tiny (offset
+        # table, scalar total) — never the data
+        assert "existingrdd" in plan.lower(), name
         assert plan.lower().count("exchange singlepartition") <= 2, name
 
 
@@ -743,4 +744,5 @@ def test_gains_lift_and_rfm_ntile_are_distributed(spark):
     window."""
     for name in ("gains_lift_length_vs_en", "rfm_customer_segments"):
         plan = _physical_plan(spark, name)
-        assert "rangepartitioning" in plan.lower(), name
+        # pinned ranged frame: one sort, ExistingRDD scan downstream
+        assert "existingrdd" in plan.lower(), name
