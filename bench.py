@@ -276,6 +276,7 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "cap_docs_per_source",
     "lexical_diversity_by_source",
     "sssp_copurchase_from_min_part",
+    "rake_event_weights",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
