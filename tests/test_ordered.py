@@ -152,3 +152,25 @@ def test_weighted_quantiles_value_order_independent_on_ties(spark):
     a = {(r.p, r.value, r.cum_weight) for r in weighted_quantiles(df1, "v", "w", [0.5]).collect()}
     b = {(r.p, r.value, r.cum_weight) for r in weighted_quantiles(df2, "v", "w", [0.5]).collect()}
     assert a == b == {(0.5, 5, 4)}
+
+
+def test_quantile_operators_empty_and_null_inputs(spark):
+    from redpanda_ais_demo_spark.operators.ordered import (
+        ntile_distributed,
+        quantiles_disc,
+        weighted_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "x double, w long")
+    assert quantiles_disc(empty, "x", [0.5]).count() == 0
+    assert weighted_quantiles(empty, "x", "w", [0.5]).count() == 0
+    assert ntile_distributed(empty, [F.col("x")], 4).count() == 0
+
+    nulls = spark.createDataFrame([(None, None), (None, 3)], "x double, w long")
+    assert quantiles_disc(nulls, "x", [0.5]).count() == 0
+    assert weighted_quantiles(nulls, "x", "w", [0.5]).count() == 0
+
+    one = spark.createDataFrame([(7.0, 2)], "x double, w long")
+    assert {(r.p, r.value) for r in quantiles_disc(one, "x", [0.5, 1.0]).collect()} == {
+        (0.5, 7.0), (1.0, 7.0)
+    }
