@@ -1315,3 +1315,131 @@ def seasonal_naive_mase(
         ).alias("mae_seasonal"),
         F.when(ok, F.round(mase, 6)).alias("mase"),
     )
+
+
+def paa_correlation_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_buckets: int = 8,
+    n_bits: int = 6,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Time-series similarity search (EDBT'19 streaming-similarity
+    family): find key pairs whose activity series CO-MOVE — Pearson
+    correlation of their PAA profiles >= ``threshold`` — without the
+    all-pairs join. Each key's series reduces to an ``n_buckets``-point
+    Piecewise Aggregate Approximation (bucket sums in exact cents over
+    the dataset's own time span), and candidates come from an
+    ``n_bits``-bit CENTERED-SIGN sketch: bit j is the sign of the
+    mean-centered profile's dot product with a deterministic ±1
+    hyperplane — correlated profiles agree on every bit, so a single
+    equality band on the sketch prunes the pair space from |keys|² to
+    Σ bucket². The declared semantics INCLUDE the band (pairs in
+    different buckets are absent by definition — the honest LSH
+    contract, same as the SimHash banders).
+
+    Determinism: bucket sums are BIGINT cents; sign bits compare the
+    integer ``n_buckets·(h·x) − Σx·Σh`` against 0 (no float); the final
+    correlation forms its three moments in DECIMAL(38,0) from the same
+    integers and divides once (round 6). Constant profiles (zero
+    variance) match nothing — r is undefined there.
+
+    Plan: one partial-aggregable (key, bucket) groupBy, a conditional-
+    aggregation pivot to ``n_buckets`` fixed columns (1 row per key),
+    narrow codegen sketch bits, then ONE equi-join on the sketch value.
+
+    Output: (key_a, key_b, r), key_a < key_b.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    if not (1 <= n_bits <= 30):
+        raise ValueError("n_bits must be in [1, 30]")
+    from ..functions.vector import sign_projection_matrix
+
+    H = sign_projection_matrix(n_buckets, n_bits)
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(F.col(key_col).alias("k"), day.alias("day"), cents.alias("c"))
+    span = base.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    bucket = F.floor(
+        (F.col("day") - F.col("__lo")) * n_buckets
+        / (F.col("__hi") - F.col("__lo") + 1)
+    ).cast("int")
+    per = (
+        base.crossJoin(F.broadcast(span))
+        .select("k", bucket.alias("b"), "c")
+        .groupBy("k", "b")
+        .agg(F.sum("c").alias("s"))
+    )
+    prof = per.groupBy("k").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("b") == d, F.col("s"))), F.lit(0).cast("long")
+            ).alias(f"x{d}")
+            for d in range(n_buckets)
+        ]
+    )
+    sx = sum(F.col(f"x{d}") for d in range(n_buckets))
+    sxx = sum(
+        (F.col(f"x{d}") * F.col(f"x{d}")).cast("decimal(38,0)")
+        for d in range(n_buckets)
+    )
+    sig = None
+    for j, row in enumerate(H):
+        dot = sum(int(row[d]) * F.col(f"x{d}") for d in range(n_buckets))
+        hsum = int(sum(row))
+        bit = F.when(
+            (F.lit(n_buckets) * dot - F.col("__sx") * hsum) >= 0, 1 << j
+        ).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    staged = (
+        prof.withColumn("__sx", sx.cast("long"))
+        .withColumn("__sxx", sxx)
+        .withColumn("__sig", sig)
+        # zero-variance profiles correlate with nothing (r undefined)
+        .filter(
+            F.lit(n_buckets).cast("decimal(38,0)") * F.col("__sxx")
+            > (F.col("__sx").cast("decimal(38,0)") * F.col("__sx"))
+        )
+    )
+    a = staged.select(
+        F.col("k").alias("ka"),
+        F.col("__sig").alias("sig"),
+        F.col("__sx").alias("sxa"),
+        F.col("__sxx").alias("sxxa"),
+        *[F.col(f"x{d}").alias(f"a{d}") for d in range(n_buckets)],
+    )
+    b = staged.select(
+        F.col("k").alias("kb"),
+        F.col("__sig").alias("sig"),
+        F.col("__sx").alias("sxb"),
+        F.col("__sxx").alias("sxxb"),
+        *[F.col(f"x{d}").alias(f"b{d}") for d in range(n_buckets)],
+    )
+    pairs = a.join(b, "sig").filter(F.col("ka") < F.col("kb"))
+    sxy = sum(
+        (F.col(f"a{d}") * F.col(f"b{d}")).cast("decimal(38,0)")
+        for d in range(n_buckets)
+    )
+    dcast = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = F.lit(n_buckets).cast("decimal(38,0)") * sxy - dcast(F.col("sxa")) * dcast(
+        F.col("sxb")
+    )
+    vx = F.lit(n_buckets).cast("decimal(38,0)") * F.col("sxxa") - dcast(
+        F.col("sxa")
+    ) * dcast(F.col("sxa"))
+    vy = F.lit(n_buckets).cast("decimal(38,0)") * F.col("sxxb") - dcast(
+        F.col("sxb")
+    ) * dcast(F.col("sxb"))
+    r = F.round(
+        num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+    )
+    return (
+        pairs.withColumn("r", r)
+        .filter(F.col("r") >= threshold)
+        .select(F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "r")
+    )

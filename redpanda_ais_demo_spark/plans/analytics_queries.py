@@ -3942,3 +3942,78 @@ def rake_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("r").alias("event_type"), F.col("c").alias("dow"), "w_micro"
     )
+
+
+def _paa_pairs_oracle(n_buckets: int, n_bits: int, threshold: float) -> str:
+    from ..functions.vector import sign_projection_matrix
+
+    H = sign_projection_matrix(n_buckets, n_bits)
+    nb = n_buckets
+    xcols = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN b = {d} THEN s END), 0) AS BIGINT) AS x{d}"
+        for d in range(nb)
+    )
+    sx = " + ".join(f"x{d}" for d in range(nb))
+    sxx = " + ".join(f"CAST(x{d} AS HUGEINT) * x{d}" for d in range(nb))
+    sig_terms = []
+    for j, row in enumerate(H):
+        dot = " + ".join(f"({int(row[d])}) * x{d}" for d in range(nb))
+        sig_terms.append(
+            f"(CASE WHEN {nb} * ({dot}) - sx * ({int(sum(row))}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    sxy = " + ".join(f"CAST(a.x{d} AS HUGEINT) * b.x{d}" for d in range(nb))
+    return f"""
+        WITH base AS (
+            SELECT user_id AS k,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM base),
+        per AS (
+            SELECT k, b, CAST(sum(c) AS BIGINT) AS s FROM (
+                SELECT k,
+                       CAST(floor((day - lo) * {nb} / (hi - lo + 1)) AS INT) AS b,
+                       c
+                FROM base, span)
+            GROUP BY k, b),
+        prof AS (SELECT k, {xcols} FROM per GROUP BY k),
+        staged AS (
+            SELECT *, CAST({sx} AS BIGINT) AS sx, ({sxx}) AS sxx, ({sig}) AS sig
+            FROM prof),
+        ok AS (SELECT * FROM staged
+               WHERE {nb} * sxx > CAST(sx AS HUGEINT) * sx)
+        SELECT a.k AS key_a, b.k AS key_b,
+               round(CAST({nb} * ({sxy}) - CAST(a.sx AS HUGEINT) * b.sx AS DOUBLE)
+                     / sqrt(CAST({nb} * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS DOUBLE)
+                            * CAST({nb} * b.sxx - CAST(b.sx AS HUGEINT) * b.sx AS DOUBLE)),
+                     6) AS r
+        FROM ok a JOIN ok b ON a.sig = b.sig AND a.k < b.k
+        WHERE round(CAST({nb} * ({sxy}) - CAST(a.sx AS HUGEINT) * b.sx AS DOUBLE)
+                    / sqrt(CAST({nb} * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS DOUBLE)
+                           * CAST({nb} * b.sxx - CAST(b.sx AS HUGEINT) * b.sx AS DOUBLE)),
+                    6) >= {threshold}
+    """
+
+
+@query(
+    "ts_paa_correlated_users",
+    oracle=_paa_pairs_oracle(8, 4, 0.8),
+    tags=("timeseries", "similarity", "join", "analytics"),
+    doc="Time-series similarity search (the EDBT'19 streaming-"
+    "similarity family): user pairs whose daily spend series co-move — "
+    "Pearson r >= 0.8 between 8-point PAA profiles — WITHOUT the "
+    "all-pairs join: candidates come from a 4-bit centered-sign sketch "
+    "(deterministic ±1 hyperplanes, integer sign tests), one equality "
+    "band; correlated profiles agree on every bit, so the pair space "
+    "prunes from |users|² to Σ bucket². Exact-integer moments, one "
+    "double division (operators/timeseries.py:paa_correlation_pairs).",
+)
+def ts_paa_correlated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import paa_correlation_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    return paa_correlation_pairs(
+        events, "user_id", "ts", "value", n_buckets=8, n_bits=4, threshold=0.8
+    )

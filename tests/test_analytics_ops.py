@@ -1671,3 +1671,32 @@ def test_ipf_rake_converges_margins_to_targets(spark):
 
     with pytest.raises(ValueError, match="rounds"):
         ipf_rake_2d(cells, rt, ct, rounds=0)
+
+
+def test_paa_correlation_pairs_finds_comoving_series(spark):
+    import datetime
+
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import paa_correlation_pairs
+
+    # users 1,2: proportional daily series (r=1); user 3: reversed
+    # (anti-correlated); user 4: constant (zero variance -> excluded)
+    rows = []
+    for d in range(16):
+        ts = datetime.datetime(2024, 1, 1 + d)
+        rows.append((1, ts, float(d + 1)))
+        rows.append((2, ts, float(2 * (d + 1))))
+        rows.append((3, ts, float(16 - d)))
+        rows.append((4, ts, 5.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r.key_a, r.key_b): r.r for r in
+           paa_correlation_pairs(df, "user_id", "ts", "value",
+                                 n_buckets=8, n_bits=4, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == 1.0
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        paa_correlation_pairs(df, "user_id", "ts", "value", n_buckets=1)
+    with pytest.raises(ValueError, match="n_bits"):
+        paa_correlation_pairs(df, "user_id", "ts", "value", n_bits=0)
