@@ -59,27 +59,34 @@ def pack_token_stream(
     sequences; a doc whose span crosses a bin boundary is the split/
     truncate case downstream tokenization handles.
 
-    The running offset is one global window — a single total sort at
-    scale. That is inherent to globally-ordered packing; use
-    ``pack_token_stream_sharded`` (the scale path) when one total order
-    isn't needed.
+    The running offset is a GLOBAL prefix sum, computed distributed
+    (operators/ordered.py: range-partitioned parallel sort + broadcast
+    per-partition offsets) — globally-ordered packing no longer costs a
+    single-partition window; ``pack_token_stream_sharded`` remains the
+    per-shard variant when independent shard streams are wanted.
     The closed-bin greedy variant (open a new bin when the next doc
     doesn't fit) is a sequential recurrence, deliberately not offered:
     it cannot be expressed as a distributed plan without serializing
     the corpus through one task.
     """
+    from .ordered import rank_cumsum
+
     order_col = order_col or id_col
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     n_tok = T.n_tokens(F.col(text_col)).cast("long")
     # carry order_col through the projection when it isn't the id — the
-    # window references it after the select
+    # prefix sum orders by it after the select
     cols = [F.col(id_col), n_tok.alias("n_tokens")]
     extra = [order_col] if order_col != id_col else []
+    cum = rank_cumsum(
+        docs.select(*cols, *extra),
+        [F.col(order_col).asc()],
+        rank_col=None,
+        cumsums={"__cum": F.col("n_tokens")},
+    )
     return (
-        docs.select(*cols, *extra)
-        .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        cum.withColumn("start_offset", F.col("__cum") - F.col("n_tokens"))
         .withColumn("bin_id", F.expr(f"start_offset div {int(capacity)}"))
-        .drop(*extra)
+        .drop("__cum", *extra)
     )
 
 
