@@ -145,15 +145,20 @@ def dict_encode(
     vocabulary-sized, so Spark broadcasts it and the corpus never
     shuffles for the join.
     """
-    vocab = (
+    from .ordered import rank_cumsum
+
+    counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("term"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "term_id",
-            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
-            + F.lit(int(id_offset) - 1),
+    )
+    # distributed rank (operators/ordered.py): the vocabulary can be
+    # data-sized — no single-partition window over it
+    vocab = (
+        rank_cumsum(
+            counts, [F.col("n").desc(), F.col("term").asc()], rank_col="__rk"
         )
+        .withColumn("term_id", F.col("__rk") + F.lit(int(id_offset) - 1))
         .select("term", F.col("term_id").cast("long"), F.col("n").cast("long"))
     )
     out_col = f"{col}_id"

@@ -608,19 +608,39 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Distribution-position analytics — ntile / percent_rank / "
     "cume_dist over a total order (price, key-tiebroken so every rank "
     "function is deterministic); emits the top percentile of the top "
-    "quartile. A single global window sort, the inherent cost of a "
-    "total-order statistic — bucket by range first at real scale "
-    "(repartitionByRange gives the same order with parallel sorts).",
+    "quartile. Under a TOTAL order all three reduce to closed forms of "
+    "the global rank — percent_rank = (rank-1)/(n-1), cume_dist = "
+    "rank/n, ntile from the ANSI bucket formula — so the whole query "
+    "runs on the distributed rank (operators/ordered.py), parallel "
+    "range sorts instead of the single global window sort.",
 )
 def order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import rank_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = rank_cumsum(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="__rk",
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    r = F.col("__rk")
+    n = F.col("__n")
+    base = F.floor(n / 4)
+    extra = n % 4
+    fat = (base + 1) * extra
+    quartile = F.when(base == 0, r).otherwise(
+        F.when(r <= fat, F.floor((r - 1) / (base + 1)) + 1).otherwise(
+            extra + F.floor((r - fat - 1) / base) + 1
+        )
+    )
     return (
-        orders.select(
+        ranked.crossJoin(F.broadcast(total))
+        .select(
             "o_orderkey",
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            quartile.cast("int").alias("quartile"),
+            F.round((r - 1) / (n - 1), 6).alias("pct_rank"),
+            F.round(r / n, 6).alias("cume"),
         )
         .filter((F.col("quartile") == 4) & (F.col("pct_rank") >= 0.99))
     )
