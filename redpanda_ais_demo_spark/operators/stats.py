@@ -248,6 +248,7 @@ def kaplan_meier(
     duration_col: str,
     event_col: str,
     group_col: str | None = None,
+    bounded_times: bool = False,
 ) -> DataFrame:
     """Kaplan-Meier survival estimator — churn/retention curves over
     censored durations: ``S(t) = Π_{t_i <= t} (1 − d_i / n_i)`` where
@@ -290,9 +291,18 @@ def kaplan_meier(
         F.round(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")) * 1e6).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
     extinct = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
-    if gcols:
-        times = times.join(F.broadcast(totals), gcols)
-        w = Window.partitionBy(*gcols).orderBy("t")
+    if gcols or bounded_times:
+        # grouped: the window partitions per group (parallel).
+        # bounded_times declares the distinct-duration table constant-
+        # bounded (day/week granularity — hundreds of rows at any
+        # corpus size): the tiny single-partition window beats the
+        # distributed machinery's fixed cost there.
+        if gcols:
+            times = times.join(F.broadcast(totals), gcols)
+            w = Window.partitionBy(*gcols).orderBy("t")
+        else:
+            times = times.crossJoin(F.broadcast(totals))
+            w = Window.orderBy("t")
         prior_left = F.coalesce(
             F.sum("leave").over(w.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
@@ -502,6 +512,7 @@ def roc_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    bounded_scores: bool = False,
 ) -> DataFrame:
     """Exact ROC AUC of an integer score against a binary label — the
     Mann-Whitney U formulation with mid-rank tie handling (the value
@@ -517,9 +528,13 @@ def roc_auc(
     Scale plan: the corpus-sized pass is a single partial-aggregable
     groupBy(score) → (n, n_pos); the cumulative-rank window then runs
     over DISTINCT SCORES ONLY (cardinality of the score domain, not the
-    corpus — for a quantized quality score that is thousands of rows on
-    a driver-sized table, never 100 TB). NULL scores/labels are
-    excluded up front (score them or quarantine upstream).
+    corpus). ``bounded_scores=True`` declares the score domain
+    constant-bounded (a quantized quality score: thousands of distinct
+    values at any corpus size) and keeps the cheap single-partition
+    window over that tiny table; the default routes the prefix count
+    through the distributed machinery for continuous/unbounded score
+    domains. NULL scores/labels are excluded up front (score them or
+    quarantine upstream).
 
     Output: one row (n_pos, n_neg, auc). Degenerate inputs (no
     positives or no negatives) yield auc = NULL rather than a division
@@ -532,14 +547,20 @@ def roc_auc(
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
     )
-    # distributed exclusive prefix count (operators/ordered.py): the
-    # distinct-score table can be data-sized for continuous scores, so
-    # no single-partition window — inclusive running sum minus own n
-    from .ordered import rank_cumsum
+    if bounded_scores:
+        w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = counts.withColumn(
+            "cum_less", F.coalesce(F.sum("n").over(w), F.lit(0))
+        )
+    else:
+        # distributed exclusive prefix count (operators/ordered.py): the
+        # distinct-score table can be data-sized for continuous scores,
+        # so no single-partition window — inclusive sum minus own n
+        from .ordered import rank_cumsum
 
-    ranked = rank_cumsum(
-        counts, [F.col("s").asc()], rank_col=None, cumsums={"__ci": F.col("n")}
-    ).withColumn("cum_less", F.col("__ci") - F.col("n"))
+        ranked = rank_cumsum(
+            counts, [F.col("s").asc()], rank_col=None, cumsums={"__ci": F.col("n")}
+        ).withColumn("cum_less", F.col("__ci") - F.col("n"))
     agg = ranked.agg(
         F.sum("n_pos").alias("p"),
         (F.sum("n") - F.sum("n_pos")).alias("q"),

@@ -1200,7 +1200,9 @@ def survival_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("t1") - F.col("t0")) / 86400).cast("long").alias("dur_days"),
         (F.col("t1") < F.col("cut")).cast("int").alias("churned"),
     )
-    return kaplan_meier(subjects, "dur_days", "churned")
+    # day-granularity durations: the distinct-time table is bounded
+    # by the observation span in days, not the subject count
+    return kaplan_meier(subjects, "dur_days", "churned", bounded_times=True)
 
 
 @query(
@@ -1734,7 +1736,9 @@ def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("s"),
         (F.col("lang") == "en").cast("long").alias("y"),
     )
-    return roc_auc(scored, "s", "y")
+    # char-length score domain is capped by max document size —
+    # constant-bounded, so the tiny window beats the distributed path
+    return roc_auc(scored, "s", "y", bounded_scores=True)
 
 
 @query(
