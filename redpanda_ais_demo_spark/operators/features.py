@@ -129,6 +129,7 @@ def dict_encode(
     df: DataFrame,
     col: str,
     id_offset: int = 0,
+    bounded_vocab: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dictionary / label encoding: map a categorical column to dense
     integer ids, most-frequent-first — the vocabulary-building step for
@@ -145,20 +146,31 @@ def dict_encode(
     vocabulary-sized, so Spark broadcasts it and the corpus never
     shuffles for the join.
     """
-    from .ordered import rank_cumsum
-
     counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("term"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # distributed rank (operators/ordered.py): the vocabulary can be
-    # data-sized — no single-partition window over it
-    vocab = (
-        rank_cumsum(
+    if bounded_vocab:
+        # caller declares the category domain constant-bounded (the
+        # common dict-encode case): the tiny window beats the
+        # distributed machinery's fixed cost
+        ranked = counts.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("term").asc())
+            ).cast("long"),
+        )
+    else:
+        # distributed rank (operators/ordered.py): a token-scale
+        # vocabulary is data-sized — no single-partition window over it
+        from .ordered import rank_cumsum
+
+        ranked = rank_cumsum(
             counts, [F.col("n").desc(), F.col("term").asc()], rank_col="__rk"
         )
-        .withColumn("term_id", F.col("__rk") + F.lit(int(id_offset) - 1))
+    vocab = (
+        ranked.withColumn("term_id", F.col("__rk") + F.lit(int(id_offset) - 1))
         .select("term", F.col("term_id").cast("long"), F.col("n").cast("long"))
     )
     out_col = f"{col}_id"

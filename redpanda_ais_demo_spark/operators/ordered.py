@@ -251,3 +251,62 @@ def weighted_quantiles(
         .agg(F.min(F.struct(F.col("__qv").alias("v"), F.col("__cw").alias("c"))).alias("m"))
         .select("p", F.col("m.v").alias("value"), F.col("m.c").alias("cum_weight"))
     )
+
+
+def quantiles_cont(
+    df: DataFrame,
+    value_col: str,
+    ps: Sequence[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INTERPOLATED quantiles (ANSI PERCENTILE_CONT — what
+    Spark's ``percentile()`` and DuckDB's ``quantile_cont`` compute:
+    ``h = (n−1)·p + 1``, linear interpolation between ranks ⌊h⌋ and
+    ⌈h⌉) over an arbitrarily large column, with the same distributed
+    machinery as ``quantiles_disc``: one range-partitioned global rank,
+    then a broadcast join that picks out at most TWO rows per requested
+    p and interpolates.
+
+    The ``percentile()`` aggregate buffers the whole input in executor
+    memory; this path never holds more than a partition's sort run.
+    NULLs excluded (ANSI). Output: (p, value double).
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"quantile p must be in [0, 1], got {p}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__qv")
+    )
+    ranked = rank_cumsum(
+        vals, [F.col("__qv").asc()], rank_col="__qr", num_partitions=num_partitions
+    )
+    total = vals.agg(F.count(F.lit(1)).alias("__qn"))
+    # per p: h = (n-1)p + 1; the two bracketing ranks and the fraction
+    h = (F.col("__qn") - 1) * F.col("p") + 1
+    targets = (
+        total.select(
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"), "__qn"
+        )
+        .select(
+            "p",
+            F.floor(h).cast("long").alias("__rlo"),
+            F.ceil(h).cast("long").alias("__rhi"),
+            (h - F.floor(h)).alias("__frac"),
+        )
+    )
+    lo = targets.select("p", F.col("__rlo").alias("__qr"), "__frac")
+    hi = targets.select("p", F.col("__rhi").alias("__qr"))
+    vlo = ranked.join(F.broadcast(lo), "__qr").select(
+        "p", F.col("__qv").alias("__vlo"), "__frac"
+    )
+    vhi = ranked.join(F.broadcast(hi), "__qr").select(
+        "p", F.col("__qv").alias("__vhi")
+    )
+    return vlo.join(vhi, "p").select(
+        "p",
+        (
+            F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+        ).alias("value"),
+    )

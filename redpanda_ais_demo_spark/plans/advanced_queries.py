@@ -863,3 +863,31 @@ def interval_join_order_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@query(
+    "value_quantiles_cont_exact",
+    oracle="""
+        SELECT p, round(value, 6) AS value FROM (
+            SELECT 0.5 AS p, quantile_cont(value, 0.5) AS value FROM events
+            UNION ALL
+            SELECT 0.9, quantile_cont(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99, quantile_cont(value, 0.99) FROM events
+        )
+    """,
+    tags=("agg", "quantile", "scale-path"),
+    doc="EXACT interpolated global quantiles (PERCENTILE_CONT — the "
+    "same value percentile()/quantile_cont compute) without the "
+    "whole-column memory buffer: one distributed rank, then a "
+    "broadcast join picks the two bracketing ranks per p and "
+    "interpolates. Completes the quantile family: disc "
+    "(value_quantiles_global_exact), cont (this), approx sketch, "
+    "per-group exact (operators/ordered.py:quantiles_cont).",
+)
+def value_quantiles_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import quantiles_cont
+
+    events = load_table(spark, sf_dir, "events")
+    out = quantiles_cont(events, "value", [0.5, 0.9, 0.99])
+    return out.select("p", F.round("value", 6).alias("value"))

@@ -2760,7 +2760,8 @@ def dict_encode_doc_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.features import dict_encode
 
     docs = load_table(spark, sf_dir, "documents")
-    _vocab, encoded = dict_encode(docs, "source")
+    # the source domain is a bounded category set, not a token vocab
+    _vocab, encoded = dict_encode(docs, "source", bounded_vocab=True)
     return encoded.select("doc_id", F.col("source_id"))
 
 

@@ -174,3 +174,25 @@ def test_quantile_operators_empty_and_null_inputs(spark):
     assert {(r.p, r.value) for r in quantiles_disc(one, "x", [0.5, 1.0]).collect()} == {
         (0.5, 7.0), (1.0, 7.0)
     }
+
+
+def test_quantiles_cont_matches_spark_percentile(spark):
+    from redpanda_ais_demo_spark.operators.ordered import quantiles_cont
+
+    vals = [((i * 37) % 50) / 2.0 for i in range(201)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    got = {r.p: round(r.value, 9) for r in
+           quantiles_cont(df, "x", [0.0, 0.25, 0.5, 0.9, 1.0]).collect()}
+    want = {
+        r.p: round(r.v, 9)
+        for r in df.selectExpr(
+            "explode(arrays_zip(array(0.0d,0.25d,0.5d,0.9d,1.0d), "
+            "percentile(x, array(0.0d,0.25d,0.5d,0.9d,1.0d)))) AS z"
+        ).selectExpr("z.`0` AS p", "z.`1` AS v").collect()
+    }
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="quantile p"):
+        quantiles_cont(df, "x", [1.5])
