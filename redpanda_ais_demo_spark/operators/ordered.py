@@ -310,3 +310,40 @@ def quantiles_cont(
             F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
         ).alias("value"),
     )
+
+
+def quantiles_disc_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float],
+) -> DataFrame:
+    """Per-group exact discrete quantiles (PERCENTILE_DISC) WITHOUT the
+    per-group memory buffer ``percentile()`` allocates: rank within
+    each group (a PARTITIONED window — parallel across groups at any
+    scale), count per group, pick the row at rank ceil(p·n_g) for each
+    requested p. The grouped sibling of ``quantiles_disc``; a giant
+    skewed group costs one partition's sort, never an executor-memory
+    array.
+
+    Output: (group, p, value) — one row per (group, p).
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"quantile p must be in (0, 1], got {p}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__qv")
+    )
+    w = Window.partitionBy("__g").orderBy("__qv")
+    wn = Window.partitionBy("__g")
+    ranked = vals.withColumn("__qr", F.row_number().over(w).cast("long")).withColumn(
+        "__qn", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    pexp = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    return (
+        ranked.select("__g", "__qv", "__qr", "__qn", pexp)
+        .filter(F.col("__qr") == F.ceil(F.col("p") * F.col("__qn")).cast("long"))
+        .select(F.col("__g").alias(group_col), "p", F.col("__qv").alias("value"))
+    )

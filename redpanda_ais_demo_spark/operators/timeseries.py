@@ -1443,3 +1443,66 @@ def paa_correlation_pairs(
         .filter(F.col("r") >= threshold)
         .select(F.col("ka").alias("key_a"), F.col("kb").alias("key_b"), "r")
     )
+
+
+def cohort_ltv_curve(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_sec: int,
+) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue companion to
+    ``cohort_retention``: keys cohorted by first-activity bucket; per
+    (cohort, age) the revenue that cohort generated at that age and the
+    running cumulative per original cohort member (the "LTV by day N"
+    readout growth teams plot).
+
+    Exactness: revenue in integer cents, cohort sizes exact counts, the
+    cumulative is an exact BIGINT running sum; the per-member division
+    is the one double (6 dp).
+
+    Plan: per-key window min for cohort assignment (one shuffle on the
+    key), a partial-aggregable (cohort, age) rollup, cohort sizes as a
+    1-row-per-cohort broadcast, and the cumulative as a PARTITIONED
+    window over ages within each cohort — never global.
+    """
+    if bucket_sec <= 0:
+        raise ValueError("bucket_sec must be positive")
+    ts = F.unix_timestamp(F.col(ts_col)).cast("long")
+    bucket = F.floor(ts / bucket_sec).cast("long") * bucket_sec
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(key_col).alias("k"), bucket.alias("b"), cents.alias("c")
+    )
+    wk = Window.partitionBy("k")
+    cohorted = base.withColumn("cohort", F.min("b").over(wk)).withColumn(
+        "age", ((F.col("b") - F.col("cohort")) / bucket_sec).cast("long")
+    )
+    per_age = cohorted.groupBy("cohort", "age").agg(
+        F.sum("c").alias("rev_cents")
+    )
+    sizes = (
+        cohorted.select("k", "cohort")
+        .distinct()
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_age.withColumn("cum_cents", F.sum("rev_cents").over(wcum))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort_ts"),
+            F.col("age"),
+            F.col("n_members"),
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.round(F.col("cum_cents") / F.col("n_members") / 100.0, 6).alias(
+                "ltv_per_member"
+            ),
+        )
+    )

@@ -891,3 +891,30 @@ def value_quantiles_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     out = quantiles_cont(events, "value", [0.5, 0.9, 0.99])
     return out.select("p", F.round("value", 6).alias("value"))
+
+
+@query(
+    "value_quantiles_disc_by_type",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, p, value FROM r
+        JOIN (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p) t
+          ON rn = CAST(ceil(p * n) AS BIGINT)
+    """,
+    tags=("agg", "quantile", "window", "scale-path"),
+    doc="Per-group exact discrete quantiles WITHOUT percentile()'s "
+    "per-group memory buffer: partitioned rank + per-group count, pick "
+    "rank == ceil(p*n_g). A giant skewed group costs one partition "
+    "sort, never an executor-memory array — the grouped member of the "
+    "exact-quantile family (operators/ordered.py:quantiles_disc_grouped).",
+)
+def value_quantiles_disc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import quantiles_disc_grouped
+
+    events = load_table(spark, sf_dir, "events")
+    return quantiles_disc_grouped(events, "event_type", "value", [0.5, 0.9, 0.99])

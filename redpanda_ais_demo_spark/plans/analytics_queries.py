@@ -4021,3 +4021,44 @@ def ts_paa_correlated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paa_correlation_pairs(
         events, "user_id", "ts", "value", n_buckets=8, n_bits=4, threshold=0.8
     )
+
+
+@query(
+    "cohort_ltv_weekly",
+    oracle="""
+        WITH base AS (
+            SELECT user_id AS k,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800 AS b,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events),
+        cohorted AS (
+            SELECT k, b, c,
+                   min(b) OVER (PARTITION BY k) AS cohort
+            FROM base),
+        per_age AS (
+            SELECT cohort, (b - cohort) // 604800 AS age,
+                   CAST(sum(c) AS BIGINT) AS rev_cents
+            FROM cohorted GROUP BY 1, 2),
+        sizes AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n_members FROM (
+                SELECT DISTINCT k, cohort FROM cohorted) GROUP BY cohort)
+        SELECT CAST(p.cohort AS BIGINT) AS cohort_ts,
+               CAST(p.age AS BIGINT) AS age, s.n_members, p.rev_cents,
+               round(CAST(sum(p.rev_cents) OVER (PARTITION BY p.cohort
+                          ORDER BY p.age ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT)
+                     / CAST(s.n_members AS DOUBLE) / 100.0, 6) AS ltv_per_member
+        FROM per_age p JOIN sizes s USING (cohort)
+    """,
+    tags=("analytics", "window", "agg", "cohort"),
+    doc="Cohort LTV curve — the revenue companion to the retention "
+    "triangle: weekly first-activity cohorts, per-age revenue, and the "
+    "running cumulative per original member (LTV by week N). Integer "
+    "cents, exact cohort sizes, partitioned-window cumulative — never "
+    "a global sort (operators/timeseries.py:cohort_ltv_curve).",
+)
+def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cohort_ltv_curve
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_ltv_curve(events, "user_id", "ts", "value", 604800)

@@ -1700,3 +1700,35 @@ def test_paa_correlation_pairs_finds_comoving_series(spark):
         paa_correlation_pairs(df, "user_id", "ts", "value", n_buckets=1)
     with pytest.raises(ValueError, match="n_bits"):
         paa_correlation_pairs(df, "user_id", "ts", "value", n_bits=0)
+
+
+def test_cohort_ltv_curve_known_values(spark):
+    import datetime
+
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import cohort_ltv_curve
+
+    W = 604800
+    t0 = datetime.datetime(2024, 1, 1)  # cohort week anchor
+
+    def at(weeks):
+        return t0 + datetime.timedelta(seconds=W * weeks)
+
+    rows = [
+        # cohort A: users 1,2 start week 0; revenue 10 + 20 at age 0, 30 at age 1
+        (1, at(0), 10.0), (2, at(0), 20.0), (1, at(1), 30.0),
+        # cohort B: user 3 starts week 1; 5 at age 0
+        (3, at(1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {(r.cohort_ts, r.age): (r.n_members, r.rev_cents, r.ltv_per_member)
+           for r in cohort_ltv_curve(df, "user_id", "ts", "value", W).collect()}
+    cohorts = sorted({c for c, _ in out})
+    a, b = cohorts
+    assert out[(a, 0)] == (2, 3000, 15.0)       # (10+20)/2 members
+    assert out[(a, 1)] == (2, 3000, 30.0)       # cum (30+30)/2
+    assert out[(b, 0)] == (1, 500, 5.0)
+
+    with pytest.raises(ValueError, match="bucket_sec"):
+        cohort_ltv_curve(df, "user_id", "ts", "value", 0)

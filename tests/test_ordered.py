@@ -196,3 +196,23 @@ def test_quantiles_cont_matches_spark_percentile(spark):
 
     with pytest.raises(ValueError, match="quantile p"):
         quantiles_cont(df, "x", [1.5])
+
+
+def test_quantiles_disc_grouped_matches_bruteforce(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.ordered import quantiles_disc_grouped
+
+    rows = [("g%d" % (i % 3), ((i * 37) % 50) / 2.0) for i in range(151)]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(8)
+    got = {(r.g, r.p): r.value for r in
+           quantiles_disc_grouped(df, "g", "x", [0.5, 1.0]).collect()}
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    want = {}
+    for g, vs in groups.items():
+        vs.sort()
+        for p in (0.5, 1.0):
+            want[(g, p)] = vs[math.ceil(p * len(vs)) - 1]
+    assert got == want
