@@ -258,7 +258,15 @@ PRIORITY: tuple[str, ...] = (
     # its sibling, swept).
     "welch_purchase_value_by_variant",
     "gopher_quality_docs",
-    "dedup_keep_best",
+    # (r9) dedup_keep_best rotated out: pipeline_curate_corpus (below)
+    # CONTAINS the keep-best retention stage inside its oracle-checked
+    # 4-stage chain, so the standalone row was mechanically redundant;
+    # it stays registered, oracle-bearing, pytest-oracle-swept. Its
+    # slot carries the k-core peel — the graph-density class's first
+    # window rep (iterative peel-to-fixpoint with a 16-stage
+    # materialized unrolled oracle; clustering-coefficient and
+    # assortativity are its swept siblings).
+    "kcore_copurchase_parts",
     # r8 rotation: five r7 session classes previously outside the window,
     # each the sole representative of its operator family and each carrying
     # a full DuckDB oracle — end-to-end entity resolution (blocking +

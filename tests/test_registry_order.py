@@ -92,7 +92,7 @@ REQUIRED_IN_WINDOW = {
     # (r8f) hybrid RRF rotated out — both legs hold their own rows
     # (bm25_topk_from_index + embedding_cosine_topk)
     "gopher_quality_docs",
-    "dedup_keep_best",
+    "kcore_copurchase_parts",  # r9: graph-density peel class (keep-best folded into pipeline_curate)
     # r8 rotation: the five r7 classes that previously had no in-window
     # representative — entity resolution, iterative graph, CDC diff,
     # validation suite, composite curation pipeline.
