@@ -277,6 +277,13 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "lexical_diversity_by_source",
     "sssp_copurchase_from_min_part",
     "rake_event_weights",
+    # r9 batch 2: PAA time-series similarity (sign-sketch band join),
+    # the interpolated + grouped exact-quantile family members, and the
+    # cohort LTV curve.
+    "ts_paa_correlated_users",
+    "value_quantiles_cont_exact",
+    "value_quantiles_disc_by_type",
+    "cohort_ltv_weekly",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
