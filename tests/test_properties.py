@@ -517,3 +517,64 @@ def test_ols_matches_numpy_lstsq(spark, rows):
     tol = max(1e-5, 1e-10 * cond)
     for got, want in zip((r.b0, r.b1, r.b2), beta):
         assert abs(got - want) <= tol * max(1.0, abs(want))
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # sort key (dups likely)
+            st.integers(min_value=-1000, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=9),  # num_partitions
+)
+def test_rank_cumsum_property_matches_global_window(spark, rows, nparts):
+    """operators/ordered.py invariant: the distributed rank + running
+    sum equal the single-partition global window for ANY input and ANY
+    partition count, under a total order (key + row id tiebreak)."""
+    from pyspark.sql import Window
+
+    from redpanda_ais_demo_spark.operators.ordered import rank_cumsum
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v long, id long").repartition(4)
+    order = [F.col("k").desc(), F.col("id").asc()]
+    got = {
+        r.id: (r.rank, r.cum)
+        for r in rank_cumsum(
+            df, order, rank_col="rank", cumsums={"cum": F.col("v")},
+            num_partitions=nparts,
+        ).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r.id: (r.rank, r.cum)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .collect()
+    }
+    assert got == want
+
+
+@_settings
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=90),
+    st.integers(min_value=1, max_value=12),
+)
+def test_ntile_distributed_property_matches_spark(spark, keys, k):
+    from pyspark.sql import Window
+
+    from redpanda_ais_demo_spark.operators.ordered import ntile_distributed
+
+    data = [(key, i) for i, key in enumerate(keys)]
+    df = spark.createDataFrame(data, "k long, id long").repartition(4)
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = {r.id: r.tile for r in ntile_distributed(df, order, k, num_partitions=5).collect()}
+    want = {
+        r.id: r.t
+        for r in df.withColumn("t", F.ntile(k).over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
