@@ -145,3 +145,51 @@ def audience_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Depth-3 frequent itemsets — the next mining level above the
+    pairwise co-occurrence/association operators: distinct item triples
+    sharing at least ``min_support`` baskets, ordered i1 < i2 < i3 so
+    each unordered triple counts once.
+
+    Scale contract: the raw stream collapses FIRST to distinct
+    (basket, item) rows — the only corpus-sized shuffle; the two
+    self-joins then generate Σ_b C(|b|, 3) candidates, LINEAR in
+    baskets whenever basket size is bounded (an order holds a handful
+    of lines; a cart holds dozens — never the catalog). The ordering
+    predicates i1<i2<i3 prune at the join, not after. Support counts
+    partial-aggregate.
+
+    Output: (item_a, item_b, item_c, n_baskets), support >= min_support.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be positive")
+    bi = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = bi.select(F.col("b"), F.col("i").alias("i1"))
+    x = bi.select(F.col("b"), F.col("i").alias("i2"))
+    y = bi.select(F.col("b"), F.col("i").alias("i3"))
+    triples = (
+        a.join(x, "b")
+        .filter(F.col("i1") < F.col("i2"))
+        .join(y, "b")
+        .filter(F.col("i2") < F.col("i3"))
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )
+    return triples.select(
+        F.col("i1").alias("item_a"),
+        F.col("i2").alias("item_b"),
+        F.col("i3").alias("item_c"),
+        "n_baskets",
+    )

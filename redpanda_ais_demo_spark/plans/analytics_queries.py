@@ -4062,3 +4062,30 @@ def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return cohort_ltv_curve(events, "user_id", "ts", "value", 604800)
+
+
+@query(
+    "frequent_part_triples",
+    oracle="""
+        WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        t AS (SELECT a.i AS item_a, x.i AS item_b, y.i AS item_c,
+                     CAST(count(*) AS BIGINT) AS n_baskets
+              FROM bi a
+              JOIN bi x ON a.b = x.b AND a.i < x.i
+              JOIN bi y ON a.b = y.b AND x.i < y.i
+              GROUP BY 1, 2, 3)
+        SELECT * FROM t WHERE n_baskets >= 2
+    """,
+    tags=("analytics", "join", "association", "recommendation"),
+    doc="Depth-3 frequent itemsets over order baskets: part triples "
+    "co-purchased in >= 2 orders — the mining level above the pairwise "
+    "co-occurrence/association operators. Distinct (order, part) "
+    "collapse first, then two ordering-pruned self-joins generate "
+    "sum-over-baskets C(|b|,3) candidates — linear for bounded baskets "
+    "(operators/recommend.py:frequent_triples).",
+)
+def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recommend import frequent_triples
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return frequent_triples(lineitem, "l_orderkey", "l_partkey", min_support=2)

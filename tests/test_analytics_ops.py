@@ -1732,3 +1732,28 @@ def test_cohort_ltv_curve_known_values(spark):
 
     with pytest.raises(ValueError, match="bucket_sec"):
         cohort_ltv_curve(df, "user_id", "ts", "value", 0)
+
+
+def test_frequent_triples_known_baskets(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.recommend import frequent_triples
+
+    rows = [  # baskets: {1,2,3} x2, {1,2,3,4} x1, {5,6} (too small)
+        ("b1", 1), ("b1", 2), ("b1", 3),
+        ("b2", 3), ("b2", 1), ("b2", 2), ("b2", 2),  # dup item collapses
+        ("b3", 1), ("b3", 2), ("b3", 3), ("b3", 4),
+        ("b4", 5), ("b4", 6),
+    ]
+    df = spark.createDataFrame(rows, "b string, i long")
+    got = {(r.item_a, r.item_b, r.item_c): r.n_baskets
+           for r in frequent_triples(df, "b", "i", min_support=3).collect()}
+    assert got == {(1, 2, 3): 3}
+    got2 = {(r.item_a, r.item_b, r.item_c): r.n_baskets
+            for r in frequent_triples(df, "b", "i", min_support=1).collect()}
+    # {1,2,3} from 3 baskets + the three b3-only triples containing 4;
+    # the 2-item basket {5,6} contributes nothing
+    assert got2[(1, 2, 3)] == 3 and got2[(2, 3, 4)] == 1 and len(got2) == 4
+
+    with pytest.raises(ValueError, match="min_support"):
+        frequent_triples(df, "b", "i", min_support=0)
