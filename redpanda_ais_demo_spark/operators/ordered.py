@@ -347,3 +347,61 @@ def quantiles_disc_grouped(
         .filter(F.col("__qr") == F.ceil(F.col("p") * F.col("__qn")).cast("long"))
         .select(F.col("__g").alias(group_col), "p", F.col("__qv").alias("value"))
     )
+
+
+def quantiles_cont_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float],
+) -> DataFrame:
+    """Per-group exact INTERPOLATED quantiles (PERCENTILE_CONT) without
+    ``percentile()``'s per-group memory buffer — completing the
+    {disc, cont} x {global, grouped} buffer-free matrix: partitioned
+    rank + per-group count, keep only rows at the two bracketing ranks
+    of each requested p, interpolate in one aggregation.
+
+    Output: (group, p, value double).
+    """
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"quantile p must be in [0, 1], got {p}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__qv")
+    )
+    w = Window.partitionBy("__g").orderBy("__qv")
+    wn = Window.partitionBy("__g")
+    ranked = vals.withColumn("__qr", F.row_number().over(w).cast("long")).withColumn(
+        "__qn", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    h = (F.col("__qn") - 1) * F.col("p") + 1
+    staged = (
+        ranked.select(
+            "__g",
+            "__qv",
+            "__qr",
+            "__qn",
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+        )
+        .withColumn("__rlo", F.floor(h).cast("long"))
+        .withColumn("__rhi", F.ceil(h).cast("long"))
+        .withColumn("__frac", h - F.floor(h))
+        .filter((F.col("__qr") == F.col("__rlo")) | (F.col("__qr") == F.col("__rhi")))
+    )
+    return (
+        staged.groupBy("__g", "p")
+        .agg(
+            F.min(F.when(F.col("__qr") == F.col("__rlo"), F.col("__qv"))).alias("__vlo"),
+            F.min(F.when(F.col("__qr") == F.col("__rhi"), F.col("__qv"))).alias("__vhi"),
+            F.first("__frac").alias("__frac"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "p",
+            (
+                F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("value"),
+        )
+    )

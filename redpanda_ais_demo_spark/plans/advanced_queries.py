@@ -918,3 +918,32 @@ def value_quantiles_disc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return quantiles_disc_grouped(events, "event_type", "value", [0.5, 0.9, 0.99])
+
+
+@query(
+    "value_quantiles_cont_by_type",
+    oracle="""
+        SELECT event_type, p, round(value, 6) AS value FROM (
+            SELECT event_type, 0.5 AS p, quantile_cont(value, 0.5) AS value
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9, quantile_cont(value, 0.9)
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.99, quantile_cont(value, 0.99)
+            FROM events GROUP BY event_type
+        )
+    """,
+    tags=("agg", "quantile", "window", "scale-path"),
+    doc="Per-group exact interpolated quantiles WITHOUT percentile()'s "
+    "per-group buffer — the last cell of the {disc, cont} x {global, "
+    "grouped} buffer-free matrix: partitioned rank + group count, two "
+    "bracketing rows per (group, p), one interpolation "
+    "(operators/ordered.py:quantiles_cont_grouped).",
+)
+def value_quantiles_cont_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import quantiles_cont_grouped
+
+    events = load_table(spark, sf_dir, "events")
+    out = quantiles_cont_grouped(events, "event_type", "value", [0.5, 0.9, 0.99])
+    return out.select("event_type", "p", F.round("value", 6).alias("value"))

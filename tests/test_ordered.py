@@ -216,3 +216,21 @@ def test_quantiles_disc_grouped_matches_bruteforce(spark):
         for p in (0.5, 1.0):
             want[(g, p)] = vs[math.ceil(p * len(vs)) - 1]
     assert got == want
+
+
+def test_quantiles_cont_grouped_matches_spark_percentile(spark):
+    from redpanda_ais_demo_spark.operators.ordered import quantiles_cont_grouped
+
+    rows = [("g%d" % (i % 3), ((i * 37) % 50) / 2.0) for i in range(151)]
+    df = spark.createDataFrame(rows, "g string, x double").repartition(8)
+    got = {(r.g, r.p): round(r.value, 9) for r in
+           quantiles_cont_grouped(df, "g", "x", [0.0, 0.5, 0.9, 1.0]).collect()}
+    want = {}
+    for r in (
+        df.groupBy("g")
+        .agg(F.expr("percentile(x, array(0.0d, 0.5d, 0.9d, 1.0d))").alias("q"))
+        .collect()
+    ):
+        for p, v in zip((0.0, 0.5, 0.9, 1.0), r.q):
+            want[(r.g, p)] = round(v, 9)
+    assert got == want
