@@ -284,6 +284,8 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "value_quantiles_cont_exact",
     "value_quantiles_disc_by_type",
     "cohort_ltv_weekly",
+    "value_quantiles_cont_by_type",
+    "frequent_part_triples",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
