@@ -1146,3 +1146,335 @@ def ipf_rake_2d(
             .drop("__cm", "__ct")
         ).localCheckpoint(eager=False)
     return w
+
+
+def mann_whitney_u(
+    subjects: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    bounded_values: bool = False,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the nonparametric
+    sibling of ``welch_ttest`` for metrics too skewed for a means test
+    (revenue per user is the canonical case): ranks the pooled sample,
+    U_c = R_c − n_c(n_c+1)/2, normal approximation with the standard
+    tie correction Σ(t³−t).
+
+    Exactness: midranks never materialize per subject. The pooled frame
+    collapses to ONE ROW PER DISTINCT VALUE (cnt_c, cnt_t); the
+    exclusive prefix count ``cum`` gives every tied run its midrank as
+    the integer ``2·mid = 2·cum + cnt + 1``, so doubled rank sums and
+    the tie term accumulate as exact DECIMAL(38,0) — no float sums, no
+    per-subject window. The single double chain at the end (variance,
+    z, rank-biserial) is fixed-order and IEEE-identical cross-engine.
+
+    Plan: one partial-aggregable groupBy(value), then either the
+    distributed prefix-sum (operators/ordered.py — the default; scales
+    to an unbounded value domain) or, with ``bounded_values=True``, a
+    tiny single-partition window for quantized domains (scores 0..100,
+    day buckets) where the distributed machinery's fixed cost dominates.
+    Output: one row — n/U/z/rank-biserial.
+    """
+    two = subjects.filter(F.col(group_col).isin(control, treatment))
+    vals = (
+        two.groupBy(F.col(value_col).cast("long").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == control, 1).otherwise(0)
+            ).alias("cc"),
+            F.sum(
+                F.when(F.col(group_col) == treatment, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        .withColumn("cnt", F.col("cc") + F.col("ct"))
+    )
+    if bounded_values:
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = vals.withColumn(
+            "cum", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+    else:
+        from .ordered import rank_cumsum
+
+        ranked = rank_cumsum(
+            vals, [F.col("v").asc()], rank_col=None,
+            cumsums={"__ci": F.col("cnt")},
+        ).withColumn("cum", F.col("__ci") - F.col("cnt"))
+    two_mid = F.lit(2) * F.col("cum") + F.col("cnt") + 1  # 2 × midrank
+    cnt_d = F.col("cnt").cast(_DEC)
+    agg = ranked.agg(
+        F.sum("cc").alias("nc"),
+        F.sum("ct").alias("nt"),
+        F.sum(F.col("cc").cast(_DEC) * two_mid).alias("r2c"),
+        F.sum(cnt_d * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("tie"),
+    )
+    nc, nt = F.col("nc"), F.col("nt")
+    n = nc + nt
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    # du = 2·U_c − n_c·n_t  (doubled distance from the null mean)
+    du = (F.col("r2c") - d(nc) * (nc + 1) - d(nc) * nt).cast("double")
+    u_c = (F.col("r2c") - d(nc) * (nc + 1)).cast("double") / 2
+    prod = (d(nc) * nt).cast("double")
+    nn1 = (d(n) * (n - 1)).cast("double")
+    var_u = prod / 12.0 * (
+        (n + 1).cast("double") - F.col("tie").cast("double") / nn1
+    )
+    ok = (nc > 0) & (nt > 0)
+    return agg.select(
+        nc.cast("long").alias("n_control"),
+        nt.cast("long").alias("n_treatment"),
+        F.round(F.when(ok, u_c), 6).alias("u_control"),
+        F.round(F.when(ok & (var_u > 0), du / (2 * F.sqrt(var_u))), 6).alias(
+            "z_score"
+        ),
+        F.round(F.when(ok, du / prod), 6).alias("rank_biserial"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bounded_values: bool = False,
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-group generalisation of Mann-Whitney
+    (one-way ANOVA on ranks): H = 12/(n(n+1))·Σ_g R_g²/n_g − 3(n+1),
+    divided by the tie correction 1 − Σ(t³−t)/(n³−n).
+
+    Same scale discipline as ``mann_whitney_u``: per-(value, group)
+    counts and a per-distinct-value exclusive prefix give doubled rank
+    sums 2R_g as exact DECIMALs; the only quantization is one
+    micro-unit rounding of each group's (2R_g)²/n_g term (a single
+    IEEE double op on exact inputs — identical cross-engine) so the
+    cross-group sum stays an integer. Two partial-aggregable shuffles
+    (value×group, then value), prefix via operators/ordered.py unless
+    ``bounded_values`` declares a quantized domain. Output: one row —
+    n, k, H, tie-corrected H.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    )
+    per = base.groupBy("v", "g").agg(F.count(F.lit(1)).alias("cg"))
+    tot = per.groupBy("v").agg(F.sum("cg").alias("cnt"))
+    if bounded_values:
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = tot.withColumn(
+            "cum", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+    else:
+        from .ordered import rank_cumsum
+
+        ranked = rank_cumsum(
+            tot, [F.col("v").asc()], rank_col=None,
+            cumsums={"__ci": F.col("cnt")},
+        ).withColumn("cum", F.col("__ci") - F.col("cnt"))
+    joined = per.join(ranked.select("v", "cnt", "cum"), "v")
+    two_mid = F.lit(2) * F.col("cum") + F.col("cnt") + 1
+    grp = joined.groupBy("g").agg(
+        F.sum("cg").alias("ng"),
+        F.sum(F.col("cg").cast(_DEC) * two_mid).alias("r2g"),
+    )
+    # (2R_g)² overflows DECIMAL(38,0) past ~1e9 rows — square in double
+    # (exact inputs → identical IEEE product), micro-quantize, sum exact
+    term = F.round(
+        F.col("r2g").cast("double") * F.col("r2g").cast("double")
+        / (F.lit(4.0) * F.col("ng").cast("double")) * 1e6
+    ).cast(_DEC)
+    cnt_d = F.col("cnt").cast(_DEC)
+    ties = ranked.agg(
+        F.sum(cnt_d * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("tie")
+    )
+    agg = grp.agg(
+        F.sum("ng").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(term).alias("sq_micro"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    mean_sq = F.col("sq_micro").cast("double") / 1e6
+    h_raw = (
+        12.0 * mean_sq / (d(n) * (n + 1)).cast("double")
+        - 3.0 * (n + 1).cast("double")
+    )
+    denom = (d(n) * n * n - n).cast("double")
+    corr = 1.0 - F.col("tie").cast("double") / denom
+    return agg.select(
+        n.cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(F.when(n > 1, h_raw), 6).alias("h_stat"),
+        F.round(F.when((n > 1) & (corr > 0), h_raw / corr), 6).alias(
+            "h_tie_corrected"
+        ),
+    )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    g1: str,
+    g2: str,
+    bounded_times: bool = False,
+) -> DataFrame:
+    """Two-sample log-rank test — the hypothesis-test companion of
+    ``kaplan_meier``: are two survival curves (churn by cohort, variant
+    retention) the same? At each distinct event time, observed deaths
+    in group 1 vs the hypergeometric expectation d·n1/n; the statistic
+    is z = (O1 − E1)/√V with V = Σ d·n1·n2·(n−d) / (n²(n−1)).
+
+    Determinism: per-time expectation and variance terms are single
+    IEEE divisions of exact DECIMAL-formed products, micro-quantized to
+    BIGINT BEFORE the cross-time sum (the kaplan_meier ln-term
+    pattern) — no float accumulation. Plan: one groupBy to the
+    distinct-time table (d1, d2, leavers per group), risk sets via an
+    exclusive prefix over that table — distributed prefix by default,
+    plain window when ``bounded_times`` declares day/week granularity.
+    Output: one row — per-group n, O1, E1, chi², z.
+    """
+    two = subjects.filter(F.col(group_col).isin(g1, g2))
+    base = two.select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("ev"),
+        (F.col(group_col) == g1).cast("int").alias("is1"),
+    )
+    times = base.groupBy("t").agg(
+        F.sum(F.col("ev") * F.col("is1")).alias("d1"),
+        F.sum(F.col("ev") * (1 - F.col("is1"))).alias("d2"),
+        F.sum("is1").alias("l1"),
+        F.sum(1 - F.col("is1")).alias("l2"),
+    )
+    totals = base.groupBy().agg(
+        F.sum("is1").alias("n1_tot"),
+        F.sum(1 - F.col("is1")).alias("n2_tot"),
+    )
+    times = times.crossJoin(F.broadcast(totals))
+    if bounded_times:
+        w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+        stepped = times.withColumn(
+            "cl1", F.coalesce(F.sum("l1").over(w), F.lit(0))
+        ).withColumn("cl2", F.coalesce(F.sum("l2").over(w), F.lit(0)))
+    else:
+        from .ordered import rank_cumsum
+
+        stepped = (
+            rank_cumsum(
+                times, [F.col("t").asc()], rank_col=None,
+                cumsums={"__c1": F.col("l1"), "__c2": F.col("l2")},
+            )
+            .withColumn("cl1", F.col("__c1") - F.col("l1"))
+            .withColumn("cl2", F.col("__c2") - F.col("l2"))
+        )
+    n1 = F.col("n1_tot") - F.col("cl1")
+    n2 = F.col("n2_tot") - F.col("cl2")
+    dd = F.col("d1") + F.col("d2")
+    n = n1 + n2
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    live = (dd > 0) & (n > 1)
+    e1_micro = F.when(
+        live,
+        F.round((dec(dd) * n1).cast("double") * 1e6 / n.cast("double")),
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    v_micro = F.when(
+        live,
+        F.round(
+            (dec(dd) * n1 * n2 * (n - dd)).cast("double") * 1e6
+            / (dec(n) * n * (n - 1)).cast("double")
+        ),
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    agg = stepped.agg(
+        F.max("n1_tot").alias("ng1"),
+        F.max("n2_tot").alias("ng2"),
+        F.sum("d1").alias("o1"),
+        F.sum(e1_micro).alias("e1m"),
+        F.sum(v_micro).alias("vm"),
+    )
+    e1 = F.col("e1m").cast("double") / 1e6
+    v = F.col("vm").cast("double") / 1e6
+    z = (F.col("o1").cast("double") - e1) / F.sqrt(v)
+    return agg.select(
+        F.col("ng1").cast("long").alias("n_g1"),
+        F.col("ng2").cast("long").alias("n_g2"),
+        F.col("o1").cast("long").alias("observed_g1"),
+        F.round(e1, 6).alias("expected_g1"),
+        F.round(F.when(v > 0, z * z), 6).alias("chi2"),
+        F.round(F.when(v > 0, z), 6).alias("z_score"),
+    )
+
+
+def diff_in_diff(
+    subjects: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    pre: str,
+    post: str,
+) -> DataFrame:
+    """Difference-in-differences estimator over the 2×2 design
+    (control/treatment × pre/post): DiD = (ȳ_t,post − ȳ_t,pre) −
+    (ȳ_c,post − ȳ_c,pre), with the unpooled SE √(Σ s²_cell/n_cell)
+    and t = DiD/SE — the workhorse readout for a staged rollout where
+    assignment wasn't randomized but trends were parallel.
+
+    Values must be exact integer units (cents). One partial-aggregable
+    pass accumulates (n, Σy, Σy²) per cell — Σy² in DECIMAL(38,0) —
+    then a pivot to one wide row and a fixed double chain: the
+    ``welch_ttest`` discipline extended to four cells. Cells with
+    n < 2 yield NULL se/t rather than an error. Output: one row.
+    """
+    cells = [f"{g}__{p}" for g in (control, treatment) for p in (pre, post)]
+    tagged = subjects.filter(
+        F.col(group_col).isin(control, treatment)
+        & F.col(period_col).isin(pre, post)
+    ).select(
+        F.concat_ws("__", F.col(group_col), F.col(period_col)).alias("cell"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    agg = tagged.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).alias("sxx"),
+    )
+    p = agg.groupBy().pivot("cell", cells).sum("n", "s", "sxx")
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+
+    def cell(name):
+        n = F.col(f"{name}_sum(n)")
+        s = F.col(f"{name}_sum(s)")
+        xx = F.col(f"{name}_sum(sxx)")
+        mean = s.cast("double") / n.cast("double")
+        var = F.when(
+            n >= 2,
+            (d(n) * xx - d(s) * d(s)).cast("double")
+            / (n * (n - 1)).cast("double"),
+        )
+        return n, mean, var
+
+    n_cp, m_cp, v_cp = cell(cells[0])  # control, pre
+    n_co, m_co, v_co = cell(cells[1])  # control, post
+    n_tp, m_tp, v_tp = cell(cells[2])  # treatment, pre
+    n_to, m_to, v_to = cell(cells[3])  # treatment, post
+    did = (m_to - m_tp) - (m_co - m_cp)
+    se2 = (
+        v_cp / n_cp.cast("double")
+        + v_co / n_co.cast("double")
+        + v_tp / n_tp.cast("double")
+        + v_to / n_to.cast("double")
+    )
+    return p.select(
+        n_cp.cast("long").alias("n_control_pre"),
+        n_co.cast("long").alias("n_control_post"),
+        n_tp.cast("long").alias("n_treatment_pre"),
+        n_to.cast("long").alias("n_treatment_post"),
+        F.round(m_cp, 6).alias("mean_control_pre"),
+        F.round(m_co, 6).alias("mean_control_post"),
+        F.round(m_tp, 6).alias("mean_treatment_pre"),
+        F.round(m_to, 6).alias("mean_treatment_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt(se2), 6).alias("se"),
+        F.round(F.when(se2 > 0, did / F.sqrt(se2)), 6).alias("t_stat"),
+    )

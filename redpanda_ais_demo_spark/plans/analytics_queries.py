@@ -4089,3 +4089,384 @@ def frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return frequent_triples(lineitem, "l_orderkey", "l_partkey", min_support=2)
+
+
+@query(
+    "mann_whitney_value_by_variant",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS cents
+            FROM events GROUP BY user_id
+        ),
+        vals AS (
+            SELECT cents AS v,
+                   CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM subjects GROUP BY cents
+        ),
+        r AS (
+            SELECT *, coalesce(CAST(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+            FROM vals
+        ),
+        agg AS (
+            SELECT CAST(SUM(cc) AS BIGINT) AS nc, CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(CAST(cc AS HUGEINT) * (2 * cum + cnt + 1)) AS HUGEINT) AS r2c,
+                   CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS tie
+            FROM r
+        ),
+        s AS (
+            SELECT nc, nt, nc + nt AS n,
+                   CAST(r2c - CAST(nc AS HUGEINT) * (nc + 1)
+                        - CAST(nc AS HUGEINT) * nt AS DOUBLE) AS du,
+                   CAST(r2c - CAST(nc AS HUGEINT) * (nc + 1) AS DOUBLE) / 2 AS u_c,
+                   CAST(CAST(nc AS HUGEINT) * nt AS DOUBLE) AS prod,
+                   CAST(CAST(nc + nt AS HUGEINT) * (nc + nt - 1) AS DOUBLE) AS nn1,
+                   CAST(tie AS DOUBLE) AS tied
+            FROM agg
+        ),
+        v AS (
+            SELECT s.*, prod / 12.0 * (CAST(n + 1 AS DOUBLE) - tied / nn1) AS var_u
+            FROM s
+        )
+        SELECT nc AS n_control, nt AS n_treatment,
+               round(CASE WHEN nc > 0 AND nt > 0 THEN u_c END, 6) AS u_control,
+               round(CASE WHEN nc > 0 AND nt > 0 AND var_u > 0
+                          THEN du / (2 * sqrt(var_u)) END, 6) AS z_score,
+               round(CASE WHEN nc > 0 AND nt > 0 THEN du / prod END, 6) AS rank_biserial
+        FROM v
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="Mann-Whitney U on per-user purchase revenue between the same "
+    "hash-assigned variants as abtest_purchase_lift / "
+    "welch_purchase_value_by_variant — the nonparametric readout of "
+    "the same experiment (revenue is zero-inflated and heavy-tailed; "
+    "a rank test doesn't care). Midranks computed on the collapsed "
+    "distinct-value table via the distributed exclusive prefix "
+    "(operators/ordered.py), doubled rank sums and the tie term as "
+    "exact DECIMALs, one fixed double chain for z and rank-biserial "
+    "(operators/stats.py:mann_whitney_u).",
+)
+def mann_whitney_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import mann_whitney_u
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    subjects = per_user.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "cents",
+    )
+    return mann_whitney_u(subjects, "variant", "cents", control="A", treatment="B")
+
+
+@query(
+    "kruskal_value_by_type",
+    oracle="""
+        WITH base AS (
+            SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        per AS (SELECT v, g, CAST(count(*) AS BIGINT) AS cg FROM base GROUP BY v, g),
+        tot AS (SELECT v, CAST(SUM(cg) AS BIGINT) AS cnt FROM per GROUP BY v),
+        r AS (
+            SELECT *, coalesce(CAST(SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+            FROM tot
+        ),
+        j AS (SELECT per.g, per.cg, r.cnt, r.cum FROM per JOIN r ON per.v = r.v),
+        grp AS (
+            SELECT g, CAST(SUM(cg) AS BIGINT) AS ng,
+                   CAST(SUM(CAST(cg AS HUGEINT) * (2 * cum + cnt + 1)) AS HUGEINT) AS r2g
+            FROM j GROUP BY g
+        ),
+        term AS (
+            SELECT g, ng,
+                   CAST(round(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                              / (4.0 * CAST(ng AS DOUBLE)) * 1e6) AS HUGEINT) AS sq
+            FROM grp
+        ),
+        ties AS (
+            SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS tie
+            FROM r
+        ),
+        agg AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+                   CAST(SUM(sq) AS HUGEINT) AS sq_micro
+            FROM term
+        ),
+        fin AS (
+            SELECT n, k,
+                   12.0 * (CAST(sq_micro AS DOUBLE) / 1e6)
+                       / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+                       - 3.0 * CAST(n + 1 AS DOUBLE) AS h_raw,
+                   1.0 - CAST(tie AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS corr
+            FROM agg CROSS JOIN ties
+        )
+        SELECT n AS n_total, k AS n_groups,
+               round(CASE WHEN n > 1 THEN h_raw END, 6) AS h_stat,
+               round(CASE WHEN n > 1 AND corr > 0 THEN h_raw / corr END, 6) AS h_tie_corrected
+        FROM fin
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="Kruskal-Wallis H across event types on per-event value cents "
+    "— does ANY event type's value distribution differ? The k-group "
+    "rank test completing the test matrix next to chi2 (categorical× "
+    "categorical) and Welch/MW (two-sample). Same collapsed-distinct-"
+    "value midrank machinery as mann_whitney_u; each group's "
+    "(2R_g)²/4n_g term micro-quantized before the exact cross-group "
+    "sum (operators/stats.py:kruskal_wallis).",
+)
+def kruskal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kruskal_wallis
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return kruskal_wallis(t, "event_type", "cents")
+
+
+@query(
+    "logrank_churn_by_split",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST((max(CAST(floor(epoch(ts)) AS BIGINT))
+                         - min(CAST(floor(epoch(ts)) AS BIGINT))) // 86400 AS BIGINT) AS t,
+                   CASE WHEN max(CAST(floor(epoch(ts)) AS BIGINT))
+                             < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) - 86400 FROM events)
+                        THEN 1 ELSE 0 END AS ev,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS grp
+            FROM events GROUP BY user_id
+        ),
+        times AS (
+            SELECT t,
+                   CAST(SUM(CASE WHEN grp = 'A' THEN ev ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN grp = 'B' THEN ev ELSE 0 END) AS BIGINT) AS d2,
+                   CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+                   CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS l2
+            FROM per_user GROUP BY t
+        ),
+        tot AS (
+            SELECT CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1t,
+                   CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2t
+            FROM per_user
+        ),
+        stepped AS (
+            SELECT times.*, n1t, n2t,
+                   n1t - coalesce(CAST(SUM(l1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n1,
+                   n2t - coalesce(CAST(SUM(l2) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n2
+            FROM times CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT *,
+                   CAST(CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+                        THEN round(CAST(CAST(d1 + d2 AS HUGEINT) * n1 AS DOUBLE) * 1e6
+                                   / CAST(n1 + n2 AS DOUBLE))
+                        ELSE 0 END AS HUGEINT) AS e1m,
+                   CAST(CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+                        THEN round(CAST(CAST(d1 + d2 AS HUGEINT) * n1 * n2
+                                        * (n1 + n2 - (d1 + d2)) AS DOUBLE) * 1e6
+                                   / CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                                          * (n1 + n2 - 1) AS DOUBLE))
+                        ELSE 0 END AS HUGEINT) AS vm
+            FROM stepped
+        ),
+        agg AS (
+            SELECT max(n1t) AS ng1, max(n2t) AS ng2,
+                   CAST(SUM(d1) AS BIGINT) AS o1,
+                   CAST(SUM(e1m) AS HUGEINT) AS e1m,
+                   CAST(SUM(vm) AS HUGEINT) AS vm
+            FROM terms
+        ),
+        fin AS (
+            SELECT ng1, ng2, o1,
+                   CAST(e1m AS DOUBLE) / 1e6 AS e1,
+                   CAST(vm AS DOUBLE) / 1e6 AS v
+            FROM agg
+        )
+        SELECT ng1 AS n_g1, ng2 AS n_g2, o1 AS observed_g1,
+               round(e1, 6) AS expected_g1,
+               round(CASE WHEN v > 0 THEN ((CAST(o1 AS DOUBLE) - e1) / sqrt(v))
+                          * ((CAST(o1 AS DOUBLE) - e1) / sqrt(v)) END, 6) AS chi2,
+               round(CASE WHEN v > 0 THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v) END, 6) AS z_score
+        FROM fin
+    """,
+    tags=("analytics", "survival", "experimentation", "statistics"),
+    doc="Log-rank test between the two hash-split halves of the user "
+    "base on churn lifetime (survival_user_churn's durations with a "
+    "1-day horizon — the fixture's activity gaps top out under 3 "
+    "days, so the 7-day horizon observes zero churns) — the "
+    "hypothesis-test companion of the "
+    "Kaplan-Meier curve: a retention experiment reads the curve AND "
+    "whether the split's curves differ. Per-time hypergeometric "
+    "expectation/variance micro-quantized from exact DECIMAL products "
+    "before the cross-time sum; windows over the day-granularity "
+    "distinct-duration table (bounded_times) "
+    "(operators/stats.py:logrank_test).",
+)
+def logrank_churn_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import logrank_test
+
+    events = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    per_user = events.groupBy("user_id").agg(
+        F.min(ts).alias("t0"), F.max(ts).alias("t1")
+    )
+    horizon = events.agg((F.max(ts) - 86400).alias("cut"))
+    subjects = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("t1") - F.col("t0")) / 86400).cast("long").alias("dur_days"),
+        (F.col("t1") < F.col("cut")).cast("int").alias("churned"),
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("grp"),
+    )
+    return logrank_test(
+        subjects, "dur_days", "churned", "grp", "A", "B", bounded_times=True
+    )
+
+
+@query(
+    "did_purchase_prepost",
+    oracle="""
+        WITH bounds AS (
+            SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+                    + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+            FROM events
+        ),
+        subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+                        THEN 'pre' ELSE 'post' END AS period,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS cents
+            FROM events CROSS JOIN bounds
+            GROUP BY 1, 2, 3
+        ),
+        agg AS (
+            SELECT variant || '__' || period AS cell,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sxx
+            FROM subjects GROUP BY 1
+        ),
+        wide AS (
+            SELECT max(CASE WHEN cell = 'A__pre' THEN n END) AS n_cp,
+                   max(CASE WHEN cell = 'A__pre' THEN s END) AS s_cp,
+                   max(CASE WHEN cell = 'A__pre' THEN sxx END) AS x_cp,
+                   max(CASE WHEN cell = 'A__post' THEN n END) AS n_co,
+                   max(CASE WHEN cell = 'A__post' THEN s END) AS s_co,
+                   max(CASE WHEN cell = 'A__post' THEN sxx END) AS x_co,
+                   max(CASE WHEN cell = 'B__pre' THEN n END) AS n_tp,
+                   max(CASE WHEN cell = 'B__pre' THEN s END) AS s_tp,
+                   max(CASE WHEN cell = 'B__pre' THEN sxx END) AS x_tp,
+                   max(CASE WHEN cell = 'B__post' THEN n END) AS n_to,
+                   max(CASE WHEN cell = 'B__post' THEN s END) AS s_to,
+                   max(CASE WHEN cell = 'B__post' THEN sxx END) AS x_to
+            FROM agg
+        ),
+        m AS (
+            SELECT wide.*,
+                   CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) AS m_cp,
+                   CAST(s_co AS DOUBLE) / CAST(n_co AS DOUBLE) AS m_co,
+                   CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) AS m_tp,
+                   CAST(s_to AS DOUBLE) / CAST(n_to AS DOUBLE) AS m_to,
+                   CASE WHEN n_cp >= 2 THEN
+                       CAST(CAST(n_cp AS HUGEINT) * x_cp - CAST(s_cp AS HUGEINT) * s_cp AS DOUBLE)
+                           / CAST(n_cp * (n_cp - 1) AS DOUBLE) END AS v_cp,
+                   CASE WHEN n_co >= 2 THEN
+                       CAST(CAST(n_co AS HUGEINT) * x_co - CAST(s_co AS HUGEINT) * s_co AS DOUBLE)
+                           / CAST(n_co * (n_co - 1) AS DOUBLE) END AS v_co,
+                   CASE WHEN n_tp >= 2 THEN
+                       CAST(CAST(n_tp AS HUGEINT) * x_tp - CAST(s_tp AS HUGEINT) * s_tp AS DOUBLE)
+                           / CAST(n_tp * (n_tp - 1) AS DOUBLE) END AS v_tp,
+                   CASE WHEN n_to >= 2 THEN
+                       CAST(CAST(n_to AS HUGEINT) * x_to - CAST(s_to AS HUGEINT) * s_to AS DOUBLE)
+                           / CAST(n_to * (n_to - 1) AS DOUBLE) END AS v_to
+            FROM wide
+        ),
+        f AS (
+            SELECT m.*,
+                   (m_to - m_tp) - (m_co - m_cp) AS did,
+                   v_cp / CAST(n_cp AS DOUBLE) + v_co / CAST(n_co AS DOUBLE)
+                       + v_tp / CAST(n_tp AS DOUBLE) + v_to / CAST(n_to AS DOUBLE) AS se2
+            FROM m
+        )
+        SELECT n_cp AS n_control_pre, n_co AS n_control_post,
+               n_tp AS n_treatment_pre, n_to AS n_treatment_post,
+               round(m_cp, 6) AS mean_control_pre,
+               round(m_co, 6) AS mean_control_post,
+               round(m_tp, 6) AS mean_treatment_pre,
+               round(m_to, 6) AS mean_treatment_post,
+               round(did, 6) AS did,
+               round(sqrt(se2), 6) AS se,
+               round(CASE WHEN se2 > 0 THEN did / sqrt(se2) END, 6) AS t_stat
+        FROM f
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="Difference-in-differences on per-user purchase revenue: the "
+    "corpus midpoint splits pre/post, the exp-r8 hash split plays the "
+    "rollout arm — (treatment post − pre) − (control post − pre) with "
+    "the unpooled SE. Subjects are (user, period) revenue sums; one "
+    "partial-aggregable pass to four (n, Σy, Σy²) cells, pivot, fixed "
+    "double chain (operators/stats.py:diff_in_diff).",
+)
+def did_purchase_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import diff_in_diff
+
+    events = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    bounds = events.agg(
+        F.floor((F.min(ts) + F.max(ts)) / 2).cast("long").alias("mid")
+    )
+    subjects = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(ts < F.col("mid"), "pre").otherwise("post").alias("period"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("cents")
+        )
+        .select(
+            split_col(
+                split_bucket_col(F.col("user_id"), "exp-r8"),
+                (("A", 5000), ("B", 5000)),
+            ).alias("variant"),
+            "period",
+            "cents",
+        )
+    )
+    return diff_in_diff(
+        subjects, "variant", "period", "cents", "A", "B", "pre", "post"
+    )

@@ -1757,3 +1757,160 @@ def test_frequent_triples_known_baskets(spark):
 
     with pytest.raises(ValueError, match="min_support"):
         frequent_triples(df, "b", "i", min_support=0)
+
+
+def _midranks(vals):
+    import numpy as np
+
+    arr = np.asarray(vals, dtype=float)
+    return {
+        v: float(np.sum(arr < v)) + (float(np.sum(arr == v)) + 1) / 2
+        for v in set(vals)
+    }
+
+
+def test_mann_whitney_known_samples(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators.stats import mann_whitney_u
+
+    a = [10, 12, 12, 14, 20, 20, 20]   # ties within and across arms
+    b = [12, 15, 18, 20, 25, 30]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "variant string, cents long")
+    r = mann_whitney_u(df, "variant", "cents", "A", "B").collect()[0]
+
+    mid = _midranks(a + b)
+    na, nb = len(a), len(b)
+    n = na + nb
+    ra = sum(mid[v] for v in a)
+    u_a = ra - na * (na + 1) / 2
+    _, counts = np.unique(a + b, return_counts=True)
+    tie = float(sum(int(t) ** 3 - int(t) for t in counts))
+    var = na * nb / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - na * nb / 2) / var**0.5
+    assert r.n_control == na and r.n_treatment == nb
+    assert abs(r.u_control - round(u_a, 6)) < 1e-9
+    assert abs(r.z_score - round(z, 6)) < 1e-9
+    assert abs(r.rank_biserial - round(2 * u_a / (na * nb) - 1, 6)) < 1e-9
+
+    # bounded-values window path is bit-identical to the distributed path
+    rb = mann_whitney_u(
+        df, "variant", "cents", "A", "B", bounded_values=True
+    ).collect()[0]
+    assert rb == r
+
+    # one-armed input -> NULL statistics, no crash
+    solo = spark.createDataFrame([("A", 5), ("A", 7)], "variant string, cents long")
+    rs = mann_whitney_u(solo, "variant", "cents", "A", "B").collect()[0]
+    assert rs.z_score is None and rs.u_control is None
+
+
+def test_kruskal_wallis_known_samples(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators.stats import kruskal_wallis
+
+    groups = {
+        "a": [27, 2, 4, 18, 7, 9],
+        "b": [20, 8, 14, 36, 21, 22],
+        "c": [34, 31, 3, 23, 30, 6],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+
+    pooled = [v for vs in groups.values() for v in vs]
+    mid = _midranks(pooled)
+    n = len(pooled)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(mid[v] for v in vs) ** 2 / len(vs) for vs in groups.values()
+    ) - 3 * (n + 1)
+    _, counts = np.unique(pooled, return_counts=True)
+    tie = float(sum(int(t) ** 3 - int(t) for t in counts))
+    corr = 1 - tie / (n**3 - n)
+    assert r.n_total == n and r.n_groups == 3
+    assert abs(r.h_stat - round(h, 6)) < 1e-6
+    assert abs(r.h_tie_corrected - round(h / corr, 6)) < 1e-6
+
+    # heavy ties engage the correction
+    tied = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 2), ("b", 3)],
+        "g string, v long",
+    )
+    rt = kruskal_wallis(tied, "g", "v").collect()[0]
+    assert rt.h_tie_corrected > rt.h_stat
+
+
+def test_logrank_known_example(spark):
+    from redpanda_ais_demo_spark.operators.stats import logrank_test
+
+    # group 1: events at 3, 5, censored 7; group 2: events at 4, 8, censored 9
+    rows = [
+        ("g1", 3, 1), ("g1", 5, 1), ("g1", 7, 0),
+        ("g2", 4, 1), ("g2", 8, 1), ("g2", 9, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, ev int")
+    for bounded in (False, True):
+        r = logrank_test(
+            df, "t", "ev", "grp", "g1", "g2", bounded_times=bounded
+        ).collect()[0]
+        # hand walk: risk sets at each event time
+        subj = [(t, e, g) for g, t, e in rows]
+        times = sorted({t for t, e, _ in subj if e == 1})
+        o1 = e1 = v = 0.0
+        for t in times:
+            n1 = sum(1 for tt, _, g in subj if tt >= t and g == "g1")
+            n2 = sum(1 for tt, _, g in subj if tt >= t and g == "g2")
+            d1 = sum(1 for tt, e, g in subj if tt == t and e and g == "g1")
+            d = d1 + sum(1 for tt, e, g in subj if tt == t and e and g == "g2")
+            n = n1 + n2
+            o1 += d1
+            e1 += d * n1 / n
+            if n > 1:
+                v += d * n1 * n2 * (n - d) / (n * n * (n - 1))
+        z = (o1 - e1) / v**0.5
+        assert r.n_g1 == 3 and r.n_g2 == 3 and r.observed_g1 == int(o1)
+        assert abs(r.expected_g1 - round(e1, 6)) < 1e-5
+        assert abs(r.z_score - round(z, 6)) < 1e-5
+        assert abs(r.chi2 - round(z * z, 6)) < 1e-5
+
+    # no events at all -> NULL chi2/z, zero expectation
+    cens = spark.createDataFrame(
+        [("g1", 3, 0), ("g2", 4, 0)], "grp string, t long, ev int"
+    )
+    rc = logrank_test(cens, "t", "ev", "grp", "g1", "g2").collect()[0]
+    assert rc.chi2 is None and rc.expected_g1 == 0.0
+
+
+def test_diff_in_diff_known_cells(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators.stats import diff_in_diff
+
+    cells = {
+        ("C", "pre"): [10, 12, 14, 16],
+        ("C", "post"): [11, 13, 15, 17],     # control drifts +1
+        ("T", "pre"): [20, 22, 24, 26],
+        ("T", "post"): [26, 28, 30, 32],     # treatment drifts +6 -> DiD = 5
+    }
+    rows = [(g, p, v) for (g, p), vs in cells.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, period string, y long")
+    r = diff_in_diff(df, "grp", "period", "y", "C", "T", "pre", "post").collect()[0]
+    m = {k: np.mean(v) for k, v in cells.items()}
+    did = (m[("T", "post")] - m[("T", "pre")]) - (m[("C", "post")] - m[("C", "pre")])
+    se2 = sum(np.var(v, ddof=1) / len(v) for v in cells.values())
+    assert abs(r.did - round(did, 6)) < 1e-9
+    assert abs(r.se - round(se2**0.5, 6)) < 1e-9
+    assert abs(r.t_stat - round(did / se2**0.5, 6)) < 1e-9
+    assert r.n_control_pre == 4 and r.n_treatment_post == 4
+
+    # a 1-row cell -> NULL se/t, means still reported
+    tiny = spark.createDataFrame(
+        [("C", "pre", 1), ("C", "post", 2), ("C", "post", 3),
+         ("T", "pre", 4), ("T", "pre", 5), ("T", "post", 6), ("T", "post", 7)],
+        "grp string, period string, y long",
+    )
+    rt = diff_in_diff(tiny, "grp", "period", "y", "C", "T", "pre", "post").collect()[0]
+    assert rt.se is None and rt.t_stat is None
+    assert rt.mean_control_pre == 1.0
