@@ -345,3 +345,79 @@ def grid_dbscan(
         )
         .select(F.col("cluster_id").cast("long").alias("cluster_id"), "n_cells", "n_points")
     )
+
+
+def pnpoly_sql(lat_expr: str, lon_expr: str, vertices) -> str:
+    """Render the even-odd ray-casting point-in-polygon test (the
+    classic PNPOLY crossing rule: count edges whose latitude span
+    straddles the point and whose crossing longitude lies east of it;
+    odd count = inside) as ONE portable SQL boolean over ``lat_expr``/
+    ``lon_expr``.
+
+    The polygon is a QUERY CONSTANT, so the test compiles to a narrow
+    whole-stage-codegen projection — no join, no shuffle, no UDF; at
+    100 TB it is a free tag on the scan. Shared verbatim by the Spark
+    plan (``selectExpr``) and the DuckDB oracle, which also pins
+    cross-engine float determinism: per-edge deltas are folded to
+    Python double literals HERE (not left to each engine's constant
+    folding), every literal is CAST AS DOUBLE, and the only runtime
+    float ops are one guarded multiply-divide-add chain per edge.
+    Horizontal edges (dlat = 0) are DROPPED at generation time — they
+    can never satisfy the straddle guard, and leaving their division
+    in the SQL trips ANSI mode anyway: Spark's whole-stage codegen
+    hoists common subexpressions OUT of the lazy CASE, so the guarded
+    x/0 still evaluates (the welch_ttest lesson — guard IN the
+    expression, or here, never emit it). Vertices are (lat, lon); the
+    closing edge is implicit. Works for concave and self-touching
+    rings (even-odd rule); same-vertex consecutive points are
+    rejected.
+    """
+    verts = [(float(a), float(b)) for a, b in vertices]
+    if len(verts) < 3:
+        raise ValueError("a polygon needs at least 3 vertices")
+    cases = []
+    for i, (lat_i, lon_i) in enumerate(verts):
+        lat_j, lon_j = verts[(i + 1) % len(verts)]
+        if lat_i == lat_j and lon_i == lon_j:
+            raise ValueError("degenerate zero-length edge")
+        dlat, dlon = lat_j - lat_i, lon_j - lon_i
+        if dlat == 0.0:
+            continue  # never a crossing; keeps ANSI codegen division-safe
+        cases.append(
+            f"(CASE WHEN ((CAST({lat_i!r} AS DOUBLE) > ({lat_expr}))"
+            f" <> (CAST({lat_j!r} AS DOUBLE) > ({lat_expr})))"
+            f" AND ({lon_expr}) < CAST({dlon!r} AS DOUBLE)"
+            f" * (({lat_expr}) - CAST({lat_i!r} AS DOUBLE))"
+            f" / CAST({dlat!r} AS DOUBLE) + CAST({lon_i!r} AS DOUBLE)"
+            " THEN 1 ELSE 0 END)"
+        )
+    if not cases:  # zero-area all-horizontal ring: nothing is inside
+        return "(1 = 0)"
+    return "(" + " + ".join(cases) + ") % 2 = 1"
+
+
+def geofence_tag(
+    points: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    fences,
+) -> DataFrame:
+    """Tag every point with one boolean column ``in_<name>`` per named
+    geofence polygon (``fences``: name -> [(lat, lon), ...]) — the
+    relational form of a geofence membership join when the fence set is
+    small enough to inline (dashboards, compliance zones, port
+    boundaries: tens of polygons, not millions).
+
+    Entirely a generated-SQL projection (``pnpoly_sql``): zero
+    shuffle/join/UDF, scan-speed at any corpus size, and overlapping
+    fences tag independently (a point can be in several). Fence names
+    must be SQL-identifier-safe.
+    """
+    exprs = []
+    for name, verts in fences.items():
+        if not str(name).replace("_", "").isalnum():
+            raise ValueError(f"fence name not identifier-safe: {name!r}")
+        exprs.append(
+            f"{pnpoly_sql(lat_col, lon_col, verts)} AS in_{name}"
+        )
+    return points.selectExpr("*", *exprs)

@@ -4470,3 +4470,72 @@ def did_purchase_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_in_diff(
         subjects, "variant", "period", "cents", "A", "B", "pre", "post"
     )
+
+
+# Geofence polygons for events_in_geofences — query constants shared
+# verbatim (via pnpoly_sql) between the Spark plan and the DuckDB
+# oracle. concave_c is deliberately non-convex: the even-odd crossing
+# rule must exclude the notch (lat 20-30 is inside only east of the
+# notch... see operator docstring).
+_GEOFENCES = {  # sited in the value-derived field's dense band (lat -24.5..-10)
+    "west_box": [(-22.0, -150.0), (-14.0, -150.0), (-14.0, -60.0), (-22.0, -60.0)],
+    "mid_tri": [(-24.0, 10.0), (-12.0, 45.0), (-24.0, 80.0)],
+    "concave_c": [
+        (-24.0, 100.0), (-14.0, 100.0), (-14.0, 160.0),
+        (-18.0, 160.0), (-18.0, 110.0), (-24.0, 110.0),
+    ],
+}
+
+
+def _geofence_oracle() -> str:
+    from ..operators.spatial import pnpoly_sql
+
+    fence_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN {pnpoly_sql('lat', 'lon', verts)} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}"
+        for name, verts in _GEOFENCES.items()
+    )
+    return f"""
+        WITH pos AS (
+            SELECT event_type, value / 10 - 24.5 AS lat,
+                   (value * 7) % 360 - 180 AS lon
+            FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+               {fence_cols}
+        FROM pos GROUP BY event_type
+    """
+
+
+@query(
+    "events_in_geofences",
+    oracle=_geofence_oracle(),
+    tags=("analytics", "spatial", "agg"),
+    doc="Geofence membership counts per event type over the synthetic "
+    "position field (same lat/lon derivation as cell_density_hotspots) "
+    "against three inline fences — a box, a triangle, and a concave "
+    "C-polygon exercising the even-odd rule. The membership test is a "
+    "generated PNPOLY projection (zero join/shuffle/UDF — a free tag "
+    "on the scan) followed by one partial-aggregable groupBy; the "
+    "oracle runs the IDENTICAL generated SQL "
+    "(operators/spatial.py:geofence_tag, pnpoly_sql).",
+)
+def events_in_geofences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import geofence_tag
+
+    events = load_table(spark, sf_dir, "events")
+    pos = events.select(
+        "event_type",
+        (F.col("value") / 10 - 24.5).alias("lat"),
+        ((F.col("value") * 7) % 360 - 180).alias("lon"),
+    )
+    tagged = geofence_tag(pos, "lat", "lon", _GEOFENCES)
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        *[
+            F.sum(F.when(F.col(f"in_{name}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name in _GEOFENCES
+        ],
+    )

@@ -167,3 +167,50 @@ def test_track_compact_prunes_straight_line(spark):
 
     with pytest.raises(ValueError, match="eps_km"):
         track_compact(df, "k", "us", "lat", "lon", eps_km=0)
+
+
+def test_geofence_tag_box_triangle_concave(spark):
+    from redpanda_ais_demo_spark.operators.spatial import geofence_tag
+
+    fences = {
+        "box": [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        "tri": [(0.0, 20.0), (10.0, 25.0), (0.0, 30.0)],
+        # C-shape: notch carved out of lat 4..10 between lon 44..50
+        "cshape": [
+            (0.0, 40.0), (10.0, 40.0), (10.0, 50.0),
+            (4.0, 50.0), (4.0, 44.0), (0.0, 44.0),
+        ],
+    }
+    pts = [
+        # (lat, lon, in_box, in_tri, in_cshape)
+        (5.0, 5.0, True, False, False),       # box center
+        (5.0, 15.0, False, False, False),     # between fences
+        (11.0, 5.0, False, False, False),     # just north of box
+        (5.0, 24.0, True if False else False, True, False),  # triangle center
+        (9.0, 24.9, False, True, False),      # near triangle apex, inside
+        (9.0, 20.5, False, False, False),     # above the left sloped edge
+        (5.0, 42.0, False, False, True),      # C: west arm (lat>4, lon<44)
+        (2.0, 47.0, False, False, False),     # C: inside the notch -> OUT
+        (8.0, 47.0, False, False, True),      # C: north of notch roof -> IN
+        (2.0, 41.0, False, False, True),      # C: south-west foot -> IN
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo, *_) in enumerate(pts)],
+        "id long, lat double, lon double",
+    )
+    out = {r.id: r for r in geofence_tag(df, "lat", "lon", fences).collect()}
+    for i, (la, lo, b, t, c) in enumerate(pts):
+        r = out[i]
+        assert (r.in_box, r.in_tri, r.in_cshape) == (b, t, c), (i, la, lo, r)
+
+    # horizontal edges never divide by zero (box top/bottom are flat)
+    # and the plan stays a pure projection: no exchange anywhere
+    plan = geofence_tag(df, "lat", "lon", fences)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        geofence_tag(df, "lat", "lon", {"bad name": fences["box"]})
+    with pytest.raises(ValueError):
+        geofence_tag(df, "lat", "lon", {"two": [(0.0, 0.0), (1.0, 1.0)]})
