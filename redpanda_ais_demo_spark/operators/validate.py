@@ -320,6 +320,55 @@ def k_anonymity_audit(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity audit — the screen k-anonymity misses
+    (Machanavajjhala et al. 2007): an equivalence class can hold k rows
+    and still leak if they all share ONE sensitive value (homogeneity
+    attack). Each quasi-identifier class must contain at least ``l``
+    distinct sensitive values. NULL is a sensitive value like any other
+    (conservative: an all-NULL class has l = 1, not l = 0).
+
+    Two partial-aggregable shuffles on shrinking keys: quasi+sensitive
+    tuples → per-class (rows, distinct-sensitive) — the DISTINCT is
+    exact because the first groupBy already collapsed duplicates — then
+    one single-row fold. Output mirrors ``k_anonymity_audit``:
+    (l_threshold, n_rows, n_classes, min_l, n_classes_at_risk,
+    n_rows_at_risk, at_risk_rate).
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("c").alias("rows"), F.count(F.lit(1)).alias("lv")
+    )
+    risk = F.col("lv") < l
+    agg = classes.agg(
+        F.lit(l).cast("long").alias("l_threshold"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("lv").cast("long").alias("min_l"),
+        F.sum(risk.cast("long")).cast("long").alias("n_classes_at_risk"),
+        F.sum(F.when(risk, F.col("rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+    )
+    return agg.withColumn(
+        "at_risk_rate",
+        F.round(
+            F.col("n_rows_at_risk").cast("double") / F.col("n_rows").cast("double"), 6
+        ),
+    )
+
+
 def reconcile_totals(
     header: DataFrame,
     detail: DataFrame,

@@ -4539,3 +4539,46 @@ def events_in_geofences(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name in _GEOFENCES
         ],
     )
+
+
+@query(
+    "l_diversity_orders",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS d,
+                   o_orderpriority, CAST(count(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2, 3
+        ),
+        classes AS (
+            SELECT o_orderstatus, d, CAST(SUM(c) AS BIGINT) AS rows_,
+                   CAST(count(*) AS BIGINT) AS lv
+            FROM cells GROUP BY 1, 2
+        )
+        SELECT CAST(3 AS BIGINT) AS l_threshold,
+               CAST(SUM(rows_) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(lv) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN lv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_at_risk,
+               CAST(SUM(CASE WHEN lv < 3 THEN rows_ ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+               round(CAST(SUM(CASE WHEN lv < 3 THEN rows_ ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(rows_) AS DOUBLE), 6) AS at_risk_rate
+        FROM classes
+    """,
+    tags=("analytics", "validation", "privacy", "agg"),
+    doc="Distinct l-diversity audit of orders: quasi-identifiers "
+    "(status, order date), sensitive attribute = order priority — the "
+    "homogeneity-attack screen k_anonymity_orders misses (a class of "
+    "5 rows that all share one priority still leaks it). Two "
+    "partial-aggregable shuffles on shrinking keys, one single-row "
+    "fold (operators/validate.py:l_diversity_audit).",
+)
+def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import l_diversity_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        "o_orderpriority",
+    )
+    return l_diversity_audit(t, ["o_orderstatus", "d"], "o_orderpriority", l=3)
