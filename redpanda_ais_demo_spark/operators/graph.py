@@ -576,3 +576,83 @@ def sssp_bellman_ford(
     raise RuntimeError(
         f"sssp_bellman_ford did not converge within {max_rounds} rounds"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-``iters`` HITS (Kleinberg hubs & authorities) over a
+    DIRECTED edge list — the asymmetric complement of ``pagerank``: a
+    good hub points at good authorities, a good authority is pointed
+    at by good hubs. On a bipartite purchase graph (customer →
+    supplier) hubs rank buyers by the quality of their supplier
+    portfolio and authorities rank suppliers by the quality of their
+    buyer base. Returns (node, hub, authority) in integer SCALE-units
+    (each vector L1-normalized to ≈ SCALE; nodes without out-edges
+    have hub = 0, without in-edges authority = 0).
+
+    Per half-iteration: one edges⋈vector hash join, one
+    partial-aggregable groupBy carrying a row per node, and an L1
+    renormalization against a 1-row broadcast total. The raw score ×
+    SCALE product overflows BIGINT, so the rescale runs in
+    DECIMAL(38,0) with integral DIV — exact, and bit-identical to the
+    oracle's HUGEINT ``//`` (both floor on non-negatives). The gathered
+    ``raw`` vector is the ONLY thing pinned per half-iteration (it
+    feeds both the total and the rescale); the rescale itself is a
+    narrow projection over it, and the all-nodes vector joins only the
+    FINAL output — a node rescaled (or gathered) to zero contributes
+    nothing to the next gather, so carrying it through the loop is
+    pure shuffle weight.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # 1-row driver scalar, parameterizes the seed
+    h = nodes.select("node", F.lit(SCALE // n).cast("long").alias("score"))
+
+    def _gather_rescale(vec: DataFrame, edge_key: str, out_key: str) -> DataFrame:
+        raw = (
+            e.join(vec.withColumnRenamed("node", edge_key), edge_key)
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("score").alias("raw"))
+            .localCheckpoint(eager=False)
+        )
+        total = raw.agg(F.sum("raw").alias("tot"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.when(
+                F.col("tot") > 0,
+                F.expr(
+                    f"CAST((CAST(raw AS DECIMAL(38,0))"
+                    f" * {SCALE}) DIV tot AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("score"),
+        )
+
+    a = None
+    for _ in range(iters):
+        a = _gather_rescale(h, "src", "dst")
+        h = _gather_rescale(a, "dst", "src")
+    return (
+        nodes.join(h.withColumnRenamed("score", "hub"), "node", "left")
+        .join(a.withColumnRenamed("score", "authority"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("authority", F.lit(0)).cast("long").alias("authority"),
+        )
+    )

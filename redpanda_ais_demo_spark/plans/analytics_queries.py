@@ -4582,3 +4582,87 @@ def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return l_diversity_audit(t, ["o_orderstatus", "d"], "o_orderpriority", l=3)
+
+
+def _hits_oracle(iters: int = 4) -> str:
+    """Unrolled integer-HITS oracle: per iteration an authority
+    gather/rescale then a hub gather/rescale, replaying the exact
+    DECIMAL·SCALE DIV total recurrence in HUGEINT (both floor on
+    non-negatives). Every CTE is MATERIALIZED — the chain references
+    each gather twice (total + rescale), and inlining would replay the
+    whole upstream recurrence per reference (exponential; the k-core
+    oracle lesson). The all-nodes vector joins only the final SELECT,
+    mirroring the operator."""
+    head = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS MATERIALIZED (SELECT c AS src, 1000000 + s AS dst FROM pairs),
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        h0 AS MATERIALIZED (SELECT node, 1000000000000 // nn.n AS score FROM nodes CROSS JOIN nn)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f""",
+        ar{i} AS MATERIALIZED (
+            SELECT e.dst AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+            FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst
+        ),
+        at{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM ar{i}),
+        a{i + 1} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN tot > 0 THEN CAST(CAST(raw AS HUGEINT)
+                        * 1000000000000 // tot AS BIGINT) ELSE 0 END AS score
+            FROM ar{i} CROSS JOIN at{i}
+        ),
+        hr{i} AS MATERIALIZED (
+            SELECT e.src AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+            FROM edges e JOIN a{i + 1} a ON e.dst = a.node GROUP BY e.src
+        ),
+        ht{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM hr{i}),
+        h{i + 1} AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN tot > 0 THEN CAST(CAST(raw AS HUGEINT)
+                        * 1000000000000 // tot AS BIGINT) ELSE 0 END AS score
+            FROM hr{i} CROSS JOIN ht{i}
+        )""")
+    parts.append(f"""
+        SELECT nodes.node,
+               CAST(coalesce(h.score, 0) AS BIGINT) AS hub,
+               CAST(coalesce(a.score, 0) AS BIGINT) AS authority
+        FROM nodes
+        LEFT JOIN h{iters} h ON nodes.node = h.node
+        LEFT JOIN a{iters} a ON nodes.node = a.node""")
+    return "".join(parts)
+
+
+@query(
+    "hits_customer_supplier",
+    oracle=_hits_oracle(4),
+    tags=("graph", "iterative", "join", "scale-path"),
+    doc="Fixed-4-iteration HITS over the DIRECTED customer→supplier "
+    "purchase graph (suppliers offset by 1e6): hubs rank buyers by "
+    "the quality of their supplier portfolio, authorities rank "
+    "suppliers by the quality of their buyer base — the asymmetric "
+    "centrality pagerank's symmetrized walk can't express. Per "
+    "half-iteration one edges⋈vector hash join + a partial-aggregable "
+    "per-node groupBy + an L1 rescale against a 1-row broadcast "
+    "total; the rescale runs in DECIMAL(38,0) integral DIV so all "
+    "four iterations are bit-identical to the oracle's unrolled "
+    "HUGEINT recurrence (operators/graph.py:hits).",
+)
+def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iters=4)
