@@ -1478,3 +1478,86 @@ def diff_in_diff(
         F.round(F.sqrt(se2), 6).alias("se"),
         F.round(F.when(se2 > 0, did / F.sqrt(se2)), 6).alias("t_stat"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    p_micro_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Probability-calibration report — the model-monitoring readout
+    next to ROC AUC (AUC measures ranking; calibration measures
+    whether "0.8" MEANS 80%): equal-width reliability buckets over a
+    predicted probability plus the two standard scalar summaries,
+    Brier score Σ(p−y)²/n and expected calibration error
+    Σ_b n_b/n·|p̄_b − ȳ_b|.
+
+    ``p_micro_col`` must be the probability in integer MICRO-units
+    (0..1_000_000) — the quantization that makes both summaries exact:
+    Brier's numerator Σ(p_micro − 1e6·y)² and ECE's per-bucket
+    numerator |Σp_micro − 1e6·Σy| are integer DECIMAL sums with ONE
+    division each at the end. Plan: a narrow bucket projection, one
+    partial-aggregable groupBy carrying ``n_buckets`` rows, and a
+    1-row totals broadcast back onto the bucket table. Output: one row
+    per non-empty bucket (bucket, n, mean_pred, frac_pos, gap) with
+    the global (n_total, brier, ece) repeated on each.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    p = F.col(p_micro_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = df.select(
+        F.least(
+            F.expr(f"({p_micro_col} * {n_buckets}) div 1000000"),
+            F.lit(n_buckets - 1),
+        ).cast("int").alias("bucket"),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    per = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p").cast(_DEC)).alias("sp"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (
+                (F.col("p") - F.lit(1000000) * F.col("y")).cast(_DEC)
+                * (F.col("p") - F.lit(1000000) * F.col("y"))
+            )
+        ).alias("sq"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_total"),
+        F.sum("sq").alias("sq_tot"),
+        F.sum(F.abs(F.col("sp") - F.lit(1000000).cast(_DEC) * F.col("sy"))).alias(
+            "ece_num"
+        ),
+    )
+    nb = F.col("n").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sp").cast("double") / (1e6 * nb), 6).alias("mean_pred"),
+            F.round(F.col("sy").cast("double") / nb, 6).alias("frac_pos"),
+            F.round(
+                F.abs(
+                    F.col("sp").cast("double") / (1e6 * nb)
+                    - F.col("sy").cast("double") / nb
+                ),
+                6,
+            ).alias("gap"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(
+                F.col("sq_tot").cast("double")
+                / (1e12 * F.col("n_total").cast("double")),
+                6,
+            ).alias("brier"),
+            F.round(
+                F.col("ece_num").cast("double")
+                / (1e6 * F.col("n_total").cast("double")),
+                6,
+            ).alias("ece"),
+        )
+    )

@@ -4666,3 +4666,59 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits(edges, iters=4)
+
+
+@query(
+    "calibration_length_vs_en",
+    oracle="""
+        WITH d AS (
+            SELECT least(n_chars * 2000, 1000000) AS p,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        b AS (
+            SELECT least((p * 10) // 1000000, 9) AS bucket, p, y FROM d
+        ),
+        per AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(p AS HUGEINT)) AS HUGEINT) AS sp,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(p - 1000000 * y AS HUGEINT)
+                            * (p - 1000000 * y)) AS HUGEINT) AS sq
+            FROM b GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(SUM(sq) AS HUGEINT) AS sq_tot,
+                   CAST(SUM(abs(sp - CAST(1000000 AS HUGEINT) * sy)) AS HUGEINT) AS ece_num
+            FROM per
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket, n,
+               round(CAST(sp AS DOUBLE) / (1e6 * CAST(n AS DOUBLE)), 6) AS mean_pred,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+               round(abs(CAST(sp AS DOUBLE) / (1e6 * CAST(n AS DOUBLE))
+                         - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap,
+               n_total,
+               round(CAST(sq_tot AS DOUBLE) / (1e12 * CAST(n_total AS DOUBLE)), 6) AS brier,
+               round(CAST(ece_num AS DOUBLE) / (1e6 * CAST(n_total AS DOUBLE)), 6) AS ece
+        FROM per CROSS JOIN tot
+    """,
+    tags=("analytics", "stats", "eval", "agg"),
+    doc="Calibration of capped document length (p = min(n_chars/500, "
+    "1)) as a pseudo-probability of lang='en' — the reliability "
+    "companion to auc_quality_vs_lang: AUC says length RANKS English "
+    "docs; this measures whether its scale can be READ as a "
+    "probability (it can't — large gap/ECE, the point of the report). "
+    "Ten equal-width buckets, exact integer Brier and ECE, one "
+    "partial-agg groupBy + a 1-row totals broadcast "
+    "(operators/stats.py:calibration_report).",
+)
+def calibration_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import calibration_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.least(F.col("n_chars") * 2000, F.lit(1000000)).alias("p_micro"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return calibration_report(scored, "p_micro", "y", n_buckets=10)

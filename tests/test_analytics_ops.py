@@ -1914,3 +1914,29 @@ def test_diff_in_diff_known_cells(spark):
     rt = diff_in_diff(tiny, "grp", "period", "y", "C", "T", "pre", "post").collect()[0]
     assert rt.se is None and rt.t_stat is None
     assert rt.mean_control_pre == 1.0
+
+
+def test_calibration_report_exact(spark):
+    from redpanda_ais_demo_spark.operators.stats import calibration_report
+
+    # perfectly calibrated bucket 2 (p=0.25, 1/4 positive) and a badly
+    # miscalibrated bucket 9 (p=1.0, half positive)
+    rows = (
+        [(250000, 1)] + [(250000, 0)] * 3
+        + [(1000000, 1), (1000000, 0)]
+    )
+    df = spark.createDataFrame(rows, "p_micro long, y long")
+    out = {r.bucket: r for r in calibration_report(df, "p_micro", "y").collect()}
+    assert set(out) == {2, 9}
+    b2, b9 = out[2], out[9]
+    assert b2.n == 4 and b2.mean_pred == 0.25 and b2.frac_pos == 0.25 and b2.gap == 0.0
+    assert b9.n == 2 and b9.mean_pred == 1.0 and b9.frac_pos == 0.5 and b9.gap == 0.5
+    # brier = (0.75^2 + 3*0.25^2 + 0 + 1)/6 ; ece = (4*0 + 2*0.5)/6
+    assert abs(b2.brier - round((0.75**2 + 3 * 0.25**2 + 0.0 + 1.0) / 6, 6)) < 1e-9
+    assert abs(b2.ece - round(1.0 / 6, 6)) < 1e-9
+    assert b2.n_total == 6 and b9.brier == b2.brier
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        calibration_report(df, "p_micro", "y", n_buckets=1)
