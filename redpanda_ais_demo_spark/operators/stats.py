@@ -1561,3 +1561,87 @@ def calibration_report(
             ).alias("ece"),
         )
     )
+
+
+def cmh_test(
+    subjects: DataFrame,
+    stratum_col: str,
+    group_col: str,
+    outcome_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test over stratified 2×2 tables — the
+    confounder-adjusted readout ``ab_test_conversion`` can't give: when
+    assignment correlates with a stratum (daypart, platform, country)
+    that also moves the outcome, the pooled 2×2 is Simpson's-paradox
+    bait; CMH sums per-stratum hypergeometric deviations instead.
+    Statistic: χ² = (Σa − ΣE)²/ΣV with E = n1·m1/T and
+    V = n1·n2·m1·m0/(T²(T−1)); plus the Mantel-Haenszel pooled odds
+    ratio Σ(a·d/T)/Σ(b·c/T).
+
+    Per-stratum E, V and OR terms are single IEEE divisions of
+    DECIMAL-exact products, micro-quantized BEFORE the cross-stratum
+    sums (the logrank pattern). Plan: one partial-aggregable groupBy to
+    per-stratum cells (the shuffle carries one row per stratum), then
+    a single-row fold. Strata with T < 2 contribute nothing (their V
+    is undefined). Output: one row.
+    """
+    two = subjects.filter(F.col(group_col).isin(control, treatment))
+    is_t = (F.col(group_col) == treatment).cast("long")
+    y = F.col(outcome_col).cast("long")
+    cells = two.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(is_t).alias("n1"),
+        F.sum((1 - is_t)).alias("n2"),
+        F.sum(is_t * y).alias("a"),
+        F.sum((1 - is_t) * y).alias("c"),
+    )
+    n1, n2, a, c = F.col("n1"), F.col("n2"), F.col("a"), F.col("c")
+    b, d = n1 - a, n2 - c
+    m1, t = a + c, n1 + n2
+    m0 = t - m1
+    dec = lambda x: x.cast(_DEC)  # noqa: E731
+    live = t >= 2
+    e_micro = F.when(
+        live, F.round((dec(n1) * m1).cast("double") * 1e6 / t.cast("double"))
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    v_micro = F.when(
+        live,
+        F.round(
+            (dec(n1) * n2 * m1 * m0).cast("double") * 1e6
+            / (dec(t) * t * (t - 1)).cast("double")
+        ),
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    or_num_micro = F.when(
+        live, F.round((dec(a) * d).cast("double") * 1e6 / t.cast("double"))
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    or_den_micro = F.when(
+        live, F.round((dec(b) * c).cast("double") * 1e6 / t.cast("double"))
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(t).alias("n_total"),
+        F.sum(F.when(live, a).otherwise(F.lit(0))).alias("oa"),
+        F.sum(e_micro).alias("em"),
+        F.sum(v_micro).alias("vm"),
+        F.sum(or_num_micro).alias("orn"),
+        F.sum(or_den_micro).alias("ord"),
+    )
+    e = F.col("em").cast("double") / 1e6
+    v = F.col("vm").cast("double") / 1e6
+    dev = F.col("oa").cast("double") - e
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("oa").cast("long").alias("observed_treated"),
+        F.round(e, 6).alias("expected_treated"),
+        F.round(F.when(v > 0, dev * dev / v), 6).alias("chi2"),
+        F.round(F.when(v > 0, dev / F.sqrt(v)), 6).alias("z_score"),
+        F.round(
+            F.when(
+                F.col("ord") > 0,
+                F.col("orn").cast("double") / F.col("ord").cast("double"),
+            ),
+            6,
+        ).alias("or_mh"),
+    )

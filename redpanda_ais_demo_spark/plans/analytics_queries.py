@@ -4722,3 +4722,101 @@ def calibration_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
     )
     return calibration_report(scored, "p_micro", "y", n_buckets=10)
+
+
+@query(
+    "cmh_purchase_by_daypart",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   hour(min(ts)) // 6 AS stratum,
+                   CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                             THEN 1 ELSE 0 END AS BIGINT) AS conv
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT stratum,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS c
+            FROM per_user GROUP BY stratum
+        ),
+        terms AS (
+            SELECT *,
+                   n1 - a AS b, n2 - c AS d, a + c AS m1,
+                   n1 + n2 AS t, n1 + n2 - (a + c) AS m0
+            FROM cells
+        ),
+        q AS (
+            SELECT *,
+                   CAST(CASE WHEN t >= 2
+                        THEN round(CAST(CAST(n1 AS HUGEINT) * m1 AS DOUBLE) * 1e6
+                                   / CAST(t AS DOUBLE)) ELSE 0 END AS HUGEINT) AS em,
+                   CAST(CASE WHEN t >= 2
+                        THEN round(CAST(CAST(n1 AS HUGEINT) * n2 * m1 * m0 AS DOUBLE) * 1e6
+                                   / CAST(CAST(t AS HUGEINT) * t * (t - 1) AS DOUBLE))
+                        ELSE 0 END AS HUGEINT) AS vm,
+                   CAST(CASE WHEN t >= 2
+                        THEN round(CAST(CAST(a AS HUGEINT) * d AS DOUBLE) * 1e6
+                                   / CAST(t AS DOUBLE)) ELSE 0 END AS HUGEINT) AS orn,
+                   CAST(CASE WHEN t >= 2
+                        THEN round(CAST(CAST(b AS HUGEINT) * c AS DOUBLE) * 1e6
+                                   / CAST(t AS DOUBLE)) ELSE 0 END AS HUGEINT) AS ord_
+            FROM terms
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(t) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN t >= 2 THEN a ELSE 0 END) AS BIGINT) AS oa,
+                   CAST(SUM(em) AS HUGEINT) AS em,
+                   CAST(SUM(vm) AS HUGEINT) AS vm,
+                   CAST(SUM(orn) AS HUGEINT) AS orn,
+                   CAST(SUM(ord_) AS HUGEINT) AS ord_
+            FROM q
+        ),
+        fin AS (
+            SELECT agg.*, CAST(em AS DOUBLE) / 1e6 AS e,
+                   CAST(vm AS DOUBLE) / 1e6 AS v,
+                   CAST(oa AS DOUBLE) - CAST(em AS DOUBLE) / 1e6 AS dev
+            FROM agg
+        )
+        SELECT n_strata, n_total, oa AS observed_treated,
+               round(e, 6) AS expected_treated,
+               round(CASE WHEN v > 0 THEN dev * dev / v END, 6) AS chi2,
+               round(CASE WHEN v > 0 THEN dev / sqrt(v) END, 6) AS z_score,
+               round(CASE WHEN ord_ > 0
+                          THEN CAST(orn AS DOUBLE) / CAST(ord_ AS DOUBLE) END, 6) AS or_mh
+        FROM fin
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="Cochran-Mantel-Haenszel heavy-purchaser (>= 15 purchases; ~1/3 base rate — EVERY fixture user purchases at least once, so any-purchase is a zero-variance outcome) test for the "
+    "exp-r8 split, stratified by each user's first-touch daypart "
+    "(hour//6 of their first event) — the Simpson's-paradox-proof "
+    "pooling of four 2×2 tables, plus the MH common odds ratio. "
+    "Per-stratum hypergeometric terms micro-quantized from DECIMAL "
+    "products before the cross-stratum sums; one groupBy(user), one "
+    "groupBy(stratum) carrying 4 rows, one fold "
+    "(operators/stats.py:cmh_test).",
+)
+def cmh_purchase_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import cmh_test
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15
+        ).cast("long").alias("conv"),
+    )
+    subjects = per_user.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        F.expr("hour(t0) div 6").alias("stratum"),
+        "conv",
+    )
+    return cmh_test(subjects, "stratum", "variant", "conv", "A", "B")

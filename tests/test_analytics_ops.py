@@ -1940,3 +1940,41 @@ def test_calibration_report_exact(spark):
 
     with pytest.raises(ValueError):
         calibration_report(df, "p_micro", "y", n_buckets=1)
+
+
+def test_cmh_known_strata(spark):
+    from redpanda_ais_demo_spark.operators.stats import cmh_test
+
+    # stratum 1: T 10/20 conv, C 5/20; stratum 2: T 2/10, C 1/10
+    rows = (
+        [(1, "T", 1)] * 10 + [(1, "T", 0)] * 10
+        + [(1, "C", 1)] * 5 + [(1, "C", 0)] * 15
+        + [(2, "T", 1)] * 2 + [(2, "T", 0)] * 8
+        + [(2, "C", 1)] * 1 + [(2, "C", 0)] * 9
+    )
+    df = spark.createDataFrame(rows, "stratum int, grp string, conv int")
+    r = cmh_test(df, "stratum", "grp", "conv", "C", "T").collect()[0]
+
+    oa = e = v = orn = orden = 0.0
+    for n1, n2, a, c in ((20, 20, 10, 5), (10, 10, 2, 1)):
+        t, m1 = n1 + n2, a + c
+        m0 = t - m1
+        b, d = n1 - a, n2 - c
+        oa += a
+        e += n1 * m1 / t
+        v += n1 * n2 * m1 * m0 / (t * t * (t - 1))
+        orn += a * d / t
+        orden += b * c / t
+    z = (oa - e) / v**0.5
+    assert r.n_strata == 2 and r.n_total == 60 and r.observed_treated == 12
+    assert abs(r.expected_treated - round(e, 6)) < 1e-5
+    assert abs(r.chi2 - round(z * z, 6)) < 1e-4
+    assert abs(r.z_score - round(z, 6)) < 1e-5
+    assert abs(r.or_mh - round(orn / orden, 6)) < 1e-5
+
+    # single-subject stratum contributes nothing and cannot crash
+    tiny = spark.createDataFrame(
+        [(1, "T", 1), (2, "T", 1), (2, "C", 0)], "stratum int, grp string, conv int"
+    )
+    rt = cmh_test(tiny, "stratum", "grp", "conv", "C", "T").collect()[0]
+    assert rt.observed_treated == 1  # only stratum 2 counts
