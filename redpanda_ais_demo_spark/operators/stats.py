@@ -1645,3 +1645,94 @@ def cmh_test(
             6,
         ).alias("or_mh"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index with its exact between/within-group
+    decomposition — the concentration readout Gini can't decompose
+    (Theil is the only standard inequality index that splits
+    additively): T = Σ (x/nμ)·ln(x/μ), T = T_between + T_within with
+    T_between = Σ_g (S_g/S)·ln((S_g/S)/(n_g/n)) and
+    T_within = Σ_g (S_g/S)·T_g. Requires strictly positive values
+    (zero/negative rows are filtered — standard for Theil).
+
+    Determinism: the frame collapses to one row per DISTINCT (group,
+    value) — every ln term is computed ONCE per distinct value from
+    DECIMAL-exact ratios (x·n_g/S_g is formed in DECIMAL then
+    converted in one cast), nano-quantized, and weighted by exact
+    counts, so all cross-row sums are integer. Plan: groupBy(g, v) →
+    groupBy(g) stats → a per-(g,v) hash join back (co-keyed on g) +
+    1-row totals broadcast; the global-T pass reuses the (g,v) table
+    collapsed to distinct v. Output: one row — n, n_groups,
+    theil_total, theil_between, theil_within (total is computed
+    directly, not as the sum, so the ≈1e-6 quantization slack between
+    the three is visible rather than hidden).
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    ).filter(F.col("v") > 0)
+    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    gstats = gv.groupBy("g").agg(
+        F.sum("cnt").alias("ng"),
+        F.sum(F.col("v").cast(_DEC) * F.col("cnt")).alias("sg"),
+    )
+    tot = gstats.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # within: per distinct (g, v), r = v·n_g/S_g; T_g = Σ cnt·nano(r·ln r)/(n_g·1e9)
+    jw = gv.join(gstats, "g")
+    r_w = (F.col("v").cast(_DEC) * F.col("ng")).cast("double") / F.col(
+        "sg"
+    ).cast("double")
+    t_nano_w = F.round(r_w * F.log(r_w) * 1e9).cast(_DEC)
+    per_g = jw.groupBy("g").agg(
+        F.max("ng").alias("ng"),
+        F.max("sg").alias("sg"),
+        F.sum(t_nano_w * F.col("cnt")).alias("wsum"),
+    )
+    pg = per_g.crossJoin(F.broadcast(tot))
+    share = F.col("sg").cast("double") / F.col("s").cast("double")
+    t_g = F.col("wsum").cast("double") / (F.col("ng").cast("double") * 1e9)
+    w_nano = F.round(share * t_g * 1e9).cast(_DEC)
+    b_nano = F.round(
+        share
+        * F.log(
+            (F.col("sg") * F.col("n")).cast("double")
+            / (F.col("s") * F.col("ng")).cast("double")
+        )
+        * 1e9
+    ).cast(_DEC)
+    bw = pg.agg(
+        F.sum(w_nano).alias("wn"),
+        F.sum(b_nano).alias("bn"),
+    )
+    # total: distinct v across groups, r = v·n/S
+    tv = gv.groupBy("v").agg(F.sum("cnt").alias("cnt")).crossJoin(
+        F.broadcast(tot)
+    )
+    r_t = (F.col("v").cast(_DEC) * F.col("n")).cast("double") / F.col(
+        "s"
+    ).cast("double")
+    t_nano_t = F.round(r_t * F.log(r_t) * 1e9).cast(_DEC)
+    tt = tv.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(t_nano_t * F.col("cnt")).alias("tsum"),
+    )
+    out = tt.crossJoin(F.broadcast(bw))
+    n_d = F.col("n").cast("double")
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(F.col("tsum").cast("double") / (n_d * 1e9), 6).alias(
+            "theil_total"
+        ),
+        F.round(F.col("bn").cast("double") / 1e9, 6).alias("theil_between"),
+        F.round(F.col("wn").cast("double") / 1e9, 6).alias("theil_within"),
+    )

@@ -4820,3 +4820,93 @@ def cmh_purchase_by_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv",
     )
     return cmh_test(subjects, "stratum", "variant", "conv", "A", "B")
+
+
+@query(
+    "theil_revenue_by_nation",
+    oracle="""
+        WITH base AS (
+            SELECT c.c_nationkey AS g,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE round(o.o_totalprice * 100) > 0
+        ),
+        gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY g, v),
+        gstats AS (
+            SELECT g, CAST(SUM(cnt) AS BIGINT) AS ng,
+                   CAST(SUM(CAST(v AS HUGEINT) * cnt) AS HUGEINT) AS sg
+            FROM gv GROUP BY g
+        ),
+        tot AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS HUGEINT) AS s,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM gstats
+        ),
+        wterm AS (
+            SELECT gv.g, gv.cnt, gs.ng, gs.sg,
+                   CAST(round(CAST(CAST(gv.v AS HUGEINT) * gs.ng AS DOUBLE) / CAST(gs.sg AS DOUBLE)
+                        * ln(CAST(CAST(gv.v AS HUGEINT) * gs.ng AS DOUBLE) / CAST(gs.sg AS DOUBLE))
+                        * 1e9) AS HUGEINT) AS tn
+            FROM gv JOIN gstats gs ON gv.g = gs.g
+        ),
+        per_g AS (
+            SELECT g, max(ng) AS ng, max(sg) AS sg,
+                   CAST(SUM(tn * cnt) AS HUGEINT) AS wsum
+            FROM wterm GROUP BY g
+        ),
+        pg AS (
+            SELECT per_g.*, tot.n, tot.s,
+                   CAST(round(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)
+                        * (CAST(wsum AS DOUBLE) / (CAST(ng AS DOUBLE) * 1e9))
+                        * 1e9) AS HUGEINT) AS wn,
+                   CAST(round(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)
+                        * ln(CAST(sg * n AS DOUBLE) / CAST(s * ng AS DOUBLE))
+                        * 1e9) AS HUGEINT) AS bn
+            FROM per_g CROSS JOIN tot
+        ),
+        bw AS (
+            SELECT CAST(SUM(wn) AS HUGEINT) AS wn, CAST(SUM(bn) AS HUGEINT) AS bn
+            FROM pg
+        ),
+        tv AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS cnt FROM gv GROUP BY v),
+        tterm AS (
+            SELECT tv.cnt, tot.n, tot.k,
+                   CAST(round(CAST(CAST(tv.v AS HUGEINT) * tot.n AS DOUBLE) / CAST(tot.s AS DOUBLE)
+                        * ln(CAST(CAST(tv.v AS HUGEINT) * tot.n AS DOUBLE) / CAST(tot.s AS DOUBLE))
+                        * 1e9) AS HUGEINT) AS tn
+            FROM tv CROSS JOIN tot
+        ),
+        tt AS (
+            SELECT max(n) AS n, max(k) AS k,
+                   CAST(SUM(tn * cnt) AS HUGEINT) AS tsum
+            FROM tterm
+        )
+        SELECT CAST(tt.n AS BIGINT) AS n, CAST(tt.k AS BIGINT) AS n_groups,
+               round(CAST(tsum AS DOUBLE) / (CAST(tt.n AS DOUBLE) * 1e9), 6) AS theil_total,
+               round(CAST(bn AS DOUBLE) / 1e9, 6) AS theil_between,
+               round(CAST(wn AS DOUBLE) / 1e9, 6) AS theil_within
+        FROM tt CROSS JOIN bw
+    """,
+    tags=("analytics", "stats", "agg", "scale-path"),
+    doc="Theil T index of order-revenue inequality across customer "
+    "nations, exactly decomposed into between-nation and within-"
+    "nation components — the decomposable complement of "
+    "gini_revenue_concentration (is inequality a nation story or an "
+    "everywhere story?). Every ln term computed once per distinct "
+    "(nation, cents) from DECIMAL-exact ratios, nano-quantized, "
+    "weighted by exact counts; total computed directly so the "
+    "quantization slack is visible (operators/stats.py:"
+    "theil_decomposition).",
+)
+def theil_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import theil_decomposition
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    t = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_nationkey").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return theil_decomposition(t, "g", "cents")

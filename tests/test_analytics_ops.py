@@ -1978,3 +1978,46 @@ def test_cmh_known_strata(spark):
     )
     rt = cmh_test(tiny, "stratum", "grp", "conv", "C", "T").collect()[0]
     assert rt.observed_treated == 1  # only stratum 2 counts
+
+
+def test_theil_decomposition_known_values(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators.stats import theil_decomposition
+
+    groups = {"a": [100, 200, 300], "b": [1000, 1000], "c": [50, 50, 50, 50]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = theil_decomposition(df, "g", "v").collect()[0]
+
+    xs = np.array([v for vs in groups.values() for v in vs], dtype=float)
+    n, mu = len(xs), xs.mean()
+    t_total = float(np.sum(xs / (n * mu) * np.log(xs / mu)))
+    s = xs.sum()
+    t_between = t_within = 0.0
+    for vs in groups.values():
+        arr = np.array(vs, dtype=float)
+        sg, ng = arr.sum(), len(arr)
+        t_g = float(np.sum(arr / (ng * arr.mean()) * np.log(arr / arr.mean())))
+        t_between += sg / s * np.log((sg / s) / (ng / n))
+        t_within += sg / s * t_g
+    assert r.n == 9 and r.n_groups == 3
+    assert abs(r.theil_total - round(t_total, 6)) < 1e-5
+    assert abs(r.theil_between - round(t_between, 6)) < 1e-5
+    assert abs(r.theil_within - round(t_within, 6)) < 1e-5
+    # additive decomposition holds to quantization slack
+    assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 1e-4
+
+    # perfectly equal values -> all three are zero
+    eq = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, v long"
+    )
+    re = theil_decomposition(eq, "g", "v").collect()[0]
+    assert re.theil_total == 0.0 and re.theil_between == 0.0 and re.theil_within == 0.0
+
+    # zero/negative values are filtered, not ln-crashed
+    mixed = spark.createDataFrame(
+        [("a", 0), ("a", -3), ("a", 10), ("b", 20)], "g string, v long"
+    )
+    rm = theil_decomposition(mixed, "g", "v").collect()[0]
+    assert rm.n == 2
