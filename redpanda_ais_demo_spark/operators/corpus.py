@@ -1137,3 +1137,64 @@ def zipf_fit(
         F.when(ok, F.round(intercept, 6)).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def js_divergence(
+    toks: DataFrame,
+    token_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between a target sub-corpus's token
+    distribution and the rest — the bounded, symmetric drift scalar
+    next to PSI (which needs binnable numerics) and keyness (which
+    ranks tokens but gives no single distance): JSD = ½KL(P‖M) +
+    ½KL(Q‖M), M = (P+Q)/2, always in [0, ln 2] and defined even where
+    one side has zero-count tokens (0·ln0 = 0 — no smoothing needed,
+    unlike raw KL).
+
+    ``flag_col`` is 1 for target rows. Determinism: per-token KL
+    contributions are one fixed double chain over exact BIGINT counts,
+    nano-quantized before the vocab-wide sums (the PSI discipline).
+    Plan: ONE vocab-sized partial-aggregable groupBy (conditional
+    sums), a 1-row totals broadcast, one fold. Output: one row —
+    vocab size, per-side token totals, jsd_nats, jsd_bits.
+    """
+    y = F.col(flag_col).cast("long")
+    counts = (
+        toks.select(F.col(token_col).alias("token"), y.alias("y"))
+        .groupBy("token")
+        .agg(
+            F.sum("y").alias("y1"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("y2"),
+        )
+    )
+    tot = counts.agg(F.sum("y1").alias("n1"), F.sum("y2").alias("n2"))
+    t = counts.crossJoin(F.broadcast(tot))
+    # greatest(n, 1): ANSI mode raises on double x/0 (and codegen hoists
+    # subexpressions out of CASE guards); an empty side has all-zero
+    # counts, so the clamped divisor still yields the correct q = 0
+    p = F.col("y1").cast("double") / F.greatest(F.col("n1"), F.lit(1)).cast("double")
+    q = F.col("y2").cast("double") / F.greatest(F.col("n2"), F.lit(1)).cast("double")
+    tp = F.when(
+        F.col("y1") > 0, F.round(p * F.log(2 * p / (p + q)) * 1e9)
+    ).otherwise(F.lit(0.0)).cast("decimal(38,0)")
+    tq = F.when(
+        F.col("y2") > 0, F.round(q * F.log(2 * q / (p + q)) * 1e9)
+    ).otherwise(F.lit(0.0)).cast("decimal(38,0)")
+    agg = t.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(tp).alias("sp"),
+        F.sum(tq).alias("sq"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    jsd = (F.col("sp").cast("double") + F.col("sq").cast("double")) / (2 * 1e9)
+    return agg.select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("n1").cast("long").alias("n_tokens_target"),
+        F.col("n2").cast("long").alias("n_tokens_rest"),
+        F.round(F.when(ok, jsd), 6).alias("jsd_nats"),
+        # ln 2 as a literal so both engines divide by the same double
+        F.round(F.when(ok, jsd / 0.6931471805599453), 6).alias("jsd_bits"),
+    )

@@ -3074,3 +3074,73 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+@query(
+    "jsd_tokens_en_vs_rest",
+    oracle="""
+        WITH tok AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   unnest(str_split(text, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(SUM(y) AS BIGINT) AS y1,
+                   CAST(count(*) - SUM(y) AS BIGINT) AS y2
+            FROM tok GROUP BY token
+        ),
+        tot AS (
+            SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2
+            FROM counts
+        ),
+        terms AS (
+            SELECT counts.*, tot.n1, tot.n2,
+                   CAST(y1 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE) AS p,
+                   CAST(y2 AS DOUBLE) / CAST(greatest(n2, 1) AS DOUBLE) AS q
+            FROM counts CROSS JOIN tot
+        ),
+        nano AS (
+            SELECT *,
+                   CAST(CASE WHEN y1 > 0
+                        THEN round(p * ln(2 * p / (p + q)) * 1e9)
+                        ELSE 0 END AS HUGEINT) AS tp,
+                   CAST(CASE WHEN y2 > 0
+                        THEN round(q * ln(2 * q / (p + q)) * 1e9)
+                        ELSE 0 END AS HUGEINT) AS tq
+            FROM terms
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS vocab,
+                   max(n1) AS n1, max(n2) AS n2,
+                   CAST(SUM(tp) AS HUGEINT) AS sp,
+                   CAST(SUM(tq) AS HUGEINT) AS sq
+            FROM nano
+        )
+        SELECT vocab, n1 AS n_tokens_target, n2 AS n_tokens_rest,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                    THEN (CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE)) / (2 * 1e9)
+               END, 6) AS jsd_nats,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                    THEN (CAST(sp AS DOUBLE) + CAST(sq AS DOUBLE)) / (2 * 1e9)
+                         / 0.6931471805599453
+               END, 6) AS jsd_bits
+        FROM agg
+    """,
+    tags=("llm", "drift", "text", "agg"),
+    doc="Jensen-Shannon divergence between the English sub-corpus's "
+    "token distribution and everything else — the single bounded "
+    "drift scalar next to keyness_tokens_en's per-token ranking (same "
+    "space-split tokens): how far apart are the vocabularies, in "
+    "bits. No smoothing needed (0·ln0 = 0 is exact in JSD); one "
+    "vocab-sized conditional-sum groupBy, nano-quantized KL "
+    "contributions, 1-row fold (operators/corpus.py:js_divergence).",
+)
+def jsd_tokens_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    return js_divergence(toks, "token", "y")

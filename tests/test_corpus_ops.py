@@ -1,0 +1,42 @@
+
+
+def test_js_divergence_known_distributions(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.corpus import js_divergence
+
+    # target: a,a,b ; rest: b,c,c,c — overlapping but distinct
+    rows = [(1, "a"), (1, "a"), (1, "b"), (0, "b"), (0, "c"), (0, "c"), (0, "c")]
+    df = spark.createDataFrame(rows, "y long, token string")
+    r = js_divergence(df, "token", "y").collect()[0]
+
+    p = {"a": 2 / 3, "b": 1 / 3, "c": 0.0}
+    q = {"a": 0.0, "b": 1 / 4, "c": 3 / 4}
+    jsd = 0.0
+    for t in "abc":
+        m = (p[t] + q[t]) / 2
+        if p[t] > 0:
+            jsd += p[t] * math.log(p[t] / m) / 2
+        if q[t] > 0:
+            jsd += q[t] * math.log(q[t] / m) / 2
+    assert r.vocab == 3 and r.n_tokens_target == 3 and r.n_tokens_rest == 4
+    assert abs(r.jsd_nats - round(jsd, 6)) < 1e-5
+    assert abs(r.jsd_bits - round(jsd / math.log(2), 6)) < 1e-5
+
+    # disjoint vocabularies -> exactly ln 2 nats (1 bit)
+    disj = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (0, "c"), (0, "d")], "y long, token string"
+    )
+    rd = js_divergence(disj, "token", "y").collect()[0]
+    assert abs(rd.jsd_nats - round(math.log(2), 6)) < 1e-6
+    assert rd.jsd_bits == 1.0
+
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (0, "a"), (0, "b")], "y long, token string"
+    )
+    assert js_divergence(same, "token", "y").collect()[0].jsd_nats == 0.0
+
+    # one-sided corpus -> NULL (undefined), no crash
+    solo = spark.createDataFrame([(1, "a")], "y long, token string")
+    assert js_divergence(solo, "token", "y").collect()[0].jsd_nats is None
