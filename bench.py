@@ -286,6 +286,17 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "cohort_ltv_weekly",
     "value_quantiles_cont_by_type",
     "frequent_part_triples",
+    "mann_whitney_value_by_variant",
+    "kruskal_value_by_type",
+    "logrank_churn_by_split",
+    "did_purchase_prepost",
+    "events_in_geofences",
+    "l_diversity_orders",
+    "hits_customer_supplier",
+    "calibration_length_vs_en",
+    "cmh_purchase_by_daypart",
+    "theil_revenue_by_nation",
+    "jsd_tokens_en_vs_rest",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
