@@ -1736,3 +1736,80 @@ def theil_decomposition(
         F.round(F.col("bn").cast("double") / 1e9, 6).alias("theil_between"),
         F.round(F.col("wn").cast("double") / 1e9, 6).alias("theil_within"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bounded_scores: bool = False,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    form) — the ranking-eval metric that matters when positives are
+    rare and ROC AUC flatters (a retrieval/quality-filter evaluation
+    staple): AP = Σ_levels ΔRecall · Precision, descending the score.
+    Ties are handled block-wise — each distinct score is one level and
+    its whole block enters precision together (the unambiguous tie
+    treatment; per-row tie orders are not well-defined).
+
+    Same machinery as ``roc_auc``: one partial-aggregable
+    groupBy(score) collapses the frame to distinct scores, an
+    inclusive prefix DESCENDING the score gives (cum_pos, cum_all),
+    and each level's ΔR·P = (pos_s·cum_pos)/(n_pos·cum_all) is one
+    IEEE division of DECIMAL-exact products, nano-quantized before
+    the exact cross-level sum. ``bounded_scores`` keeps the tiny
+    single-partition window for quantized score domains; the default
+    rides the distributed prefix (operators/ordered.py). Output: one
+    row — n_pos, n_neg, prevalence, pr_auc.
+    """
+    base = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    levels = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("y").alias("pos_s"),
+    )
+    if bounded_scores:
+        w = Window.orderBy(F.col("s").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        ranked = levels.withColumn(
+            "cum_all", F.sum("n_s").over(w)
+        ).withColumn("cum_pos", F.sum("pos_s").over(w))
+    else:
+        from .ordered import rank_cumsum
+
+        ranked = rank_cumsum(
+            levels,
+            [F.col("s").desc()],
+            rank_col=None,
+            cumsums={"cum_all": F.col("n_s"), "cum_pos": F.col("pos_s")},
+        )
+    tot = levels.agg(F.sum("pos_s").alias("n_pos"), F.sum("n_s").alias("n"))
+    t = ranked.crossJoin(F.broadcast(tot))
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    term_nano = F.when(
+        (F.col("pos_s") > 0) & (F.col("n_pos") > 0),
+        F.round(
+            (dec(F.col("pos_s")) * F.col("cum_pos")).cast("double")
+            * 1e9
+            / (dec(F.col("n_pos")) * F.col("cum_all")).cast("double")
+        ),
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    agg = t.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n").alias("n"),
+        F.sum(term_nano).alias("ap_nano"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n") > F.col("n_pos"))
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("prevalence"),
+        F.round(
+            F.when(ok, F.col("ap_nano").cast("double") / 1e9), 6
+        ).alias("pr_auc"),
+    )

@@ -4910,3 +4910,68 @@ def theil_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return theil_decomposition(t, "g", "cents")
+
+
+@query(
+    "ap_length_vs_en",
+    oracle="""
+        WITH d AS (
+            SELECT n_chars AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        levels AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+                   CAST(SUM(y) AS BIGINT) AS pos_s
+            FROM d GROUP BY s
+        ),
+        r AS (
+            SELECT *,
+                   CAST(SUM(n_s) OVER w AS BIGINT) AS cum_all,
+                   CAST(SUM(pos_s) OVER w AS BIGINT) AS cum_pos
+            FROM levels
+            WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+                   CAST(SUM(n_s) AS BIGINT) AS n
+            FROM levels
+        ),
+        terms AS (
+            SELECT r.*, tot.n_pos, tot.n,
+                   CAST(CASE WHEN pos_s > 0 AND n_pos > 0
+                        THEN round(CAST(CAST(pos_s AS HUGEINT) * cum_pos AS DOUBLE) * 1e9
+                                   / CAST(CAST(n_pos AS HUGEINT) * cum_all AS DOUBLE))
+                        ELSE 0 END AS HUGEINT) AS tn
+            FROM r CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT max(n_pos) AS n_pos, max(n) AS n,
+                   CAST(SUM(tn) AS HUGEINT) AS ap_nano
+            FROM terms
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n - n_pos AS BIGINT) AS n_neg,
+               round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS prevalence,
+               round(CASE WHEN n_pos > 0 AND n > n_pos
+                    THEN CAST(ap_nano AS DOUBLE) / 1e9 END, 6) AS pr_auc
+        FROM agg
+    """,
+    tags=("analytics", "stats", "eval", "window"),
+    doc="Average precision (step-form PR-AUC, block-wise ties) of "
+    "document length as a predictor of lang='en' — the rare-positive "
+    "ranking metric completing the eval row next to auc_quality_vs_"
+    "lang (ROC) and calibration_length_vs_en (reliability). Distinct-"
+    "score collapse, descending inclusive prefix over the bounded "
+    "char-length domain, DECIMAL-exact ΔR·P terms nano-quantized "
+    "before the sum (operators/stats.py:average_precision).",
+)
+def ap_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import average_precision
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return average_precision(scored, "s", "y", bounded_scores=True)

@@ -2021,3 +2021,32 @@ def test_theil_decomposition_known_values(spark):
     )
     rm = theil_decomposition(mixed, "g", "v").collect()[0]
     assert rm.n == 2
+
+
+def test_average_precision_known_ranking(spark):
+    from redpanda_ais_demo_spark.operators.stats import average_precision
+
+    # distinct scores, descending: y = 1,0,1,1,0  -> sklearn AP
+    rows = [(50, 1), (40, 0), (30, 1), (20, 1), (10, 0)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    for bounded in (True, False):
+        r = average_precision(df, "s", "y", bounded_scores=bounded).collect()[0]
+        # AP = 1/3*(1/1) + 1/3*(2/3) + 1/3*(3/4)
+        exp = (1 / 1 + 2 / 3 + 3 / 4) / 3
+        assert r.n_pos == 3 and r.n_neg == 2
+        assert abs(r.pr_auc - round(exp, 6)) < 1e-6
+
+    # tied block: both rows of score 30 enter together
+    tied = spark.createDataFrame(
+        [(50, 1), (30, 1), (30, 0), (10, 1)], "s long, y long"
+    )
+    rt = average_precision(tied, "s", "y", bounded_scores=True).collect()[0]
+    # levels desc: (50: 1/1), (30: pos 1, cum_pos 2, cum_all 3), (10: 3/4)
+    exp = (1 / 3) * (1 / 1) + (1 / 3) * (2 / 3) + (1 / 3) * (3 / 4)
+    assert abs(rt.pr_auc - round(exp, 6)) < 1e-6
+
+    # perfect ranking -> AP = 1; all-one-class -> NULL
+    perfect = spark.createDataFrame([(3, 1), (2, 1), (1, 0)], "s long, y long")
+    assert average_precision(perfect, "s", "y", True).collect()[0].pr_auc == 1.0
+    allpos = spark.createDataFrame([(3, 1), (2, 1)], "s long, y long")
+    assert average_precision(allpos, "s", "y", True).collect()[0].pr_auc is None
