@@ -1813,3 +1813,80 @@ def average_precision(
             F.when(ok, F.col("ap_nano").cast("double") / 1e9), 6
         ).alias("pr_auc"),
     )
+
+
+def eb_shrunken_rates(
+    df: DataFrame,
+    key_col: str,
+    n_col: str,
+    k_col: str,
+    min_trials_fit: int = 5,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-entity success rates under a
+    beta-binomial model — the fix for "this part has a 100% return
+    rate (n=1)" leaderboards: fit Beta(α, β) to the observed rate
+    distribution by method of moments, then shrink every entity toward
+    the prior: (k + α)/(n + α + β). Entities with fewer than
+    ``min_trials_fit`` trials are excluded from FITTING (their rates
+    are noise) but still shrunk.
+
+    Determinism: each fitted entity's rate is micro-quantized ONCE
+    (round(1e6·k/n) — a single IEEE division of exact longs), so the
+    moment sums Σp, Σp² are exact integers; α/β come from one fixed
+    double chain, and the per-entity shrunken rate is one further
+    fixed chain against those constants. Degenerate variance (all
+    rates equal, or var ≥ m(1−m)) yields NULL α/β and shrunken =
+    observed. Plan: one partial-aggregable pass for moments, broadcast
+    of the 1-row prior, narrow per-entity projection. Output: one row
+    per entity — key, n, k, rate, shrunken, eb_alpha, eb_beta.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(k_col).cast("long").alias("k"),
+    )
+    pm = F.round(
+        F.col("k").cast("double") * 1e6
+        / F.greatest(F.col("n"), F.lit(1)).cast("double")
+    ).cast("long")
+    fit = base.filter(F.col("n") >= min_trials_fit).select(
+        pm.alias("pm")
+    )
+    mom = fit.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pm").alias("sp"),
+        F.sum((F.col("pm") * F.col("pm")).cast(_DEC)).alias("spp"),
+    )
+    cnt = F.col("cnt")
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    m1 = F.col("sp").cast("double") / (cnt.cast("double") * 1e6)
+    var = F.when(
+        cnt >= 2,
+        (d(cnt) * F.col("spp") - d(F.col("sp")) * F.col("sp")).cast("double")
+        / ((cnt * (cnt - 1)).cast("double") * 1e12),
+    )
+    ok = (cnt >= 2) & (var > 0) & (m1 > 0) & (m1 < 1) & (var < m1 * (1 - m1))
+    common = m1 * (1 - m1) / var - 1
+    prior = mom.select(
+        F.round(F.when(ok, m1 * common), 6).alias("eb_alpha"),
+        F.round(F.when(ok, (1 - m1) * common), 6).alias("eb_beta"),
+    )
+    out = base.crossJoin(F.broadcast(prior))
+    a, b = F.col("eb_alpha"), F.col("eb_beta")
+    rate = F.col("k").cast("double") / F.greatest(
+        F.col("n"), F.lit(1)
+    ).cast("double")
+    shrunk = F.when(
+        a.isNotNull(),
+        (F.col("k").cast("double") + a)
+        / (F.col("n").cast("double") + a + b),
+    ).otherwise(rate)
+    return out.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(rate, 6).alias("rate"),
+        F.round(shrunk, 6).alias("shrunken"),
+        "eb_alpha",
+        "eb_beta",
+    )

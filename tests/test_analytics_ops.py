@@ -2050,3 +2050,33 @@ def test_average_precision_known_ranking(spark):
     assert average_precision(perfect, "s", "y", True).collect()[0].pr_auc == 1.0
     allpos = spark.createDataFrame([(3, 1), (2, 1)], "s long, y long")
     assert average_precision(allpos, "s", "y", True).collect()[0].pr_auc is None
+
+
+def test_eb_shrunken_rates_pull_to_prior(spark):
+    from redpanda_ais_demo_spark.operators.stats import eb_shrunken_rates
+
+    # many mid-size entities around 30% plus two extremes
+    rows = (
+        [(i, 20, 6) for i in range(10)]
+        + [(100, 20, 2), (101, 20, 10)]
+        + [(200, 1, 1), (201, 1, 0)]   # tiny-n extremes, excluded from fit
+    )
+    df = spark.createDataFrame(rows, "key long, n long, k long")
+    out = {r.key: r for r in eb_shrunken_rates(df, "key", "n", "k").collect()}
+
+    assert out[0].eb_alpha is not None and out[0].eb_alpha > 0
+    # the n=1 perfect rate shrinks far toward the ~30% prior
+    assert out[200].rate == 1.0 and out[200].shrunken < 0.65
+    assert out[201].rate == 0.0 and out[201].shrunken > 0.1
+    # a well-measured entity barely moves
+    assert abs(out[0].shrunken - 0.3) < 0.05
+    # shrinkage ordering preserved within equal n
+    assert out[101].shrunken > out[0].shrunken > out[100].shrunken
+
+    # degenerate: all rates identical -> zero variance -> raw rates kept
+    same = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 5), (3, 2, 2)], "key long, n long, k long"
+    )
+    so = {r.key: r for r in eb_shrunken_rates(same, "key", "n", "k", 5).collect()}
+    assert so[1].eb_alpha is None and so[1].shrunken == so[1].rate == 0.5
+    assert so[3].shrunken == 1.0
