@@ -253,3 +253,103 @@ def rfm_segments(
             ).alias("avg_monetary"),
         )
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    catalog: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int,
+    salt: str,
+    oversample: int = 3,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive /
+    ranking training pairs: for every observed (user, item) positive,
+    draw ``k`` items the user did NOT interact with. The standard
+    recommender/embedding training-data op — and the one place naive
+    ``rand()`` hurts twice (non-reproducible shards AND positives
+    leaking in as "negatives").
+
+    Draws are portable hashes, not RNG: candidate ``j`` of a positive
+    maps to catalog index ``md5(salt:user:item:j) mod |catalog|`` (the
+    ``split_assign`` hash family), so every engine, run, and
+    partitioning produces the same pairs. ``oversample``·k slots are
+    drawn, collisions with ANY of the user's positives are anti-joined
+    out, then the first ``k`` surviving slots (by slot order) are
+    kept — a user interacting with nearly the whole catalog may
+    legitimately yield fewer than k.
+
+    Scale: the catalog gets a dense 0..|C|-1 index once via the
+    distributed rank (operators/ordered.py); candidates explode
+    map-side (oversample·k per positive), hash-join the catalog on
+    index, anti-join positives on (user, item), and a per-positive
+    window over ≤ oversample·k rows picks survivors. Everything is
+    linear in positives·k; nothing corpus-sized sorts globally.
+    Output: (user, pos_item, neg_item, slot 1..k).
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError("need k >= 1 and oversample >= 1")
+    from .ordered import rank_cumsum
+
+    pos = positives.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("i")
+    ).distinct()
+    idx = rank_cumsum(
+        catalog.select(F.col(item_col).alias("item")).distinct(),
+        [F.col("item").asc()],
+        rank_col="__r",
+    ).select((F.col("__r") - 1).alias("idx"), "item")
+    n_items = idx.groupBy().agg(F.count(F.lit(1)).alias("n_cat"))
+    m = k * oversample
+    cand = (
+        pos.crossJoin(F.broadcast(n_items))
+        .select(
+            "u",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(m))).alias("j"),
+            "n_cat",
+        )
+        .withColumn(
+            "idx",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(salt),
+                                F.col("u").cast("string"),
+                                F.col("i").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_cat"),
+            ),
+        )
+        .join(idx, "idx")
+    )
+    survivors = cand.join(
+        pos.select(F.col("u"), F.col("i").alias("item")),
+        ["u", "item"],
+        "left_anti",
+    # draws are with-replacement: collapse repeat draws of one item to
+    # their first slot so the k survivors are k DISTINCT negatives
+    ).groupBy("u", "i", "item").agg(F.min("j").alias("j"))
+    w = Window.partitionBy("u", "i").orderBy("j")
+    return (
+        survivors.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= k)
+        .select(
+            F.col("u").alias(user_col),
+            F.col("i").alias("pos_item"),
+            F.col("item").alias("neg_item"),
+            F.col("slot").cast("int").alias("slot"),
+        )
+    )

@@ -3144,3 +3144,74 @@ def jsd_tokens_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("token"),
     )
     return js_divergence(toks, "token", "y")
+
+
+@query(
+    "negative_sample_copurchase",
+    oracle="""
+        WITH pos AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey % 20 = 0
+        ),
+        idx AS (
+            SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS idx,
+                   p_partkey AS item
+            FROM (SELECT DISTINCT p_partkey FROM part)
+        ),
+        ncat AS (SELECT CAST(count(*) AS BIGINT) AS n_cat FROM idx),
+        cand AS (
+            SELECT pos.u, pos.i, j.j,
+                   CAST('0x' || substring(md5('neg-r9:' || CAST(pos.u AS VARCHAR)
+                        || ':' || CAST(pos.i AS VARCHAR)
+                        || ':' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+                        % n_cat AS idx
+            FROM pos
+            CROSS JOIN ncat
+            CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS j) j
+        ),
+        withitem AS (
+            SELECT c.u, c.i, c.j, idx.item
+            FROM cand c JOIN idx ON c.idx = idx.idx
+        ) ,
+        surv AS (
+            SELECT u, i, item, min(j) AS j FROM withitem w
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pos p2 WHERE p2.u = w.u AND p2.i = w.item
+            )
+            GROUP BY u, i, item
+        ),
+        ranked AS (
+            SELECT u, i, item, j,
+                   row_number() OVER (PARTITION BY u, i ORDER BY j) AS slot
+            FROM surv
+        )
+        SELECT u AS o_custkey, i AS pos_item, item AS neg_item,
+               CAST(slot AS INTEGER) AS slot
+        FROM ranked WHERE slot <= 3
+    """,
+    tags=("llm", "training-data", "sampling", "join", "scale-path"),
+    doc="Deterministic uniform negative sampling over the co-purchase "
+    "graph (a 1-in-20 customer slice): 3 hash-drawn non-purchased "
+    "parts per (customer, part) positive — reproducible contrastive "
+    "training pairs with positives anti-joined out of the draws. "
+    "Portable md5 index draws against the rank-indexed part catalog, "
+    "map-side candidate explode, one catalog hash join, one "
+    "anti-join, a ≤9-row per-positive window "
+    "(operators/features.py:negative_sample).",
+)
+def negative_sample_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.features import negative_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    positives = (
+        orders.filter(F.col("o_custkey") % 20 == 0)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey"), F.col("l_partkey"))
+    )
+    return negative_sample(
+        positives, part.select(F.col("p_partkey").alias("l_partkey")),
+        "o_custkey", "l_partkey", k=3, salt="neg-r9",
+    )

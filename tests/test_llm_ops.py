@@ -1357,3 +1357,43 @@ def test_contamination_coverage_grades_severity(spark):
     assert out[2].n_hit == 1 and out[2].n_shingles == 7
     assert out[2].coverage == 1 / 7
     assert 3 not in out
+
+
+def test_negative_sample_deterministic_and_clean(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.features import negative_sample
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "u long, it long"
+    )
+    cat = spark.createDataFrame([(i,) for i in range(10, 20)], "it long")
+    out = negative_sample(pos, cat, "u", "it", k=3, salt="t").collect()
+    rows = {(r.u, r.pos_item, r.slot): r.neg_item for r in out}
+
+    # no positive ever appears as its user's negative
+    for r in out:
+        if r.u == 1:
+            assert r.neg_item not in (10, 11)
+        else:
+            assert r.neg_item != 10
+    # slots are 1..k dense per positive
+    for (u, i) in [(1, 10), (1, 11), (2, 10)]:
+        slots = sorted(s for (uu, ii, s) in rows if uu == u and ii == i)
+        assert slots == [1, 2, 3]
+    # determinism: second run is identical
+    again = negative_sample(pos, cat, "u", "it", k=3, salt="t").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different salt -> different draw somewhere
+    other = negative_sample(pos, cat, "u", "it", k=3, salt="u").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+    # a user holding almost the whole catalog yields < k but never a positive
+    tiny_cat = spark.createDataFrame([(10,), (11,), (12,)], "it long")
+    hog = spark.createDataFrame([(1, 10), (1, 11)], "u long, it long")
+    ho = negative_sample(hog, tiny_cat, "u", "it", k=3, salt="t", oversample=10).collect()
+    assert all(r.neg_item == 12 for r in ho)
+    assert max(r.slot for r in ho) == 1
+
+    with pytest.raises(ValueError):
+        negative_sample(pos, cat, "u", "it", k=0, salt="t")
