@@ -1890,3 +1890,98 @@ def eb_shrunken_rates(
         "eb_alpha",
         "eb_beta",
     )
+
+
+# Poisson(1) CDF thresholds in micro-units: a hash-uniform u in
+# [0, 1e6) maps to the bootstrap weight w = #{thresholds <= u}. Tail
+# truncated at 6 (P > 6 is 8e-5 — irrelevant to percentile CIs and
+# keeps the CASE ladder fixed).
+_POISSON1_MICRO = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def poisson_weight_sql(u_expr: str) -> str:
+    """Render the Poisson(1) inverse-CDF CASE ladder over a micro-unit
+    uniform expression — shared verbatim by the Spark plan and the
+    DuckDB oracle (the pnpoly_sql pattern)."""
+    arms = " ".join(
+        f"WHEN ({u_expr}) < {t} THEN {w}"
+        for w, t in enumerate(_POISSON1_MICRO)
+    )
+    return f"(CASE {arms} ELSE {len(_POISSON1_MICRO)} END)"
+
+
+def bootstrap_u_sql(salt: str, b: int, key_expr: str, dialect: str = "spark") -> str:
+    """Portable per-(row, resample) micro-uniform: first 8 md5 hex
+    chars of ``salt:b:key`` as a u32, mod 1e6 — the split_assign hash
+    family, rendered per dialect (Spark's ANSI cast rejects '0x…'
+    strings, so it hex-decodes via ``conv``; DuckDB via the '0x'
+    cast). Both yield the same u32, so both engines draw identical
+    weights."""
+    if dialect == "spark":
+        return (
+            f"(CAST(conv(substring(md5(CONCAT('{salt}:{b}:', "
+            f"CAST({key_expr} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % 1000000)"
+        )
+    if dialect == "duckdb":
+        return (
+            f"(CAST('0x' || substring(md5('{salt}:{b}:' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 8) AS BIGINT) % 1000000)"
+        )
+    raise ValueError(f"unknown dialect: {dialect!r}")
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    salt: str,
+    n_resamples: int = 64,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for a mean via the
+    POISSON bootstrap (Chamandy et al., the streaming/distributed
+    bootstrap): classical resampling needs n draws WITH global
+    coordination; Poisson(1) weights per (row, resample) are
+    independent, so all ``n_resamples`` resampled sums accumulate in
+    ONE partial-aggregable pass — the only shape that survives 100 TB.
+
+    Weights are portable hash draws (md5 inverse-CDF ladder), not RNG:
+    every engine/run/partitioning produces identical resamples, which
+    is what makes the CI oracle-checkable at all. Values must be exact
+    integer units; per-resample (Σwx, Σw) are exact DECIMAL/BIGINT
+    sums, resample means are one division each, and the 2.5%/97.5%
+    percentile indices are fixed integers over the sorted B-vector
+    (in-row sort of ``n_resamples`` doubles). Output: one row —
+    n, mean, ci_lo, ci_hi, n_resamples.
+    """
+    if n_resamples < 4:
+        raise ValueError("n_resamples must be >= 4")
+    wexprs = []
+    for b in range(n_resamples):
+        u = bootstrap_u_sql(salt, b, key_col)
+        w = poisson_weight_sql(u)
+        wexprs.append(f"CAST({w} AS BIGINT) AS __w{b}")
+    staged = df.selectExpr(
+        f"CAST({value_col} AS BIGINT) AS __x", key_col, *wexprs
+    )
+    aggs = ["COUNT(1) AS n", "SUM(__x) AS sx"]
+    for b in range(n_resamples):
+        aggs.append(f"SUM(CAST(__w{b} AS DECIMAL(38,0)) * __x) AS swx{b}")
+        aggs.append(f"SUM(__w{b}) AS sw{b}")
+    one = staged.selectExpr(*aggs)
+    means = ", ".join(
+        f"CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE)"
+        for b in range(n_resamples)
+    )
+    import math
+
+    # nearest-rank percentile indices over the sorted B-vector, 1-based
+    lo_i = math.floor(0.025 * (n_resamples - 1)) + 1
+    hi_i = math.ceil(0.975 * (n_resamples - 1)) + 1
+    return one.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean",
+        f"ROUND(element_at(array_sort(array({means})), {lo_i}), 6) AS ci_lo",
+        f"ROUND(element_at(array_sort(array({means})), {hi_i}), 6) AS ci_hi",
+        f"CAST({n_resamples} AS INT) AS n_resamples",
+    )

@@ -5042,3 +5042,69 @@ def eb_return_rates_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
     )
     return eb_shrunken_rates(per_part, "key", "n", "k", min_trials_fit=5)
+
+
+def _bootstrap_oracle(n_resamples: int = 64, salt: str = "boot-r9") -> str:
+    """Generated Poisson-bootstrap oracle: the weight ladder comes from
+    the SAME generators as the Spark plan (dialect-split only on the
+    hex decode); percentile extraction uses DuckDB list_sort/brackets
+    in place of Spark array_sort/element_at (same sorted vector)."""
+    import math
+
+    from ..operators.stats import bootstrap_u_sql, poisson_weight_sql
+
+    def w(b):
+        return poisson_weight_sql(bootstrap_u_sql(salt, b, "event_id", "duckdb"))
+
+    cols = ",\n               ".join(
+        f"CAST(SUM(CAST({w(b)} AS HUGEINT) * x) AS HUGEINT) AS swx{b},"
+        f" CAST(SUM({w(b)}) AS BIGINT) AS sw{b}"
+        for b in range(n_resamples)
+    )
+    means = ", ".join(
+        f"CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE)"
+        for b in range(n_resamples)
+    )
+    lo_i = math.floor(0.025 * (n_resamples - 1)) + 1
+    hi_i = math.ceil(0.975 * (n_resamples - 1)) + 1
+    return f"""
+        WITH d AS (
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase'
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               {cols}
+            FROM d
+        )
+        SELECT n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+               round((list_sort([{means}]))[{lo_i}], 6) AS ci_lo,
+               round((list_sort([{means}]))[{hi_i}], 6) AS ci_hi,
+               CAST({n_resamples} AS INTEGER) AS n_resamples
+        FROM agg
+    """
+
+
+@query(
+    "bootstrap_ci_purchase_value",
+    oracle=_bootstrap_oracle(),
+    tags=("analytics", "stats", "agg", "scale-path"),
+    doc="95% percentile-bootstrap CI for the mean purchase value via "
+    "the POISSON bootstrap (Chamandy et al.): 64 hash-weighted "
+    "resamples accumulate in ONE partial-aggregable pass — the "
+    "distributed bootstrap, no per-resample shuffles, no RNG "
+    "(md5 inverse-CDF weight ladder shared with the oracle). "
+    "Per-resample sums are exact DECIMAL/BIGINT; the CI is two fixed "
+    "nearest-rank picks from the in-row sorted 64-vector "
+    "(operators/stats.py:poisson_bootstrap_mean).",
+)
+def bootstrap_ci_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import poisson_bootstrap_mean
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return poisson_bootstrap_mean(
+        purchases, "event_id", "cents", salt="boot-r9", n_resamples=64
+    )

@@ -2080,3 +2080,38 @@ def test_eb_shrunken_rates_pull_to_prior(spark):
     so = {r.key: r for r in eb_shrunken_rates(same, "key", "n", "k", 5).collect()}
     assert so[1].eb_alpha is None and so[1].shrunken == so[1].rate == 0.5
     assert so[3].shrunken == 1.0
+
+
+def test_poisson_bootstrap_ci(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.stats import (
+        poisson_bootstrap_mean,
+        poisson_weight_sql,
+        bootstrap_u_sql,
+    )
+
+    rows = [(i, 1000 + (i * 37) % 200) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, cents long")
+    r = poisson_bootstrap_mean(df, "id", "cents", salt="t").collect()[0]
+    true_mean = sum(v for _, v in rows) / len(rows)
+    assert r.n == 500 and abs(r.mean - round(true_mean, 6)) < 1e-9
+    # a 95% CI on a well-behaved mean straddles it, tightly at n=500
+    assert r.ci_lo < true_mean < r.ci_hi
+    assert r.ci_hi - r.ci_lo < 30  # sd ~58 -> se ~2.6 -> CI width ~10
+    # deterministic across runs
+    assert poisson_bootstrap_mean(df, "id", "cents", salt="t").collect()[0] == r
+    # different salt moves the CI endpoints but not the mean
+    r2 = poisson_bootstrap_mean(df, "id", "cents", salt="u").collect()[0]
+    assert r2.mean == r.mean and (r2.ci_lo, r2.ci_hi) != (r.ci_lo, r.ci_hi)
+
+    # the weight ladder draws mean ~1 over many hashes
+    w = spark.range(20000).selectExpr(
+        f"{poisson_weight_sql(bootstrap_u_sql('t', 0, 'id'))} AS w"
+    ).groupBy().avg("w").collect()[0][0]
+    assert abs(w - 1.0) < 0.03
+
+    with pytest.raises(ValueError):
+        poisson_bootstrap_mean(df, "id", "cents", salt="t", n_resamples=2)
+    with pytest.raises(ValueError):
+        bootstrap_u_sql("t", 0, "id", dialect="mysql")
