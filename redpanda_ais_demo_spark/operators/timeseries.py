@@ -1506,3 +1506,192 @@ def cohort_ltv_curve(
             ),
         )
     )
+
+
+REMOVAL_SCALE = 1_000_000  # micro-probability units for the chain math
+
+
+def _journey_edges(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    conv_state: str,
+) -> DataFrame:
+    """Per-key journey edge list for Markov attribution: the ordered
+    touch sequence up to (exclusive) the FIRST ``conv_state`` event,
+    framed by a start→first edge and a last→conv/null edge. A key
+    whose very first event converts contributes the single edge
+    start→conv."""
+    us = F.unix_micros(F.col(ts_col))
+    staged = df.select(
+        F.col(key_col).alias("k"),
+        us.alias("us"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(state_col).alias("state"),
+    ).withColumn(
+        "conv_us",
+        F.min(F.when(F.col("state") == conv_state, F.col("us"))).over(
+            Window.partitionBy("k")
+        ),
+    )
+    touches = staged.filter(
+        F.col("conv_us").isNull() | (F.col("us") < F.col("conv_us"))
+    )
+    wj = Window.partitionBy("k").orderBy("us", "tb")
+    j = touches.select(
+        "k",
+        "state",
+        F.col("conv_us").isNotNull().alias("will_convert"),
+        F.row_number().over(wj).alias("rn"),
+        F.lead("state").over(wj).alias("next_state"),
+    )
+    inner = j.select(
+        F.col("state").alias("src"),
+        F.coalesce(
+            "next_state",
+            F.when(F.col("will_convert"), F.lit("conv")).otherwise(
+                F.lit("null")
+            ),
+        ).alias("dst"),
+    )
+    starts = j.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("state").alias("dst")
+    )
+    # keys whose journey has zero touches (first event converts)
+    empty = (
+        staged.groupBy("k")
+        .agg(
+            F.min("us").alias("t0"),
+            F.min("conv_us").alias("cu"),
+        )
+        .filter(F.col("cu").isNotNull() & (F.col("cu") <= F.col("t0")))
+        .select(F.lit("start").alias("src"), F.lit("conv").alias("dst"))
+    )
+    return inner.unionAll(starts).unionAll(empty)
+
+
+def _absorb_conv_micro(counts: dict, remove: str | None, k_doublings: int) -> tuple:
+    """Exact-integer absorption probability of 'conv' from 'start' for
+    the (optionally channel-removed) chain, via the matrix-doubling
+    geometric series S = I + Q + … + Q^(2^k − 1) in micro units with
+    per-term floor division — the recurrence the SQL oracle unrolls.
+    Returns (p_conv_micro, states)."""
+    S = REMOVAL_SCALE
+    # removal: in-edges redirect to null, the removed row drops
+    c: dict = {}
+    for (u, v), n in counts.items():
+        if remove is not None:
+            if u == remove:
+                continue
+            if v == remove:
+                v = "null"
+        c[(u, v)] = c.get((u, v), 0) + n
+    out = {}
+    for (u, _), n in c.items():
+        out[u] = out.get(u, 0) + n
+    transient = sorted(out)  # absorbing states never appear as src
+    pm = {
+        (u, v): (n * S) // out[u] for (u, v), n in c.items()
+    }
+    q = {
+        (u, v): p for (u, v), p in pm.items() if v in out
+    }
+    r_conv = {u: pm.get((u, "conv"), 0) for u in transient}
+
+    def matmul(a: dict, b: dict) -> dict:
+        res: dict = {}
+        for (i, u), av in a.items():
+            for j in transient:
+                bv = b.get((u, j), 0)
+                if bv:
+                    res[(i, j)] = res.get((i, j), 0) + (av * bv) // S
+        return {k: v for k, v in res.items() if v}
+
+    def matadd(a: dict, b: dict) -> dict:
+        res = dict(a)
+        for k, v in b.items():
+            res[k] = res.get(k, 0) + v
+        return res
+
+    s_mat = {(u, u): S for u in transient}  # I
+    p_mat = dict(q)
+    for _ in range(k_doublings):
+        s_mat = matadd(s_mat, matmul(s_mat, p_mat))
+        p_mat = matmul(p_mat, p_mat)
+    p_conv = sum(
+        (s_mat.get(("start", u), 0) * r_conv.get(u, 0)) // S
+        for u in transient
+    )
+    return p_conv, transient
+
+
+def removal_effect_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    conv_state: str,
+    tiebreak_col: str,
+    k_doublings: int = 6,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    model-based multi-touch credit next to the positional heuristics
+    (``last_touch_attribution`` / ``linear_attribution``): fit a
+    first-order chain over journeys start→touches→conv/null, and
+    credit channel c by how much conversion probability DISAPPEARS
+    when c is removed (in-edges redirected to null):
+    RE_c = 1 − P_removed(conv)/P(conv), shares normalized over
+    channels.
+
+    Scale split: journey construction and transition counting are
+    fully distributed (two per-key windows + one partial-aggregable
+    groupBy); the transition matrix itself lives on the BOUNDED state
+    alphabet (|event types| + start/conv/null), so it collapses to
+    ≤ (k+3)² integer rows — a bounded-domain driver table (the
+    audience_overlap / IVF-init escape hatch), on which absorption
+    probabilities are computed EXACTLY in integer micro-units via the
+    matrix-doubling series I + Q + … + Q^(2^k − 1) (covers path
+    lengths < 2^k; identical truncation replayed by the SQL oracle).
+    Output: one row per channel — p_conv, p_conv_removed,
+    removal_effect, attribution share.
+    """
+    edges = _journey_edges(
+        df, key_col, ts_col, state_col, tiebreak_col, conv_state
+    )
+    rows = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")).collect()
+    counts = {(r.src, r.dst): r.n for r in rows}
+    if not counts:
+        raise ValueError("no journeys found")
+    channels = sorted(
+        ({u for (u, _) in counts} | {v for (_, v) in counts})
+        - {"start", "conv", "null"}
+    )
+    base_p, _ = _absorb_conv_micro(counts, None, k_doublings)
+    S = REMOVAL_SCALE
+    out = []
+    total_re = 0
+    res = []
+    for ch in channels:
+        rem_p, _ = _absorb_conv_micro(counts, ch, k_doublings)
+        re = max(0, S - (rem_p * S) // base_p) if base_p > 0 else 0
+        res.append((ch, rem_p, re))
+        total_re += re
+    for ch, rem_p, re in res:
+        share = (re * S) // total_re if total_re > 0 else 0
+        out.append(
+            (
+                ch,
+                round(base_p / S, 6),
+                round(rem_p / S, 6),
+                round(re / S, 6),
+                round(share / S, 6),
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv double, p_conv_removed double, "
+        "removal_effect double, share double",
+    )

@@ -5108,3 +5108,148 @@ def bootstrap_ci_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean(
         purchases, "event_id", "cents", salt="boot-r9", n_resamples=64
     )
+
+
+def _removal_oracle(channels: tuple = ("click", "error", "signup", "view"),
+                    k_doublings: int = 6) -> str:
+    """Generated removal-effect oracle: journeys + transition counts in
+    windowed SQL, then per chain (base + one per removed channel) the
+    EXACT integer matrix-doubling series S = I + Q + … + Q^(2^k − 1)
+    as join-based matmuls over (i, j, v) micro-unit tables — the same
+    per-term floor division the operator's driver-side math uses.
+    Every CTE is MATERIALIZED (the HITS lesson)."""
+    head = """
+        WITH staged AS (
+            SELECT user_id AS k, epoch_us(ts) AS us, event_id AS tb,
+                   event_type AS state,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id) AS conv_us
+            FROM events
+        ),
+        touches AS (SELECT * FROM staged WHERE conv_us IS NULL OR us < conv_us),
+        j AS (
+            SELECT k, state, conv_us IS NOT NULL AS will_convert,
+                   row_number() OVER w AS rn, lead(state) OVER w AS next_state
+            FROM touches WINDOW w AS (PARTITION BY k ORDER BY us, tb)
+        ),
+        inner_e AS (
+            SELECT state AS src,
+                   coalesce(next_state,
+                            CASE WHEN will_convert THEN 'conv' ELSE 'null' END) AS dst
+            FROM j
+        ),
+        starts AS (SELECT 'start' AS src, state AS dst FROM j WHERE rn = 1),
+        empty_j AS (
+            SELECT 'start' AS src, 'conv' AS dst FROM (
+                SELECT k, min(us) AS t0, min(conv_us) AS cu
+                FROM staged GROUP BY k
+            ) WHERE cu IS NOT NULL AND cu <= t0
+        ),
+        edges AS MATERIALIZED (
+            SELECT * FROM inner_e UNION ALL SELECT * FROM starts
+            UNION ALL SELECT * FROM empty_j
+        ),
+        counts_base AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM edges GROUP BY src, dst
+        )"""
+    parts = [head]
+    chains = [("base", None)] + [(c, c) for c in channels]
+    for name, rem in chains:
+        if rem is None:
+            cdef = "SELECT src, dst, n FROM counts_base"
+        else:
+            cdef = f"""SELECT src,
+                       CASE WHEN dst = '{rem}' THEN 'null' ELSE dst END AS dst,
+                       CAST(SUM(n) AS BIGINT) AS n
+                FROM counts_base WHERE src <> '{rem}' GROUP BY 1, 2"""
+        parts.append(f""",
+        c_{name} AS MATERIALIZED ({cdef}),
+        pm_{name} AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST((n * 1000000) // SUM(n) OVER (PARTITION BY src) AS BIGINT) AS v
+            FROM c_{name}
+        ),
+        q_{name} AS MATERIALIZED (
+            SELECT src AS i, dst AS j, v FROM pm_{name}
+            WHERE dst IN (SELECT DISTINCT src FROM c_{name})
+        ),
+        r_{name} AS MATERIALIZED (
+            SELECT src, v FROM pm_{name} WHERE dst = 'conv'
+        ),
+        s0_{name} AS MATERIALIZED (
+            SELECT src AS i, src AS j, CAST(1000000 AS BIGINT) AS v
+            FROM (SELECT DISTINCT src FROM c_{name})
+        ),
+        p0_{name} AS MATERIALIZED (SELECT * FROM q_{name})""")
+        for k in range(k_doublings):
+            parts.append(f""",
+        s{k + 1}_{name} AS MATERIALIZED (
+            SELECT i, j, CAST(SUM(v) AS BIGINT) AS v FROM (
+                SELECT * FROM s{k}_{name}
+                UNION ALL
+                SELECT a.i, b.j, CAST(SUM(a.v * b.v // 1000000) AS BIGINT) AS v
+                FROM s{k}_{name} a JOIN p{k}_{name} b ON a.j = b.i
+                GROUP BY a.i, b.j
+            ) GROUP BY i, j
+        ),
+        p{k + 1}_{name} AS MATERIALIZED (
+            SELECT a.i, b.j, CAST(SUM(a.v * b.v // 1000000) AS BIGINT) AS v
+            FROM p{k}_{name} a JOIN p{k}_{name} b ON a.j = b.i
+            GROUP BY a.i, b.j
+        )""")
+        parts.append(f""",
+        pconv_{name} AS MATERIALIZED (
+            SELECT coalesce(CAST(SUM(s.v * r.v // 1000000) AS BIGINT), 0) AS v
+            FROM s{k_doublings}_{name} s JOIN r_{name} r ON s.j = r.src
+            WHERE s.i = 'start'
+        )""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT '{c}' AS channel, (SELECT v FROM pconv_base) AS pc,"
+        f" (SELECT v FROM pconv_{c}) AS pr"
+        for c in channels
+    )
+    parts.append(f""",
+        res AS MATERIALIZED (
+            {union}
+        ),
+        re AS MATERIALIZED (
+            SELECT channel, pc, pr,
+                   CASE WHEN pc > 0
+                        THEN greatest(0, 1000000 - (pr * 1000000) // pc)
+                        ELSE 0 END AS re
+            FROM res
+        ),
+        tot AS (SELECT CAST(SUM(re) AS BIGINT) AS t FROM re)
+        SELECT channel,
+               round(CAST(pc AS DOUBLE) / 1000000, 6) AS p_conv,
+               round(CAST(pr AS DOUBLE) / 1000000, 6) AS p_conv_removed,
+               round(CAST(re AS DOUBLE) / 1000000, 6) AS removal_effect,
+               round(CAST(CASE WHEN t > 0 THEN (re * 1000000) // t
+                                ELSE 0 END AS DOUBLE) / 1000000, 6) AS share
+        FROM re CROSS JOIN tot""")
+    return "".join(parts)
+
+
+@query(
+    "attribution_removal_effect",
+    oracle=_removal_oracle(),
+    tags=("analytics", "attribution", "window", "statistics"),
+    doc="Markov removal-effect multi-touch attribution (Anderl et al. "
+    "2014) over user journeys to first purchase — the model-based "
+    "credit completing the attribution family next to last-touch and "
+    "linear: channel credit = how much conversion probability "
+    "disappears when the channel's in-edges redirect to null. Journey "
+    "edges and transition counts are fully distributed; the chain "
+    "math runs on the BOUNDED (event-types + start/conv/null) "
+    "alphabet in exact integer micro-units via matrix-doubling "
+    "(path lengths < 64), replayed term-for-term by the generated "
+    "SQL oracle (operators/timeseries.py:removal_effect_attribution).",
+)
+def attribution_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import removal_effect_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return removal_effect_attribution(
+        events, "user_id", "ts", "event_type", "purchase", "event_id"
+    )

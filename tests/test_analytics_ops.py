@@ -2115,3 +2115,54 @@ def test_poisson_bootstrap_ci(spark):
         poisson_bootstrap_mean(df, "id", "cents", salt="t", n_resamples=2)
     with pytest.raises(ValueError):
         bootstrap_u_sql("t", 0, "id", dialect="mysql")
+
+
+def test_removal_effect_attribution_hand_chain(spark):
+    from datetime import datetime
+
+    from redpanda_ais_demo_spark.operators.timeseries import (
+        removal_effect_attribution,
+    )
+
+    def ev(i, u, m, t):
+        return (i, u, datetime(2024, 1, 1, 0, m), t)
+
+    rows = [
+        ev(1, 1, 1, "A"), ev(2, 1, 2, "B"), ev(3, 1, 3, "purchase"),
+        ev(4, 2, 1, "A"),
+        ev(5, 3, 1, "B"), ev(6, 3, 2, "purchase"),
+        ev(7, 4, 1, "A"), ev(8, 4, 2, "B"), ev(9, 4, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, state string"
+    )
+    out = {
+        r.channel: r
+        for r in removal_effect_attribution(
+            df, "user_id", "ts", "state", "purchase", "event_id"
+        ).collect()
+    }
+    # hand model: P(conv)=3/4; removing A -> 1/4 (RE 2/3); removing B -> 0 (RE 1)
+    assert set(out) == {"A", "B"}
+    assert abs(out["A"].p_conv - 0.75) < 1e-5
+    assert abs(out["A"].p_conv_removed - 0.25) < 1e-5
+    assert abs(out["A"].removal_effect - 2 / 3) < 1e-5
+    assert abs(out["B"].removal_effect - 1.0) < 1e-6
+    assert abs(out["A"].share - 0.4) < 1e-5
+    assert abs(out["B"].share - 0.6) < 1e-5
+
+    # user whose first event converts: start->conv direct mass
+    rows2 = rows + [ev(10, 5, 1, "purchase")]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, user_id long, ts timestamp, state string"
+    )
+    o2 = {
+        r.channel: r
+        for r in removal_effect_attribution(
+            df2, "user_id", "ts", "state", "purchase", "event_id"
+        ).collect()
+    }
+    # now P(conv) = 4/5 of start mass... 1/5 direct + 3/5*... > previous? both
+    # removal effects shrink because the direct path survives any removal
+    assert o2["B"].removal_effect < 1.0
+    assert o2["A"].p_conv > 0.75
