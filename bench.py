@@ -297,6 +297,11 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "cmh_purchase_by_daypart",
     "theil_revenue_by_nation",
     "jsd_tokens_en_vs_rest",
+    "ap_length_vs_en",
+    "eb_return_rates_by_part",
+    "negative_sample_copurchase",
+    "bootstrap_ci_purchase_value",
+    "attribution_removal_effect",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
