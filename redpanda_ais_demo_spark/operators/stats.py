@@ -1985,3 +1985,89 @@ def poisson_bootstrap_mean(
         f"ROUND(element_at(array_sort(array({means})), {hi_i}), 6) AS ci_hi",
         f"CAST({n_resamples} AS INT) AS n_resamples",
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    p_micro_col: str,
+    label_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a score
+    against binary outcomes — what you RUN after
+    ``calibration_report`` says the score can't be read as a
+    probability: the bucketed isotonic fit is the classic
+    post-hoc calibrator (Zadrozny & Elkan). PAVA is a sequential
+    pool-adjacent-violators sweep, which does not distribute — but its
+    solution has the closed minimax form
+    fit_i = max_{j<=i} min_{k>=j} wavg(y, buckets j..k),
+    which is pure relational algebra over the BOUNDED bucket table:
+    a (j, k) range self-join on B rows, prefix-sum window averages,
+    then a suffix-min and a prefix-max window. B² intermediate rows
+    for B buckets — nothing data-sized past the first aggregation.
+
+    Exactness: range averages are single floor divisions of exact
+    BIGINT prefix sums into micro-units; min/max over integers.
+    Output: one row per non-empty bucket — bucket, n, mean_pred,
+    frac_pos, iso_fit (monotone across buckets), all 6 dp.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    base = df.select(
+        F.least(
+            F.expr(f"({p_micro_col} * {n_buckets}) div 1000000"),
+            F.lit(n_buckets - 1),
+        ).cast("int").alias("bucket"),
+        F.col(p_micro_col).cast("long").alias("p"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    per = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "bucket",
+        "n",
+        "sp",
+        "sy",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("sy").over(wcum).alias("cy"),
+    )
+    lo = cum.select(
+        F.col("bucket").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cy") - F.col("sy")).alias("cy_lo"),
+    )
+    hi = cum.select(
+        F.col("bucket").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cy").alias("cy_hi"),
+    )
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        F.expr(
+            "((cy_hi - cy_lo) * 1000000) div (cn_hi - cn_lo)"
+        ).alias("wavg_micro"),
+    )
+    # suffix min over k >= j, per j — then the fit joins buckets i >= j
+    suff = pairs.groupBy("j").agg(F.min("wavg_micro").alias("mink"))
+    fit = (
+        per.select("bucket")
+        .join(suff, F.col("j") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.max("mink").alias("fit_micro"))
+    )
+    nb = F.col("n").cast("double")
+    return (
+        per.join(fit, "bucket")
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sp").cast("double") / (1e6 * nb), 6).alias("mean_pred"),
+            F.round(F.col("sy").cast("double") / nb, 6).alias("frac_pos"),
+            F.round(F.col("fit_micro").cast("double") / 1e6, 6).alias("iso_fit"),
+        )
+    )

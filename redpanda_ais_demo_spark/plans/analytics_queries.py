@@ -5253,3 +5253,62 @@ def attribution_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return removal_effect_attribution(
         events, "user_id", "ts", "event_type", "purchase", "event_id"
     )
+
+
+@query(
+    "isotonic_length_vs_en",
+    oracle="""
+        WITH d AS (
+            SELECT least(n_chars * 2000, 1000000) AS p,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        b AS (SELECT least((p * 20) // 1000000, 19) AS bucket, p, y FROM d),
+        per AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(p) AS BIGINT) AS sp, CAST(SUM(y) AS BIGINT) AS sy
+            FROM b GROUP BY bucket
+        ),
+        cum AS (
+            SELECT *, CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                   CAST(SUM(sy) OVER w AS BIGINT) AS cy
+            FROM per
+            WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        lo AS (SELECT bucket AS j, cn - n AS cn_lo, cy - sy AS cy_lo FROM cum),
+        hi AS (SELECT bucket AS k, cn AS cn_hi, cy AS cy_hi FROM cum),
+        pairs AS (
+            SELECT j, k,
+                   ((cy_hi - cy_lo) * 1000000) // (cn_hi - cn_lo) AS wavg
+            FROM lo JOIN hi ON j <= k
+        ),
+        suff AS (SELECT j, CAST(min(wavg) AS BIGINT) AS mink FROM pairs GROUP BY j),
+        fit AS (
+            SELECT per.bucket, CAST(max(mink) AS BIGINT) AS fit_micro
+            FROM per JOIN suff ON suff.j <= per.bucket GROUP BY per.bucket
+        )
+        SELECT CAST(per.bucket AS INTEGER) AS bucket, per.n,
+               round(CAST(sp AS DOUBLE) / (1e6 * CAST(per.n AS DOUBLE)), 6) AS mean_pred,
+               round(CAST(sy AS DOUBLE) / CAST(per.n AS DOUBLE), 6) AS frac_pos,
+               round(CAST(fit_micro AS DOUBLE) / 1e6, 6) AS iso_fit
+        FROM per JOIN fit ON per.bucket = fit.bucket
+    """,
+    tags=("analytics", "stats", "eval", "window"),
+    doc="Isotonic calibration of the capped-length pseudo-probability "
+    "against lang='en' — the monotone recalibrator you FIT after "
+    "calibration_length_vs_en exposes the raw score's gap. PAVA's "
+    "sequential sweep re-expressed as its exact minimax closed form "
+    "(max-of-prefix of min-of-suffix of range averages) — pure "
+    "relational algebra over the bounded 20-bucket table: one "
+    "partial-agg groupBy, a B² range self-join, two tiny windows "
+    "(operators/stats.py:isotonic_calibration).",
+)
+def isotonic_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import isotonic_calibration
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.least(F.col("n_chars") * 2000, F.lit(1000000)).alias("p_micro"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return isotonic_calibration(scored, "p_micro", "y", n_buckets=20)

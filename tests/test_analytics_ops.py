@@ -2166,3 +2166,46 @@ def test_removal_effect_attribution_hand_chain(spark):
     # removal effects shrink because the direct path survives any removal
     assert o2["B"].removal_effect < 1.0
     assert o2["A"].p_conv > 0.75
+
+
+def test_isotonic_calibration_matches_pava(spark):
+    from fractions import Fraction
+
+    from redpanda_ais_demo_spark.operators.stats import isotonic_calibration
+
+    # bucket means deliberately NON-monotone: .8 then .2 then .6
+    rows = (
+        [(50000, 1)] * 8 + [(50000, 0)] * 2        # bucket 1: 80% pos
+        + [(150000, 1)] * 2 + [(150000, 0)] * 8    # bucket 3: 20% pos
+        + [(250000, 1)] * 6 + [(250000, 0)] * 4    # bucket 5: 60% pos
+        + [(950000, 1)] * 9 + [(950000, 0)] * 1    # bucket 19: 90% pos
+    )
+    df = spark.createDataFrame(rows, "p_micro long, y long")
+    out = {r.bucket: r for r in isotonic_calibration(df, "p_micro", "y").collect()}
+    assert sorted(out) == [1, 3, 5, 19]
+
+    # PAVA reference on the non-empty buckets
+    blocks = [[Fraction(8, 10), 10], [Fraction(2, 10), 10],
+              [Fraction(6, 10), 10], [Fraction(9, 10), 10]]
+    merged = []
+    for mean, w in blocks:
+        merged.append([mean, w])
+        while len(merged) > 1 and merged[-2][0] >= merged[-1][0]:
+            m2, w2 = merged.pop()
+            m1, w1 = merged.pop()
+            merged.append([(m1 * w1 + m2 * w2) / (w1 + w2), w1 + w2])
+    fits = []
+    for mean, w in merged:
+        fits += [float(mean)] * (w // 10)
+    for b, exp in zip([1, 3, 5, 19], fits):
+        assert abs(out[b].iso_fit - exp) < 2e-6, (b, out[b].iso_fit, exp)
+    # monotone across buckets
+    seq = [out[b].iso_fit for b in sorted(out)]
+    assert seq == sorted(seq)
+    # raw means preserved in the report
+    assert out[1].frac_pos == 0.8 and out[19].frac_pos == 0.9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        isotonic_calibration(df, "p_micro", "y", n_buckets=1)
