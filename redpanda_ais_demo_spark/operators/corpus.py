@@ -1198,3 +1198,78 @@ def js_divergence(
         # ln 2 as a literal so both engines divide by the same double
         F.round(F.when(ok, jsd / 0.6931471805599453), 6).alias("jsd_bits"),
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    key_col: str,
+    total_n: int,
+    salt: str,
+) -> DataFrame:
+    """Neyman-allocation stratified sampling — the survey-statistics
+    upgrade of proportional stratified sampling: a fixed budget of
+    ``total_n`` rows is allocated to strata ∝ N_h·S_h (size × spread),
+    so high-variance strata get the samples that actually reduce the
+    estimator's variance. The right shape for building eval/inspection
+    samples from a skewed corpus.
+
+    Allocation: per-stratum (N_h, S_h) from one exact-integer pass
+    (value in integer units; Σx, Σx² exact; S_h is one fixed double
+    chain micro-quantized to a BIGINT weight), n_h = floor(total_n ·
+    w_h / Σw) capped at N_h — deterministic, allocated ≤ total_n (the
+    floor shortfall is the documented trade for exactness). Selection
+    within a stratum is md5-hash order (salt:key), not RNG — stable
+    across runs, engines, partitionings. Plan: one partial-agg pass,
+    a broadcast of the tiny allocation table, one per-stratum window.
+    Output: sampled rows (stratum, key, value) + the stratum's target.
+    """
+    if total_n < 1:
+        raise ValueError("total_n must be positive")
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    stats = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nh = F.col("nh")
+    var = F.when(
+        nh >= 2,
+        (
+            nh.cast("decimal(38,0)") * F.col("sxx")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        ).cast("double")
+        / (nh * (nh - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    w = stats.select(
+        "stratum",
+        "nh",
+        F.round(nh.cast("double") * F.sqrt(var) * 1e6).cast("long").alias("wm"),
+    )
+    tot = w.agg(F.sum("wm").alias("wt"))
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.least(
+                F.when(
+                    F.col("wt") > 0,
+                    F.expr(f"({total_n} * wm) div wt"),
+                ).otherwise(F.lit(0)),
+                F.col("nh"),
+            ).cast("long").alias("n_target"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col("key").cast("string")))
+    wsel = Window.partitionBy("stratum").orderBy(h, F.col("key"))
+    return (
+        base.join(F.broadcast(alloc), "stratum")
+        .withColumn("__rn", F.row_number().over(wsel))
+        .filter(F.col("__rn") <= F.col("n_target"))
+        .select("stratum", "key", F.col("v").alias(value_col), "n_target")
+    )

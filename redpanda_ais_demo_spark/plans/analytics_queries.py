@@ -5312,3 +5312,65 @@ def isotonic_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
     )
     return isotonic_calibration(scored, "p_micro", "y", n_buckets=20)
+
+
+@query(
+    "neyman_sample_events",
+    oracle="""
+        WITH base AS (
+            SELECT event_type AS stratum, event_id AS key,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+        ),
+        stats AS (
+            SELECT stratum, CAST(count(*) AS BIGINT) AS nh,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+            FROM base GROUP BY stratum
+        ),
+        w AS (
+            SELECT stratum, nh,
+                   CAST(round(CAST(nh AS DOUBLE) * sqrt(
+                       CASE WHEN nh >= 2 THEN
+                           CAST(CAST(nh AS HUGEINT) * sxx
+                                - CAST(s AS HUGEINT) * s AS DOUBLE)
+                               / CAST(nh * (nh - 1) AS DOUBLE)
+                       ELSE 0 END) * 1e6) AS BIGINT) AS wm
+            FROM stats
+        ),
+        tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS wt FROM w),
+        alloc AS (
+            SELECT stratum,
+                   least(CASE WHEN wt > 0 THEN (1000 * wm) // wt ELSE 0 END,
+                         nh) AS n_target
+            FROM w CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT b.stratum, b.key, b.v, a.n_target,
+                   row_number() OVER (PARTITION BY b.stratum
+                       ORDER BY md5('ney-r9:' || CAST(b.key AS VARCHAR)), b.key)
+                       AS rn
+            FROM base b JOIN alloc a ON b.stratum = a.stratum
+        )
+        SELECT stratum, key, v AS cents, CAST(n_target AS BIGINT) AS n_target
+        FROM ranked WHERE rn <= n_target
+    """,
+    tags=("analytics", "sampling", "agg", "scale-path"),
+    doc="Neyman-allocation stratified sample of 1000 events across "
+    "event types: budget ∝ N_h·S_h so the high-variance strata (the "
+    "heavy-tailed purchase values) earn the samples that shrink the "
+    "estimator — the survey-sampling complement of the proportional "
+    "and PPS samplers. Exact-integer stratum moments, micro-quantized "
+    "weights, floor allocation capped at N_h, md5-ordered selection "
+    "(operators/corpus.py:neyman_sample).",
+)
+def neyman_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import neyman_sample
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return neyman_sample(t, "event_type", "cents", "event_id", 1000, "ney-r9")

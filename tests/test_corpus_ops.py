@@ -40,3 +40,37 @@ def test_js_divergence_known_distributions(spark):
     # one-sided corpus -> NULL (undefined), no crash
     solo = spark.createDataFrame([(1, "a")], "y long, token string")
     assert js_divergence(solo, "token", "y").collect()[0].jsd_nats is None
+
+
+def test_neyman_sample_allocation(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.corpus import neyman_sample
+
+    # stratum A: high variance, stratum B: zero variance, C: tiny
+    rows = (
+        [("A", i, (i * 997) % 1000) for i in range(200)]
+        + [("B", 1000 + i, 500) for i in range(200)]
+        + [("C", 2000 + i, i * 100) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "s string, k long, v long")
+    out = neyman_sample(df, "s", "v", "k", 100, "t").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.stratum, []).append(r)
+    # zero-variance stratum gets nothing; high-variance dominates
+    assert "B" not in per
+    assert len(per["A"]) > 80
+    # caps at N_h and reports targets consistently
+    for s, rs in per.items():
+        assert len(rs) == rs[0].n_target <= 200
+    # deterministic
+    again = neyman_sample(df, "s", "v", "k", 100, "t").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # salt changes the selection but not the allocation
+    other = neyman_sample(df, "s", "v", "k", 100, "u").collect()
+    assert len(other) == len(out)
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+    with pytest.raises(ValueError):
+        neyman_sample(df, "s", "v", "k", 0, "t")
