@@ -420,3 +420,56 @@ def reconcile_totals(
             6,
         ).alias("mismatch_rate"),
     )
+
+
+def fd_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Functional-dependency discovery over a candidate column set —
+    the schema-profiling step before normalization, key inference, or
+    anomaly rules: for every ordered pair A→B, does A determine B, and
+    if not, how badly is the dependency violated? Reports both the
+    distinct-count check (holds iff |π_A| = |π_{A,B}|) and the g3
+    error (Kivinen-Mannila: the minimum fraction of rows to delete for
+    the FD to hold — Σ_a (n_a − max_b n_ab)/n), the standard
+    approximate-FD strength.
+
+    Per pair: one partial-aggregable groupBy(A, B), one groupBy(A)
+    (both shuffles carry distinct tuples, never rows), one single-row
+    fold; the |cols|·(|cols|−1) per-pair plans union into ONE job.
+    NULLs count as values. Exact BIGINTs; g3 is one division.
+    Output: (lhs, rhs, n, n_lhs_distinct, n_pair_distinct, holds,
+    g3_error), ordered by the caller's sort.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two candidate columns")
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            gb2 = df.groupBy(
+                F.col(a).alias("__a"), F.col(b).alias("__b")
+            ).agg(F.count(F.lit(1)).alias("c"))
+            per_a = gb2.groupBy("__a").agg(
+                F.sum("c").alias("ca"),
+                F.max("c").alias("ma"),
+                F.count(F.lit(1)).alias("cb"),
+            )
+            parts.append(
+                per_a.agg(
+                    F.lit(a).alias("lhs"),
+                    F.lit(b).alias("rhs"),
+                    F.sum("ca").cast("long").alias("n"),
+                    F.count(F.lit(1)).cast("long").alias("n_lhs_distinct"),
+                    F.sum("cb").cast("long").alias("n_pair_distinct"),
+                    (F.count(F.lit(1)) == F.sum("cb")).alias("holds"),
+                    F.round(
+                        (F.sum("ca") - F.sum("ma")).cast("double")
+                        / F.sum("ca").cast("double"),
+                        6,
+                    ).alias("g3_error"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -5374,3 +5374,65 @@ def neyman_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return neyman_sample(t, "event_type", "cents", "event_id", 1000, "ney-r9")
+
+
+def _fd_oracle(cols: tuple = ("d", "o_custkey", "o_orderpriority", "o_orderstatus")) -> str:
+    """Generated FD-profile oracle: one UNION ALL block per ordered
+    candidate pair, each the same gb2 → per-lhs → fold pipeline as the
+    operator."""
+    blocks = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            blocks.append(f"""
+        SELECT '{a}' AS lhs, '{b}' AS rhs,
+               CAST(SUM(ca) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_lhs_distinct,
+               CAST(SUM(cb) AS BIGINT) AS n_pair_distinct,
+               count(*) = SUM(cb) AS holds,
+               round(CAST(SUM(ca) - SUM(ma) AS DOUBLE)
+                     / CAST(SUM(ca) AS DOUBLE), 6) AS g3_error
+        FROM (
+            SELECT a AS __a, CAST(SUM(c) AS BIGINT) AS ca,
+                   CAST(max(c) AS BIGINT) AS ma, CAST(count(*) AS BIGINT) AS cb
+            FROM (
+                SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS c
+                FROM src GROUP BY 1, 2
+            ) GROUP BY a
+        )""")
+    return (
+        """
+        WITH src AS (
+            SELECT o_custkey, o_orderstatus, o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS d
+            FROM orders
+        )"""
+        + " UNION ALL ".join(blocks)
+    )
+
+
+@query(
+    "fd_profile_orders",
+    oracle=_fd_oracle(),
+    tags=("analytics", "validation", "profiling", "agg"),
+    doc="Approximate functional-dependency profile over orders "
+    "candidate columns (custkey, status, priority, order date): per "
+    "ordered pair A→B the distinct-count FD check and the g3 error "
+    "(min fraction of rows to delete for the FD to hold, Kivinen-"
+    "Mannila) — the schema-inference screen before key declarations "
+    "and normalization. Every pair is two shrinking-key partial-agg "
+    "shuffles + a fold, all pairs unioned into one job "
+    "(operators/validate.py:fd_profile).",
+)
+def fd_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import fd_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    return fd_profile(t, ["d", "o_custkey", "o_orderpriority", "o_orderstatus"])

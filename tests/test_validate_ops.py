@@ -26,3 +26,29 @@ def test_l_diversity_audit_homogeneous_class(spark):
         l_diversity_audit(df, [], "s", l=3)
     with pytest.raises(ValueError):
         l_diversity_audit(df, ["q1"], "s", l=1)
+
+
+def test_fd_profile_known_dependencies(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.validate import fd_profile
+
+    # id -> cat holds exactly; cat -> id badly violated; cat -> grp holds;
+    # grp -> cat violated on one row (g3 = 1/6)
+    rows = [
+        (1, "a", "x"), (2, "a", "x"), (3, "a", "x"),
+        (4, "b", "y"), (5, "b", "y"), (6, "c", "y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, grp string")
+    out = {(r.lhs, r.rhs): r for r in fd_profile(df, ["id", "cat", "grp"]).collect()}
+    assert len(out) == 6
+    assert out[("id", "cat")].holds and out[("id", "cat")].g3_error == 0.0
+    assert not out[("cat", "id")].holds
+    assert abs(out[("cat", "id")].g3_error - 0.5) < 1e-9  # keep 1 of each class
+    assert out[("cat", "grp")].holds
+    g = out[("grp", "cat")]
+    assert not g.holds and abs(g.g3_error - round(1 / 6, 6)) < 1e-9
+    assert g.n == 6 and g.n_lhs_distinct == 2 and g.n_pair_distinct == 3
+
+    with pytest.raises(ValueError):
+        fd_profile(df, ["id"])
