@@ -302,6 +302,9 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "negative_sample_copurchase",
     "bootstrap_ci_purchase_value",
     "attribution_removal_effect",
+    "isotonic_length_vs_en",
+    "neyman_sample_events",
+    "fd_profile_orders",
 ]
 
 BENCH_QUERIES = CORE_QUERIES + ADDITIONS
