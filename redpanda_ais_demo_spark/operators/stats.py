@@ -2071,3 +2071,77 @@ def isotonic_calibration(
             F.round(F.col("fit_micro").cast("double") / 1e6, 6).alias("iso_fit"),
         )
     )
+
+
+def ipw_ate(
+    subjects: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with
+    stratum-level propensities — the observational-causal estimator
+    completing the row started by ``diff_in_diff`` (parallel trends)
+    and ``cmh_test`` (stratified test): when treatment probability
+    varies by an observed stratum, the naive treated-vs-control mean
+    difference is confounded; IPW reweights each subject by
+    1/P(their assignment | stratum) (Horvitz-Thompson, Hájek
+    normalization).
+
+    Propensity per stratum e_s = n_treated/n exactly; each stratum's
+    contribution to the four IPW sums (Σ w·y and Σ w per arm) has the
+    closed form Σy·n/n_t (resp. n/n_c), computed as ONE micro-quantized
+    IEEE division of DECIMAL-exact products per stratum — no per-row
+    float weights at all. Strata with an empty arm contribute nothing
+    (their weight is undefined — the standard positivity exclusion)
+    and are counted in ``n_excluded``. Plan: one groupBy(stratum)
+    carrying (n, n_t, Σy_t, Σy_c), one fold. Output: one row.
+    """
+    t = F.col("__t")
+    y = F.col("__y")
+    cells = (
+        subjects.select(
+            F.col(stratum_col).alias("s"),
+            F.col(treat_col).cast("long").alias("__t"),
+            F.col(outcome_col).cast("long").alias("__y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(t).alias("nt"),
+            F.sum(t * y).alias("syt"),
+            F.sum((1 - t) * y).alias("syc"),
+        )
+    )
+    n, nt = F.col("n"), F.col("nt")
+    nc = n - nt
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    live = (nt > 0) & (nc > 0)
+    # Σ_i∈s,treated y/e_s = syt·n/nt ; Σ_i∈s,treated 1/e_s = n
+    wy_t = F.when(
+        live,
+        F.round((dec(F.col("syt")) * n).cast("double") * 1e6 / nt.cast("double")),
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    wy_c = F.when(
+        live,
+        F.round((dec(F.col("syc")) * n).cast("double") * 1e6 / nc.cast("double")),
+    ).otherwise(F.lit(0.0)).cast(_DEC)
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.when(live, n).otherwise(F.lit(0))).alias("n_used"),
+        F.sum(F.when(~live, n).otherwise(F.lit(0))).alias("n_excluded"),
+        F.sum(wy_t).alias("swyt"),
+        F.sum(wy_c).alias("swyc"),
+    )
+    used = F.col("n_used").cast("double")
+    mu_t = F.col("swyt").cast("double") / (1e6 * used)
+    mu_c = F.col("swyc").cast("double") / (1e6 * used)
+    ok = F.col("n_used") > 0
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.col("n_excluded").cast("long").alias("n_excluded"),
+        F.round(F.when(ok, mu_t), 6).alias("mean_treated_ipw"),
+        F.round(F.when(ok, mu_c), 6).alias("mean_control_ipw"),
+        F.round(F.when(ok, mu_t - mu_c), 6).alias("ate"),
+    )
