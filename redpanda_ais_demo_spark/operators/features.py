@@ -208,11 +208,17 @@ def rfm_segments(
 
     Determinism: each score is an ntile over (metric, key) — the key
     tiebreak cuts identical metrics identically on any engine; spends
-    are exact cents; per-segment mean is one division. The three
-    ranking windows are the one global-sort-shaped stage (same
-    contract as gains_lift: at 100 TB swap ntile for approx-quantile
-    boundaries + a broadcast bin lookup; the exact ntile is the
-    oracle-checkable form).
+    are exact cents; per-segment mean is one division.
+
+    Scale plan: recency (days, bounded by the dataset's calendar span)
+    and frequency (small-int order counts) have constant-bounded
+    distinct domains, so their tiles ride ``ntile_bounded_domain`` —
+    per-value offsets from one partial-aggregable groupBy, per-row
+    ranking only for the ≤ n_bins−1 tile-straddling values (and THAT
+    through the distributed rank, so a billion freq=1 customers never
+    funnel through one task). Only monetary, whose distinct-cents
+    domain grows with the data, pays the full ``ntile_distributed``
+    range sort.
 
     Output: (segment, n_keys, avg_monetary) — at most n_bins³ rows.
     """
@@ -228,16 +234,18 @@ def rfm_segments(
         "recency_days",
         F.floor((F.col("anchor") - F.col("last_ts")) / F.lit(86400)).cast("long"),
     )
-    # three distributed ntiles (operators/ordered.py) — identical ANSI
-    # tiling with parallel range sorts instead of three single-partition
-    # windows over the full per-key table
-    from .ordered import ntile_distributed
+    from .ordered import ntile_bounded_domain, ntile_distributed
 
-    scored = ntile_distributed(
-        t, [F.col("recency_days").desc(), F.col("k").asc()], n_bins, out_col="r"
+    scored = ntile_bounded_domain(
+        t,
+        F.col("recency_days"),
+        [F.col("k").asc()],
+        n_bins,
+        out_col="r",
+        descending=True,
     )
-    scored = ntile_distributed(
-        scored, [F.col("freq").asc(), F.col("k").asc()], n_bins, out_col="f"
+    scored = ntile_bounded_domain(
+        scored, F.col("freq"), [F.col("k").asc()], n_bins, out_col="f"
     )
     scored = ntile_distributed(
         scored, [F.col("cents").asc(), F.col("k").asc()], n_bins, out_col="m"

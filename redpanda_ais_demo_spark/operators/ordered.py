@@ -124,6 +124,23 @@ def rank_cumsum(
     return out.drop(_PID, "__go_roff", *[f"__go_off_{o}" for o in cumsums])
 
 
+def _tile_expr(r: Column, n: Column, n_tiles: int) -> Column:
+    """ANSI ``ntile`` bucket of global rank ``r`` among ``n`` rows: the
+    first ``n mod n_tiles`` buckets get one extra row — exactly the
+    Spark/DuckDB tiling."""
+    base = F.floor(n / n_tiles)
+    extra = n % n_tiles
+    fat = (base + 1) * extra  # rows living in the first `extra` fat buckets
+    return F.when(
+        base == 0,  # fewer rows than tiles: tile == rank
+        r,
+    ).otherwise(
+        F.when(r <= fat, F.floor((r - 1) / (base + 1)) + 1).otherwise(
+            extra + F.floor((r - fat - 1) / base) + 1
+        )
+    )
+
+
 def ntile_distributed(
     df: DataFrame,
     order_exprs: Sequence[Column],
@@ -142,23 +159,108 @@ def ntile_distributed(
         df, order_exprs, rank_col="__go_rank", num_partitions=num_partitions
     )
     total = ranked.agg(F.count(F.lit(1)).alias("__go_n"))
-    r = F.col("__go_rank")
-    base = F.floor(F.col("__go_n") / n_tiles)
-    extra = F.col("__go_n") % n_tiles
-    fat = (base + 1) * extra  # rows living in the first `extra` fat buckets
-    tile = F.when(
-        base == 0,  # fewer rows than tiles: tile == rank
-        r,
-    ).otherwise(
-        F.when(r <= fat, F.floor((r - 1) / (base + 1)) + 1).otherwise(
-            extra + F.floor((r - fat - 1) / base) + 1
-        )
-    )
+    tile = _tile_expr(F.col("__go_rank"), F.col("__go_n"), n_tiles)
     return (
         ranked.crossJoin(F.broadcast(total))
         .withColumn(out_col, tile.cast("int"))
         .drop("__go_rank", "__go_n")
     )
+
+
+def ntile_bounded_domain(
+    df: DataFrame,
+    value_expr: Column,
+    tiebreak_exprs: Sequence[Column],
+    n_tiles: int,
+    out_col: str = "tile",
+    descending: bool = False,
+) -> DataFrame:
+    """ANSI ``ntile`` over ``(value_expr [DESC], *tiebreak_exprs)`` for
+    a value whose DISTINCT DOMAIN is constant-bounded (days-since-event,
+    small-int counts, quantized scores) — identical output to
+    ``ntile_distributed`` under the same order, without its full-data
+    range sort + checkpoint.
+
+    The trick: with per-value counts and exclusive offsets (one tiny
+    partial-aggregable groupBy + a window over the BOUNDED distinct-
+    value table), a value run spanning ranks ``off+1..off+cnt`` either
+    falls entirely inside one tile — every row's tile is decided by the
+    VALUE ALONE, a broadcast map join, no per-row ranking — or it
+    straddles a boundary. At most ``n_tiles - 1`` values straddle; only
+    THEIR rows need a per-row tiebreak rank, and that rank runs through
+    the distributed ``rank_cumsum`` machinery, so even a single tied
+    run of a billion rows (freq = 1 at 100 TB) never funnels through
+    one task. Cost: one groupBy over the input + one range sort over
+    only the straddling rows, vs a range sort + checkpoint of
+    EVERYTHING in ``ntile_distributed``.
+
+    ``tiebreak_exprs`` must totally order rows WITHIN a value (the same
+    contract as the window this replaces). NULL values sort by Spark's
+    defaults (ASC → first, DESC → last) in both paths.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be positive")
+    if not tiebreak_exprs:
+        raise ValueError("tiebreak_exprs must be non-empty")
+    order = F.col("__bd_v").desc() if descending else F.col("__bd_v").asc()
+    tmp = df.withColumn("__bd_v", value_expr)
+    per = tmp.groupBy("__bd_v").agg(F.count(F.lit(1)).alias("__bd_cnt"))
+    # windows over the distinct-value table only — bounded by contract
+    woff = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "__bd_v",
+        "__bd_cnt",
+        F.coalesce(F.sum("__bd_cnt").over(woff), F.lit(0)).alias("__bd_off"),
+    )
+    tot = per.agg(F.sum("__bd_cnt").cast("long").alias("__bd_n"))
+    spans = offs.crossJoin(F.broadcast(tot)).select(
+        "__bd_v",
+        "__bd_off",
+        "__bd_n",
+        _tile_expr(F.col("__bd_off") + 1, F.col("__bd_n"), n_tiles)
+        .cast("int")
+        .alias("__bd_tlo"),
+        _tile_expr(
+            F.col("__bd_off") + F.col("__bd_cnt"), F.col("__bd_n"), n_tiles
+        )
+        .cast("int")
+        .alias("__bd_thi"),
+    )
+    # joins on __bd_v must be NULL-safe: a NULL value is a legitimate
+    # (first-sorting ASC / last-sorting DESC) domain member, and a
+    # plain equi-join would silently drop its rows
+    def _nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        r = right.withColumnRenamed("__bd_v", "__bd_vr")
+        return left.join(
+            r, F.col("__bd_v").eqNullSafe(F.col("__bd_vr"))
+        ).drop("__bd_vr")
+
+    joined = _nsjoin(tmp, F.broadcast(spans))
+    whole = joined.filter(F.col("__bd_tlo") == F.col("__bd_thi")).withColumn(
+        out_col, F.col("__bd_tlo")
+    )
+    # straddling values: exclusive offset among straddling rows only,
+    # so subset_rank - __bd_soff = rank within the value's tied run
+    split_vals = spans.filter(F.col("__bd_tlo") != F.col("__bd_thi"))
+    wsoff = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    soffs = _nsjoin(split_vals.select("__bd_v"), per).select(
+        "__bd_v",
+        F.coalesce(F.sum("__bd_cnt").over(wsoff), F.lit(0)).alias("__bd_soff"),
+    )
+    split = _nsjoin(
+        joined.filter(F.col("__bd_tlo") != F.col("__bd_thi")), F.broadcast(soffs)
+    )
+    ranked = rank_cumsum(split, [order, *tiebreak_exprs], rank_col="__bd_sr")
+    split_tiled = ranked.withColumn(
+        out_col,
+        _tile_expr(
+            F.col("__bd_off") + (F.col("__bd_sr") - F.col("__bd_soff")),
+            F.col("__bd_n"),
+            n_tiles,
+        ).cast("int"),
+    )
+    keep = [*df.columns, out_col]
+    return whole.select(*keep).unionAll(split_tiled.select(*keep))
 
 
 def quantiles_disc(

@@ -82,8 +82,20 @@ def trend_merge(
 ) -> DataFrame:
     """Merge a batch's counts into the MG counter state, pruned to at
     most ``capacity`` counters. Deterministic: the decrement threshold
-    is the (capacity+1)-th value under (cnt DESC, token ASC), so ties
-    cut identically on any engine/partitioning."""
+    is the (capacity+1)-th LARGEST count, so ties cut identically on
+    any engine/partitioning (every counter at the threshold drops to
+    ≤ 0 — tie order between equal counts never matters).
+
+    Scale shape: the merged count table holds every distinct token of
+    the micro-batch — millions of rows at 100 TB ingest — so the
+    threshold must NOT come from an unpartitioned ``row_number``
+    window (one task sorting the whole vocabulary). Instead the
+    (capacity+1)-th count is ``orderBy(cnt DESC).limit(capacity+1)``
+    — Spark plans ``TakeOrderedAndProject``: per-partition top-(c+1)
+    heaps merged at the driver, never a global sort — folded to its
+    MIN (or 0 when fewer rows exist), broadcast back, and subtracted.
+    No single-partition exchange touches the vocabulary-sized table.
+    """
     if capacity < 1:
         raise ValueError("capacity must be positive")
     merged = (
@@ -92,17 +104,20 @@ def trend_merge(
         else counts.select("token", "cnt")
     )
     summed = merged.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    ranked = summed.withColumn("rn", F.row_number().over(w))
-    thr = (
-        ranked.filter(F.col("rn") == capacity + 1)
-        .select(F.col("cnt").alias("thr"))
-    )
+    cap1 = capacity + 1
     # no (capacity+1)-th row -> state already fits; threshold 0 keeps all
-    pruned = (
-        ranked.crossJoin(
-            F.broadcast(thr.unionAll(thr.sparkSession.createDataFrame([(0,)], "thr long")).agg(F.max("thr").alias("thr")))
+    thr = (
+        summed.orderBy(F.col("cnt").desc())
+        .limit(cap1)
+        .agg(
+            F.when(F.count(F.lit(1)) == cap1, F.min("cnt"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("thr")
         )
+    )
+    pruned = (
+        summed.crossJoin(F.broadcast(thr))
         .select("token", (F.col("cnt") - F.col("thr")).alias("cnt"))
         .filter(F.col("cnt") > 0)
     )

@@ -234,3 +234,50 @@ def test_quantiles_cont_grouped_matches_spark_percentile(spark):
         for p, v in zip((0.0, 0.5, 0.9, 1.0), r.q):
             want[(r.g, p)] = round(v, 9)
     assert got == want
+
+
+@pytest.mark.parametrize("k,desc", [(4, False), (4, True), (7, True), (12, False)])
+def test_ntile_bounded_domain_matches_spark_ntile(spark, k, desc):
+    from redpanda_ais_demo_spark.operators.ordered import ntile_bounded_domain
+
+    # heavy ties: only 6 distinct values over 211 rows — the bounded-
+    # domain contract's home turf (freq=1-style runs straddling tiles)
+    rows = [((i * 7919) % 6, i) for i in range(211)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(8)
+    got = {
+        r.id: r.tile
+        for r in ntile_bounded_domain(
+            df, F.col("v"), [F.col("id").asc()], k, descending=desc
+        ).collect()
+    }
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id").asc()]
+    want = {
+        r.id: r.tile
+        for r in df.withColumn("tile", F.ntile(k).over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
+
+
+def test_ntile_bounded_domain_edge_shapes(spark):
+    from redpanda_ais_demo_spark.operators.ordered import ntile_bounded_domain
+
+    # fewer rows than tiles; single distinct value; NULL values present
+    rows = [(None, 0), (5, 1), (5, 2)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    got = {
+        r.id: r.tile
+        for r in ntile_bounded_domain(
+            df, F.col("v"), [F.col("id").asc()], 8
+        ).collect()
+    }
+    order = [F.col("v").asc(), F.col("id").asc()]
+    want = {
+        r.id: r.tile
+        for r in df.withColumn("tile", F.ntile(8).over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        ntile_bounded_domain(df, F.col("v"), [F.col("id").asc()], 0)
+    with pytest.raises(ValueError, match="tiebreak"):
+        ntile_bounded_domain(df, F.col("v"), [], 4)

@@ -134,3 +134,17 @@ def test_trending_state_paths_resolve_via_hadoop_fs(spark, tmp_path):
     assert trending._list_state_ids(spark, state) == [5]
     trending._prune_state_partitions(spark, state, keep_from=5)
     assert trending._list_state_ids(spark, state) == [5]
+
+
+def test_trend_merge_plan_has_no_vocabulary_sized_window(spark):
+    """The MG threshold must come from TakeOrderedAndProject (per-
+    partition top-(c+1) heaps), never an unpartitioned row_number
+    window sorting the whole batch vocabulary through one task."""
+    counts = spark.createDataFrame(
+        [("t%d" % i, i % 7 + 1) for i in range(100)], "token string, cnt long"
+    ).repartition(8)
+    state = spark.createDataFrame([("s", 3)], "token string, cnt long")
+    merged = trending.trend_merge(state, counts, capacity=5)
+    plan = merged._jdf.queryExecution().executedPlan().toString().lower()
+    assert "window" not in plan
+    assert "takeorderedandproject" in plan
