@@ -309,6 +309,10 @@ def negative_sample(
         rank_col="__r",
     ).select((F.col("__r") - 1).alias("idx"), "item")
     n_items = idx.groupBy().agg(F.count(F.lit(1)).alias("n_cat"))
+    # fail fast on an empty catalog: pmod(hash, 0) would otherwise go
+    # NULL (or raise under ANSI) and silently yield zero candidates
+    if n_items.first()["n_cat"] == 0:
+        raise ValueError("catalog is empty: no items to sample negatives from")
     m = k * oversample
     cand = (
         pos.crossJoin(F.broadcast(n_items))

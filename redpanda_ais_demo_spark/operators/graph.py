@@ -619,6 +619,8 @@ def hits(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # 1-row driver scalar, parameterizes the seed
+    if n == 0:
+        raise ValueError("edges is empty: no nodes to score")
     h = nodes.select("node", F.lit(SCALE // n).cast("long").alias("score"))
 
     def _gather_rescale(vec: DataFrame, edge_key: str, out_key: str) -> DataFrame:

@@ -1162,6 +1162,12 @@ def mann_whitney_u(
     U_c = R_c − n_c(n_c+1)/2, normal approximation with the standard
     tie correction Σ(t³−t).
 
+    Contract: ``value_col`` must be EXACT INTEGER UNITS (cents, counts,
+    micro-units -- the registry-wide discipline, same as
+    ``welch_ttest``): it is cast to long, so fractional values would
+    truncate and collapse distinct values, silently changing ranks and
+    ties. Pre-quantize floats upstream (e.g. ``round(x*1e6)``).
+
     Exactness: midranks never materialize per subject. The pooled frame
     collapses to ONE ROW PER DISTINCT VALUE (cnt_c, cnt_t); the
     exclusive prefix count ``cum`` gives every tied run its midrank as
@@ -1242,6 +1248,11 @@ def kruskal_wallis(
     """Kruskal-Wallis H — the k-group generalisation of Mann-Whitney
     (one-way ANOVA on ranks): H = 12/(n(n+1))·Σ_g R_g²/n_g − 3(n+1),
     divided by the tie correction 1 − Σ(t³−t)/(n³−n).
+
+    Same integer-units contract as ``mann_whitney_u``: ``value_col``
+    is cast to long, so it must already be exact integer units (cents /
+    counts / micro-units) -- fractional values would truncate and merge
+    distinct ranks silently.
 
     Same scale discipline as ``mann_whitney_u``: per-(value, group)
     counts and a per-distinct-value exclusive prefix give doubled rank

@@ -1657,6 +1657,20 @@ def removal_effect_attribution(
     Output: one row per channel — p_conv, p_conv_removed,
     removal_effect, attribution share.
     """
+    # 'start'/'conv'/'null' are reserved frame labels — an event type
+    # literally named one of them would silently merge with the
+    # absorbing states and corrupt the chain
+    reserved = {"start", "conv", "null"} - {conv_state}
+    clash = (
+        df.filter(F.col(state_col).isin(*sorted(reserved)))
+        .select(state_col)
+        .first()
+    )
+    if clash is not None:
+        raise ValueError(
+            f"state {clash[0]!r} collides with a reserved Markov frame "
+            "label ('start'/'conv'/'null'); rename it upstream"
+        )
     edges = _journey_edges(
         df, key_col, ts_col, state_col, tiebreak_col, conv_state
     )

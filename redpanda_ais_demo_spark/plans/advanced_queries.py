@@ -639,7 +639,11 @@ def order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             quartile.cast("int").alias("quartile"),
-            F.round((r - 1) / (n - 1), 6).alias("pct_rank"),
+            # n=1 guard: percent_rank() is defined as 0.0 for a single
+            # row, where the closed form's (n-1) denominator is 0
+            F.round(
+                F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+            ).alias("pct_rank"),
             F.round(r / n, 6).alias("cume"),
         )
         .filter((F.col("quartile") == 4) & (F.col("pct_rank") >= 0.99))

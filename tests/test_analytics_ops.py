@@ -2209,3 +2209,21 @@ def test_isotonic_calibration_matches_pava(spark):
 
     with pytest.raises(ValueError):
         isotonic_calibration(df, "p_micro", "y", n_buckets=1)
+
+
+def test_removal_effect_reserved_state_label_raises(spark):
+    from datetime import datetime
+
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import (
+        removal_effect_attribution,
+    )
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 1), "null"),
+        (2, 1, datetime(2024, 1, 1, 0, 2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "id long, u long, ts timestamp, t string")
+    with pytest.raises(ValueError, match="reserved Markov frame label"):
+        removal_effect_attribution(df, "u", "ts", "t", "id", "purchase")

@@ -38,3 +38,13 @@ def test_hits_integer_recurrence_parity(spark):
 
     with pytest.raises(ValueError):
         hits(df, iters=0)
+
+
+def test_hits_empty_edges_raises(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="edges is empty"):
+        hits(empty, iters=1)

@@ -1397,3 +1397,14 @@ def test_negative_sample_deterministic_and_clean(spark):
 
     with pytest.raises(ValueError):
         negative_sample(pos, cat, "u", "it", k=0, salt="t")
+
+
+def test_negative_sample_empty_catalog_raises(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.features import negative_sample
+
+    pos = spark.createDataFrame([(1, 10)], "u long, it long")
+    empty = spark.createDataFrame([], "it long")
+    with pytest.raises(ValueError, match="catalog is empty"):
+        negative_sample(pos, empty, "u", "it", k=2, salt="t")
