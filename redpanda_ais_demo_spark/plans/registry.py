@@ -115,7 +115,11 @@ PRIORITY: tuple[str, ...] = (
     "above_nation_avg_customers",
     "topk_orders_per_customer",
     "semi_customers_with_urgent_orders",
-    "setop_active_nations",
+    # (r10) setop_active_nations rotated out: the INTERSECT/EXCEPT
+    # mechanism is mechanically thin (distinct + set op over two tiny
+    # projections) and setop_customer_only_nations carries the same
+    # family's oracle in the sweep; stays registered, oracle-bearing,
+    # pytest-oracle-swept. Slot freed for the r9 geofencing class.
     # (r8f) pivot_status_by_priority rotated out: the reshaping family
     # keeps grouping_sets_sql in-window (cube/rollup/unpivot swept);
     # its slot goes to k_anonymity_orders below — the privacy/
@@ -147,7 +151,11 @@ PRIORITY: tuple[str, ...] = (
     # collaborative-filtering class (basket-co-located pair join).
     "item_cooccurrence_parts",
     "pack_token_stream_sharded",
-    "embedding_random_projection",
+    # (r10) embedding_random_projection rotated out: the JL projection
+    # is a narrow map-side array fold whose arithmetic class
+    # (higher-order lambdas over array<float>) embedding_cosine_topk
+    # already hash-checks in-window; stays registered, oracle-bearing,
+    # pytest-oracle-swept. Slot freed for the bootstrap-CI class.
     "source_mixture_weights",
     "multimodal_frame_sample",
     "zorder_events",
@@ -235,7 +243,10 @@ PRIORITY: tuple[str, ...] = (
     # reshaping family) — both stay registered, oracle-bearing,
     # pytest-oracle-swept.
     "heavy_hitter_tokens",
-    "m4_downsample_event_values",
+    # (r10) m4_downsample_event_values rotated out: the time-series
+    # reduction family keeps CUSUM and gap-fill in-window, and M4's
+    # min/max/first/last-per-bucket mechanism keeps its full oracle in
+    # the sweep. Slot freed for the weighted-shortest-path class.
     # round-7 session classes, batch 2 — each full-oracle with no
     # in-window sibling: RRF hybrid retrieval (rank fusion over BM25 +
     # query-vector cosine legs), the composite Gopher quality gate, and
@@ -256,7 +267,6 @@ PRIORITY: tuple[str, ...] = (
     # bearing, pytest-oracle-swept. Its slot goes to the Welch t-test —
     # the experimentation class's first window rep (abtest z-readout is
     # its sibling, swept).
-    "welch_purchase_value_by_variant",
     "gopher_quality_docs",
     # (r9) dedup_keep_best rotated out: pipeline_curate_corpus (below)
     # CONTAINS the keep-best retention stage inside its oracle-checked
@@ -289,6 +299,12 @@ PRIORITY: tuple[str, ...] = (
     # closed-form TWO-feature OLS (Cramer on the normal equations)
     # subsumes the single-feature trend's mechanism; trend stays
     # registered, oracle-bearing, pytest-oracle-swept.
+    # (r10) welch_purchase_value_by_variant rotated out for
+    # mann_whitney_value_by_variant below — same experimentation family,
+    # but the nonparametric member exercises the rank/tie machinery the
+    # parametric t-test never touches (per-distinct-value midranks via
+    # the distributed prefix-sum, exact DECIMAL tie correction); Welch
+    # stays registered, oracle-bearing, pytest-oracle-swept.
     "ols_value_on_hour_dow",
     # (r8c) the persisted-index serve path's hash-checked row (takes
     # l1_top_events' slot — see the AIS block note): same Okapi BM25
@@ -298,6 +314,21 @@ PRIORITY: tuple[str, ...] = (
     # (r8f) the privacy/governance class's first window rep — see the
     # pivot_status_by_priority rotation note above.
     "k_anonymity_orders",
+    # (r10) four r9 classes gain their first hash-checked window rows,
+    # taking the slots freed above (setop, JL projection, M4, Welch):
+    # weighted shortest paths (delta-relaxation Bellman-Ford over the
+    # co-purchase graph — the graph-density family's second rep beyond
+    # the k-core peel; its unrolled materialized-CTE oracle replays the
+    # relaxation rounds exactly), the nonparametric test matrix
+    # (Mann-Whitney midranks via the distributed prefix-sum; its swept
+    # siblings are Kruskal-Wallis, log-rank, DiD, CMH), point-in-polygon
+    # geofencing (bbox prefilter + exact ray-cast, both engine-exact on
+    # micro-degree integers), and the Poisson-bootstrap CI (md5-seeded
+    # deterministic draws folded in ONE partial-aggregable pass).
+    "sssp_copurchase_from_min_part",
+    "mann_whitney_value_by_variant",
+    "events_in_geofences",
+    "bootstrap_ci_purchase_value",
 )
 
 

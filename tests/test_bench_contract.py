@@ -24,17 +24,40 @@ def _load_bench():
 def test_summary_line_under_driver_tail_cap():
     bench = _load_bench()
     # worst-plausible widths: hundreds of seconds with 3-decimal rounding
-    line = json.dumps(bench.summary_line(9999.999, 9999.999, 0.1))
+    line = json.dumps(bench.summary_line(9999.999, 9999.999, 9999.999, 0.1))
     assert len(line) < 200, f"summary line {len(line)} chars — driver tail may truncate"
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_runtime"
     assert parsed["unit"] == "sec"
-    assert set(parsed) == {"metric", "value", "unit", "core_set_sec", "additions_sec", "sf"}
+    assert set(parsed) == {
+        "metric", "value", "unit", "core_set_sec", "additions_sec",
+        "extended_sec", "sf",
+    }
 
 
 def test_full_record_fields_live_in_bench_local_not_stdout():
     """The per-query detail must not creep back onto the stdout line."""
     bench = _load_bench()
-    line = bench.summary_line(1.0, 0.5, 0.1)
+    line = bench.summary_line(1.0, 0.5, 0.2, 0.1)
     for heavy_key in ("queries", "spread", "samples"):
         assert heavy_key not in line
+
+
+def test_bench_covers_every_registered_query():
+    """No registered query may lack round-over-round bench timing: the
+    curated lists plus the dynamic extended set must tile the registry
+    exactly (94 queries were invisible to the bench through r9)."""
+    import sys
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from redpanda_ais_demo_spark.plans import get_queries
+
+    bench = _load_bench()
+    reg = set(get_queries())
+    manual = bench.BENCH_QUERIES
+    assert len(manual) == len(set(manual)), "duplicate in curated bench lists"
+    extended = bench.extended_queries()
+    assert set(manual) | set(extended) == reg
+    assert set(manual) & set(extended) == set()
+    assert set(manual) <= reg, sorted(set(manual) - reg)

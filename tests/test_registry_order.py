@@ -26,7 +26,8 @@ REQUIRED_IN_WINDOW = {
     "above_nation_avg_customers",
     "topk_orders_per_customer",
     "semi_customers_with_urgent_orders",
-    "setop_active_nations",
+    # (r10) setop_active_nations rotated out (mechanically thin; family
+    # oracle stays in the sweep via setop_customer_only_nations)
     # (r8f) pivot rotated out behind grouping_sets_sql's reshaping slot
     # LLM-data-pipeline suite (r8: ngram_jaccard_pairs rotated out behind
     # minhash_lsh_pairs — the declared near-dup scale path; semdedup
@@ -37,8 +38,8 @@ REQUIRED_IN_WINDOW = {
     # (r8f) dedup_clusters rotated out — the CC closure runs inside the
     # in-window resolve_part_names and pipeline_curate_corpus plans
     "multimodal_frame_sample",
-    # round-2 corpus classes
-    "embedding_random_projection",
+    # round-2 corpus classes (r10: embedding_random_projection rotated
+    # out behind embedding_cosine_topk's array-lambda arithmetic)
     "source_mixture_weights",
     "zorder_events",
     # packing scale path (round-6)
@@ -84,7 +85,8 @@ REQUIRED_IN_WINDOW = {
     # (tfidf_top_terms behind bm25's term-weighting retrieval and
     # unpivot_part_measures behind pivot's reshaping family rotated out)
     "heavy_hitter_tokens",
-    "m4_downsample_event_values",
+    # (r10) m4_downsample_event_values rotated out (CUSUM + gapfill hold
+    # the time-series reduction family in-window)
     # round-7 session batch 2: rank fusion, the composite quality gate
     # (text_quality's strict superset), and the cluster-retention policy.
     # simhash_near_dups / ann_lsh_topk / text_quality rotated out — all
@@ -109,12 +111,18 @@ REQUIRED_IN_WINDOW = {
     # (k-anonymity) gain their first window reps
     "ols_value_on_hour_dow",
     "item_cooccurrence_parts",
-    "welch_purchase_value_by_variant",
+    # (r10) welch rotated out for the nonparametric sibling below
     "k_anonymity_orders",
     # r8c: the index-serve class's first hash-checked window row
     # (l1_top_events rotated out behind topk_orders_per_customer's
     # sort-limit shape; stays registered, oracle-bearing, swept)
     "bm25_topk_from_index",
+    # r10: four r9 classes' first window reps — weighted shortest paths,
+    # nonparametric tests, geofencing, bootstrap CIs
+    "sssp_copurchase_from_min_part",
+    "mann_whitney_value_by_variant",
+    "events_in_geofences",
+    "bootstrap_ci_purchase_value",
 }
 
 
