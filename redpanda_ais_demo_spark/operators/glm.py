@@ -1,0 +1,401 @@
+"""Generalized linear model fitting as AGGREGATION — logistic
+regression by IRLS where each Newton step is one partial-aggregable
+pass forming the 2×2 normal equations, the d×d solve happens on the
+driver (d = 2 scalars, never data), and the new coefficients ride back
+into the next pass as literals. The 100 TB GLM shape: the data is
+touched ``iters`` times by narrow map-side projections + one
+partial agg each; nothing data-sized ever sorts, collects, or
+single-partitions. On top of the fitted propensity sit the two causal/
+ML consumers: inverse-propensity-weighted ATE and split-conformal
+prediction intervals.
+
+Determinism engineering (registry rules): the ONLY transcendental per
+row is one sigmoid; its output immediately quantizes to integer
+micro-units (``round(1e6·σ)``), every downstream weight/working-
+response term is integer arithmetic on those micro-units, and the
+per-pass sums accumulate in BIGINT/DECIMAL(38,0) — so partial-
+aggregation order can never change a coefficient. The driver-side 2×2
+solve is a fixed-order double chain on exact integer sums, re-quantized
+to micro-unit coefficients before broadcasting — both engines replay
+the identical integer trajectory (the DuckDB oracle unrolls the same
+``iters`` rounds as CTEs).
+
+Reference parity note: the reference system (redpanda-ais-demo) has no
+model-fitting surface; this module is part of the mandated
+training-data-pipeline extension alongside operators/stats.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+M = 1_000_000  # micro-unit scale for quantized sigmoids/weights/coefs
+
+
+def _idiv(x: Column, d: Column | int) -> Column:
+    """Exact integer x // d for non-negative x and positive d, written
+    as ((x − x%d)/d) so the identical text runs on Spark and DuckDB
+    with identical results (the double quotient of a d-divisible
+    numerator below 2⁵³ is exact)."""
+    dd = F.lit(d) if isinstance(d, int) else d
+    return ((x - x % dd) / dd).cast("long")
+
+
+def _round_away(x: float) -> int:
+    """Half-away-from-zero integer rounding — Spark's round() and
+    DuckDB's round(), NOT Python's banker's round(); driver-side math
+    must use this so both engines replay the identical trajectory."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _round6(x: float) -> float:
+    """round(x, 6) the way the engines do it (half away from zero on
+    the double x·1e6) — replaces Python's half-even round in every
+    driver-side output that an oracle re-derives."""
+    return _round_away(x * 1_000_000.0) / 1_000_000.0
+
+
+def _sigmoid_micro(z: Column) -> Column:
+    """round(1e6 / (1 + exp(-z))) as BIGINT — the single per-row
+    transcendental, clamped so exp never overflows (|z| > 30 saturates
+    far below micro-resolution anyway)."""
+    zc = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), z))
+    return F.round(F.lit(float(M)) / (F.lit(1.0) + F.exp(-zc))).cast("long")
+
+
+def _standardize(df: DataFrame, x_col: str) -> tuple[DataFrame, float, float]:
+    """Center/scale x from exact integer sums (x must already be
+    integer-quantized per the registry discipline). Returns the frame
+    with ``__xs`` plus (mean, scale) — the fixed-order double pair both
+    engines derive from the same BIGINT/DECIMAL sums."""
+    s = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("sx"),
+        F.sum(
+            F.col(x_col).cast(_DEC) * F.col(x_col).cast(_DEC)
+        ).alias("sxx"),
+    ).first()
+    n, sx, sxx = s["n"], int(s["sx"]), int(s["sxx"])
+    if n < 2:
+        raise ValueError("need at least 2 rows to fit")
+    # engine-replayable double chain: convert each exact integer to
+    # double FIRST (CAST(... AS DOUBLE) in the oracle), then divide —
+    # Python's exact-rational int/int rounding would diverge past 2^53
+    mean = float(sx) / float(n)
+    var = float(n * sxx - sx * sx) / float(n * n)
+    if var <= 0:
+        raise ValueError(f"{x_col} is constant: logistic fit is undefined")
+    import math
+
+    scale = math.sqrt(var)
+    return (
+        df.withColumn(
+            "__xs", (F.col(x_col).cast("double") - F.lit(mean)) / F.lit(scale)
+        ),
+        mean,
+        scale,
+    )
+
+
+def logistic_irls(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iters: int = 8,
+) -> tuple[float, float, DataFrame]:
+    """Fit P(y=1|x) = σ(b0 + b1·(x−μ)/s) by ``iters`` fixed IRLS
+    rounds. Returns (b0_micro, b1_micro) as micro-unit floats plus the
+    standardized frame (``__xs`` attached) for downstream scorers.
+
+    Per round, ONE aggregation forms the five Newton sums — with the
+    working response expanded so every term is integer: per row let
+    p = σ(z) in micro-units, w = p·(M−p)//M (micro), g = M·y − p
+    (micro gradient). Newton's step solves
+        [Σw   Σw·x ] [Δ0]   [Σg  ]
+        [Σw·x Σw·x²] [Δ1] = [Σg·x]
+    (x = standardized, quantized to micro-units) — a 2×2 driver solve
+    on exact sums; coefficients re-quantize to micro-units so the next
+    round's literals are identical on any engine. ``iters`` scans total;
+    at 100 TB fit on a deterministic sample (split_assign) and score
+    everything — the scan count is the knob, the shape stays.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    dfs, _, _ = _standardize(df, x_col)
+    xq = F.round(F.col("__xs") * M).cast("long")  # micro-standardized x
+    dfq = dfs.withColumn("__xq", xq).withColumn(
+        "__y", F.col(y_col).cast("long")
+    )
+    b0, b1 = 0, 0  # integer micro-units
+    for _ in range(iters):
+        z = (
+            F.lit(float(b0))
+            + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+        ) / F.lit(float(M))
+        p = _sigmoid_micro(z)
+        w = _idiv(p * (F.lit(M) - p), M)  # micro weight, exact
+        g = F.lit(M) * F.col("__y") - p  # micro gradient
+        row = dfq.agg(
+            F.sum(w).alias("sw"),
+            F.sum((w * F.col("__xq")).cast(_DEC)).alias("swx"),
+            F.sum(
+                (w.cast(_DEC) * F.col("__xq") * F.col("__xq"))
+            ).alias("swxx"),
+            F.sum(g).alias("sg"),
+            F.sum((g * F.col("__xq")).cast(_DEC)).alias("sgx"),
+        ).first()
+        sw, swx, swxx = int(row["sw"]), int(row["swx"]), int(row["swxx"])
+        sg, sgx = int(row["sg"]), int(row["sgx"])
+        # units: sw micro, swx micro², swxx micro³, sg micro, sgx micro².
+        # Engine-replayable normalization: double-convert each exact sum
+        # FIRST (the oracle CASTs then divides), one fixed op order.
+        a11 = float(sw) / M
+        a12 = float(swx) / M / M
+        a22 = float(swxx) / M / M / M
+        r1 = float(sg) / M
+        r2 = float(sgx) / M / M
+        det = a11 * a22 - a12 * a12
+        if det <= 0:
+            break  # degenerate (all-0/all-1 labels); keep current fit
+        d0 = (r1 * a22 - r2 * a12) / det
+        d1 = (r2 * a11 - r1 * a12) / det
+        b0 = b0 + _round_away(d0 * M)
+        b1 = b1 + _round_away(d1 * M)
+    return float(b0), float(b1), dfq
+
+
+def logistic_fit_summary(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iters: int = 8,
+) -> DataFrame:
+    """One-row readout of the fit: micro-unit coefficients (on the
+    STANDARDIZED feature — scale-free, comparable across runs), n, the
+    base rate, and accuracy of the 0.5-threshold classifier — each from
+    one exact-integer pass."""
+    b0, b1, dfq = logistic_irls(df, x_col, y_col, iters)
+    z = (
+        F.lit(float(b0)) + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+    ) / F.lit(float(M))
+    p = _sigmoid_micro(z)
+    hit = (
+        ((p >= F.lit(M // 2)).cast("long") == F.col("__y")).cast("long")
+    )
+    spark = df.sparkSession
+    agg = dfq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+        F.sum(hit).alias("n_hit"),
+    ).first()
+    out = [
+        (
+            int(b0),
+            int(b1),
+            int(agg["n"]),
+            int(agg["n_pos"]),
+            _round6(float(agg["n_pos"]) / float(agg["n"])),
+            _round6(float(agg["n_hit"]) / float(agg["n"])),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "b0_micro long, b1_micro long, n long, n_pos long, "
+        "base_rate double, accuracy double",
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    x_col: str,
+    treat_col: str,
+    outcome_col: str,
+    iters: int = 8,
+    clip_micro: int = 10_000,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a
+    logistic propensity e(x) = P(T=1|x) fitted by ``logistic_irls``.
+    Hájek (self-normalized) estimator:
+        ATE = Σ[T·y/e]/Σ[T/e] − Σ[(1−T)·y/(1−e)]/Σ[(1−T)/(1−e)]
+    with propensities clipped to [clip_micro, M−clip_micro] micro-units
+    (the standard overlap guard). Outcome must be integer-quantized
+    (cents); weights quantize to exact integers 10¹²//e (pico-scale), so
+    every sum accumulates EXACTLY in DECIMAL(38,0) and the final means
+    are one fixed-order double chain — partial-agg-order independent.
+
+    Output: one row — n, n_treated, mean_treated, mean_control, ate.
+    """
+    b0, b1, dfq = logistic_irls(df, x_col, treat_col, iters)
+    z = (
+        F.lit(float(b0)) + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+    ) / F.lit(float(M))
+    e = F.greatest(
+        F.lit(clip_micro),
+        F.least(F.lit(M - clip_micro), _sigmoid_micro(z)),
+    )
+    t = F.col("__y")  # treat_col, cast long by logistic_irls
+    y = F.col(outcome_col).cast("long")
+    P = M * M  # pico scale: weights 10¹²//e stay integral and bounded
+    wt = _idiv(F.lit(P), e)  # <= 1e8 (clip guarantees e >= clip_micro)
+    wc = _idiv(F.lit(P), F.lit(M) - e)
+    zero = F.lit(0).cast(_DEC)
+    agg = dfq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("n_treated"),
+        F.sum(F.when(t == 1, (wt * y).cast(_DEC)).otherwise(zero)).alias("syt"),
+        F.sum(F.when(t == 1, wt.cast(_DEC)).otherwise(zero)).alias("swt"),
+        F.sum(F.when(t == 0, (wc * y).cast(_DEC)).otherwise(zero)).alias("syc"),
+        F.sum(F.when(t == 0, wc.cast(_DEC)).otherwise(zero)).alias("swc"),
+    )
+    # empty-arm guard: NULL means, never an ANSI divide error
+    mt = F.col("syt").cast("double") / F.nullif(
+        F.col("swt"), F.lit(0).cast(_DEC)
+    ).cast("double")
+    mc = F.col("syc").cast("double") / F.nullif(
+        F.col("swc"), F.lit(0).cast(_DEC)
+    ).cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.round(mt, 6).alias("mean_treated"),
+        F.round(mc, 6).alias("mean_control"),
+        F.round(mt - mc, 6).alias("ate"),
+    )
+
+
+def msprt_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    tau_micro: int = 1_000_000,
+) -> DataFrame:
+    """Always-valid experiment readout — the mixture sequential
+    probability ratio test (mSPRT, Johari et al.) for a difference in
+    means, the readout that stays valid under CONTINUOUS monitoring
+    (peeking at a fixed-n t-test inflates false positives; Λ below is a
+    supermartingale under H0, so p = 1/Λ is valid at every n).
+
+        Λ = sqrt(2σ²/Δ / (2σ²/Δ + τ)) · exp(θ̂² / (2·(2σ²/Δ·(2σ²/Δ+τ)/τ)))
+
+    with θ̂ = x̄_t − x̄_c, Δ shorthand for the two-sample size factor
+    (2σ²/Δ = σ²(1/n_c + 1/n_t)), pooled σ² from exact integer sums, and
+    mixture variance τ. One partial-aggregable pass (per-group n / Σ /
+    Σx² in BIGINT/DECIMAL); the Λ chain is fixed-order doubles on those
+    exact sums. Values must be integer-quantized (cents).
+
+    Output: one row — n_control, n_treated, theta_hat, log_lambda,
+    p_always_valid.
+    """
+    two = df.filter(F.col(group_col).isin(control, treatment))
+    v = F.col(value_col).cast("long")
+    agg = two.groupBy(
+        (F.col(group_col) == treatment).cast("int").alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v.cast(_DEC) * v.cast(_DEC)).alias("ss"),
+    )
+    rows = {r["g"]: r for r in agg.collect()}  # exactly 2 tiny rows
+    if 0 not in rows or 1 not in rows:
+        raise ValueError("need both control and treatment rows")
+    nc, sc, ssc = int(rows[0]["n"]), int(rows[0]["s"]), int(rows[0]["ss"])
+    nt, st, sst = int(rows[1]["n"]), int(rows[1]["s"]), int(rows[1]["ss"])
+    if nc < 2 or nt < 2:
+        raise ValueError("need >= 2 observations per arm")
+    n = nc + nt
+    # pooled variance from exact sums (double-convert first, one fixed
+    # op order — the oracle replays this chain verbatim)
+    sall, ssall = sc + st, ssc + sst
+    var = float(n * ssall - sall * sall) / float(n * (n - 1))
+    theta = float(st) / float(nt) - float(sc) / float(nc)
+    tau = float(tau_micro) / M
+    rho = var * (1.0 / nc + 1.0 / nt)  # 2σ²/Δ in the paper's notation
+    if rho <= 0:
+        raise ValueError("degenerate variance: all values identical")
+    import math
+
+    log_lam = 0.5 * math.log(rho / (rho + tau)) + (
+        theta * theta * tau / (2.0 * rho * (rho + tau))
+    )
+    p = min(1.0, math.exp(-log_lam))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(nc, nt, _round6(theta), _round6(log_lam), _round6(p))],
+        "n_control long, n_treated long, theta_hat double, "
+        "log_lambda double, p_always_valid double",
+    )
+
+
+def conformal_interval(
+    train: DataFrame,
+    calib: DataFrame,
+    x_col: str,
+    y_col: str,
+    alpha_pct: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction interval for a linear point
+    predictor: fit ŷ = a + b·x on ``train`` by exact closed-form OLS
+    (integer sums), take the ceil((1−α)(n+1))-th smallest absolute
+    residual on ``calib`` (the finite-sample-valid conformal quantile —
+    distribution-free coverage ≥ 1−α), and report the interval
+    half-width. Residuals quantize to integer units; the quantile is
+    the EXACT order statistic via the distributed rank
+    (operators/ordered.py), never a single-partition sort.
+
+    Output: one row — a_micro, b_micro, n_calib, q_units, coverage_lo.
+    """
+    if not (1 <= alpha_pct <= 50):
+        raise ValueError("alpha_pct must be in [1, 50]")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    s = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast(_DEC) * x.cast(_DEC)).alias("sxx"),
+        F.sum(x.cast(_DEC) * y.cast(_DEC)).alias("sxy"),
+    ).first()
+    n, sx, sy = int(s["n"]), int(s["sx"]), int(s["sy"])
+    sxx, sxy = int(s["sxx"]), int(s["sxy"])
+    det = n * sxx - sx * sx
+    if n < 2 or det == 0:
+        raise ValueError("train set degenerate for OLS")
+    b = float(n * sxy - sx * sy) / float(det)
+    a = (float(sy) - b * float(sx)) / float(n)
+    a_micro, b_micro = _round_away(a * M), _round_away(b * M)
+    # |residual| in integer units: y - round(a + b x) using the
+    # micro-quantized coefficients — identical on both engines
+    pred = F.round(
+        (F.lit(a_micro) + F.lit(b_micro) * x) / F.lit(float(M))
+    ).cast("long")
+    res = calib.select(F.abs(y - pred).alias("r"))
+    nc = res.count()
+    if nc < 1:
+        raise ValueError("calibration set is empty")
+    k = -(-((100 - alpha_pct) * (nc + 1)) // 100)  # ceil without floats
+    k = min(k, nc)
+    from .ordered import rank_cumsum
+
+    ranked = rank_cumsum(res, [F.col("r").asc()], rank_col="rk")
+    q = ranked.filter(F.col("rk") == k).select("r")
+    spark = train.sparkSession
+    qv = q.first()
+    return spark.createDataFrame(
+        [
+            (
+                a_micro,
+                b_micro,
+                nc,
+                int(qv["r"]),
+                _round6((100 - alpha_pct) / 100.0),
+            )
+        ],
+        "a_micro long, b_micro long, n_calib long, q_units long, "
+        "coverage_lo double",
+    )

@@ -699,6 +699,7 @@ def gains_lift(
     label_col: str,
     tiebreak_col: str,
     n_deciles: int = 10,
+    bounded_scores: bool = False,
 ) -> DataFrame:
     """Gains/lift table — the campaign-targeting readout of a binary
     scorer ("mail the top decile, capture X% of responders"): rows rank
@@ -720,17 +721,32 @@ def gains_lift(
         raise ValueError(f"n_deciles must be >= 2, got {n_deciles}")
     # ANSI ntile without the single-partition window: distributed rank
     # + total-count bucket formula (operators/ordered.py) — identical
-    # tiling, parallel sort at any corpus size
-    from .ordered import ntile_distributed
+    # tiling, parallel sort at any corpus size. ``bounded_scores``
+    # declares a constant-bounded distinct score domain (quantized
+    # lengths, day buckets): tiles then come from per-value offsets
+    # (one partial-aggregable groupBy) with only the <= n_deciles-1
+    # tile-straddling values paying a per-row rank — same output,
+    # no full-data range sort.
+    from .ordered import ntile_bounded_domain, ntile_distributed
 
     base = df.select(
         F.col(score_col).alias("s"),
         F.col(label_col).cast("long").alias("y"),
         F.col(tiebreak_col).alias("tb"),
     ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
-    t = ntile_distributed(
-        base, [F.col("s").desc(), F.col("tb").asc()], n_deciles, out_col="decile"
-    )
+    if bounded_scores:
+        t = ntile_bounded_domain(
+            base,
+            F.col("s"),
+            [F.col("tb").asc()],
+            n_deciles,
+            out_col="decile",
+            descending=True,
+        )
+    else:
+        t = ntile_distributed(
+            base, [F.col("s").desc(), F.col("tb").asc()], n_deciles, out_col="decile"
+        )
     per = t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
     )

@@ -2749,7 +2749,9 @@ def gains_lift_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
         F.col("doc_id").alias("tb"),
     )
-    return gains_lift(d, "s", "y", "tb", n_deciles=10)
+    # n_chars is a quantized, constant-bounded domain (distinct doc
+    # lengths, not distinct docs) — tiles ride the bounded-domain path
+    return gains_lift(d, "s", "y", "tb", n_deciles=10, bounded_scores=True)
 
 
 @query(

@@ -1,0 +1,414 @@
+"""ML / causal-inference declared queries over the fixture tables:
+logistic regression fitted by IRLS-as-aggregation, the IPW average
+treatment effect on its propensities, the always-valid mSPRT
+experiment readout, and split-conformal prediction intervals
+(operators/glm.py).
+
+Oracle engineering: the IRLS oracles UNROLL the fixed Newton rounds as
+CTEs — each round recomputes the quantized per-row sigmoid from the
+previous round's coefficient scalars, sums the five exact-integer
+normal-equation terms, and replays the driver's double-chain 2×2 solve
+verbatim (CAST-to-double-then-divide order, half-away rounding), so
+the coefficient trajectory is bit-identical on both engines. The one
+per-row transcendental (exp) is the only cross-libm surface; its
+output quantizes to micro-units immediately, which the oracle sweep
+has to confirm empirically (same guard as the entropy/logprob family).
+
+Reference parity: the reference demo has no modeling surface
+(BASELINE.md); these are part of the mandated training-pipeline
+extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+_IRLS_ITERS = 8
+
+
+def _irls_prefix(base_cte: str, iters: int) -> str:
+    """Shared oracle text: ``d(x BIGINT, y BIGINT)`` from ``base_cte``
+    through standardization and ``iters`` unrolled IRLS rounds, ending
+    in scalar CTE ``c{iters}(b0, b1)`` (micro-unit coefficients as
+    integral DOUBLEs) — the exact trajectory of
+    operators/glm.py:logistic_irls."""
+    parts = [
+        f"""WITH d AS ({base_cte}),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+               FROM d),
+        sc AS (SELECT n,
+                      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                      sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS scale
+               FROM st),
+        q AS (SELECT CAST(round(((CAST(x AS DOUBLE) - mean) / scale)
+                                * 1000000) AS BIGINT) AS xq,
+                     y
+              FROM d, sc),
+        c0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", s{i} AS (
+            SELECT CAST(sum(w) AS BIGINT) AS sw,
+                   CAST(sum(CAST(w * xq AS HUGEINT)) AS HUGEINT) AS swx,
+                   CAST(sum(CAST(w AS HUGEINT) * xq * xq) AS HUGEINT) AS swxx,
+                   CAST(sum(g) AS BIGINT) AS sg,
+                   CAST(sum(CAST(g * xq AS HUGEINT)) AS HUGEINT) AS sgx
+            FROM (
+                SELECT xq, CAST((pm - pm % 1000000) / 1000000 AS BIGINT) AS w,
+                       1000000 * y - p AS g
+                FROM (
+                    SELECT xq, y, p, p * (1000000 - p) AS pm
+                    FROM (
+                        SELECT xq, y,
+                               CAST(round(1000000.0 / (1.0 + exp(-greatest(-30.0,
+                                    least(30.0,
+                                          (b0 + b1 * (CAST(xq AS DOUBLE) / 1000000.0))
+                                          / 1000000.0))))) AS BIGINT) AS p
+                        FROM q, c{i}
+                    )
+                )
+            )
+        ),
+        c{i + 1} AS (
+            SELECT CASE WHEN det <= 0 THEN b0
+                        ELSE b0 + round(((r1 * a22 - r2 * a12) / det) * 1000000.0)
+                   END AS b0,
+                   CASE WHEN det <= 0 THEN b1
+                        ELSE b1 + round(((r2 * a11 - r1 * a12) / det) * 1000000.0)
+                   END AS b1
+            FROM (
+                SELECT b0, b1, a11, a12, a22, r1, r2,
+                       a11 * a22 - a12 * a12 AS det
+                FROM (
+                    SELECT c.b0 AS b0, c.b1 AS b1,
+                           CAST(sw AS DOUBLE) / 1000000 AS a11,
+                           CAST(swx AS DOUBLE) / 1000000 / 1000000 AS a12,
+                           CAST(swxx AS DOUBLE) / 1000000 / 1000000 / 1000000 AS a22,
+                           CAST(sg AS DOUBLE) / 1000000 AS r1,
+                           CAST(sgx AS DOUBLE) / 1000000 / 1000000 AS r2
+                    FROM s{i}, c{i} c
+                )
+            )
+        )"""
+        )
+    return "".join(parts)
+
+
+_LOGREG_BASE = """SELECT CAST(n_chars AS BIGINT) AS x,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars IS NOT NULL"""
+
+
+def _logreg_oracle() -> str:
+    return (
+        _irls_prefix(_LOGREG_BASE, _IRLS_ITERS)
+        + f""", fin AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM (
+                SELECT y,
+                       CAST(round(1000000.0 / (1.0 + exp(-greatest(-30.0,
+                            least(30.0,
+                                  (b0 + b1 * (CAST(xq AS DOUBLE) / 1000000.0))
+                                  / 1000000.0))))) AS BIGINT) AS p
+                FROM q, c{_IRLS_ITERS}
+            )
+        )
+        SELECT CAST(b0 AS BIGINT) AS b0_micro, CAST(b1 AS BIGINT) AS b1_micro,
+               n, n_pos,
+               round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+               round(CAST(n_hit AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy
+        FROM fin, c{_IRLS_ITERS}
+    """
+    )
+
+
+@query(
+    "logreg_en_vs_length",
+    oracle=_logreg_oracle(),
+    tags=("ml", "statistics", "agg", "glm"),
+    doc="Logistic regression P(lang='en' | n_chars) fitted by 8 IRLS "
+    "rounds, each ONE partial-aggregable pass forming the 2x2 normal "
+    "equations (driver solves 2 scalars, broadcasts literals back) — "
+    "model-fitting-as-aggregation, the GLM sibling of "
+    "ols_value_on_hour_dow. Per-row sigmoids quantize to micro-units; "
+    "all five Newton sums are exact BIGINT/DECIMAL; the oracle unrolls "
+    "the identical coefficient trajectory as CTEs "
+    "(operators/glm.py:logistic_fit_summary).",
+)
+def logreg_en_vs_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import logistic_fit_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.col("n_chars").cast("long").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return logistic_fit_summary(d, "x", "y", iters=_IRLS_ITERS)
+
+
+_IPW_BASE = """SELECT x, y FROM (
+            SELECT o.o_orderkey,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey)"""
+
+
+def _ipw_oracle() -> str:
+    # the propensity model regresses treatment (y in the IRLS prefix)
+    # on per-user activity x; outcome joins back per user afterwards
+    return (
+        _irls_prefix(_IPW_BASE, _IRLS_ITERS)
+        + f""", users AS (
+            SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS x,
+                   CAST(max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS t,
+                   CAST(max(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS yout
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey
+        ),
+        scored AS (
+            SELECT t, yout,
+                   greatest(10000, least(990000,
+                       CAST(round(1000000.0 / (1.0 + exp(-greatest(-30.0,
+                            least(30.0,
+                                  (b0 + b1 * (CAST(CAST(round(((CAST(x AS DOUBLE) - mean) / scale)
+                                        * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0))
+                                  / 1000000.0))))) AS BIGINT))) AS e
+            FROM users, sc, c{_IRLS_ITERS}
+        ),
+        wtd AS (
+            SELECT t, yout,
+                   CAST((1000000000000 - 1000000000000 % e) / e AS BIGINT) AS wt,
+                   CAST((1000000000000 - 1000000000000 % (1000000 - e))
+                        / (1000000 - e) AS BIGINT) AS wc
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS n_treated,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(wt * yout AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS syt,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(wt AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swt,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(wc * yout AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS syc,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(wc AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swc
+            FROM wtd
+        )
+        SELECT n, n_treated,
+               round(CAST(syt AS DOUBLE) / CAST(NULLIF(swt, 0) AS DOUBLE), 6)
+                   AS mean_treated,
+               round(CAST(syc AS DOUBLE) / CAST(NULLIF(swc, 0) AS DOUBLE), 6)
+                   AS mean_control,
+               round(CAST(syt AS DOUBLE) / CAST(NULLIF(swt, 0) AS DOUBLE)
+                     - CAST(syc AS DOUBLE) / CAST(NULLIF(swc, 0) AS DOUBLE), 6)
+                   AS ate
+        FROM agg
+    """
+    )
+
+
+@query(
+    "ipw_ate_priority_on_revenue",
+    oracle=_ipw_oracle(),
+    tags=("ml", "causal", "statistics", "agg", "glm"),
+    doc="Inverse-propensity-weighted average treatment effect of "
+    "urgent/high order priority on order revenue, with basket size "
+    "(lineitem count) as the confounder: propensity "
+    "P(priority | basket size) from the 8-round IRLS logistic fit, "
+    "clipped to [1%, 99%], Hajek self-normalized means. Weights "
+    "quantize to exact integers (10^12 // e), so all four sums are "
+    "exact and the ATE is one fixed-order double chain; an empty arm "
+    "yields NULL, never a divide error (operators/glm.py:ipw_ate). "
+    "The causal sibling of the experimentation family: DiD needs a "
+    "pre-period, Welch/MW need randomization — IPW is the "
+    "observational fallback.",
+)
+def ipw_ate_priority_on_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import ipw_ate
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(orders.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.max(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+            ).cast("long").alias("t"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("yout"),
+        )
+    )
+    return ipw_ate(per_order, "x", "t", "yout", iters=_IRLS_ITERS)
+
+
+@query(
+    "msprt_purchase_by_variant",
+    oracle="""
+        WITH subjects AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS g,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS cents
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+            FROM subjects GROUP BY g
+        ),
+        wide AS (
+            SELECT max(CASE WHEN g = 0 THEN n END) AS nc,
+                   max(CASE WHEN g = 0 THEN s END) AS sc,
+                   max(CASE WHEN g = 0 THEN ss END) AS ssc,
+                   max(CASE WHEN g = 1 THEN n END) AS nt,
+                   max(CASE WHEN g = 1 THEN s END) AS st,
+                   max(CASE WHEN g = 1 THEN ss END) AS sst
+            FROM agg
+        ),
+        stats AS (
+            SELECT nc, nt,
+                   CAST((nc + nt) * (ssc + sst)
+                        - CAST(sc + st AS HUGEINT) * (sc + st) AS DOUBLE)
+                       / CAST(CAST(nc + nt AS HUGEINT) * (nc + nt - 1) AS DOUBLE) AS var,
+                   CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                       - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS theta
+            FROM wide
+        ),
+        lam AS (
+            SELECT nc, nt, theta,
+                   var * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)) AS rho
+            FROM stats
+        ),
+        fin AS (
+            SELECT nc, nt, theta,
+                   0.5 * ln(rho / (rho + 1.0))
+                       + (theta * theta * 1.0 / ((2.0 * rho) * (rho + 1.0))) AS log_lam
+            FROM lam
+        )
+        SELECT nc AS n_control, nt AS n_treated,
+               round(theta, 6) + 0.0 AS theta_hat,
+               round(log_lam, 6) + 0.0 AS log_lambda,
+               round(least(1.0, exp(-log_lam)), 6) AS p_always_valid
+        FROM fin
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="Always-valid experiment readout: mixture-SPRT (Johari et al.) "
+    "on per-user purchase revenue between the same hash-assigned "
+    "variants as welch_purchase_value_by_variant — the p-value that "
+    "stays valid under continuous monitoring, where peeking at the "
+    "fixed-n t-test inflates false positives. One partial-aggregable "
+    "pass (exact BIGINT/HUGEINT sums); the Lambda chain is fixed-order "
+    "doubles on those sums (operators/glm.py:msprt_two_sample, "
+    "mixture variance tau = 1.0 in cents^2 units).",
+)
+def msprt_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.glm import msprt_two_sample
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    subjects = per_user.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "cents",
+    )
+    return msprt_two_sample(
+        subjects, "variant", "cents", control="A", treatment="B",
+        tau_micro=1_000_000,
+    )
+
+
+@query(
+    "conformal_user_value_interval",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+                   CAST('0x' || substring(md5('conformal-r10:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 10000 AS bucket
+            FROM events GROUP BY user_id
+        ),
+        tr AS (SELECT x, y FROM u WHERE bucket < 8000),
+        ca AS (SELECT x, y FROM u WHERE bucket >= 8000),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+              FROM tr),
+        coef AS (
+            SELECT CAST(round(((CAST(sy AS DOUBLE)
+                                - (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                                   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                                  * CAST(sx AS DOUBLE))
+                               / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS a_micro,
+                   CAST(round((CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                               / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS b_micro
+            FROM s),
+        res AS (
+            SELECT abs(y - CAST(round((a_micro + b_micro * x) / 1000000.0)
+                               AS BIGINT)) AS r
+            FROM ca, coef),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_calib FROM res),
+        kk AS (SELECT n_calib,
+                      least(((90 * (n_calib + 1)) + 99) // 100, n_calib) AS k
+               FROM nn),
+        ranked AS (
+            SELECT r, row_number() OVER (ORDER BY r) AS rk FROM res)
+        SELECT coef.a_micro, coef.b_micro, kk.n_calib,
+               CAST(ranked.r AS BIGINT) AS q_units,
+               CAST(0.9 AS DOUBLE) AS coverage_lo
+        FROM coef, kk, ranked WHERE ranked.rk = kk.k
+    """,
+    tags=("ml", "statistics", "agg", "eval"),
+    doc="Split-conformal prediction interval for per-user total spend "
+    "predicted from activity: exact closed-form OLS on the md5-hashed "
+    "80% train split, then the ceil(0.9*(n+1))-th smallest absolute "
+    "residual on the 20% calibration split — the distribution-free "
+    "finite-sample coverage guarantee every 'predicted range' UI "
+    "needs. Residuals are exact integers; the conformal quantile is "
+    "the EXACT order statistic via the distributed rank, never a "
+    "single-partition sort (operators/glm.py:conformal_interval).",
+)
+def conformal_user_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.glm import conformal_interval
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    ).withColumn(
+        "bucket", split_bucket_col(F.col("user_id"), "conformal-r10")
+    )
+    train = u.filter(F.col("bucket") < 8000)
+    calib = u.filter(F.col("bucket") >= 8000)
+    return conformal_interval(train, calib, "x", "y", alpha_pct=10)

@@ -55,6 +55,7 @@ def _load_all() -> None:
         llm_queries,
         advanced_queries,
         analytics_queries,
+        ml_queries,
     )
 
 

@@ -1,0 +1,141 @@
+"""GLM / causal / sequential-testing operators (operators/glm.py):
+IRLS logistic fit sanity against scipy-free hand checks, IPW ATE
+recovery on a constructed confounded dataset, mSPRT behavior under
+null and effect, conformal coverage arithmetic, and the contract
+guards."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpanda_ais_demo_spark.operators.glm import (
+    conformal_interval,
+    ipw_ate,
+    logistic_fit_summary,
+    logistic_irls,
+    msprt_two_sample,
+)
+
+
+def _sep_frame(spark, n=400):
+    # y depends strongly on x: P(y=1) ~ sigmoid(2*(x-50)/std-ish)
+    rows = []
+    for i in range(n):
+        x = i % 100
+        y = 1 if (x * 7919) % 100 < min(95, max(5, x)) else 0
+        rows.append((x, y))
+    return spark.createDataFrame(rows, "x long, y long")
+
+
+def test_logistic_irls_learns_direction_and_is_deterministic(spark):
+    df = _sep_frame(spark).repartition(8)
+    b0a, b1a, _ = logistic_irls(df, "x", "y", iters=6)
+    b0b, b1b, _ = logistic_irls(df.repartition(3), "x", "y", iters=6)
+    # partitioning-independent: identical micro-unit trajectory
+    assert (b0a, b1a) == (b0b, b1b)
+    # P(y) rises with x by construction -> positive slope
+    assert b1a > 0
+    summ = logistic_fit_summary(df, "x", "y", iters=6).collect()[0]
+    assert summ.n == 400
+    # a real fit must beat majority-class accuracy
+    assert summ.accuracy > max(summ.base_rate, 1 - summ.base_rate)
+
+
+def test_logistic_irls_validates_inputs(spark):
+    df = spark.createDataFrame([(1, 0), (1, 1)], "x long, y long")
+    with pytest.raises(ValueError, match="constant"):
+        logistic_irls(df, "x", "y")
+    with pytest.raises(ValueError, match="iters"):
+        logistic_irls(_sep_frame(spark, 10), "x", "y", iters=0)
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        logistic_irls(
+            spark.createDataFrame([(1, 0)], "x long, y long"), "x", "y"
+        )
+
+
+def test_ipw_ate_recovers_effect_under_confounding(spark):
+    # Treatment probability rises with x; outcome = 100*x + 500*T.
+    # Naive diff-in-means is badly biased upward (treated users have
+    # high x); IPW should land near the true 500.
+    rows = []
+    for i in range(2000):
+        x = i % 18 + 1  # confounder 1..18 (positivity on both arms)
+        u = ((i // 18) * 7) % 20  # pseudo-uniform (7 ⊥ 20), indep of x
+        treated = 1 if u < x else 0  # P(T|x) = x/20
+        y = 100 * x + 500 * treated
+        rows.append((x, treated, y))
+    df = spark.createDataFrame(rows, "x long, t long, y long").repartition(8)
+    out = ipw_ate(df, "x", "t", "y", iters=6).collect()[0]
+    naive = (
+        df.groupBy("t").agg(F.avg("y").alias("m")).orderBy("t").collect()
+    )
+    naive_diff = naive[1].m - naive[0].m
+    assert abs(naive_diff - 500) > 300  # the bias IPW must remove
+    assert abs(out.ate - 500) < 150
+    assert out.n == 2000 and out.n_treated == sum(r[1] for r in rows)
+
+
+def test_msprt_null_vs_effect(spark):
+    null_rows = [("A" if i % 2 else "B", (i * 37) % 100) for i in range(1000)]
+    eff_rows = [
+        ("A" if i % 2 else "B", (i * 37) % 100 + (0 if i % 2 else 40))
+        for i in range(1000)
+    ]
+    nul = msprt_two_sample(
+        spark.createDataFrame(null_rows, "g string, v long"), "g", "v", "A", "B",
+        tau_micro=100_000_000,
+    ).collect()[0]
+    eff = msprt_two_sample(
+        spark.createDataFrame(eff_rows, "g string, v long"), "g", "v", "A", "B",
+        tau_micro=100_000_000,
+    ).collect()[0]
+    assert nul.p_always_valid > 0.5  # no evidence under the null
+    assert eff.p_always_valid < 0.01  # a 40-unit shift is decisive
+    assert abs(eff.theta_hat - 40.0) < 2.0
+    with pytest.raises(ValueError, match="both control and treatment"):
+        msprt_two_sample(
+            spark.createDataFrame([("A", 1), ("A", 2)], "g string, v long"),
+            "g", "v", "A", "B",
+        )
+
+
+def test_conformal_interval_exact_quantile(spark):
+    # perfect line y = 3x + 7 with known residual noise on calib
+    train = spark.createDataFrame(
+        [(i, 3 * i + 7) for i in range(100)], "x long, y long"
+    )
+    calib = spark.createDataFrame(
+        [(i, 3 * i + 7 + (i % 11) - 5) for i in range(50)], "x long, y long"
+    )
+    out = conformal_interval(train, calib, "x", "y", alpha_pct=10).collect()[0]
+    assert out.a_micro == 7_000_000 and out.b_micro == 3_000_000
+    # residuals are |i%11 - 5| over 50 rows; q = ceil(0.9*51)=46th smallest
+    res = sorted(abs((i % 11) - 5) for i in range(50))
+    assert out.q_units == res[46 - 1]
+    assert out.n_calib == 50
+    with pytest.raises(ValueError, match="alpha_pct"):
+        conformal_interval(train, calib, "x", "y", alpha_pct=0)
+
+
+def test_irls_aggregation_plan_has_no_data_sized_shuffle(spark):
+    # each IRLS pass must be a narrow projection + partial agg: no
+    # window, no sort, no join in the per-iteration aggregate
+    df = _sep_frame(spark)
+    from redpanda_ais_demo_spark.operators.glm import (
+        M,
+        _idiv,
+        _sigmoid_micro,
+    )
+
+    z = (F.lit(0.0) + F.lit(0.5) * (F.col("x").cast("long") / F.lit(float(M)))) / F.lit(
+        float(M)
+    )
+    p = _sigmoid_micro(z)
+    w = _idiv(p * (F.lit(M) - p), M)
+    agg = df.agg(F.sum(w).alias("sw"))
+    plan = agg._jdf.queryExecution().executedPlan().toString().lower()
+    assert "sort" not in plan and "window" not in plan and "join" not in plan
+    assert plan.count("exchange") <= 1  # the single-partition final agg
