@@ -473,3 +473,167 @@ def fd_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_micro: int = 200_000,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute (Li,
+    Li & Venkatasubramanian 2007) — the screen l-diversity misses: a
+    class can hold l distinct salaries and still leak if they are all
+    in the top bracket (similarity attack). Per equivalence class, the
+    Earth Mover's Distance between the class's sensitive distribution
+    and the table-wide one under the ordered-distance ground metric:
+
+        EMD(P, Q) = (1/(m-1)) * sum_j |cumP_j - cumQ_j|
+
+    over the m globally-distinct sensitive values in order. A release
+    passes when max EMD <= t.
+
+    Exactness: cumP_j = c_j / s (class cum count / class size) and
+    cumQ_j = g_j / n are rationals, so each term scales to the exact
+    integer |c_j * n - g_j * s| (DECIMAL-summed per class); the single
+    division by s*n*(m-1) happens once per class, then quantizes to
+    micro-units so the max/threshold compare is integer.
+
+    Plan: one partial-aggregable groupBy to (quasi, sensitive) cells,
+    a bounded window over distinct sensitive values for the global
+    cumulative, a per-class window ordered by sensitive value (frame
+    size <= m, parallel across classes), one fold. The shuffle carries
+    distinct cells, never raw rows.
+
+    Output: (t_threshold_micro, n_classes, max_emd_micro,
+    n_classes_at_risk, n_rows_at_risk, at_risk_rate).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not (0 < t_micro <= 1_000_000):
+        raise ValueError("t_micro must be in (0, 1000000]")
+    s = F.col(sensitive_col)
+    cells = df.groupBy(*quasi_cols, s.alias("__sv")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # global ordered distribution over the bounded distinct-value set
+    glob = cells.groupBy("__sv").agg(F.sum("c").alias("g"))
+    wg = Window.orderBy("__sv").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = glob.select(
+        "__sv", F.sum("g").over(wg).alias("gcum")
+    )
+    tot = glob.agg(
+        F.sum("g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    sizes = cells.groupBy(*quasi_cols).agg(F.sum("c").alias("size"))
+    # every class evaluates EVERY global value j (a class missing value
+    # j still contributes |cumP_j*n - gcum_j*s|): right-join cells onto
+    # the global value list per class via the sizes x values frame
+    grid = sizes.crossJoin(F.broadcast(gcum))
+    joined = grid.join(cells, [*quasi_cols, "__sv"], "left").fillna(
+        {"c": 0}
+    )
+    wc = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("__sv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    terms = joined.withColumn("ccum", F.sum("c").over(wc)).crossJoin(
+        F.broadcast(tot)
+    )
+    num = F.abs(
+        F.col("ccum").cast("decimal(38,0)") * F.col("n")
+        - F.col("gcum").cast("decimal(38,0)") * F.col("size")
+    )
+    per_class = terms.groupBy(*quasi_cols).agg(
+        F.max("size").alias("size"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(num).alias("num"),
+    )
+    emd_micro = F.when(
+        F.col("m") > 1,
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.col("size").cast("double")
+                * F.col("n").cast("double")
+                * (F.col("m") - 1).cast("double")
+            )
+            * 1_000_000.0
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    classes = per_class.withColumn("emd_micro", emd_micro)
+    risk = F.col("emd_micro") > t_micro
+    return classes.agg(
+        F.lit(t_micro).cast("long").alias("t_threshold_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("emd_micro").cast("long").alias("max_emd_micro"),
+        F.sum(risk.cast("long")).cast("long").alias("n_classes_at_risk"),
+        F.sum(F.when(risk, F.col("size")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(risk, F.col("size")).otherwise(F.lit(0))).cast("double")
+            / F.sum("size").cast("double"),
+            6,
+        ).alias("at_risk_rate"),
+    )
+
+
+def column_fingerprints(
+    df: DataFrame,
+    exprs: dict[str, Column],
+) -> DataFrame:
+    """Order-invariant per-column content checksums — the cheap answer
+    to "is this copy of the table bit-identical to that one" across
+    engines, replicas, or migration steps, without sorting anything:
+    per row and column, a 32-bit integer hash of ``'col:value'``
+    (md5-derived, the repo's portable hash family; NULL hashes as the
+    distinct sentinel ``col:\\x01NULL``), summed per column in
+    DECIMAL(38,0). Sums are commutative, so ANY partitioning, engine,
+    or row order yields the same fingerprint; a single changed row
+    shifts the sum with probability ~1-2^-32 per column.
+
+    ``exprs`` maps output column names to ENGINE-PORTABLE string
+    expressions (quantize doubles to cents, format dates explicitly —
+    raw float/timestamp casts format differently across engines).
+
+    ONE scan: every column's three aggregates ride a single partial-
+    aggregable fold (never one pass per column), then the 1-row result
+    unpivots to (column, n_rows, n_nulls, fp_sum as DECIMAL string) —
+    one row per audited column.
+    """
+    if not exprs:
+        raise ValueError("exprs must be non-empty")
+    for name in exprs:
+        if "'" in name or "\\" in name:
+            raise ValueError(f"column name {name!r} must not contain quotes")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, (name, e) in enumerate(exprs.items()):
+        v = e.cast("string")
+        h = F.conv(
+            F.md5(
+                F.concat(
+                    F.lit(name + ":"),
+                    F.coalesce(v, F.lit("\x01NULL")),
+                )
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("long")
+        aggs.append(
+            F.sum(v.isNull().cast("long")).cast("long").alias(f"__nn_{i}")
+        )
+        aggs.append(
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias(f"__fp_{i}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __nn_{i}, __fp_{i}" for i, name in enumerate(exprs)
+    )
+    return one.selectExpr(
+        f"stack({len(exprs)}, {stack_args}) AS (column, n_nulls, fp_sum)",
+        "__n AS n_rows",
+    ).select("column", "n_rows", "n_nulls", "fp_sum")

@@ -287,7 +287,10 @@ def order_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     n = F.count("*")
     s1 = F.sum(c).cast("double")
-    s2 = F.sum(c * c).cast("double")
+    # Σc² must widen BEFORE the sum: per-row c·c fits a long, but the
+    # group sum passes 2⁶³ around 150k orders (sf0.1) — DECIMAL(38,0)
+    # matches the oracle's HUGEINT accumulator exactly
+    s2 = F.sum((c * c).cast("decimal(38,0)")).cast("double")
     return orders.groupBy("o_orderpriority").agg(
         n.alias("n"),
         (F.sum(c).cast("double") / F.lit(100.0) / F.count("*")).alias("mean_price"),

@@ -56,6 +56,7 @@ def _load_all() -> None:
         advanced_queries,
         analytics_queries,
         ml_queries,
+        governance_queries,
     )
 
 
