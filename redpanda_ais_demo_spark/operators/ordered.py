@@ -181,21 +181,24 @@ def ntile_bounded_domain(
     ``ntile_distributed`` under the same order, without its full-data
     range sort + checkpoint.
 
-    The trick: with per-value counts and exclusive offsets (one tiny
-    partial-aggregable groupBy + a window over the BOUNDED distinct-
-    value table), a value run spanning ranks ``off+1..off+cnt`` either
-    falls entirely inside one tile — every row's tile is decided by the
-    VALUE ALONE, a broadcast map join, no per-row ranking — or it
-    straddles a boundary. At most ``n_tiles - 1`` values straddle; only
-    THEIR rows need a per-row tiebreak rank, and that rank runs through
-    the distributed ``rank_cumsum`` machinery, so even a single tied
-    run of a billion rows (freq = 1 at 100 TB) never funnels through
-    one task. Cost: one groupBy over the input + one range sort over
-    only the straddling rows, vs a range sort + checkpoint of
-    EVERYTHING in ``ntile_distributed``.
+    The trick: a value run spanning global ranks ``off+1..off+cnt``
+    either falls entirely inside one tile — every row's tile is decided
+    by the VALUE ALONE — or straddles a boundary, and at most
+    ``n_tiles − 1`` values straddle. Because the domain is bounded BY
+    CONTRACT, the per-value count table is driver-trivial: ONE
+    partial-aggregable groupBy collects it, the offsets / ANSI tile
+    spans compute in exact Python ints, and the spans broadcast back as
+    a literal frame — no windows, no second aggregate, no crossJoins.
+    Only the straddling values' rows get a per-row tiebreak rank, and
+    that rank runs through the distributed ``rank_cumsum``, so even a
+    single tied run of a billion rows (freq = 1 at 100 TB) never
+    funnels through one task. Cost: one groupBy + one broadcast join
+    over the input + one range sort over only the straddling rows, vs
+    a range sort + checkpoint of EVERYTHING in ``ntile_distributed``.
 
-    ``tiebreak_exprs`` must totally order rows WITHIN a value (the same
-    contract as the window this replaces). NULL values sort by Spark's
+    ``value_expr`` must be an orderable primitive whose Python ordering
+    matches Spark's (ints, floats, strings); ``tiebreak_exprs`` must
+    totally order rows WITHIN a value. NULL values sort by Spark's
     defaults (ASC → first, DESC → last) in both paths.
     """
     if n_tiles < 1:
@@ -203,63 +206,86 @@ def ntile_bounded_domain(
     if not tiebreak_exprs:
         raise ValueError("tiebreak_exprs must be non-empty")
     order = F.col("__bd_v").desc() if descending else F.col("__bd_v").asc()
-    tmp = df.withColumn("__bd_v", value_expr)
-    per = tmp.groupBy("__bd_v").agg(F.count(F.lit(1)).alias("__bd_cnt"))
-    # windows over the distinct-value table only — bounded by contract
-    woff = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    offs = per.select(
-        "__bd_v",
-        "__bd_cnt",
-        F.coalesce(F.sum("__bd_cnt").over(woff), F.lit(0)).alias("__bd_off"),
+    # pin the valued frame: the count collect below is an ACTION, and
+    # without the pin it would execute the caller's entire upstream
+    # plan once for the counts and AGAIN for the output join job
+    tmp = df.withColumn("__bd_v", value_expr).localCheckpoint(eager=False)
+    per = {
+        r["__bd_v"]: r["cnt"]
+        for r in tmp.groupBy("__bd_v").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(per.values())
+    if n == 0:
+        return tmp.drop("__bd_v").withColumn(out_col, F.lit(None).cast("int"))
+    # Spark null ordering: ASC → NULL first, DESC → NULL last
+    nonnull = sorted((v for v in per if v is not None), reverse=descending)
+    ordered_vals = ([None] if not descending else []) + nonnull + (
+        [None] if descending else []
     )
-    tot = per.agg(F.sum("__bd_cnt").cast("long").alias("__bd_n"))
-    spans = offs.crossJoin(F.broadcast(tot)).select(
-        "__bd_v",
-        "__bd_off",
-        "__bd_n",
-        _tile_expr(F.col("__bd_off") + 1, F.col("__bd_n"), n_tiles)
-        .cast("int")
-        .alias("__bd_tlo"),
-        _tile_expr(
-            F.col("__bd_off") + F.col("__bd_cnt"), F.col("__bd_n"), n_tiles
-        )
-        .cast("int")
-        .alias("__bd_thi"),
-    )
-    # joins on __bd_v must be NULL-safe: a NULL value is a legitimate
-    # (first-sorting ASC / last-sorting DESC) domain member, and a
-    # plain equi-join would silently drop its rows
-    def _nsjoin(left: DataFrame, right: DataFrame) -> DataFrame:
-        r = right.withColumnRenamed("__bd_v", "__bd_vr")
-        return left.join(
-            r, F.col("__bd_v").eqNullSafe(F.col("__bd_vr"))
-        ).drop("__bd_vr")
+    ordered_vals = [v for v in ordered_vals if v in per]
 
-    joined = _nsjoin(tmp, F.broadcast(spans))
+    def tile_of(rank: int) -> int:
+        # the ANSI bucket formula, exact ints (mirrors _tile_expr)
+        base, extra = divmod(n, n_tiles)
+        if base == 0:
+            return rank
+        fat = (base + 1) * extra
+        if rank <= fat:
+            return (rank - 1) // (base + 1) + 1
+        return extra + (rank - fat - 1) // base + 1
+
+    spans = []  # (value, off, soff, tlo, thi) — soff only for straddlers
+    off = soff = 0
+    for v in ordered_vals:
+        cnt = per[v]
+        tlo, thi = tile_of(off + 1), tile_of(off + cnt)
+        spans.append((v, off, soff, tlo, thi))
+        if tlo != thi:
+            soff += cnt
+        off += cnt
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    vtype = tmp.schema["__bd_v"].dataType
+    spark = df.sparkSession
+    span_df = spark.createDataFrame(
+        spans,
+        schema=StructType(
+            [
+                StructField("__bd_vr", vtype),
+                StructField("__bd_off", LongType()),
+                StructField("__bd_soff", LongType()),
+                StructField("__bd_tlo", IntegerType()),
+                StructField("__bd_thi", IntegerType()),
+            ]
+        ),
+    )
+    # NULL-safe join: a NULL value is a legitimate domain member
+    joined = tmp.join(
+        F.broadcast(span_df), F.col("__bd_v").eqNullSafe(F.col("__bd_vr"))
+    ).drop("__bd_vr")
     whole = joined.filter(F.col("__bd_tlo") == F.col("__bd_thi")).withColumn(
         out_col, F.col("__bd_tlo")
     )
-    # straddling values: exclusive offset among straddling rows only,
-    # so subset_rank - __bd_soff = rank within the value's tied run
-    split_vals = spans.filter(F.col("__bd_tlo") != F.col("__bd_thi"))
-    wsoff = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    soffs = _nsjoin(split_vals.select("__bd_v"), per).select(
-        "__bd_v",
-        F.coalesce(F.sum("__bd_cnt").over(wsoff), F.lit(0)).alias("__bd_soff"),
-    )
-    split = _nsjoin(
-        joined.filter(F.col("__bd_tlo") != F.col("__bd_thi")), F.broadcast(soffs)
-    )
+    split = joined.filter(F.col("__bd_tlo") != F.col("__bd_thi"))
+    keep = [*df.columns, out_col]
+    if not any(lo != hi for _, _, _, lo, hi in spans):
+        return whole.select(*keep)
+    # straddlers: rank within the straddling subset; rank − soff is the
+    # row's position inside its value's tied run
     ranked = rank_cumsum(split, [order, *tiebreak_exprs], rank_col="__bd_sr")
     split_tiled = ranked.withColumn(
         out_col,
         _tile_expr(
             F.col("__bd_off") + (F.col("__bd_sr") - F.col("__bd_soff")),
-            F.col("__bd_n"),
+            F.lit(n).cast("long"),
             n_tiles,
         ).cast("int"),
     )
-    keep = [*df.columns, out_col]
     return whole.select(*keep).unionAll(split_tiled.select(*keep))
 
 
