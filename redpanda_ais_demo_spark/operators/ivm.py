@@ -140,3 +140,48 @@ def mv_answer(
     if not aggs:
         raise RewriteError("no measures requested")
     return mv.groupBy(*want_keys).agg(*aggs)
+
+
+def merge_join(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner equi-join view under
+    append-only deltas — the join half of the IVM pair (``merge_agg``
+    maintains aggregates): with V = A_old ⋈ B_old already materialized,
+    the refreshed view is the delta-join identity
+
+        V' = V  ∪  (ΔA ⋈ B_old)  ∪  (A_old ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+
+    — three joins whose LEFT sides are delta-sized, never a recompute
+    of A ⋈ B. At 100 TB with daily deltas this is the difference
+    between touching a day and touching seven years; the deltas are
+    usually broadcastable, so the three terms are map-side probes of
+    the stored (ideally bucketed — joins.write_bucketed) base tables.
+
+    Contract: append-only (no updates/deletes — those need signed
+    multiplicities, the classic DBSP/differential generalization);
+    ``on`` columns must be same-named in every input; non-key columns
+    of A and B must not collide (same as the original join).
+    """
+    if not on:
+        raise ValueError("on must be non-empty")
+    for name, df_ in (("a_old", a_old), ("delta_a", delta_a),
+                      ("b_old", b_old), ("delta_b", delta_b)):
+        missing = [k for k in on if k not in df_.columns]
+        if missing:
+            raise ValueError(f"{name} is missing join columns {missing}")
+    parts = [
+        view,
+        delta_a.join(b_old, on),
+        a_old.join(delta_b, on),
+        delta_a.join(delta_b, on),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -232,3 +232,49 @@ def fingerprint_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority": F.col("o_orderpriority"),
         },
     )
+
+
+@query(
+    "ivm_join_orders_lineitem",
+    oracle="""
+        WITH j AS (
+            SELECT o.o_orderstatus,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY o_orderstatus
+    """,
+    tags=("ivm", "join", "agg", "incremental"),
+    doc="Incremental JOIN view maintenance: the orders x lineitem view "
+    "is materialized from the pre-delta base (o_orderkey % 7 != 0), "
+    "then the held-out rows arrive as append deltas on BOTH sides and "
+    "the view refreshes via the delta-join identity V u dA*B u A*dB "
+    "u dA*dB (operators/ivm.py:merge_join) — three delta-sized joins, "
+    "never a recompute. The oracle aggregates the FULL join, so the "
+    "hash match proves the maintained view is row-for-row the "
+    "recomputed one (count + exact cents per status are "
+    "multiplicity-sensitive).",
+)
+def ivm_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import merge_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_linenumber"
+    )
+    is_delta_a = F.col("o_orderkey") % 7 == 0
+    is_delta_b = F.col("o_orderkey") % 5 == 0
+    a_old, delta_a = orders.filter(~is_delta_a), orders.filter(is_delta_a)
+    b_old, delta_b = lineitem.filter(~is_delta_b), lineitem.filter(is_delta_b)
+    view = a_old.join(b_old, ["o_orderkey"])
+    refreshed = merge_join(view, a_old, delta_a, b_old, delta_b, ["o_orderkey"])
+    return refreshed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

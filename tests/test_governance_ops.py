@@ -103,3 +103,32 @@ def test_column_fingerprints_single_scan_plan(spark):
     out = column_fingerprints(df, {"x": F.col("x"), "s": F.col("s")})
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     assert plan.count("scan") == 1  # every column audited in ONE pass
+
+
+def test_merge_join_equals_recompute_with_duplicate_keys(spark):
+    from redpanda_ais_demo_spark.operators.ivm import merge_join
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "a3"), (3, "a4"), (4, "a5")], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b3"), (4, "b4"), (5, "b5")], "k long, bv string"
+    )
+    da = a.filter(a.k % 2 == 0)
+    ao = a.filter(a.k % 2 != 0)
+    db = b.filter(b.k % 3 == 0)
+    bo = b.filter(b.k % 3 != 0)
+    view = ao.join(bo, ["k"])
+    got = sorted(
+        (r.k, r.av, r.bv)
+        for r in merge_join(view, ao, da, bo, db, ["k"]).collect()
+    )
+    want = sorted((r.k, r.av, r.bv) for r in a.join(b, ["k"]).collect())
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="on must"):
+        merge_join(view, ao, da, bo, db, [])
+    with pytest.raises(ValueError, match="missing join columns"):
+        merge_join(view, ao.drop("k"), da, bo, db, ["k"])
