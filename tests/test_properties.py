@@ -578,3 +578,82 @@ def test_ntile_distributed_property_matches_spark(spark, keys, k):
         for r in df.withColumn("t", F.ntile(k).over(Window.orderBy(*order))).collect()
     }
     assert got == want
+
+
+@_settings
+@given(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=9),
+    st.booleans(),
+)
+def test_ntile_bounded_domain_matches_window_ntile_property(spark, vals, k, desc):
+    """Random heavy-tied domains, every n_tiles, both directions: the
+    bounded-domain tiling is row-for-row the Window ntile."""
+    from pyspark.sql import Window
+
+    from redpanda_ais_demo_spark.operators.ordered import ntile_bounded_domain
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(4)
+    got = {
+        r.id: r.tile
+        for r in ntile_bounded_domain(
+            df, F.col("v"), [F.col("id").asc()], k, descending=desc
+        ).collect()
+    }
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id").asc()]
+    want = {
+        r.id: r.tile
+        for r in df.withColumn(
+            "tile", F.ntile(k).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # key
+            st.integers(min_value=0, max_value=50),  # valid_from
+            st.integers(min_value=0, max_value=9),   # attr id
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # key (incl. no-history 4)
+            st.integers(min_value=0, max_value=60),  # probe ts
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_pit_join_matches_bruteforce_property(spark, dim_rows, probe_rows):
+    """PIT union-shape vs the brute-force 'latest version at or before
+    t' definition, random histories: identical, including NULLs for
+    probes before any version and same-ts version ties (highest
+    version wins)."""
+    from redpanda_ais_demo_spark.operators.joins import pit_join
+
+    dim = [
+        (k, ts, f"a{a}", i + 1)
+        for i, (k, ts, a) in enumerate(dim_rows)
+    ]
+    probes = [(i, k, ts) for i, (k, ts) in enumerate(probe_rows)]
+    ddf = spark.createDataFrame(dim, "k long, valid_from long, attr string, version long")
+    pdf = spark.createDataFrame(probes, "pid long, k long, ts long")
+    got = {
+        r.pid: r.attr
+        for r in pit_join(
+            pdf, ddf, "k", "ts", "valid_from", "attr", ["pid"],
+            dim_tiebreak_col="version",
+        ).collect()
+    }
+    want = {}
+    for pid, k, ts in probes:
+        cands = [(vf, ver, a) for (dk, vf, a, ver) in dim if dk == k and vf <= ts]
+        want[pid] = max(cands)[2] if cands else None
+    assert got == want
