@@ -375,12 +375,28 @@ def main() -> None:
     # cost is the thing benchmarked; the warm-up round is not recorded.
     extended = extended_queries()
     all_queries = BENCH_QUERIES + extended
-    for name in all_queries:
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 runs JUST those queries and MERGES
+    # their fresh minima/spread/samples into the committed
+    # BENCH_LOCAL.json (subtotals recomputed from the merged table) —
+    # the cheap path when one query was added or reworked after the
+    # last full run, so no registered query ever ships without a
+    # timing row. The stdout summary still reflects the full merged
+    # set, so the driver's parse contract is unchanged.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = [q.strip() for q in only_env.split(",") if q.strip()]
+    if only:
+        missing = [q for q in only if q not in all_queries]
+        if missing:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not registered: {missing}")
+        run_queries = only
+    else:
+        run_queries = all_queries
+    for name in run_queries:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    samples: dict[str, list[float]] = {name: [] for name in all_queries}
+    samples: dict[str, list[float]] = {name: [] for name in run_queries}
     for _ in range(N_ROUNDS):
-        for name in all_queries:
+        for name in run_queries:
             fn = queries[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -399,11 +415,15 @@ def main() -> None:
 
     timings = {name: min(s) for name, s in samples.items()}
     spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
+    if only:
+        timings, spread, samples = merge_partial(
+            os.path.join(REPO_DIR, "BENCH_LOCAL.json"), timings, spread, samples
+        )
     total = round(sum(timings.values()), 3)
     # core_set_sec is directly comparable to BENCH_r06's value (same 28
     # queries, same interleaved harness); value covers the full set.
-    core_total = round(sum(timings[n] for n in CORE_QUERIES), 3)
-    extended_total = round(sum(timings[n] for n in extended), 3)
+    core_total = round(sum(timings[n] for n in CORE_QUERIES if n in timings), 3)
+    extended_total = round(sum(timings[n] for n in extended if n in timings), 3)
     # Full record (per-query minima, spread, raw samples) goes to a
     # committed file; stdout gets ONLY the compact summary. The driver
     # captures a bounded tail of stdout, and the full record overflowed it
@@ -426,6 +446,30 @@ def main() -> None:
         f.write("\n")
     print(json.dumps(summary_line(total, core_total, extended_total, sf)))
     spark.stop()
+
+
+def merge_partial(
+    prior_path: str,
+    timings: dict[str, float],
+    spread: dict[str, float],
+    samples: dict[str, list[float]],
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
+    """Overlay a partial run's per-query records onto the committed
+    BENCH_LOCAL.json so the written file stays a full-registry record
+    (subtotals are recomputed by the caller from the merged table). A
+    missing/corrupt prior file degrades to the partial set alone —
+    the stdout contract still holds, the coverage assert in
+    tests/test_bench_contract.py flags the gap."""
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        prior = {}
+    return (
+        {**prior.get("queries", {}), **timings},
+        {**prior.get("spread", {}), **spread},
+        {**prior.get("samples", {}), **samples},
+    )
 
 
 def summary_line(total: float, core_total: float, extended_total: float, sf: float) -> dict:

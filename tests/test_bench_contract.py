@@ -43,6 +43,27 @@ def test_full_record_fields_live_in_bench_local_not_stdout():
         assert heavy_key not in line
 
 
+def test_merge_partial_overlays_prior_record(tmp_path):
+    """SPARK_GRAFT_BENCH_ONLY reruns a subset; the written BENCH_LOCAL.json
+    must stay a full-registry record with the fresh rows overlaid."""
+    bench = _load_bench()
+    prior = tmp_path / "BENCH_LOCAL.json"
+    prior.write_text(json.dumps({
+        "queries": {"a": 1.0, "b": 2.0},
+        "spread": {"a": 1.1, "b": 1.2},
+        "samples": {"a": [1.0], "b": [2.0]},
+    }))
+    t, s, raw = bench.merge_partial(
+        str(prior), {"b": 0.5, "c": 3.0}, {"b": 1.0, "c": 1.3}, {"b": [0.5], "c": [3.0]}
+    )
+    assert t == {"a": 1.0, "b": 0.5, "c": 3.0}
+    assert s == {"a": 1.1, "b": 1.0, "c": 1.3}
+    assert raw == {"a": [1.0], "b": [0.5], "c": [3.0]}
+    # missing prior degrades to the partial set alone, no crash
+    t2, _, _ = bench.merge_partial(str(tmp_path / "nope.json"), {"x": 1.0}, {}, {})
+    assert t2 == {"x": 1.0}
+
+
 def test_bench_covers_every_registered_query():
     """No registered query may lack round-over-round bench timing: the
     curated lists plus the dynamic extended set must tile the registry
