@@ -2172,3 +2172,261 @@ def ipw_ate(
         F.round(F.when(ok, mu_c), 6).alias("mean_control_ipw"),
         F.round(F.when(ok, mu_t - mu_c), 6).alias("ate"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend line — median of all pairwise
+    slopes, with the companion median intercept (Sen 1968): the trend
+    estimate that shrugs off the outlier days OLS would chase (up to
+    ~29% contamination). The robust sibling of ``ols_two_features`` the
+    way ``mad_outliers`` is the robust sibling of a z-score.
+
+    Contract: ``t_col``/``x_col`` must be exact integers (day index,
+    cents). The pair join is O(buckets²) PER GROUP — feed it
+    pre-aggregated series (daily/hourly rollups), never raw rows: a
+    year of days is ~66k pairs per group, constant in the data volume,
+    which is why this composes scan-scale (the groupBy upstream is the
+    100 TB pass; the pair join never sees raw data).
+
+    Determinism: every slope is ONE double division of the same two
+    integers on both engines; the medians (Spark exact ``percentile``,
+    DuckDB ``median``/``quantile_cont``) interpolate even counts as
+    lower + (upper-lower)·0.5 — identical IEEE arithmetic.
+
+    The bucketed series feeds three plan legs (both self-join sides +
+    the intercept pass) — pin it with a lazy localCheckpoint so the
+    upstream rollup scans its raw input ONCE, not per leg (the graph-
+    loop precedent; the pinned frame is calendar-bounded, not data-
+    sized).
+    """
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    a, b = t.alias("a"), t.alias("b")
+    slopes = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.t") < F.col("b.t"))
+    ).select(
+        F.col("a.g").alias("g"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("m"),
+    )
+    fit = slopes.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(F.col("m"), F.lit(0.5)).alias("slope"),
+    )
+    # intercept pass: median(x - slope·t) over the same bucketed series;
+    # the fit table is one row per group — broadcast it back
+    return (
+        t.join(F.broadcast(fit), "g")
+        .groupBy("g", "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.percentile(
+                F.col("x").cast("double") - F.col("slope") * F.col("t").cast("double"),
+                F.lit(0.5),
+            ).alias("intercept"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("slope"), 6).alias("slope"),
+            F.round(F.col("intercept"), 6).alias("intercept"),
+        )
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Per-group Mann-Kendall monotonic-trend test with Kendall's tau-b
+    — the nonparametric "is this series really drifting?" readout that
+    pairs with ``theil_sen_trend``'s magnitude (MK says WHETHER, Sen
+    says HOW FAST), completing the Mann-Whitney/Kruskal-Wallis
+    rank-test family for the time axis: S = Σ_{i<j} sign(x_j − x_i),
+    normal approximation with the standard tie correction
+    Σ t(t−1)(2t+5), continuity-corrected z.
+
+    Same contract and scale shape as ``theil_sen_trend``: exact-integer
+    bucketed series in, O(buckets²) pair join per group bounded by the
+    calendar (never the data), everything integer until the final
+    variance division and sqrt — fixed-order, cross-engine exact. The
+    series is lazily pinned (three plan legs: both pair-join sides +
+    the tie pass) so the upstream rollup scans raw data once.
+    """
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    a, b = t.alias("a"), t.alias("b")
+    s = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(F.sum(F.signum(F.col("b.x") - F.col("a.x")).cast("long")).alias("s"))
+    )
+    # tie runs on x and the bucket count, from the same bucketed series
+    ties = (
+        t.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.col("cnt").cast(_DEC) * (F.col("cnt") - 1) * (2 * F.col("cnt") + 5)
+            ).alias("tie3"),
+            F.sum(F.col("cnt").cast(_DEC) * (F.col("cnt") - 1)).alias("tie2"),
+        )
+    )
+    j = s.join(ties, "g")
+    n = F.col("n")
+    var_num = (n.cast(_DEC) * (n - 1) * (2 * n + 5) - F.col("tie3")).cast("double")
+    var_s = var_num / 18.0
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    # tau-b: D0 = n(n-1)/2 pairs, x-tied pairs = tie2/2; t is unique per
+    # bucket so the time-axis term is just D0
+    d0 = (n.cast(_DEC) * (n - 1)).cast("double") / 2.0
+    tx = F.col("tie2").cast("double") / 2.0
+    ok = (n > 1) & (var_s > 0)
+    return j.select(
+        F.col("g").alias(group_col),
+        n.cast("long").alias("n_buckets"),
+        F.col("s").cast("long").alias("s_stat"),
+        F.round(F.when(n > 1, var_s), 6).alias("var_s"),
+        F.round(F.when(ok, z), 6).alias("z_score"),
+        F.round(
+            F.when(ok, sd / (F.sqrt(d0 - tx) * F.sqrt(d0))), 6
+        ).alias("tau_b"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight of Evidence / Information Value per category of one
+    feature against a binary label — the credit-scoring-era feature
+    screen that still runs ahead of every tabular model (|WoE| is the
+    category's pull, IV the feature's total signal: <0.02 useless,
+    >0.3 strong). Completes the encoding family next to
+    ``features.target_encode``: target encoding feeds the model, WoE/IV
+    decides whether the column earns a slot.
+
+    WoE_i = ln(P(cat|pos)/P(cat|neg)) with half-count (Jeffreys)
+    smoothing so empty cells stay finite: both distributions become
+    exact integer ratios (2·n_i+1)/(2·N+k), so the log argument is ONE
+    division of two DECIMAL(38,0)/HUGEINT products. IV terms quantize
+    to micro-units before the total sum (the PSI pattern —
+    associativity-free cross-engine).
+
+    Plan: one partial-aggregable groupBy(category) collapses the scan
+    to k rows; the totals ride a window over those k rows. 100 TB cost
+    = the one scan.
+    """
+    counts = (
+        df.select(
+            F.col(cat_col).alias("cat"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("cat")
+        .agg(
+            F.sum("y").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("neg"),
+        )
+    )
+    w = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # category table is k rows — the unpartitioned window never scales
+    # with the data (same bounded-frame argument as psi_drift)
+    tot = counts.select(
+        "cat",
+        "pos",
+        "neg",
+        F.sum("pos").over(w).alias("p_tot"),
+        F.sum("neg").over(w).alias("n_tot"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    dp = (2 * F.col("pos") + 1).cast("double") / (
+        (2 * F.col("p_tot") + F.col("k")).cast("double")
+    )
+    dn = (2 * F.col("neg") + 1).cast("double") / (
+        (2 * F.col("n_tot") + F.col("k")).cast("double")
+    )
+    num = (2 * F.col("pos").cast(_DEC) + 1) * (2 * F.col("n_tot") + F.col("k"))
+    den = (2 * F.col("neg").cast(_DEC) + 1) * (2 * F.col("p_tot") + F.col("k"))
+    woe = F.log(num.cast("double") / den.cast("double"))
+    out = tot.select(
+        F.col("cat").alias(cat_col),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.col("neg").cast("long").alias("n_neg"),
+        F.round(dp, 6).alias("dist_pos"),
+        F.round(dn, 6).alias("dist_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round((dp - dn) * woe * 1e6).cast("long").alias("iv_micro"),
+    )
+    return out.withColumn("iv_total", F.sum("iv_micro").over(w) / 1e6)
+
+
+def selection_rate_parity(
+    df: DataFrame,
+    group_col: str,
+    selected: Column,
+) -> DataFrame:
+    """Per-group selection rates with the disparate-impact ratio — the
+    four-fifths-rule audit (EEOC 1978; Feldman et al. 2015) applied to
+    a data-curation gate: when a quality filter admits documents into a
+    training corpus at very different rates across sources/languages,
+    the corpus silently reweights itself. Each group's rate is compared
+    to the highest-rate group; ratio < 0.8 flags the gate.
+
+    Determinism: each rate is one integer→double division; the
+    reference rate is a max over those doubles (order-free); ratio is
+    one more division — no float accumulation anywhere.
+
+    Plan: one conditional-aggregation groupBy (partial-aggregable map
+    side — the full scan collapses to one row per group before any
+    shuffle), then a broadcast of the 1-row max back over the k-row
+    table. 100 TB cost = the one scan.
+    """
+    rates = (
+        df.select(F.col(group_col).alias("g"), selected.cast("long").alias("sel"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sel").alias("n_sel"))
+        .withColumn(
+            "rate", F.col("n_sel").cast("double") / F.col("n").cast("double")
+        )
+        # the k-row rate table feeds both the max leg and the output —
+        # lazily pin it so the raw scan runs once, not twice
+        .localCheckpoint(eager=False)
+    )
+    ref = rates.agg(F.max("rate").alias("max_rate"))
+    ratio = F.col("rate") / F.col("max_rate")
+    ok = F.col("max_rate") > 0
+    return rates.crossJoin(F.broadcast(ref)).select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_sel").cast("long").alias("n_selected"),
+        F.round(F.col("rate"), 6).alias("selection_rate"),
+        F.round(F.when(ok, ratio), 6).alias("rate_ratio"),
+        F.when(ok, ratio >= 0.8).alias("passes_four_fifths"),
+    )

@@ -5438,3 +5438,217 @@ def fd_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
     )
     return fd_profile(t, ["d", "o_custkey", "o_orderpriority", "o_orderstatus"])
+
+
+_MK_DAILY = """
+        SELECT event_type AS g,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS t,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+"""
+
+
+@query(
+    "theil_sen_daily_value_trend",
+    oracle=f"""
+        WITH daily AS ({_MK_DAILY}),
+        p AS (
+            SELECT a.g, CAST(b.x - a.x AS DOUBLE)
+                        / CAST(b.t - a.t AS DOUBLE) AS m
+            FROM daily a JOIN daily b ON a.g = b.g AND a.t < b.t
+        ),
+        fit AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+                   median(m) AS slope
+            FROM p GROUP BY g
+        )
+        SELECT d.g AS event_type,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               n_pairs,
+               round(slope, 6) AS slope,
+               round(median(CAST(d.x AS DOUBLE)
+                            - fit.slope * CAST(d.t AS DOUBLE)), 6) AS intercept
+        FROM daily d JOIN fit ON d.g = fit.g
+        GROUP BY d.g, n_pairs, slope
+    """,
+    tags=("analytics", "timeseries", "statistics", "robust"),
+    doc="Theil-Sen robust trend of daily revenue (cents/day) per event "
+    "type — median of all pairwise slopes plus the companion median "
+    "intercept, the outlier-proof answer to 'is this metric drifting "
+    "and how fast'. Pair join runs over the DAILY rollup (calendar-"
+    "bounded buckets², constant in data volume); each slope is one "
+    "integer-pair division, medians interpolate identically cross-"
+    "engine (operators/stats.py:theil_sen_trend).",
+)
+def theil_sen_daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import theil_sen_trend
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    return theil_sen_trend(daily, "event_type", "t", "x")
+
+
+@query(
+    "mann_kendall_daily_value_trend",
+    oracle=f"""
+        WITH daily AS ({_MK_DAILY}),
+        s AS (
+            SELECT a.g, CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s
+            FROM daily a JOIN daily b ON a.g = b.g AND a.t < b.t
+            GROUP BY a.g
+        ),
+        ties AS (
+            SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+                   SUM(CAST(cnt AS HUGEINT) * (cnt - 1) * (2 * cnt + 5)) AS tie3,
+                   SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) AS tie2
+            FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS cnt
+                  FROM daily GROUP BY g, x) GROUP BY g
+        ),
+        j AS (
+            SELECT s.g, n, s,
+                   CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie3
+                        AS DOUBLE) / 18.0 AS var_s,
+                   CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 2.0 AS d0,
+                   CAST(tie2 AS DOUBLE) / 2.0 AS tx
+            FROM s JOIN ties ON s.g = ties.g
+        )
+        SELECT g AS event_type, n AS n_buckets, s AS s_stat,
+               CASE WHEN n > 1 THEN round(var_s, 6) END AS var_s,
+               CASE WHEN n > 1 AND var_s > 0 THEN
+                   round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_s)
+                              WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_s)
+                              ELSE 0.0 END, 6)
+               END AS z_score,
+               CASE WHEN n > 1 AND var_s > 0 THEN
+                   round(CAST(s AS DOUBLE) / (sqrt(d0 - tx) * sqrt(d0)), 6)
+               END AS tau_b
+        FROM j
+    """,
+    tags=("analytics", "timeseries", "statistics", "robust"),
+    doc="Mann-Kendall monotonic-trend test with Kendall's tau-b on "
+    "daily revenue per event type — WHETHER the series drifts, next to "
+    "theil_sen's HOW FAST; completes the MW/KW rank-test family on the "
+    "time axis. Exact-integer S and tie terms off the calendar-bounded "
+    "pair join, one variance division + sqrt at the end "
+    "(operators/stats.py:mann_kendall_trend).",
+)
+def mann_kendall_daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mann_kendall_trend
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    return mann_kendall_trend(daily, "event_type", "t", "x")
+
+
+@query(
+    "woe_iv_brand_returns",
+    oracle="""
+        WITH t AS (
+            SELECT p.p_brand AS cat,
+                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        c AS (
+            SELECT cat, CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(SUM(1 - y) AS BIGINT) AS neg
+            FROM t GROUP BY cat
+        ),
+        w AS (
+            SELECT cat, pos, neg,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS p_tot,
+                   CAST(SUM(neg) OVER () AS BIGINT) AS n_tot,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS k
+            FROM c
+        ),
+        o AS (
+            SELECT cat, pos, neg,
+                   CAST(2 * pos + 1 AS DOUBLE)
+                       / CAST(2 * p_tot + k AS DOUBLE) AS dp,
+                   CAST(2 * neg + 1 AS DOUBLE)
+                       / CAST(2 * n_tot + k AS DOUBLE) AS dn,
+                   ln(CAST((2 * CAST(pos AS HUGEINT) + 1) * (2 * n_tot + k)
+                           AS DOUBLE)
+                      / CAST((2 * CAST(neg AS HUGEINT) + 1) * (2 * p_tot + k)
+                             AS DOUBLE)) AS woe
+            FROM w
+        ),
+        m AS (
+            SELECT cat, pos, neg, dp, dn, woe,
+                   CAST(round((dp - dn) * woe * 1e6) AS BIGINT) AS iv_micro
+            FROM o
+        )
+        SELECT cat AS p_brand, pos AS n_pos, neg AS n_neg,
+               round(dp, 6) AS dist_pos, round(dn, 6) AS dist_neg,
+               round(woe, 6) AS woe, iv_micro,
+               CAST(SUM(iv_micro) OVER () AS BIGINT) / 1e6 AS iv_total
+        FROM m
+    """,
+    tags=("analytics", "statistics", "features", "agg"),
+    doc="Weight of Evidence / Information Value of part brand against "
+    "the returned-line label — the feature screen that decides whether "
+    "a column earns a model slot (IV <0.02 useless, >0.3 strong). "
+    "Jeffreys half-count smoothing makes both class distributions "
+    "exact integer ratios (one DECIMAL/HUGEINT division under the ln); "
+    "IV terms quantize to micro-units before the total (PSI pattern). "
+    "One partial-agg groupBy after a broadcast dim join "
+    "(operators/stats.py:woe_iv).",
+)
+def woe_iv_brand_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import woe_iv
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    t = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select(
+        F.col("p_brand").alias("cat"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    return woe_iv(t, "cat", "y").withColumnRenamed("cat", "p_brand")
+
+
+@query(
+    "selection_rate_parity_docs",
+    oracle="""
+        WITH c AS (
+            SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN n_chars >= 500 AND lang = 'en'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+            FROM documents GROUP BY source
+        ),
+        r AS (
+            SELECT g, n, n_sel,
+                   CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+            FROM c
+        ),
+        m AS (SELECT MAX(rate) AS max_rate FROM r)
+        SELECT g AS source, n, n_sel AS n_selected,
+               round(rate, 6) AS selection_rate,
+               CASE WHEN max_rate > 0 THEN round(rate / max_rate, 6) END
+                   AS rate_ratio,
+               CASE WHEN max_rate > 0 THEN rate / max_rate >= 0.8 END
+                   AS passes_four_fifths
+        FROM r CROSS JOIN m
+    """,
+    tags=("analytics", "llm-pipeline", "validation", "agg"),
+    doc="Selection-rate parity of a corpus quality gate (len>=500 & "
+    "lang=en) across document sources — the four-fifths-rule audit "
+    "(EEOC 1978; Feldman et al. 2015) for data curation: a filter that "
+    "admits sources at very different rates silently reweights the "
+    "training mix. One conditional-agg scan + broadcast max; one "
+    "division per rate (operators/stats.py:selection_rate_parity).",
+)
+def selection_rate_parity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import selection_rate_parity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return selection_rate_parity(
+        docs, "source", (F.col("n_chars") >= 500) & (F.col("lang") == "en")
+    )
