@@ -2430,3 +2430,211 @@ def selection_rate_parity(
         F.round(F.when(ok, ratio), 6).alias("rate_ratio"),
         F.when(ok, ratio >= 0.8).alias("passes_four_fifths"),
     )
+
+
+def simpsons_check(
+    df: DataFrame,
+    stratum_col: str,
+    treated: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Simpson's-paradox audit of a binary treatment→outcome
+    association: per stratum, the outcome-rate difference between
+    treated and untreated, next to the pooled (stratum-ignoring)
+    difference — flagging strata whose association RUNS THE OTHER WAY
+    from the aggregate (the classic confounding smoke alarm; the
+    decision-grade follow-up is the CMH family already in-tree,
+    ``cmh_test`` — this op is the screen that says LOOK).
+
+    One conditional-aggregation groupBy collapses the scan to one row
+    per stratum (the 100 TB pass); pooled sums ride a window over that
+    bounded stratum table. Rates are one integer→double division each;
+    the flip flag compares unrounded diffs.
+    """
+    cells = (
+        df.select(
+            F.col(stratum_col).alias("h"),
+            treated.cast("long").alias("t"),
+            outcome.cast("long").alias("y"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum("t").alias("n_t"),
+            F.sum(F.lit(1) - F.col("t")).alias("n_c"),
+            F.sum(F.col("t") * F.col("y")).alias("y_t"),
+            F.sum((F.lit(1) - F.col("t")) * F.col("y")).alias("y_c"),
+        )
+    )
+    w = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # stratum table is bounded (years/dayparts) — window never data-sized.
+    # (pooled aliases must not collide case-insensitively with the cell
+    # columns — Spark resolves N_t == n_t)
+    tot = cells.select(
+        "*",
+        F.sum("n_t").over(w).alias("nt_all"),
+        F.sum("n_c").over(w).alias("nc_all"),
+        F.sum("y_t").over(w).alias("yt_all"),
+        F.sum("y_c").over(w).alias("yc_all"),
+    )
+    rate = lambda y, n: F.when(  # noqa: E731
+        F.col(n) > 0, F.col(y).cast("double") / F.col(n).cast("double")
+    )
+    d_s = rate("y_t", "n_t") - rate("y_c", "n_c")
+    d_all = rate("yt_all", "nt_all") - rate("yc_all", "nc_all")
+    return tot.select(
+        F.col("h").alias(stratum_col),
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.round(rate("y_t", "n_t"), 6).alias("rate_treated"),
+        F.round(rate("y_c", "n_c"), 6).alias("rate_control"),
+        F.round(d_s, 6).alias("stratum_diff"),
+        F.round(d_all, 6).alias("pooled_diff"),
+        (d_s * d_all < 0).alias("sign_flip"),
+    )
+
+
+def _erf_as(x: Column) -> Column:
+    """Abramowitz & Stegun 7.1.26 erf approximation for x >= 0 (max
+    abs error 1.5e-7 — invisible at the registry's 6 dp) as a FIXED
+    Horner chain, so the DuckDB oracle can spell the identical
+    arithmetic: t = 1/(1+0.3275911·x),
+    erf ≈ 1 − (((((a5·t + a4)·t + a3)·t + a2)·t + a1)·t)·exp(−x²)."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t + F.lit(-1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            + F.lit(-0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    return F.lit(1.0) - poly * F.exp(-x * x)
+
+
+def two_proportion_z_by_slice(
+    conv: DataFrame,
+    totals: DataFrame,
+    slice_col: str,
+    group_col: str,
+    conv_col: str,
+    total_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Per-slice two-proportion z-test (pooled-variance normal
+    approximation) from PRE-AGGREGATED counts: ``conv`` holds one row
+    per (slice, group) with that slice's conversion count, ``totals``
+    one row per group with the population size (shared across slices —
+    every subject is at risk for every slice). z = (p̂_t − p̂_c) /
+    √(p̂(1−p̂)(1/n_t + 1/n_c)) with p̂ pooled.
+
+    The inputs are already collapsed (the upstream distinct+groupBy is
+    the 100 TB pass); this op only pivots k slice rows against a 2-row
+    broadcast and runs a fixed-order double chain per slice. Slices
+    with a zero or degenerate pool yield NULL z.
+    """
+    t = conv.select(
+        F.col(slice_col).alias("sl"),
+        F.col(group_col).alias("grp"),
+        F.col(conv_col).cast("long").alias("cv"),
+    )
+    pop = totals.select(
+        F.col(group_col).alias("grp"),
+        F.col(total_col).cast("long").alias("nt"),
+    )
+    pick = lambda g, c: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("grp") == g, F.col(c))), F.lit(0)
+    )
+    wide = (
+        t.join(F.broadcast(pop), "grp")
+        .groupBy("sl")
+        .agg(
+            pick(control, "cv").alias("c_c"),
+            pick(treatment, "cv").alias("c_t"),
+            pick(control, "nt").alias("n_c"),
+            pick(treatment, "nt").alias("n_t"),
+        )
+    )
+    nc, nt = F.col("n_c").cast("double"), F.col("n_t").cast("double")
+    pc = F.col("c_c").cast("double") / nc
+    pt = F.col("c_t").cast("double") / nt
+    pool = (F.col("c_c") + F.col("c_t")).cast("double") / (nc + nt)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nc + F.lit(1.0) / nt))
+    ok = (F.col("n_c") > 0) & (F.col("n_t") > 0)
+    z = F.when(ok & (se > 0), (pt - pc) / se)
+    return wide.select(
+        F.col("sl").alias(slice_col),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("c_c").cast("long").alias("conv_control"),
+        F.col("n_t").cast("long").alias("n_treatment"),
+        F.col("c_t").cast("long").alias("conv_treatment"),
+        F.round(F.when(ok, pc), 6).alias("rate_control"),
+        F.round(F.when(ok, pt), 6).alias("rate_treatment"),
+        z.alias("z"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    slice_col: str,
+    z_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a table of per-slice
+    z-statistics — the multiple-testing layer the per-slice test matrix
+    (MW / Welch / two-proportion) needs before anyone acts on "7 of 40
+    slices are significant": two-sided p from the A&S erf chain,
+    step-up adjusted q = min_{j≥i}(p_j·k/j), reject at q ≤ α.
+
+    The input is one row per slice (bounded — the upstream aggregation
+    is the data-sized pass), so the rank and reverse-running-min
+    windows run over k rows by construction. NULL z (degenerate slice)
+    sorts last, keeps p/q NULL, never rejects.
+    """
+    z = F.col("__z")
+    t = df.select(
+        F.col(slice_col).alias("sl"), F.col(z_col).cast("double").alias("__z")
+    )
+    p = F.when(
+        z.isNotNull(), F.lit(1.0) - _erf_as(F.abs(z) / F.sqrt(F.lit(2.0)))
+    )
+    t = t.withColumn("__p", p)
+    # k counts only testable slices; NULLs sort last and stay out of it
+    w_all = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = t.withColumn("__k", F.count("__p").over(w_all))
+    w_rank = Window.orderBy(
+        F.col("__p").asc_nulls_last(), F.col("sl").asc()
+    )
+    t = t.withColumn("__i", F.row_number().over(w_rank))
+    raw = F.when(
+        F.col("__p").isNotNull(),
+        F.col("__p") * F.col("__k").cast("double") / F.col("__i").cast("double"),
+    )
+    t = t.withColumn("__raw", raw)
+    w_rev = Window.orderBy(F.col("__i").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # guard: least() SKIPS nulls, so an unguarded least(1.0, NULL) would
+    # hand q=1.0 to untestable slices instead of NULL
+    adj_min = F.min("__raw").over(w_rev)
+    adj = F.when(adj_min.isNotNull(), F.least(F.lit(1.0), adj_min))
+    return (
+        t.withColumn("__q", adj)
+        .select(
+            F.col("sl").alias(slice_col),
+            F.round(z, 6).alias("z_score"),
+            F.round(F.col("__p"), 6).alias("p_value"),
+            F.round(F.col("__q"), 6).alias("q_value"),
+            F.when(
+                F.col("__q").isNotNull(), F.col("__q") <= F.lit(float(alpha))
+            ).alias("reject"),
+        )
+    )

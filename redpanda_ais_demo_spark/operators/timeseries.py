@@ -1709,3 +1709,137 @@ def removal_effect_attribution(
         "channel string, p_conv double, p_conv_removed double, "
         "removal_effect double, share double",
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    idx_col: str,
+    label_col: str,
+    value_col: str,
+    lags: dict[str, int] | None = None,
+) -> DataFrame:
+    """Period-over-period change readout — the MoM/YoY dashboard row:
+    for each named lag, the percent change of ``value_col`` against the
+    bucket ``lag`` index steps earlier. ``idx_col`` must be a DENSE
+    integer period index (e.g. year·12+month) so a calendar gap yields
+    NULL (no prior period) instead of silently comparing against the
+    wrong month — the reason this is keyed self-joins on ``idx − lag``,
+    not positional ``lag()`` windows.
+
+    Scale shape: the joins run over the PERIOD table (calendar-bounded
+    buckets, constant in data volume — the upstream rollup is the one
+    100 TB scan), lazily pinned so that rollup computes once across the
+    1 + len(lags) legs. Exact integer values in; one double division
+    per change column, 6 dp.
+    """
+    if lags is None:
+        lags = {"mom_pct": 1, "yoy_pct": 12}
+    t = df.select(
+        F.col(idx_col).cast("long").alias("idx"),
+        F.col(label_col).alias("label"),
+        F.col(value_col).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    out = t
+    for name, lag in lags.items():
+        prev = t.select(
+            (F.col("idx") + F.lit(int(lag))).alias("idx"),
+            F.col("x").alias(f"__prev_{name}"),
+        )
+        out = out.join(prev, "idx", "left")
+    cols = [
+        F.col("label").alias(label_col),
+        F.col("x").alias(value_col),
+    ]
+    for name in lags:
+        p = F.col(f"__prev_{name}")
+        cols.append(
+            F.round(
+                F.when(
+                    p.isNotNull() & (p != 0),
+                    (F.col("x") - p).cast("double") / p.cast("double"),
+                ),
+                6,
+            ).alias(name)
+        )
+    return out.select(*cols)
+
+
+def holt_linear(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Per-group Holt double exponential smoothing (level + trend) with
+    an h-step-ahead forecast — the classic short-range forecaster one
+    notch above the seasonal-naive baseline MASE already scores:
+    ``s_t = α·x_t + (1−α)(s_{t−1} + b_{t−1})``,
+    ``b_t = β(s_t − s_{t−1}) + (1−β)b_{t−1}``, init s₀ = x₀, b₀ = 0.
+
+    α/β default to EXACT DYADIC values (the ``ewma`` discipline: ½ and
+    ¼ are exact binary doubles, so no libm pow() enters the recurrence
+    and the fold replays bit-identically cross-engine — the oracle is
+    a recursive CTE running the same arithmetic in the same order).
+
+    Contract/scale: the recurrence is inherently sequential per group,
+    so the series folds through ONE ``aggregate`` lambda over the
+    collected bucketed series — feed it calendar-bounded rollups
+    (daily/hourly per group), never raw rows; the collect is bounded by
+    the calendar, and the upstream rollup is the one 100 TB scan
+    (the ``theil_sen_trend`` argument).
+    """
+    if not 0 < alpha <= 1 or not 0 <= beta <= 1:
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+    a, be = float(alpha), float(beta)
+    series = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(t_col).cast("long").alias("t"),
+            F.col(x_col).cast("long").alias("x"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("t", "x"))).alias("arr")
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("i"), F.lit(0.0).alias("s"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, e):
+        x = e["x"].cast("double")
+        # s' appears in both fields spelled out the same way the
+        # recursive-CTE oracle spells it — identical doubles either way
+        s_new = F.lit(a) * x + F.lit(1 - a) * (acc["s"] + acc["b"])
+        return F.when(
+            acc["i"] == 0,
+            F.struct(
+                F.lit(1).alias("i"), x.alias("s"), F.lit(0.0).alias("b")
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["i"] + 1).alias("i"),
+                s_new.alias("s"),
+                (
+                    F.lit(be) * (s_new - acc["s"]) + F.lit(1 - be) * acc["b"]
+                ).alias("b"),
+            )
+        )
+
+    fit = series.select(
+        "g",
+        F.size("arr").alias("n"),
+        F.aggregate("arr", init, step).alias("acc"),
+    )
+    return fit.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(F.col("acc.s"), 6).alias("level"),
+        F.round(F.col("acc.b"), 6).alias("trend"),
+        F.round(
+            F.col("acc.s") + F.lit(float(horizon)) * F.col("acc.b"), 6
+        ).alias(f"forecast_h{int(horizon)}"),
+    )

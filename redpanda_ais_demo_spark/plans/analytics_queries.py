@@ -5652,3 +5652,287 @@ def selection_rate_parity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection_rate_parity(
         docs, "source", (F.col("n_chars") >= 500) & (F.col("lang") == "en")
     )
+
+
+@query(
+    "yoy_mom_revenue_monthly",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                        AS BIGINT) AS idx,
+                   strftime(o_orderdate, '%Y-%m') AS ym,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT a.ym, a.revenue_cents,
+               CASE WHEN b.revenue_cents IS NOT NULL AND b.revenue_cents <> 0
+                    THEN round(CAST(a.revenue_cents - b.revenue_cents AS DOUBLE)
+                               / CAST(b.revenue_cents AS DOUBLE), 6)
+               END AS mom_pct,
+               CASE WHEN c.revenue_cents IS NOT NULL AND c.revenue_cents <> 0
+                    THEN round(CAST(a.revenue_cents - c.revenue_cents AS DOUBLE)
+                               / CAST(c.revenue_cents AS DOUBLE), 6)
+               END AS yoy_pct
+        FROM m a
+        LEFT JOIN m b ON b.idx = a.idx - 1
+        LEFT JOIN m c ON c.idx = a.idx - 12
+    """,
+    tags=("analytics", "timeseries", "dashboard", "join"),
+    doc="Monthly revenue with month-over-month and year-over-year "
+    "percent change — the first row of every revenue dashboard. Keyed "
+    "self-joins on a DENSE period index (year*12+month), not positional "
+    "lag(), so calendar gaps yield NULL instead of comparing the wrong "
+    "months; the joins run over the calendar-bounded month table, "
+    "lazily pinned so the orders scan runs once "
+    "(operators/timeseries.py:period_over_period).",
+)
+def yoy_mom_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import period_over_period
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("idx"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    return period_over_period(
+        monthly, "idx", "ym", "revenue_cents", {"mom_pct": 1, "yoy_pct": 12}
+    )
+
+
+@query(
+    "simpsons_priority_value_by_year",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS h,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS t,
+                   CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             > 15000000 THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        cells AS (
+            SELECT h, CAST(SUM(t) AS BIGINT) AS n_t,
+                   CAST(SUM(1 - t) AS BIGINT) AS n_c,
+                   CAST(SUM(t * y) AS BIGINT) AS y_t,
+                   CAST(SUM((1 - t) * y) AS BIGINT) AS y_c
+            FROM t GROUP BY h
+        ),
+        tot AS (
+            SELECT *, CAST(SUM(n_t) OVER () AS BIGINT) AS nt_all,
+                   CAST(SUM(n_c) OVER () AS BIGINT) AS nc_all,
+                   CAST(SUM(y_t) OVER () AS BIGINT) AS yt_all,
+                   CAST(SUM(y_c) OVER () AS BIGINT) AS yc_all
+            FROM cells
+        ),
+        d AS (
+            SELECT *,
+                   (CASE WHEN n_t > 0 THEN CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE) END)
+                   - (CASE WHEN n_c > 0 THEN CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE) END)
+                       AS d_s,
+                   (CASE WHEN nt_all > 0 THEN CAST(yt_all AS DOUBLE) / CAST(nt_all AS DOUBLE) END)
+                   - (CASE WHEN nc_all > 0 THEN CAST(yc_all AS DOUBLE) / CAST(nc_all AS DOUBLE) END)
+                       AS d_all
+            FROM tot
+        )
+        SELECT h AS yr, n_t AS n_treated, n_c AS n_control,
+               round(CASE WHEN n_t > 0 THEN CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE) END, 6)
+                   AS rate_treated,
+               round(CASE WHEN n_c > 0 THEN CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE) END, 6)
+                   AS rate_control,
+               round(d_s, 6) AS stratum_diff,
+               round(d_all, 6) AS pooled_diff,
+               d_s * d_all < 0 AS sign_flip
+        FROM d
+    """,
+    tags=("analytics", "statistics", "causal", "agg"),
+    doc="Simpson's-paradox screen: does the urgent-priority -> "
+    "high-value-order association within any order year run OPPOSITE "
+    "to the pooled association? The confounding smoke alarm ahead of "
+    "the decision-grade CMH family (cmh_purchase_by_daypart). One "
+    "conditional-agg scan to year cells; pooled sums ride a window "
+    "over the bounded year table "
+    "(operators/stats.py:simpsons_check).",
+)
+def simpsons_priority_value_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import simpsons_check
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return simpsons_check(
+        t,
+        "yr",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.round(F.col("o_totalprice") * 100).cast("long") > 15000000,
+    )
+
+
+@query(
+    "holt_forecast_daily_value",
+    oracle=f"""
+        WITH RECURSIVE ord AS (
+            SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY t) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM ({_MK_DAILY})
+        ),
+        hw AS (
+            SELECT g, rn, n, CAST(x AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS b
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.g, o.rn, o.n,
+                   0.5 * CAST(o.x AS DOUBLE) + 0.5 * (hw.s + hw.b),
+                   0.25 * ((0.5 * CAST(o.x AS DOUBLE) + 0.5 * (hw.s + hw.b))
+                           - hw.s) + 0.75 * hw.b
+            FROM hw JOIN ord o ON o.g = hw.g AND o.rn = hw.rn + 1
+        )
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n_buckets,
+               round(s, 6) AS level, round(b, 6) AS trend,
+               round(s + 7.0 * b, 6) AS forecast_h7
+        FROM hw WHERE rn = n
+    """,
+    tags=("analytics", "timeseries", "forecast", "agg"),
+    doc="Holt double exponential smoothing of daily revenue per event "
+    "type with a 7-day-ahead forecast — the classic level+trend "
+    "forecaster one notch above the seasonal-naive baseline MASE "
+    "already scores. Dyadic alpha/beta (1/2, 1/4 — exact binary "
+    "doubles, the ewma discipline) folded through ONE aggregate lambda "
+    "over the calendar-bounded daily series; the oracle replays the "
+    "identical recurrence as a recursive CTE "
+    "(operators/timeseries.py:holt_linear).",
+)
+def holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_linear
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    return holt_linear(daily, "event_type", "t", "x", alpha=0.5, beta=0.25, horizon=7)
+
+
+@query(
+    "fdr_event_conversion_by_variant",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT event_type,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:'
+                            || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                            % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant
+                 , user_id
+            FROM events
+        ),
+        uv AS (
+            SELECT DISTINCT
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:'
+                            || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                            % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant
+                 , user_id
+            FROM events
+        ),
+        conv AS (
+            SELECT event_type AS sl, variant, CAST(count(*) AS BIGINT) AS cv
+            FROM pairs GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS nt FROM uv GROUP BY 1
+        ),
+        wide AS (
+            SELECT sl,
+                   coalesce(max(CASE WHEN c.variant = 'A' THEN cv END), 0) AS c_c,
+                   coalesce(max(CASE WHEN c.variant = 'B' THEN cv END), 0) AS c_t,
+                   coalesce(max(CASE WHEN c.variant = 'A' THEN nt END), 0) AS n_c,
+                   coalesce(max(CASE WHEN c.variant = 'B' THEN nt END), 0) AS n_t
+            FROM conv c JOIN tot USING (variant) GROUP BY sl
+        ),
+        zt AS (
+            SELECT sl,
+                   CASE WHEN n_c > 0 AND n_t > 0 AND se > 0
+                        THEN (pt - pc) / se END AS z
+            FROM (
+                SELECT sl, n_c, n_t,
+                       CAST(c_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS pc,
+                       CAST(c_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS pt,
+                       sqrt((CAST(c_c + c_t AS DOUBLE)
+                             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+                            * (1.0 - CAST(c_c + c_t AS DOUBLE)
+                               / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+                            * (1.0 / CAST(n_c AS DOUBLE)
+                               + 1.0 / CAST(n_t AS DOUBLE))) AS se
+                FROM wide
+            )
+        ),
+        pv AS (
+            SELECT sl, z,
+                   CASE WHEN z IS NOT NULL THEN
+                       1.0 - (1.0 - ((((((1.061405429 * tt + -1.453152027)
+                           * tt + 1.421413741) * tt + -0.284496736) * tt
+                           + 0.254829592) * tt) * exp(-xx * xx)))
+                   END AS p
+            FROM (
+                SELECT sl, z,
+                       1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt,
+                       abs(z) / sqrt(2.0) AS xx
+                FROM zt
+            )
+        ),
+        ranked AS (
+            SELECT sl, z, p,
+                   CAST(count(p) OVER () AS BIGINT) AS k,
+                   row_number() OVER (ORDER BY p ASC NULLS LAST, sl ASC) AS i
+            FROM pv
+        ),
+        rawd AS (
+            SELECT *, CASE WHEN p IS NOT NULL
+                           THEN p * CAST(k AS DOUBLE) / CAST(i AS DOUBLE)
+                      END AS raw
+            FROM ranked
+        ),
+        adj AS (
+            SELECT *, MIN(raw) OVER (ORDER BY i DESC
+                          ROWS UNBOUNDED PRECEDING) AS adj_min
+            FROM rawd
+        )
+        SELECT sl AS event_type, round(z, 6) AS z_score,
+               round(p, 6) AS p_value,
+               round(CASE WHEN adj_min IS NOT NULL
+                          THEN least(1.0, adj_min) END, 6) AS q_value,
+               CASE WHEN adj_min IS NOT NULL
+                    THEN least(1.0, adj_min) <= 0.05 END AS reject
+        FROM adj
+    """,
+    tags=("analytics", "statistics", "experimentation", "agg"),
+    doc="Per-event-type two-proportion conversion z-test (A/B via the "
+    "registry's md5 split) with Benjamini-Hochberg FDR correction — "
+    "the multiple-testing layer the per-slice test matrix needs before "
+    "anyone acts on 'k of n slices are significant'. Two-sided p via "
+    "the A&S 7.1.26 erf chain (fixed Horner order both engines), "
+    "step-up q over the bounded slice table "
+    "(operators/stats.py:two_proportion_z_by_slice, bh_fdr).",
+)
+def fdr_event_conversion_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import bh_fdr, two_proportion_z_by_slice
+
+    events = load_table(spark, sf_dir, "events")
+    variant = split_col(
+        split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+    )
+    pairs = events.select("event_type", variant.alias("variant"), "user_id").distinct()
+    uv = events.select(variant.alias("variant"), "user_id").distinct()
+    conv = pairs.groupBy(F.col("event_type").alias("sl"), "variant").agg(
+        F.count(F.lit(1)).alias("n_conv")
+    )
+    totals = uv.groupBy("variant").agg(F.count(F.lit(1)).alias("n_users"))
+    z = two_proportion_z_by_slice(
+        conv, totals, "sl", "variant", "n_conv", "n_users", "A", "B"
+    )
+    return bh_fdr(z, "sl", "z").withColumnRenamed("sl", "event_type")
