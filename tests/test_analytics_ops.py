@@ -2227,3 +2227,172 @@ def test_removal_effect_reserved_state_label_raises(spark):
     df = spark.createDataFrame(rows, "id long, u long, ts timestamp, t string")
     with pytest.raises(ValueError, match="reserved Markov frame label"):
         removal_effect_attribution(df, "u", "ts", "t", "id", "purchase")
+
+
+# --- round-10 additions: robust trend, WoE/IV, parity, FDR, Holt -----------
+
+
+def test_theil_sen_known_slope(spark):
+    from redpanda_ais_demo_spark.operators.stats import theil_sen_trend
+
+    # y = 3x + 10 with one wild outlier at t=3 — median slope ignores it
+    rows = [("a", 0, 10), ("a", 1, 13), ("a", 2, 16), ("a", 3, 1000), ("a", 4, 22)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = theil_sen_trend(df, "g", "t", "x").collect()[0]
+    assert out["n_pairs"] == 10
+    assert out["slope"] == 3.0  # median of 10 pairwise slopes
+    assert out["intercept"] == 10.0
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from redpanda_ais_demo_spark.operators.stats import mann_kendall_trend
+
+    rows = [("up", t, t * 2) for t in range(8)] + [("flat", t, 7) for t in range(8)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = {r["g"]: r for r in mann_kendall_trend(df, "g", "t", "x").collect()}
+    assert out["up"]["s_stat"] == 28  # all 28 pairs concordant
+    assert out["up"]["tau_b"] == 1.0
+    assert out["up"]["z_score"] > 3
+    # all-tied series: S=0, tie term kills the variance -> NULL z/tau
+    assert out["flat"]["s_stat"] == 0
+    assert out["flat"]["z_score"] is None
+
+
+def test_woe_iv_zero_cell_finite_and_direction(spark):
+    from redpanda_ais_demo_spark.operators.stats import woe_iv
+
+    # cat 'p' all positive, 'n' all negative, 'm' mixed — smoothing keeps
+    # the zero cells finite, sign tracks the class skew
+    rows = [("p", 1)] * 6 + [("n", 0)] * 6 + [("m", 1), ("m", 0)]
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = {r["cat"]: r for r in woe_iv(df, "cat", "y").collect()}
+    assert out["p"]["woe"] is not None and out["p"]["woe"] > 0
+    assert out["n"]["woe"] < 0
+    assert abs(out["m"]["woe"]) < abs(out["p"]["woe"])
+    assert out["p"]["iv_total"] == out["m"]["iv_total"]  # replicated total
+    assert out["p"]["iv_total"] > 0
+
+
+def test_selection_rate_parity_flags_low_group(spark):
+    from redpanda_ais_demo_spark.operators.stats import selection_rate_parity
+
+    rows = [("hi", 1)] * 8 + [("hi", 0)] * 2 + [("lo", 1)] * 2 + [("lo", 0)] * 8
+    df = spark.createDataFrame(rows, "g string, sel long")
+    out = {
+        r["g"]: r
+        for r in selection_rate_parity(df, "g", F.col("sel") == 1).collect()
+    }
+    assert out["hi"]["rate_ratio"] == 1.0 and out["hi"]["passes_four_fifths"]
+    assert out["lo"]["rate_ratio"] == 0.25 and not out["lo"]["passes_four_fifths"]
+
+
+def test_simpsons_check_detects_reversal(spark):
+    from redpanda_ais_demo_spark.operators.stats import simpsons_check
+
+    # classic construction: treated better WITHIN each stratum (+0.1 in
+    # both) but concentrated in the hard stratum, so pooled it loses —
+    # easy A: treated 9/10 vs control 80/100; hard B: 20/100 vs 1/10
+    rows = (
+        [("A", 1, 1)] * 9 + [("A", 1, 0)] * 1
+        + [("A", 0, 1)] * 80 + [("A", 0, 0)] * 20
+        + [("B", 1, 1)] * 20 + [("B", 1, 0)] * 80
+        + [("B", 0, 1)] * 1 + [("B", 0, 0)] * 9
+    )
+    df = spark.createDataFrame(rows, "h string, t long, y long")
+    out = {
+        r["h"]: r
+        for r in simpsons_check(df, "h", F.col("t") == 1, F.col("y") == 1).collect()
+    }
+    assert out["A"]["stratum_diff"] > 0 and out["B"]["stratum_diff"] > 0
+    assert out["A"]["pooled_diff"] < 0  # pooled association reversed
+    assert out["A"]["sign_flip"] and out["B"]["sign_flip"]
+
+
+def test_bh_fdr_step_up_and_null_z(spark):
+    from redpanda_ais_demo_spark.operators.stats import bh_fdr
+
+    rows = [("s1", 4.0), ("s2", 2.0), ("s3", 0.1), ("s4", None)]
+    df = spark.createDataFrame(rows, "sl string, z double")
+    out = {r["sl"]: r for r in bh_fdr(df, "sl", "z", alpha=0.05).collect()}
+    # p ordering: s1 < s2 < s3; k=3 (NULL z excluded from the family)
+    assert out["s1"]["p_value"] < out["s2"]["p_value"] < out["s3"]["p_value"]
+    # monotone q, capped at 1
+    assert out["s1"]["q_value"] <= out["s2"]["q_value"] <= out["s3"]["q_value"] <= 1.0
+    # q_i >= p_i always (k/i >= 1 after step-up)
+    assert out["s2"]["q_value"] >= out["s2"]["p_value"]
+    assert out["s1"]["reject"] and not out["s3"]["reject"]
+    # untestable slice: everything NULL, never a spurious q=1.0 reject=False
+    assert out["s4"]["p_value"] is None
+    assert out["s4"]["q_value"] is None
+    assert out["s4"]["reject"] is None
+
+
+def test_bh_fdr_matches_hand_computation(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import bh_fdr
+
+    zs = [3.0, 2.5, 1.0]
+    df = spark.createDataFrame(
+        [(f"s{i}", z) for i, z in enumerate(zs)], "sl string, z double"
+    )
+    out = {r["sl"]: r for r in bh_fdr(df, "sl", "z").collect()}
+    # the A&S chain is accurate to 1.5e-7 of the true 1-erf; check at 5 dp
+    ps = sorted(1.0 - math.erf(abs(z) / math.sqrt(2.0)) for z in zs)
+    k = 3
+    raws = [p * k / (i + 1) for i, p in enumerate(ps)]
+    adj = [min(raws[i:]) for i in range(3)]
+    got = sorted(r["q_value"] for r in out.values())
+    for g, e in zip(got, sorted(min(1.0, a) for a in adj)):
+        assert abs(g - e) < 1e-5, (g, e)
+
+
+def test_holt_linear_recurrence_and_guards(spark):
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import holt_linear
+
+    rows = [("a", 0, 100), ("a", 1, 110), ("a", 2, 130), ("b", 5, 42)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = {r["g"]: r for r in holt_linear(df, "g", "t", "x").collect()}
+    # hand-fold: s0=100,b0=0; s1=.5*110+.5*100=105, b1=.25*5+0=1.25;
+    # s2=.5*130+.5*106.25=118.125, b2=.25*13.125+.75*1.25=4.21875
+    assert out["a"]["level"] == 118.125
+    assert out["a"]["trend"] == 4.21875
+    assert out["a"]["forecast_h7"] == round(118.125 + 7 * 4.21875, 6)
+    # single observation: level = x, zero trend
+    assert out["b"]["level"] == 42.0 and out["b"]["trend"] == 0.0
+    with _pytest.raises(ValueError):
+        holt_linear(df, "g", "t", "x", alpha=0.0)
+
+
+def test_period_over_period_gap_yields_null(spark):
+    from redpanda_ais_demo_spark.operators.timeseries import period_over_period
+
+    rows = [(24289, "2024-01", 100), (24290, "2024-02", 150), (24292, "2024-04", 300)]
+    df = spark.createDataFrame(rows, "idx long, ym string, v long")
+    out = {
+        r["ym"]: r
+        for r in period_over_period(df, "idx", "ym", "v", {"mom_pct": 1}).collect()
+    }
+    assert out["2024-02"]["mom_pct"] == 0.5
+    assert out["2024-04"]["mom_pct"] is None  # March missing: no wrong compare
+
+
+def test_two_proportion_z_direction(spark):
+    from redpanda_ais_demo_spark.operators.stats import two_proportion_z_by_slice
+
+    conv = spark.createDataFrame(
+        [("s", "A", 10), ("s", "B", 40), ("t", "A", 25), ("t", "B", 25)],
+        "sl string, grp string, cv long",
+    )
+    totals = spark.createDataFrame([("A", 100), ("B", 100)], "grp string, nt long")
+    out = {
+        r["sl"]: r
+        for r in two_proportion_z_by_slice(
+            conv, totals, "sl", "grp", "cv", "nt", "A", "B"
+        ).collect()
+    }
+    assert out["s"]["z"] > 4  # B converts 4x A
+    assert out["t"]["z"] == 0.0
+    assert out["s"]["rate_control"] == 0.1 and out["s"]["rate_treatment"] == 0.4
