@@ -285,18 +285,35 @@ PRIORITY: tuple[str, ...] = (
     # similarity + CC + canonicalization), iterative integer PageRank
     # (recursive-CTE oracle), CDC snapshot diff, the Deequ-style one-pass
     # validation suite, and the 4-stage corpus-curation composite pipeline.
+    # (r10b) snapshot_diff_orders rotated out: the CDC family keeps
+    # cdc_apply_orders' full oracle in the sweep, and the diff mechanism
+    # (full-outer join + per-column compare) is mechanically adjacent to
+    # the in-window validation suite; stays registered, oracle-bearing,
+    # pytest-oracle-swept. Its slot goes to holt_forecast_daily_value —
+    # the forecasting class's first window rep (sequential recurrence
+    # folded through one aggregate lambda, recursive-CTE oracle — a
+    # mechanism no other window row exercises).
     "resolve_part_names",
     "pagerank_customer_supplier",
-    "snapshot_diff_orders",
     "validate_orders_constraints",
     "pipeline_curate_corpus",
+    "holt_forecast_daily_value",
     # round-8 session classes with no in-window sibling, filling the
     # three slots freed above: model-fitting-as-aggregation (Naive
     # Bayes), conversion attribution (carried-last window), and
     # closed-form OLS regression. The remaining r8 statistics classes
     # (corr / entropy / chi2) trail, oracle-bearing, pytest-swept.
     "nb_lang_classify_docs",
-    "attribution_last_touch",
+    # (r10b) attribution_last_touch rotated out: its carried-last window
+    # mechanism is in-window via gapfill_user_value's running last()
+    # (the same argument that rotated out running_revenue_by_customer),
+    # and the attribution family keeps linear + removal-effect oracles
+    # in the sweep; stays registered, oracle-bearing, pytest-oracle-
+    # swept. Its slot goes to fdr_event_conversion_by_variant — the
+    # multiple-testing class's first window rep (A&S erf chain +
+    # Benjamini-Hochberg step-up), completing the experimentation story
+    # next to the in-window Mann-Whitney.
+    "fdr_event_conversion_by_variant",
     # (r8f) trend_user_value rotated out for its strict upgrade: the
     # closed-form TWO-feature OLS (Cramer on the normal equations)
     # subsumes the single-feature trend's mechanism; trend stays

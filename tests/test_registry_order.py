@@ -98,14 +98,22 @@ REQUIRED_IN_WINDOW = {
     # r8 rotation: the five r7 classes that previously had no in-window
     # representative — entity resolution, iterative graph, CDC diff,
     # validation suite, composite curation pipeline.
+    # (r10b) snapshot_diff_orders rotated out — CDC family keeps
+    # cdc_apply_orders' oracle in the sweep; the diff join is
+    # mechanically adjacent to the in-window validation suite
     "resolve_part_names",
     "pagerank_customer_supplier",
-    "snapshot_diff_orders",
     "validate_orders_constraints",
     "pipeline_curate_corpus",
-    # r8 session classes: ML-classification, attribution, regression
+    # r8 session classes: ML-classification, regression
+    # (r10b) attribution_last_touch rotated out — carried-last is
+    # in-window via gapfill's running last(); family oracles swept
     "nb_lang_classify_docs",
-    "attribution_last_touch",
+    # r10b: forecasting (recurrence fold + recursive-CTE oracle) and
+    # multiple-testing (erf chain + BH step-up) gain their first
+    # window reps
+    "holt_forecast_daily_value",
+    "fdr_event_conversion_by_variant",
     # r8f rotation: closed-form OLS upgrades the regression slot;
     # recommendation (CF), experimentation (Welch), and privacy
     # (k-anonymity) gain their first window reps
