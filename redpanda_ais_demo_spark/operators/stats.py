@@ -2638,3 +2638,141 @@ def bh_fdr(
             ).alias("reject"),
         )
     )
+
+
+def ks_two_sample(
+    subjects: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+    bounded_values: bool = False,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test — the distribution-shape
+    complement of the rank tests (Mann-Whitney asks "is one shifted",
+    KS asks "are they the SAME CURVE" — sensitive to spread/shape
+    changes a location test misses) and the exact sibling of the binned
+    PSI drift monitor: D = max_v |F̂_c(v) − F̂_t(v)|, asymptotic p from
+    the Kolmogorov series (first 5 terms — the tail decays as
+    e^(−2k²λ²), far below 6 dp for any λ the test would ever report).
+
+    Contract: exact-integer values (cents — the ``mann_whitney_u``
+    discipline). Exactness: the pooled frame collapses to one row per
+    DISTINCT value; inclusive prefix counts ride the distributed
+    prefix-sum (or a tiny window under ``bounded_values``); the max gap
+    is found on the EXACT INTEGER |cum_c·n_t − cum_t·n_c| — D's
+    numerator never touches a float, ONE division at the end.
+
+    Plan: groupBy(value) partial-agg, one range-shuffle prefix-sum over
+    distinct values (pinned — it feeds the totals lookup and the max),
+    then two scalar aggregates. No per-subject window, no sort of raw
+    rows.
+    """
+    two = subjects.filter(F.col(group_col).isin(control, treatment))
+    vals = (
+        two.groupBy(F.col(value_col).cast("long").alias("v"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == control, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col(group_col) == treatment, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    if bounded_values:
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ranked = vals.select(
+            "*", F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+        )
+    else:
+        from .ordered import rank_cumsum
+
+        ranked = rank_cumsum(
+            vals,
+            [F.col("v").asc()],
+            rank_col=None,
+            cumsums={"cum_a": F.col("ca"), "cum_b": F.col("cb")},
+        )
+    # the distinct-value frame feeds both the totals lookup and the max
+    # scan — pin it so the upstream collapses run once
+    ranked = ranked.localCheckpoint(eager=False)
+    tot = ranked.agg(F.max("cum_a").alias("na"), F.max("cum_b").alias("nb"))
+    gap = F.abs(
+        F.col("cum_a").cast(_DEC) * F.col("nb") - F.col("cum_b").cast(_DEC) * F.col("na")
+    )
+    agg = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(gap).alias("mx"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ok = (na > 0) & (nb > 0)
+    d = F.col("mx").cast("double") / (na.cast(_DEC) * nb).cast("double")
+    en = (na.cast("double") * nb.cast("double")) / (na + nb).cast("double")
+    lam = F.sqrt(en) * d
+    # Kolmogorov Q(λ) = 2 Σ (−1)^{k−1} e^{−2k²λ²}, fixed 5-term order
+    e = lambda k: F.exp(F.lit(-2.0 * k * k) * lam * lam)  # noqa: E731
+    q = F.lit(2.0) * (e(1) - e(2) + e(3) - e(4) + e(5))
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), q))
+    return agg.select(
+        na.cast("long").alias("n_control"),
+        nb.cast("long").alias("n_treatment"),
+        F.round(F.when(ok, d), 6).alias("d_stat"),
+        F.round(F.when(ok, lam), 6).alias("ks_lambda"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )
+
+
+def dft_bin_power(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Single-frequency DFT bin power per group (Goertzel-style): how
+    much of the series' energy sits at exactly ``1/period`` cycles per
+    bucket — the "is the weekly cycle real?" screen that quantifies
+    what ``mase``'s seasonal-naive comparison only implies, one notch
+    below a full periodogram. power = (Σ xₜ·cos(2πtₖ/P))² +
+    (Σ xₜ·sin(2πtₖ/P))² with tₖ = t mod P; amplitude = 2·√power / n.
+
+    Determinism: the P cosine/sine values are Python-computed literals
+    embedded identically in both engines (repr round-trips the exact
+    double); each per-row product quantizes to micro-units before the
+    sum (Σ float·x is partial-aggregation-order dependent — the PSI
+    pattern), accumulating in DECIMAL(38,0); the power/amplitude chain
+    is fixed-order doubles.
+
+    Plan: ONE partial-aggregable groupBy — model-free spectral
+    screening as a single scan, no FFT runtime, no per-group collect.
+    """
+    import math
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    cosv = [math.cos(2.0 * math.pi * k / period) for k in range(period)]
+    sinv = [math.sin(2.0 * math.pi * k / period) for k in range(period)]
+    k = F.pmod(F.col(t_col).cast("long"), F.lit(period))
+    c = F.element_at(F.array(*[F.lit(v) for v in cosv]), (k + 1).cast("int"))
+    s = F.element_at(F.array(*[F.lit(v) for v in sinv]), (k + 1).cast("int"))
+    x = F.col(x_col).cast("long").cast("double")
+    agg = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(x * c * F.lit(1e6)).cast(_DEC)).alias("sc"),
+            F.sum(F.round(x * s * F.lit(1e6)).cast(_DEC)).alias("ss"),
+        )
+    )
+    sc = F.col("sc").cast("double") / F.lit(1e6)
+    ss = F.col("ss").cast("double") / F.lit(1e6)
+    power = sc * sc + ss * ss
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(power, 6).alias("power"),
+        F.round(F.lit(2.0) * F.sqrt(power) / F.col("n").cast("double"), 6).alias(
+            "amplitude"
+        ),
+    )

@@ -5936,3 +5936,136 @@ def fdr_event_conversion_by_variant(spark: SparkSession, sf_dir: str) -> DataFra
         conv, totals, "sl", "variant", "n_conv", "n_users", "A", "B"
     )
     return bh_fdr(z, "sl", "z").withColumnRenamed("sl", "event_type")
+
+
+@query(
+    "ks_purchase_value_by_variant",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:'
+                            || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                            % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS cents
+            FROM events GROUP BY user_id
+        ),
+        vals AS (
+            SELECT cents AS v,
+                   CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cb
+            FROM subjects GROUP BY cents
+        ),
+        r AS (
+            SELECT v, CAST(SUM(ca) OVER w AS BIGINT) AS cA,
+                   CAST(SUM(cb) OVER w AS BIGINT) AS cB
+            FROM vals WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        ),
+        tot AS (SELECT MAX(cA) AS na, MAX(cB) AS nb FROM r),
+        mx AS (
+            SELECT MAX(abs(CAST(cA AS HUGEINT) * nb
+                           - CAST(cB AS HUGEINT) * na)) AS mx,
+                   MAX(na) AS na, MAX(nb) AS nb
+            FROM r CROSS JOIN tot
+        ),
+        d AS (
+            SELECT na, nb,
+                   CAST(mx AS DOUBLE)
+                       / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS d,
+                   sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                        / CAST(na + nb AS DOUBLE))
+                       * (CAST(mx AS DOUBLE)
+                          / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)) AS lam
+            FROM mx
+        )
+        SELECT na AS n_control, nb AS n_treatment,
+               round(d, 6) AS d_stat,
+               round(lam, 6) AS ks_lambda,
+               round(least(1.0, greatest(0.0, 2.0 * (
+                   exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+                   + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
+                   + exp(-50.0 * lam * lam)))), 6) AS p_value
+        FROM d
+    """,
+    tags=("analytics", "statistics", "experimentation", "scale-path"),
+    doc="Two-sample Kolmogorov-Smirnov test on per-user purchase value "
+    "between the md5-split A/B variants — the distribution-SHAPE check "
+    "next to Mann-Whitney's location test and the exact sibling of the "
+    "binned PSI monitor. D's numerator is the exact integer "
+    "max|cum_c*n_t - cum_t*n_c| over one-row-per-distinct-value prefix "
+    "sums on the distributed rank; asymptotic p from the 5-term "
+    "Kolmogorov series (operators/stats.py:ks_two_sample).",
+)
+def ks_purchase_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import ks_two_sample
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    subjects = per_user.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "cents",
+    )
+    return ks_two_sample(subjects, "variant", "cents", "A", "B")
+
+
+@query(
+    "weekly_power_daily_value",
+    oracle=f"""
+        WITH daily AS ({_MK_DAILY}),
+        p AS (
+            SELECT g,
+                   CAST(round(CAST(x AS DOUBLE) * (CASE (t % 7) WHEN 0 THEN 1.0 WHEN 1 THEN 0.6234898018587336 WHEN 2 THEN -0.22252093395631434 WHEN 3 THEN -0.900968867902419 WHEN 4 THEN -0.9009688679024191 WHEN 5 THEN -0.2225209339563146 WHEN 6 THEN 0.6234898018587334 END)
+                              * 1000000.0) AS HUGEINT) AS xc,
+                   CAST(round(CAST(x AS DOUBLE) * (CASE (t % 7) WHEN 0 THEN 0.0 WHEN 1 THEN 0.7818314824680298 WHEN 2 THEN 0.9749279121818236 WHEN 3 THEN 0.43388373911755823 WHEN 4 THEN -0.433883739117558 WHEN 5 THEN -0.9749279121818236 WHEN 6 THEN -0.7818314824680299 END)
+                              * 1000000.0) AS HUGEINT) AS xs
+            FROM daily
+        ),
+        a AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   SUM(xc) AS sc, SUM(xs) AS ss
+            FROM p GROUP BY g
+        ),
+        pw AS (
+            SELECT g, n,
+                   (CAST(sc AS DOUBLE) / 1000000.0)
+                       * (CAST(sc AS DOUBLE) / 1000000.0)
+                   + (CAST(ss AS DOUBLE) / 1000000.0)
+                       * (CAST(ss AS DOUBLE) / 1000000.0) AS power
+            FROM a
+        )
+        SELECT g AS event_type, n AS n_buckets,
+               round(power, 6) AS power,
+               round(2.0 * sqrt(power) / CAST(n AS DOUBLE), 6) AS amplitude
+        FROM pw
+    """,
+    tags=("analytics", "timeseries", "spectral", "agg"),
+    doc="Single-frequency DFT bin power of daily revenue per event type "
+    "at the weekly frequency (Goertzel-style) — quantifies the weekly "
+    "cycle the seasonal-naive MASE only implies, as ONE partial-"
+    "aggregable scan: the 7 cos/sin values are Python-computed literals "
+    "embedded identically in both engines, per-row products quantize to "
+    "micro-units before the exact DECIMAL sum (the PSI pattern) "
+    "(operators/stats.py:dft_bin_power).",
+)
+def weekly_power_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import dft_bin_power
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    return dft_bin_power(daily, "event_type", "t", "x", period=7)

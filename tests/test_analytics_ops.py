@@ -2396,3 +2396,54 @@ def test_two_proportion_z_direction(spark):
     assert out["s"]["z"] > 4  # B converts 4x A
     assert out["t"]["z"] == 0.0
     assert out["s"]["rate_control"] == 0.1 and out["s"]["rate_treatment"] == 0.4
+
+
+def test_ks_two_sample_identical_and_shifted(spark):
+    from redpanda_ais_demo_spark.operators.stats import ks_two_sample
+
+    same = [("A", v) for v in range(50)] + [("B", v) for v in range(50)]
+    df = spark.createDataFrame(same, "g string, v long")
+    out = ks_two_sample(df, "g", "v", "A", "B", bounded_values=True).collect()[0]
+    assert out["d_stat"] == 0.0 and out["p_value"] == 1.0
+    # disjoint supports: D = 1, p ~ 0
+    far = [("A", v) for v in range(50)] + [("B", v + 1000) for v in range(50)]
+    df2 = spark.createDataFrame(far, "g string, v long")
+    out2 = ks_two_sample(df2, "g", "v", "A", "B", bounded_values=True).collect()[0]
+    assert out2["d_stat"] == 1.0 and out2["p_value"] < 1e-5
+    assert out2["n_control"] == 50 and out2["n_treatment"] == 50
+
+
+def test_ks_distributed_matches_bounded_window_path(spark):
+    from redpanda_ais_demo_spark.operators.stats import ks_two_sample
+
+    rows = [("A", (7 * i) % 23) for i in range(40)] + [
+        ("B", (5 * i) % 29) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    a = ks_two_sample(df, "g", "v", "A", "B", bounded_values=True).collect()[0]
+    b = ks_two_sample(df, "g", "v", "A", "B", bounded_values=False).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_dft_bin_power_pure_tone_vs_constant(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import dft_bin_power
+
+    # 28 days (4 full weeks): pure 7-day cosine of amplitude 1000 over a
+    # 5000 baseline vs a flat series
+    rows = [
+        ("tone", t, 5000 + round(1000 * math.cos(2 * math.pi * t / 7)))
+        for t in range(28)
+    ] + [("flat", t, 5000) for t in range(28)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = {r["g"]: r for r in dft_bin_power(df, "g", "t", "x", period=7).collect()}
+    # amplitude recovers the tone's 1000 (integer rounding of x wiggles it)
+    assert abs(out["tone"]["amplitude"] - 1000) < 1.0
+    # full weeks of a constant cancel at the 1/7 bin (up to the
+    # micro-unit quantization residue of the per-row products)
+    assert out["flat"]["amplitude"] <= 1e-5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dft_bin_power(df, "g", "t", "x", period=1)
