@@ -2776,3 +2776,131 @@ def dft_bin_power(
             "amplitude"
         ),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+    bounded_times: bool = False,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator — Kaplan-Meier's
+    additive sibling (H(t) = Σ_{t_i≤t} d_i/n_i with the standard
+    Σ d_i/n_i² variance): where KM answers "what fraction survives to
+    t", NA answers "how much churn FORCE has accumulated by t" — the
+    curve actuaries difference to read instantaneous hazard, and the
+    better-behaved estimator when risk sets get small (no product to
+    extinguish). Same censoring contract as ``kaplan_meier``.
+
+    Determinism/plan: identical skeleton to ``kaplan_meier`` — one
+    groupBy to per-time (d, leave) counts, windows over the TIME table
+    (distinct durations, never subjects; single-partition only under
+    ``bounded_times``/grouping, else the distributed prefix-sum); the
+    per-step ratios quantize to micro (hazard) / pico (variance) units
+    before the exact cumulative sums.
+    """
+    gcols = [group_col] if group_col else []
+    base = df.select(
+        *gcols,
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("ev"),
+    )
+    times = base.groupBy(*gcols, "t").agg(
+        F.sum("ev").alias("d"),
+        F.count("*").alias("leave"),
+    )
+    totals = base.groupBy(*gcols).agg(F.count("*").alias("n_total"))
+    term_h = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > 0),
+        F.round((F.col("d") / F.col("n_risk")) * 1e6).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    term_v = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > 0),
+        F.round(
+            (F.col("d") / (F.col("n_risk") * F.col("n_risk"))) * 1e12
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    if gcols or bounded_times:
+        if gcols:
+            times = times.join(F.broadcast(totals), gcols)
+            w = Window.partitionBy(*gcols).orderBy("t")
+        else:
+            times = times.crossJoin(F.broadcast(totals))
+            w = Window.orderBy("t")
+        prior_left = F.coalesce(
+            F.sum("leave").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        stepped = times.withColumn("n_risk", F.col("n_total") - prior_left)
+        wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+        out = stepped.withColumn("__ch", F.sum(term_h).over(wrun)).withColumn(
+            "__cv", F.sum(term_v).over(wrun)
+        )
+    else:
+        from .ordered import rank_cumsum
+
+        times = times.crossJoin(F.broadcast(totals))
+        s1 = rank_cumsum(
+            times, [F.col("t").asc()], rank_col=None, cumsums={"__cl": F.col("leave")}
+        )
+        stepped = s1.withColumn(
+            "n_risk", F.col("n_total") - (F.col("__cl") - F.col("leave"))
+        )
+        staged = stepped.withColumn("__th", term_h).withColumn("__tv", term_v)
+        out = rank_cumsum(
+            staged,
+            [F.col("t").asc()],
+            rank_col=None,
+            cumsums={"__ch": F.col("__th"), "__cv": F.col("__tv")},
+        )
+    return out.select(
+        *gcols,
+        F.col("t"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(F.col("__ch") / F.lit(1e6), 6).alias("cum_hazard"),
+        F.round(F.sqrt(F.col("__cv") / F.lit(1e12)), 6).alias("se_hazard"),
+    )
+
+
+def hill_powerlaw(
+    df: DataFrame,
+    value_col: str,
+    kmin: int = 2,
+) -> DataFrame:
+    """Hill maximum-likelihood power-law exponent of a discrete tail
+    (Clauset-Shalizi-Newman 2009 eq. 3.7 continuous approximation):
+    α = 1 + n / Σ ln(dᵢ/kmin) over dᵢ ≥ kmin, with the standard
+    (α−1)/√n error — the "is this degree/frequency distribution
+    scale-free?" readout for the graph family (co-purchase degrees,
+    token frequencies) one step more principled than ``zipf_fit``'s
+    regression on binned ranks.
+
+    Plan: one filter + ONE partial-aggregable aggregate; each ln term
+    is a double of an exact integer ratio, quantized to nano-units
+    before the sum (order-free). All-at-kmin tails (Σ = 0 → α = ∞)
+    yield NULL.
+    """
+    if kmin < 1:
+        raise ValueError(f"kmin must be >= 1, got {kmin}")
+    tail = df.filter(F.col(value_col).cast("long") >= kmin)
+    agg = tail.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(
+                F.log(F.col(value_col).cast("long").cast("double") / F.lit(float(kmin)))
+                * 1e9
+            ).cast(_DEC)
+        ).alias("slog"),
+    )
+    nd = F.col("n").cast("double")
+    slog = F.col("slog").cast("double") / F.lit(1e9)
+    ok = (F.col("n") > 0) & (slog > 0)
+    alpha = F.lit(1.0) + nd / slog
+    return agg.select(
+        F.col("n").cast("long").alias("n_tail"),
+        F.lit(int(kmin)).cast("long").alias("kmin"),
+        F.round(F.when(ok, alpha), 6).alias("alpha"),
+        F.round(F.when(ok, (alpha - F.lit(1.0)) / F.sqrt(nd)), 6).alias("se_alpha"),
+    )

@@ -1843,3 +1843,140 @@ def holt_linear(
             F.col("acc.s") + F.lit(float(horizon)) * F.col("acc.b"), 6
         ).alias(f"forecast_h{int(horizon)}"),
     )
+
+
+def top_session_paths(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_sec: int,
+    k: int = 20,
+) -> DataFrame:
+    """Most-frequent full session paths — the path-analysis readout
+    behind every "user flow" sankey: sessionize on a ``gap_sec``
+    inactivity gap (the ``session_pattern_counts`` rule), render each
+    session as its complete ordered event-type sequence, and rank the
+    distinct paths by how many sessions walked them, with each path's
+    share of all sessions. Markov transitions (in-tree) answer "what
+    usually comes NEXT"; this answers "which whole journeys dominate".
+
+    Scale shape: one hash shuffle on the key (break window + session
+    groupBy share it; per-group state is one gap-bounded session), one
+    partial-aggregable count per path, then a deterministic
+    (count DESC, path ASC) top-k over the path vocabulary. Share is
+    one integer→double division against the broadcast session total.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wo = Window.partitionBy("key").orderBy("ts", "tb")
+    e = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("long").alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(type_col).alias("et"),
+        )
+        .withColumn(
+            "brk",
+            F.when(
+                F.lag("ts").over(wo).isNull()
+                | (F.col("ts") - F.lag("ts").over(wo) > gap_sec),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("brk")
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    paths = e.groupBy("key", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "tb", "et"))),
+                lambda s: s["et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    total = counts.agg(F.sum("n_sessions").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+        .select(
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two bucketed integer series:
+    exact Pearson corr(x_t, y_{t+lag}) for every lag in [−max_lag,
+    +max_lag] — the lead-lag discovery readout next to the in-tree ACF
+    (does the view curve LEAD the purchase curve, and by how many
+    days?). Positive lag = y lags x.
+
+    Exactness: the ``pearson_corr`` discipline per lag — five integer
+    sums in DECIMAL(38,0)/HUGEINT, fixed-order polynomial numerator/
+    denominators, one division. Degenerate overlaps (n<2 or zero
+    variance) yield NULL.
+
+    Plan: the lag fan-out explodes the CALENDAR-BOUNDED bucket table
+    (2·max_lag+1 copies of ~days rows — constant in data volume; the
+    upstream rollups are the data-sized pass), one equi-join on the
+    shifted bucket index, one partial-aggregable groupBy(lag).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    lags = F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    ax = a.select(
+        F.col(t_col).cast("long").alias("ta"),
+        F.col(x_col).cast("long").alias("x"),
+    ).select("*", F.explode(lags).alias("lag"))
+    by = b.select(
+        F.col(t_col).cast("long").alias("tb"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    j = ax.join(by, F.col("tb") == F.col("ta") + F.col("lag"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n.cast("decimal(38,0)") * F.col("sxy") - dec("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (n.cast("decimal(38,0)") * F.col("sxx") - dec("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (n.cast("decimal(38,0)") * F.col("syy") - dec("sy") * F.col("sy")).cast(
+        "double"
+    )
+    ok = (n > 1) & (vx > 0) & (vy > 0)
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_buckets"),
+        F.round(F.when(ok, num / (F.sqrt(vx) * F.sqrt(vy))), 6).alias("ccf"),
+    )

@@ -6069,3 +6069,250 @@ def weekly_power_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
     return dft_bin_power(daily, "event_type", "t", "x", period=7)
+
+
+@query(
+    "nelson_aalen_user_churn",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST((max(CAST(floor(epoch(ts)) AS BIGINT))
+                         - min(CAST(floor(epoch(ts)) AS BIGINT))) // 86400
+                        AS BIGINT) AS t,
+                   CASE WHEN max(CAST(floor(epoch(ts)) AS BIGINT))
+                             < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT))
+                                - 604800 FROM events)
+                        THEN 1 ELSE 0 END AS ev
+            FROM events GROUP BY user_id
+        ),
+        times AS (
+            SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS leave
+            FROM per_user GROUP BY t
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM per_user),
+        stepped AS (
+            SELECT t, d, leave, n_total,
+                   n_total - coalesce(CAST(SUM(leave) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS n_risk
+            FROM times CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT *,
+                   CASE WHEN d > 0 AND n_risk > 0
+                        THEN CAST(round((d / n_risk) * 1000000.0) AS BIGINT)
+                        ELSE 0 END AS th,
+                   CASE WHEN d > 0 AND n_risk > 0
+                        THEN CAST(round((d / (n_risk * n_risk))
+                                        * 1000000000000.0) AS BIGINT)
+                        ELSE 0 END AS tv
+            FROM stepped
+        ),
+        cum AS (
+            SELECT t, n_risk, d,
+                   CAST(SUM(th) OVER w AS BIGINT) AS ch,
+                   CAST(SUM(tv) OVER w AS BIGINT) AS cv
+            FROM terms WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT t, n_risk, d AS n_events,
+               round(ch / 1000000.0, 6) AS cum_hazard,
+               round(sqrt(cv / 1000000000000.0), 6) AS se_hazard
+        FROM cum
+    """,
+    tags=("analytics", "statistics", "survival", "window"),
+    doc="Nelson-Aalen cumulative churn hazard over user activity "
+    "lifetimes (7-day-quiet censoring rule — the same subjects frame "
+    "as survival_user_churn): KM's additive sibling, the curve you "
+    "difference for instantaneous churn force, with the standard "
+    "sum-d/n-squared standard error. Per-step ratios quantize to "
+    "micro/pico units before exact cumulative sums over the bounded "
+    "day-duration table (operators/stats.py:nelson_aalen).",
+)
+def nelson_aalen_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import nelson_aalen
+
+    events = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    per_user = events.groupBy("user_id").agg(
+        F.min(ts).alias("t0"), F.max(ts).alias("t1")
+    )
+    horizon = events.agg((F.max(ts) - 604800).alias("cut"))
+    subjects = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("t1") - F.col("t0")) / 86400).cast("long").alias("dur_days"),
+        (F.col("t1") < F.col("cut")).cast("int").alias("churned"),
+    )
+    return nelson_aalen(subjects, "dur_days", "churned", bounded_times=True)
+
+
+@query(
+    "top_paths_user_sessions",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+                   event_type AS et
+            FROM events
+        ),
+        b AS (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > 604800
+                      THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+            FROM b
+        ),
+        g AS (
+            SELECT user_id, sess,
+                   string_agg(et, '>' ORDER BY ts, event_id) AS path
+            FROM s GROUP BY user_id, sess
+        ),
+        c AS (
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM g GROUP BY path
+        ),
+        tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS n_total FROM c)
+        SELECT path, n_sessions,
+               round(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                   AS share
+        FROM c CROSS JOIN tot
+        ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+    tags=("analytics", "sessionize", "window", "path"),
+    doc="Top-20 complete session paths (7-day-gap sessionization, full "
+    "event-type sequences joined with '>') with each path's share of "
+    "all sessions — the 'which whole journeys dominate' readout next "
+    "to markov_event_transitions' next-step probabilities. One key "
+    "shuffle shared by break window and session groupBy, one partial-"
+    "agg count per path, deterministic (count DESC, path) top-k "
+    "(operators/timeseries.py:top_session_paths).",
+)
+def top_paths_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import top_session_paths
+
+    events = load_table(spark, sf_dir, "events")
+    return top_session_paths(
+        events, "user_id", "ts", "event_type", "event_id", 7 * 86400, k=20
+    )
+
+
+@query(
+    "ccf_view_leads_purchase_daily",
+    oracle="""
+        WITH dv AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        dp AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS t,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        l AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        j AS (
+            SELECT l.lag, dv.x, dp.y
+            FROM dv CROSS JOIN l JOIN dp ON dp.t = dv.t + l.lag
+        ),
+        s AS (
+            SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM j GROUP BY lag
+        ),
+        d AS (
+            SELECT lag, n,
+                   CAST(CAST(n AS HUGEINT) * sxy
+                        - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+                   CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS vx,
+                   CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS vy
+            FROM s
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n AS n_buckets,
+               CASE WHEN n > 1 AND vx > 0 AND vy > 0
+                    THEN round(num / (sqrt(vx) * sqrt(vy)), 6)
+               END AS ccf
+        FROM d
+    """,
+    tags=("analytics", "timeseries", "statistics", "join"),
+    doc="Cross-correlation of daily view COUNT against daily purchase "
+    "REVENUE at lags -7..+7 — the lead-lag discovery next to the ACF "
+    "(does browsing volume lead spend, by how many days?). Exact "
+    "pearson_corr discipline per lag (DECIMAL/HUGEINT sums, fixed-"
+    "order polynomials, one division); the lag fan-out explodes the "
+    "calendar-bounded daily tables, never raw events "
+    "(operators/timeseries.py:cross_correlation).",
+)
+def ccf_view_leads_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cross_correlation
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t")
+    dv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    dp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    )
+    return cross_correlation(dv, dp, "t", "x", "y", max_lag=7)
+
+
+@query(
+    "degree_powerlaw_copurchase",
+    oracle=f"""
+        WITH {_COPURCHASE_CTE},
+        e AS (SELECT lo AS a, hi AS b FROM pe UNION ALL SELECT hi, lo FROM pe),
+        deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+                FROM e GROUP BY a),
+        tail AS (SELECT d FROM deg WHERE d >= 3),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(round(ln(CAST(d AS DOUBLE) / 3.0)
+                                  * 1000000000.0) AS BIGINT)) AS slog
+            FROM tail
+        )
+        SELECT n AS n_tail, CAST(3 AS BIGINT) AS kmin,
+               CASE WHEN n > 0 AND CAST(slog AS DOUBLE) / 1000000000.0 > 0
+                    THEN round(1.0 + CAST(n AS DOUBLE)
+                               / (CAST(slog AS DOUBLE) / 1000000000.0), 6)
+               END AS alpha,
+               CASE WHEN n > 0 AND CAST(slog AS DOUBLE) / 1000000000.0 > 0
+                    THEN round((1.0 + CAST(n AS DOUBLE)
+                                / (CAST(slog AS DOUBLE) / 1000000000.0) - 1.0)
+                               / sqrt(CAST(n AS DOUBLE)), 6)
+               END AS se_alpha
+        FROM s
+    """,
+    tags=("graph", "analytics", "statistics", "agg"),
+    doc="Hill MLE power-law exponent of the co-purchase degree "
+    "distribution (tail d >= 3; Clauset-Shalizi-Newman eq. 3.7) with "
+    "the (alpha-1)/sqrt(n) error — the 'is this graph scale-free?' "
+    "readout one step more principled than zipf_fit's binned-rank "
+    "regression. One filter + one partial-agg aggregate over the "
+    "degree table; ln terms quantize to nano-units before the "
+    "order-free sum (operators/stats.py:hill_powerlaw).",
+)
+def degree_powerlaw_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import hill_powerlaw
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return hill_powerlaw(deg, "d", kmin=3)

@@ -2447,3 +2447,88 @@ def test_dft_bin_power_pure_tone_vs_constant(spark):
 
     with _pytest.raises(ValueError):
         dft_bin_power(df, "g", "t", "x", period=1)
+
+
+def test_nelson_aalen_hand_curve(spark):
+    from redpanda_ais_demo_spark.operators.stats import nelson_aalen
+
+    # t=1: 2 events of 10 at risk; t=2: 1 event of 6 (2 censored left at 1...)
+    # subjects: 10 total; at t=1 four leave (2 events, 2 censored);
+    # at t=2 three leave (1 event, 2 censored); at t=3 three censored.
+    rows = (
+        [(1, 1)] * 2 + [(1, 0)] * 2 + [(2, 1)] * 1 + [(2, 0)] * 2 + [(3, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "t long, ev int")
+    out = {r["t"]: r for r in nelson_aalen(df, "t", "ev", bounded_times=True).collect()}
+    assert out[1]["n_risk"] == 10 and out[1]["n_events"] == 2
+    assert out[1]["cum_hazard"] == 0.2  # 2/10
+    assert out[2]["n_risk"] == 6
+    assert abs(out[2]["cum_hazard"] - (0.2 + 1 / 6)) < 1e-5
+    # monotone non-decreasing, se grows
+    assert out[3]["cum_hazard"] >= out[2]["cum_hazard"] >= out[1]["cum_hazard"]
+    assert out[2]["se_hazard"] > out[1]["se_hazard"]
+
+
+def test_top_session_paths_counts_and_share(spark):
+    from datetime import datetime
+
+    from redpanda_ais_demo_spark.operators.timeseries import top_session_paths
+
+    # user 1: v>c>p then (after a 10-day gap) v ; user 2: v>c>p
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10), "v"),
+        (2, 1, datetime(2024, 1, 1, 11), "c"),
+        (3, 1, datetime(2024, 1, 1, 12), "p"),
+        (4, 1, datetime(2024, 1, 20, 10), "v"),
+        (5, 2, datetime(2024, 2, 1, 10), "v"),
+        (6, 2, datetime(2024, 2, 1, 11), "c"),
+        (7, 2, datetime(2024, 2, 1, 12), "p"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, et string"
+    )
+    out = top_session_paths(
+        df, "user_id", "ts", "et", "event_id", 7 * 86400, k=10
+    ).collect()
+    assert [r["path"] for r in out] == ["v>c>p", "v"]
+    assert out[0]["n_sessions"] == 2 and out[1]["n_sessions"] == 1
+    assert out[0]["share"] == round(2 / 3, 6)
+
+
+def test_cross_correlation_finds_planted_lag(spark):
+    from redpanda_ais_demo_spark.operators.timeseries import cross_correlation
+
+    # y is x shifted forward by 3 buckets (y at t mirrors x at t-3):
+    # ccf peaks at lag +3 (y lags x)
+    xs = [(t, 100 + ((t * 37) % 19) * 10) for t in range(40)]
+    a = spark.createDataFrame(xs, "t long, x long")
+    b = spark.createDataFrame([(t + 3, v) for t, v in xs], "t long, y long")
+    out = {r["lag"]: r for r in cross_correlation(a, b, "t", "x", "y", 5).collect()}
+    assert out[3]["ccf"] == 1.0
+    assert all(
+        out[l]["ccf"] is None or out[l]["ccf"] < 1.0 for l in out if l != 3
+    )
+    assert out[3]["n_buckets"] == 40
+
+
+def test_hill_powerlaw_recovers_exponent(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import hill_powerlaw
+
+    # inverse-CDF sample of a continuous Pareto(alpha=2.5, xmin=2):
+    # d = xmin * u^(-1/(alpha-1)); Hill on these recovers ~2.5
+    n = 4000
+    rows = [
+        (int(round(2.0 * ((i + 0.5) / n) ** (-1.0 / 1.5) * 1000)),)
+        for i in range(n)
+    ]
+    # scale by 1000 to keep integer resolution; kmin scales with it
+    df = spark.createDataFrame(rows, "d long")
+    out = hill_powerlaw(df, "d", kmin=2000).collect()[0]
+    assert out["n_tail"] == n
+    assert abs(out["alpha"] - 2.5) < 0.1, out["alpha"]
+    # degenerate: everything at kmin -> NULL alpha
+    flat = spark.createDataFrame([(5,)] * 10, "d long")
+    out2 = hill_powerlaw(flat, "d", kmin=5).collect()[0]
+    assert out2["alpha"] is None
