@@ -2904,3 +2904,130 @@ def hill_powerlaw(
         F.round(F.when(ok, alpha), 6).alias("alpha"),
         F.round(F.when(ok, (alpha - F.lit(1.0)) / F.sqrt(nd)), 6).alias("se_alpha"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bounded_values: bool = False,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two integer columns —
+    Pearson on midranks, the monotone-association screen that ignores
+    the marginal shapes ``pearson_corr`` is hostage to (one heavy-tail
+    outlier can own a Pearson; it moves a Spearman by one rank).
+
+    Exactness: midranks never materialize as floats — each axis
+    collapses to one row per DISTINCT value whose DOUBLED midrank is
+    the exact integer ``2·cum + cnt + 1`` (the ``mann_whitney_u``
+    trick), joined back to the pairs; the five correlation sums
+    accumulate doubled ranks in DECIMAL(38,0)/HUGEINT, fixed-order
+    polynomials, one division. Doubling cancels in the correlation.
+
+    Plan: two per-axis groupBys + prefix sums over DISTINCT values
+    (distributed rank by default; tiny windows under
+    ``bounded_values``), two hash joins back to the pair frame, one
+    partial-aggregable five-sum pass. No data-sized sort, no
+    per-row window.
+    """
+    pairs = df.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+
+    def midranks(col: str) -> DataFrame:
+        vals = pairs.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        if bounded_values:
+            w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+            ranked = vals.withColumn(
+                "cum", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            )
+        else:
+            from .ordered import rank_cumsum
+
+            ranked = rank_cumsum(
+                vals, [F.col("v").asc()], rank_col=None,
+                cumsums={"__ci": F.col("cnt")},
+            ).withColumn("cum", F.col("__ci") - F.col("cnt"))
+        return ranked.select(
+            F.col("v").alias(col),
+            (F.lit(2) * F.col("cum") + F.col("cnt") + 1).alias(f"r{col}"),
+        )
+
+    rx, ry = midranks("x"), midranks("y")
+    j = pairs.join(rx, "x").join(ry, "y")
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(dec("rx") * F.col("rx")).alias("sxx"),
+        F.sum(dec("ry") * F.col("ry")).alias("syy"),
+        F.sum(dec("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = (n.cast(_DEC) * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+    vx = (n.cast(_DEC) * F.col("sxx") - dec("sx") * F.col("sx")).cast("double")
+    vy = (n.cast(_DEC) * F.col("syy") - dec("sy") * F.col("sy")).cast("double")
+    ok = (n > 1) & (vx > 0) & (vy > 0)
+    return s.select(
+        n.cast("long").alias("n"),
+        F.round(F.when(ok, num / (F.sqrt(vx) * F.sqrt(vy))), 6).alias("rho"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in proportions across
+    ordered categories — the right tool where the in-tree chi-squared
+    only says "somehow different": does the positive rate climb
+    monotonically with the ordinal score (priority tier, dose, bucket)?
+    z = (Σwr − p·Σwn) / √(p(1−p)·N/(N−1)·(Σw²n − (Σwn)²/N)) with
+    integer scores w, pooled rate p = R/N.
+
+    One conditional-aggregation groupBy(score) collapses the scan to k
+    rows (the 100 TB pass); five exact integer sums ride a second tiny
+    aggregate; the z chain is fixed-order doubles, one sqrt. Degenerate
+    pools (all-positive, all-negative, single category) yield NULL.
+    """
+    cells = (
+        df.select(
+            F.col(score_col).cast("long").alias("w"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("r"))
+    )
+    dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    s = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("r").alias("rr"),
+        F.sum(dec("w") * F.col("r")).alias("swr"),
+        F.sum(dec("w") * F.col("cnt")).alias("swn"),
+        F.sum(dec("w") * F.col("w") * F.col("cnt")).alias("sw2n"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("rr").cast("double") / nd
+    swr = F.col("swr").cast("double")
+    swn = F.col("swn").cast("double")
+    sw2n = F.col("sw2n").cast("double")
+    num = swr - p * swn
+    var = (
+        p
+        * (F.lit(1.0) - p)
+        * (nd / (nd - F.lit(1.0)))
+        * (sw2n - swn * swn / nd)
+    )
+    ok = (F.col("n") > 1) & (F.col("k") > 1) & (var > 0)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("n_pos"),
+        F.col("k").cast("long").alias("n_levels"),
+        F.round(F.when(ok, num), 6).alias("trend_stat"),
+        F.round(F.when(ok, num / F.sqrt(var)), 6).alias("z_score"),
+    )

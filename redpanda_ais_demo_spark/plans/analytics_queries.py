@@ -6316,3 +6316,148 @@ def degree_powerlaw_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     return hill_powerlaw(deg, "d", kmin=3)
+
+
+@query(
+    "spearman_order_value_vs_lines",
+    oracle="""
+        WITH pairs AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x, nl AS y
+            FROM orders JOIN (
+                SELECT l_orderkey AS o, CAST(count(*) AS BIGINT) AS nl
+                FROM lineitem GROUP BY 1
+            ) li ON o_orderkey = li.o
+        ),
+        rx AS (
+            SELECT v AS x, 2 * cum + cnt + 1 AS rx FROM (
+                SELECT v, cnt,
+                       coalesce(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+                      FROM pairs GROUP BY x)
+            )
+        ),
+        ry AS (
+            SELECT v AS y, 2 * cum + cnt + 1 AS ry FROM (
+                SELECT v, cnt,
+                       coalesce(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+                      FROM pairs GROUP BY y)
+            )
+        ),
+        j AS (
+            SELECT rx.rx AS rx, ry.ry AS ry
+            FROM pairs JOIN rx USING (x) JOIN ry USING (y)
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(rx) AS HUGEINT) AS sx,
+                   CAST(SUM(ry) AS HUGEINT) AS sy,
+                   SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+                   SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+                   SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+            FROM j
+        )
+        SELECT n,
+               CASE WHEN n > 1
+                         AND CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0
+                         AND CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0
+                    THEN round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                               / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                                            AS DOUBLE))
+                                  * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                                              AS DOUBLE))), 6)
+               END AS rho
+        FROM s
+    """,
+    tags=("analytics", "statistics", "robust", "scale-path"),
+    doc="Exact Spearman rank correlation between order value and line "
+    "count — the monotone-association screen next to pearson_corr "
+    "(rank-space, outlier-immune). Midranks never materialize as "
+    "floats: each axis collapses to one row per distinct value whose "
+    "DOUBLED midrank is the exact integer 2*cum+cnt+1 (the MW trick) "
+    "on the distributed prefix-sum, joined back; five DECIMAL/HUGEINT "
+    "sums, one division (operators/stats.py:spearman_corr).",
+)
+def spearman_order_value_vs_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import spearman_corr
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = lineitem.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    pairs = orders.select(
+        F.col("o_orderkey").alias("o"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    ).join(li, "o")
+    return spearman_corr(pairs, "x", "y")
+
+
+@query(
+    "cochran_armitage_priority_value",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+                   CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             > 15000000 THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        cells AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(SUM(y) AS BIGINT) AS r
+            FROM t GROUP BY w
+        ),
+        s AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(r) AS BIGINT) AS rr,
+                   SUM(CAST(w AS HUGEINT) * r) AS swr,
+                   SUM(CAST(w AS HUGEINT) * cnt) AS swn,
+                   SUM(CAST(w AS HUGEINT) * w * cnt) AS sw2n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM cells
+        ),
+        d AS (
+            SELECT n, rr, k,
+                   CAST(rr AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                   CAST(swr AS DOUBLE) AS swr_d,
+                   CAST(swn AS DOUBLE) AS swn_d,
+                   CAST(sw2n AS DOUBLE) AS sw2n_d,
+                   CAST(n AS DOUBLE) AS nd
+            FROM s
+        ),
+        z AS (
+            SELECT n, rr, k,
+                   swr_d - p * swn_d AS num,
+                   p * (1.0 - p) * (nd / (nd - 1.0))
+                       * (sw2n_d - swn_d * swn_d / nd) AS var
+            FROM d
+        )
+        SELECT n, rr AS n_pos, k AS n_levels,
+               CASE WHEN n > 1 AND k > 1 AND var > 0
+                    THEN round(num, 6) END AS trend_stat,
+               CASE WHEN n > 1 AND k > 1 AND var > 0
+                    THEN round(num / sqrt(var), 6) END AS z_score
+        FROM z
+    """,
+    tags=("analytics", "statistics", "experimentation", "agg"),
+    doc="Cochran-Armitage linear-trend test: does the high-value-order "
+    "rate climb monotonically across the ordered priority tiers "
+    "(scores 1..5 off the tier prefix)? The directional upgrade over "
+    "the in-tree chi-squared's 'somehow different', on the same "
+    "outcome the Simpson's screen stratifies. One conditional-agg "
+    "scan to 5 cells, five exact integer sums, fixed-order z chain "
+    "(operators/stats.py:cochran_armitage).",
+)
+def cochran_armitage_priority_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cochran_armitage
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") > 15000000)
+        .cast("long")
+        .alias("y"),
+    )
+    return cochran_armitage(t, "w", "y")

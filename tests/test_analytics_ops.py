@@ -2532,3 +2532,58 @@ def test_hill_powerlaw_recovers_exponent(spark):
     flat = spark.createDataFrame([(5,)] * 10, "d long")
     out2 = hill_powerlaw(flat, "d", kmin=5).collect()[0]
     assert out2["alpha"] is None
+
+
+def test_spearman_monotone_ties_and_paths(spark):
+    from redpanda_ais_demo_spark.operators.stats import spearman_corr
+
+    # perfectly monotone but nonlinear (Pearson < 1, Spearman = 1)
+    mono = [(i, i * i * i) for i in range(1, 30)]
+    df = spark.createDataFrame(mono, "x long, y long")
+    assert spearman_corr(df, "x", "y", bounded_values=True).collect()[0]["rho"] == 1.0
+    # reversed
+    rev = [(i, -i) for i in range(1, 30)]
+    df2 = spark.createDataFrame(rev, "x long, y long")
+    assert spearman_corr(df2, "x", "y", bounded_values=True).collect()[0]["rho"] == -1.0
+    # ties: distributed path == bounded-window path, and matches the
+    # textbook tie-corrected value for a small hand case
+    rows = [(1, 2), (2, 2), (3, 1), (4, 5), (5, 5), (6, 9)]
+    df3 = spark.createDataFrame(rows, "x long, y long")
+    a = spearman_corr(df3, "x", "y", bounded_values=True).collect()[0]
+    b = spearman_corr(df3, "x", "y", bounded_values=False).collect()[0]
+    assert a.asDict() == b.asDict()
+    # hand check via numpy on midranks
+    import numpy as np
+
+    x = np.array([1, 2, 3, 4, 5, 6], dtype=float)
+    yr = np.array([2.5, 2.5, 1, 4.5, 4.5, 6], dtype=float)  # midranks of y
+    expect = np.corrcoef(x, yr)[0, 1]
+    assert abs(a["rho"] - round(expect, 6)) < 1e-6
+
+
+def test_cochran_armitage_trend_directions(spark):
+    from redpanda_ais_demo_spark.operators.stats import cochran_armitage
+
+    # rate climbs with the score: 10% -> 30% -> 50%
+    up = (
+        [(1, 1)] * 10 + [(1, 0)] * 90
+        + [(2, 1)] * 30 + [(2, 0)] * 70
+        + [(3, 1)] * 50 + [(3, 0)] * 50
+    )
+    out = cochran_armitage(
+        spark.createDataFrame(up, "w long, y long"), "w", "y"
+    ).collect()[0]
+    assert out["z_score"] > 5 and out["trend_stat"] > 0
+    assert out["n"] == 300 and out["n_pos"] == 90 and out["n_levels"] == 3
+    # flat rates: z near 0
+    flat = ([(1, 1)] * 20 + [(1, 0)] * 80 + [(2, 1)] * 20 + [(2, 0)] * 80)
+    out2 = cochran_armitage(
+        spark.createDataFrame(flat, "w long, y long"), "w", "y"
+    ).collect()[0]
+    assert abs(out2["z_score"]) < 1e-9
+    # single level: NULL
+    one = [(1, 1)] * 5 + [(1, 0)] * 5
+    out3 = cochran_armitage(
+        spark.createDataFrame(one, "w long, y long"), "w", "y"
+    ).collect()[0]
+    assert out3["z_score"] is None
