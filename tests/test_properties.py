@@ -657,3 +657,139 @@ def test_pit_join_matches_bruteforce_property(spark, dim_rows, probe_rows):
         cands = [(vf, ver, a) for (dk, vf, a, ver) in dim if dk == k and vf <= ts]
         want[pid] = max(cands)[2] if cands else None
     assert got == want
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-1000, 1000)),
+        min_size=3,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_theil_sen_slope_within_pairwise_envelope(spark, pts):
+    """The Theil-Sen slope is a median of pairwise slopes, so it must lie
+    inside [min, max] of the brute-force pairwise slopes, and match the
+    numpy median of them exactly at 6 dp."""
+    from redpanda_ais_demo_spark.operators.stats import theil_sen_trend
+
+    df = spark.createDataFrame([("g", t, x) for t, x in pts], "g string, t long, x long")
+    out = theil_sen_trend(df, "g", "t", "x").collect()[0]
+    slopes = [
+        (b[1] - a[1]) / (b[0] - a[0])
+        for i, a in enumerate(sorted(pts))
+        for b in sorted(pts)[i + 1 :]
+    ]
+    assert out["n_pairs"] == len(slopes)
+    assert round(float(np.median(slopes)), 6) == out["slope"]
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-50, 50)),
+        min_size=3,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_mann_kendall_tau_bounded_and_s_matches_bruteforce(spark, pts):
+    from redpanda_ais_demo_spark.operators.stats import mann_kendall_trend
+
+    df = spark.createDataFrame([("g", t, x) for t, x in pts], "g string, t long, x long")
+    out = mann_kendall_trend(df, "g", "t", "x").collect()[0]
+    ordered = sorted(pts)
+    s = sum(
+        (b[1] > a[1]) - (b[1] < a[1])
+        for i, a in enumerate(ordered)
+        for b in ordered[i + 1 :]
+    )
+    assert out["s_stat"] == s
+    if out["tau_b"] is not None:
+        assert -1.0 <= out["tau_b"] <= 1.0
+        assert (out["tau_b"] > 0) == (s > 0) or s == 0
+
+
+@_settings
+@given(
+    st.lists(st.integers(0, 40), min_size=2, max_size=40),
+    st.lists(st.integers(0, 40), min_size=2, max_size=40),
+)
+def test_ks_d_and_p_bounded_and_match_bruteforce(spark, xs, ys):
+    from redpanda_ais_demo_spark.operators.stats import ks_two_sample
+
+    rows = [("A", v) for v in xs] + [("B", v) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = ks_two_sample(df, "g", "v", "A", "B", bounded_values=True).collect()[0]
+    vals = sorted(set(xs) | set(ys))
+    import bisect
+
+    sx, sy = sorted(xs), sorted(ys)
+    d = max(
+        abs(bisect.bisect_right(sx, v) / len(xs) - bisect.bisect_right(sy, v) / len(ys))
+        for v in vals
+    )
+    assert abs(out["d_stat"] - d) < 1e-6
+    assert 0.0 <= out["d_stat"] <= 1.0
+    assert 0.0 <= out["p_value"] <= 1.0
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(-100, 100)),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_spearman_bounded_and_matches_numpy_midranks(spark, pts):
+    from redpanda_ais_demo_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = spearman_corr(df, "x", "y", bounded_values=True).collect()[0]
+
+    def midranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and v[order[j]] == v[order[i]]:
+                j += 1
+            m = (i + j + 1) / 2.0
+            for k in range(i, j):
+                r[order[k]] = m
+            i = j
+        return np.array(r)
+
+    rx = midranks([p[0] for p in pts])
+    ry = midranks([p[1] for p in pts])
+    if np.std(rx) == 0 or np.std(ry) == 0:
+        assert out["rho"] is None
+    else:
+        expect = float(np.corrcoef(rx, ry)[0, 1])
+        assert abs(out["rho"] - expect) < 1e-6
+        assert -1.0 <= out["rho"] <= 1.0
+
+
+@_settings
+@given(st.lists(st.floats(-6, 6, allow_nan=False), min_size=1, max_size=15))
+def test_bh_fdr_q_monotone_and_dominates_p(spark, zs):
+    from redpanda_ais_demo_spark.operators.stats import bh_fdr
+
+    df = spark.createDataFrame(
+        [(f"s{i}", float(z)) for i, z in enumerate(zs)], "sl string, z double"
+    )
+    # sort by (p, q): the emitted p is rounded to 6 dp, so distinct true
+    # p-values can tie after rounding — q breaks those ties in true order
+    rows = sorted(
+        bh_fdr(df, "sl", "z").collect(), key=lambda r: (r["p_value"], r["q_value"])
+    )
+    qs = [r["q_value"] for r in rows]
+    ps = [r["p_value"] for r in rows]
+    # q is monotone in p-order, q >= p (up to the 6 dp rounding of both),
+    # and q <= 1
+    assert all(qs[i] <= qs[i + 1] for i in range(len(qs) - 1))
+    assert all(q >= p - 1e-6 for p, q in zip(ps, qs))
+    assert all(0.0 <= q <= 1.0 for q in qs)
