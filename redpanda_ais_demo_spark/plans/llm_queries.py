@@ -3215,3 +3215,22 @@ def negative_sample_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         positives, part.select(F.col("p_partkey").alias("l_partkey")),
         "o_custkey", "l_partkey", k=3, salt="neg-r9",
     )
+
+
+@query(
+    "audio_vad_segments",
+    oracle=None,  # binary-DSP pipeline; exact segment positions pinned in tests
+    tags=("multimodal", "pandas-udf", "audio"),
+    doc="X4 — energy-threshold voice-activity detection over binary "
+    "audio payloads: stdlib WAV decode, numpy frame/RMS, run-length "
+    "segment merge, one Arrow batch per task (no per-sample Python). "
+    "Assets are deterministic tone-burst WAVs synthesized from doc_id, "
+    "so segment positions are exactly known "
+    "(operators/multimodal.py:audio_vad_segments).",
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_wav_assets(docs)
+    return multimodal.audio_vad_segments(
+        assets, frame_ms=20, threshold=0.1, min_frames=2
+    )

@@ -1408,3 +1408,63 @@ def test_negative_sample_empty_catalog_raises(spark):
     empty = spark.createDataFrame([], "it long")
     with pytest.raises(ValueError, match="catalog is empty"):
         negative_sample(pos, empty, "u", "it", k=2, salt="t")
+
+
+def test_audio_vad_finds_planted_bursts(spark):
+    from redpanda_ais_demo_spark.operators import codecs, multimodal
+
+    docs = spark.createDataFrame([(i, "x") for i in range(14)], "doc_id long, text string")
+    assets = multimodal.synthesize_wav_assets(docs, sample_rate=8000, duration_ms=500)
+    segs = multimodal.audio_vad_segments(assets, frame_ms=20, threshold=0.1, min_frames=2)
+    rows = segs.collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # exactly one burst per clip, at the doc_id-determined position
+    assert set(by_asset) == set(range(14))
+    for aid, ss in by_asset.items():
+        assert len(ss) == 1, (aid, ss)
+        s = ss[0]
+        expect_start = (aid % 7) * 50  # (doc_id % 7) * 400 samples @ 8 kHz
+        assert abs(s.start_ms - expect_start) <= 20  # frame quantization
+        # burst = 800 samples = 100 ms = ~5 frames of 20 ms
+        assert 3 <= s.n_frames <= 6
+        assert s.mean_rms > 0.1
+        assert s.end_ms - s.start_ms == s.n_frames * 20
+
+
+def test_audio_vad_silence_and_undecodable_yield_no_segments(spark):
+    from redpanda_ais_demo_spark.operators import codecs, multimodal
+
+    silent = codecs.encode_wav_pcm16([0.0] * 4000, 8000)
+    rows = [
+        (1, "audio", "audio/wav", bytearray(silent)),
+        (2, "audio", "audio/mpeg", bytearray(b"ID3not-a-wav")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, mime string, payload binary"
+    )
+    assert multimodal.audio_vad_segments(assets).count() == 0
+
+
+def test_audio_vad_merges_and_respects_min_frames(spark):
+    import numpy as np
+
+    from redpanda_ais_demo_spark.operators import codecs, multimodal
+
+    # 8 kHz, 20 ms frames = 160 samples: a 1-frame blip (dropped at
+    # min_frames=2) and a 4-frame burst (kept)
+    x = np.zeros(8000)
+    x[160:320] = 0.5          # frames 1..1 (one frame)
+    x[1600:2240] = 0.5        # frames 10..13 (four frames)
+    wav = codecs.encode_wav_pcm16(x.tolist(), 8000)
+    assets = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav))],
+        "asset_id long, modality string, mime string, payload binary",
+    )
+    segs = multimodal.audio_vad_segments(
+        assets, frame_ms=20, threshold=0.1, min_frames=2
+    ).collect()
+    assert len(segs) == 1
+    assert segs[0].start_ms == 200 and segs[0].end_ms == 280
+    assert segs[0].n_frames == 4
