@@ -746,3 +746,31 @@ def test_gains_lift_and_rfm_ntile_are_distributed(spark):
         plan = _physical_plan(spark, name)
         # pinned ranged frame: one sort, ExistingRDD scan downstream
         assert "existingrdd" in plan.lower(), name
+
+
+def test_ks_and_spearman_ride_the_distributed_rank(spark):
+    """The new rank-machinery consumers must keep their prefix sums on
+    the pinned range-partitioned frame (ExistingRDD downstream), never a
+    data-sized single-partition window."""
+    for name in ("ks_purchase_value_by_variant", "spearman_order_value_vs_lines"):
+        plan = _physical_plan(spark, name)
+        assert "existingrdd" in plan.lower(), name
+
+
+def test_trend_pair_joins_are_equi_joins_on_group(spark):
+    """Theil-Sen / Mann-Kendall self-joins must hash-join on the group
+    key (the t-inequality is a post-join filter), never a cartesian or
+    nested-loop product."""
+    for name in ("theil_sen_daily_value_trend", "mann_kendall_daily_value_trend"):
+        plan = _physical_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ccf_lag_join_is_equi_join(spark):
+    """The CCF lag fan-out must reduce to an equi-join on the shifted
+    bucket index (Catalyst extracts tb = ta + lag as the key)."""
+    plan = _physical_plan(spark, "ccf_view_leads_purchase_daily")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -77,6 +77,13 @@ QUERIES = [
     "ts_paa_correlated_users",
     "bootstrap_ci_purchase_value",
     "rake_event_weights",
+    # r10 session: the two new data-sized rank-machinery consumers —
+    # Spearman runs TWO distributed prefix-sums (distinct order values
+    # scale ~10x via the key-shifted order copies) plus the midrank
+    # join-back; KS runs one over distinct per-user purchase totals
+    # (10x users) with the integer max-gap aggregate.
+    "spearman_order_value_vs_lines",
+    "ks_purchase_value_by_variant",
 ]
 SCALES = [
     ("/root/testdata/sf0.01", 0.01),
