@@ -417,7 +417,12 @@ def main() -> None:
     spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
     if only:
         timings, spread, samples = merge_partial(
-            os.path.join(REPO_DIR, "BENCH_LOCAL.json"), timings, spread, samples
+            os.path.join(REPO_DIR, "BENCH_LOCAL.json"),
+            timings,
+            spread,
+            samples,
+            valid_names=set(all_queries),
+            sf=sf,
         )
     total = round(sum(timings.values()), 3)
     # core_set_sec is directly comparable to BENCH_r06's value (same 28
@@ -453,22 +458,42 @@ def merge_partial(
     timings: dict[str, float],
     spread: dict[str, float],
     samples: dict[str, list[float]],
+    valid_names: set[str] | None = None,
+    sf: float | None = None,
 ) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
     """Overlay a partial run's per-query records onto the committed
     BENCH_LOCAL.json so the written file stays a full-registry record
-    (subtotals are recomputed by the caller from the merged table). A
-    missing/corrupt prior file degrades to the partial set alone —
-    the stdout contract still holds, the coverage assert in
-    tests/test_bench_contract.py flags the gap."""
+    (subtotals are recomputed by the caller from the merged table).
+
+    Prior rows are filtered to ``valid_names`` (renamed/deregistered
+    queries must not haunt the merged totals), and a prior recorded at
+    a DIFFERENT scale factor is discarded wholesale — mixing sf0.1 and
+    sf1 timings under one 'sf' field would silently corrupt every
+    subtotal. A missing/corrupt/mismatched prior degrades to the
+    partial set alone — the stdout contract still holds, the coverage
+    assert in tests/test_bench_contract.py flags the gap."""
     try:
         with open(prior_path) as f:
             prior = json.load(f)
     except (OSError, json.JSONDecodeError):
         prior = {}
+    if sf is not None and prior and prior.get("sf") != sf:
+        print(
+            f"merge_partial: prior sf={prior.get('sf')} != current sf={sf}; "
+            "discarding prior record",
+            file=sys.stderr,
+        )
+        prior = {}
+
+    def keep(d: dict) -> dict:
+        if valid_names is None:
+            return d
+        return {k: v for k, v in d.items() if k in valid_names}
+
     return (
-        {**prior.get("queries", {}), **timings},
-        {**prior.get("spread", {}), **spread},
-        {**prior.get("samples", {}), **samples},
+        {**keep(prior.get("queries", {})), **timings},
+        {**keep(prior.get("spread", {})), **spread},
+        {**keep(prior.get("samples", {})), **samples},
     )
 
 

@@ -513,6 +513,11 @@ def audio_vad_segments(
                     )
                 except NotImplementedError:
                     continue
+                if rate <= 0:
+                    # a corrupt header can declare framerate=0 and still
+                    # decode — quarantine it like the undecodable path
+                    # instead of dividing by zero in the ms conversion
+                    continue
                 frame_len = max(1, int(rate * frame_ms / 1000))
                 x = np.asarray(samples, dtype=np.float64)
                 n_frames_total = len(x) // frame_len

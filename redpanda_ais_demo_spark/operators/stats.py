@@ -2223,13 +2223,19 @@ def theil_sen_trend(
         F.count(F.lit(1)).alias("n_pairs"),
         F.percentile(F.col("m"), F.lit(0.5)).alias("slope"),
     )
+    # every group keeps a row: a single-bucket group generates no pairs,
+    # so an inner join against fit would silently DROP it from the
+    # output — left-join from the group universe and report
+    # n_pairs=0 / NULL slope instead
+    groups = t.groupBy("g").agg(F.count(F.lit(1)).alias("n_buckets"))
+    base = groups.join(F.broadcast(fit), "g", "left")
     # intercept pass: median(x - slope·t) over the same bucketed series;
-    # the fit table is one row per group — broadcast it back
+    # the fit table is one row per group — broadcast it back (NULL
+    # slope propagates to a NULL intercept)
     return (
-        t.join(F.broadcast(fit), "g")
-        .groupBy("g", "n_pairs", "slope")
+        t.join(F.broadcast(base), "g")
+        .groupBy("g", "n_buckets", "n_pairs", "slope")
         .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
             F.percentile(
                 F.col("x").cast("double") - F.col("slope") * F.col("t").cast("double"),
                 F.lit(0.5),
@@ -2238,7 +2244,7 @@ def theil_sen_trend(
         .select(
             F.col("g").alias(group_col),
             F.col("n_buckets").cast("long").alias("n_buckets"),
-            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
             F.round(F.col("slope"), 6).alias("slope"),
             F.round(F.col("intercept"), 6).alias("intercept"),
         )
@@ -2291,7 +2297,12 @@ def mann_kendall_trend(
             F.sum(F.col("cnt").cast(_DEC) * (F.col("cnt") - 1)).alias("tie2"),
         )
     )
-    j = s.join(ties, "g")
+    # left-join from the tie table (it has every group): a single-bucket
+    # group has no pairs, so an inner join against s would drop it —
+    # report S=0 with NULL variance/z/tau instead
+    j = ties.join(s, "g", "left").withColumn(
+        "s", F.coalesce(F.col("s"), F.lit(0))
+    )
     n = F.col("n")
     var_num = (n.cast(_DEC) * (n - 1) * (2 * n + 5) - F.col("tie3")).cast("double")
     var_s = var_num / 18.0
@@ -2544,22 +2555,27 @@ def two_proportion_z_by_slice(
         F.col(group_col).alias("grp"),
         F.col(conv_col).cast("long").alias("cv"),
     )
-    pop = totals.select(
-        F.col(group_col).alias("grp"),
-        F.col(total_col).cast("long").alias("nt"),
-    )
     pick = lambda g, c: F.coalesce(  # noqa: E731
         F.max(F.when(F.col("grp") == g, F.col(c))), F.lit(0)
     )
+    # populations come from the TOTALS frame, pivoted independently and
+    # cross-joined: a slice with zero conversions in one group has no
+    # conv row for it, and deriving n from conv rows would turn exactly
+    # the most extreme slices (0/n_c vs c/n_t) into NULL-z untestables
+    pop = totals.select(
+        F.col(group_col).alias("grp"),
+        F.col(total_col).cast("long").alias("nt"),
+    ).agg(
+        pick(control, "nt").alias("n_c"),
+        pick(treatment, "nt").alias("n_t"),
+    )
     wide = (
-        t.join(F.broadcast(pop), "grp")
-        .groupBy("sl")
+        t.groupBy("sl")
         .agg(
             pick(control, "cv").alias("c_c"),
             pick(treatment, "cv").alias("c_t"),
-            pick(control, "nt").alias("n_c"),
-            pick(treatment, "nt").alias("n_t"),
         )
+        .crossJoin(F.broadcast(pop))
     )
     nc, nt = F.col("n_c").cast("double"), F.col("n_t").cast("double")
     pc = F.col("c_c").cast("double") / nc
@@ -2960,8 +2976,10 @@ def spearman_corr(
     dec = lambda c: F.col(c).cast(_DEC)  # noqa: E731
     s = j.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
+        # doubled-midrank sums reach n(n+1) — DECIMAL like the products,
+        # matching the oracle's HUGEINT (a long sum wraps past ~3e9 rows)
+        F.sum(dec("rx")).alias("sx"),
+        F.sum(dec("ry")).alias("sy"),
         F.sum(dec("rx") * F.col("rx")).alias("sxx"),
         F.sum(dec("ry") * F.col("ry")).alias("syy"),
         F.sum(dec("rx") * F.col("ry")).alias("sxy"),

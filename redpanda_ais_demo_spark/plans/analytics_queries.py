@@ -5465,11 +5465,11 @@ _MK_DAILY = """
         )
         SELECT d.g AS event_type,
                CAST(count(*) AS BIGINT) AS n_buckets,
-               n_pairs,
+               CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
                round(slope, 6) AS slope,
                round(median(CAST(d.x AS DOUBLE)
                             - fit.slope * CAST(d.t AS DOUBLE)), 6) AS intercept
-        FROM daily d JOIN fit ON d.g = fit.g
+        FROM daily d LEFT JOIN fit ON d.g = fit.g
         GROUP BY d.g, n_pairs, slope
     """,
     tags=("analytics", "timeseries", "statistics", "robust"),
@@ -5509,12 +5509,12 @@ def theil_sen_daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM daily GROUP BY g, x) GROUP BY g
         ),
         j AS (
-            SELECT s.g, n, s,
+            SELECT ties.g, n, CAST(coalesce(s, 0) AS BIGINT) AS s,
                    CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie3
                         AS DOUBLE) / 18.0 AS var_s,
                    CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 2.0 AS d0,
                    CAST(tie2 AS DOUBLE) / 2.0 AS tx
-            FROM s JOIN ties ON s.g = ties.g
+            FROM ties LEFT JOIN s ON s.g = ties.g
         )
         SELECT g AS event_type, n AS n_buckets, s AS s_stat,
                CASE WHEN n > 1 THEN round(var_s, 6) END AS var_s,
@@ -5830,14 +5830,7 @@ def holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  , user_id
             FROM events
         ),
-        uv AS (
-            SELECT DISTINCT
-                   CASE WHEN CAST('0x' || substring(md5('exp-r8:'
-                            || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
-                            % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant
-                 , user_id
-            FROM events
-        ),
+        uv AS (SELECT DISTINCT variant, user_id FROM pairs),
         conv AS (
             SELECT event_type AS sl, variant, CAST(count(*) AS BIGINT) AS cv
             FROM pairs GROUP BY 1, 2
@@ -5847,11 +5840,14 @@ def holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         wide AS (
             SELECT sl,
-                   coalesce(max(CASE WHEN c.variant = 'A' THEN cv END), 0) AS c_c,
-                   coalesce(max(CASE WHEN c.variant = 'B' THEN cv END), 0) AS c_t,
-                   coalesce(max(CASE WHEN c.variant = 'A' THEN nt END), 0) AS n_c,
-                   coalesce(max(CASE WHEN c.variant = 'B' THEN nt END), 0) AS n_t
-            FROM conv c JOIN tot USING (variant) GROUP BY sl
+                   coalesce(max(CASE WHEN variant = 'A' THEN cv END), 0) AS c_c,
+                   coalesce(max(CASE WHEN variant = 'B' THEN cv END), 0) AS c_t
+            FROM conv GROUP BY sl
+        ),
+        pop AS (
+            SELECT coalesce(max(CASE WHEN variant = 'A' THEN nt END), 0) AS n_c,
+                   coalesce(max(CASE WHEN variant = 'B' THEN nt END), 0) AS n_t
+            FROM tot
         ),
         zt AS (
             SELECT sl,
@@ -5867,7 +5863,7 @@ def holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
                             * (1.0 / CAST(n_c AS DOUBLE)
                                + 1.0 / CAST(n_t AS DOUBLE))) AS se
-                FROM wide
+                FROM wide CROSS JOIN pop
             )
         ),
         pv AS (
@@ -5927,7 +5923,10 @@ def fdr_event_conversion_by_variant(spark: SparkSession, sf_dir: str) -> DataFra
         split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
     )
     pairs = events.select("event_type", variant.alias("variant"), "user_id").distinct()
-    uv = events.select(variant.alias("variant"), "user_id").distinct()
+    # totals derive from the already-collapsed pairs frame — a second
+    # independent distinct over raw events would re-scan and re-shuffle
+    # the data-sized table for a projection of what pairs already holds
+    uv = pairs.select("variant", "user_id").distinct()
     conv = pairs.groupBy(F.col("event_type").alias("sl"), "variant").agg(
         F.count(F.lit(1)).alias("n_conv")
     )

@@ -2587,3 +2587,41 @@ def test_cochran_armitage_trend_directions(spark):
         spark.createDataFrame(one, "w long, y long"), "w", "y"
     ).collect()[0]
     assert out3["z_score"] is None
+
+
+def test_trend_ops_keep_single_bucket_groups(spark):
+    """Review r10: a group with ONE bucket generates no pairs — it must
+    surface with NULL stats, not silently vanish from the output."""
+    from redpanda_ais_demo_spark.operators.stats import (
+        mann_kendall_trend,
+        theil_sen_trend,
+    )
+
+    rows = [("multi", 0, 10), ("multi", 1, 13), ("solo", 5, 42)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    ts = {r["g"]: r for r in theil_sen_trend(df, "g", "t", "x").collect()}
+    assert set(ts) == {"multi", "solo"}
+    assert ts["solo"]["n_buckets"] == 1 and ts["solo"]["n_pairs"] == 0
+    assert ts["solo"]["slope"] is None and ts["solo"]["intercept"] is None
+    assert ts["multi"]["slope"] == 3.0
+    mk = {r["g"]: r for r in mann_kendall_trend(df, "g", "t", "x").collect()}
+    assert set(mk) == {"multi", "solo"}
+    assert mk["solo"]["s_stat"] == 0 and mk["solo"]["z_score"] is None
+
+
+def test_two_proportion_zero_conversion_slice_keeps_population(spark):
+    """Review r10: a slice with ZERO conversions in one group has no conv
+    row for it — populations must still come from totals, so the most
+    extreme slices get a real z instead of NULL."""
+    from redpanda_ais_demo_spark.operators.stats import two_proportion_z_by_slice
+
+    conv = spark.createDataFrame(
+        [("s", "B", 40)], "sl string, grp string, cv long"
+    )  # no ('s','A') row: zero conversions in A
+    totals = spark.createDataFrame([("A", 100), ("B", 100)], "grp string, nt long")
+    out = two_proportion_z_by_slice(
+        conv, totals, "sl", "grp", "cv", "nt", "A", "B"
+    ).collect()[0]
+    assert out["n_control"] == 100 and out["conv_control"] == 0
+    assert out["rate_control"] == 0.0 and out["rate_treatment"] == 0.4
+    assert out["z"] is not None and out["z"] > 6

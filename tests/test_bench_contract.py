@@ -62,6 +62,23 @@ def test_merge_partial_overlays_prior_record(tmp_path):
     # missing prior degrades to the partial set alone, no crash
     t2, _, _ = bench.merge_partial(str(tmp_path / "nope.json"), {"x": 1.0}, {}, {})
     assert t2 == {"x": 1.0}
+    # renamed/deregistered prior rows are dropped: 'a' is no longer a
+    # registered query, so it must not haunt the merged totals
+    t3, _, _ = bench.merge_partial(
+        str(prior), {"b": 0.5}, {"b": 1.0}, {"b": [0.5]}, valid_names={"b", "c"}
+    )
+    assert t3 == {"b": 0.5}
+    # a prior recorded at a different sf is discarded wholesale
+    prior.write_text(json.dumps({"sf": 1.0, "queries": {"a": 9.0}}))
+    t4, _, _ = bench.merge_partial(
+        str(prior), {"b": 0.5}, {}, {}, valid_names={"a", "b"}, sf=0.1
+    )
+    assert t4 == {"b": 0.5}
+    # same sf merges normally
+    t5, _, _ = bench.merge_partial(
+        str(prior), {"b": 0.5}, {}, {}, valid_names={"a", "b"}, sf=1.0
+    )
+    assert t5 == {"a": 9.0, "b": 0.5}
 
 
 def test_bench_covers_every_registered_query():
