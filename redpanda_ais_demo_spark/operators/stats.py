@@ -3049,3 +3049,83 @@ def cochran_armitage(
         F.round(F.when(ok, num), 6).alias("trend_stat"),
         F.round(F.when(ok, num / F.sqrt(var)), 6).alias("z_score"),
     )
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: int,
+    bandwidth: int,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate — the causal family's
+    missing member next to DiD / IPW / CUPED / CMH: does the outcome
+    JUMP at a policy threshold on the running variable? Within
+    ``bandwidth`` of ``cutoff``, fit one linear trend per side
+    (rectangular kernel, the standard robustness baseline) and report
+    the limit gap ``b0_right − b0_left`` at the cutoff.
+
+    Exactness: centering the running variable at the cutoff makes each
+    side a simple OLS whose FIVE sums are exact integers (|u| ≤
+    bandwidth, binary/cents outcomes), so both intercepts are one
+    Cramer division of DECIMAL(38,0)/HUGEINT polynomials — fitting two
+    regressions is ONE conditional-aggregation pass, no ML runtime.
+    Degenerate sides (n < 2 or zero u-variance) yield NULL estimates.
+
+    Plan: one partial-aggregable groupBy(side) over the bandwidth
+    filter (pushed to the scan), then a 2-row pivot. 100 TB cost = the
+    one filtered scan.
+    """
+    if bandwidth <= 0:
+        raise ValueError(f"bandwidth must be positive, got {bandwidth}")
+    c = int(cutoff)
+    t = df.select(
+        (F.col(running_col).cast("long") - F.lit(c)).alias("u"),
+        F.col(outcome_col).cast("long").alias("y"),
+    ).filter((F.col("u") >= -bandwidth) & (F.col("u") < bandwidth))
+    dec = lambda col: F.col(col).cast(_DEC)  # noqa: E731
+    sides = (
+        t.withColumn("side", (F.col("u") >= 0).cast("int"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum("y").alias("sy"),
+            F.sum(dec("u") * F.col("u")).alias("suu"),
+            F.sum(dec("u") * F.col("y")).alias("suy"),
+        )
+    )
+    pick = lambda s, col: F.max(F.when(F.col("side") == s, F.col(col)))  # noqa: E731
+    wide = sides.agg(
+        *[
+            pick(s, col).alias(f"{col}{tag}")
+            for s, tag in ((0, "_l"), (1, "_r"))
+            for col in ("n", "su", "sy", "suu", "suy")
+        ]
+    )
+
+    def fit(tag: str) -> tuple[Column, Column, Column]:
+        n = F.col(f"n{tag}")
+        su, sy = F.col(f"su{tag}"), F.col(f"sy{tag}")
+        suu, suy = F.col(f"suu{tag}"), F.col(f"suy{tag}")
+        det = (n.cast(_DEC) * suu - su.cast(_DEC) * su).cast("double")
+        b0 = (sy.cast(_DEC) * suu - su.cast(_DEC) * suy).cast("double")
+        b1 = (n.cast(_DEC) * suy - su.cast(_DEC) * sy).cast("double")
+        ok = n.isNotNull() & (n > 1) & (det > 0)
+        return (
+            F.when(ok, b0 / det),
+            F.when(ok, b1 / det),
+            F.coalesce(n, F.lit(0)).cast("long"),
+        )
+
+    b0l, b1l, nl = fit("_l")
+    b0r, b1r, nr = fit("_r")
+    return wide.select(
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        F.round(b0l, 6).alias("intercept_left"),
+        F.round(b1l, 6).alias("slope_left"),
+        F.round(b0r, 6).alias("intercept_right"),
+        F.round(b1r, 6).alias("slope_right"),
+        F.round(b0r - b0l, 6).alias("effect_at_cutoff"),
+    )

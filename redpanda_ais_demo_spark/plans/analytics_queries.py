@@ -6460,3 +6460,89 @@ def cochran_armitage_priority_value(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("y"),
     )
     return cochran_armitage(t, "w", "y")
+
+
+@query(
+    "rdd_en_rate_at_length_cutoff",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(n_chars AS BIGINT) - 500 AS u,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        f AS (
+            SELECT u, y, CASE WHEN u >= 0 THEN 1 ELSE 0 END AS side
+            FROM t WHERE u >= -200 AND u < 200
+        ),
+        sides AS (
+            SELECT side, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(u) AS BIGINT) AS su,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(u AS HUGEINT) * u) AS suu,
+                   SUM(CAST(u AS HUGEINT) * y) AS suy
+            FROM f GROUP BY side
+        ),
+        wide AS (
+            SELECT max(CASE WHEN side = 0 THEN n END) AS n_l,
+                   max(CASE WHEN side = 0 THEN su END) AS su_l,
+                   max(CASE WHEN side = 0 THEN sy END) AS sy_l,
+                   max(CASE WHEN side = 0 THEN suu END) AS suu_l,
+                   max(CASE WHEN side = 0 THEN suy END) AS suy_l,
+                   max(CASE WHEN side = 1 THEN n END) AS n_r,
+                   max(CASE WHEN side = 1 THEN su END) AS su_r,
+                   max(CASE WHEN side = 1 THEN sy END) AS sy_r,
+                   max(CASE WHEN side = 1 THEN suu END) AS suu_r,
+                   max(CASE WHEN side = 1 THEN suy END) AS suy_r
+            FROM sides
+        ),
+        fits AS (
+            SELECT *,
+                   CAST(CAST(n_l AS HUGEINT) * suu_l
+                        - CAST(su_l AS HUGEINT) * su_l AS DOUBLE) AS det_l,
+                   CAST(CAST(sy_l AS HUGEINT) * suu_l
+                        - CAST(su_l AS HUGEINT) * suy_l AS DOUBLE) AS b0n_l,
+                   CAST(CAST(n_l AS HUGEINT) * suy_l
+                        - CAST(su_l AS HUGEINT) * sy_l AS DOUBLE) AS b1n_l,
+                   CAST(CAST(n_r AS HUGEINT) * suu_r
+                        - CAST(su_r AS HUGEINT) * su_r AS DOUBLE) AS det_r,
+                   CAST(CAST(sy_r AS HUGEINT) * suu_r
+                        - CAST(su_r AS HUGEINT) * suy_r AS DOUBLE) AS b0n_r,
+                   CAST(CAST(n_r AS HUGEINT) * suy_r
+                        - CAST(su_r AS HUGEINT) * sy_r AS DOUBLE) AS b1n_r
+            FROM wide
+        )
+        SELECT CAST(coalesce(n_l, 0) AS BIGINT) AS n_left,
+               CAST(coalesce(n_r, 0) AS BIGINT) AS n_right,
+               CASE WHEN n_l IS NOT NULL AND n_l > 1 AND det_l > 0
+                    THEN round(b0n_l / det_l, 6) END AS intercept_left,
+               CASE WHEN n_l IS NOT NULL AND n_l > 1 AND det_l > 0
+                    THEN round(b1n_l / det_l, 6) END AS slope_left,
+               CASE WHEN n_r IS NOT NULL AND n_r > 1 AND det_r > 0
+                    THEN round(b0n_r / det_r, 6) END AS intercept_right,
+               CASE WHEN n_r IS NOT NULL AND n_r > 1 AND det_r > 0
+                    THEN round(b1n_r / det_r, 6) END AS slope_right,
+               CASE WHEN n_l IS NOT NULL AND n_l > 1 AND det_l > 0
+                         AND n_r IS NOT NULL AND n_r > 1 AND det_r > 0
+                    THEN round(b0n_r / det_r - b0n_l / det_l, 6)
+               END AS effect_at_cutoff
+        FROM fits
+    """,
+    tags=("analytics", "statistics", "causal", "agg"),
+    doc="Sharp regression discontinuity of the English rate at the "
+    "length-500 curation threshold (bandwidth 200, rectangular "
+    "kernel): does the corpus composition JUMP exactly where the "
+    "selection_rate_parity gate cuts? Completes the causal family "
+    "(DiD / IPW / CUPED / CMH) with the threshold design. Both side "
+    "fits are one conditional-agg pass — five exact integer sums per "
+    "side, Cramer divisions of DECIMAL/HUGEINT polynomials "
+    "(operators/stats.py:regression_discontinuity).",
+)
+def rdd_en_rate_at_length_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import regression_discontinuity
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("n_chars").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return regression_discontinuity(t, "x", "y", cutoff=500, bandwidth=200)

@@ -2625,3 +2625,26 @@ def test_two_proportion_zero_conversion_slice_keeps_population(spark):
     assert out["n_control"] == 100 and out["conv_control"] == 0
     assert out["rate_control"] == 0.0 and out["rate_treatment"] == 0.4
     assert out["z"] is not None and out["z"] > 6
+
+
+def test_regression_discontinuity_recovers_planted_jump(spark):
+    from redpanda_ais_demo_spark.operators.stats import regression_discontinuity
+
+    # y = 10 + u below the cutoff, y = 40 + u at/above: slope 1 both
+    # sides, a clean +30 jump at u=0
+    rows = [(100 + u, (10 if u < 0 else 40) + u) for u in range(-50, 50)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = regression_discontinuity(df, "x", "y", cutoff=100, bandwidth=50).collect()[0]
+    assert out["n_left"] == 50 and out["n_right"] == 50
+    assert out["intercept_left"] == 10.0 and out["intercept_right"] == 40.0
+    assert out["slope_left"] == 1.0 and out["slope_right"] == 1.0
+    assert out["effect_at_cutoff"] == 30.0
+    # one-sided data: the missing side yields NULLs, effect NULL
+    left_only = spark.createDataFrame(rows[:50], "x long, y long")
+    out2 = regression_discontinuity(left_only, "x", "y", 100, 50).collect()[0]
+    assert out2["n_right"] == 0
+    assert out2["intercept_right"] is None and out2["effect_at_cutoff"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        regression_discontinuity(df, "x", "y", 100, 0)
