@@ -637,3 +637,61 @@ def column_fingerprints(
         f"stack({len(exprs)}, {stack_args}) AS (column, n_nulls, fp_sum)",
         "__n AS n_rows",
     ).select("column", "n_rows", "n_nulls", "fp_sum")
+
+
+def dp_laplace_counts(
+    df: DataFrame,
+    group_col: str,
+    salt: str,
+    epsilon: float = 1.0,
+    sensitivity: int = 1,
+) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    Dwork et al. 2006) — the MECHANISM member of the privacy family
+    next to the k-anonymity / l-diversity / t-closeness AUDITS: per
+    group, true count + Laplace(sensitivity/ε) noise, the shape every
+    DP aggregate release takes.
+
+    Noise is drawn from a keyed PRG, the way production DP systems do
+    (the secret is the seed, not the algorithm): u = md5(salt:group)
+    mapped to a 52-bit uniform, inverse-CDF'd to Laplace via
+    −b·sign(u−½)·ln(1−2|u−½|). DP therefore holds exactly to the
+    extent ``salt`` is SECRET and FRESH per release — reusing a salt
+    re-releases the same noise and composes ε; a leaked salt voids the
+    guarantee. Determinism-given-salt is what makes the release
+    oracle-checkable (and replayable for audits).
+
+    Plan: one partial-aggregable groupBy + a narrow projection — noise
+    is a per-GROUP expression over the k-row count table, never a
+    per-row pass. The ln/sign chain is fixed-order, mirrored verbatim
+    by the oracle; output rounded 6 dp (no integer-boundary rounding,
+    whose last-ulp could differ cross-engine).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if sensitivity < 1:
+        raise ValueError(f"sensitivity must be >= 1, got {sensitivity}")
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("g").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    x = u - F.lit(0.5)
+    b = float(sensitivity) / float(epsilon)
+    noise = (
+        F.lit(-b)
+        * F.signum(x)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(x))
+    )
+    return counts.select(
+        F.col("g").alias(group_col),
+        F.round(F.col("n").cast("double") + noise, 6).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(int(sensitivity)).cast("long").alias("sensitivity"),
+    )

@@ -278,3 +278,44 @@ def ivm_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "dp_counts_customers_by_nation",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS g, CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1
+        ),
+        z AS (
+            SELECT g, n,
+                   (CAST(CAST('0x' || substring(md5('dp-r10:'
+                        || CAST(g AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                    + 0.5) / 4503599627370496.0 AS u
+            FROM c
+        )
+        SELECT g AS c_nationkey,
+               round(CAST(n AS DOUBLE)
+                     + (-1.0) * sign(u - 0.5)
+                       * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count,
+               1.0 AS epsilon,
+               CAST(1 AS BIGINT) AS sensitivity
+        FROM z
+    """,
+    tags=("governance", "privacy", "agg"),
+    doc="epsilon-DP customer counts per nation (Laplace mechanism, "
+    "eps=1, sensitivity 1) — the privacy family's release MECHANISM "
+    "next to its k-anon/l-div/t-closeness audits. Noise comes from a "
+    "keyed PRG (md5 over a salt that must be secret+fresh in a real "
+    "release; the fixture salt is public by necessity), making the "
+    "release replayable and oracle-checkable. One partial-agg groupBy; "
+    "noise is a k-row expression "
+    "(operators/validate.py:dp_laplace_counts).",
+)
+def dp_counts_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import dp_laplace_counts
+
+    customer = load_table(spark, sf_dir, "customer")
+    return dp_laplace_counts(
+        customer, "c_nationkey", salt="dp-r10", epsilon=1.0, sensitivity=1
+    )

@@ -132,3 +132,36 @@ def test_merge_join_equals_recompute_with_duplicate_keys(spark):
         merge_join(view, ao, da, bo, db, [])
     with pytest.raises(ValueError, match="missing join columns"):
         merge_join(view, ao.drop("k"), da, bo, db, ["k"])
+
+
+def test_dp_laplace_counts_reproducible_and_scaled(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.validate import dp_laplace_counts
+
+    rows = [(f"g{i % 8}",) for i in range(800)]
+    df = spark.createDataFrame(rows, "g string")
+    a = {r["g"]: r for r in dp_laplace_counts(df, "g", "s1", epsilon=1.0).collect()}
+    b = {r["g"]: r for r in dp_laplace_counts(df, "g", "s1", epsilon=1.0).collect()}
+    assert a.keys() == b.keys() and len(a) == 8
+    # keyed PRG: same salt -> identical release; fresh salt -> new noise
+    assert all(a[g]["noisy_count"] == b[g]["noisy_count"] for g in a)
+    c = {r["g"]: r for r in dp_laplace_counts(df, "g", "s2", epsilon=1.0).collect()}
+    assert any(a[g]["noisy_count"] != c[g]["noisy_count"] for g in a)
+    # noise centered on the true count (100 per group) at Laplace(1) scale:
+    # every |noise| is finite and the bulk sits within a few b
+    for g, r in a.items():
+        noise = r["noisy_count"] - 100.0
+        assert math.isfinite(noise) and abs(noise) < 40  # P(|L(1)|>40) ~ e^-40
+        assert r["epsilon"] == 1.0 and r["sensitivity"] == 1
+    # smaller epsilon -> strictly larger noise magnitudes (same u draws)
+    wide = {r["g"]: r for r in dp_laplace_counts(df, "g", "s1", epsilon=0.1).collect()}
+    for g in a:
+        n1 = abs(a[g]["noisy_count"] - 100.0)
+        n10 = abs(wide[g]["noisy_count"] - 100.0)
+        if n1 > 1e-9:
+            assert n10 > n1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dp_laplace_counts(df, "g", "s1", epsilon=0.0)
