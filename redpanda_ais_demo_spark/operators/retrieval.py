@@ -348,6 +348,7 @@ def ranking_metrics(
     per_q = hits.groupBy("q").agg(
         F.count("*").alias("n_hits"),
         F.sum(dcg_term).alias("dcg_micro"),
+        F.min("crank").alias("first_hit_rank"),
     )
     # ideal DCG for n relevant docs: Σ_{i=1..min(k,n)} round(1e6 / log2(i+1))
     ideal = F.aggregate(
@@ -367,5 +368,14 @@ def ranking_metrics(
         F.round(
             F.coalesce(F.col("dcg_micro"), F.lit(0)) / ideal, 6
         ).alias("ndcg_at_k"),
+        # reciprocal rank of the FIRST relevant candidate (the navigational
+        # metric next to recall's set view and NDCG's graded view);
+        # no hit inside k -> 0.0 by the standard convention
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit_rank").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("rr_at_k"),
     )
     return joined

@@ -1213,6 +1213,16 @@ def test_ranking_metrics_known_rankings(spark):
     assert out[2].recall_at_k == round(2 / 3, 6)
     assert out[2].ndcg_at_k == round((micro(1) + micro(3)) / idcg, 6)
     assert out[3].n_hits == 0 and out[3].recall_at_k == 0.0 and out[3].ndcg_at_k == 0.0
+    # reciprocal rank: first hit at 1 -> 1.0 for q1/q2; no hits -> 0.0
+    assert out[1].rr_at_k == 1.0 and out[2].rr_at_k == 1.0
+    assert out[3].rr_at_k == 0.0
+    # first hit at rank 2: q4 misses rank 1, hits rank 2
+    cand2 = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2), (1, 98, 3)],
+        "vec_id long, neighbor_id long, rank long",
+    )
+    out2 = {r.vec_id: r for r in ranking_metrics(truth, cand2, k=3).collect()}
+    assert out2[1].rr_at_k == 0.5
 
 
 def test_pca_matches_numpy_full_data(spark):
