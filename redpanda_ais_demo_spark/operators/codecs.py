@@ -115,12 +115,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
             raw = w.readframes(w.getnframes())
     except (wave.Error, EOFError, struct.error) as e:
         raise NotImplementedError(f"not an uncompressed PCM WAV payload: {e}") from e
-    if width == 1:  # unsigned 8-bit
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif width == 2:  # signed 16-bit little-endian
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    else:
-        raise NotImplementedError(f"sample width {width * 8}-bit PCM not supported (8/16-bit only)")
+    try:
+        if width == 1:  # unsigned 8-bit
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif width == 2:  # signed 16-bit little-endian
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        else:
+            raise NotImplementedError(f"sample width {width * 8}-bit PCM not supported (8/16-bit only)")
+    except ValueError as e:
+        # a data chunk cut mid-sample passes wave.open but leaves a byte
+        # count that isn't a multiple of the sample width — quarantine it
+        # like every other undecodable payload instead of letting the
+        # frombuffer ValueError abort a whole Arrow batch
+        raise NotImplementedError(f"truncated PCM payload: {e}") from e
     if channels > 1:
         frames = len(x) // channels
         x = x[: frames * channels].reshape(frames, channels).mean(axis=1)

@@ -435,16 +435,18 @@ def synthesize_wav_assets(
 
         t = np.arange(n, dtype=np.float64)
         tone = 0.5 * np.sin(2.0 * np.pi * 440.0 * t / sample_rate)
+        # only doc_id % 7 reaches the waveform — precompute the 7
+        # distinct payloads once per task instead of re-encoding an
+        # identical clip for every row
+        cache: dict[int, bytes] = {}
+        for slot in range(7):
+            start = slot * n // 10
+            burst = n // 5
+            wave_arr = np.zeros(n, dtype=np.float64)
+            wave_arr[start : start + burst] = tone[:burst]
+            cache[slot] = codecs.encode_wav_pcm16(wave_arr.tolist(), sample_rate)
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                start = int(doc_id % 7) * n // 10
-                burst = n // 5
-                wave_arr = np.zeros(n, dtype=np.float64)
-                wave_arr[start : start + burst] = tone[:burst]
-                payloads.append(
-                    codecs.encode_wav_pcm16(wave_arr.tolist(), sample_rate)
-                )
+            payloads = [cache[int(doc_id % 7)] for doc_id in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],

@@ -320,9 +320,11 @@ def ranking_metrics(
 ) -> DataFrame:
     """Evaluate an approximate ranking against exact truth — the
     evaluation layer of the similarity family (build → serve →
-    MEASURE): per query, recall@k (|cand∩truth| / min(k, |truth|)) and
+    MEASURE): per query, recall@k (|cand∩truth| / min(k, |truth|)),
     NDCG@k with binary relevance (rel=1 iff the candidate item is in
-    the truth top-k; ideal DCG = the first min(k,|truth|) positions).
+    the truth top-k; ideal DCG = the first min(k,|truth|) positions),
+    and rr_at_k (reciprocal rank of the FIRST relevant candidate —
+    the navigational metric; 0.0 when no hit lands inside k).
 
     Exactness: hit counts are integers; DCG terms 1/log2(rank+1) are
     fixed doubles from integer ranks, quantized to micro-units and

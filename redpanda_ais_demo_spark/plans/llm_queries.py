@@ -2548,7 +2548,8 @@ def ann_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on crafted rankings (tests/test_llm_ops.py::test_ranking_metrics_...)
     tags=("similarity", "evaluation", "scale-path"),
     doc="The evaluation layer of the ANN family (build -> serve -> "
-    "MEASURE): per-query recall@5 and binary-relevance NDCG@5 of the "
+    "MEASURE): per-query recall@5, binary-relevance NDCG@5, and "
+    "reciprocal rank (rr_at_k) of the "
     "PQ-ADC ranking (rerank=0) against exact brute-force cosine truth. "
     "One inner join on (query, item) ranks the hits, two partial-"
     "aggregable groupBys, DCG terms micro-quantized and summed exactly "

@@ -103,6 +103,10 @@ def start_cusum_tracker(
         raise ValueError("retain must be >= 1")
     if h <= 0:
         raise ValueError(f"decision threshold h must be positive, got {h}")
+    if k < 0:
+        # negative slack makes on-target batches feed BOTH bands —
+        # guaranteed false alarms that look like plausible snapshots
+        raise ValueError(f"slack k must be >= 0, got {k}")
     spark = stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -1478,3 +1478,23 @@ def test_audio_vad_merges_and_respects_min_frames(spark):
     assert len(segs) == 1
     assert segs[0].start_ms == 200 and segs[0].end_ms == 280
     assert segs[0].n_frames == 4
+
+
+def test_decode_wav_truncated_payload_quarantines(spark):
+    """A RIFF/PCM16 header whose data chunk is cut mid-sample must raise
+    NotImplementedError (the quarantine contract), not a ValueError that
+    aborts a whole Arrow batch."""
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators import codecs, multimodal
+
+    wav = bytearray(codecs.encode_wav_pcm16([0.5, -0.5] * 100, 8000))
+    truncated = bytes(wav[:-1])  # odd byte count in the data chunk
+    with _pytest.raises(NotImplementedError, match="truncated"):
+        codecs.decode_wav(truncated)
+    # and the VAD kernel treats it like any undecodable payload
+    assets = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(truncated))],
+        "asset_id long, modality string, mime string, payload binary",
+    )
+    assert multimodal.audio_vad_segments(assets).count() == 0

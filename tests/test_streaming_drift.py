@@ -125,3 +125,16 @@ def test_fold_cusum_two_sided_and_floors_at_zero(spark):
     empty = spark.createDataFrame([], SCHEMA)
     s3 = drift.fold_cusum(state, drift.batch_moments(empty, "cents"), 1000, 50).collect()[0]
     assert (s3.g_pos, s3.g_neg, s3.n_total) == (s1.g_pos, s1.g_neg, 10)
+
+
+def test_cusum_tracker_rejects_negative_slack(spark, tmp_path):
+    import pytest as _pytest
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_rows(1000, 1), SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    with _pytest.raises(ValueError, match="slack k"):
+        drift.start_cusum_tracker(
+            stream, "cents", str(tmp_path / "s"), str(tmp_path / "n"),
+            str(tmp_path / "c"), mu0=1000, k=-1, h=100
+        )
