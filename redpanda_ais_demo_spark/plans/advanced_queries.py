@@ -954,3 +954,48 @@ def value_quantiles_cont_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     out = quantiles_cont_grouped(events, "event_type", "value", [0.5, 0.9, 0.99])
     return out.select("event_type", "p", F.round("value", 6).alias("value"))
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.layout import hilbert_oracle_wrap
+
+    fracs = ", ".join(str(i / 256) for i in range(1, 256))
+    inner = f"""
+            SELECT e.event_id,
+                   len(list_filter(d.ev, x -> x <= e.value)) AS bx,
+                   len(list_filter(d.eu, x -> x <= e.user_id)) AS by
+            FROM events e,
+                 (SELECT list_transform(quantile_cont(value, [{fracs}]), x -> round(x, 6)) AS ev,
+                         list_transform(quantile_cont(user_id, [{fracs}]), x -> round(x, 6)) AS eu
+                  FROM events) d
+    """
+    return hilbert_oracle_wrap(inner, "bx", "by", 8, keep=["event_id"])
+
+
+@query(
+    "hilbert_order_events",
+    oracle=_hilbert_oracle(),
+    tags=("layout", "scale-path"),
+    doc="Hilbert-curve clustering key over (value, user_id) — the "
+    "locality upgrade over zorder_events for the SAME layout job: "
+    "consecutive Hilbert addresses are always unit grid steps (no "
+    "Z-shape jumps across the key space; exhaustively pinned in "
+    "tests), so a sort-key range maps to a tighter 2-D region and "
+    "parquet min/max pruning clips fewer false row groups on 2-D "
+    "range predicates. Same skew-proof rank-space bucketing as the Z "
+    "key (one mergeable percentile aggregate, no global window), then "
+    "the classic xy2d bit loop UNROLLED into 8 chained integer-CASE "
+    "projections mirrored verbatim by the oracle's nested derived "
+    "tables (operators/layout.py:hilbert_from_buckets).",
+)
+def hilbert_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import bucket_by_edges, hilbert_from_buckets
+
+    events = load_table(spark, sf_dir, "events")
+    keyed, _ = bucket_by_edges(events, ["value", "user_id"], bits=8, exact=True)
+    b = keyed.select(
+        "event_id",
+        F.col("__b_value").alias("bx"),
+        F.col("__b_user_id").alias("by"),
+    )
+    return hilbert_from_buckets(b, "bx", "by", bits=8, out="hvalue")

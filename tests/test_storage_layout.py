@@ -196,3 +196,45 @@ def test_expire_partitions_drops_only_old_and_refuses_bad_root(spark, tmp_path):
 
     with pytest.raises(ValueError, match="refusing"):
         expire_partitions(spark, str(tmp_path), "d", keep_from="x")
+
+
+def _xy2d_ref(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_exhaustive_and_is_locality_preserving(spark):
+    """The unrolled SQL transform must equal the classic xy2d bit loop on
+    the FULL 4-bit grid, and exhibit the property Z-order lacks:
+    consecutive addresses are always unit grid steps."""
+    from redpanda_ais_demo_spark.operators.layout import hilbert_from_buckets
+
+    bits, n = 4, 16
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "bx int, by int"
+    )
+    got = {
+        (r["bx"], r["by"]): r["__h"]
+        for r in hilbert_from_buckets(cells, "bx", "by", bits=bits).collect()
+    }
+    assert all(got[(x, y)] == _xy2d_ref(n, x, y) for x in range(n) for y in range(n))
+    # bijective onto [0, n^2) and unit-step adjacency
+    pos = {d: xy for xy, d in got.items()}
+    assert sorted(pos) == list(range(n * n))
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(n * n - 1)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hilbert_from_buckets(cells, "bx", "by", bits=0)
