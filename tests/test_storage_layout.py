@@ -238,3 +238,71 @@ def test_hilbert_matches_reference_exhaustive_and_is_locality_preserving(spark):
 
     with _pytest.raises(ValueError):
         hilbert_from_buckets(cells, "bx", "by", bits=0)
+
+
+def test_hilbert_layout_prunes_no_worse_than_zorder(spark, tmp_path):
+    """The locality claim, measured: on uniform 2-D data written 64-ways
+    by each key, the number of files whose min/max box intersects a 2-D
+    range predicate (= files a stats-pruning reader must open) is no
+    larger under the Hilbert layout than under Z-order, and both prune
+    hard vs reading everything."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from redpanda_ais_demo_spark.operators.layout import (
+        write_hilbert_ordered,
+        write_zordered,
+    )
+
+    n = 40_000
+    df = spark.createDataFrame(
+        [((i * 7919) % 100_000, (i * 104_729) % 100_000) for i in range(n)],
+        "x long, y long",
+    )
+    zdir, hdir = str(tmp_path / "z"), str(tmp_path / "h")
+    write_zordered(df, zdir, ["x", "y"], bits=8, n_files=64)
+    write_hilbert_ordered(df, hdir, "x", "y", bits=8, n_files=64)
+
+    def file_boxes(d):
+        boxes = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = [None, None]
+            hi = [None, None]
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    idx = 0 if name == "x" else 1 if name == "y" else None
+                    if idx is None or col.statistics is None:
+                        continue
+                    s = col.statistics
+                    lo[idx] = s.min if lo[idx] is None else min(lo[idx], s.min)
+                    hi[idx] = s.max if hi[idx] is None else max(hi[idx], s.max)
+            if lo[0] is not None and lo[1] is not None:
+                boxes.append((lo[0], hi[0], lo[1], hi[1]))
+        return boxes
+
+    zb, hb = file_boxes(zdir), file_boxes(hdir)
+    assert len(zb) == len(hb) == 64
+
+    def candidates(boxes, q):
+        qx0, qx1, qy0, qy1 = q
+        return sum(
+            1 for (x0, x1, y0, y1) in boxes
+            if not (x1 < qx0 or x0 > qx1 or y1 < qy0 or y0 > qy1)
+        )
+
+    # nine 10%x10% boxes spread over the domain
+    queries = [
+        (cx, cx + 10_000, cy, cy + 10_000)
+        for cx in (5_000, 45_000, 85_000)
+        for cy in (5_000, 45_000, 85_000)
+    ]
+    z_total = sum(candidates(zb, q) for q in queries)
+    h_total = sum(candidates(hb, q) for q in queries)
+    # Hilbert's compact per-file regions: never worse than Z, and both
+    # layouts actually prune (far fewer than 9*64 file opens)
+    assert h_total <= z_total, (h_total, z_total)
+    assert h_total < 9 * 64 * 0.5
