@@ -303,16 +303,19 @@ def negative_sample(
     pos = positives.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).distinct()
+    # fail fast on an empty catalog: pmod(hash, 0) would otherwise go
+    # NULL (or raise under ANSI) and silently yield zero candidates.
+    # Checked on the RAW input — probing the ranked index would execute
+    # its distributed-rank shuffles once for the guard and again in the
+    # sampling join below.
+    if catalog.select(F.col(item_col)).first() is None:
+        raise ValueError("catalog is empty: no items to sample negatives from")
     idx = rank_cumsum(
         catalog.select(F.col(item_col).alias("item")).distinct(),
         [F.col("item").asc()],
         rank_col="__r",
     ).select((F.col("__r") - 1).alias("idx"), "item")
     n_items = idx.groupBy().agg(F.count(F.lit(1)).alias("n_cat"))
-    # fail fast on an empty catalog: pmod(hash, 0) would otherwise go
-    # NULL (or raise under ANSI) and silently yield zero candidates
-    if n_items.first()["n_cat"] == 0:
-        raise ValueError("catalog is empty: no items to sample negatives from")
     m = k * oversample
     cand = (
         pos.crossJoin(F.broadcast(n_items))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _SALT = "__salt"
 
@@ -187,11 +188,18 @@ def pit_join(
     """
     if not probe_cols:
         raise ValueError("probe_cols must be non-empty")
+    # The carried value is a STRUCT wrapping the attribute, not the bare
+    # attribute: last(ignorenulls) skips NULLs, and a dim version whose
+    # attribute is legitimately NULL must still supersede the previous
+    # version (otherwise probes at/after it inherit a stale value — a
+    # silent point-in-time leak). The struct is non-null for every dim
+    # row regardless of the attribute inside it, so the carry respects
+    # NULL-attributed versions exactly.
     d = dim.select(
         F.col(key_col).alias("__k"),
         F.col(valid_from_col).cast("long").alias("__ts"),
         F.lit(1).alias("__isdim"),
-        F.col(attr_col).alias("__attr"),
+        F.struct(F.col(attr_col).alias("a")).alias("__attr"),
         (
             F.col(dim_tiebreak_col).cast("long")
             if dim_tiebreak_col
@@ -203,7 +211,9 @@ def pit_join(
         F.col(key_col).alias("__k"),
         F.col(probe_ts_col).cast("long").alias("__ts"),
         F.lit(0).alias("__isdim"),
-        F.lit(None).cast(dim.schema[attr_col].dataType).alias("__attr"),
+        F.lit(None)
+        .cast(StructType([StructField("a", dim.schema[attr_col].dataType)]))
+        .alias("__attr"),
         F.lit(0).alias("__tb"),
         *probe_cols,
     )
@@ -217,5 +227,5 @@ def pit_join(
         "__state", F.last("__attr", ignorenulls=True).over(w)
     )
     return carried.filter(F.col("__isdim") == 0).select(
-        *probe_cols, F.col("__state").alias(attr_col)
+        *probe_cols, F.col("__state")["a"].alias(attr_col)
     )

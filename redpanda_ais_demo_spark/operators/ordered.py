@@ -174,6 +174,7 @@ def ntile_bounded_domain(
     n_tiles: int,
     out_col: str = "tile",
     descending: bool = False,
+    max_domain: int = 10_000,
 ) -> DataFrame:
     """ANSI ``ntile`` over ``(value_expr [DESC], *tiebreak_exprs)`` for
     a value whose DISTINCT DOMAIN is constant-bounded (days-since-event,
@@ -200,6 +201,13 @@ def ntile_bounded_domain(
     matches Spark's (ints, floats, strings); ``tiebreak_exprs`` must
     totally order rows WITHIN a value. NULL values sort by Spark's
     defaults (ASC → first, DESC → last) in both paths.
+
+    The "bounded domain" contract is ENFORCED, not trusted: the count
+    table collected to the driver is capped at ``max_domain`` distinct
+    values (``.limit(max_domain + 1)`` on the aggregated frame, so the
+    job itself never ships more than ``max_domain + 1`` rows), and a
+    caller passing a data-scale column gets a ``ValueError`` pointing
+    at ``ntile_distributed`` instead of a silent driver flood.
     """
     if n_tiles < 1:
         raise ValueError("n_tiles must be positive")
@@ -210,10 +218,19 @@ def ntile_bounded_domain(
     # without the pin it would execute the caller's entire upstream
     # plan once for the counts and AGAIN for the output join job
     tmp = df.withColumn("__bd_v", value_expr).localCheckpoint(eager=False)
-    per = {
-        r["__bd_v"]: r["cnt"]
-        for r in tmp.groupBy("__bd_v").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    counted = (
+        tmp.groupBy("__bd_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(max_domain + 1)
+        .collect()
+    )
+    if len(counted) > max_domain:
+        raise ValueError(
+            f"ntile_bounded_domain: value domain exceeds max_domain="
+            f"{max_domain} distinct values — the column is data-scale, "
+            f"not constant-bounded; use ntile_distributed instead"
+        )
+    per = {r["__bd_v"]: r["cnt"] for r in counted}
     n = sum(per.values())
     if n == 0:
         return tmp.drop("__bd_v").withColumn(out_col, F.lit(None).cast("int"))

@@ -73,6 +73,16 @@ def merge_kll(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     )
 
 
+def _quantile_col_name(q: float) -> str:
+    """Collision-safe snapshot column name: ``q<percent>`` with the
+    fractional part (if any) as an underscore suffix — 0.5 -> q50,
+    0.95 -> q95, 0.995 -> q99_5, 0.001 -> q0_1. Integer percents keep
+    their historical names; non-integer percents no longer round into
+    a sibling's name (0.995 and 1.0 used to both produce q100, and the
+    duplicate column broke the snapshot parquet write at runtime)."""
+    return "q" + ("%g" % (q * 100)).replace(".", "_").replace("-", "m")
+
+
 def start_quantile_tracker(
     stream: DataFrame,
     value_col: str,
@@ -86,11 +96,16 @@ def start_quantile_tracker(
     """Start the tracker. Each micro-batch replaces the cumulative
     sketch under ``state_dir`` and appends one snapshot partition under
     ``snapshots_dir`` (columns: batch_id, q50, q95, ... — one column
-    per tracked quantile, named q<100·p>)."""
+    per tracked quantile, named q<100·p> with any fractional percent
+    kept as an underscore suffix, e.g. 0.995 -> q99_5, so quantiles
+    that round to the same integer percent can't collide)."""
     if retain < 1:
         raise ValueError("retain must be >= 1")
     if not quantiles or not all(0 < q <= 1 for q in quantiles):
         raise ValueError("quantiles must be in (0, 1]")
+    names = [_quantile_col_name(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile column names: {names}")
     spark = stream.sparkSession
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -106,8 +121,8 @@ def start_quantile_tracker(
                 F.when(
                     F.col("kll").isNotNull(),
                     F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q)),
-                ).alias(f"q{round(q * 100)}")
-                for q in quantiles
+                ).alias(name)
+                for q, name in zip(quantiles, names)
             ],
         )
         snap.write.mode("overwrite").parquet(

@@ -78,6 +78,29 @@ def test_pit_join_same_timestamp_versions_highest_tiebreak_wins(spark):
         pit_join(probe, dim, "k", "ts", "valid_from", "attr", [])
 
 
+def test_pit_join_null_attribute_version_supersedes_prior(spark):
+    # A dim version whose attribute is legitimately NULL must still
+    # supersede the previous version: probes at/after it see NULL, not
+    # the stale prior value (the attribute is carried inside a struct,
+    # so last(ignorenulls) skips only missing STATE, never a NULL value).
+    dim = spark.createDataFrame(
+        [(1, 100, "bronze", 1), (1, 200, None, 2), (1, 300, "gold", 3)],
+        "k long, valid_from long, tier string, version long",
+    )
+    probe = spark.createDataFrame(
+        [(10, 1, 150), (11, 1, 200), (12, 1, 299), (13, 1, 300)],
+        "pid long, k long, ts long",
+    )
+    out = {
+        r.pid: r.tier
+        for r in pit_join(
+            probe, dim, "k", "ts", "valid_from", "tier",
+            ["pid"], dim_tiebreak_col="version",
+        ).collect()
+    }
+    assert out == {10: "bronze", 11: None, 12: None, 13: "gold"}
+
+
 def test_column_fingerprints_order_and_partitioning_invariant(spark):
     rows = [(i, f"s{i % 7}" if i % 5 else None) for i in range(200)]
     a = spark.createDataFrame(rows, "x long, s string").repartition(13)

@@ -281,3 +281,31 @@ def test_ntile_bounded_domain_edge_shapes(spark):
         ntile_bounded_domain(df, F.col("v"), [F.col("id").asc()], 0)
     with pytest.raises(ValueError, match="tiebreak"):
         ntile_bounded_domain(df, F.col("v"), [], 4)
+
+
+def test_ntile_bounded_domain_enforces_max_domain(spark):
+    # The "bounded domain BY CONTRACT" promise is enforced: a data-scale
+    # column (every value distinct) raises past max_domain instead of
+    # silently collecting the whole count table to the driver.
+    from redpanda_ais_demo_spark.operators.ordered import ntile_bounded_domain
+
+    df = spark.range(200).select(F.col("id").alias("v"), F.col("id"))
+    with pytest.raises(ValueError, match="max_domain"):
+        ntile_bounded_domain(
+            df, F.col("v"), [F.col("id").asc()], 4, max_domain=100
+        ).collect()
+    # at or under the cap, the tiling still matches Spark's ntile
+    got = {
+        r.id: r.tile
+        for r in ntile_bounded_domain(
+            df, F.col("v"), [F.col("id").asc()], 4, max_domain=200
+        ).collect()
+    }
+    want = {
+        r.id: r.tile
+        for r in df.withColumn(
+            "tile",
+            F.ntile(4).over(Window.orderBy(F.col("v").asc(), F.col("id").asc())),
+        ).collect()
+    }
+    assert got == want

@@ -85,3 +85,27 @@ def test_quantile_tracker_validates_args(spark, tmp_path):
         quantiles.start_quantile_tracker(
             stream, "value", "s", "n", "c", quantiles=(1.5,)
         )
+
+
+def test_quantile_col_names_collision_safe(spark, tmp_path):
+    import pytest
+
+    from redpanda_ais_demo_spark.streaming.quantiles import _quantile_col_name
+
+    # integer percents keep their historical names; fractional percents
+    # get an underscore suffix instead of rounding into a sibling
+    assert _quantile_col_name(0.5) == "q50"
+    assert _quantile_col_name(0.95) == "q95"
+    assert _quantile_col_name(0.995) == "q99_5"
+    assert _quantile_col_name(1.0) == "q100"
+    assert _quantile_col_name(0.001) == "q0_1"
+    names = [_quantile_col_name(q) for q in (0.995, 1.0, 0.001, 0.004)]
+    assert len(set(names)) == len(names)
+    # a genuine duplicate in the requested tuple still fails fast
+    src = tmp_path / "y"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    with pytest.raises(ValueError, match="duplicate quantile"):
+        quantiles.start_quantile_tracker(
+            stream, "value", "s", "n", "c", quantiles=(0.5, 0.5)
+        )
