@@ -1264,6 +1264,93 @@ def abtest_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ab_monitor_hourly_snapshots",
+    oracle="""
+        WITH subj AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(max(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) // 3600 * 3600 AS batch_ts
+            FROM events GROUP BY user_id
+        ),
+        per AS (
+            SELECT batch_ts,
+                   CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS dn_c,
+                   CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS dc_c,
+                   CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS dn_t,
+                   CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS dc_t
+            FROM subj GROUP BY batch_ts
+        ),
+        cum AS (
+            SELECT batch_ts,
+                   CAST(sum(dn_c) OVER w AS BIGINT) AS n_c,
+                   CAST(sum(dc_c) OVER w AS BIGINT) AS c_c,
+                   CAST(sum(dn_t) OVER w AS BIGINT) AS n_t,
+                   CAST(sum(dc_t) OVER w AS BIGINT) AS c_t
+            FROM per
+            WINDOW w AS (ORDER BY batch_ts ROWS UNBOUNDED PRECEDING)
+        ),
+        z AS (
+            SELECT batch_ts, n_c, c_c, n_t, c_t,
+                   CASE WHEN n_c > 0 AND n_t > 0
+                             AND sqrt((CAST(c_c + c_t AS DOUBLE) / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+                                      * (1.0 - CAST(c_c + c_t AS DOUBLE) / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+                                      * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))) > 0
+                        THEN (CAST(c_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                              - CAST(c_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                             / sqrt((CAST(c_c + c_t AS DOUBLE) / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+                                    * (1.0 - CAST(c_c + c_t AS DOUBLE) / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+                                    * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE)))
+                   END AS zval
+            FROM cum
+        )
+        SELECT batch_ts, n_c, c_c, n_t, c_t,
+               CASE WHEN n_c > 0 THEN round(CAST(c_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) END AS rate_control,
+               CASE WHEN n_t > 0 THEN round(CAST(c_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6) END AS rate_treatment,
+               round(zval, 6) + 0.0 AS z_score,
+               CASE WHEN zval IS NOT NULL THEN abs(zval) > 3.0 END AS flagged
+        FROM z
+    """,
+    tags=("analytics", "experimentation", "streaming-parity", "window"),
+    doc="Batch replay of the streaming A/B conversion monitor "
+    "(streaming/abmonitor.py): subjects enter on their first-event hour "
+    "(the micro-batch analogue), convert on any high-value purchase "
+    "(value >= 150 — a ~45%% base rate, so the z arithmetic genuinely "
+    "exercises), and every hour's snapshot row carries the CUMULATIVE "
+    "per-arm exact-integer counts plus the identical pooled "
+    "two-proportion z / round-6 rates / |z|>3 flag the live "
+    "foreachBatch tracker writes — feeding the same subjects to "
+    "start_ab_monitor in hour order produces byte-identical snapshots "
+    "(pytest-pinned), so this oracle hash-checks the streaming fold's "
+    "arithmetic. One subject aggregate, one per-hour aggregate, then a "
+    "cumulative window over the CALENDAR-bounded hour axis "
+    "(streaming/abmonitor.py:monitor_trajectory_batch).",
+)
+def ab_monitor_hourly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..streaming.abmonitor import monitor_trajectory_batch
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") >= 150.0)).cast("long")
+        ).alias("converted"),
+        (F.floor(F.min(F.unix_timestamp(F.col("ts"))) / 3600) * 3600)
+        .cast("long")
+        .alias("batch_ts"),
+    )
+    subjects = per_user.select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "converted",
+        "batch_ts",
+    )
+    return monitor_trajectory_batch(subjects, "batch_ts", "variant", "converted")
+
+
+@query(
     "ewma_user_value",
     oracle="""
         WITH e AS (

@@ -143,15 +143,15 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
-    # (r8f) dedup_clusters rotated out: the CC-closure mechanism keeps
-    # TWO in-window representatives — resolve_part_names and
-    # pipeline_curate_corpus both run the identical min-label closure
-    # inside their oracle-checked plans — so its standalone row was
-    # mechanically redundant; stays registered, oracle-bearing (its
-    # recursive-CTE oracle), pytest-oracle-swept. The slot goes to
-    # item_cooccurrence_parts: first window rep of the recommendation/
-    # collaborative-filtering class (basket-co-located pair join).
-    "item_cooccurrence_parts",
+    # (r11) item_cooccurrence_parts rotated out (the r10 verdict's own
+    # candidate): the CF/recommendation family keeps its full oracle in
+    # the sweep and its basket pair-join mechanism is adjacent to the
+    # in-window close_encounter_pairs bucket self-join. Its slot goes to
+    # pit_join_purchase_user_state — the feature-store point-in-time
+    # join's first hash-checked window row, freshly relevant because the
+    # r11 struct-carry fix changed the operator's NULL-attribute
+    # semantics and the driver should pin the new behavior.
+    "pit_join_purchase_user_state",
     "pack_token_stream_sharded",
     # (r10) embedding_random_projection rotated out: the JL projection
     # is a narrow map-side array fold whose arithmetic class
@@ -160,7 +160,12 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-swept. Slot freed for the bootstrap-CI class.
     "source_mixture_weights",
     "multimodal_frame_sample",
-    "zorder_events",
+    # (r11) zorder_events rotated out for hilbert_order_events — the
+    # same storage-layout class, but the Hilbert member is the stronger
+    # clustering key (measured better row-group pruning, layout.py) and
+    # has never been driver-hash-checked; Z-order stays registered,
+    # oracle-bearing, pytest-oracle-swept.
+    "hilbert_order_events",
     # advanced relational operators
     # (r8b) salted_join_segment_traffic rotated out: its oracle checks
     # the same join RESULT as the plain join (the salting is a strategy,
@@ -176,11 +181,15 @@ PRIORITY: tuple[str, ...] = (
     # registered, oracle-bearing, pytest-oracle-swept.
     "value_quantiles_global_exact",
     "grouping_sets_sql",
-    # round-6 classes with no earlier in-window sibling (rotated in r7:
-    # rollup_cascade_traffic is represented by grouping_sets_sql's grouping
-    # family and order_price_dispersion by value_percentiles' percentile
-    # family — both remain registered, oracle-bearing, pytest-oracle-swept)
-    "gapfill_user_value",
+    # (r11) gapfill_user_value rotated out (the r10 verdict's candidate:
+    # cusum holds the same one-per-key-shuffle cumulative-window family,
+    # and gapfill's running last(ignorenulls) carry is now ALSO pinned
+    # in-window through pit_join_purchase_user_state's struct carry);
+    # stays registered, oracle-bearing, pytest-oracle-swept. Its slot
+    # goes to conformal_user_value_interval — the uncertainty-
+    # quantification class (split-conformal calibration quantile over
+    # a residual rank), whose r10 oracle has never been driver-checked.
+    "conformal_user_value_interval",
     # (r8d) dup_span_intervals rotated out: the dedup family held FIVE
     # window reps (exact, minhash pair, CC cluster, keep-best retention,
     # span intervals) — the span-interval mechanism keeps its full
@@ -294,7 +303,14 @@ PRIORITY: tuple[str, ...] = (
     # folded through one aggregate lambda, recursive-CTE oracle — a
     # mechanism no other window row exercises).
     "resolve_part_names",
-    "pagerank_customer_supplier",
+    # (r11) pagerank_customer_supplier rotated out: the iterative-graph
+    # family keeps TWO in-window reps (kcore peel, sssp relaxation) and
+    # pagerank's integer power iteration keeps its recursive-CTE oracle
+    # in the sweep. Its slot goes to logreg_en_vs_length — the
+    # model-fitting-as-aggregation class's first window rep (IRLS
+    # Newton rounds as partial-agg passes, unrolled-CTE oracle
+    # replaying the exact coefficient trajectory).
+    "logreg_en_vs_length",
     "validate_orders_constraints",
     "pipeline_curate_corpus",
     "holt_forecast_daily_value",
@@ -314,17 +330,14 @@ PRIORITY: tuple[str, ...] = (
     # Benjamini-Hochberg step-up), completing the experimentation story
     # next to the in-window Mann-Whitney.
     "fdr_event_conversion_by_variant",
-    # (r8f) trend_user_value rotated out for its strict upgrade: the
-    # closed-form TWO-feature OLS (Cramer on the normal equations)
-    # subsumes the single-feature trend's mechanism; trend stays
-    # registered, oracle-bearing, pytest-oracle-swept.
-    # (r10) welch_purchase_value_by_variant rotated out for
-    # mann_whitney_value_by_variant below — same experimentation family,
-    # but the nonparametric member exercises the rank/tie machinery the
-    # parametric t-test never touches (per-distinct-value midranks via
-    # the distributed prefix-sum, exact DECIMAL tie correction); Welch
-    # stays registered, oracle-bearing, pytest-oracle-swept.
-    "ols_value_on_hour_dow",
+    # (r11) ols_value_on_hour_dow rotated out: the regression family's
+    # window slot upgrades to logreg_en_vs_length's IRLS (closed-form
+    # OLS is one Newton round of the same normal-equation fold); OLS
+    # stays registered, oracle-bearing, pytest-oracle-swept. Its slot
+    # goes to ipw_ate_priority_on_revenue — the causal-inference
+    # class's first window rep (propensity-weighted ATE on the IRLS
+    # propensities, doubly-iterative oracle).
+    "ipw_ate_priority_on_revenue",
     # (r8c) the persisted-index serve path's hash-checked row (takes
     # l1_top_events' slot — see the AIS block note): same Okapi BM25
     # oracle as bm25_topk_docs, but the plan probes the committed-on-
@@ -333,21 +346,27 @@ PRIORITY: tuple[str, ...] = (
     # (r8f) the privacy/governance class's first window rep — see the
     # pivot_status_by_priority rotation note above.
     "k_anonymity_orders",
-    # (r10) four r9 classes gain their first hash-checked window rows,
-    # taking the slots freed above (setop, JL projection, M4, Welch):
-    # weighted shortest paths (delta-relaxation Bellman-Ford over the
-    # co-purchase graph — the graph-density family's second rep beyond
-    # the k-core peel; its unrolled materialized-CTE oracle replays the
-    # relaxation rounds exactly), the nonparametric test matrix
-    # (Mann-Whitney midranks via the distributed prefix-sum; its swept
-    # siblings are Kruskal-Wallis, log-rank, DiD, CMH), point-in-polygon
-    # geofencing (bbox prefilter + exact ray-cast, both engine-exact on
-    # micro-degree integers), and the Poisson-bootstrap CI (md5-seeded
-    # deterministic draws folded in ONE partial-aggregable pass).
+    # (r10) weighted shortest paths (delta-relaxation Bellman-Ford over
+    # the co-purchase graph; unrolled materialized-CTE oracle) and the
+    # nonparametric test matrix (Mann-Whitney midranks via the
+    # distributed prefix-sum; swept siblings Kruskal-Wallis, log-rank,
+    # DiD, CMH) keep the window rows they gained in r10.
     "sssp_copurchase_from_min_part",
     "mann_whitney_value_by_variant",
-    "events_in_geofences",
-    "bootstrap_ci_purchase_value",
+    # (r11) events_in_geofences and bootstrap_ci_purchase_value rotated
+    # out after earning their first driver hashes in CORRECTNESS_r10:
+    # the spatial family keeps close_encounter_pairs in-window and the
+    # uncertainty family's slot upgrades to conformal above; both stay
+    # registered, oracle-bearing, pytest-oracle-swept. Their slots give
+    # the privacy family its DP member and the streaming trackers their
+    # second batch-replay-parity hash row:
+    # dp_counts_customers_by_nation (keyed-PRG Laplace noise, salt-
+    # deterministic so the oracle replays it exactly) and
+    # ab_monitor_hourly_snapshots (the A/B monitor's cumulative
+    # snapshot trajectory — byte-identical to the live foreachBatch
+    # fold, pytest-pinned in tests/test_streaming_abmonitor.py).
+    "dp_counts_customers_by_nation",
+    "ab_monitor_hourly_snapshots",
 )
 
 

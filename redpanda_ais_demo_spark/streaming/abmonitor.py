@@ -80,6 +80,67 @@ def _z_expr() -> F.Column:
     return F.when(ok & (se > 0), (pt - pc) / se)
 
 
+def monitor_trajectory_batch(
+    subjects: DataFrame,
+    batch_ts_col: str,
+    variant_col: str,
+    converted_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Batch replay of the streaming monitor's snapshot trajectory: one
+    row per distinct ``batch_ts_col`` value (the micro-batch analogue —
+    e.g. the subject's entry day), with the CUMULATIVE per-arm counts
+    and the identical snapshot arithmetic (``_z_expr``, round-6 rates,
+    |z| > threshold flag). Feeding the same subjects to
+    ``start_ab_monitor`` in ``batch_ts`` order produces byte-identical
+    snapshot rows — the drift-tracker batch-parity contract, which is
+    what lets a DuckDB oracle hash-check the streaming fold.
+
+    Scale: one partial-aggregable groupBy to one row per batch_ts, then
+    a cumulative window over the batch_ts axis only — the frame is
+    calendar-bounded (days/hours), never data-scale, so the
+    single-partition window holds a constant-bounded row count at any
+    input volume (same argument as the bounded-domain ntile).
+    """
+    if z_threshold <= 0:
+        raise ValueError(f"z_threshold must be positive, got {z_threshold}")
+    from pyspark.sql import Window
+
+    arm = lambda g, e: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col(variant_col) == g, e)), F.lit(0)
+    ).cast("long")
+    one = F.lit(1)
+    conv = F.col(converted_col).cast("long")
+    per = subjects.groupBy(F.col(batch_ts_col).alias("batch_ts")).agg(
+        arm(control, one).alias("dn_c"),
+        arm(control, conv).alias("dc_c"),
+        arm(treatment, one).alias("dn_t"),
+        arm(treatment, conv).alias("dc_t"),
+    )
+    w = Window.orderBy("batch_ts").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "batch_ts",
+        F.sum("dn_c").over(w).cast("long").alias("n_c"),
+        F.sum("dc_c").over(w).cast("long").alias("c_c"),
+        F.sum("dn_t").over(w).cast("long").alias("n_t"),
+        F.sum("dc_t").over(w).cast("long").alias("c_t"),
+    )
+    z = _z_expr()
+    rate = lambda c, n: F.round(  # noqa: E731
+        F.when(F.col(n) > 0, F.col(c).cast("double") / F.col(n).cast("double")), 6
+    )
+    return cum.select(
+        "batch_ts",
+        "n_c", "c_c", "n_t", "c_t",
+        rate("c_c", "n_c").alias("rate_control"),
+        rate("c_t", "n_t").alias("rate_treatment"),
+        F.round(z, 6).alias("z_score"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(z_threshold))).alias("flagged"),
+    )
+
+
 def start_ab_monitor(
     stream: DataFrame,
     variant_col: str,
@@ -138,6 +199,7 @@ def start_ab_monitor(
 __all__ = [
     "batch_arm_counts",
     "fold_counts",
+    "monitor_trajectory_batch",
     "start_ab_monitor",
     "_list_state_ids",
 ]

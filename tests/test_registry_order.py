@@ -41,7 +41,9 @@ REQUIRED_IN_WINDOW = {
     # round-2 corpus classes (r10: embedding_random_projection rotated
     # out behind embedding_cosine_topk's array-lambda arithmetic)
     "source_mixture_weights",
-    "zorder_events",
+    # (r11) zorder_events rotated out for the stronger same-class
+    # Hilbert member (first driver hash for the r10 addition)
+    "hilbert_order_events",
     # packing scale path (round-6)
     "pack_token_stream_sharded",
     # advanced relational
@@ -54,7 +56,9 @@ REQUIRED_IN_WINDOW = {
     # span-level dedup have no same-class sibling elsewhere in the window;
     # rollup_cascade_traffic is covered by grouping_sets_sql's family and
     # order_price_dispersion by value_percentiles')
-    "gapfill_user_value",
+    # (r11) gapfill_user_value rotated out — cusum holds the cumulative-
+    # window family; slot upgraded to the uncertainty class
+    "conformal_user_value_interval",
     # r8d: dup_span_intervals rotated out (dedup family kept 5 window
     # reps); the slot carries the new spatial proximity-join class
     "close_encounter_pairs",
@@ -102,7 +106,9 @@ REQUIRED_IN_WINDOW = {
     # cdc_apply_orders' oracle in the sweep; the diff join is
     # mechanically adjacent to the in-window validation suite
     "resolve_part_names",
-    "pagerank_customer_supplier",
+    # (r11) pagerank rotated out (kcore + sssp keep the iterative-graph
+    # family); slot goes to model-fitting-as-aggregation
+    "logreg_en_vs_length",
     "validate_orders_constraints",
     "pipeline_curate_corpus",
     # r8 session classes: ML-classification, regression
@@ -117,8 +123,11 @@ REQUIRED_IN_WINDOW = {
     # r8f rotation: closed-form OLS upgrades the regression slot;
     # recommendation (CF), experimentation (Welch), and privacy
     # (k-anonymity) gain their first window reps
-    "ols_value_on_hour_dow",
-    "item_cooccurrence_parts",
+    # (r11) ols rotated out behind logreg's IRLS; item_cooccurrence out
+    # (CF family swept) — slots go to the causal and feature-store
+    # classes
+    "ipw_ate_priority_on_revenue",
+    "pit_join_purchase_user_state",
     # (r10) welch rotated out for the nonparametric sibling below
     "k_anonymity_orders",
     # r8c: the index-serve class's first hash-checked window row
@@ -129,8 +138,11 @@ REQUIRED_IN_WINDOW = {
     # nonparametric tests, geofencing, bootstrap CIs
     "sssp_copurchase_from_min_part",
     "mann_whitney_value_by_variant",
-    "events_in_geofences",
-    "bootstrap_ci_purchase_value",
+    # (r11) events_in_geofences and bootstrap_ci rotated out after their
+    # r10 driver hashes; privacy gains its DP member and the streaming
+    # trackers their second batch-replay-parity row
+    "dp_counts_customers_by_nation",
+    "ab_monitor_hourly_snapshots",
 }
 
 

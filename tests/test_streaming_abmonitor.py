@@ -116,3 +116,46 @@ def test_ab_monitor_guards_and_empty_arm(spark, tmp_path):
     q.processAllAvailable(); q.stop()
     snap = _snaps(spark, snaps)[0]
     assert snap.n_t == 0 and snap.z_score is None and snap.flagged is None
+
+
+def test_monitor_trajectory_batch_matches_streaming_snapshots(spark, tmp_path):
+    # The declared-query replay contract: feeding the same subject
+    # batches to the live monitor in batch_ts order produces snapshot
+    # rows BYTE-IDENTICAL to monitor_trajectory_batch's trajectory.
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        (1000, _trials("A", 3, 40) + _trials("B", 9, 41)),
+        (2000, _trials("A", 10, 35) + _trials("B", 2, 30)),
+        (3000, _trials("B", 7, 50)),            # one-arm batch
+        (4000, _trials("A", 20, 60) + _trials("B", 30, 55)),
+    ]
+    subj_rows = [
+        (ts, v, c) for ts, rows in batches for v, c in rows
+    ]
+    traj = {
+        r.batch_ts: r
+        for r in abmonitor.monitor_trajectory_batch(
+            spark.createDataFrame(subj_rows, "batch_ts long, variant string, converted long"),
+            "batch_ts", "variant", "converted",
+        ).collect()
+    }
+    assert len(traj) == 4
+    for ts, rows in batches:  # one file per batch_ts -> one micro-batch each
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = abmonitor.start_ab_monitor(
+        stream, "variant", "converted", state, snaps, ckpt, retain=10
+    )
+    q.processAllAvailable()
+    q.stop()
+    live = _snaps(spark, snaps)
+    assert len(live) == 4
+    cols = ["n_c", "c_c", "n_t", "c_t", "rate_control",
+            "rate_treatment", "z_score", "flagged"]
+    for (bid, ts, _) in zip(sorted(live), (ts for ts, _ in batches), batches):
+        got = live[bid].asDict()
+        want = traj[ts].asDict()
+        assert {c: got[c] for c in cols} == {c: want[c] for c in cols}, (bid, ts)
