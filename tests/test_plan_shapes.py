@@ -774,3 +774,102 @@ def test_ccf_lag_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide unpartitioned-WindowExec sweep (r10 verdict item 3)
+# ---------------------------------------------------------------------------
+# Every Window with an EMPTY partition spec funnels its whole frame
+# through ONE task — fine over a constant-bounded frame, fatal over a
+# data-sized one. bench.py silences the WindowExec advisory at the
+# log4j level for its run only, so THIS sweep is what keeps a new
+# data-sized single-partition window visible: it walks the physical
+# plan of EVERY declared query and requires each unpartitioned Window
+# to prove a bound structurally (a `__go_pid` per-partition offset
+# table of <= spark.sql.shuffle.partitions rows, a Limit/TakeOrdered
+# upstream, or a scalar one-row aggregate feed) or appear below with a
+# reviewed bounded-domain justification.
+#
+# Scope note: the sweep sees the post-pin plan — windows INSIDE a lazy
+# localCheckpoint subtree are audited separately (PLANS.md runs the
+# identity-patched pre-pin audit over the full registry, and the named
+# plan-shape tests above pin the iterative operators' shapes).
+BOUNDED_DOMAIN_UNPART_WINDOWS = {
+    # cumulative fold over the calendar-hour batch axis (the streaming
+    # monitor's micro-batch analogue): rows = distinct hours, never
+    # data-scale (streaming/abmonitor.py:monitor_trajectory_batch)
+    "ab_monitor_hourly_snapshots": "calendar-hour batch axis",
+    # sliding HLL union over calendar days: one row per day
+    "hll_sliding_active_users": "calendar-day frame",
+    # dictionary codes ranked over the distinct source vocabulary
+    "dict_encode_doc_sources": "source vocabulary",
+    # PSI totals over the 10 fixed histogram buckets
+    "psi_value_drift": "10 fixed value buckets",
+    # skyline staircase over the price//1000 bucket table
+    "skyline_parts_price_size": "price-bucket staircase",
+    # ROC/PR ranks over DISTINCT score values (bounded score domains:
+    # n_chars lengths / quantized quality scores), not per-row
+    "auc_quality_vs_lang": "distinct score domain",
+    "ap_length_vs_en": "distinct score domain",
+    # 20 fixed calibration buckets (PAV pool steps)
+    "isotonic_length_vs_en": "20 fixed buckets",
+    # WoE/IV totals over the brand vocabulary
+    "woe_iv_brand_returns": "brand vocabulary",
+    # per-year strata table
+    "simpsons_priority_value_by_year": "calendar years",
+    # EMD CDF over the sensitive-value domain (bounded by the same
+    # contract t-closeness itself audits)
+    "t_closeness_orders": "sensitive-value domain",
+}
+
+_BOUND_MARKERS = (
+    "__go_pid",              # rank_cumsum per-partition offset table
+    "TakeOrderedAndProject",  # top-k bounded
+    "GlobalLimit",
+    "CollectLimit",
+    "HashAggregate(keys=[], ",        # scalar (one-row) aggregate feed
+    "ObjectHashAggregate(keys=[], ",
+    "SortAggregate(key=[], ",
+)
+
+
+def _walk_jplan(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_jplan(it.next())
+
+
+def test_registry_wide_unpartitioned_windows_are_bounded(spark):
+    violations: list[str] = []
+    allowlist_used: set[str] = set()
+    for name, fn in get_queries().items():
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().sparkPlan()
+        for n in _walk_jplan(plan):
+            if "Window" not in n.nodeName() or not hasattr(n, "partitionSpec"):
+                continue
+            try:
+                unpart = n.partitionSpec().isEmpty()
+            except Exception:
+                continue
+            if not unpart:
+                continue
+            sub = n.child().toString()
+            if any(m in sub for m in _BOUND_MARKERS):
+                continue
+            if name in BOUNDED_DOMAIN_UNPART_WINDOWS:
+                allowlist_used.add(name)
+                continue
+            violations.append(name)
+    assert not violations, (
+        "unpartitioned Window over a frame with no structural bound and "
+        f"no reviewed justification: {sorted(set(violations))} — either "
+        "rebuild on operators/ordered.py's distributed rank or add a "
+        "bounded-domain entry with its argument"
+    )
+    stale = set(BOUNDED_DOMAIN_UNPART_WINDOWS) - allowlist_used
+    assert not stale, (
+        f"allowlist entries no longer exhibiting an unpartitioned window "
+        f"(stale — remove them): {sorted(stale)}"
+    )
