@@ -197,6 +197,7 @@ def rfm_segments(
     ts_col: str,
     amount_cents,
     n_bins: int = 5,
+    bounded: bool = False,
 ) -> DataFrame:
     """RFM segmentation — the classic commerce customer taxonomy:
     score every key 1..``n_bins`` on Recency (days since last
@@ -210,15 +211,19 @@ def rfm_segments(
     tiebreak cuts identical metrics identically on any engine; spends
     are exact cents; per-segment mean is one division.
 
-    Scale plan: recency (days, bounded by the dataset's calendar span)
-    and frequency (small-int order counts) have constant-bounded
-    distinct domains, so their tiles ride ``ntile_bounded_domain`` —
-    per-value offsets from one partial-aggregable groupBy, per-row
-    ranking only for the ≤ n_bins−1 tile-straddling values (and THAT
-    through the distributed rank, so a billion freq=1 customers never
-    funnel through one task). Only monetary, whose distinct-cents
-    domain grows with the data, pays the full ``ntile_distributed``
-    range sort.
+    Scale plan: all three tiles ride ``ntile_distributed`` (parallel
+    range sorts, never a single-partition window) — the MEASURED
+    default. ``bounded=True`` instead routes recency and frequency
+    (constant-bounded distinct domains) through
+    ``ntile_bounded_domain``'s per-value offsets; that shape skips two
+    range sorts of the per-key frame, but head-to-head at sf0.1 AND at
+    the 10x sf1 fixture the distributed form wins 2-4x (SCALING.md
+    "ntile strategy"): the bounded machinery's extra stages (count
+    table, span broadcast, straddler ranks, union) cost more than the
+    sorts it saves at every locally measurable scale. The escape stays
+    available for inputs where the sort genuinely dominates (petabyte
+    frames, spilling sorts) — pick it from evidence, not theory; its
+    r10 stint as the default was a theory-driven regression.
 
     Output: (segment, n_keys, avg_monetary) — at most n_bins³ rows.
     """
@@ -236,20 +241,41 @@ def rfm_segments(
     )
     from .ordered import ntile_bounded_domain, ntile_distributed
 
-    scored = ntile_bounded_domain(
-        t,
-        F.col("recency_days"),
-        [F.col("k").asc()],
-        n_bins,
-        out_col="r",
-        descending=True,
-    )
-    scored = ntile_bounded_domain(
-        scored, F.col("freq"), [F.col("k").asc()], n_bins, out_col="f"
-    )
+    # Monetary FIRST: its ntile_distributed range-sorts the per-key
+    # frame and pins it (the one lazy localCheckpoint in this plan) —
+    # the two bounded tiles stacked on top then run pin-free (their
+    # count subtrees rebuild from that pin, never from the raw scan),
+    # so the whole segmentation pays ONE synchronous-planning pin
+    # instead of five (the r10 shape's five pins dominated sf0.1 wall
+    # time while the data cost was trivial).
     scored = ntile_distributed(
-        scored, [F.col("cents").asc(), F.col("k").asc()], n_bins, out_col="m"
+        t, [F.col("cents").asc(), F.col("k").asc()], n_bins, out_col="m"
     )
+    if bounded:
+        scored = ntile_bounded_domain(
+            scored,
+            F.col("recency_days"),
+            [F.col("k").asc()],
+            n_bins,
+            out_col="r",
+            descending=True,
+            pin=False,
+        )
+        scored = ntile_bounded_domain(
+            scored, F.col("freq"), [F.col("k").asc()], n_bins, out_col="f", pin=False
+        )
+    else:
+        # all-distributed variant (the r9 shape, minus recency/freq's
+        # bounded-domain escape): three full range sorts
+        scored = ntile_distributed(
+            scored,
+            [F.col("recency_days").desc(), F.col("k").asc()],
+            n_bins,
+            out_col="r",
+        )
+        scored = ntile_distributed(
+            scored, [F.col("freq").asc(), F.col("k").asc()], n_bins, out_col="f"
+        )
     seg = F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
     return (
         scored.groupBy(seg.alias("segment"))

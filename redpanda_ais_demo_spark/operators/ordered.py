@@ -175,6 +175,7 @@ def ntile_bounded_domain(
     out_col: str = "tile",
     descending: bool = False,
     max_domain: int = 10_000,
+    pin: bool = True,
 ) -> DataFrame:
     """ANSI ``ntile`` over ``(value_expr [DESC], *tiebreak_exprs)`` for
     a value whose DISTINCT DOMAIN is constant-bounded (days-since-event,
@@ -186,100 +187,99 @@ def ntile_bounded_domain(
     either falls entirely inside one tile — every row's tile is decided
     by the VALUE ALONE — or straddles a boundary, and at most
     ``n_tiles − 1`` values straddle. Because the domain is bounded BY
-    CONTRACT, the per-value count table is driver-trivial: ONE
-    partial-aggregable groupBy collects it, the offsets / ANSI tile
-    spans compute in exact Python ints, and the spans broadcast back as
-    a literal frame — no windows, no second aggregate, no crossJoins.
-    Only the straddling values' rows get a per-row tiebreak rank, and
-    that rank runs through the distributed ``rank_cumsum``, so even a
-    single tied run of a billion rows (freq = 1 at 100 TB) never
-    funnels through one task. Cost: one groupBy + one broadcast join
-    over the input + one range sort over only the straddling rows, vs
-    a range sort + checkpoint of EVERYTHING in ``ntile_distributed``.
+    CONTRACT, the per-value count table is tiny: ONE partial-aggregable
+    groupBy builds it, the offsets / ANSI tile spans compute as ONE
+    ordered window over that ≤ ``max_domain``-row table (the one
+    single-partition window this module permits — its frame is capped
+    by the enforced contract, never data-sized), and the spans
+    broadcast back. Only the straddling values' rows get a per-row
+    tiebreak rank, and that rank runs through the distributed
+    ``rank_cumsum``, so even a single tied run of a billion rows
+    (freq = 1 at 100 TB) never funnels through one task. Cost: one
+    groupBy + one broadcast join over the input + one range sort over
+    only the straddling rows, vs a range sort + checkpoint of
+    EVERYTHING in ``ntile_distributed``.
 
-    ``value_expr`` must be an orderable primitive whose Python ordering
-    matches Spark's (ints, floats, strings); ``tiebreak_exprs`` must
-    totally order rows WITHIN a value. NULL values sort by Spark's
+    The whole plan is LAZY — no driver action at construction (the r10
+    version collected the count table eagerly, which executed the
+    caller's upstream plan once per ntile call and dominated rfm /
+    gains-lift wall time at sf0.1); everything now runs inside the
+    caller's own job.
+
+    ``value_expr`` must be an orderable primitive; ``tiebreak_exprs``
+    must totally order rows WITHIN a value. NULL values sort by Spark's
     defaults (ASC → first, DESC → last) in both paths.
 
-    The "bounded domain" contract is ENFORCED, not trusted: the count
-    table collected to the driver is capped at ``max_domain`` distinct
-    values (``.limit(max_domain + 1)`` on the aggregated frame, so the
-    job itself never ships more than ``max_domain + 1`` rows), and a
-    caller passing a data-scale column gets a ``ValueError`` pointing
-    at ``ntile_distributed`` instead of a silent driver flood.
+    The "bounded domain" contract is ENFORCED, not trusted: the span
+    table carries an in-plan distinct-value count, and a caller passing
+    a data-scale column fails at execution with a raise_error naming
+    ``max_domain`` (before any oversized broadcast), pointing at
+    ``ntile_distributed`` instead.
+
+    ``pin`` lazy-localCheckpoints the valued frame, which feeds both
+    the count-table subtree and the probe side. Pass ``pin=False`` when
+    the input is a cheap scan projection or already sits on a pinned
+    frame — recomputing it twice inside one job then beats paying the
+    checkpoint's synchronous physical-planning cost per call (the
+    planning fixed cost, not the data, dominated rfm/gains-lift at
+    sf0.1).
     """
     if n_tiles < 1:
         raise ValueError("n_tiles must be positive")
     if not tiebreak_exprs:
         raise ValueError("tiebreak_exprs must be non-empty")
     order = F.col("__bd_v").desc() if descending else F.col("__bd_v").asc()
-    # pin the valued frame: the count collect below is an ACTION, and
-    # without the pin it would execute the caller's entire upstream
-    # plan once for the counts and AGAIN for the output join job
-    tmp = df.withColumn("__bd_v", value_expr).localCheckpoint(eager=False)
-    counted = (
-        tmp.groupBy("__bd_v")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .limit(max_domain + 1)
-        .collect()
+    tmp = df.withColumn("__bd_v", value_expr)
+    if pin:
+        tmp = tmp.localCheckpoint(eager=False)
+    counts = tmp.groupBy(F.col("__bd_v").alias("__bd_vr")).agg(
+        F.count(F.lit(1)).alias("__bd_cnt")
     )
-    if len(counted) > max_domain:
-        raise ValueError(
-            f"ntile_bounded_domain: value domain exceeds max_domain="
-            f"{max_domain} distinct values — the column is data-scale, "
-            f"not constant-bounded; use ntile_distributed instead"
+    # Span table: one ordered window over the ≤ max_domain-row count
+    # table. Spark null ordering (ASC → first, DESC → last) matches the
+    # value path's semantics by construction.
+    worder = F.col("__bd_vr").desc() if descending else F.col("__bd_vr").asc()
+    w_prior = Window.orderBy(worder).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(worder).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_col = F.sum("__bd_cnt").over(w_all)
+    nvals = F.count(F.lit(1)).over(w_all)
+    off = F.coalesce(F.sum("__bd_cnt").over(w_prior), F.lit(0).cast("long"))
+    with_tiles = counts.select(
+        "__bd_vr",
+        "__bd_cnt",
+        off.alias("__bd_off"),
+        n_col.alias("__bd_n"),
+        # contract enforcement rides the span computation: a data-scale
+        # domain fails fast here, before anything broadcasts
+        F.when(
+            nvals > max_domain,
+            F.raise_error(
+                F.lit(
+                    f"ntile_bounded_domain: value domain exceeds max_domain="
+                    f"{max_domain} distinct values — the column is data-"
+                    f"scale, not constant-bounded; use ntile_distributed"
+                )
+            ).cast("int"),
         )
-    per = {r["__bd_v"]: r["cnt"] for r in counted}
-    n = sum(per.values())
-    if n == 0:
-        return tmp.drop("__bd_v").withColumn(out_col, F.lit(None).cast("int"))
-    # Spark null ordering: ASC → NULL first, DESC → NULL last
-    nonnull = sorted((v for v in per if v is not None), reverse=descending)
-    ordered_vals = ([None] if not descending else []) + nonnull + (
-        [None] if descending else []
+        .otherwise(_tile_expr(off + 1, n_col, n_tiles).cast("int"))
+        .alias("__bd_tlo"),
+        _tile_expr(off + F.col("__bd_cnt"), n_col, n_tiles)
+        .cast("int")
+        .alias("__bd_thi"),
     )
-    ordered_vals = [v for v in ordered_vals if v in per]
-
-    def tile_of(rank: int) -> int:
-        # the ANSI bucket formula, exact ints (mirrors _tile_expr)
-        base, extra = divmod(n, n_tiles)
-        if base == 0:
-            return rank
-        fat = (base + 1) * extra
-        if rank <= fat:
-            return (rank - 1) // (base + 1) + 1
-        return extra + (rank - fat - 1) // base + 1
-
-    spans = []  # (value, off, soff, tlo, thi) — soff only for straddlers
-    off = soff = 0
-    for v in ordered_vals:
-        cnt = per[v]
-        tlo, thi = tile_of(off + 1), tile_of(off + cnt)
-        spans.append((v, off, soff, tlo, thi))
-        if tlo != thi:
-            soff += cnt
-        off += cnt
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    vtype = tmp.schema["__bd_v"].dataType
-    spark = df.sparkSession
-    span_df = spark.createDataFrame(
-        spans,
-        schema=StructType(
-            [
-                StructField("__bd_vr", vtype),
-                StructField("__bd_off", LongType()),
-                StructField("__bd_soff", LongType()),
-                StructField("__bd_tlo", IntegerType()),
-                StructField("__bd_thi", IntegerType()),
-            ]
-        ),
+    straddle = F.col("__bd_tlo") != F.col("__bd_thi")
+    span_df = with_tiles.select(
+        "__bd_vr",
+        "__bd_off",
+        "__bd_n",
+        F.coalesce(
+            F.sum(F.when(straddle, F.col("__bd_cnt"))).over(w_prior),
+            F.lit(0).cast("long"),
+        ).alias("__bd_soff"),
+        "__bd_tlo",
+        "__bd_thi",
     )
     # NULL-safe join: a NULL value is a legitimate domain member
     joined = tmp.join(
@@ -290,16 +290,19 @@ def ntile_bounded_domain(
     )
     split = joined.filter(F.col("__bd_tlo") != F.col("__bd_thi"))
     keep = [*df.columns, out_col]
-    if not any(lo != hi for _, _, _, lo, hi in spans):
-        return whole.select(*keep)
     # straddlers: rank within the straddling subset; rank − soff is the
-    # row's position inside its value's tied run
-    ranked = rank_cumsum(split, [order, *tiebreak_exprs], rank_col="__bd_sr")
+    # row's position inside its value's tied run (empty when no value
+    # straddles — the branch costs nothing at runtime then). The rank's
+    # own pin follows the caller's: the split subset rebuilds cheaply
+    # from whatever the caller pinned.
+    ranked = rank_cumsum(
+        split, [order, *tiebreak_exprs], rank_col="__bd_sr", pin=pin
+    )
     split_tiled = ranked.withColumn(
         out_col,
         _tile_expr(
             F.col("__bd_off") + (F.col("__bd_sr") - F.col("__bd_soff")),
-            F.lit(n).cast("long"),
+            F.col("__bd_n"),
             n_tiles,
         ).cast("int"),
     )

@@ -735,6 +735,9 @@ def gains_lift(
         F.col(tiebreak_col).alias("tb"),
     ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
     if bounded_scores:
+        # pin=False: the input is a 3-column scan projection — a second
+        # scan (count subtree + probe) is cheaper than the checkpoint's
+        # synchronous planning + materialization at every scale
         t = ntile_bounded_domain(
             base,
             F.col("s"),
@@ -742,6 +745,7 @@ def gains_lift(
             n_deciles,
             out_col="decile",
             descending=True,
+            pin=False,
         )
     else:
         t = ntile_distributed(

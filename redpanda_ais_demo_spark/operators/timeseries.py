@@ -1317,13 +1317,32 @@ def seasonal_naive_mase(
     )
 
 
+def auto_sign_bits(n_keys: int, target_occupancy: int = 64, lo: int = 4, hi: int = 16) -> int:
+    """Sketch width that keeps expected band occupancy near
+    ``target_occupancy`` keys: enough bands for ``n_keys`` at that
+    density, clamped to [lo, hi]. Integer-exact (bit_length, no float
+    log) so an SQL oracle can replay the choice with threshold CASEs.
+
+    This is the fix for the measured super-linear ts_paa slope
+    (SCALING.md): a FIXED 4-bit sketch means 16 bands forever, so band
+    occupancy — and the refine join's Σ bucket² cost — grows
+    quadratically with keys. Scaling bits with log2(keys) pins
+    occupancy, restoring the linear slope the banding contract
+    promises (the same knob the adversarial-density stress measured)."""
+    if n_keys < 1:
+        return lo
+    bands_needed = (n_keys + target_occupancy - 1) // target_occupancy
+    need = (bands_needed - 1).bit_length() if bands_needed > 1 else 0
+    return max(lo, min(hi, need))
+
+
 def paa_correlation_pairs(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
     n_buckets: int = 8,
-    n_bits: int = 6,
+    n_bits: int | None = 6,
     threshold: float = 0.95,
 ) -> DataFrame:
     """Time-series similarity search (EDBT'19 streaming-similarity
@@ -1350,18 +1369,30 @@ def paa_correlation_pairs(
     aggregation pivot to ``n_buckets`` fixed columns (1 row per key),
     narrow codegen sketch bits, then ONE equi-join on the sketch value.
 
+    ``n_bits=None`` picks the width ADAPTIVELY via ``auto_sign_bits``
+    from a distinct-key count (one cheap single-column action; the
+    choice is deterministic for a given dataset, so replayable by an
+    oracle). A fixed width only stays linear while the key count does —
+    the SCALING.md sf1 curve is the measured failure of fixed 4 bits.
+    NOTE the banded contract: the chosen width is part of the declared
+    semantics (pairs landing in different bands are absent by
+    definition), so auto mode's RESULTS legitimately depend on corpus
+    size, exactly like any LSH recall/cost trade.
+
     Output: (key_a, key_b, r), key_a < key_b.
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    if not (1 <= n_bits <= 30):
-        raise ValueError("n_bits must be in [1, 30]")
+    if n_bits is not None and not (1 <= n_bits <= 30):
+        raise ValueError("n_bits must be in [1, 30] (or None for auto)")
     from ..functions.vector import sign_projection_matrix
 
-    H = sign_projection_matrix(n_buckets, n_bits)
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
     cents = F.round(F.col(value_col) * 100).cast("long")
     base = df.select(F.col(key_col).alias("k"), day.alias("day"), cents.alias("c"))
+    if n_bits is None:
+        n_bits = auto_sign_bits(base.select("k").distinct().count())
+    H = sign_projection_matrix(n_buckets, n_bits)
     span = base.agg(
         F.min("day").alias("__lo"), F.max("day").alias("__hi")
     )

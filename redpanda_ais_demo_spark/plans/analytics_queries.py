@@ -2836,9 +2836,10 @@ def gains_lift_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
         F.col("doc_id").alias("tb"),
     )
-    # n_chars is a quantized, constant-bounded domain (distinct doc
-    # lengths, not distinct docs) — tiles ride the bounded-domain path
-    return gains_lift(d, "s", "y", "tb", n_deciles=10, bounded_scores=True)
+    # distributed tiling: head-to-head at sf0.1 AND sf1 the parallel
+    # range sort beats the bounded-domain escape 2x (SCALING.md "ntile
+    # strategy") — the escape stays available for sort-dominated inputs
+    return gains_lift(d, "s", "y", "tb", n_deciles=10, bounded_scores=False)
 
 
 @query(
@@ -4090,17 +4091,91 @@ def _paa_pairs_oracle(n_buckets: int, n_bits: int, threshold: float) -> str:
     """
 
 
+def _paa_pairs_oracle_auto(n_buckets: int, threshold: float) -> str:
+    """The auto-width variant of ``_paa_pairs_oracle``: all 16 sign
+    bits are generated (the hyperplane matrix is prefix-stable — row j
+    never depends on the total width), the width choice replays
+    ``operators/timeseries.py:auto_sign_bits`` as integer threshold
+    CASEs over the distinct-key count, and the band join masks the full
+    signature to the chosen low bits."""
+    from ..functions.vector import sign_projection_matrix
+
+    H = sign_projection_matrix(n_buckets, 16)
+    nb = n_buckets
+    xcols = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN b = {d} THEN s END), 0) AS BIGINT) AS x{d}"
+        for d in range(nb)
+    )
+    sx = " + ".join(f"x{d}" for d in range(nb))
+    sxx = " + ".join(f"CAST(x{d} AS HUGEINT) * x{d}" for d in range(nb))
+    sig_terms = []
+    for j, row in enumerate(H):
+        dot = " + ".join(f"({int(row[d])}) * x{d}" for d in range(nb))
+        sig_terms.append(
+            f"(CASE WHEN {nb} * ({dot}) - sx * ({int(sum(row))}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    # auto_sign_bits(u, 64, 4, 16) as a mask: bands = ceil(u/64);
+    # n_bits = clamp(ceil_log2(bands), 4, 16); mask = 2^n_bits - 1
+    arms = "\n                ".join(
+        f"WHEN bands <= {1 << k} THEN {(1 << k) - 1}" for k in range(4, 16)
+    )
+    sxy = " + ".join(f"CAST(a.x{d} AS HUGEINT) * b.x{d}" for d in range(nb))
+    return f"""
+        WITH base AS (
+            SELECT user_id AS k,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events),
+        mask AS (
+            SELECT CASE
+                {arms}
+                ELSE 65535 END AS m
+            FROM (SELECT (count(DISTINCT k) + 63) // 64 AS bands FROM base)),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM base),
+        per AS (
+            SELECT k, b, CAST(sum(c) AS BIGINT) AS s FROM (
+                SELECT k,
+                       CAST(floor((day - lo) * {nb} / (hi - lo + 1)) AS INT) AS b,
+                       c
+                FROM base, span)
+            GROUP BY k, b),
+        prof AS (SELECT k, {xcols} FROM per GROUP BY k),
+        staged AS (
+            SELECT *, CAST({sx} AS BIGINT) AS sx, ({sxx}) AS sxx,
+                   (({sig}) & m) AS sig
+            FROM prof, mask),
+        ok AS (SELECT * FROM staged
+               WHERE {nb} * sxx > CAST(sx AS HUGEINT) * sx)
+        SELECT a.k AS key_a, b.k AS key_b,
+               round(CAST({nb} * ({sxy}) - CAST(a.sx AS HUGEINT) * b.sx AS DOUBLE)
+                     / sqrt(CAST({nb} * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS DOUBLE)
+                            * CAST({nb} * b.sxx - CAST(b.sx AS HUGEINT) * b.sx AS DOUBLE)),
+                     6) AS r
+        FROM ok a JOIN ok b ON a.sig = b.sig AND a.k < b.k
+        WHERE round(CAST({nb} * ({sxy}) - CAST(a.sx AS HUGEINT) * b.sx AS DOUBLE)
+                    / sqrt(CAST({nb} * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS DOUBLE)
+                           * CAST({nb} * b.sxx - CAST(b.sx AS HUGEINT) * b.sx AS DOUBLE)),
+                    6) >= {threshold}
+    """
+
+
 @query(
     "ts_paa_correlated_users",
-    oracle=_paa_pairs_oracle(8, 4, 0.8),
+    oracle=_paa_pairs_oracle_auto(8, 0.8),
     tags=("timeseries", "similarity", "join", "analytics"),
     doc="Time-series similarity search (the EDBT'19 streaming-"
     "similarity family): user pairs whose daily spend series co-move — "
     "Pearson r >= 0.8 between 8-point PAA profiles — WITHOUT the "
-    "all-pairs join: candidates come from a 4-bit centered-sign sketch "
-    "(deterministic ±1 hyperplanes, integer sign tests), one equality "
-    "band; correlated profiles agree on every bit, so the pair space "
-    "prunes from |users|² to Σ bucket². Exact-integer moments, one "
+    "all-pairs join: candidates come from an AUTO-WIDTH centered-sign "
+    "sketch (deterministic ±1 hyperplanes, integer sign tests; width "
+    "from auto_sign_bits so band occupancy stays ~64 keys as the "
+    "corpus grows — the fixed-4-bit setting measured super-linear at "
+    "sf1), one equality band; correlated profiles agree on every bit, "
+    "so the pair space prunes from |users|² to Σ bucket². The width "
+    "choice is part of the banded semantics and the oracle replays it "
+    "from the same distinct-key count. Exact-integer moments, one "
     "double division (operators/timeseries.py:paa_correlation_pairs).",
 )
 def ts_paa_correlated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4108,7 +4183,7 @@ def ts_paa_correlated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return paa_correlation_pairs(
-        events, "user_id", "ts", "value", n_buckets=8, n_bits=4, threshold=0.8
+        events, "user_id", "ts", "value", n_buckets=8, n_bits=None, threshold=0.8
     )
 
 

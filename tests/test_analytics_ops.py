@@ -1351,6 +1351,33 @@ def test_rfm_segments_scores_and_means(spark):
         rfm_segments(df, "k", "ts", F.col("cents"), n_bins=1)
 
 
+def test_rfm_bounded_and_distributed_paths_agree(spark):
+    # The bounded-domain escape (opt-in since the r11 measurement — see
+    # SCALING.md "Ntile strategy") must stay result-identical to the
+    # distributed default, ties and all.
+    from redpanda_ais_demo_spark.operators.features import rfm_segments
+
+    D = 86400
+    rows = [
+        (k, (k % 7 + 1) * D + o * D, (k % 5 + 1) * 100 + o)
+        for k in range(1, 24)
+        for o in range(k % 4 + 1)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, cents long")
+    a = sorted(
+        map(tuple, rfm_segments(df, "k", "ts", F.col("cents"), n_bins=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            rfm_segments(
+                df, "k", "ts", F.col("cents"), n_bins=4, bounded=True
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_reconcile_totals_profiles_discrepancies(spark):
     from redpanda_ais_demo_spark.operators.validate import reconcile_totals
 

@@ -290,7 +290,9 @@ def test_ntile_bounded_domain_enforces_max_domain(spark):
     from redpanda_ais_demo_spark.operators.ordered import ntile_bounded_domain
 
     df = spark.range(200).select(F.col("id").alias("v"), F.col("id"))
-    with pytest.raises(ValueError, match="max_domain"):
+    # enforcement is in-plan (the operator is fully lazy): the job fails
+    # at execution, before any oversized broadcast
+    with pytest.raises(Exception, match="max_domain"):
         ntile_bounded_domain(
             df, F.col("v"), [F.col("id").asc()], 4, max_domain=100
         ).collect()
