@@ -84,6 +84,18 @@ QUERIES = [
     # (10x users) with the integer max-gap aggregate.
     "spearman_order_value_vs_lines",
     "ks_purchase_value_by_variant",
+    # r11 (VERDICT r10 item 4): the r10 heavies previously missing a
+    # measured slope — SemDeDup (broadcast centroids, in-cluster pair
+    # scan: cost tracks Σ|cluster|², the paper's contract), the IRLS
+    # logistic fit and the IPW ATE stacked on it (fixed Newton rounds,
+    # each ONE partial-agg pass + a driver 2x2 solve — slope should be
+    # pure data-linear), the prefix-filtered n-gram Jaccard verifier,
+    # and the distributed IVF ANN serve path (partition-pruned probes).
+    "semdedup_embeddings",
+    "logreg_en_vs_length",
+    "ipw_ate_priority_on_revenue",
+    "ngram_jaccard_pairs_prefix",
+    "ann_ivf_topk_distributed",
 ]
 SCALES = [
     ("/root/testdata/sf0.01", 0.01),
@@ -161,22 +173,19 @@ def main() -> None:
         "```",
         "",
     ]
-    # preserve the adversarial-density section tools/skew_stress.py
-    # maintains between its markers (it measures a different fixture on
-    # its own cadence; regenerating the main table must not drop it)
+    # preserve marker-fenced sections other tools/rounds maintain on
+    # their own cadence (skew_stress's adversarial-density fixture, the
+    # r11 ntile-strategy comparison): regenerating the main table must
+    # not drop them
     out = "\n".join(lines)
     path = os.path.join(REPO, "SCALING.md")
     if os.path.exists(path):
         old = open(path).read()
-        if "<!-- skew-stress:begin -->" in old and "<!-- skew-stress:end -->" in old:
-            kept = old.split("<!-- skew-stress:begin -->")[1].split(
-                "<!-- skew-stress:end -->"
-            )[0]
-            out += (
-                "\n<!-- skew-stress:begin -->"
-                + kept
-                + "<!-- skew-stress:end -->\n"
-            )
+        for tag in ("skew-stress", "ntile-strategy"):
+            b, e = f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
+            if b in old and e in old:
+                kept = old.split(b)[1].split(e)[0]
+                out += "\n" + b + kept + e + "\n"
     with open(path, "w") as f:
         f.write(out)
     print(json.dumps({"mins": {f"{n}@{sf}": v for (n, sf), v in mins.items()}, "slopes": slopes}))
