@@ -795,3 +795,124 @@ def containment_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "common", "size_a", "size_b", "containment")
     )
+
+
+def fs_linkage_scores(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    field_cols: list[str],
+    m_prior: float = 0.9,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969) with
+    term-frequency-adjusted agreement weights — the principled upgrade
+    over boolean blocking+similarity matching: every candidate pair
+    gets a LOG-LIKELIHOOD-RATIO match score. Agreement on VALUE v of
+    field f contributes  ln(m / u_v)  with  u_v = n_v/N  (the chance a
+    random record carries v — so agreeing on a RARE value is strong
+    evidence and agreeing on a common one is weak, the adjustment
+    production linkers ship); disagreement contributes the field-level
+    ln((1−m)/(1−u_f))  with  u_f = Σ_v (n_v/N)²  (the field's value-
+    collision probability). ``m`` (P[agree | same entity]) is the
+    documented prior.
+
+    Determinism: u_f's numerator Σ n_v² forms in DECIMAL(38,0)
+    (HUGEINT in the oracle — it overflows BIGINT at corpus scale), and
+    every weight quantizes to micro-units BEFORE the per-pair sum, so
+    pair scores are exact integer sums cross-engine.
+
+    Scale: one partial-aggregable vocabulary groupBy per field (value
+    frequencies double as both the u_v table and, squared-summed, the
+    u_f scalar); vocab tables are bounded by the field-domain contract
+    and broadcast; candidates come from the caller's blocking key — a
+    hash self-equi-join, Σ block², never |N|². Output: (key_a, key_b,
+    score_micro), key_a < key_b, score > threshold.
+    """
+    if not field_cols:
+        raise ValueError("field_cols must be non-empty")
+    if not (0.0 < m_prior < 1.0):
+        raise ValueError(f"m_prior must be in (0, 1), got {m_prior}")
+    n1 = df.agg(F.count(F.lit(1)).alias("__fs_n"))
+    a = df.select(
+        F.col(key_col).alias("__fs_ka"),
+        F.col(block_col).alias("__fs_blk"),
+        *[F.col(f).alias(f"__fs_a_{f}") for f in field_cols],
+    )
+    b = df.select(
+        F.col(key_col).alias("__fs_kb"),
+        F.col(block_col).alias("__fs_blk"),
+        *[F.col(f).alias(f"__fs_b_{f}") for f in field_cols],
+    )
+    pairs = (
+        a.join(b, "__fs_blk")
+        .filter(F.col("__fs_ka") < F.col("__fs_kb"))
+        .crossJoin(F.broadcast(n1))
+    )
+    nd = F.col("__fs_n").cast("double")
+    for f in field_cols:
+        vocab = df.groupBy(F.col(f).alias(f"__fs_v_{f}")).agg(
+            F.count(F.lit(1)).alias(f"__fs_c_{f}")
+        )
+        # per-value agreement weight: ln(m / (n_v/N)), micro-quantized
+        aw = vocab.crossJoin(F.broadcast(n1)).select(
+            f"__fs_v_{f}",
+            F.round(
+                F.log(F.lit(m_prior) / (F.col(f"__fs_c_{f}").cast("double") / nd))
+                * 1e6
+            )
+            .cast("long")
+            .alias(f"__fs_aw_{f}"),
+        )
+        # field-level disagreement weight: ln((1-m)/(1-sum((n_v/N)^2))).
+        # A single-valued field has u_f = 1 exactly (disagreement is
+        # impossible, and the ratio would divide by zero) — weight 0.
+        dw = (
+            vocab.agg(
+                F.sum(
+                    F.col(f"__fs_c_{f}").cast("decimal(38,0)")
+                    * F.col(f"__fs_c_{f}").cast("decimal(38,0)")
+                ).alias("__fs_s2")
+            )
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.when(
+                    F.col("__fs_s2")
+                    < F.col("__fs_n").cast("decimal(38,0)")
+                    * F.col("__fs_n").cast("decimal(38,0)"),
+                    F.round(
+                        F.log(
+                            F.lit(1.0 - m_prior)
+                            / (
+                                F.lit(1.0)
+                                - F.col("__fs_s2").cast("double") / (nd * nd)
+                            )
+                        )
+                        * 1e6
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(f"__fs_dw_{f}"),
+            )
+        )
+        pairs = pairs.join(
+            F.broadcast(aw),
+            F.col(f"__fs_a_{f}").eqNullSafe(F.col(f"__fs_v_{f}")),
+        ).crossJoin(F.broadcast(dw))
+    score = None
+    for f in field_cols:
+        term = F.when(
+            F.col(f"__fs_a_{f}").eqNullSafe(F.col(f"__fs_b_{f}")),
+            F.col(f"__fs_aw_{f}"),
+        ).otherwise(F.col(f"__fs_dw_{f}"))
+        score = term if score is None else score + term
+    return (
+        pairs.withColumn("score_micro", score.cast("long"))
+        .filter(F.col("score_micro") > threshold_micro)
+        .select(
+            F.col("__fs_ka").alias("key_a"),
+            F.col("__fs_kb").alias("key_b"),
+            "score_micro",
+        )
+    )

@@ -229,3 +229,56 @@ def pit_join(
     return carried.filter(F.col("__isdim") == 0).select(
         *probe_cols, F.col("__state")["a"].alias(attr_col)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    cell_size: int,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open semantics: rows pair
+    iff ``l.lo < r.hi AND r.lo < l.hi``) — the concurrency join behind
+    "which sessions/visits/outages coincided", and the third member of
+    the temporal-join family next to the as-of join and the
+    point-in-interval range join.
+
+    Scale shape: the naive formulation is a pure inequality join
+    (cartesian under the hood). Both sides instead explode onto a
+    ``cell_size`` grid (an interval occupies cells
+    floor(lo/c)..floor(hi/c)), pair candidates meet with ONE hash
+    equi-join on the cell, and each true pair is counted exactly once
+    at the CANONICAL cell — the cell containing ``greatest(l.lo,
+    r.lo)``, the overlap's start, which both intervals provably occupy
+    — so no distinct/dedup pass is needed after the exact filter.
+    Candidate count is Σ per-cell occupancy², the grid-file contract
+    shared with ``close_pairs``; pick ``cell_size`` near the typical
+    interval length, and AQE's skew-join split handles hot cells.
+
+    Inverted (hi <= lo, empty under half-open semantics) intervals are
+    dropped before the explode. Output: left columns + right columns
+    (callers alias collisions away beforehand).
+    """
+    if cell_size <= 0:
+        raise ValueError("cell_size must be positive")
+    llo, lhi = F.col(left_lo), F.col(left_hi)
+    rlo, rhi = F.col(right_lo), F.col(right_hi)
+    cells = lambda lo, hi: F.explode(  # noqa: E731
+        F.sequence(
+            F.floor(lo / F.lit(cell_size)).cast("long"),
+            F.floor(hi / F.lit(cell_size)).cast("long"),
+        )
+    )
+    lc = left.filter(llo < lhi).withColumn("__cell", cells(llo, lhi))
+    rc = right.filter(rlo < rhi).withColumn("__cell", cells(rlo, rhi))
+    canonical = F.floor(
+        F.greatest(llo, rlo) / F.lit(cell_size)
+    ).cast("long")
+    return (
+        lc.join(rc, "__cell")
+        .filter((llo < rhi) & (rlo < lhi) & (F.col("__cell") == canonical))
+        .drop("__cell")
+    )

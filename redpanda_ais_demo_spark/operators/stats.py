@@ -3133,3 +3133,70 @@ def regression_discontinuity(
         F.round(b1r, 6).alias("slope_right"),
         F.round(b0r - b0l, 6).alias("effect_at_cutoff"),
     )
+
+
+def ece_binned(
+    df: DataFrame,
+    p_micro,
+    label,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error over a binary
+    outcome — the standard readout for "does a score of 0.8 mean 80%"
+    (Naeini et al. 2015; the eval that belongs next to AUC/AP/isotonic
+    whenever a score is USED as a probability). Scores arrive as exact
+    micro-unit integers in [0, 1e6] (``p_micro``); equal-width bins;
+    per bin: population, mean confidence, observed rate, and the
+    |confidence − accuracy| gap; ECE = population-weighted gap sum.
+
+    Determinism: everything is integer until the final divisions —
+    per-bin Σp_micro and Σy are exact BIGINTs, the bin gap is
+    |Σp − 1e6·Σy| (exact), and ECE in micro-units is the exact
+    ``sum(gap·…)//…`` replay of the weighted mean via integer sums, so
+    both engines agree to the bit before one round-6 display division.
+
+    Scale: ONE partial-aggregable groupBy over ≤ n_bins rows; totals
+    broadcast back from a 1-row aggregate. Output: one row per
+    non-empty bin — (bin, n, conf, acc, gap, ece) with the scalar ECE
+    repeated per row for single-pass consumption.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    p = p_micro.cast("long")
+    y = label.cast("long")
+    # exact integer bin: (p * n_bins) div 1e6, clamped to the last bin
+    b = F.least(
+        (p * n_bins - F.pmod(p * n_bins, F.lit(1_000_000))) / 1_000_000,
+        F.lit(n_bins - 1),
+    ).cast("int")
+    per = (
+        df.select(b.alias("bin"), p.alias("p"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sp"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    gap_micro = F.abs(F.col("sp") - F.lit(1_000_000) * F.col("sy"))
+    scored = per.withColumn("gap_micro", gap_micro)
+    tot = scored.agg(
+        F.sum("n").alias("nn"), F.sum("gap_micro").alias("gm")
+    )
+    t = scored.crossJoin(F.broadcast(tot))
+    return t.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sp").cast("double") / F.col("n").cast("double") / 1e6, 6).alias(
+            "conf"
+        ),
+        F.round(F.col("sy").cast("double") / F.col("n").cast("double"), 6).alias(
+            "acc"
+        ),
+        F.round(
+            F.col("gap_micro").cast("double") / F.col("n").cast("double") / 1e6, 6
+        ).alias("gap"),
+        F.round(F.col("gm").cast("double") / F.col("nn").cast("double") / 1e6, 6).alias(
+            "ece"
+        ),
+    )

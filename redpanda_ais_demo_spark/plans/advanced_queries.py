@@ -149,6 +149,93 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Interval-overlap join (session concurrency) ---------------------------
+
+
+@query(
+    "concurrent_session_pairs",
+    oracle="""
+        WITH e AS (
+            SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t
+            FROM events),
+        flagged AS (
+            SELECT u, t,
+                   CASE WHEN lag(t) OVER w IS NULL
+                             OR t - lag(t) OVER w > 600 THEN 1 ELSE 0 END AS new
+            FROM e WINDOW w AS (PARTITION BY u ORDER BY t)),
+        sess AS (
+            SELECT u, t,
+                   CAST(sum(new) OVER (PARTITION BY u ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM flagged),
+        iv AS (
+            SELECT u, sid, min(t) AS lo, max(t) + 1 AS hi
+            FROM sess GROUP BY u, sid)
+        SELECT a.u AS user_a, b.u AS user_b,
+               CAST(count(*) AS BIGINT) AS n_session_pairs,
+               CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+                   AS overlap_sec
+        FROM iv a JOIN iv b
+          ON a.u < b.u AND a.lo < b.hi AND b.lo < a.hi
+        GROUP BY a.u, b.u
+    """,
+    tags=("join", "interval", "timeseries", "scale-path"),
+    doc="Interval x interval OVERLAP join — the concurrency analysis "
+    "('whose sessions coincided, for how long'): per-user activity "
+    "sessions (10-min gap rule, the sessionize mechanism), then every "
+    "cross-user overlapping session pair with total overlap seconds. "
+    "The naive form is an inequality join (cartesian at scale); the "
+    "operator explodes both sides onto a 600 s grid, hash-joins on the "
+    "cell, and counts each true pair exactly once at the canonical "
+    "cell containing the overlap start — candidates are per-cell "
+    "occupancy products, never |sessions|^2; the oracle IS the "
+    "brute-force inequality join, proving the grid lossless "
+    "(operators/joins.py:interval_overlap_join).",
+)
+def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.joins import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        F.col("user_id").alias("u"), F.unix_timestamp("ts").cast("long").alias("t")
+    )
+    w = Window.partitionBy("u").orderBy("t")
+    flagged = e.withColumn(
+        "new",
+        F.when(
+            F.lag("t").over(w).isNull() | (F.col("t") - F.lag("t").over(w) > 600),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    iv = sess.groupBy("u", "sid").agg(
+        F.min("t").alias("lo"), (F.max("t") + 1).alias("hi")
+    )
+    a = iv.select(
+        F.col("u").alias("user_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
+    )
+    b = iv.select(
+        F.col("u").alias("user_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
+    )
+    pairs = interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 600).filter(
+        F.col("user_a") < F.col("user_b")
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_session_pairs"),
+        F.sum(
+            F.least(F.col("hi_a"), F.col("hi_b"))
+            - F.greatest(F.col("lo_a"), F.col("lo_b"))
+        )
+        .cast("long")
+        .alias("overlap_sec"),
+    )
+
+
 # --- Exact quantiles -------------------------------------------------------
 
 

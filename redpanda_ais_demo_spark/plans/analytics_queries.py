@@ -5479,6 +5479,57 @@ def isotonic_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ece_length_vs_en",
+    oracle="""
+        WITH d AS (
+            SELECT least(n_chars * 2000, 1000000) AS p,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        per AS (
+            SELECT least((p * 10) // 1000000, 9) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS BIGINT) AS sp,
+                   CAST(sum(y) AS BIGINT) AS sy
+            FROM d GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(abs(sp - 1000000 * sy)) AS BIGINT) AS gm
+            FROM per
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n,
+               round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS conf,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+               round(CAST(abs(sp - 1000000 * sy) AS DOUBLE)
+                     / CAST(n AS DOUBLE) / 1000000.0, 6) AS gap,
+               round(CAST(gm AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0, 6) AS ece
+        FROM per, tot
+    """,
+    tags=("analytics", "ml-eval", "calibration", "agg"),
+    doc="Reliability diagram + Expected Calibration Error (Naeini et "
+    "al. 2015) for the length-as-English-probability scorer that "
+    "isotonic_length_vs_en calibrates: 10 equal-width confidence bins, "
+    "per-bin population / mean confidence / observed rate / gap, and "
+    "the population-weighted ECE scalar — all integer micro-units "
+    "until the display divisions, so both engines agree to the bit. "
+    "One bounded groupBy + a 1-row total broadcast "
+    "(operators/stats.py:ece_binned).",
+)
+def ece_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ece_binned
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull())
+    return ece_binned(
+        d,
+        F.least(F.col("n_chars") * 2000, F.lit(1_000_000)),
+        (F.col("lang") == "en").cast("long"),
+        n_bins=10,
+    )
+
+
+@query(
     "neyman_sample_events",
     oracle="""
         WITH base AS (

@@ -3235,3 +3235,137 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_vad_segments(
         assets, frame_ms=20, threshold=0.1, min_frames=2
     )
+
+
+@query(
+    "dsir_weights_toward_en",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+                   string_split(text, ' ') AS w
+            FROM documents),
+        grams AS (
+            SELECT id, tgt,
+                   unnest(list_concat(w,
+                       list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i + 1]))) AS g
+            FROM base),
+        posts AS (
+            SELECT id, tgt,
+                   CAST('0x' || substring(md5('dsir:' || g), 1, 8) AS BIGINT)
+                       % 4096 AS b
+            FROM grams),
+        bc AS (
+            SELECT b, CAST(sum(tgt) AS BIGINT) AS ct,
+                   CAST(count(*) - sum(tgt) AS BIGINT) AS cs
+            FROM posts GROUP BY b),
+        tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                       CAST(sum(cs) AS BIGINT) AS ts FROM bc),
+        ratio AS (
+            SELECT b,
+                   CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+                             - ln(CAST(cs + 1 AS DOUBLE) / CAST(ts + 4096 AS DOUBLE)))
+                              * 1000000) AS BIGINT) AS ratio_micro
+            FROM bc, tot),
+        pdb AS (SELECT id, b, CAST(count(*) AS BIGINT) AS c
+                FROM posts GROUP BY id, b),
+        w8 AS (
+            SELECT id, CAST(sum(c) AS BIGINT) AS n_grams,
+                   CAST(sum(c * ratio_micro) AS BIGINT) AS logw_micro
+            FROM pdb JOIN ratio USING (b) GROUP BY id)
+        SELECT w8.id AS doc_id, n_grams, logw_micro
+        FROM w8 JOIN documents d ON w8.id = d.doc_id
+        WHERE d.lang <> 'en'
+        ORDER BY logw_micro DESC, doc_id
+        LIMIT 100
+    """,
+    tags=("llm", "corpus", "selection", "agg", "scale-path"),
+    doc="DSIR data selection (Xie et al., NeurIPS 2023): score every "
+    "non-English document by how English-like its hashed-n-gram "
+    "profile is — unigram+bigram md5 buckets (4096), add-1-smoothed "
+    "target/source log-ratios, per-doc importance = exact integer sum "
+    "of count x micro-quantized ratio; top-100 selection candidates. "
+    "One bounded bucket aggregate + a broadcast ratio table; gram "
+    "explosion is map-side; no corpus-sized sort "
+    "(operators/corpus.py:dsir_hashed_ngram_weights).",
+)
+def dsir_weights_toward_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = corpus.dsir_hashed_ngram_weights(
+        docs, F.col("lang") == "en", n_buckets=4096
+    )
+    return (
+        weights.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") != "en")
+        .select("doc_id", "n_grams", "logw_micro")
+        .orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "fs_link_same_name_parts",
+    oracle="""
+        WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+        vb AS (SELECT p_brand AS v, CAST(count(*) AS BIGINT) AS c FROM part GROUP BY 1),
+        vt AS (SELECT p_type AS v, CAST(count(*) AS BIGINT) AS c FROM part GROUP BY 1),
+        vs AS (SELECT p_size AS v, CAST(count(*) AS BIGINT) AS c FROM part GROUP BY 1),
+        awb AS (SELECT v, CAST(round(ln(0.9 / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS aw FROM vb, n),
+        awt AS (SELECT v, CAST(round(ln(0.9 / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS aw FROM vt, n),
+        aws AS (SELECT v, CAST(round(ln(0.9 / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS aw FROM vs, n),
+        dwb AS (SELECT CASE WHEN s2 < CAST(n AS HUGEINT) * n
+                            THEN CAST(round(ln(0.1 / (1.0 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) * 1000000) AS BIGINT)
+                            ELSE 0 END AS dw
+                FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2 FROM vb), n),
+        dwt AS (SELECT CASE WHEN s2 < CAST(n AS HUGEINT) * n
+                            THEN CAST(round(ln(0.1 / (1.0 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) * 1000000) AS BIGINT)
+                            ELSE 0 END AS dw
+                FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2 FROM vt), n),
+        dws AS (SELECT CASE WHEN s2 < CAST(n AS HUGEINT) * n
+                            THEN CAST(round(ln(0.1 / (1.0 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) * 1000000) AS BIGINT)
+                            ELSE 0 END AS dw
+                FROM (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2 FROM vs), n)
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               (CASE WHEN a.p_brand = b.p_brand THEN ab.aw ELSE dwb.dw END
+                + CASE WHEN a.p_type = b.p_type THEN at2.aw ELSE dwt.dw END
+                + CASE WHEN a.p_size = b.p_size THEN as2.aw ELSE dws.dw END)
+                   AS score_micro
+        FROM part a
+        JOIN part b ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+        JOIN awb ab ON ab.v = a.p_brand
+        JOIN awt at2 ON at2.v = a.p_type
+        JOIN aws as2 ON as2.v = a.p_size,
+             dwb, dwt, dws
+        WHERE (CASE WHEN a.p_brand = b.p_brand THEN ab.aw ELSE dwb.dw END
+               + CASE WHEN a.p_type = b.p_type THEN at2.aw ELSE dwt.dw END
+               + CASE WHEN a.p_size = b.p_size THEN as2.aw ELSE dws.dw END) > 0
+        ORDER BY score_micro DESC, key_a, key_b
+        LIMIT 200
+    """,
+    tags=("llm", "entity-resolution", "join", "statistics", "scale-path"),
+    doc="Fellegi-Sunter probabilistic record linkage (JASA 1969) with "
+    "term-frequency-adjusted agreement weights over same-name part "
+    "listings: agreeing on value v scores ln(m / (n_v/N)) — rare "
+    "values are strong evidence, common ones weak (the adjustment "
+    "production linkers ship) — and disagreeing scores the field-level "
+    "ln((1-m)/(1-sum((n_v/N)^2))), m=0.9 prior, every weight "
+    "micro-quantized before the exact integer pair sum "
+    "(DECIMAL/HUGEINT squared-count sums). Blocking = name equality "
+    "hash self-join (sum block^2, never N^2); vocab weight tables "
+    "broadcast; top-200 positive-evidence pairs "
+    "(operators/dedup.py:fs_linkage_scores).",
+)
+def fs_link_same_name_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        dedup.fs_linkage_scores(
+            part,
+            key_col="p_partkey",
+            block_col="p_name",
+            field_cols=["p_brand", "p_type", "p_size"],
+            m_prior=0.9,
+        )
+        .orderBy(F.col("score_micro").desc(), "key_a", "key_b")
+        .limit(200)
+    )

@@ -1,0 +1,149 @@
+"""Round-11 operators: DSIR importance weights (hand-built corpora),
+ECE reliability readout (hand-computed bins), and the interval-overlap
+join (brute-force parity, half-open boundaries, canonical-cell dedup).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from redpanda_ais_demo_spark.operators.corpus import dsir_hashed_ngram_weights
+
+    rows = (
+        # target corpus: talks about alpha
+        [(i, "tgt", "alpha beam alpha core") for i in range(4)]
+        # source pool: beta docs, plus one alpha-like candidate
+        + [(10 + i, "src", "beta gamma beta delta") for i in range(4)]
+        + [(99, "src", "alpha beam alpha probe")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = {
+        r.doc_id: r
+        for r in dsir_hashed_ngram_weights(
+            docs, F.col("grp") == "tgt", n_buckets=512
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 10, 11, 12, 13, 99}
+    # 4 tokens -> 4 unigrams + 3 bigrams
+    assert all(r.n_grams == 7 for r in out.values())
+    # the alpha-like source doc must outscore every beta doc
+    beta_scores = [out[10 + i].logw_micro for i in range(4)]
+    assert out[99].logw_micro > max(beta_scores)
+    # target docs score highest of all (they ARE the target profile)
+    assert out[0].logw_micro > out[99].logw_micro
+    # deterministic: same inputs, same exact integers
+    again = {
+        r.doc_id: r.logw_micro
+        for r in dsir_hashed_ngram_weights(
+            docs, F.col("grp") == "tgt", n_buckets=512
+        ).collect()
+    }
+    assert again == {k: v.logw_micro for k, v in out.items()}
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_hashed_ngram_weights(docs, F.col("grp") == "tgt", n_buckets=1)
+
+
+def test_ece_binned_hand_computed(spark):
+    from redpanda_ais_demo_spark.operators.stats import ece_binned
+
+    # two bins: p=0.1 (4 rows, 1 positive -> conf .1, acc .25, gap .15)
+    #           p=0.95 (2 rows, 2 positive -> conf .95, acc 1, gap .05)
+    rows = [(100_000, 1), (100_000, 0), (100_000, 0), (100_000, 0),
+            (950_000, 1), (950_000, 1)]
+    df = spark.createDataFrame(rows, "p long, y long")
+    out = {r.bin: r for r in ece_binned(df, F.col("p"), F.col("y"), 10).collect()}
+    assert set(out) == {1, 9}
+    assert out[1].n == 4 and out[1].conf == 0.1 and out[1].acc == 0.25
+    assert out[1].gap == 0.15
+    assert out[9].n == 2 and out[9].conf == 0.95 and out[9].acc == 1.0
+    assert out[9].gap == pytest.approx(0.05)
+    # ece = (4*.15 + 2*.05) / 6 = 0.7/6
+    assert out[1].ece == out[9].ece == round(0.7 / 6, 6)
+    # p = 1.0 exactly lands in the LAST bin, not a phantom bin 10
+    edge = ece_binned(
+        spark.createDataFrame([(1_000_000, 1)], "p long, y long"),
+        F.col("p"), F.col("y"), 10,
+    ).collect()
+    assert len(edge) == 1 and edge[0].bin == 9
+    with pytest.raises(ValueError, match="n_bins"):
+        ece_binned(df, F.col("p"), F.col("y"), 1)
+
+
+@pytest.mark.parametrize("cell", [1, 3, 7, 100])
+def test_interval_overlap_join_matches_bruteforce(spark, cell):
+    from redpanda_ais_demo_spark.operators.joins import interval_overlap_join
+
+    # deterministic pseudo-random intervals, including touching pairs,
+    # nested pairs, duplicates, multi-cell spans, and inverted rows
+    rows_a = [(i, (i * 37) % 50, (i * 37) % 50 + (i * 13) % 17 - 2) for i in range(40)]
+    rows_b = [(j, (j * 29) % 50, (j * 29) % 50 + (j * 11) % 23 - 2) for j in range(40)]
+    a = spark.createDataFrame(rows_a, "ida long, lo_a long, hi_a long")
+    b = spark.createDataFrame(rows_b, "idb long, lo_b long, hi_b long")
+    got = {
+        (r.ida, r.idb)
+        for r in interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", cell).collect()
+    }
+    want = {
+        (ia, ib)
+        for ia, la, ha in rows_a
+        for ib, lb, hb in rows_b
+        if la < ha and lb < hb and la < hb and lb < ha
+    }
+    assert got == want
+    # each pair exactly once (canonical-cell dedup, no distinct pass)
+    dup = interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", cell).count()
+    assert dup == len(want)
+
+
+def test_interval_overlap_half_open_boundary(spark):
+    from redpanda_ais_demo_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10)], "ida long, lo_a long, hi_a long")
+    b = spark.createDataFrame(
+        [(1, 10, 20), (2, 9, 10), (3, 0, 10)], "idb long, lo_b long, hi_b long"
+    )
+    got = {
+        r.idb
+        for r in interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 5).collect()
+    }
+    # [0,10) vs [10,20): touching, NOT overlapping (half-open)
+    assert got == {2, 3}
+    with pytest.raises(ValueError, match="cell_size"):
+        interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", 0)
+
+
+def test_fs_linkage_rare_agreement_outscores_common(spark):
+    from redpanda_ais_demo_spark.operators.dedup import fs_linkage_scores
+
+    # block "x": keys 1,2 agree on a RARE brand; keys 3,4 agree on the
+    # COMMON brand; keys 5,6 disagree on brand. All share type.
+    rows = [
+        (1, "x", "rare", "t"), (2, "x", "rare", "t"),
+        (3, "x", "common", "t"), (4, "x", "common", "t"),
+        (5, "x", "common", "t"), (6, "x", "other", "t"),
+        # filler giving "common" high frequency in other blocks
+        *[(10 + i, f"b{i}", "common", "t") for i in range(10)],
+    ]
+    df = spark.createDataFrame(rows, "k long, blk string, brand string, typ string")
+    out = {
+        (r.key_a, r.key_b): r.score_micro
+        for r in fs_linkage_scores(
+            df, "k", "blk", ["brand", "typ"], m_prior=0.9,
+            threshold_micro=-10**15,
+        ).collect()
+    }
+    # rare-brand agreement is stronger evidence than common-brand
+    assert out[(1, 2)] > out[(3, 4)]
+    # any agreement beats disagreement
+    assert out[(3, 4)] > out[(5, 6)]
+    # blocking: no cross-block pairs
+    assert all(ka in (1, 2, 3, 4, 5, 6) and kb in (1, 2, 3, 4, 5, 6) for ka, kb in out)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="field_cols"):
+        fs_linkage_scores(df, "k", "blk", [], 0.9)
+    with _p.raises(ValueError, match="m_prior"):
+        fs_linkage_scores(df, "k", "blk", ["brand"], 1.0)

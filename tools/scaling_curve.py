@@ -181,7 +181,7 @@ def main() -> None:
     path = os.path.join(REPO, "SCALING.md")
     if os.path.exists(path):
         old = open(path).read()
-        for tag in ("skew-stress", "ntile-strategy"):
+        for tag in ("skew-stress", "ntile-strategy", "paa-output"):
             b, e = f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
             if b in old and e in old:
                 kept = old.split(b)[1].split(e)[0]
