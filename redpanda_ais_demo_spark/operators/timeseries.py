@@ -2011,3 +2011,80 @@ def cross_correlation(
         n.cast("long").alias("n_buckets"),
         F.round(F.when(ok, num / (F.sqrt(vx) * F.sqrt(vy))), 6).alias("ccf"),
     )
+
+
+def amoc_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """Offline single-changepoint detection (AMOC — At Most One Change,
+    the binary-segmentation primitive): find WHERE the mean of a metric
+    stream shifted, as opposed to the streaming CUSUM trackers that
+    answer WHETHER it has drifted past a threshold right now. The
+    statistic at candidate split t is the classic CUSUM deviation
+
+        D_t = | S_t · N − n_t · S_N |
+
+    (S_t / n_t cumulative cent-sum / count through bucket t; S_N / N
+    the totals) — the integer-scaled form of |mean-so-far − overall
+    mean| weighted by both segment sizes, maximized over t. Everything
+    is exact BIGINT/DECIMAL arithmetic: the argmax is never an FP tie,
+    and both engines replay it bit-identically.
+
+    Scale: one partial-aggregable groupBy to one row per time bucket,
+    then cumulative windows over the CALENDAR-bounded bucket axis (the
+    bounded-frame single-partition window class, same argument as the
+    A/B monitor trajectory), a 4-scalar total broadcast, and a top-1
+    TakeOrdered pick. Output: ONE row — (cp_ts, d_stat, n_pre, n_post,
+    mean_pre, mean_post) with means in display units (round 6).
+    """
+    if bucket_sec <= 0:
+        raise ValueError("bucket_sec must be positive")
+    ts = F.unix_timestamp(F.col(ts_col)).cast("long")
+    bucket = (F.floor(ts / bucket_sec) * bucket_sec).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.select(bucket.alias("b"), cents.alias("c"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "b",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("s").over(w).cast("long").alias("cs"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("s").cast("long").alias("ts_sum")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        # the last bucket is not a split (post segment would be empty)
+        .filter(F.col("cn") < F.col("tn"))
+        .withColumn(
+            "d_stat",
+            F.abs(
+                F.col("cs").cast("decimal(38,0)") * F.col("tn").cast("decimal(38,0)")
+                - F.col("cn").cast("decimal(38,0)")
+                * F.col("ts_sum").cast("decimal(38,0)")
+            ),
+        )
+    )
+    best = d.orderBy(F.col("d_stat").desc(), F.col("b").asc()).limit(1)
+    return best.select(
+        F.col("b").alias("cp_ts"),
+        F.col("d_stat").cast("double").alias("d_stat"),
+        F.col("cn").alias("n_pre"),
+        (F.col("tn") - F.col("cn")).alias("n_post"),
+        F.round(F.col("cs").cast("double") / F.col("cn").cast("double") / 100.0, 6).alias(
+            "mean_pre"
+        ),
+        F.round(
+            (F.col("ts_sum") - F.col("cs")).cast("double")
+            / (F.col("tn") - F.col("cn")).cast("double")
+            / 100.0,
+            6,
+        ).alias("mean_post"),
+    )

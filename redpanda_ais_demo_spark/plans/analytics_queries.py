@@ -6759,3 +6759,95 @@ def rdd_en_rate_at_length_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
     )
     return regression_discontinuity(t, "x", "y", cutoff=500, bandwidth=200)
+
+
+@query(
+    "amoc_value_changepoint",
+    oracle="""
+        WITH per AS (
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+            FROM events GROUP BY 1),
+        cum AS (
+            SELECT b, CAST(sum(n) OVER w AS BIGINT) AS cn,
+                   CAST(sum(s) OVER w AS BIGINT) AS cs
+            FROM per WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                       CAST(sum(s) AS BIGINT) AS ts_sum FROM per),
+        d AS (
+            SELECT b, cn, cs, tn, ts_sum,
+                   abs(CAST(cs AS HUGEINT) * tn - CAST(cn AS HUGEINT) * ts_sum) AS d_stat
+            FROM cum, tot WHERE cn < tn)
+        SELECT b AS cp_ts, CAST(d_stat AS DOUBLE) AS d_stat,
+               cn AS n_pre, tn - cn AS n_post,
+               round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) / 100.0, 6) AS mean_pre,
+               round(CAST(ts_sum - cs AS DOUBLE) / CAST(tn - cn AS DOUBLE) / 100.0, 6) AS mean_post
+        FROM d ORDER BY d_stat DESC, b LIMIT 1
+    """,
+    tags=("analytics", "timeseries", "changepoint", "agg"),
+    doc="Offline single-changepoint detection (AMOC, the binary-"
+    "segmentation primitive): WHERE did the mean hourly event value "
+    "shift — argmax over split points of the exact-integer CUSUM "
+    "deviation |S_t*N - n_t*S_N| (DECIMAL/HUGEINT, so the argmax is "
+    "never an FP tie), reporting the changepoint hour and both segment "
+    "means. Complements the streaming CUSUM (WHETHER it drifted now). "
+    "One bucket aggregate + a calendar-bounded cumulative window + "
+    "top-1 (operators/timeseries.py:amoc_changepoint).",
+)
+def amoc_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import amoc_changepoint
+
+    events = load_table(spark, sf_dir, "events")
+    return amoc_changepoint(events, "ts", "value", bucket_sec=3600)
+
+
+@query(
+    "benford_order_amounts",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders),
+        per AS (
+            SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c WHERE c >= 100 GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM per),
+        pr(digit, p) AS (VALUES
+            (1, 0.3010299956639812), (2, 0.17609125905568124),
+            (3, 0.12493873660829992), (4, 0.09691001300805642),
+            (5, 0.07918124604762482), (6, 0.06694678963061322),
+            (7, 0.05799194697768673), (8, 0.05115252244738129),
+            (9, 0.04575749056067514)),
+        scored AS (
+            SELECT per.digit, n,
+                   CAST(nn AS DOUBLE) * p AS expected,
+                   CAST(n AS DOUBLE) - CAST(nn AS DOUBLE) * p AS dev
+            FROM per JOIN pr ON pr.digit = per.digit, tot),
+        micro AS (
+            SELECT digit, n, expected, dev,
+                   CAST(round(dev * dev / expected * 1000000) AS BIGINT) AS chi_micro
+            FROM scored),
+        chi AS (SELECT CAST(sum(chi_micro) AS DOUBLE) / 1000000.0 AS chi2 FROM micro)
+        SELECT CAST(digit AS BIGINT) AS digit, n,
+               round(expected, 6) AS expected_n,
+               round(dev, 6) AS deviation,
+               chi2
+        FROM micro, chi
+    """,
+    tags=("validation", "statistics", "agg"),
+    doc="Benford's-law first-digit audit over order amounts (Nigrini "
+    "forensic accounting): observed vs expected counts per first "
+    "significant digit of the cents integer (string-derived — never "
+    "floor(log10), whose libm differs at exact powers of ten) plus the "
+    "chi-squared statistic, each digit's term micro-quantized before "
+    "the exact integer sum. One projection + a 9-row groupBy "
+    "(operators/validate.py:benford_first_digit_audit).",
+)
+def benford_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import benford_first_digit_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_first_digit_audit(
+        orders, F.round(F.col("o_totalprice") * 100), min_cents=100
+    )

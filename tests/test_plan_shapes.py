@@ -820,6 +820,9 @@ BOUNDED_DOMAIN_UNPART_WINDOWS = {
     # EMD CDF over the sensitive-value domain (bounded by the same
     # contract t-closeness itself audits)
     "t_closeness_orders": "sensitive-value domain",
+    # AMOC cumulative split statistics over the calendar-hour bucket
+    # axis (operators/timeseries.py:amoc_changepoint)
+    "amoc_value_changepoint": "calendar-hour bucket axis",
 }
 
 _BOUND_MARKERS = (

@@ -147,3 +147,56 @@ def test_fs_linkage_rare_agreement_outscores_common(spark):
         fs_linkage_scores(df, "k", "blk", [], 0.9)
     with _p.raises(ValueError, match="m_prior"):
         fs_linkage_scores(df, "k", "blk", ["brand"], 1.0)
+
+
+def test_amoc_changepoint_finds_planted_shift(spark):
+    from redpanda_ais_demo_spark.operators.timeseries import amoc_changepoint
+
+    # mean 10.00 for buckets 0..9, mean 30.00 for buckets 10..19 —
+    # the argmax split must be the last pre-shift bucket (t=9)
+    rows = [
+        (b * 100 + i, 10.0 if b < 10 else 30.0)
+        for b in range(20)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "t long, v double").select(
+        F.timestamp_seconds(F.col("t")).alias("ts"), F.col("v")
+    )
+    out = amoc_changepoint(df, "ts", "v", bucket_sec=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cp_ts == 900
+    assert r.n_pre == 50 and r.n_post == 50
+    assert r.mean_pre == 10.0 and r.mean_post == 30.0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="bucket_sec"):
+        amoc_changepoint(df, "ts", "v", bucket_sec=0)
+
+
+def test_benford_audit_hand_distribution(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.validate import (
+        benford_first_digit_audit,
+    )
+
+    # 100 amounts with first digit 1, 100 with first digit 9 (gross
+    # Benford violation), plus sub-threshold rows that must be excluded
+    rows = (
+        [(100 + i,) for i in range(100)]
+        + [(900 + i,) for i in range(100)]
+        + [(5,), (99,)]
+    )
+    df = spark.createDataFrame(rows, "cents long")
+    out = {r.digit: r for r in benford_first_digit_audit(df, F.col("cents")).collect()}
+    assert set(out) == {1, 9}
+    assert out[1].n == 100 and out[9].n == 100
+    p1 = math.log10(2.0)
+    assert out[1].expected_n == round(200 * p1, 6)
+    # chi2 identical on every row, equals the micro-quantized sum
+    assert out[1].chi2 == out[9].chi2 > 0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="min_cents"):
+        benford_first_digit_audit(df, F.col("cents"), min_cents=0)
