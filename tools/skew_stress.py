@@ -213,12 +213,92 @@ def main() -> None:
         if not os.path.exists(os.path.join(d, "events.parquet")):
             shutil.copyfile(src, os.path.join(d, "events.parquet"))
 
+    # --- r11: the two new bucketed joins -------------------------------
+    # fs_linkage_scores: Σ block² on the blocking key. Benign = 640
+    # name-blocks of 30; hot = ONE 3000-row name block (~4.5M pairs
+    # through one hash bucket); mitigated = the caller's knob — a finer
+    # COMPOSITE blocking key (name+brand), the linkage-world equivalent
+    # of more band bits.
+    from pyspark.sql import functions as FF
+
+    from redpanda_ais_demo_spark.operators.dedup import fs_linkage_scores
+    from redpanda_ais_demo_spark.operators.joins import interval_overlap_join
+
+    def fs_frame(hot: bool):
+        n = 19_200
+        base = spark.range(n).select(
+            FF.col("id").alias("k"),
+            (
+                FF.when(FF.col("id") < 3000, FF.lit("HOTNAME")).otherwise(
+                    FF.concat(FF.lit("name"), (FF.col("id") % 640).cast("string"))
+                )
+                if hot
+                else FF.concat(FF.lit("name"), (FF.col("id") % 640).cast("string"))
+            ).alias("name"),
+            FF.concat(FF.lit("B"), (FF.col("id") % 25).cast("string")).alias("brand"),
+            FF.concat(FF.lit("T"), (FF.col("id") % 10).cast("string")).alias("typ"),
+            (FF.col("id") % 50).alias("size"),
+        )
+        return base
+
+    def run_fs(hot: bool, composite: bool) -> None:
+        df = fs_frame(hot)
+        if composite:
+            df = df.withColumn(
+                "blk", FF.concat_ws("|", FF.col("name"), FF.col("brand"))
+            )
+        else:
+            df = df.withColumn("blk", FF.col("name"))
+        fs_linkage_scores(
+            df, "k", "blk", ["brand", "typ", "size"], m_prior=0.9
+        ).write.format("noop").mode("overwrite").save()
+
+    # interval_overlap_join: Σ cell-occupancy² candidates. Adversarial =
+    # 3000 DISJOINT 10s intervals packed into one 86400s cell (4.5M
+    # candidates, zero overlaps — candidates without results, the grid
+    # worst case); mitigated = cell_size matched to the interval length
+    # (the operator's documented knob); benign = same 86400 cell size
+    # but intervals spread one per cell.
+    def iv_frame(packed: bool):
+        # packed: ALL 20k tiny intervals inside [0, 86400) -> one cell at
+        # cell_size=86400 (~200M candidate pairs, ~zero true overlaps);
+        # benign: one interval per cell at the same cell size
+        lo = (
+            (FF.col("id") * 7919) % 86_000
+            if packed
+            else FF.col("id") * 86_400
+        )
+        return spark.range(20_000).select(
+            FF.col("id").alias("ida"),
+            lo.cast("long").alias("lo_a"),
+            (lo + 10).cast("long").alias("hi_a"),
+        )
+
+    def run_iv(packed: bool, cell: int) -> None:
+        a = iv_frame(packed)
+        b = (
+            a.select(
+                FF.col("ida").alias("idb"),
+                FF.col("lo_a").alias("lo_b"),
+                FF.col("hi_a").alias("hi_b"),
+            )
+        )
+        interval_overlap_join(
+            a, b, "lo_a", "hi_a", "lo_b", "hi_b", cell
+        ).write.format("noop").mode("overwrite").save()
+
     res = {
         "close_benign_s": _time(lambda: run_close(benign_events_dir, "events.parquet")),
         "close_hotcell_s": _time(lambda: run_close(hot_dir, "events.parquet")),
         "paa_benign4_s": _time(lambda: run_paa(ben_dir, "events.parquet", 4)),
         "paa_adversarial4_s": _time(lambda: run_paa(adv_dir, "events.parquet", 4)),
         "paa_adversarial12_s": _time(lambda: run_paa(adv_dir, "events.parquet", 12)),
+        "fs_benign_s": _time(lambda: run_fs(False, False)),
+        "fs_hotblock_s": _time(lambda: run_fs(True, False)),
+        "fs_composite_s": _time(lambda: run_fs(True, True)),
+        "iv_benign_s": _time(lambda: run_iv(False, 86_400)),
+        "iv_packed_s": _time(lambda: run_iv(True, 86_400)),
+        "iv_rightcell_s": _time(lambda: run_iv(True, 30)),
     }
 
     k_hot = 100_000 // HOT_EVERY
@@ -239,6 +319,10 @@ def main() -> None:
         f"| {res['close_benign_s']} | {res['close_hotcell_s']} | — (AQE skew split / finer cells) |",
         f"| paa_correlation_pairs: {N_USERS} users in ONE 4-bit band (~{N_USERS * N_USERS // 2 // 1_000_000}M candidates) "
         f"| {res['paa_benign4_s']} | {res['paa_adversarial4_s']} | {res['paa_adversarial12_s']} (n_bits=12) |",
+        f"| fs_linkage_scores: 3000 records in ONE name block (~4.5M scored pairs) "
+        f"| {res['fs_benign_s']} | {res['fs_hotblock_s']} | {res['fs_composite_s']} (composite name+brand block) |",
+        f"| interval_overlap_join: 20k near-disjoint 10s intervals in ONE 86400s cell (~200M candidates) "
+        f"| {res['iv_benign_s']} | {res['iv_packed_s']} | {res['iv_rightcell_s']} (cell_size matched to interval length) |",
         "",
         "Reading: the hot-cell run degrades by the hot bucket's "
         "refine count, NOT |input|² — the other ~98k fixes prune "
@@ -246,9 +330,16 @@ def main() -> None:
         "band (signature-colliding, mostly sub-threshold profiles — "
         "candidates without results, the LSH worst case) shows the "
         "n_bits knob restoring the pruning: 8 extra hyperplanes split "
-        "the colliding cone ~2⁸ ways. At 100 TB the same knobs apply: "
-        "smaller cells / more band bits for known-hot keyspaces, AQE "
-        "skew-join splitting for the residual stragglers.",
+        "the colliding cone ~2⁸ ways. The r11 joins follow the same "
+        "doctrine: the Fellegi-Sunter hot block mitigates with a FINER "
+        "COMPOSITE blocking key (name+brand — the linkage-world band "
+        "bits), and the interval-overlap packed cell (disjoint "
+        "intervals sharing one oversized cell — candidates without "
+        "results) mitigates by matching cell_size to the typical "
+        "interval length, the operator's documented knob. At 100 TB "
+        "the same knobs apply: smaller cells / more band bits / finer "
+        "blocks for known-hot keyspaces, AQE skew-join splitting for "
+        "the residual stragglers.",
         "",
         MARKER_END,
     ])
