@@ -1378,3 +1378,71 @@ def dsir_hashed_ngram_weights(
         )
         .select(F.col("id").alias(id_col), "n_grams", "logw_micro")
     )
+
+
+# Compact demo polarity lexicon (AFINN-style integer valences, the
+# lexicon-based scoring family of the EDBT'16 Spark sentiment paper) —
+# injectable: production passes its own (word -> integer) mapping.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 2, "great": 3, "excellent": 4, "amazing": 4, "love": 3,
+    "like": 1, "best": 3, "happy": 3, "nice": 2, "fast": 1,
+    "perfect": 4, "wonderful": 4, "fantastic": 4, "awesome": 4,
+    "improved": 2, "win": 2, "success": 2, "easy": 1, "useful": 2,
+    "reliable": 2, "bad": -2, "terrible": -4, "awful": -4,
+    "hate": -3, "worst": -4, "poor": -2, "slow": -1, "broken": -3,
+    "fail": -2, "failure": -2, "bug": -2, "crash": -3, "error": -2,
+    "sad": -2, "angry": -3, "disappointing": -3, "horrible": -4,
+    "useless": -3, "wrong": -2, "problem": -2,
+}
+
+
+def lexicon_sentiment_scores(
+    docs: DataFrame,
+    lexicon: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexicon-based sentiment scoring (the AFINN/opinion-lexicon
+    family; the EDBT'16 large-scale-Spark-sentiment recipe): per
+    document, the exact integer sum of matched token valences, the
+    match count, and the sign label — the cheap, training-free
+    sentiment signal corpus pipelines use for tone slicing and
+    heuristic filtering.
+
+    Determinism: valences are integers, the score an exact BIGINT sum;
+    the label a CASE on its sign — nothing floats. Documents with NO
+    lexicon hits score 0 with n_hits 0 (left join semantics), keeping
+    the output one row per input document.
+
+    Scale: tokens explode map-side and hash-join the BROADCAST lexicon
+    (a literal-values frame — constant-bounded by definition); one
+    per-doc partial-aggregable sum. No UDF, no vocabulary shuffle.
+    """
+    lex = SENTIMENT_LEXICON if lexicon is None else lexicon
+    if not lex:
+        raise ValueError("lexicon must be non-empty")
+    spark = docs.sparkSession
+    lex_df = spark.createDataFrame(
+        sorted(lex.items()), "t string, valence int"
+    )
+    base = docs.select(F.col(id_col).alias("id"), T.tokens(F.col(text_col)).alias("w"))
+    toks = base.select("id", F.explode("w").alias("t"))
+    hits = toks.join(F.broadcast(lex_df), "t").groupBy("id").agg(
+        F.sum("valence").cast("long").alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    ids = base.select("id")
+    out = ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "score",
+        "n_hits",
+        F.when(F.col("score") > 0, F.lit("positive"))
+        .when(F.col("score") < 0, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+        .alias("label"),
+    )

@@ -3369,3 +3369,44 @@ def fs_link_same_name_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "key_a", "key_b")
         .limit(200)
     )
+
+
+def _sentiment_oracle() -> str:
+    from ..operators.corpus import SENTIMENT_LEXICON
+
+    values = ", ".join(
+        f"('{w}', {v})" for w, v in sorted(SENTIMENT_LEXICON.items())
+    )
+    return f"""
+        WITH lex(t, valence) AS (VALUES {values}),
+        base AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+        toks AS (SELECT id, unnest(w) AS t FROM base),
+        hits AS (
+            SELECT id, CAST(sum(valence) AS BIGINT) AS score,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM toks JOIN lex USING (t) GROUP BY id)
+        SELECT base.id AS doc_id,
+               coalesce(score, 0) AS score,
+               coalesce(n_hits, 0) AS n_hits,
+               CASE WHEN coalesce(score, 0) > 0 THEN 'positive'
+                    WHEN coalesce(score, 0) < 0 THEN 'negative'
+                    ELSE 'neutral' END AS label
+        FROM base LEFT JOIN hits ON hits.id = base.id
+    """
+
+
+@query(
+    "sentiment_lexicon_docs",
+    oracle=_sentiment_oracle(),
+    tags=("llm", "text", "x5", "agg"),
+    doc="X5 — lexicon-based sentiment scoring (the AFINN/opinion-"
+    "lexicon family; the EDBT'16 large-scale Spark sentiment recipe): "
+    "per document, the exact integer sum of matched token valences, "
+    "hit count, and sign label; zero-hit documents keep a neutral row. "
+    "Tokens explode map-side against the BROADCAST literal lexicon; "
+    "one per-doc partial-aggregable sum — no UDF, no vocabulary "
+    "shuffle (operators/corpus.py:lexicon_sentiment_scores).",
+)
+def sentiment_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.lexicon_sentiment_scores(docs)

@@ -200,3 +200,32 @@ def test_benford_audit_hand_distribution(spark):
 
     with _p.raises(ValueError, match="min_cents"):
         benford_first_digit_audit(df, F.col("cents"), min_cents=0)
+
+
+def test_lexicon_sentiment_hand_scores(spark):
+    from redpanda_ais_demo_spark.operators.corpus import lexicon_sentiment_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this is great and i love it"),       # 3 + 3 = +6
+            (2, "terrible slow crash"),               # -4 -1 -3 = -8
+            (3, "nothing matches here"),              # 0 hits -> neutral
+            (4, "good bad"),                          # 2 - 2 = 0 -> neutral
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lexicon_sentiment_scores(docs).collect()}
+    assert len(out) == 4
+    assert (out[1].score, out[1].n_hits, out[1].label) == (6, 2, "positive")
+    assert (out[2].score, out[2].n_hits, out[2].label) == (-8, 3, "negative")
+    assert (out[3].score, out[3].n_hits, out[3].label) == (0, 0, "neutral")
+    assert (out[4].score, out[4].n_hits, out[4].label) == (0, 2, "neutral")
+    # injectable lexicon
+    custom = {r.doc_id: r.score for r in lexicon_sentiment_scores(
+        docs, lexicon={"nothing": -5}
+    ).collect()}
+    assert custom == {1: 0, 2: 0, 3: -5, 4: 0}
+    import pytest as _p
+
+    with _p.raises(ValueError, match="lexicon"):
+        lexicon_sentiment_scores(docs, lexicon={})
