@@ -985,3 +985,98 @@ def hard_negative_topk(
         local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance fuzzy self-join over a string column's DISTINCT
+    values: all pairs with ``levenshtein <= max_dist`` — approximate
+    string matching, the ER mechanism Fellegi–Sunter's exact-equality
+    fields can't express (typos, OCR noise, transliteration drift).
+
+    LOSSLESS candidate generation (the brute-force oracle proves it,
+    the close_pairs doctrine): one edit disturbs at most ``q`` distinct
+    q-grams, so strings within ``max_dist`` edits share at least
+    ``max(|G(a)|, |G(b)|) − max_dist·q`` distinct q-grams — the classic
+    q-gram count filter. Candidates come from ONE hash equi-join on the
+    exploded distinct q-grams plus the necessary length-band
+    ``|len(a) − len(b)| <= max_dist``; exact ``levenshtein`` refines.
+    Strings shorter than ``q·(max_dist + 1)`` can defeat the bound
+    (two 2-char strings at distance 2 share zero bigrams), so they
+    take a separate length-banded all-pairs branch against the full
+    vocabulary — bounded by the short-string vocabulary, which is tiny
+    by pigeonhole (few distinct strings exist under that length).
+
+    Scale: everything runs on the DISTINCT value table (vocabulary-
+    sized, not row-sized); the gram join's candidate count is
+    Σ per-gram occupancy² — the grid-file contract; hot grams (a gram
+    shared by half the vocabulary) respond to bigger ``q`` exactly as
+    bands respond to more bits. Output: (name_a, name_b, dist),
+    name_a < name_b.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    names = (
+        df.select(F.col(str_col).alias("s"))
+        .filter(F.col("s").isNotNull() & (F.length("s") > 0))
+        .distinct()
+        .withColumn("len", F.length("s"))
+    )
+    short_max = q * (max_dist + 1)
+    lng = names.filter(F.col("len") >= short_max)
+    sht = names.filter(F.col("len") < short_max)
+    gset = F.array_distinct(
+        F.expr(f"transform(sequence(1, length(s) - {q} + 1), i -> substring(s, i, {q}))")
+    )
+    gl = lng.select(
+        "s", "len", F.size(gset).alias("gn"), F.explode(gset).alias("g")
+    )
+    a = gl.select(
+        F.col("s").alias("sa"), F.col("len").alias("la"), F.col("gn").alias("gna"), "g"
+    )
+    b = gl.select(
+        F.col("s").alias("sb"), F.col("len").alias("lb"), F.col("gn").alias("gnb"), "g"
+    )
+    shared = (
+        a.join(b, "g")
+        .filter(
+            (F.col("sa") < F.col("sb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        )
+        .groupBy("sa", "sb", "gna", "gnb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(
+            F.col("shared")
+            >= F.greatest(
+                F.lit(1), F.greatest("gna", "gnb") - F.lit(max_dist * q)
+            )
+        )
+    )
+    long_pairs = shared.select("sa", "sb")
+    # short strings: length-banded all-pairs vs the FULL vocabulary
+    # (the qgram bound can reach zero below short_max)
+    short_pairs = (
+        sht.select(F.col("s").alias("ss"), F.col("len").alias("ls"))
+        .join(
+            names.select(F.col("s").alias("so"), F.col("len").alias("lo")),
+            F.abs(F.col("ls") - F.col("lo")) <= max_dist,
+        )
+        .filter(F.col("ss") != F.col("so"))
+        .select(
+            F.least("ss", "so").alias("sa"), F.greatest("ss", "so").alias("sb")
+        )
+        .distinct()
+    )
+    cand = long_pairs.unionByName(short_pairs)
+    dist = F.levenshtein(F.col("sa"), F.col("sb"))
+    return (
+        cand.withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select(F.col("sa").alias("name_a"), F.col("sb").alias("name_b"), "dist")
+    )

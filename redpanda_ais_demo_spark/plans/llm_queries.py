@@ -3410,3 +3410,32 @@ def _sentiment_oracle() -> str:
 def sentiment_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.lexicon_sentiment_scores(docs)
+
+
+@query(
+    "qgram_fuzzy_name_pairs",
+    oracle="""
+        WITH names AS (
+            SELECT DISTINCT p_name AS s FROM part
+            WHERE p_name IS NOT NULL AND length(p_name) > 0)
+        SELECT a.s AS name_a, b.s AS name_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM names a JOIN names b ON a.s < b.s
+        WHERE levenshtein(a.s, b.s) <= 2
+    """,
+    tags=("llm", "entity-resolution", "similarity", "join", "scale-path"),
+    doc="Approximate string self-join over distinct part names: all "
+    "pairs within Levenshtein distance 2 — the LOSSLESS upgrade over "
+    "fuzzy_part_name_pairs' last-token blocking (whose declared "
+    "semantics exclude cross-block matches). Candidates come "
+    "from the LOSSLESS q-gram count filter (one edit disturbs <= q "
+    "distinct q-grams, so close strings share >= max|G| - k*q of "
+    "them) + the necessary length band, refined by exact levenshtein; "
+    "sub-6-char strings take a length-banded vocabulary branch where "
+    "the bound can reach zero. The brute-force inequality-join oracle "
+    "proves the candidate generation lossless, exactly like "
+    "close_encounter_pairs (operators/similarity.py:fuzzy_string_pairs).",
+)
+def qgram_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return similarity.fuzzy_string_pairs(part, "p_name", max_dist=2, q=2)

@@ -229,3 +229,50 @@ def test_lexicon_sentiment_hand_scores(spark):
 
     with _p.raises(ValueError, match="lexicon"):
         lexicon_sentiment_scores(docs, lexicon={})
+
+
+def test_qgram_fuzzy_pairs_lossless_vs_bruteforce(spark):
+    # includes SHORT strings where the qgram bound reaches zero
+    # ("ab" vs "cd" at distance 2 share no bigram) and cross-"block"
+    # matches a last-token blocker would miss ("hot rod" vs "hot rim")
+    from redpanda_ais_demo_spark.operators.similarity import fuzzy_string_pairs
+
+    vocab = ["cold bolt", "old bolt", "old ring", "red ring", "hot rod",
+             "hot rim", "ab", "cd", "abc", "zzz", "widget", "gadget",
+             "completely different"]
+    df = spark.createDataFrame([(v,) for v in vocab for _ in range(3)], "s string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_string_pairs(df, "s", max_dist=2, q=2).collect()
+    }
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(sorted(vocab))
+        for b in sorted(vocab)[i + 1:]
+        if lev(a, b) <= 2
+    }
+    assert got == want
+    assert ("ab", "cd", 2) in got            # short-branch recall
+    assert ("hot rim", "hot rod", 2) in got  # cross-block recall
+    import pytest as _p
+
+    with _p.raises(ValueError, match="max_dist"):
+        fuzzy_string_pairs(df, "s", max_dist=0)
+    with _p.raises(ValueError, match="q must"):
+        fuzzy_string_pairs(df, "s", q=1)
