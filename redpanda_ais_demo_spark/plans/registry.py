@@ -313,23 +313,29 @@ PRIORITY: tuple[str, ...] = (
     "logreg_en_vs_length",
     "validate_orders_constraints",
     "pipeline_curate_corpus",
-    "holt_forecast_daily_value",
+    # (r11b) holt_forecast_daily_value rotated out after earning its
+    # driver hash in CORRECTNESS_r10 (the geofences/bootstrap
+    # precedent); the recurrence-fold mechanism keeps cusum in-window
+    # and Holt's recursive-CTE oracle stays in the sweep. Its slot goes
+    # to amoc_value_changepoint — the offline-changepoint class's first
+    # window rep (exact-integer CUSUM-deviation argmax), completing the
+    # drift story next to the in-window streaming-fold CUSUM.
+    "amoc_value_changepoint",
     # round-8 session classes with no in-window sibling, filling the
     # three slots freed above: model-fitting-as-aggregation (Naive
     # Bayes), conversion attribution (carried-last window), and
     # closed-form OLS regression. The remaining r8 statistics classes
     # (corr / entropy / chi2) trail, oracle-bearing, pytest-swept.
     "nb_lang_classify_docs",
-    # (r10b) attribution_last_touch rotated out: its carried-last window
-    # mechanism is in-window via gapfill_user_value's running last()
-    # (the same argument that rotated out running_revenue_by_customer),
-    # and the attribution family keeps linear + removal-effect oracles
-    # in the sweep; stays registered, oracle-bearing, pytest-oracle-
-    # swept. Its slot goes to fdr_event_conversion_by_variant — the
-    # multiple-testing class's first window rep (A&S erf chain +
-    # Benjamini-Hochberg step-up), completing the experimentation story
-    # next to the in-window Mann-Whitney.
-    "fdr_event_conversion_by_variant",
+    # (r11b) fdr_event_conversion_by_variant rotated out after earning
+    # its driver hash in CORRECTNESS_r10: the experimentation family
+    # keeps TWO in-window reps (mann_whitney's rank machinery,
+    # ab_monitor's streaming-fold z) and the BH step-up keeps its full
+    # oracle in the sweep. Its slot goes to dsir_weights_toward_en —
+    # the LLM data-selection class's first window rep (hashed-n-gram
+    # importance weights, Xie et al. 2023; exact integer micro-ratio
+    # sums, a mechanism no other window row exercises).
+    "dsir_weights_toward_en",
     # (r11) ols_value_on_hour_dow rotated out: the regression family's
     # window slot upgrades to logreg_en_vs_length's IRLS (closed-form
     # OLS is one Newton round of the same normal-equation fold); OLS
@@ -346,12 +352,17 @@ PRIORITY: tuple[str, ...] = (
     # (r8f) the privacy/governance class's first window rep — see the
     # pivot_status_by_priority rotation note above.
     "k_anonymity_orders",
-    # (r10) weighted shortest paths (delta-relaxation Bellman-Ford over
-    # the co-purchase graph; unrolled materialized-CTE oracle) and the
-    # nonparametric test matrix (Mann-Whitney midranks via the
-    # distributed prefix-sum; swept siblings Kruskal-Wallis, log-rank,
-    # DiD, CMH) keep the window rows they gained in r10.
-    "sssp_copurchase_from_min_part",
+    # (r10) the nonparametric test matrix (Mann-Whitney midranks via
+    # the distributed prefix-sum; swept siblings Kruskal-Wallis,
+    # log-rank, DiD, CMH) keeps the window row it gained in r10.
+    # (r11b) sssp_copurchase_from_min_part rotated out after its r10
+    # driver hash: the iterative-graph family keeps the k-core peel
+    # in-window and sssp's unrolled relaxation oracle stays in the
+    # sweep. Its slot goes to qgram_fuzzy_name_pairs — the lossless
+    # approximate-string-join class (q-gram count filter + levenshtein
+    # refine, brute-force-oracle-proved recall), mechanically distinct
+    # from every other ER/similarity window row.
+    "qgram_fuzzy_name_pairs",
     "mann_whitney_value_by_variant",
     # (r11) events_in_geofences and bootstrap_ci_purchase_value rotated
     # out after earning their first driver hashes in CORRECTNESS_r10:

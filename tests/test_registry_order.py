@@ -118,8 +118,10 @@ REQUIRED_IN_WINDOW = {
     # r10b: forecasting (recurrence fold + recursive-CTE oracle) and
     # multiple-testing (erf chain + BH step-up) gain their first
     # window reps
-    "holt_forecast_daily_value",
-    "fdr_event_conversion_by_variant",
+    # (r11b) holt + fdr rotated out after their r10 driver hashes; the
+    # slots carry the offline-changepoint and LLM-data-selection classes
+    "amoc_value_changepoint",
+    "dsir_weights_toward_en",
     # r8f rotation: closed-form OLS upgrades the regression slot;
     # recommendation (CF), experimentation (Welch), and privacy
     # (k-anonymity) gain their first window reps
@@ -136,7 +138,9 @@ REQUIRED_IN_WINDOW = {
     "bm25_topk_from_index",
     # r10: four r9 classes' first window reps — weighted shortest paths,
     # nonparametric tests, geofencing, bootstrap CIs
-    "sssp_copurchase_from_min_part",
+    # (r11b) sssp rotated out after its r10 driver hash (kcore keeps the
+    # iterative-graph family); slot carries the lossless fuzzy join
+    "qgram_fuzzy_name_pairs",
     "mann_whitney_value_by_variant",
     # (r11) events_in_geofences and bootstrap_ci rotated out after their
     # r10 driver hashes; privacy gains its DP member and the streaming
