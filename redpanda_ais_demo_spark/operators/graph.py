@@ -94,6 +94,85 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical
+    recurrence to :func:`pagerank` except the teleport term lands ONLY
+    on the seed set — ``r' = (seed ? base : 0) + (d% · Σ r//deg) //
+    100`` — so rank mass measures proximity to the seeds, the classic
+    graph-recommendation / related-items score (vs. global pagerank's
+    topic-free centrality). Nodes in components unreachable from any
+    seed stay at exactly 0.
+
+    Same exact-integer SCALE-unit determinism contract as
+    :func:`pagerank` (every update is integer multiply/floor-divide, so
+    Spark and a SQL oracle replay bit-identical BIGINTs), same
+    distributed shape (per round: one edges-vs-ranks hash join on src
+    reusing the degree join's partitioning, a partial-aggregable
+    groupBy(dst) carrying one row per node, a node-vector left join,
+    lazy localCheckpoint lineage pin). The only additions are a single
+    up-front seed-flag left join folded into the node vector and a
+    1-row seed count. Raises on an empty seed set — pmod-by-zero would
+    otherwise yield an all-NULL vector silently.
+
+    Returns (node, rank) with rank in SCALE-units; Σ ranks ≈ SCALE
+    minus truncation decay, concentrated around the seeds.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint(eager=False)
+    k = sd.count()  # 1-row driver scalar, parameterizes the literals
+    if k == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    r0 = SCALE // k
+    base = ((100 - damping_pct) * r0) // 100
+    # fold the seed flag into the node vector once; every iteration's
+    # left join then reuses this pinned two-column table
+    nodes_f = (
+        nodes.join(sd.withColumn("is_seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes_f.select(
+        "node", (F.col("is_seed").cast("long") * F.lit(r0)).alias("rank")
+    )
+    for _ in range(iters):
+        shares = (
+            e.join(ranks, e.src == F.col("node"))
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("share"))
+        )
+        s = shares.groupBy("dst").agg(F.sum("share").alias("s"))
+        ranks = (
+            nodes_f.join(s, nodes_f.node == s.dst, "left")
+            .select(
+                "node",
+                (
+                    F.col("is_seed").cast("long") * F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Global triangle count of an undirected graph — the standard graph
     statistic (clustering coefficient numerator; here: how clique-like

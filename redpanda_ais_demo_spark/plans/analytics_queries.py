@@ -3959,6 +3959,110 @@ def sssp_copurchase_from_min_part(spark: SparkSession, sf_dir: str) -> DataFrame
     return sssp_bellman_ford(e, seeds)
 
 
+def _ppr_oracle(iters: int = 5) -> str:
+    """Unrolled integer personalized-PageRank oracle over the
+    co-purchase graph: same ``(seed ? base : 0) + (85·Σ r//deg)//100``
+    recurrence as the Spark operator, seeds = every graph node sharing
+    the brand of the graph's minimum part key. MATERIALIZED stages —
+    each s{i}/r{i+1} pair references its predecessor twice."""
+    head = """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pw AS (SELECT a.p AS lo, b.p AS hi, count(*) AS n FROM li a
+               JOIN li b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        edges AS MATERIALIZED (
+            SELECT lo AS src, hi AS dst FROM pw
+            UNION ALL
+            SELECT hi, lo FROM pw),
+        deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        sb AS (SELECT p_brand AS b FROM part
+               WHERE p_partkey = (SELECT min(node) FROM nodes)),
+        seeds AS MATERIALIZED (
+            SELECT n.node FROM nodes n
+            JOIN part ON n.node = p_partkey CROSS JOIN sb
+            WHERE p_brand = sb.b),
+        ks AS (SELECT CAST(count(*) AS BIGINT) AS k FROM seeds),
+        r0 AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL THEN 1000000000000 // ks.k
+                        ELSE CAST(0 AS BIGINT) END AS rank
+            FROM nodes n CROSS JOIN ks LEFT JOIN seeds s ON n.node = s.node)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f""",
+        s{i} AS MATERIALIZED (
+            SELECT e.dst AS node, CAST(SUM(r.rank // deg.d) AS BIGINT) AS s
+            FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ),
+        r{i + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(CASE WHEN sd.node IS NOT NULL
+                             THEN (15 * (1000000000000 // ks.k)) // 100
+                             ELSE 0 END
+                        + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n CROSS JOIN ks
+            LEFT JOIN seeds sd ON n.node = sd.node
+            LEFT JOIN s{i} ON n.node = s{i}.node
+        )""")
+    parts.append(f"""
+        SELECT node, rank FROM r{iters}""")
+    return "".join(parts)
+
+
+@query(
+    "ppr_copurchase_min_part_brand",
+    oracle=_ppr_oracle(5),
+    tags=("graph", "iterative", "recommendation", "scale-path"),
+    doc="Personalized PageRank (random walk with restart) over the "
+    "co-purchase graph, teleporting to every part sharing the brand of "
+    "the graph's minimum part key — 'products related to this brand', "
+    "the graph-recommendation score global pagerank can't express "
+    "(its teleport is uniform, so rank measures centrality, not "
+    "proximity). Exact integer SCALE-unit recurrence, bit-identical to "
+    "the 5-stage unrolled SQL oracle; unreachable components hold "
+    "exactly 0. Same per-round shape as pagerank: one edges-vs-ranks "
+    "hash join, a one-row-per-node partial agg, a node-vector left "
+    "join, lazy localCheckpoint pins — plus ONE up-front seed-flag "
+    "join; the brand seed set itself is a broadcast of a 1-row "
+    "aggregate (operators/graph.py:personalized_pagerank).",
+)
+def ppr_copurchase_min_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pw = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("lo"), F.col("b.p").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    e = pw.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
+        pw.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    mn = nodes.agg(F.min("node").alias("mn"))
+    sb = (
+        part.join(F.broadcast(mn), part.p_partkey == F.col("mn"))
+        .select(F.col("p_brand").alias("b"))
+    )
+    seeds = (
+        nodes.join(part, nodes.node == part.p_partkey)
+        .join(F.broadcast(sb), part.p_brand == F.col("b"))
+        .select("node")
+    )
+    return personalized_pagerank(e, seeds, iters=5)
+
+
 def _rake_oracle(rounds: int) -> str:
     """Unrolled IPF: row-scale + column-scale per round, weights
     re-quantized to BIGINT micro-units after every scaling (exact
