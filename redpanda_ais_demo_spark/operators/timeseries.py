@@ -1876,6 +1876,120 @@ def holt_linear(
     )
 
 
+def holt_winters_additive(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    period: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Per-group Holt-Winters additive triple exponential smoothing
+    (level + trend + seasonality) with an h-step forecast — the
+    seasonal upgrade of :func:`holt_linear`, the full classical
+    decomposition forecaster:
+    ``s_t = α(x_t − c_{t−m}) + (1−α)(s_{t−1} + b_{t−1})``,
+    ``b_t = β(s_t − s_{t−1}) + (1−β)b_{t−1}``,
+    ``c_t = γ(x_t − s_{t−1} − b_{t−1}) + (1−γ)c_{t−m}``;
+    init s₁ = x₁, b₁ = 0, first-season c = 0 (the seasonal vector
+    warms up through the γ updates, identical on both engines).
+
+    The novel fold mechanism here is ARRAY STATE: the accumulator
+    carries the m-slot seasonal ring buffer (phase = rank-1 mod m) and
+    each step rewrites exactly one slot via an indexed ``transform``
+    lambda — the recursive-CTE oracle replays the identical recurrence
+    with list slicing (``c[1:p-1] || [c'] || c[p+1:m]``). Dyadic
+    α/β/γ keep every update an exact binary-double expression
+    evaluated in the same textual order, so the fold is bit-identical
+    cross-engine (the ewma/holt discipline).
+
+    Phase is positional (rank within the group), not calendar — a
+    missing bucket shifts later phases, exactly as it does in the
+    oracle; gap-fill upstream (``gapfill``) when calendar alignment
+    matters. Forecast lands on phase (n+h−1) mod m with the latest
+    seasonal for that slot.
+
+    Contract/scale: same as holt_linear — the recurrence is inherently
+    sequential per group, ONE ``aggregate`` lambda folds the collected
+    calendar-bounded series; feed it daily/hourly rollups, never raw
+    rows; the one 100 TB scan is the upstream rollup.
+    """
+    if not 0 < alpha <= 1 or not 0 <= beta <= 1 or not 0 <= gamma <= 1:
+        raise ValueError(
+            f"need 0<alpha<=1, 0<=beta<=1, 0<=gamma<=1, got {alpha}, {beta}, {gamma}"
+        )
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    a, be, ga, m = float(alpha), float(beta), float(gamma), int(period)
+    series = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(t_col).cast("long").alias("t"),
+            F.col(x_col).cast("long").alias("x"),
+        )
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "x"))).alias("arr"))
+    )
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), m).alias("c"),
+    )
+
+    def step(acc, e):
+        x = e["x"].cast("double")
+        pos = acc["i"] % m  # 0-based ring slot of this observation
+        c_old = F.get(acc["c"], pos)
+        # spelled out exactly as the recursive-CTE oracle spells it —
+        # identical doubles either way
+        s_new = F.lit(a) * (x - c_old) + F.lit(1 - a) * (acc["s"] + acc["b"])
+        c_val = F.lit(ga) * (x - acc["s"] - acc["b"]) + F.lit(1 - ga) * c_old
+        return F.when(
+            acc["i"] == 0,
+            F.struct(
+                F.lit(1).alias("i"),
+                x.alias("s"),
+                F.lit(0.0).alias("b"),
+                acc["c"].alias("c"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["i"] + 1).alias("i"),
+                s_new.alias("s"),
+                (
+                    F.lit(be) * (s_new - acc["s"]) + F.lit(1 - be) * acc["b"]
+                ).alias("b"),
+                F.transform(
+                    acc["c"], lambda v, j: F.when(j == pos, c_val).otherwise(v)
+                ).alias("c"),
+            )
+        )
+
+    fit = series.select(
+        "g",
+        F.size("arr").alias("n"),
+        F.aggregate("arr", init, step).alias("acc"),
+    )
+    # forecast phase: observation n+h sits on ring slot (n+h-1) mod m
+    season = F.get(F.col("acc.c"), (F.col("n") + F.lit(int(horizon) - 1)) % m)
+    return fit.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(F.col("acc.s"), 6).alias("level"),
+        F.round(F.col("acc.b"), 6).alias("trend"),
+        F.round(season, 6).alias("season"),
+        F.round(
+            F.col("acc.s") + F.lit(float(horizon)) * F.col("acc.b") + season, 6
+        ).alias(f"forecast_h{int(horizon)}"),
+    )
+
+
 def top_session_paths(
     events: DataFrame,
     key_col: str,

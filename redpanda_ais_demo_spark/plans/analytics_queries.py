@@ -6137,6 +6137,63 @@ def holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "holt_winters_weekly_value",
+    oracle=f"""
+        WITH RECURSIVE ord AS (
+            SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY t) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM ({_MK_DAILY})
+        ),
+        hw AS (
+            SELECT g, rn, n, CAST(x AS DOUBLE) AS s, CAST(0.0 AS DOUBLE) AS b,
+                   CAST([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS DOUBLE[]) AS c
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.g, o.rn, o.n,
+                   0.5 * (CAST(o.x AS DOUBLE) - hw.c[((o.rn - 1) % 7) + 1])
+                       + 0.5 * (hw.s + hw.b),
+                   0.25 * ((0.5 * (CAST(o.x AS DOUBLE) - hw.c[((o.rn - 1) % 7) + 1])
+                            + 0.5 * (hw.s + hw.b)) - hw.s) + 0.75 * hw.b,
+                   hw.c[1:((o.rn - 1) % 7) + 1 - 1]
+                       || [0.25 * (CAST(o.x AS DOUBLE) - hw.s - hw.b)
+                           + 0.75 * hw.c[((o.rn - 1) % 7) + 1]]
+                       || hw.c[((o.rn - 1) % 7) + 1 + 1:7]
+            FROM hw JOIN ord o ON o.g = hw.g AND o.rn = hw.rn + 1
+        )
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n_buckets,
+               round(s, 6) AS level, round(b, 6) AS trend,
+               round(c[((n + 6) % 7) + 1], 6) AS season,
+               round(s + 7.0 * b + c[((n + 6) % 7) + 1], 6) AS forecast_h7
+        FROM hw WHERE rn = n
+    """,
+    tags=("analytics", "timeseries", "forecast", "agg"),
+    doc="Holt-Winters ADDITIVE triple exponential smoothing of daily "
+    "revenue per event type, weekly period m=7, 7-day-ahead forecast — "
+    "the seasonal upgrade of holt_forecast_daily_value and the full "
+    "classical forecaster (level+trend+seasonality). Novel fold "
+    "mechanism: the aggregate lambda carries an m-slot seasonal RING "
+    "BUFFER as array state, each step rewriting one slot via an "
+    "indexed transform; the recursive-CTE oracle replays the identical "
+    "recurrence with list slicing (c[1:p-1] || [c'] || c[p+1:7]). "
+    "Dyadic alpha/beta/gamma (1/2, 1/4, 1/4) keep every update an "
+    "exact binary double, bit-identical cross-engine "
+    "(operators/timeseries.py:holt_winters_additive).",
+)
+def holt_winters_weekly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import holt_winters_additive
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    return holt_winters_additive(
+        daily, "event_type", "t", "x", period=7,
+        alpha=0.5, beta=0.25, gamma=0.25, horizon=7,
+    )
+
+
+@query(
     "fdr_event_conversion_by_variant",
     oracle="""
         WITH pairs AS (

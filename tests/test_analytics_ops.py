@@ -2393,6 +2393,51 @@ def test_holt_linear_recurrence_and_guards(spark):
         holt_linear(df, "g", "t", "x", alpha=0.0)
 
 
+def test_holt_winters_additive_ring_buffer_recurrence(spark):
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import holt_winters_additive
+
+    # 2.5 periods of m=3 seasonality on a rising level for group "a";
+    # group "b" shorter than one period (seasonals never leave warm-up)
+    xs = [100, 200, 50, 110, 215, 60, 125, 230]
+    rows = [("a", t, x) for t, x in enumerate(xs)] + [("b", 0, 10), ("b", 1, 30)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    out = {
+        r["g"]: r
+        for r in holt_winters_additive(
+            df, "g", "t", "x", period=3, horizon=2
+        ).collect()
+    }
+
+    # plain-Python exact replay (same update order as the operator)
+    def replay2(series, m, h, a=0.5, be=0.25, ga=0.25):
+        s, b, c = float(series[0]), 0.0, [0.0] * m
+        for i in range(1, len(series)):
+            x, p = float(series[i]), i % m
+            s_new = a * (x - c[p]) + (1 - a) * (s + b)
+            b_new = be * (s_new - s) + (1 - be) * b
+            c[p] = ga * (x - s - b) + (1 - ga) * c[p]
+            s, b = s_new, b_new
+        n = len(series)
+        season = c[(n + h - 1) % m]
+        return s, b, season, s + h * b + season
+
+    s, b, season, fc = replay2(xs, 3, 2)
+    assert out["a"]["level"] == round(s, 6)
+    assert out["a"]["trend"] == round(b, 6)
+    assert out["a"]["season"] == round(season, 6)
+    assert out["a"]["forecast_h2"] == round(fc, 6)
+    # seasonality must be learned: slot phases differ materially
+    assert abs(out["a"]["season"]) > 1.0
+    s, b, season, fc = replay2([10, 30], 3, 2)
+    assert out["b"]["forecast_h2"] == round(fc, 6)
+    with _pytest.raises(ValueError):
+        holt_winters_additive(df, "g", "t", "x", period=1)
+    with _pytest.raises(ValueError):
+        holt_winters_additive(df, "g", "t", "x", gamma=1.5)
+
+
 def test_period_over_period_gap_yields_null(spark):
     from redpanda_ais_demo_spark.operators.timeseries import period_over_period
 
