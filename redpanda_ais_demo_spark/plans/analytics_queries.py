@@ -1246,6 +1246,78 @@ def survival_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over exact BIGINT counts. One subject-level aggregate + a pivot "
     "of 2 rows (operators/stats.py:ab_test_conversion).",
 )
+@query(
+    "uplift_qini_purchase_by_views",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS tr,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        t AS (
+            SELECT tr, y, ntile(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+            FROM subjects
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(SUM(tr) AS BIGINT) AS nt,
+                   CAST(SUM(1 - tr) AS BIGINT) AS nc,
+                   CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT) AS yt,
+                   CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT) AS yc
+            FROM t GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, nt, nc, yt, yc,
+                   CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+                   CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+                   CAST(SUM(yt) OVER w AS BIGINT) AS cyt,
+                   CAST(SUM(yc) OVER w AS BIGINT) AS cyc
+            FROM per
+            WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT decile, nt AS n_treated, nc AS n_control,
+               yt AS conv_treated, yc AS conv_control,
+               CASE WHEN cnc > 0
+                    THEN round(CAST(cyt AS DOUBLE)
+                               - CAST(cyc AS DOUBLE)
+                                 * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)), 6)
+               END AS qini,
+               CASE WHEN cnt > 0 AND cnc > 0
+                    THEN round(CAST(cyt AS DOUBLE) / CAST(cnt AS DOUBLE)
+                               - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
+               END AS cum_uplift
+        FROM cum
+    """,
+    tags=("analytics", "experimentation", "uplift", "window"),
+    doc="Qini / uplift curve by targeting decile (Radcliffe 2007): "
+    "users ranked by view-count engagement, hash-split 50/50 into "
+    "treatment (the abtest_purchase_lift assignment, B treated), "
+    "conversion = any purchase; per decile the cumulative INCREMENTAL "
+    "conversions qini(k) = cumYt - cumYc*cumNt/cumNc and the "
+    "cumulative uplift rate — the incrementality readout gains/lift "
+    "cannot give (it scores the model against outcomes, not against a "
+    "control). ANSI ntile via the distributed rank (no data-sized "
+    "single-partition window); the cumulative window runs over the "
+    "10-row decile table (operators/stats.py:uplift_qini).",
+)
+def uplift_qini_purchase_by_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.stats import uplift_qini
+
+    events = load_table(spark, sf_dir, "events")
+    subjects = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    ).select(
+        "user_id", "score", "y",
+        (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000).cast("long").alias("tr"),
+    )
+    return uplift_qini(subjects, "score", "tr", "y", "user_id", n_deciles=10)
+
+
 def abtest_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import split_bucket_col, split_col
     from ..operators.stats import ab_test_conversion

@@ -2451,6 +2451,35 @@ def test_period_over_period_gap_yields_null(spark):
     assert out["2024-04"]["mom_pct"] is None  # March missing: no wrong compare
 
 
+def test_uplift_qini_counts_and_final_point(spark):
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.stats import uplift_qini
+
+    # 20 subjects, scores 20..1; treated = even ids; treated subjects
+    # convert iff score > 10 (uplift concentrated in the top half),
+    # control converts iff score > 18 (small background rate)
+    rows = [
+        (i, 20 - i, 1 if i % 2 == 0 else 0,
+         (1 if (20 - i) > 10 else 0) if i % 2 == 0 else (1 if (20 - i) > 18 else 0))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "uid long, score long, tr long, y long")
+    out = {r["decile"]: r for r in uplift_qini(df, "score", "tr", "y", "uid", n_deciles=5).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    # every decile holds 4 subjects, 2 treated / 2 control (even/odd ids)
+    assert all(out[k]["n_treated"] == 2 and out[k]["n_control"] == 2 for k in out)
+    # final point: qini(5) = Yt_total - Yc_total * Nt/Nc
+    yt = sum(y for _, _, tr, y in rows if tr == 1)
+    yc = sum(y for _, _, tr, y in rows if tr == 0)
+    assert out[5]["qini"] == round(yt - yc * (10.0 / 10.0), 6)
+    # uplift is front-loaded: qini already at its final value by decile 3
+    assert out[3]["qini"] == out[5]["qini"]
+    assert out[1]["qini"] > 0
+    with _pytest.raises(ValueError):
+        uplift_qini(df, "score", "tr", "y", "uid", n_deciles=1)
+
+
 def test_two_proportion_z_direction(spark):
     from redpanda_ais_demo_spark.operators.stats import two_proportion_z_by_slice
 
