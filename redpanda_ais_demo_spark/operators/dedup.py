@@ -916,3 +916,74 @@ def fs_linkage_scores(
             "score_micro",
         )
     )
+
+
+def chunk_dedup_rewrite(
+    docs: DataFrame,
+    chunk_size: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup with REWRITE — the CCNet/RefinedWeb
+    paragraph-dedup step (Wenzek et al. 2020 dedup lines across the
+    whole Common Crawl shard; here the unit is a fixed ``chunk_size``-
+    token block, the corpus being single-line): a chunk occurring
+    ``min_count``+ times anywhere in the corpus keeps only its GLOBAL
+    first occurrence (min (doc, position)); every other copy is cut,
+    and each document is reassembled from its surviving chunks in
+    order. Complements ``duplicated_spans`` (which only REPORTS hot
+    intervals) and doc-level dedup (which drops whole documents): this
+    returns the cleaned corpus itself.
+
+    Determinism: the canonical copy is the (id, chunk_id)-lexicographic
+    first — engine-independent; the rebuilt text is a string equality
+    check cross-engine. Scale shape: one narrow map-side chunk explode
+    (corpus/chunk_documents with stride == size, disjoint full cover),
+    ONE shuffle partitioned by chunk text serving both the occurrence
+    count and the first-occurrence rank (two window functions, same
+    partition spec), then a per-doc groupBy whose ordered reassembly is
+    a sort_array over that doc's own chunks. Nothing corpus-sized sorts
+    globally; skew = the hottest single chunk's occurrence list. At
+    100 TB, key the shuffle by xxhash64(chunk) and carry the text only
+    to the rebuild stage if shuffle width dominates (same output modulo
+    hash collisions; the exact text key is the oracle-checkable form).
+
+    Output: (id, n_chunks, n_dropped, text_clean) — text_clean is ''
+    for a document composed entirely of chunks first seen elsewhere.
+    """
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from .corpus import chunk_documents
+
+    ch = chunk_documents(
+        docs, chunk_size=chunk_size, stride=chunk_size,
+        id_col=id_col, text_col=text_col,
+    ).select(F.col(id_col).alias("__id"), "chunk_id", "chunk_text")
+    wp = Window.partitionBy("chunk_text")
+    wo = wp.orderBy(F.col("__id").asc(), F.col("chunk_id").asc())
+    m = ch.withColumn("occ", F.count(F.lit(1)).over(wp)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    keep = (F.col("occ") < min_count) | (F.col("rn") == 1)
+    return (
+        m.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((~keep).cast("long")).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(keep, F.struct("chunk_id", "chunk_text"))
+                        )
+                    ),
+                    lambda x: x["chunk_text"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

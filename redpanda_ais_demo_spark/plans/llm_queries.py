@@ -1214,6 +1214,49 @@ def dup_span_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_dedup_rewrite_docs",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ch AS (
+            SELECT doc_id, i - 1 AS chunk_id,
+                   array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' ') AS chunk_text
+            FROM toks,
+                 unnest(generate_series(
+                     1, greatest(1, CAST(ceil(len(w) / 8.0) AS BIGINT)))) AS u(i)
+        ),
+        m AS (
+            SELECT doc_id, chunk_id, chunk_text,
+                   count(*) OVER (PARTITION BY chunk_text) AS occ,
+                   row_number() OVER (PARTITION BY chunk_text
+                                      ORDER BY doc_id, chunk_id) AS rn
+            FROM ch
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN occ >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               coalesce(string_agg(CASE WHEN occ < 2 OR rn = 1 THEN chunk_text END,
+                                   ' ' ORDER BY chunk_id), '') AS text_clean
+        FROM m GROUP BY doc_id
+    """,
+    tags=("dedup", "rewrite", "window", "scale-path"),
+    doc="CCNet-style sub-document exact dedup WITH rewrite (Wenzek et "
+    "al. 2020): 8-token disjoint chunks; a chunk repeated anywhere in "
+    "the corpus survives only at its global first occurrence and every "
+    "document is REASSEMBLED from its surviving chunks in order — the "
+    "cleaned corpus itself, where dup_span_intervals only reports hot "
+    "intervals and doc-level dedup drops whole docs. One map-side "
+    "chunk explode, ONE chunk-text-partitioned shuffle serving both "
+    "the occurrence count and the first-occurrence rank, per-doc "
+    "ordered reassembly via sort_array; the rebuilt text is string-"
+    "equal cross-engine (operators/dedup.py:chunk_dedup_rewrite).",
+)
+def chunk_dedup_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.chunk_dedup_rewrite(docs, chunk_size=8, min_count=2)
+
+
+@query(
     "sample_stratified_docs",
     oracle="""
         SELECT doc_id, lang, source, n_chars FROM (

@@ -1498,3 +1498,32 @@ def test_decode_wav_truncated_payload_quarantines(spark):
         "asset_id long, modality string, mime string, payload binary",
     )
     assert multimodal.audio_vad_segments(assets).count() == 0
+
+
+def test_chunk_dedup_rewrite_canonical_and_reassembly(spark):
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.dedup import chunk_dedup_rewrite
+
+    # chunk_size=2: doc 1 owns "a b" and "c d"; doc 2 repeats "a b"
+    # (cut) then its own "x y"; doc 3 is built ENTIRELY of chunks first
+    # seen elsewhere -> rewrites to ''
+    rows = [
+        (1, "a b c d"),
+        (2, "a b x y"),
+        (3, "a b x y c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_dedup_rewrite(df, chunk_size=2).collect()}
+    assert out[1].text_clean == "a b c d" and out[1].n_dropped == 0
+    assert out[2].text_clean == "x y" and out[2].n_dropped == 1
+    assert out[3].text_clean == "" and out[3].n_dropped == 3
+    assert out[3].n_chunks == 3
+    # a within-doc repeat also collapses to its first copy
+    df2 = spark.createDataFrame([(7, "p q p q r")], "doc_id long, text string")
+    out2 = chunk_dedup_rewrite(df2, chunk_size=2).collect()[0]
+    assert out2.text_clean == "p q r" and out2.n_dropped == 1
+    with _pytest.raises(ValueError):
+        chunk_dedup_rewrite(df, chunk_size=0)
+    with _pytest.raises(ValueError):
+        chunk_dedup_rewrite(df, min_count=1)
