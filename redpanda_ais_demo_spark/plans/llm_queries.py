@@ -1947,6 +1947,80 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
+    """Unrolled exact-integer Lloyd: assignment a{i} (argmin of
+    |c|² − 2·v·c over centroid table c{i}, ties to the lowest cluster)
+    and truncating-division mean update c{i+1} (DuckDB integer //), seeded from the k smallest
+    vec_ids. Every quantity is an integer < 2^53, so DuckDB's
+    double-accumulating list_dot_product is still exact."""
+    head = f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+            FROM embeddings),
+        c0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, q AS c
+            FROM (SELECT id, q FROM q ORDER BY id LIMIT {k}))"""
+    parts = [head]
+    for i in range(rounds + 1):
+        parts.append(f""",
+        a{i} AS MATERIALIZED (
+            SELECT id, q, cluster, score FROM (
+                SELECT q.id, q.q, c.cluster,
+                       CAST(list_dot_product(c.c, c.c) AS BIGINT)
+                           - 2 * CAST(list_dot_product(q.q, c.c) AS BIGINT) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.id
+                           ORDER BY CAST(list_dot_product(c.c, c.c) AS BIGINT)
+                                    - 2 * CAST(list_dot_product(q.q, c.c) AS BIGINT),
+                                    c.cluster) AS rn
+                FROM q CROSS JOIN c{i} c) WHERE rn = 1)""")
+        if i < rounds:
+            parts.append(f""",
+        s{i} AS MATERIALIZED (
+            SELECT cluster, g.i AS dim,
+                   CAST(SUM(q[g.i]) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a{i}, unnest(generate_series(1, {dim})) AS g(i)
+            GROUP BY cluster, g.i),
+        c{i + 1} AS MATERIALIZED (
+            SELECT p.cluster, coalesce(u.c, p.c) AS c
+            FROM c{i} p LEFT JOIN (
+                SELECT cluster, list(s // n ORDER BY dim) AS c
+                FROM s{i} GROUP BY cluster) u
+            ON p.cluster = u.cluster)""")
+    parts.append(f"""
+        SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(list_dot_product(q, q) AS BIGINT) + score AS dist_sq
+        FROM a{rounds}""")
+    return "".join(parts)
+
+
+@query(
+    "kmeans_embeddings_assign",
+    oracle=_kmeans_oracle(8, 3, 64),
+    tags=("clustering", "embeddings", "iterative", "scale-path"),
+    doc="Deterministic k-means over the embedding corpus (k=8, 3 Lloyd "
+    "rounds, seeds = the 8 smallest vec_ids): final cluster assignment "
+    "with the exact integer squared-L2 distance in micro-unit "
+    "quantization — the embedding CLUSTERING readout next to the ANN "
+    "family's recall-tested float IVF trainer, and (unlike it) fully "
+    "value-hash-oracled because every update is exact integer "
+    "arithmetic (coordinates quantized once, argmin on |c|²-2v·c, "
+    "truncating-division means, ties to the lowest cluster, empty clusters "
+    "frozen). MLlib scale shape: centroids broadcast as literals into "
+    "a map-side codegen argmin (no join, no shuffle to assign); the "
+    "update shuffle carries k*dim partially-aggregated rows per round "
+    "(operators/clustering.py:kmeans_lloyd).",
+)
+def kmeans_embeddings_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=8, rounds=3)
+
+
 @query(
     "semdedup_embeddings",
     oracle="""
