@@ -1333,6 +1333,129 @@ def mann_whitney_u(
     )
 
 
+def wilson_rate_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group binomial rate with the Wilson score interval — the
+    ANALYTIC rate CI next to the resampling families (bootstrap CIs,
+    conformal intervals): never collapses at p̂ ∈ {0, 1} and stays
+    inside [0, 1], which is why every dashboard that reports
+    conversion-by-segment uses it over the Wald interval.
+    ``center = (p̂ + z²/2n) / (1 + z²/n)``,
+    ``half = z/(1+z²/n) · √(p̂(1−p̂)/n + z²/4n²)``.
+
+    Counts are exact BIGINTs from one partial-aggregable groupBy; each
+    reported double is one fixed chain from those integers and the
+    literal ``z`` (6 dp) — bit-stable cross-engine. One shuffle of one
+    row per group; nothing else moves.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be positive, got {z}")
+    g = df.select(
+        F.col(group_col).alias("g"),
+        F.col(success_col).cast("long").alias("y"),
+    ).filter(F.col("y").isNotNull()).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("x"),
+    )
+    nd, xd, zz = F.col("n").cast("double"), F.col("x").cast("double"), float(z) * float(z)
+    p = xd / nd
+    denom = F.lit(1.0) + F.lit(zz) / nd
+    center = (p + F.lit(zz) / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(float(z))
+        / denom
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + F.lit(zz) / (F.lit(4.0) * nd * nd))
+    )
+    return g.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.col("x").alias("n_success"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F — the PARAMETRIC k-group mean test completing
+    the matrix next to Kruskal-Wallis (its rank twin), Welch (two-
+    sample), and chi² (categorical²): does any group's MEAN differ?
+    ``F = (SSB/(k−1)) / (SSW/(N−k))`` with ``SSB = Σ S_g²/n_g − S²/N``
+    and ``SSW = Σx² − Σ S_g²/n_g``; also reports η² = SSB/(SSB+SSW),
+    the effect size reviewers ask for when F alone looks dramatic.
+
+    Exactness (the kruskal_wallis recipe): per-group sums S_g (BIGINT)
+    and Σx² (DECIMAL(38,0) — per-row squares can overflow a BIGINT sum
+    at sf0.1 counts) are exact; each group's S_g²/n_g term is ONE
+    double chain micro-quantized to an integer, and the cross-group
+    sum runs over those exact micro-units — order-free, so the final
+    F/η² doubles are bit-identical cross-engine. One partial-agg
+    groupBy to k rows, one k-row aggregate; nothing else shuffles.
+
+    ``value_col`` must be integral (quantize upstream); F is NULL when
+    k < 2, N <= k, or SSW is 0 (all within-group values identical).
+    """
+    dec = "decimal(38,0)"
+    per = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("v").cast("long").alias("sg"),
+            F.sum((F.col("v") * F.col("v")).cast(dec)).alias("qg"),
+        )
+    )
+    term = per.select(
+        "ng",
+        "sg",
+        "qg",
+        F.round(
+            F.col("sg").cast("double")
+            * F.col("sg").cast("double")
+            / F.col("ng").cast("double")
+            * 1e6
+        )
+        .cast(dec)
+        .alias("sq_micro"),
+    )
+    agg = term.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum("sq_micro").alias("sqm"),
+    )
+    nd = F.col("n").cast("double")
+    ssb = (
+        F.col("sqm").cast("double") / F.lit(1e6)
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    )
+    ssw = F.col("q").cast("double") - F.col("sqm").cast("double") / F.lit(1e6)
+    f_ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    f_stat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        F.when(f_ok, F.round(f_stat, 6)).alias("f_stat"),
+        F.when(
+            f_ok & (ssb + ssw > 0), F.round(ssb / (ssb + ssw), 6)
+        ).alias("eta_sq"),
+    )
+
+
 def kruskal_wallis(
     df: DataFrame,
     group_col: str,

@@ -4516,6 +4516,118 @@ def mann_whitney_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "wilson_ci_high_value_by_type",
+    oracle="""
+        WITH g AS (
+            SELECT event_type AS g,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM events GROUP BY event_type
+        )
+        SELECT g AS event_type, n, x AS n_success,
+               round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+               round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                      + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+                     / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+                     - 1.96 / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+                       * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                              * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                              / CAST(n AS DOUBLE)
+                              + 3.8415999999999997
+                                / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                   AS ci_lo,
+               round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                      + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+                     / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+                     + 1.96 / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+                       * sqrt(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                              * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                              / CAST(n AS DOUBLE)
+                              + 3.8415999999999997
+                                / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                   AS ci_hi
+        FROM g
+    """,
+    tags=("analytics", "statistics", "agg"),
+    doc="Wilson score interval for the share of high-value (>100) "
+    "events per event type — the analytic binomial CI next to the "
+    "resampling families (bootstrap, conformal); never collapses at "
+    "p=0/1, stays in [0,1]. Exact BIGINT counts from one partial-agg "
+    "groupBy, every double one fixed chain (z=1.96; z2 spelled as the "
+    "exact double product so both engines use the identical literal) "
+    "(operators/stats.py:wilson_rate_ci).",
+)
+def wilson_ci_high_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import wilson_rate_ci
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select("event_type", (F.col("value") > 100.0).cast("long").alias("hi"))
+    return wilson_rate_ci(t, "event_type", "hi", z=1.96)
+
+
+@query(
+    "anova_value_by_type",
+    oracle="""
+        WITH per AS (
+            SELECT event_type AS g,
+                   CAST(count(*) AS BIGINT) AS ng,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+                   CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                                 * CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                        AS HUGEINT) AS qg
+            FROM events GROUP BY event_type
+        ),
+        term AS (
+            SELECT ng, sg, qg,
+                   CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                              / CAST(ng AS DOUBLE) * 1e6) AS HUGEINT) AS sq_micro
+            FROM per
+        ),
+        agg AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+                   CAST(SUM(sg) AS BIGINT) AS s,
+                   CAST(SUM(qg) AS HUGEINT) AS q,
+                   CAST(SUM(sq_micro) AS HUGEINT) AS sqm
+            FROM term
+        ),
+        fin AS (
+            SELECT n, k,
+                   CAST(sqm AS DOUBLE) / 1e6
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS ssb,
+                   CAST(q AS DOUBLE) - CAST(sqm AS DOUBLE) / 1e6 AS ssw
+            FROM agg
+        )
+        SELECT n AS n_total, k AS n_groups,
+               CASE WHEN k >= 2 AND n > k AND ssw > 0
+                    THEN round((ssb / CAST(k - 1 AS DOUBLE))
+                               / (ssw / CAST(n - k AS DOUBLE)), 6)
+               END AS f_stat,
+               CASE WHEN k >= 2 AND n > k AND ssw > 0 AND ssb + ssw > 0
+                    THEN round(ssb / (ssb + ssw), 6)
+               END AS eta_sq
+        FROM fin
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="One-way ANOVA F across event types on per-event value cents — "
+    "the parametric mean test beside Kruskal-Wallis's rank test (same "
+    "slicing, deliberately parallel): F = (SSB/(k-1))/(SSW/(N-k)) plus "
+    "the eta-squared effect size. Exact per-group BIGINT/HUGEINT sums; "
+    "each group's S_g^2/n_g term is one double chain micro-quantized "
+    "before the order-free exact cross-group sum "
+    "(operators/stats.py:anova_oneway).",
+)
+def anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import anova_oneway
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return anova_oneway(t, "event_type", "cents")
+
+
+@query(
     "kruskal_value_by_type",
     oracle="""
         WITH base AS (

@@ -2451,6 +2451,61 @@ def test_period_over_period_gap_yields_null(spark):
     assert out["2024-04"]["mom_pct"] is None  # March missing: no wrong compare
 
 
+def test_wilson_rate_ci_known_values_and_edges(spark):
+    import math
+
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.stats import wilson_rate_ci
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 0)] * 5 + [("c", 1)] * 4
+    df = spark.createDataFrame(rows, "g string, y long")
+    out = {r["g"]: r for r in wilson_rate_ci(df, "g", "y", z=1.96).collect()}
+
+    def wilson(x, n, z=1.96):
+        p, zz = x / n, z * z
+        denom = 1.0 + zz / n
+        center = (p + zz / (2.0 * n)) / denom
+        half = z / denom * math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+        return round(center - half, 6), round(center + half, 6)
+
+    lo, hi = wilson(8, 10)
+    assert (out["a"]["ci_lo"], out["a"]["ci_hi"]) == (lo, hi)
+    assert out["a"]["rate"] == 0.8
+    # p = 0 and p = 1: interval stays inside [0, 1] and never collapses
+    assert out["b"]["rate"] == 0.0 and out["b"]["ci_lo"] == 0.0 and out["b"]["ci_hi"] > 0.0
+    assert out["c"]["rate"] == 1.0 and out["c"]["ci_hi"] == 1.0 and out["c"]["ci_lo"] < 1.0
+    with _pytest.raises(ValueError):
+        wilson_rate_ci(df, "g", "y", z=0)
+
+
+def test_anova_oneway_textbook_case(spark):
+    from redpanda_ais_demo_spark.operators.stats import anova_oneway
+
+    # classic balanced case: groups with means 2, 4, 6 and equal
+    # within-group spread; SSB = 3*((2-4)^2+(0)^2+(2)^2) = 24,
+    # SSW = 6*1^2... values chosen integral so the micro-quantized
+    # term path is exact
+    rows = (
+        [("a", v) for v in (1, 2, 3)]
+        + [("b", v) for v in (3, 4, 5)]
+        + [("c", v) for v in (5, 6, 7)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = anova_oneway(df, "g", "v").collect()[0]
+    assert out["n_total"] == 9 and out["n_groups"] == 3
+    # SSB = 24, SSW = 6 -> F = (24/2)/(6/6) = 12; eta^2 = 24/30
+    assert out["f_stat"] == 12.0
+    assert out["eta_sq"] == 0.8
+    # degenerate: all within-group values identical -> SSW = 0 -> NULL
+    df2 = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2), ("b", 2)], "g string, v long")
+    out2 = anova_oneway(df2, "g", "v").collect()[0]
+    assert out2["f_stat"] is None
+    # single group -> NULL
+    df3 = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    assert anova_oneway(df3, "g", "v").collect()[0]["f_stat"] is None
+
+
 def test_uplift_qini_counts_and_final_point(spark):
     import pytest as _pytest
 
