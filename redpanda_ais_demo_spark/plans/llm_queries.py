@@ -1416,6 +1416,84 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.select("doc_id", "lang", "n_tokens")
 
 
+def _textrank_oracle(iters: int = 5, k: int = 50) -> str:
+    """Unrolled integer PageRank over the token adjacency graph —
+    the _pagerank_oracle recurrence with string nodes and edges from
+    in-document token bigrams (window 2, undirected, self-loops
+    dropped)."""
+    head = """
+        WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        adj AS (
+            SELECT DISTINCT least(w[i], w[i+1]) AS lo, greatest(w[i], w[i+1]) AS hi
+            FROM toks, unnest(generate_series(1, len(w) - 1)) AS g(i)
+            WHERE w[i] <> w[i+1]
+        ),
+        edges AS MATERIALIZED (
+            SELECT lo AS src, hi AS dst FROM adj
+            UNION ALL
+            SELECT hi, lo FROM adj),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f""",
+        s{i} AS (
+            SELECT e.dst AS node, CAST(SUM(r.rank // deg.d) AS BIGINT) AS s
+            FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ),
+        r{i + 1} AS MATERIALIZED (
+            SELECT nodes.node,
+                   CAST((15 * (1000000000000 // nn.n)) // 100
+                        + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON nodes.node = s{i}.node
+        )""")
+    parts.append(f"""
+        SELECT node AS token, rank FROM r{iters}
+        ORDER BY rank DESC, token LIMIT {k}""")
+    return "".join(parts)
+
+
+@query(
+    "textrank_keywords_docs",
+    oracle=_textrank_oracle(5, 50),
+    tags=("text", "graph", "iterative", "scale-path"),
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): integer "
+    "PageRank over the corpus-wide token adjacency graph (window 2, "
+    "undirected, self-loops dropped), top 50 tokens by rank — the "
+    "graph-centrality complement to tfidf_top_terms' frequency scoring "
+    "and rake_event_weights' degree/frequency heuristic. Edge build is "
+    "one map-side bigram explode + distinct; the rank loop is the "
+    "exact-integer pagerank recurrence, bit-identical to the unrolled "
+    "oracle; deterministic (rank DESC, token) top-k "
+    "(operators/graph.py:pagerank).",
+)
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    adj = pairs.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+    edges = adj.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
+        adj.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    pr = pagerank(edges, iters=5)
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(50)
+        .select(F.col("node").alias("token"), "rank")
+    )
+
+
 @query(
     "tfidf_top_terms",
     oracle="""
