@@ -421,3 +421,90 @@ def geofence_tag(
             f"{pnpoly_sql(lat_col, lon_col, verts)} AS in_{name}"
         )
     return points.selectExpr("*", *exprs)
+
+
+def simplify_track_radial(
+    points: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    qlat_col: str,
+    qlon_col: str,
+    eps_micro: int,
+) -> DataFrame:
+    """Radial-distance polyline simplification — the O(n) trajectory
+    compressor every AIS/GPS pipeline runs before storing tracks
+    (``track_compact`` in-tree fixes ORDER; this drops REDUNDANT
+    points): walk each track in time order, keep a point iff its
+    squared planar distance from the LAST KEPT point exceeds
+    ``eps_micro``², and always keep the first and final points so the
+    track's endpoints survive. The classic cheap pre-pass before
+    Douglas-Peucker-grade shape simplification.
+
+    Coordinates arrive as integer micro-degrees (quantize upstream),
+    so the keep decision is exact BIGINT arithmetic and the kept set
+    is bit-identical cross-engine — the oracle replays the identical
+    walk as a recursive CTE. The walk is inherently sequential per
+    track, so each track folds through ONE ``aggregate`` lambda over
+    its collected time-ordered points (the holt/ewma contract: feed
+    per-key series that are calendar/track-bounded; the collect is
+    per-key, never corpus-wide). The kept list is array state
+    appended per accepted point — state is output-sized by
+    construction.
+
+    Output: one row per kept point (key, ts, tiebreak, qlat, qlon).
+    """
+    if eps_micro < 1:
+        raise ValueError(f"eps_micro must be >= 1, got {eps_micro}")
+    eps2 = int(eps_micro) * int(eps_micro)
+    series = (
+        points.select(
+            F.col(key_col).alias("g"),
+            F.col(ts_col).cast("long").alias("t"),
+            F.col(tiebreak_col).cast("long").alias("tb"),
+            F.col(qlat_col).cast("long").alias("qlat"),
+            F.col(qlon_col).cast("long").alias("qlon"),
+        )
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "tb", "qlat", "qlon"))).alias("arr"))
+    )
+    # typed empty array of the element struct: filter-all on the input
+    empty = F.filter(F.col("arr"), lambda x: F.lit(False))
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0).cast("long").alias("llat"),
+        F.lit(0).cast("long").alias("llon"),
+        empty.alias("kept"),
+    )
+
+    def step(acc, e):
+        d2 = (e["qlat"] - acc["llat"]) * (e["qlat"] - acc["llat"]) + (
+            e["qlon"] - acc["llon"]
+        ) * (e["qlon"] - acc["llon"])
+        take = (acc["i"] == 0) | (d2 > F.lit(eps2))
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(take, e["qlat"]).otherwise(acc["llat"]).alias("llat"),
+            F.when(take, e["qlon"]).otherwise(acc["llon"]).alias("llon"),
+            F.when(take, F.concat(acc["kept"], F.array(e)))
+            .otherwise(acc["kept"])
+            .alias("kept"),
+        )
+
+    folded = series.select(
+        "g",
+        F.element_at("arr", -1).alias("last_pt"),
+        F.aggregate("arr", init, step).alias("acc"),
+    )
+    # endpoints survive: force-append the final point when the walk
+    # dropped it (it does NOT become a new reference — no points follow)
+    kept = F.when(
+        F.element_at(F.col("acc.kept"), -1) == F.col("last_pt"), F.col("acc.kept")
+    ).otherwise(F.concat(F.col("acc.kept"), F.array(F.col("last_pt"))))
+    return folded.select("g", F.explode(kept).alias("p")).select(
+        F.col("g").alias(key_col),
+        F.col("p.t").alias(ts_col),
+        F.col("p.tb").alias(tiebreak_col),
+        F.col("p.qlat").alias(qlat_col),
+        F.col("p.qlon").alias(qlon_col),
+    )

@@ -498,6 +498,70 @@ def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "track_simplify_user_paths",
+    oracle="""
+        WITH RECURSIVE pos AS (
+            SELECT user_id AS g, epoch_us(ts) AS us, event_id AS eid,
+                   CAST(round((value / 10 - 24.5) * 1000000) AS BIGINT) AS qlat,
+                   CAST(round(((value * 7) % 360 - 180) * 1000000) AS BIGINT) AS qlon
+            FROM events WHERE event_type = 'view'
+        ),
+        ord AS (
+            SELECT g, us, eid, qlat, qlon,
+                   row_number() OVER (PARTITION BY g ORDER BY us, eid) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM pos
+        ),
+        walk AS (
+            SELECT g, rn, n, us, eid, qlat, qlon, TRUE AS keep,
+                   qlat AS llat, qlon AS llon
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.g, o.rn, o.n, o.us, o.eid, o.qlat, o.qlon,
+                   ((o.qlat - w.llat) * (o.qlat - w.llat)
+                    + (o.qlon - w.llon) * (o.qlon - w.llon)
+                    > 8100000000000000) OR o.rn = o.n,
+                   CASE WHEN (o.qlat - w.llat) * (o.qlat - w.llat)
+                             + (o.qlon - w.llon) * (o.qlon - w.llon)
+                             > 8100000000000000
+                        THEN o.qlat ELSE w.llat END,
+                   CASE WHEN (o.qlat - w.llat) * (o.qlat - w.llat)
+                             + (o.qlon - w.llon) * (o.qlon - w.llon)
+                             > 8100000000000000
+                        THEN o.qlon ELSE w.llon END
+            FROM walk w JOIN ord o ON o.g = w.g AND o.rn = w.rn + 1
+        )
+        SELECT g AS user_id, us, eid AS event_id, qlat, qlon
+        FROM walk WHERE keep
+    """,
+    tags=("spatial", "timeseries", "scale-path"),
+    doc="Radial-distance trajectory simplification of per-user view "
+    "paths (synthetic micro-degree positions, the track_length "
+    "derivation): keep a point iff its squared planar distance from "
+    "the last KEPT point exceeds (90 deg)^2, endpoints always survive "
+    "— the O(n) track compressor run before storing GPS/AIS paths, "
+    "complementing track_compact's ORDER repair. Exact BIGINT walk "
+    "folded per track through one aggregate lambda with array-state "
+    "kept lists; the oracle replays the identical walk as a recursive "
+    "CTE (operators/spatial.py:simplify_track_radial).",
+)
+def track_simplify_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import simplify_track_radial
+
+    events = load_table(spark, sf_dir, "events")
+    pos = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        (F.unix_micros(F.col("ts"))).alias("us"),
+        "event_id",
+        F.round((F.col("value") / 10 - 24.5) * 1000000).cast("long").alias("qlat"),
+        F.round(((F.col("value") * 7) % 360 - 180) * 1000000).cast("long").alias("qlon"),
+    )
+    return simplify_track_radial(
+        pos, "user_id", "us", "event_id", "qlat", "qlon", eps_micro=90_000_000
+    )
+
+
+@query(
     "track_length_by_user",
     oracle="""
         WITH pos AS (

@@ -214,3 +214,24 @@ def test_geofence_tag_box_triangle_concave(spark):
         geofence_tag(df, "lat", "lon", {"bad name": fences["box"]})
     with pytest.raises(ValueError):
         geofence_tag(df, "lat", "lon", {"two": [(0.0, 0.0), (1.0, 1.0)]})
+
+
+def test_simplify_track_radial_walk_and_endpoints(spark):
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.spatial import simplify_track_radial
+
+    # track 1: points at x = 0, 3, 4, 9, 10 (y = 0), eps = 4:
+    # keep 0 (first); 3 (d=3 <= 4? 9 <= 16 -> drop); 4 (d=4, 16 !> 16
+    # -> drop); 9 (d=9 > 4 -> keep, new ref); 10 (d=1 -> drop, but
+    # forced as final point)
+    rows = [(1, t, t, x, 0) for t, x in enumerate([0, 3, 4, 9, 10])]
+    # track 2: single point — kept once, not duplicated by the
+    # final-point rule
+    rows += [(2, 0, 99, 5, 5)]
+    df = spark.createDataFrame(rows, "k long, t long, tb long, qlat long, qlon long")
+    out = simplify_track_radial(df, "k", "t", "tb", "qlat", "qlon", eps_micro=4)
+    got = [(r.k, r.qlat) for r in out.orderBy("k", "t").collect()]
+    assert got == [(1, 0), (1, 9), (1, 10), (2, 5)]
+    with pytest.raises(ValueError):
+        simplify_track_radial(df, "k", "t", "tb", "qlat", "qlon", eps_micro=0)
