@@ -1333,6 +1333,119 @@ def mann_whitney_u(
     )
 
 
+def nearest_match_att(
+    df: DataFrame,
+    x_col: str,
+    treated_col: str,
+    y_col: str,
+    id_col: str,
+    caliper: int | None = None,
+) -> DataFrame:
+    """1-nearest-neighbor covariate matching WITH replacement and the
+    ATT readout — the MATCHING member of the causal family next to
+    IPW (reweighting), DiD, RDD, and CUPED: every treated unit pairs
+    with the control whose covariate is nearest (|Δx|), the pair
+    differences average into the effect on the treated. ``caliper``
+    (same integer units as ``x_col``) drops matches farther than the
+    threshold — the standard bias guard.
+
+    Determinism contract: ``x_col`` is integral; per distinct control
+    x the CANONICAL control is the minimum-id one; the nearer of the
+    previous/next control x wins, exact ties to the PREVIOUS (lower
+    x). All counts/sums exact BIGINT; ATT is one division.
+
+    Scale shape: controls collapse to one row per DISTINCT x (a
+    partial-agg groupBy) — the bounded-domain contract of
+    ``ntile_bounded_domain``; consecutive distinct xs become
+    half-open intervals via a window over that bounded table ONLY,
+    and treated rows BROADCAST-range-join into the interval that
+    contains them, so each treated row meets exactly one (prev, next)
+    candidate pair map-side. No data-sized global sort, no
+    unpartitioned window over subjects.
+
+    Output: one row — n_treated, n_control, n_matched, att,
+    mean_y_treated_matched, mean_y_control_matched.
+    """
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(treated_col).cast("long").alias("tr"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(id_col).cast("long").alias("id"),
+    ).filter(
+        F.col("x").isNotNull() & F.col("tr").isNotNull() & F.col("y").isNotNull()
+    )
+    ctrl = base.filter(F.col("tr") == 0)
+    # one row per distinct control x; canonical control = min id there
+    cx = ctrl.groupBy("x").agg(F.min(F.struct("id", "y")).alias("c"))
+    wc = Window.orderBy("x")  # bounded: one row per DISTINCT control x
+    iv = cx.select(
+        F.col("x").alias("px"),
+        F.col("c.y").alias("py"),
+        F.lead("x").over(wc).alias("nx"),
+        F.lead("c.y").over(wc).alias("ny"),
+        F.row_number().over(wc).alias("rn"),
+    )
+    # synthetic leading interval (-inf, min control x): prev = null,
+    # next = the smallest control
+    first = iv.filter(F.col("rn") == 1).select(
+        F.lit(None).cast("long").alias("px"),
+        F.lit(None).cast("long").alias("py"),
+        F.col("px").alias("nx"),
+        F.col("py").alias("ny"),
+    )
+    ivs = iv.drop("rn").unionByName(first)
+    tr = base.filter(F.col("tr") == 1)
+    j = tr.join(
+        F.broadcast(ivs),
+        (
+            (F.col("px").isNull() | (F.col("x") >= F.col("px")))
+            & (F.col("nx").isNull() | (F.col("x") < F.col("nx")))
+        ),
+        "left",
+    )
+    dprev = F.col("x") - F.col("px")
+    dnext = F.col("nx") - F.col("x")
+    use_prev = F.col("px").isNotNull() & (
+        F.col("nx").isNull() | (dprev <= dnext)
+    )
+    mdist = F.when(use_prev, dprev).otherwise(dnext)
+    my = F.when(use_prev, F.col("py")).otherwise(F.col("ny"))
+    matched = F.col("px").isNotNull() | F.col("nx").isNotNull()
+    if caliper is not None:
+        if caliper < 0:
+            raise ValueError(f"caliper must be >= 0, got {caliper}")
+        matched = matched & (mdist <= caliper)
+    n_ctrl = ctrl.agg(F.count(F.lit(1)).cast("long").alias("n_control"))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_treated"),
+        F.sum(matched.cast("long")).cast("long").alias("n_matched"),
+        F.sum(F.when(matched, F.col("y")).otherwise(F.lit(0))).cast("long").alias("syt"),
+        F.sum(F.when(matched, my).otherwise(F.lit(0))).cast("long").alias("syc"),
+    )
+    ok = F.col("n_matched") > 0
+    return agg.crossJoin(F.broadcast(n_ctrl)).select(
+        "n_treated",
+        "n_control",
+        "n_matched",
+        F.when(
+            ok,
+            F.round(
+                (F.col("syt") - F.col("syc")).cast("double")
+                / F.col("n_matched").cast("double"),
+                6,
+            ),
+        ).alias("att"),
+        F.when(
+            ok,
+            F.round(F.col("syt").cast("double") / F.col("n_matched").cast("double"), 6),
+        ).alias("mean_y_treated_matched"),
+        F.when(
+            ok,
+            F.round(F.col("syc").cast("double") / F.col("n_matched").cast("double"), 6),
+        ).alias("mean_y_control_matched"),
+    )
+
+
 def wilson_rate_ci(
     df: DataFrame,
     group_col: str,

@@ -224,6 +224,103 @@ def _ipw_oracle() -> str:
 
 
 @query(
+    "psm_att_purchase_by_engagement",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id AS id,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS tr,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        cx AS (
+            SELECT x AS px, arg_min(y, id) AS py
+            FROM subjects WHERE tr = 0 GROUP BY x
+        ),
+        iv0 AS (
+            SELECT px, py,
+                   lead(px) OVER (ORDER BY px) AS nx,
+                   lead(py) OVER (ORDER BY px) AS ny,
+                   row_number() OVER (ORDER BY px) AS rn
+            FROM cx
+        ),
+        ivs AS (
+            SELECT px, py, nx, ny FROM iv0
+            UNION ALL
+            SELECT NULL, NULL, px, py FROM iv0 WHERE rn = 1
+        ),
+        j AS (
+            SELECT t.x, t.y, ivs.px, ivs.py, ivs.nx, ivs.ny
+            FROM (SELECT * FROM subjects WHERE tr = 1) t
+            LEFT JOIN ivs ON (ivs.px IS NULL OR t.x >= ivs.px)
+                         AND (ivs.nx IS NULL OR t.x < ivs.nx)
+        ),
+        pick AS (
+            SELECT x, y, px, nx,
+                   CASE WHEN px IS NOT NULL AND (nx IS NULL OR x - px <= nx - x)
+                        THEN x - px ELSE nx - x END AS mdist,
+                   CASE WHEN px IS NOT NULL AND (nx IS NULL OR x - px <= nx - x)
+                        THEN py ELSE ny END AS my,
+                   (px IS NOT NULL OR nx IS NOT NULL) AS has_any
+            FROM j
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_treated,
+                   CAST(SUM(CASE WHEN has_any AND mdist <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   CAST(SUM(CASE WHEN has_any AND mdist <= 5 THEN y ELSE 0 END) AS BIGINT) AS syt,
+                   CAST(SUM(CASE WHEN has_any AND mdist <= 5 THEN my ELSE 0 END) AS BIGINT) AS syc
+            FROM pick
+        ),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_control FROM subjects WHERE tr = 0)
+        SELECT n_treated, n_control, n_matched,
+               CASE WHEN n_matched > 0
+                    THEN round(CAST(syt - syc AS DOUBLE) / CAST(n_matched AS DOUBLE), 6)
+               END AS att,
+               CASE WHEN n_matched > 0
+                    THEN round(CAST(syt AS DOUBLE) / CAST(n_matched AS DOUBLE), 6)
+               END AS mean_y_treated_matched,
+               CASE WHEN n_matched > 0
+                    THEN round(CAST(syc AS DOUBLE) / CAST(n_matched AS DOUBLE), 6)
+               END AS mean_y_control_matched
+        FROM agg CROSS JOIN nc
+    """,
+    tags=("ml", "causal", "statistics", "join"),
+    doc="1-NN covariate matching with replacement + caliper 5 and the "
+    "ATT readout — the MATCHING member of the causal family beside "
+    "IPW (reweighting), DiD, RDD, and CUPED: each treated user "
+    "(standard hash split) matches the control with the nearest total "
+    "event count, canonical control per distinct covariate = min id, "
+    "distance ties to the previous (lower) side; outcome = purchase "
+    "value cents. Scale shape: controls collapse to one row per "
+    "DISTINCT covariate (bounded domain), consecutive values become "
+    "half-open intervals via a window over that bounded table only, "
+    "and treated rows BROADCAST-range-join into their interval — no "
+    "data-sized global sort (operators/stats.py:nearest_match_att).",
+)
+def psm_att_purchase_by_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.stats import nearest_match_att
+
+    events = load_table(spark, sf_dir, "events")
+    subjects = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    ).select(
+        F.col("user_id").alias("id"), "x", "y",
+        (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000).cast("long").alias("tr"),
+    )
+    return nearest_match_att(subjects, "x", "tr", "y", "id", caliper=5)
+
+
+@query(
     "ipw_ate_priority_on_revenue",
     oracle=_ipw_oracle(),
     tags=("ml", "causal", "statistics", "agg", "glm"),

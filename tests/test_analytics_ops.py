@@ -2451,6 +2451,29 @@ def test_period_over_period_gap_yields_null(spark):
     assert out["2024-04"]["mom_pct"] is None  # March missing: no wrong compare
 
 
+def test_nearest_match_att_picks_tie_and_caliper(spark):
+    from redpanda_ais_demo_spark.operators.stats import nearest_match_att
+
+    # controls: x=9 (ids 1,2 -> canonical id 1, y=100), x=11 (y=300)
+    # treated: x=10 (tie 9 vs 11 -> prev, y_c=100), x=12 (nearest 11),
+    #          x=50 (nearest 11 but dist 39 > caliper -> unmatched)
+    rows = [
+        (1, 9, 0, 100), (2, 9, 0, 999), (3, 11, 0, 300),
+        (4, 10, 1, 150), (5, 12, 1, 400), (6, 50, 1, 777),
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, tr long, y long")
+    out = nearest_match_att(df, "x", "tr", "y", "id", caliper=5).collect()[0]
+    assert out["n_treated"] == 3 and out["n_control"] == 3
+    assert out["n_matched"] == 2
+    # pairs: (150 - 100) and (400 - 300) -> ATT = 75
+    assert out["att"] == 75.0
+    assert out["mean_y_control_matched"] == 200.0
+    # no controls at all -> NULL effect, zero matches
+    df2 = spark.createDataFrame([(1, 5, 1, 10)], "id long, x long, tr long, y long")
+    out2 = nearest_match_att(df2, "x", "tr", "y", "id").collect()[0]
+    assert out2["n_matched"] == 0 and out2["att"] is None
+
+
 def test_wilson_rate_ci_known_values_and_edges(spark):
     import math
 
