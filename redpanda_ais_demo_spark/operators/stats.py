@@ -1333,6 +1333,55 @@ def mann_whitney_u(
     )
 
 
+def hbos_scores(
+    df: DataFrame,
+    id_cols: list[str],
+    bucket_cols: dict[str, Column],
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
+    MULTIVARIATE unsupervised anomaly score next to MAD's univariate
+    fence: per feature, bucket every row and score rarity as
+    ``ln(N / count(bucket))``; a row's HBOS is the SUM over features
+    (independence assumption — that's the method), so a row odd on
+    several axes at once outranks one merely extreme on one.
+
+    Determinism: bucket counts are exact BIGINTs; each feature's term
+    is one ``ln`` of an integer ratio and the cross-feature sum is a
+    FIXED-ORDER expression (never a float aggregation), so scores are
+    bit-stable cross-engine. Scale shape: one partial-agg groupBy per
+    feature collapses to ≤|bins| rows that BROADCAST back — the score
+    pass is map-side; nothing data-sized shuffles (the input pins once
+    via lazy localCheckpoint so the per-feature count jobs don't
+    replay upstream).
+
+    Output: id_cols + one ``<name>_bucket`` per feature + ``hbos``.
+    """
+    if not bucket_cols:
+        raise ValueError("need at least one bucket column")
+    names = list(bucket_cols)
+    base = df.select(
+        *id_cols, *[bucket_cols[n].alias(f"{n}_bucket") for n in names]
+    ).localCheckpoint(eager=False)
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    out = base.crossJoin(F.broadcast(tot))
+    for n in names:
+        cnt = base.groupBy(f"{n}_bucket").agg(
+            F.count(F.lit(1)).cast("long").alias(f"__c_{n}")
+        )
+        out = out.join(F.broadcast(cnt), f"{n}_bucket")
+    score = None
+    for n in names:
+        term = F.log(
+            F.col("__n").cast("double") / F.col(f"__c_{n}").cast("double")
+        )
+        score = term if score is None else score + term
+    return out.select(
+        *id_cols,
+        *[f"{n}_bucket" for n in names],
+        F.round(score, 6).alias("hbos"),
+    )
+
+
 def nearest_match_att(
     df: DataFrame,
     x_col: str,

@@ -4580,6 +4580,59 @@ def mann_whitney_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "hbos_event_outliers",
+    oracle="""
+        WITH b AS (
+            SELECT event_id,
+                   least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19)
+                       AS value_bucket,
+                   CAST(hour(ts) AS BIGINT) AS hour_bucket,
+                   CAST(isodow(ts) - 1 AS BIGINT) AS dow_bucket
+            FROM events
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        cv AS (SELECT value_bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        ch AS (SELECT hour_bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        cd AS (SELECT dow_bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1)
+        SELECT event_id, value_bucket, hour_bucket, dow_bucket,
+               round(ln(CAST(n.n AS DOUBLE) / CAST(cv.c AS DOUBLE))
+                     + ln(CAST(n.n AS DOUBLE) / CAST(ch.c AS DOUBLE))
+                     + ln(CAST(n.n AS DOUBLE) / CAST(cd.c AS DOUBLE)), 6) AS hbos
+        FROM b CROSS JOIN n
+        JOIN cv USING (value_bucket) JOIN ch USING (hour_bucket)
+        JOIN cd USING (dow_bucket)
+        ORDER BY hbos DESC, event_id LIMIT 100
+    """,
+    tags=("analytics", "anomaly", "statistics", "scale-path"),
+    doc="Histogram-Based Outlier Score over (value band, hour, "
+    "weekday) with the top-100 most anomalous events — the "
+    "multivariate unsupervised anomaly readout next to MAD's "
+    "univariate fence and the seasonal-residual screen: rarity "
+    "ln(N/count) per feature, summed in fixed order under HBOS's "
+    "independence assumption. Three bounded-bin count tables "
+    "broadcast back onto a map-side score pass; deterministic "
+    "(hbos DESC, event_id) top-k (operators/stats.py:hbos_scores).",
+)
+def hbos_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import hbos_scores
+
+    events = load_table(spark, sf_dir, "events")
+    scored = hbos_scores(
+        events,
+        ["event_id"],
+        {
+            "value": F.least(
+                F.greatest(F.floor(F.col("value") / 25.0).cast("long"), F.lit(0)),
+                F.lit(19),
+            ),
+            "hour": F.hour("ts").cast("long"),
+            "dow": ((F.dayofweek("ts") + 5) % 7).cast("long"),
+        },
+    )
+    return scored.orderBy(F.col("hbos").desc(), F.col("event_id").asc()).limit(100)
+
+
+@query(
     "wilson_ci_high_value_by_type",
     oracle="""
         WITH g AS (

@@ -2451,6 +2451,31 @@ def test_period_over_period_gap_yields_null(spark):
     assert out["2024-04"]["mom_pct"] is None  # March missing: no wrong compare
 
 
+def test_hbos_scores_rarity_ordering(spark):
+    import math
+
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.stats import hbos_scores
+    from pyspark.sql import functions as SF
+
+    # 10 rows: feature a has a 9/1 split, feature b a 5/5 split;
+    # row 9 is rare on BOTH axes and must dominate
+    rows = [(i, 0 if i < 9 else 1, i % 2) for i in range(10)]
+    rows[9] = (9, 1, 9 % 2)
+    df = spark.createDataFrame(rows, "id long, fa long, fb long")
+    out = {r["id"]: r for r in hbos_scores(
+        df, ["id"], {"a": SF.col("fa"), "b": SF.col("fb")}
+    ).collect()}
+    # exact fixed-order chain: ln(10/c_a) + ln(10/c_b)
+    assert out[9]["hbos"] == round(math.log(10 / 1) + math.log(10 / 5), 6)
+    assert out[0]["hbos"] == round(math.log(10 / 9) + math.log(10 / 5), 6)
+    assert out[9]["hbos"] == max(r["hbos"] for r in out.values())
+    assert out[9]["a_bucket"] == 1
+    with _pytest.raises(ValueError):
+        hbos_scores(df, ["id"], {})
+
+
 def test_nearest_match_att_picks_tie_and_caliper(spark):
     from redpanda_ais_demo_spark.operators.stats import nearest_match_att
 
