@@ -4179,13 +4179,16 @@ def ppr_copurchase_min_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
+    # pin the expensive pair-join ONCE: the seed derivation walks the
+    # node set twice (min-node scalar + brand join) and the operator
+    # pins its own copy — without this the pw subtree replays 3x
     e = pw.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
         pw.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     part = load_table(spark, sf_dir, "part")
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     mn = nodes.agg(F.min("node").alias("mn"))
     sb = (
         part.join(F.broadcast(mn), part.p_partkey == F.col("mn"))

@@ -823,6 +823,10 @@ BOUNDED_DOMAIN_UNPART_WINDOWS = {
     # AMOC cumulative split statistics over the calendar-hour bucket
     # axis (operators/timeseries.py:amoc_changepoint)
     "amoc_value_changepoint": "calendar-hour bucket axis",
+    # matching intervals built over one row per DISTINCT control
+    # covariate value (the ntile_bounded_domain argument); treated rows
+    # broadcast-join in, never sort (operators/stats.py:nearest_match_att)
+    "psm_att_purchase_by_engagement": "distinct control covariate domain",
 }
 
 _BOUND_MARKERS = (
