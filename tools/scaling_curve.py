@@ -96,6 +96,19 @@ QUERIES = [
     "ipw_ate_priority_on_revenue",
     "ngram_jaccard_pairs_prefix",
     "ann_ivf_topk_distributed",
+    # r11 session: personalized PageRank (per-round join+agg over the
+    # key-shifted co-purchase copies — disjoint components, so seed
+    # mass stays in one replica but the edge/node tables scale 10x),
+    # exact-integer k-means (per round: one map-side argmin scan + a
+    # k*dim partial-agg shuffle — should be pure data-linear), the
+    # chunk-dedup rewrite (one chunk-text shuffle; disjoint replica
+    # vocabularies keep per-chunk occurrence density scale-free), and
+    # TextRank (bigram adjacency explode + the pagerank loop over a
+    # 10x vocabulary graph).
+    "ppr_copurchase_min_part_brand",
+    "kmeans_embeddings_assign",
+    "chunk_dedup_rewrite_docs",
+    "textrank_keywords_docs",
 ]
 SCALES = [
     ("/root/testdata/sf0.01", 0.01),
