@@ -193,3 +193,113 @@ def frequent_triples(
         F.col("i3").alias("item_c"),
         "n_baskets",
     )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    rounds: int = 5,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise comparisons via the
+    MM / Zermelo fixed-point (Hunter 2004): ``π_i ← W_i / Σ_j
+    g_ij/(π_i+π_j)``, renormalized each round — the BATCH rating fit
+    behind preference/reward-model data curation (which completion
+    wins), sports-style ranking, and A/B/n preference tests; the
+    order-independent sibling of sequential Elo.
+
+    Determinism (the integer-pagerank discipline, adapted to a
+    fractional fixed point): ratings live in micro-units (init 1e6
+    each); each pair's denominator term ``g_ij/(π_i+π_j)`` is ONE
+    double chain micro-quantized to a BIGINT before the order-free
+    per-item sum; the update ``(W_i·1e6)/D · 1e6`` is spelled so no
+    intermediate leaves double-exact integer range even at 10x scale;
+    renormalization is integer multiply + truncating div. Five rounds
+    replay bit-identically in the unrolled SQL oracle.
+
+    Scale shape: comparisons collapse ONCE to the directed pair table
+    (one partial-agg groupBy — the only comparison-sized pass); every
+    round joins that ≤|items|² table with the |items|-row rating
+    vector twice and partial-aggs back to |items| rows, lineage pinned
+    per round. Items appearing only as losers rate 0 (W=0), dropped
+    pairs (self-comparisons) are filtered.
+
+    Output: (item, rating micro-BIGINT, wins, games).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    c = comparisons.select(
+        F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+    ).filter(F.col("w") != F.col("l"))
+    wc = c.groupBy("w", "l").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # directed pair stats: wins of i over j, total games between them
+    e = (
+        wc.select(
+            F.col("w").alias("i"), F.col("l").alias("j"),
+            F.col("n").alias("win"), F.col("n").alias("g"),
+        )
+        .unionByName(
+            wc.select(
+                F.col("l").alias("i"), F.col("w").alias("j"),
+                F.lit(0).cast("long").alias("win"), F.col("n").alias("g"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("win").cast("long").alias("wij"), F.sum("g").cast("long").alias("gij"))
+        .localCheckpoint(eager=False)
+    )
+    wi = e.groupBy("i").agg(
+        F.sum("wij").cast("long").alias("wins"),
+        F.sum("gij").cast("long").alias("games"),
+    ).localCheckpoint(eager=False)
+    k = wi.count()  # 1-row driver scalar parameterizing the renorm literal
+    if k == 0:
+        raise ValueError("bradley_terry needs at least one valid comparison")
+    p = wi.select("i", F.lit(1_000_000).cast("long").alias("pi"))
+    for _ in range(rounds):
+        t = (
+            e.join(p.select(F.col("i"), F.col("pi").alias("p_i")), "i")
+            .join(p.select(F.col("i").alias("j"), F.col("pi").alias("p_j")), "j")
+            .select(
+                "i",
+                F.round(
+                    F.col("gij").cast("double")
+                    * F.lit(1e12)
+                    / (F.col("p_i") + F.col("p_j")).cast("double")
+                ).cast("long").alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").cast("long").alias("d"))
+        )
+        praw = (
+            wi.join(t, "i", "left")
+            .select(
+                "i",
+                F.when(
+                    F.col("d").isNotNull() & (F.col("d") > 0),
+                    F.round(
+                        (F.col("wins") * F.lit(1_000_000)).cast("double")
+                        / F.col("d").cast("double")
+                        * F.lit(1e6)
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long")).alias("praw"),
+            )
+        )
+        s = praw.agg(F.sum("praw").cast("long").alias("s"))
+        p = (
+            praw.crossJoin(F.broadcast(s))
+            .select(
+                "i",
+                F.expr(f"(praw * {k}000000L) div s").cast("long").alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        p.join(wi, "i")
+        .select(
+            F.col("i").alias("item"),
+            F.col("pi").alias("rating"),
+            "wins",
+            "games",
+        )
+    )

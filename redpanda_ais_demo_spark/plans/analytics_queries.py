@@ -2571,6 +2571,99 @@ def frequent_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bradley_terry_oracle(rounds: int = 5) -> str:
+    """Unrolled MM/Zermelo fixed point: per round one pair-vs-ratings
+    double join, micro-quantized denominator terms summed exactly,
+    the (W·1e6)/D·1e6 update, integer renormalization."""
+    head = """
+        WITH br AS (
+            SELECT l_orderkey AS o, p_brand AS b,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        cmp AS (
+            SELECT CASE WHEN a.rev > b.rev THEN a.b ELSE b.b END AS w,
+                   CASE WHEN a.rev > b.rev THEN b.b ELSE a.b END AS l
+            FROM br a JOIN br b ON a.o = b.o AND a.b < b.b
+            WHERE a.rev <> b.rev),
+        wc AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM cmp GROUP BY 1, 2),
+        e AS MATERIALIZED (
+            SELECT i, j, CAST(SUM(win) AS BIGINT) AS wij, CAST(SUM(g) AS BIGINT) AS gij
+            FROM (SELECT w AS i, l AS j, n AS win, n AS g FROM wc
+                  UNION ALL
+                  SELECT l, w, CAST(0 AS BIGINT), n FROM wc)
+            GROUP BY i, j),
+        wi AS MATERIALIZED (
+            SELECT i, CAST(SUM(wij) AS BIGINT) AS wins,
+                   CAST(SUM(gij) AS BIGINT) AS games
+            FROM e GROUP BY i),
+        kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM wi),
+        p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM wi)"""
+    parts = [head]
+    for r in range(rounds):
+        parts.append(f""",
+        t{r} AS (
+            SELECT e.i,
+                   CAST(SUM(CAST(round(CAST(e.gij AS DOUBLE) * 1e12
+                                       / CAST(pi.pi + pj.pi AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS d
+            FROM e JOIN p{r} pi ON e.i = pi.i JOIN p{r} pj ON e.j = pj.i
+            GROUP BY e.i),
+        praw{r} AS MATERIALIZED (
+            SELECT wi.i,
+                   CASE WHEN t{r}.d IS NOT NULL AND t{r}.d > 0
+                        THEN CAST(round(CAST(wi.wins * 1000000 AS DOUBLE)
+                                        / CAST(t{r}.d AS DOUBLE) * 1e6) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS praw
+            FROM wi LEFT JOIN t{r} ON wi.i = t{r}.i),
+        p{r + 1} AS MATERIALIZED (
+            SELECT i, CAST((praw * (kk.k * 1000000)) // ss.s AS BIGINT) AS pi
+            FROM praw{r} CROSS JOIN kk
+            CROSS JOIN (SELECT CAST(SUM(praw) AS BIGINT) AS s FROM praw{r}) ss)""")
+    parts.append(f"""
+        SELECT p.i AS item, p.pi AS rating, wi.wins, wi.games
+        FROM p{rounds} p JOIN wi ON p.i = wi.i""")
+    return "".join(parts)
+
+
+@query(
+    "bradley_terry_brand_prefs",
+    oracle=_bradley_terry_oracle(5),
+    tags=("analytics", "recommendation", "iterative", "statistics"),
+    doc="Bradley-Terry strength ratings of brands from within-order "
+    "revenue duels (in every order holding two brands, the higher-"
+    "revenue brand 'wins'; ties skipped): the MM/Zermelo fixed point "
+    "pi_i <- W_i / sum_j g_ij/(pi_i+pi_j) (Hunter 2004), 5 rounds, "
+    "renormalized — ranking from pairwise comparisons, the batch "
+    "rating fit behind preference/reward-model curation and the "
+    "order-independent sibling of Elo. Comparisons collapse once to "
+    "the directed pair table; per round two |items|-row joins + a "
+    "partial agg; micro-quantized denominator terms make the fixed "
+    "point bit-identical to the unrolled oracle "
+    "(operators/recommend.py:bradley_terry).",
+)
+def bradley_terry_brand_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.recommend import bradley_terry
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    br = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev"))
+    )
+    a, b = br.alias("a"), br.alias("b")
+    duels = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.b") < F.col("b.b"))
+    ).filter(F.col("a.rev") != F.col("b.rev"))
+    comparisons = duels.select(
+        F.when(F.col("a.rev") > F.col("b.rev"), F.col("a.b"))
+        .otherwise(F.col("b.b")).alias("w"),
+        F.when(F.col("a.rev") > F.col("b.rev"), F.col("b.b"))
+        .otherwise(F.col("a.b")).alias("l"),
+    )
+    return bradley_terry(comparisons, "w", "l", rounds=5)
+
+
 @query(
     "item_cooccurrence_parts",
     oracle="""

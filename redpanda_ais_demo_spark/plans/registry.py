@@ -234,7 +234,13 @@ PRIORITY: tuple[str, ...] = (
     # bucketed join (layout-level shuffle elimination), and Bloom-filter
     # decontamination (first in-window rep of the decontamination class;
     # the broadcast-semi-join form trails, oracle-bearing).
-    "chunk_documents_stride",
+    # (r11c) chunk_documents_stride rotated out after holding a driver
+    # hash since r7: its chunking mechanism now executes INSIDE the
+    # stricter chunk_dedup_rewrite_docs plan (chunk explode + corpus-
+    # wide canonical-occurrence dedup + ordered document reassembly —
+    # the CCNet rewrite), which takes the slot; the stride variant
+    # stays registered, oracle-bearing, pytest-oracle-swept.
+    "chunk_dedup_rewrite_docs",
     "bucketed_join_segment_sales",
     "decontaminate_docs_bloom",
     # PPS systematic sampling gives the sampling family its first
@@ -244,7 +250,14 @@ PRIORITY: tuple[str, ...] = (
     # pii_redact in-window) and running_revenue_by_customer (the
     # cumulative-window shape is doubly represented by gapfill's running
     # last() and cusum's running sum/min).
-    "pps_sample_docs",
+    # (r11c) pps_sample_docs rotated out after its long-held hash: the
+    # sampling family keeps TWO in-window reps (source_mixture_weights,
+    # pack_token_stream_sharded) and PPS stays oracle-swept. Its slot
+    # gives the forecasting family back a window row — lost when Holt
+    # rotated out in r11b — via holt_winters_weekly_value, whose
+    # ARRAY-STATE seasonal ring-buffer fold is a mechanism no other
+    # window row exercises (recursive-CTE list-slicing oracle).
+    "holt_winters_weekly_value",
     "cusum_user_value_drift",
     # heavy hitters carries the sketch family's first full-hash window
     # row (its MG-prune answer is exact, unlike the rows-only CMS/HLL
@@ -343,7 +356,14 @@ PRIORITY: tuple[str, ...] = (
     # goes to ipw_ate_priority_on_revenue — the causal-inference
     # class's first window rep (propensity-weighted ATE on the IRLS
     # propensities, doubly-iterative oracle).
-    "ipw_ate_priority_on_revenue",
+    # (r11c) ipw_ate rotated out after earning that hash in r10's
+    # window: the causal family keeps logreg_en_vs_length's IRLS
+    # in-window (IPW stacks on the same fold) and gains the matching
+    # estimator in the sweep. Its slot goes to
+    # kmeans_embeddings_assign — the embedding-CLUSTERING class's
+    # first window rep (exact-integer Lloyd, truncating-division
+    # means, literal-broadcast argmin; 3-round unrolled oracle).
+    "kmeans_embeddings_assign",
     # (r8c) the persisted-index serve path's hash-checked row (takes
     # l1_top_events' slot — see the AIS block note): same Okapi BM25
     # oracle as bm25_topk_docs, but the plan probes the committed-on-

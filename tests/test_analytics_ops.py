@@ -2852,3 +2852,53 @@ def test_regression_discontinuity_recovers_planted_jump(spark):
 
     with _pytest.raises(ValueError):
         regression_discontinuity(df, "x", "y", 100, 0)
+
+
+def test_bradley_terry_ordering_and_python_replay(spark):
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.recommend import bradley_terry
+
+    # a beats b 3-1, b beats c 3-1, a beats c 2-0 -> strict a > b > c
+    rows = (
+        [("a", "b")] * 3 + [("b", "a")] * 1
+        + [("b", "c")] * 3 + [("c", "b")] * 1
+        + [("a", "c")] * 2
+        + [("x", "x")]  # self-comparison: dropped
+    )
+    df = spark.createDataFrame(rows, "w string, l string")
+    out = {r["item"]: r for r in bradley_terry(df, "w", "l", rounds=5).collect()}
+    assert sorted(out) == ["a", "b", "c"]
+    assert out["a"]["rating"] > out["b"]["rating"] > out["c"]["rating"]
+    assert out["a"]["wins"] == 5 and out["a"]["games"] == 6
+    assert out["c"]["wins"] == 1 and out["c"]["games"] == 6
+
+    # exact replay of the micro-quantized fixed point in plain Python
+    items = ["a", "b", "c"]
+    wij = {("a","b"): 3, ("b","a"): 1, ("b","c"): 3, ("c","b"): 1, ("a","c"): 2, ("c","a"): 0}
+    gij = {("a","b"): 4, ("b","a"): 4, ("b","c"): 4, ("c","b"): 4, ("a","c"): 2, ("c","a"): 2}
+    wins = {i: sum(w for (x, _), w in wij.items() if x == i) for i in items}
+    k = len(items)
+    pi = {i: 1_000_000 for i in items}
+    half_away = lambda v: int(abs(v) // 1 + (1 if abs(v) % 1 >= 0.5 else 0)) * (1 if v >= 0 else -1)
+    for _ in range(5):
+        d = {
+            i: sum(
+                half_away(gij[(i, j)] * 1e12 / (pi[i] + pi[j]))
+                for j in items if (i, j) in gij
+            )
+            for i in items
+        }
+        praw = {
+            i: (half_away(float(wins[i] * 1_000_000) / d[i] * 1e6) if d[i] > 0 else 0)
+            for i in items
+        }
+        s = sum(praw.values())
+        pi = {i: (praw[i] * (k * 1_000_000)) // s for i in items}
+    assert {i: out[i]["rating"] for i in items} == pi
+
+    empty = spark.createDataFrame([], "w string, l string")
+    with _pytest.raises(ValueError, match="at least one"):
+        bradley_terry(empty, "w", "l")
+    with _pytest.raises(ValueError):
+        bradley_terry(df, "w", "l", rounds=0)

@@ -77,13 +77,17 @@ REQUIRED_IN_WINDOW = {
     # of the decontamination class). lang_id_ngram / bpe_token_estimate /
     # doc_fingerprint rotated out — the X5 text family keeps token_stats,
     # text_quality, bm25_topk_docs and pii_redact_docs in-window.
-    "chunk_documents_stride",
+    # (r11c) stride chunking rotated out — its mechanism executes inside
+    # the stricter CCNet rewrite plan that takes the slot
+    "chunk_dedup_rewrite_docs",
     "bucketed_join_segment_sales",
     "decontaminate_docs_bloom",
     # sampling family's first in-window rep + the drift-detection class
     # (token_stats and running_revenue_by_customer rotated out; both stay
     # registered, oracle-bearing, pytest-oracle-swept)
-    "pps_sample_docs",
+    # (r11c) pps out (sampling keeps source_mixture + pack_sharded);
+    # forecasting regains its window row via the array-state HW fold
+    "holt_winters_weekly_value",
     "cusum_user_value_drift",
     # sketch family's first full-hash window row + the downsampling class
     # (tfidf_top_terms behind bm25's term-weighting retrieval and
@@ -128,7 +132,9 @@ REQUIRED_IN_WINDOW = {
     # (r11) ols rotated out behind logreg's IRLS; item_cooccurrence out
     # (CF family swept) — slots go to the causal and feature-store
     # classes
-    "ipw_ate_priority_on_revenue",
+    # (r11c) IPW out after its r10 hash (logreg IRLS stays in-window);
+    # the embedding-clustering class gains its first window rep
+    "kmeans_embeddings_assign",
     "pit_join_purchase_user_state",
     # (r10) welch rotated out for the nonparametric sibling below
     "k_anonymity_orders",
