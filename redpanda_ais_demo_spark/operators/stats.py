@@ -1333,6 +1333,135 @@ def mann_whitney_u(
     )
 
 
+def group_ols_slope(
+    df: DataFrame,
+    group_col: str,
+    x_nano_col: str,
+    y_nano_col: str,
+) -> DataFrame:
+    """Per-GROUP simple linear regression — slope, intercept, and R²
+    of y on x for every group in one pass: the SLICED regression
+    readout the family lacks (the in-tree OLS is one global
+    multi-feature fit; Theil-Sen one global trend). The elasticity /
+    per-segment-trend workhorse: "what's the slope INSIDE each brand/
+    cohort/region".
+
+    Exactness contract: callers pass x and y already NANO-QUANTIZED to
+    BIGINT (``round(f(x)·1e9)``) so the five regression sums are exact
+    integers; squares/products widen to DECIMAL(38,0) BEFORE summing
+    (per-row x² can overflow a BIGINT sum — the pearson_corr rule);
+    slope/intercept/R² are fixed double chains of those integers. The
+    1e9 scale cancels in slope and R²; the intercept is returned in
+    nano-units of y. One partial-aggregable groupBy carrying one row
+    per group — nothing else shuffles.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), NULL for degenerate
+    groups (n < 2 or zero x-variance); R² additionally NULL on zero
+    y-variance.
+    """
+    dec = "decimal(38,0)"
+    per = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(x_nano_col).cast("long").alias("x"),
+            F.col(y_nano_col).cast("long").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast(dec).alias("sx"),
+            F.sum("y").cast(dec).alias("sy"),
+            # widen BEFORE the multiply: nano-unit squares (~1e20)
+            # overflow a BIGINT product under ANSI
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+            F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast(dec)
+    cov_n = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    ok = (F.col("n") >= 2) & (var_x > 0)
+    slope = cov_n / var_x
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return per.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.when(ok, F.round(slope, 6)).alias("slope"),
+        F.when(ok, F.round(intercept, 6)).alias("intercept_nano"),
+        F.when(
+            ok & (var_y > 0), F.round(cov_n * cov_n / (var_x * var_y), 6)
+        ).alias("r2"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-rater agreement between
+    two labelers over the same items: ``κ = (p_o − p_e)/(1 − p_e)``
+    with p_o the observed agreement rate and p_e the agreement two
+    INDEPENDENT raters with the same marginals would reach by luck.
+    The label-quality gate of every annotation/weak-supervision
+    pipeline ("the labelers agree 80% of the time" means nothing when
+    one class is 90% of the data — kappa is what's left after chance).
+
+    Multi-class; exact BIGINT agreement and marginal counts; each
+    label's chance term ``c_a·c_b/N²`` is one double chain
+    nano-quantized (1e9) before the order-free cross-label sum —
+    the psi/anova micro-unit discipline. One pass for (N, agreement),
+    one partial-agg groupBy per rater's marginals (bounded by the
+    label vocabulary), a label-vocabulary outer join. κ is NULL when
+    p_e = 1 (both raters constant — agreement is all chance).
+
+    Output: one row — n, n_agree, po, pe, kappa.
+    """
+    base = df.select(
+        F.col(rater_a_col).alias("a"), F.col(rater_b_col).alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).cast("long").alias("agree"),
+    )
+    ma = base.groupBy(F.col("a").alias("l")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    mb = base.groupBy(F.col("b").alias("l")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    m = (
+        ma.join(mb, "l", "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("ca") * F.col("cb")).cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+                * F.lit(1e9)
+            ).cast("long").alias("pe_nano")
+        )
+        .agg(F.sum("pe_nano").cast("long").alias("pe_nano"))
+    )
+    po = F.col("agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("pe_nano").cast("double") / F.lit(1e9)
+    return tot.crossJoin(F.broadcast(m)).select(
+        "n",
+        F.col("agree").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"),
+    )
+
+
 def hbos_scores(
     df: DataFrame,
     id_cols: list[str],

@@ -1270,47 +1270,6 @@ def survival_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "abtest_purchase_lift",
-    oracle="""
-        WITH subjects AS (
-            SELECT user_id,
-                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
-                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
-                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
-            FROM events GROUP BY user_id
-        ),
-        agg AS (
-            SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS c
-            FROM subjects GROUP BY variant
-        ),
-        wide AS (
-            SELECT max(CASE WHEN variant = 'A' THEN n END) AS nc,
-                   max(CASE WHEN variant = 'A' THEN c END) AS cc,
-                   max(CASE WHEN variant = 'B' THEN n END) AS nt,
-                   max(CASE WHEN variant = 'B' THEN c END) AS ct
-            FROM agg
-        )
-        SELECT nc AS n_control, cc AS conv_control, nt AS n_treatment, ct AS conv_treatment,
-               round(cc / nc, 6) AS rate_control,
-               round(ct / nt, 6) AS rate_treatment,
-               round(ct / nt - cc / nc, 6) AS lift_abs,
-               CASE WHEN nc > 0 AND nt > 0 AND cc + ct > 0 AND cc + ct < nc + nt
-                    THEN round((ct / nt - cc / nc)
-                         / sqrt(((cc + ct) / (nc + nt)) * (1 - (cc + ct) / (nc + nt))
-                                * (1.0 / nc + 1.0 / nt)), 6)
-               END AS z_score
-        FROM wide
-    """,
-    tags=("analytics", "experimentation", "agg"),
-    doc="A/B experiment readout: users deterministically hash-assigned "
-    "50/50 to variants (the split_assign mechanism — same key, same "
-    "variant on any cluster or engine), conversion = any purchase "
-    "event; reports per-variant rates, absolute lift, and the pooled "
-    "two-proportion z-statistic, every number a fixed double chain "
-    "over exact BIGINT counts. One subject-level aggregate + a pivot "
-    "of 2 rows (operators/stats.py:ab_test_conversion).",
-)
-@query(
     "uplift_qini_purchase_by_views",
     oracle="""
         WITH subjects AS (
@@ -1382,6 +1341,47 @@ def uplift_qini_purchase_by_views(spark: SparkSession, sf_dir: str) -> DataFrame
     return uplift_qini(subjects, "score", "tr", "y", "user_id", n_deciles=10)
 
 
+@query(
+    "abtest_purchase_lift",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS c
+            FROM subjects GROUP BY variant
+        ),
+        wide AS (
+            SELECT max(CASE WHEN variant = 'A' THEN n END) AS nc,
+                   max(CASE WHEN variant = 'A' THEN c END) AS cc,
+                   max(CASE WHEN variant = 'B' THEN n END) AS nt,
+                   max(CASE WHEN variant = 'B' THEN c END) AS ct
+            FROM agg
+        )
+        SELECT nc AS n_control, cc AS conv_control, nt AS n_treatment, ct AS conv_treatment,
+               round(cc / nc, 6) AS rate_control,
+               round(ct / nt, 6) AS rate_treatment,
+               round(ct / nt - cc / nc, 6) AS lift_abs,
+               CASE WHEN nc > 0 AND nt > 0 AND cc + ct > 0 AND cc + ct < nc + nt
+                    THEN round((ct / nt - cc / nc)
+                         / sqrt(((cc + ct) / (nc + nt)) * (1 - (cc + ct) / (nc + nt))
+                                * (1.0 / nc + 1.0 / nt)), 6)
+               END AS z_score
+        FROM wide
+    """,
+    tags=("analytics", "experimentation", "agg"),
+    doc="A/B experiment readout: users deterministically hash-assigned "
+    "50/50 to variants (the split_assign mechanism — same key, same "
+    "variant on any cluster or engine), conversion = any purchase "
+    "event; reports per-variant rates, absolute lift, and the pooled "
+    "two-proportion z-statistic, every number a fixed double chain "
+    "over exact BIGINT counts. One subject-level aggregate + a pivot "
+    "of 2 rows (operators/stats.py:ab_test_conversion).",
+)
 def abtest_purchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import split_bucket_col, split_col
     from ..operators.stats import ab_test_conversion
@@ -2569,6 +2569,73 @@ def frequent_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         t, "user_id", "us", "event_type", "event_id",
         length=3, max_gap_s=3600, top_n=25,
     )
+
+
+@query(
+    "price_elasticity_by_brand",
+    oracle="""
+        WITH pts AS (
+            SELECT p_brand AS g,
+                   CAST(round(ln(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                                 / CAST(l_quantity AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1e9) AS BIGINT) AS y
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        per AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM pts GROUP BY g
+        ),
+        fin AS (
+            SELECT g, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS var_x,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS var_y,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            FROM per
+        )
+        SELECT g AS p_brand, n,
+               CASE WHEN n >= 2 AND var_x > 0
+                    THEN round(cov_n / var_x, 6) END AS slope,
+               CASE WHEN n >= 2 AND var_x > 0
+                    THEN round((syd - cov_n / var_x * sxd) / CAST(n AS DOUBLE), 6)
+               END AS intercept_nano,
+               CASE WHEN n >= 2 AND var_x > 0 AND var_y > 0
+                    THEN round(cov_n * cov_n / (var_x * var_y), 6) END AS r2
+        FROM fin
+    """,
+    tags=("analytics", "statistics", "regression", "agg"),
+    doc="Per-brand price elasticity: sliced OLS slope of ln(quantity) "
+    "on ln(unit price cents) over every lineitem — the per-segment "
+    "regression readout the family lacked (global OLS, global "
+    "Theil-Sen); slope < 0 = elastic demand, R² = fit quality. "
+    "Log terms nano-quantized per row so the five regression sums are "
+    "exact integers (DECIMAL/HUGEINT squares — the pearson rule); one "
+    "partial-agg groupBy carrying one row per brand "
+    "(operators/stats.py:group_ols_slope).",
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import group_ols_slope
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = lineitem.join(part, lineitem.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("g"),
+        F.round(
+            F.log(
+                F.round(F.col("l_extendedprice") * 100).cast("long").cast("double")
+                / F.col("l_quantity").cast("double")
+            )
+            * 1e9
+        ).cast("long").alias("x"),
+        F.round(F.log(F.col("l_quantity").cast("double")) * 1e9)
+        .cast("long").alias("y"),
+    )
+    return group_ols_slope(pts, "g", "x", "y").withColumnRenamed("g", "p_brand")
 
 
 def _bradley_terry_oracle(rounds: int = 5) -> str:

@@ -196,6 +196,77 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cohens_kappa_langid",
+    oracle=f"""
+        WITH lab AS (
+            SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> list_contains(['the','a','of','and','to','in'], t)))
+                             / len(string_split(text, ' ')) >= 0.12
+                        THEN 'en' ELSE 'not' END AS a,
+                   CASE WHEN len(list_intersect(
+                                 list_distinct(list_transform(
+                                     generate_series(1, greatest(length(text) - 2, 1)),
+                                     i -> substring(text, i, 3))), {list(_EN_TRIGRAMS)}))
+                             >= len(list_intersect(
+                                 list_distinct(list_transform(
+                                     generate_series(1, greatest(length(text) - 2, 1)),
+                                     i -> substring(text, i, 3))), {list(_DE_TRIGRAMS)}))
+                        THEN 'en' ELSE 'not' END AS b
+            FROM documents
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            FROM lab
+        ),
+        ma AS (SELECT a AS l, CAST(count(*) AS BIGINT) AS ca FROM lab GROUP BY a),
+        mb AS (SELECT b AS l, CAST(count(*) AS BIGINT) AS cb FROM lab GROUP BY b),
+        pe AS (
+            SELECT CAST(SUM(CAST(round(CAST(coalesce(ca, 0) * coalesce(cb, 0) AS DOUBLE)
+                                       / CAST(tot.n * tot.n AS DOUBLE) * 1e9)
+                                 AS BIGINT)) AS BIGINT) AS pe_nano
+            FROM ma FULL OUTER JOIN mb USING (l) CROSS JOIN tot
+        )
+        SELECT n, agree AS n_agree,
+               round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+               round(CAST(pe_nano AS DOUBLE) / 1e9, 6) AS pe,
+               CASE WHEN CAST(pe_nano AS DOUBLE) / 1e9 < 1.0
+                    THEN round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                                - CAST(pe_nano AS DOUBLE) / 1e9)
+                               / (1.0 - CAST(pe_nano AS DOUBLE) / 1e9), 6)
+               END AS kappa
+        FROM tot CROSS JOIN pe
+    """,
+    tags=("text", "langid", "statistics", "agg"),
+    doc="Cohen's kappa between the two in-tree weak language labelers "
+    "(stopword-density vs character-trigram profile, both binarized "
+    "to en/not) — the chance-corrected label-quality gate every "
+    "annotation / weak-supervision pipeline runs before trusting "
+    "agreement rates on skewed classes. Exact BIGINT agreement + "
+    "marginal counts; per-label chance terms nano-quantized before "
+    "the order-free sum (operators/stats.py:cohens_kappa).",
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = TXT.stopword_count(F.col("text")) / TXT.n_tokens(F.col("text"))
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    en = F.size(F.array_intersect(tri, F.array(*[F.lit(t) for t in _EN_TRIGRAMS])))
+    de = F.size(F.array_intersect(tri, F.array(*[F.lit(t) for t in _DE_TRIGRAMS])))
+    labeled = docs.select(
+        F.when(ratio >= 0.12, "en").otherwise("not").alias("a"),
+        F.when(en >= de, "en").otherwise("not").alias("b"),
+    )
+    return cohens_kappa(labeled, "a", "b")
+
+
 # GPT-2-style pre-tokenizer approximation: letter runs, single digits,
 # punctuation runs — the split BPE applies before merges.
 _BPE_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"

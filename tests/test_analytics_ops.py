@@ -2902,3 +2902,45 @@ def test_bradley_terry_ordering_and_python_replay(spark):
         bradley_terry(empty, "w", "l")
     with _pytest.raises(ValueError):
         bradley_terry(df, "w", "l", rounds=0)
+
+
+def test_cohens_kappa_textbook_2x2(spark):
+    from redpanda_ais_demo_spark.operators.stats import cohens_kappa
+
+    # classic worked example: 20 yes/yes, 15 no/no, 10 yes/no, 5 no/yes
+    # -> po = 0.7, pe = 0.6*0.5 + 0.4*0.5 = 0.5, kappa = 0.4
+    rows = (
+        [("y", "y")] * 20 + [("n", "n")] * 15 + [("y", "n")] * 10 + [("n", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = cohens_kappa(df, "a", "b").collect()[0]
+    assert out["n"] == 50 and out["n_agree"] == 35
+    assert out["po"] == 0.7 and out["pe"] == 0.5
+    assert out["kappa"] == 0.4
+    # both raters constant: pe = 1 -> kappa NULL, never a divide error
+    df2 = spark.createDataFrame([("y", "y")] * 4, "a string, b string")
+    assert cohens_kappa(df2, "a", "b").collect()[0]["kappa"] is None
+    # a label only one rater uses still enters the marginals (outer join)
+    df3 = spark.createDataFrame(
+        [("y", "y"), ("z", "y"), ("y", "n")], "a string, b string"
+    )
+    out3 = cohens_kappa(df3, "a", "b").collect()[0]
+    assert out3["n"] == 3 and out3["n_agree"] == 1
+
+
+def test_group_ols_slope_perfect_line_and_degenerates(spark):
+    from redpanda_ais_demo_spark.operators.stats import group_ols_slope
+
+    rows = (
+        [("a", x, 2 * x + 3) for x in (1, 2, 3, 4)]      # exact line
+        + [("b", 5, 7)]                                   # n < 2
+        + [("c", 9, 1), ("c", 9, 5)]                      # zero x-variance
+        + [("d", 1, 4), ("d", 2, 4), ("d", 3, 4)]         # zero y-variance
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in group_ols_slope(df, "g", "x", "y").collect()}
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept_nano"] == 3.0
+    assert out["a"]["r2"] == 1.0
+    assert out["b"]["slope"] is None
+    assert out["c"]["slope"] is None
+    assert out["d"]["slope"] == 0.0 and out["d"]["r2"] is None

@@ -227,3 +227,15 @@ def test_window_oracle_density():
         # against brute-force top-k instead (tests/test_llm_ops.py)
         "ann_lsh_topk",
     }, f"unexpected rows-only entries in window: {sorted(rows_only)}"
+
+
+def test_registered_name_matches_function_name():
+    """A @query("x") decorator inserted between ANOTHER query's
+    decorator and its def silently rebinds that name to the wrong
+    callable (bit us in r11: abtest_purchase_lift briefly served the
+    qini plan). Every registered name must match its function's
+    __name__ so the registry can't drift from the source."""
+    from redpanda_ais_demo_spark.plans.registry import get_queries
+
+    bad = {n: f.__name__ for n, f in get_queries().items() if f.__name__ != n}
+    assert not bad, f"registry name bound to a different function: {bad}"
