@@ -1338,6 +1338,7 @@ def group_ols_slope(
     group_col: str,
     x_nano_col: str,
     y_nano_col: str,
+    intercept_scale: float = 1.0,
 ) -> DataFrame:
     """Per-GROUP simple linear regression — slope, intercept, and R²
     of y on x for every group in one pass: the SLICED regression
@@ -1387,12 +1388,12 @@ def group_ols_slope(
     slope = cov_n / var_x
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / F.col("n").cast("double")
+    ) / F.col("n").cast("double") / F.lit(float(intercept_scale))
     return per.select(
         F.col("g").alias(group_col),
         "n",
         F.when(ok, F.round(slope, 6)).alias("slope"),
-        F.when(ok, F.round(intercept, 6)).alias("intercept_nano"),
+        F.when(ok, F.round(intercept, 6)).alias("intercept"),
         F.when(
             ok & (var_y > 0), F.round(cov_n * cov_n / (var_x * var_y), 6)
         ).alias("r2"),

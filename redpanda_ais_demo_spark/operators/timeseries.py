@@ -1990,6 +1990,88 @@ def holt_winters_additive(
     )
 
 
+def croston_forecast(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    d_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Croston's method (1972) — the INTERMITTENT-demand forecaster
+    the smooth-series family (Holt, Holt-Winters) gets wrong: for a
+    series that is mostly zeros with occasional demand spikes, smooth
+    the nonzero demand SIZES (z) and the INTERVALS between them (p)
+    as two separate EWMAs, both updated only when demand occurs;
+    the per-period forecast is ``z/p``. Smoothing a sparse series
+    directly decays to near-zero right after every spike — Croston's
+    split is the standard fix (spare parts, rare-event rates,
+    per-user purchase propensity).
+
+    The caller provides the FULL period grid including zero-demand
+    periods (gap-fill upstream) — intervals are counted from
+    consecutive grid positions. Init: first nonzero demand sets
+    z = d, p = its 1-based interval from the series start. Dyadic
+    ``alpha`` (default 1/4) keeps the fold an exact binary-double
+    chain, replayed by a recursive-CTE oracle (the holt discipline).
+    Same per-group sequential-fold contract as holt_linear: ONE
+    aggregate lambda over the collected calendar-bounded series.
+
+    Output: (group, n_periods, n_nonzero, size_level z, interval_level
+    p, forecast z/p — NULL for all-zero groups).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"need 0<alpha<=1, got {alpha}")
+    a = float(alpha)
+    series = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(t_col).cast("long").alias("t"),
+            F.col(d_col).cast("long").alias("d"),
+        )
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "d"))).alias("arr"))
+    )
+    init = F.struct(
+        F.lit(0).alias("started"),
+        F.lit(0).alias("q"),  # periods since last nonzero (current gap)
+        F.lit(0).cast("long").alias("nz"),
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+    )
+
+    def step(acc, e):
+        d = e["d"].cast("double")
+        q1 = acc["q"] + 1
+        first = (acc["started"] == 0) & (e["d"] > 0)
+        upd = (acc["started"] == 1) & (e["d"] > 0)
+        return F.struct(
+            F.when(first, F.lit(1)).otherwise(acc["started"]).alias("started"),
+            F.when(e["d"] > 0, F.lit(0)).otherwise(q1).alias("q"),
+            (acc["nz"] + (e["d"] > 0).cast("long")).alias("nz"),
+            F.when(first, d)
+            .when(upd, F.lit(a) * d + F.lit(1 - a) * acc["z"])
+            .otherwise(acc["z"]).alias("z"),
+            F.when(first, q1.cast("double"))
+            .when(upd, F.lit(a) * q1.cast("double") + F.lit(1 - a) * acc["p"])
+            .otherwise(acc["p"]).alias("p"),
+        )
+
+    fit = series.select(
+        "g",
+        F.size("arr").alias("n"),
+        F.aggregate("arr", init, step).alias("acc"),
+    )
+    ok = F.col("acc.started") == 1
+    return fit.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_periods"),
+        F.col("acc.nz").alias("n_nonzero"),
+        F.when(ok, F.round(F.col("acc.z"), 6)).alias("size_level"),
+        F.when(ok, F.round(F.col("acc.p"), 6)).alias("interval_level"),
+        F.when(ok, F.round(F.col("acc.z") / F.col("acc.p"), 6)).alias("forecast_per_period"),
+    )
+
+
 def top_session_paths(
     events: DataFrame,
     key_col: str,

@@ -2602,8 +2602,8 @@ def frequent_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN n >= 2 AND var_x > 0
                     THEN round(cov_n / var_x, 6) END AS slope,
                CASE WHEN n >= 2 AND var_x > 0
-                    THEN round((syd - cov_n / var_x * sxd) / CAST(n AS DOUBLE), 6)
-               END AS intercept_nano,
+                    THEN round((syd - cov_n / var_x * sxd) / CAST(n AS DOUBLE) / 1e9, 6)
+               END AS intercept,
                CASE WHEN n >= 2 AND var_x > 0 AND var_y > 0
                     THEN round(cov_n * cov_n / (var_x * var_y), 6) END AS r2
         FROM fin
@@ -2635,7 +2635,9 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("l_quantity").cast("double")) * 1e9)
         .cast("long").alias("y"),
     )
-    return group_ols_slope(pts, "g", "x", "y").withColumnRenamed("g", "p_brand")
+    return group_ols_slope(pts, "g", "x", "y", intercept_scale=1e9).withColumnRenamed(
+        "g", "p_brand"
+    )
 
 
 def _bradley_terry_oracle(rounds: int = 5) -> str:
@@ -6598,6 +6600,95 @@ def holt_forecast_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("t"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
     return holt_linear(daily, "event_type", "t", "x", alpha=0.5, beta=0.25, horizon=7)
+
+
+@query(
+    "croston_user_purchase_rate",
+    oracle="""
+        WITH RECURSIVE days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        users AS (SELECT DISTINCT user_id AS g FROM events),
+        cnts AS (
+            SELECT user_id AS g, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS d
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT u.g,
+                   CAST(date_diff('day', DATE '1970-01-01', dd.day) AS BIGINT) AS t,
+                   coalesce(c.d, 0) AS d
+            FROM users u CROSS JOIN days dd
+            LEFT JOIN cnts c ON c.g = u.g AND c.day = dd.day
+        ),
+        ord AS (
+            SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY t) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM grid
+        ),
+        cr AS (
+            SELECT g, rn, n,
+                   CASE WHEN d > 0 THEN 1 ELSE 0 END AS started,
+                   CASE WHEN d > 0 THEN 0 ELSE 1 END AS q,
+                   CAST(CASE WHEN d > 0 THEN 1 ELSE 0 END AS BIGINT) AS nz,
+                   CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS z,
+                   CASE WHEN d > 0 THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS p
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.g, o.rn, o.n,
+                   CASE WHEN cr.started = 0 AND o.d > 0 THEN 1 ELSE cr.started END,
+                   CASE WHEN o.d > 0 THEN 0 ELSE cr.q + 1 END,
+                   cr.nz + CASE WHEN o.d > 0 THEN 1 ELSE 0 END,
+                   CASE WHEN cr.started = 0 AND o.d > 0 THEN CAST(o.d AS DOUBLE)
+                        WHEN cr.started = 1 AND o.d > 0
+                             THEN 0.25 * CAST(o.d AS DOUBLE) + 0.75 * cr.z
+                        ELSE cr.z END,
+                   CASE WHEN cr.started = 0 AND o.d > 0 THEN CAST(cr.q + 1 AS DOUBLE)
+                        WHEN cr.started = 1 AND o.d > 0
+                             THEN 0.25 * CAST(cr.q + 1 AS DOUBLE) + 0.75 * cr.p
+                        ELSE cr.p END
+            FROM cr JOIN ord o ON o.g = cr.g AND o.rn = cr.rn + 1
+        )
+        SELECT g AS user_id, CAST(n AS BIGINT) AS n_periods, nz AS n_nonzero,
+               CASE WHEN started = 1 THEN round(z, 6) END AS size_level,
+               CASE WHEN started = 1 THEN round(p, 6) END AS interval_level,
+               CASE WHEN started = 1 THEN round(z / p, 6) END AS forecast_per_period
+        FROM cr WHERE rn = n
+    """,
+    tags=("analytics", "timeseries", "forecast", "agg"),
+    doc="Croston's method (1972) per user on daily purchase counts "
+    "over the full calendar grid — the INTERMITTENT-demand forecaster "
+    "beside Holt/Holt-Winters' smooth-series fits: nonzero demand "
+    "sizes and inter-demand intervals smooth as two separate dyadic "
+    "EWMAs updated only on demand days, forecast = z/p per period; "
+    "never-purchasing users report NULL. Grid = users x broadcast "
+    "day table; the fold is one aggregate lambda per user, replayed "
+    "by the recursive-CTE oracle "
+    "(operators/timeseries.py:croston_forecast).",
+)
+def croston_user_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import croston_forecast
+
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.to_date("ts").alias("day")).distinct()
+    users = events.select(F.col("user_id").alias("g")).distinct()
+    cnts = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("g"), F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(cnts, ["g", "day"], "left")
+        .select(
+            "g",
+            F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01"))).alias("t"),
+            F.coalesce("d", F.lit(0)).alias("d"),
+        )
+    )
+    return croston_forecast(grid, "g", "t", "d", alpha=0.25).withColumnRenamed(
+        "g", "user_id"
+    )
 
 
 @query(

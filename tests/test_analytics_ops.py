@@ -2939,8 +2939,29 @@ def test_group_ols_slope_perfect_line_and_degenerates(spark):
     )
     df = spark.createDataFrame(rows, "g string, x long, y long")
     out = {r["g"]: r for r in group_ols_slope(df, "g", "x", "y").collect()}
-    assert out["a"]["slope"] == 2.0 and out["a"]["intercept_nano"] == 3.0
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 3.0
     assert out["a"]["r2"] == 1.0
     assert out["b"]["slope"] is None
     assert out["c"]["slope"] is None
     assert out["d"]["slope"] == 0.0 and out["d"]["r2"] is None
+
+
+def test_croston_forecast_hand_series(spark):
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import croston_forecast
+
+    # demand [0,0,3,0,0,0,6]: first spike -> z=3, p=3 (1-based interval);
+    # second spike 4 periods later -> z=.25*6+.75*3=3.75,
+    # p=.25*4+.75*3=3.25; group "b" never buys -> NULL forecast
+    rows = [("a", t, d) for t, d in enumerate([0, 0, 3, 0, 0, 0, 6])]
+    rows += [("b", t, 0) for t in range(7)]
+    df = spark.createDataFrame(rows, "g string, t long, d long")
+    out = {r["g"]: r for r in croston_forecast(df, "g", "t", "d", alpha=0.25).collect()}
+    assert out["a"]["n_periods"] == 7 and out["a"]["n_nonzero"] == 2
+    assert out["a"]["size_level"] == 3.75
+    assert out["a"]["interval_level"] == 3.25
+    assert out["a"]["forecast_per_period"] == round(3.75 / 3.25, 6)
+    assert out["b"]["forecast_per_period"] is None and out["b"]["n_nonzero"] == 0
+    with _pytest.raises(ValueError):
+        croston_forecast(df, "g", "t", "d", alpha=0.0)
