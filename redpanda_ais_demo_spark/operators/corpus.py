@@ -1446,3 +1446,55 @@ def lexicon_sentiment_scores(
         .otherwise(F.lit("neutral"))
         .alias("label"),
     )
+
+
+def compression_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-compressibility quality signal — the Gopher/CCNet
+    boilerplate detector ``doc_repetition_stats`` approximates with
+    n-gram ratios, computed for real: highly compressible text IS
+    repetitive text, so a low ``compression_ratio``
+    (= deflate bytes / utf-8 bytes) flags template spam and a ratio
+    near 1 flags high-entropy noise; quality corpora cluster in
+    between. The standard pretraining filter signal.
+
+    Arrow-batched ``mapInPandas`` (never per-row Python): each batch
+    compresses with stdlib zlib at a FIXED level, so the scan is one
+    narrow map-side pass with zero shuffle at any corpus size.
+    Deterministic for a fixed zlib build (this container) and exactly
+    replayable in-process — pytest recomputes ratios byte-for-byte —
+    but not SQL-expressible, so the registered query is rows-only
+    (the ANN/BPE gate class).
+    """
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in [1, 9], got {level}")
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    schema = f"{id_col} long, n_bytes long, n_deflate long, compression_ratio double"
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            n_raw = raw.map(len)
+            n_z = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_raw,
+                    "n_deflate": n_z,
+                    "compression_ratio": [
+                        round(z / r, 6) if r > 0 else None
+                        for z, r in zip(n_z, n_raw)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema)

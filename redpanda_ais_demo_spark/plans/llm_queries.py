@@ -197,6 +197,22 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "compression_quality_docs",
+    tags=("text", "quality", "udf"),
+    doc="zlib-compressibility quality signal (the Gopher boilerplate "
+    "detector computed for real, not via n-gram proxies): deflate "
+    "bytes / utf-8 bytes per document at fixed level 6 — low ratio = "
+    "template spam, ~1 = high-entropy noise. Arrow-batched mapInPandas "
+    "over a narrow two-column scan, zero shuffle; rows-only (zlib is "
+    "not SQL-expressible) with a byte-exact in-process replay pytest "
+    "(operators/corpus.py:compression_ratio).",
+)
+def compression_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.compression_ratio(docs)
+
+
+@query(
     "cohens_kappa_langid",
     oracle=f"""
         WITH lab AS (

@@ -1527,3 +1527,28 @@ def test_chunk_dedup_rewrite_canonical_and_reassembly(spark):
         chunk_dedup_rewrite(df, chunk_size=0)
     with _pytest.raises(ValueError):
         chunk_dedup_rewrite(df, min_count=1)
+
+
+def test_compression_ratio_byte_exact_and_ordering(spark):
+    import zlib
+
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.corpus import compression_ratio
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),   # highly repetitive
+        (2, "q7x zk2 vb9 mj4 wp1 ln8 rt5 gd3 hc6 fy0"),   # high entropy
+        (3, ""),                                           # empty -> NULL ratio
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in [(1, rows[0][1]), (2, rows[1][1])]:
+        raw = t.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        assert out[i].n_bytes == len(raw) and out[i].n_deflate == z
+        assert out[i].compression_ratio == round(z / len(raw), 6)
+    assert out[1].compression_ratio < out[2].compression_ratio
+    assert out[3].compression_ratio is None and out[3].n_bytes == 0
+    with _pytest.raises(ValueError):
+        compression_ratio(df, level=0)
