@@ -2284,3 +2284,103 @@ def amoc_changepoint(
             6,
         ).alias("mean_post"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str,
+    channel_col: str,
+    conv_channel: str,
+    channels: list[str],
+) -> DataFrame:
+    """EXACT Shapley-value multi-touch attribution (Shapley 1953, the
+    marketing form of Zhao et al. 2018) — the cooperative-game member
+    of the attribution family, next to last-touch (positional), linear
+    (uniform), and Markov removal effect (model-based): a channel's
+    credit is its average marginal lift over every coalition,
+    ``φ_c = Σ_{S⊆N∖c} |S|!(n−|S|−1)!/n! · (v(S∪c) − v(S))`` with
+    ``v(S)`` the conversion rate of users exposed to exactly the
+    channel set S (unobserved sets value 0 — the played-subset
+    convention). Unlike the sampling approximations used when n is
+    large, the bounded channel alphabet here makes the EXACT sum
+    feasible: 2^n masks is a constant-size table.
+
+    Exactness: v(S) nano-quantizes once per mask (one double chain
+    from exact counts); every marginal is then an integer difference,
+    the factorial weights are exact integers, and the single division
+    by n! happens once at the end — the whole game is integer
+    arithmetic, bit-identical cross-engine. Σ_c φ_c = v(N) − v(∅)
+    (the efficiency axiom) holds exactly in nano-units.
+
+    Scale: ONE data-sized pass (per-user conditional-max bitmask +
+    conversion flag, a partial-aggregable groupBy); everything after
+    runs on the ≤2^n-row mask table. n ≤ 8 by contract — beyond that,
+    exact Shapley is the wrong tool at any scale.
+
+    Output: (channel, n_exposed, shapley_value).
+    """
+    import math
+
+    n = len(channels)
+    if not 1 <= n <= 8:
+        raise ValueError(f"need 1..8 channels, got {n}")
+    if len(set(channels)) != n or conv_channel in channels:
+        raise ValueError("channels must be unique and exclude the conversion channel")
+    mask_expr = None
+    for i, c in enumerate(channels):
+        term = F.lit(1 << i) * F.max((F.col("__ch") == c).cast("long"))
+        mask_expr = term if mask_expr is None else mask_expr + term
+    per_user = (
+        events.select(F.col(user_col).alias("__u"), F.col(channel_col).alias("__ch"))
+        .groupBy("__u")
+        .agg(
+            mask_expr.cast("long").alias("mask"),
+            F.max((F.col("__ch") == conv_channel).cast("long")).alias("conv"),
+        )
+    )
+    vm = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("cv"),
+    )
+    spark = events.sparkSession
+    dom = spark.range(1 << n).select(F.col("id").cast("long").alias("mask"))
+    v = dom.join(vm, "mask", "left").select(
+        "mask",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.round(
+                F.lit(1e9) * F.col("cv").cast("double") / F.col("n").cast("double")
+            ).cast("long"),
+            F.lit(0),
+        ).alias("vn"),
+    ).localCheckpoint(eager=False)
+    ch = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(channels)], "channel string, bit long"
+    )
+    w_by_size = [math.factorial(s) * math.factorial(n - 1 - s) for s in range(n)]
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in w_by_size]), F.bit_count("mask") + 1
+    ).cast("long")
+    s_side = v.select(F.col("mask"), F.col("vn").alias("v0"))
+    t_side = v.select(F.col("mask").alias("mask1"), F.col("vn").alias("v1"))
+    pairs = (
+        F.broadcast(ch)
+        .join(s_side, s_side.mask.bitwiseAND(F.col("bit")) == 0)
+        .join(t_side, F.col("mask1") == s_side.mask.bitwiseOR(F.col("bit")))
+        .select("channel", ((F.col("v1") - F.col("v0")) * w).alias("term"))
+    )
+    phi = pairs.groupBy("channel").agg(F.sum("term").cast("long").alias("raw"))
+    exposed = (
+        F.broadcast(ch)
+        .join(v, v.mask.bitwiseAND(F.col("bit")) > 0)
+        .groupBy("channel")
+        .agg(F.sum("n").cast("long").alias("n_exposed"))
+    )
+    nfact = float(math.factorial(n))
+    return phi.join(exposed, "channel").select(
+        "channel",
+        "n_exposed",
+        F.round(
+            F.col("raw").cast("double") / F.lit(nfact) / F.lit(1e9), 6
+        ).alias("shapley_value"),
+    )

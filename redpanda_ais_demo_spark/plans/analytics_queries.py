@@ -5966,6 +5966,74 @@ def _removal_oracle(channels: tuple = ("click", "error", "signup", "view"),
 
 
 @query(
+    "attribution_shapley",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                      + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS mask,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS conv
+            FROM events GROUP BY user_id
+        ),
+        vm AS (
+            SELECT mask, CAST(count(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS cv
+            FROM per_user GROUP BY mask
+        ),
+        dom AS (SELECT CAST(g.i AS BIGINT) AS mask
+                FROM unnest(generate_series(0, 15)) AS g(i)),
+        v AS (
+            SELECT dom.mask, coalesce(vm.n, 0) AS n,
+                   coalesce(CAST(round(1e9 * CAST(vm.cv AS DOUBLE)
+                                       / CAST(vm.n AS DOUBLE)) AS BIGINT), 0) AS vn
+            FROM dom LEFT JOIN vm ON dom.mask = vm.mask
+        ),
+        ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                                     ('error', CAST(2 AS BIGINT)),
+                                     ('signup', CAST(4 AS BIGINT)),
+                                     ('view', CAST(8 AS BIGINT))) AS t(channel, bit)),
+        pairs AS (
+            SELECT ch.channel,
+                   (t.vn - s.vn)
+                   * CASE bit_count(s.mask) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                            WHEN 2 THEN 2 ELSE 6 END AS term
+            FROM ch JOIN v s ON (s.mask & ch.bit) = 0
+            JOIN v t ON t.mask = (s.mask | ch.bit)
+        ),
+        phi AS (SELECT channel, CAST(SUM(term) AS BIGINT) AS raw
+                FROM pairs GROUP BY channel),
+        expo AS (SELECT ch.channel, CAST(SUM(v.n) AS BIGINT) AS n_exposed
+                 FROM ch JOIN v ON (v.mask & ch.bit) > 0 GROUP BY ch.channel)
+        SELECT phi.channel, expo.n_exposed,
+               round(CAST(phi.raw AS DOUBLE) / 24.0 / 1e9, 6) AS shapley_value
+        FROM phi JOIN expo USING (channel)
+    """,
+    tags=("analytics", "attribution", "statistics", "agg"),
+    doc="EXACT Shapley-value multi-touch attribution over the four "
+    "non-conversion channels (conversion = any purchase): a channel's "
+    "credit is its average marginal conversion-rate lift over every "
+    "coalition, the cooperative-game member completing the family "
+    "next to last-touch, linear, and the Markov removal effect. One "
+    "data-sized pass builds per-user exposure bitmasks; the whole "
+    "game then runs on the 16-row mask table in exact integers "
+    "(v nano-quantized once per mask, factorial weights, one division "
+    "by n! at the end; efficiency axiom holds exactly) "
+    "(operators/timeseries.py:shapley_attribution).",
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import shapley_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return shapley_attribution(
+        events, "user_id", "event_type", "purchase",
+        ["click", "error", "signup", "view"],
+    )
+
+
+@query(
     "attribution_removal_effect",
     oracle=_removal_oracle(),
     tags=("analytics", "attribution", "window", "statistics"),

@@ -2965,3 +2965,33 @@ def test_croston_forecast_hand_series(spark):
     assert out["b"]["forecast_per_period"] is None and out["b"]["n_nonzero"] == 0
     with _pytest.raises(ValueError):
         croston_forecast(df, "g", "t", "d", alpha=0.0)
+
+
+def test_shapley_attribution_two_channel_hand_game(spark):
+    import pytest as _pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import shapley_attribution
+
+    # v(emptyset)=0 (users 7,8: untracked channel only), v({a})=0.5
+    # (users 1,2 exposed to a; 1 converts), v({b})=0 (users 3,4),
+    # v({a,b})=1 (users 5,6 both convert)
+    # -> phi_a = .5*.5 + .5*1 = .75 ; phi_b = .5*0 + .5*.5 = .25
+    rows = (
+        [(1, "a"), (1, "p"), (2, "a"),
+         (3, "b"), (4, "b"),
+         (5, "a"), (5, "b"), (5, "p"), (6, "a"), (6, "b"), (6, "p"),
+         (7, "z"), (8, "z")]
+    )
+    df = spark.createDataFrame(rows, "u long, et string")
+    out = {r["channel"]: r for r in shapley_attribution(df, "u", "et", "p", ["a", "b"]).collect()}
+    assert out["a"]["shapley_value"] == 0.75
+    assert out["b"]["shapley_value"] == 0.25
+    assert out["a"]["n_exposed"] == 4 and out["b"]["n_exposed"] == 4
+    # efficiency axiom: credits sum to v(full) - v(empty) = 1.0
+    assert round(sum(r["shapley_value"] for r in out.values()), 6) == 1.0
+    with _pytest.raises(ValueError):
+        shapley_attribution(df, "u", "et", "p", [])
+    with _pytest.raises(ValueError):
+        shapley_attribution(df, "u", "et", "p", ["a", "a"])
+    with _pytest.raises(ValueError):
+        shapley_attribution(df, "u", "et", "p", ["a", "p"])
