@@ -197,6 +197,75 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_richness_by_source",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tf AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY source, t),
+        agg AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+            FROM tf GROUP BY source
+        )
+        SELECT source, n_tokens, vocab, n1 AS hapaxes, n2 AS dis_legomena,
+               round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS unseen_mass_gt,
+               CASE WHEN n2 > 0
+                    THEN round(CAST(vocab AS DOUBLE)
+                               + CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                                 / (2.0 * CAST(n2 AS DOUBLE)), 6)
+                    ELSE round(CAST(vocab AS DOUBLE)
+                               + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+                                 / 2.0, 6)
+               END AS chao1_richness
+        FROM agg
+    """,
+    tags=("text", "vocab", "statistics", "agg"),
+    doc="Vocabulary richness per source: Good-Turing unseen-token mass "
+    "(N1/N — the probability the NEXT token drawn is a type never "
+    "seen, Gale & Sampson 1995) and the Chao1 total-richness estimate "
+    "V + N1^2/2N2 (bias-corrected N1(N1-1)/2 when no doubletons) — "
+    "the corpus-planning readout for 'how much vocabulary is this "
+    "source still hiding', beside vocab_coverage's seen-list view. "
+    "One (source, token) partial agg then one row per source; exact "
+    "BIGINT frequency-of-frequency counts, fixed double chains.",
+)
+def vocab_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n2"),
+    )
+    n1d, n2d, vd = (F.col(c).cast("double") for c in ("n1", "n2", "vocab"))
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.col("n1").alias("hapaxes"),
+        F.col("n2").alias("dis_legomena"),
+        F.round(n1d / F.col("n_tokens").cast("double"), 6).alias("unseen_mass_gt"),
+        F.when(
+            F.col("n2") > 0,
+            F.round(vd + n1d * n1d / (F.lit(2.0) * n2d), 6),
+        ).otherwise(
+            F.round(vd + n1d * (n1d - F.lit(1.0)) / F.lit(2.0), 6)
+        ).alias("chao1_richness"),
+    )
+
+
+@query(
     "compression_quality_docs",
     tags=("text", "quality", "udf"),
     doc="zlib-compressibility quality signal (the Gopher boilerplate "
