@@ -197,6 +197,115 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heaps_law_by_source",
+    oracle="""
+        WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+        tok AS (
+            SELECT source, doc_id, w[g.i] AS t, g.i AS pos
+            FROM toks, unnest(generate_series(1, len(w))) AS g(i)
+        ),
+        flagged AS (
+            SELECT source, doc_id,
+                   CASE WHEN row_number() OVER (PARTITION BY source, t
+                                                ORDER BY doc_id, pos) = 1
+                        THEN 1 ELSE 0 END AS is_new
+            FROM tok
+        ),
+        per_doc AS (
+            SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(is_new) AS BIGINT) AS n_new
+            FROM flagged GROUP BY source, doc_id
+        ),
+        curve AS (
+            SELECT source,
+                   CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_n,
+                   CAST(SUM(n_new) OVER w AS BIGINT) AS cum_v
+            FROM per_doc
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        pts AS (
+            SELECT source,
+                   CAST(round(ln(CAST(cum_n AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(cum_v AS DOUBLE)) * 1e9) AS BIGINT) AS y
+            FROM curve
+        ),
+        per AS (
+            SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM pts GROUP BY source
+        ),
+        fin AS (
+            SELECT g, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+                   CAST(n * sxx - sx * sx AS DOUBLE) AS var_x,
+                   CAST(n * syy - sy * sy AS DOUBLE) AS var_y,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            FROM per
+        )
+        SELECT g AS source, n,
+               CASE WHEN n >= 2 AND var_x > 0
+                    THEN round(cov_n / var_x, 6) END AS slope,
+               CASE WHEN n >= 2 AND var_x > 0
+                    THEN round((syd - cov_n / var_x * sxd) / CAST(n AS DOUBLE) / 1e9, 6)
+               END AS intercept,
+               CASE WHEN n >= 2 AND var_x > 0 AND var_y > 0
+                    THEN round(cov_n * cov_n / (var_x * var_y), 6) END AS r2
+        FROM fin
+    """,
+    tags=("text", "vocab", "regression", "window"),
+    doc="Heaps' law fit per source: vocabulary growth exponent beta "
+    "from ln V = ln k + beta ln N, fitted over the cumulative "
+    "(tokens, distinct types) curve sampled at every document "
+    "boundary in doc-id order — the growth-LAW companion to "
+    "vocab_richness's point estimates (beta ~0.5 = natural text; "
+    "near 0 = closed template vocabulary). First-occurrence flags "
+    "from a (source, token)-partitioned window, running sums from a "
+    "source-partitioned window (the sharded-packing argument), then "
+    "the sliced-OLS fit on nano-quantized logs "
+    "(operators/stats.py:group_ols_slope).",
+)
+def heaps_law_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.stats import group_ols_slope
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    wf = Window.partitionBy("source", "t").orderBy("doc_id", "pos")
+    flagged = tok.select(
+        "source", "doc_id",
+        (F.row_number().over(wf) == 1).cast("long").alias("is_new"),
+    )
+    per_doc = flagged.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("is_new").cast("long").alias("n_new"),
+    )
+    wc = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = per_doc.select(
+        "source",
+        F.sum("n_tok").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_new").over(wc).cast("long").alias("cum_v"),
+    )
+    pts = curve.select(
+        F.col("source").alias("g"),
+        F.round(F.log(F.col("cum_n").cast("double")) * 1e9).cast("long").alias("x"),
+        F.round(F.log(F.col("cum_v").cast("double")) * 1e9).cast("long").alias("y"),
+    )
+    return group_ols_slope(pts, "g", "x", "y", intercept_scale=1e9).withColumnRenamed(
+        "g", "source"
+    )
+
+
+@query(
     "vocab_richness_by_source",
     oracle="""
         WITH tok AS (
