@@ -273,6 +273,130 @@ def ipw_ate(
     )
 
 
+def aipw_ate(
+    df: DataFrame,
+    x_col: str,
+    treat_col: str,
+    outcome_col: str,
+    iters: int = 8,
+    clip_micro: int = 10_000,
+) -> DataFrame:
+    """Doubly-robust AIPW average treatment effect (Robins, Rotnitzky
+    & Zhao 1994) — the modern default observational estimator,
+    completing the causal family's estimator triangle: IPW trusts the
+    propensity model, outcome regression trusts the outcome model,
+    AIPW is consistent if EITHER is right:
+        ψ_t = mean[ m_t(x) + 1{T=t}·(y − m_t(x)) / P(T=t|x) ],
+        ATE = ψ1 − ψ0,
+    with e(x) the clipped IRLS logistic propensity (exactly
+    :func:`ipw_ate`'s) and m_t(x) a closed-form per-arm OLS of the
+    outcome on the standardized covariate.
+
+    Determinism: propensities and weights are :func:`ipw_ate`'s exact
+    integers; each arm's OLS coefficients come from five exact DECIMAL
+    sums (one fixed double chain each); each ROW's ψ-term is then one
+    double chain micro-quantized to a BIGINT, so the data-sized sums
+    accumulate exactly and the estimator is bit-identical
+    cross-engine. NULL when either arm is degenerate (n < 2 or zero
+    covariate variance) — the outcome model is undefined there.
+
+    Scale: the IRLS fit is ``iters`` one-pass aggregations; the arm
+    sums are ONE conditional-agg pass; scoring + the ψ sums are one
+    more map-side pass over the pinned quantized frame.
+
+    Output: one row — n, n_treated, mean_treated, mean_control, ate.
+    """
+    b0, b1, dfq = logistic_irls(df, x_col, treat_col, iters)
+    z = (
+        F.lit(float(b0)) + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+    ) / F.lit(float(M))
+    e = F.greatest(
+        F.lit(clip_micro),
+        F.least(F.lit(M - clip_micro), _sigmoid_micro(z)),
+    )
+    P = M * M
+    base = dfq.select(
+        F.col("__y").alias("__t"),
+        F.col(outcome_col).cast("long").alias("__yo"),
+        "__xq",
+        _idiv(F.lit(P), e).alias("__wt"),
+        _idiv(F.lit(P), F.lit(M) - e).alias("__wc"),
+    ).localCheckpoint(eager=False)
+
+    zero = F.lit(0).cast(_DEC)
+    xd = F.col("__xq").cast(_DEC)
+
+    def arm_sums(flag: int, sfx: str):
+        cond = F.col("__t") == flag
+        return [
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(f"n{sfx}"),
+            F.sum(F.when(cond, xd).otherwise(zero)).alias(f"sx{sfx}"),
+            F.sum(F.when(cond, F.col("__yo").cast(_DEC)).otherwise(zero)).alias(f"sy{sfx}"),
+            F.sum(F.when(cond, xd * F.col("__xq")).otherwise(zero)).alias(f"sxx{sfx}"),
+            F.sum(F.when(cond, xd * F.col("__yo")).otherwise(zero)).alias(f"sxy{sfx}"),
+        ]
+
+    sums = base.agg(*(arm_sums(1, "1") + arm_sums(0, "0")))
+
+    def model(sfx: str):
+        n = F.col(f"n{sfx}").cast(_DEC)
+        cov = (n * F.col(f"sxy{sfx}") - F.col(f"sx{sfx}") * F.col(f"sy{sfx}")).cast("double")
+        var = (n * F.col(f"sxx{sfx}") - F.col(f"sx{sfx}") * F.col(f"sx{sfx}")).cast("double")
+        ok = (F.col(f"n{sfx}") >= 2) & (var > 0)
+        # divisions live UNDER the guard: Spark 4 ANSI throws
+        # DIVIDE_BY_ZERO even for doubles, and CaseWhen short-circuits
+        slope = F.when(ok, cov / var)
+        a = F.when(
+            ok,
+            (
+                F.col(f"sy{sfx}").cast("double")
+                - (cov / var) * F.col(f"sx{sfx}").cast("double")
+            ) / F.col(f"n{sfx}").cast("double"),
+        )
+        return slope, a, ok
+
+    s1, a1, ok1 = model("1")
+    s0, a0, ok0 = model("0")
+    mod = sums.select(
+        s1.alias("b1s"), a1.alias("a1"), s0.alias("b0s"), a0.alias("a0"),
+        (ok1 & ok0).alias("ok"),
+    )
+    j = base.crossJoin(F.broadcast(mod))
+    xqd = F.col("__xq").cast("double")
+    yd = F.col("__yo").cast("double")
+    m1 = F.col("a1") + F.col("b1s") * xqd
+    m0 = F.col("a0") + F.col("b0s") * xqd
+    wtn = F.col("__wt").cast("double") / F.lit(1e6)
+    wcn = F.col("__wc").cast("double") / F.lit(1e6)
+    t1 = m1 + F.when(F.col("__t") == 1, (yd - m1) * wtn).otherwise(F.lit(0.0))
+    t0 = m0 + F.when(F.col("__t") == 0, (yd - m0) * wcn).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__t").cast("long").alias("n_treated"),
+        F.max("ok").alias("ok"),
+        # the ok guard also keeps NaN coefficients (degenerate arm, 0/0
+        # slope) away from the ANSI long cast — CaseWhen short-circuits
+        F.sum(
+            F.when(F.col("ok"), F.round(t1 * F.lit(1e6)).cast("long"))
+            .otherwise(F.lit(0)).cast(_DEC)
+        ).alias("s1"),
+        F.sum(
+            F.when(F.col("ok"), F.round(t0 * F.lit(1e6)).cast("long"))
+            .otherwise(F.lit(0)).cast(_DEC)
+        ).alias("s0"),
+    )
+    nd = F.col("n").cast("double")
+    psi1 = F.col("s1").cast("double") / nd / F.lit(1e6)
+    psi0 = F.col("s0").cast("double") / nd / F.lit(1e6)
+    return agg.select(
+        "n",
+        "n_treated",
+        F.when(F.col("ok"), F.round(psi1, 6)).alias("mean_treated"),
+        F.when(F.col("ok"), F.round(psi0, 6)).alias("mean_control"),
+        F.when(F.col("ok"), F.round(psi1 - psi0, 6)).alias("ate"),
+    )
+
+
 def msprt_two_sample(
     df: DataFrame,
     group_col: str,

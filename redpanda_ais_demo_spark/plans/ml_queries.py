@@ -223,6 +223,149 @@ def _ipw_oracle() -> str:
     )
 
 
+def _aipw_oracle() -> str:
+    """_ipw_oracle's IRLS propensity + per-arm closed-form outcome
+    OLS + the row-wise doubly-robust ψ terms micro-quantized before
+    the exact sums — operators/glm.py:aipw_ate, term for term."""
+    return (
+        _irls_prefix(_IPW_BASE, _IRLS_ITERS)
+        + f""", users AS (
+            SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS x,
+                   CAST(max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS t,
+                   CAST(max(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS yout
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey
+        ),
+        uq AS (
+            SELECT t, yout,
+                   CAST(round(((CAST(x AS DOUBLE) - mean) / scale) * 1000000)
+                        AS BIGINT) AS xq
+            FROM users, sc
+        ),
+        scored AS (
+            SELECT t, yout, xq,
+                   greatest(10000, least(990000,
+                       CAST(round(1000000.0 / (1.0 + exp(-greatest(-30.0,
+                            least(30.0,
+                                  (b0 + b1 * (CAST(xq AS DOUBLE) / 1000000.0))
+                                  / 1000000.0))))) AS BIGINT))) AS e
+            FROM uq, c{_IRLS_ITERS}
+        ),
+        wtd AS (
+            SELECT t, yout, xq,
+                   CAST((1000000000000 - 1000000000000 % e) / e AS BIGINT) AS wt,
+                   CAST((1000000000000 - 1000000000000 % (1000000 - e))
+                        / (1000000 - e) AS BIGINT) AS wc
+            FROM scored
+        ),
+        arms AS (
+            SELECT CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(xq AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sx1,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(yout AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sy1,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(xq AS HUGEINT) * xq ELSE 0 END) AS HUGEINT) AS sxx1,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(xq AS HUGEINT) * yout ELSE 0 END) AS HUGEINT) AS sxy1,
+                   CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(xq AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sx0,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(yout AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sy0,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(xq AS HUGEINT) * xq ELSE 0 END) AS HUGEINT) AS sxx0,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(xq AS HUGEINT) * yout ELSE 0 END) AS HUGEINT) AS sxy0
+            FROM wtd
+        ),
+        mod AS (
+            SELECT CAST(CAST(n1 AS HUGEINT) * sxy1 - sx1 * sy1 AS DOUBLE)
+                       / CAST(CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1 AS DOUBLE) AS b1s,
+                   (CAST(sy1 AS DOUBLE)
+                    - CAST(CAST(n1 AS HUGEINT) * sxy1 - sx1 * sy1 AS DOUBLE)
+                      / CAST(CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1 AS DOUBLE)
+                      * CAST(sx1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS a1,
+                   CAST(CAST(n0 AS HUGEINT) * sxy0 - sx0 * sy0 AS DOUBLE)
+                       / CAST(CAST(n0 AS HUGEINT) * sxx0 - sx0 * sx0 AS DOUBLE) AS b0s,
+                   (CAST(sy0 AS DOUBLE)
+                    - CAST(CAST(n0 AS HUGEINT) * sxy0 - sx0 * sy0 AS DOUBLE)
+                      / CAST(CAST(n0 AS HUGEINT) * sxx0 - sx0 * sx0 AS DOUBLE)
+                      * CAST(sx0 AS DOUBLE)) / CAST(n0 AS DOUBLE) AS a0,
+                   (n1 >= 2 AND n0 >= 2
+                    AND CAST(CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1 AS DOUBLE) > 0
+                    AND CAST(CAST(n0 AS HUGEINT) * sxx0 - sx0 * sx0 AS DOUBLE) > 0) AS ok
+            FROM arms
+        ),
+        terms AS (
+            SELECT t,
+                   CASE WHEN ok THEN CAST(round(
+                       ((a1 + b1s * CAST(xq AS DOUBLE))
+                        + CASE WHEN t = 1
+                               THEN (CAST(yout AS DOUBLE)
+                                     - (a1 + b1s * CAST(xq AS DOUBLE)))
+                                    * (CAST(wt AS DOUBLE) / 1e6)
+                               ELSE 0.0 END) * 1e6) AS BIGINT)
+                        ELSE 0 END AS t1m,
+                   CASE WHEN ok THEN CAST(round(
+                       ((a0 + b0s * CAST(xq AS DOUBLE))
+                        + CASE WHEN t = 0
+                               THEN (CAST(yout AS DOUBLE)
+                                     - (a0 + b0s * CAST(xq AS DOUBLE)))
+                                    * (CAST(wc AS DOUBLE) / 1e6)
+                               ELSE 0.0 END) * 1e6) AS BIGINT)
+                        ELSE 0 END AS t0m,
+                   ok
+            FROM wtd CROSS JOIN mod
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(t) AS BIGINT) AS n_treated,
+                   bool_or(ok) AS ok,
+                   CAST(sum(CAST(t1m AS HUGEINT)) AS HUGEINT) AS s1,
+                   CAST(sum(CAST(t0m AS HUGEINT)) AS HUGEINT) AS s0
+            FROM terms
+        )
+        SELECT n, n_treated,
+               CASE WHEN ok THEN round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+               END AS mean_treated,
+               CASE WHEN ok THEN round(CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+               END AS mean_control,
+               CASE WHEN ok THEN round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                                       - CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+               END AS ate
+        FROM agg
+    """
+    )
+
+
+@query(
+    "aipw_ate_priority_on_revenue",
+    oracle=_aipw_oracle(),
+    tags=("ml", "causal", "statistics", "agg", "glm"),
+    doc="Doubly-robust AIPW average treatment effect of urgent/high "
+    "priority on order revenue (basket size the confounder) — "
+    "consistent if EITHER the IRLS logistic propensity (exactly "
+    "ipw_ate's, clipped [1%, 99%]) or the per-arm closed-form outcome "
+    "OLS is right; completes the estimator triangle next to IPW and "
+    "the matching ATT. Exact integer weights, arm models from five "
+    "exact DECIMAL sums, every row's psi-term one double chain "
+    "micro-quantized before the exact sums; degenerate arms yield "
+    "NULL (operators/glm.py:aipw_ate).",
+)
+def aipw_ate_priority_on_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import aipw_ate
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(orders.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.max(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+            ).cast("long").alias("t"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("yout"),
+        )
+    )
+    return aipw_ate(per_order, "x", "t", "yout", iters=_IRLS_ITERS)
+
+
 @query(
     "psm_att_purchase_by_engagement",
     oracle="""

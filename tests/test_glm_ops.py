@@ -139,3 +139,31 @@ def test_irls_aggregation_plan_has_no_data_sized_shuffle(spark):
     plan = agg._jdf.queryExecution().executedPlan().toString().lower()
     assert "sort" not in plan and "window" not in plan and "join" not in plan
     assert plan.count("exchange") <= 1  # the single-partition final agg
+
+
+def test_aipw_zero_residual_outcome_model_recovers_gap(spark):
+    from redpanda_ais_demo_spark.operators.glm import aipw_ate
+
+    # outcome is EXACTLY linear in x within each arm (y = 10x + 100
+    # treated, y = 10x + 50 control), so both outcome models fit with
+    # zero residuals, every correction term vanishes, and AIPW must
+    # return the model gap 50 exactly — whatever the propensities are
+    rows = []
+    for i in range(40):
+        x = (i % 8) + 1
+        t = i % 2
+        y = 10 * x + (100 if t == 1 else 50)
+        rows.append((i, x, t, y))
+    df = spark.createDataFrame(rows, "id long, x long, t long, yout long")
+    out = aipw_ate(df, "x", "t", "yout", iters=4).collect()[0]
+    assert out["n"] == 40 and out["n_treated"] == 20
+    # psi terms micro-quantize per row (the determinism contract), so
+    # the recovered gap is exact to the quantization, not to the bit
+    assert abs(out["ate"] - 50.0) < 2e-5
+    assert abs((out["mean_treated"] - out["mean_control"]) - 50.0) < 2e-5
+
+    # a degenerate arm (single treated point) yields NULL, not a crash
+    rows2 = [(0, 1, 1, 100)] + [(i, (i % 5) + 1, 0, 50) for i in range(1, 12)]
+    df2 = spark.createDataFrame(rows2, "id long, x long, t long, yout long")
+    out2 = aipw_ate(df2, "x", "t", "yout", iters=3).collect()[0]
+    assert out2["ate"] is None
