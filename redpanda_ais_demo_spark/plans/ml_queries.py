@@ -223,6 +223,69 @@ def _ipw_oracle() -> str:
     )
 
 
+@query(
+    "qte_purchase_by_variant",
+    oracle="""
+        WITH subj AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS tr,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT tr, y,
+                   row_number() OVER (PARTITION BY tr ORDER BY y) AS rn,
+                   count(*) OVER (PARTITION BY tr) AS n
+            FROM subj
+        ),
+        q AS (
+            SELECT tr, p, y FROM r
+            JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p) t
+              ON rn = CAST(ceil(p * n) AS BIGINT)
+        )
+        SELECT a.p, a.y AS q_treated, b.y AS q_control,
+               a.y - b.y AS qte
+        FROM (SELECT p, y FROM q WHERE tr = 1) a
+        JOIN (SELECT p, y FROM q WHERE tr = 0) b USING (p)
+    """,
+    tags=("ml", "experimentation", "quantile", "window"),
+    doc="Quantile treatment effects: exact per-variant discrete "
+    "quantiles of per-user purchase value (standard hash split) at "
+    "p in {.25, .5, .75, .9} and their treated-minus-control gaps — "
+    "the DISTRIBUTIONAL experiment readout the mean-based family "
+    "(Welch, mSPRT, CUPED) can't give: a treatment can move the p90 "
+    "while leaving the median untouched. Built on the partitioned-"
+    "rank exact quantile machinery (no per-group percentile buffer); "
+    "gaps are exact BIGINT differences "
+    "(operators/ordered.py:quantiles_disc_grouped).",
+)
+def qte_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.ordered import quantiles_disc_grouped
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    ).select(
+        (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000).cast("long").alias("tr"),
+        "y",
+    )
+    q = quantiles_disc_grouped(subj, "tr", "y", [0.25, 0.5, 0.75, 0.9])
+    qt = q.filter(F.col("tr") == 1).select("p", F.col("value").alias("q_treated"))
+    qc = q.filter(F.col("tr") == 0).select("p", F.col("value").alias("q_control"))
+    return qt.join(qc, "p").select(
+        "p", "q_treated", "q_control",
+        (F.col("q_treated") - F.col("q_control")).alias("qte"),
+    )
+
+
 def _aipw_oracle() -> str:
     """_ipw_oracle's IRLS propensity + per-arm closed-form outcome
     OLS + the row-wise doubly-robust ψ terms micro-quantized before
