@@ -224,6 +224,71 @@ def _ipw_oracle() -> str:
 
 
 @query(
+    "srm_check_by_variant",
+    oracle="""
+        WITH subj AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant
+            FROM events
+        ),
+        c AS (
+            SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM subj
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(CAST(na + nb AS DOUBLE) / 2.0, 6) AS expected_each,
+               round((CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                     * (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                     / (CAST(na + nb AS DOUBLE) / 2.0)
+                     + (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                       * (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                       / (CAST(na + nb AS DOUBLE) / 2.0), 6) AS chi2,
+               ((CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                * (CAST(na AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                / (CAST(na + nb AS DOUBLE) / 2.0)
+                + (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                  * (CAST(nb AS DOUBLE) - CAST(na + nb AS DOUBLE) / 2.0)
+                  / (CAST(na + nb AS DOUBLE) / 2.0)) > 3.841458820694124
+                   AS srm_detected
+        FROM c
+    """,
+    tags=("ml", "experimentation", "statistics", "agg"),
+    doc="Sample-ratio-mismatch check on the standard 50/50 hash "
+    "assignment: chi-squared goodness-of-fit of the observed variant "
+    "counts against the designed split, flagged past the 1-dof 5% "
+    "critical value (3.8415) — the assignment-integrity gate every "
+    "experimentation platform runs BEFORE reading any effect (a "
+    "biased split invalidates Welch/mSPRT/CUPED downstream). One "
+    "distinct-subject pass, one 2-cell aggregate, fixed double "
+    "chains on exact counts.",
+)
+def srm_check_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.select("user_id").distinct().select(
+        F.when(split_bucket_col(F.col("user_id"), "exp-r8") < 5000, "A")
+        .otherwise("B").alias("variant")
+    )
+    c = subj.agg(
+        F.sum((F.col("variant") == "A").cast("long")).cast("long").alias("na"),
+        F.sum((F.col("variant") == "B").cast("long")).cast("long").alias("nb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    e = (F.col("na") + F.col("nb")).cast("double") / F.lit(2.0)
+    chi2 = (nad - e) * (nad - e) / e + (nbd - e) * (nbd - e) / e
+    return c.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(e, 6).alias("expected_each"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841458820694124)).alias("srm_detected"),
+    )
+
+
+@query(
     "qte_purchase_by_variant",
     oracle="""
         WITH subj AS (
