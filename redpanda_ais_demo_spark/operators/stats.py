@@ -2507,6 +2507,92 @@ def poisson_bootstrap_mean(
     )
 
 
+def permutation_test_mean_diff(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    treat_col: str,
+    salt: str,
+    n_perms: int = 64,
+) -> DataFrame:
+    """Two-sided permutation test for a difference in means — the
+    HYPOTHESIS-TESTING sibling of ``poisson_bootstrap_mean`` (that one
+    quantifies uncertainty around the estimate; this one asks whether
+    the observed treated-minus-control gap could arise under the null
+    of no treatment effect, with no normality assumption at all —
+    Fisher 1935 via Monte-Carlo permutations).
+
+    Classical permutation testing SHUFFLES labels B times — a global
+    coordination no distributed engine should attempt. Here each
+    permutation b re-assigns every subject independently by a portable
+    hash draw (``bootstrap_u_sql(salt, b, key) < 500000`` -> treated),
+    i.e. B independent random *binomial* splits rather than
+    permutations of the exact label vector. For two-sample mean
+    differences this is the standard large-n approximation (the
+    treated-arm size concentrates tightly around n/2) and it buys the
+    only shape that survives 100 TB: all B resampled sums accumulate
+    in ONE partial-aggregable pass, no per-resample shuffles, no RNG.
+
+    Every accumulator is exact (BIGINT counts, DECIMAL(38,0) weighted
+    sums); each permuted difference is two divisions of exact integers
+    in a fixed order, so both engines compare identical doubles. The
+    p-value uses the add-one estimator (1 + #{|d_b| >= |d_obs|}) /
+    (B + 1) — never exactly zero (Phipson & Smyth 2010). Degenerate
+    permutations (all rows one arm — impossible beyond toy n, handled
+    for ANSI division safety) count as not-exceeding. ``value_col``
+    must be exact integer units; ``treat_col`` is 0/1.
+
+    Output: one row — n, n_treated, diff_obs, n_exceed, p_value,
+    n_perms.
+    """
+    if n_perms < 1:
+        raise ValueError("n_perms must be >= 1")
+    aexprs = [
+        f"(CASE WHEN {bootstrap_u_sql(salt, b, key_col)} < 500000 "
+        f"THEN 1 ELSE 0 END) AS __a{b}"
+        for b in range(n_perms)
+    ]
+    staged = df.selectExpr(
+        f"CAST({value_col} AS BIGINT) AS __x",
+        f"CAST({treat_col} AS BIGINT) AS __t",
+        *aexprs,
+    )
+    aggs = [
+        "COUNT(1) AS n",
+        "SUM(__x) AS sx",
+        "SUM(__t) AS nt",
+        "SUM(CASE WHEN __t = 1 THEN __x ELSE 0 END) AS st",
+    ]
+    for b in range(n_perms):
+        aggs.append(f"SUM(__a{b}) AS sw{b}")
+        aggs.append(f"SUM(CAST(__a{b} AS {_DEC}) * __x) AS swx{b}")
+    one = staged.selectExpr(*aggs)
+    with_obs = one.selectExpr(
+        "*",
+        "CASE WHEN nt > 0 AND nt < n THEN"
+        " CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)"
+        " - CAST(sx - st AS DOUBLE) / CAST(n - nt AS DOUBLE) END AS __dobs",
+    )
+    exceed = " + ".join(
+        f"(CASE WHEN sw{b} > 0 AND sw{b} < n AND"
+        f" abs(CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE)"
+        f" - CAST(CAST(sx AS {_DEC}) - swx{b} AS DOUBLE)"
+        f" / CAST(n - sw{b} AS DOUBLE)) >= abs(__dobs)"
+        f" THEN 1 ELSE 0 END)"
+        for b in range(n_perms)
+    )
+    counted = with_obs.selectExpr("*", f"CAST({exceed} AS BIGINT) AS __ex")
+    return counted.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(nt AS BIGINT) AS n_treated",
+        "ROUND(__dobs, 6) AS diff_obs",
+        "__ex AS n_exceed",
+        f"ROUND(CAST(1 + __ex AS DOUBLE) / CAST({n_perms + 1} AS DOUBLE), 6)"
+        " AS p_value",
+        f"CAST({n_perms} AS INT) AS n_perms",
+    )
+
+
 def isotonic_calibration(
     df: DataFrame,
     p_micro_col: str,

@@ -780,3 +780,101 @@ def conformal_user_value_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     train = u.filter(F.col("bucket") < 8000)
     calib = u.filter(F.col("bucket") >= 8000)
     return conformal_interval(train, calib, "x", "y", alpha_pct=10)
+
+
+def _permtest_oracle(n_perms: int = 64, salt: str = "perm-r11") -> str:
+    """Generated permutation-test oracle: per-permutation hash draws
+    come from the SAME generator as the Spark plan
+    (operators/stats.py:bootstrap_u_sql, dialect-split only on the hex
+    decode); the exceed-count CASE ladder replays the operator's fixed
+    double chains over identical exact sums."""
+    from ..operators.stats import bootstrap_u_sql
+
+    def a(b):
+        return f"(CASE WHEN {bootstrap_u_sql(salt, b, 'user_id', 'duckdb')} < 500000 THEN 1 ELSE 0 END)"
+
+    sums = ",\n               ".join(
+        f"CAST(SUM({a(b)}) AS BIGINT) AS sw{b},"
+        f" CAST(SUM(CASE WHEN {a(b)} = 1 THEN CAST(x AS HUGEINT)"
+        f" ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swx{b}"
+        for b in range(n_perms)
+    )
+    exceed = " + ".join(
+        f"(CASE WHEN sw{b} > 0 AND sw{b} < n AND"
+        f" abs(CAST(swx{b} AS DOUBLE) / CAST(sw{b} AS DOUBLE)"
+        f" - CAST(CAST(sx AS HUGEINT) - swx{b} AS DOUBLE)"
+        f" / CAST(n - sw{b} AS DOUBLE)) >= abs(dobs)"
+        f" THEN 1 ELSE 0 END)"
+        for b in range(n_perms)
+    )
+    return f"""
+        WITH subj AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS t,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(t) AS BIGINT) AS nt,
+                   CAST(SUM(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT) AS st,
+               {sums}
+            FROM subj
+        ),
+        obs AS (
+            SELECT *, CASE WHEN nt > 0 AND nt < n THEN
+                       CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                       - CAST(sx - st AS DOUBLE) / CAST(n - nt AS DOUBLE)
+                      END AS dobs
+            FROM agg
+        ),
+        ex AS (SELECT *, CAST({exceed} AS BIGINT) AS nex FROM obs)
+        SELECT n, nt AS n_treated, round(dobs, 6) AS diff_obs,
+               nex AS n_exceed,
+               round(CAST(1 + nex AS DOUBLE) / CAST({n_perms + 1} AS DOUBLE), 6)
+                   AS p_value,
+               CAST({n_perms} AS INTEGER) AS n_perms
+        FROM ex
+    """
+
+
+@query(
+    "permtest_purchase_by_variant",
+    oracle=_permtest_oracle(),
+    tags=("ml", "experimentation", "statistics", "agg", "scale-path"),
+    doc="Two-sided permutation test for the treated-minus-control gap "
+    "in per-user purchase value (standard hash split) — the "
+    "assumption-free hypothesis test beside Welch (normal theory) and "
+    "mSPRT (always-valid): 64 portable hash re-assignments accumulate "
+    "in ONE partial-aggregable pass (the Poisson-bootstrap shape — no "
+    "per-resample shuffles, no RNG), exceed-count compares fixed "
+    "double chains over exact BIGINT/DECIMAL sums, add-one p-value "
+    "per Phipson & Smyth 2010 "
+    "(operators/stats.py:permutation_test_mean_diff).",
+)
+def permtest_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.stats import permutation_test_mean_diff
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("x"),
+    ).select(
+        "user_id",
+        "x",
+        (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000)
+        .cast("long")
+        .alias("t"),
+    )
+    return permutation_test_mean_diff(
+        subj, "user_id", "x", "t", salt="perm-r11", n_perms=64
+    )

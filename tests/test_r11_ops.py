@@ -276,3 +276,46 @@ def test_qgram_fuzzy_pairs_lossless_vs_bruteforce(spark):
         fuzzy_string_pairs(df, "s", max_dist=0)
     with _p.raises(ValueError, match="q must"):
         fuzzy_string_pairs(df, "s", q=1)
+
+
+def test_permutation_test_detects_planted_effect(spark):
+    from redpanda_ais_demo_spark.operators.stats import (
+        permutation_test_mean_diff,
+    )
+
+    # planted effect: treated mean 1000, control mean 100 — a gap no
+    # balanced hash re-assignment of these values can reproduce, so the
+    # add-one p-value must sit at its floor 1/(B+1)
+    rows = [(i, 1000 + (i % 7), 1) for i in range(40)] + [
+        (100 + i, 100 + (i % 7), 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, t long")
+    r = permutation_test_mean_diff(df, "k", "x", "t", salt="t", n_perms=32).first()
+    assert r.n == 80 and r.n_treated == 40
+    assert abs(r.diff_obs - 900.0) < 1.0
+    assert r.n_exceed == 0
+    assert r.p_value == round(1 / 33, 6)
+
+    # null: identical distributions in both arms — most re-assignments
+    # exceed the (tiny) observed gap, so the p-value lands high
+    null_rows = [(i, i % 11, i % 2) for i in range(200)]
+    dn = spark.createDataFrame(null_rows, "k long, x long, t long")
+    rn = permutation_test_mean_diff(dn, "k", "x", "t", salt="t", n_perms=32).first()
+    assert rn.p_value > 0.3
+
+    # determinism: same salt, same exact outputs
+    r2 = permutation_test_mean_diff(df, "k", "x", "t", salt="t", n_perms=32).first()
+    assert (r.n_exceed, r.p_value, r.diff_obs) == (
+        r2.n_exceed,
+        r2.p_value,
+        r2.diff_obs,
+    )
+
+    # degenerate observed assignment (all treated): diff_obs NULL, no
+    # ANSI divide-by-zero, p at the all-excluded ceiling
+    alltr = spark.createDataFrame([(i, i, 1) for i in range(8)], "k long, x long, t long")
+    ra = permutation_test_mean_diff(alltr, "k", "x", "t", salt="t", n_perms=8).first()
+    assert ra.diff_obs is None and ra.n_exceed == 0
+
+    with pytest.raises(ValueError):
+        permutation_test_mean_diff(df, "k", "x", "t", salt="t", n_perms=0)
