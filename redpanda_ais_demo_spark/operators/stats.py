@@ -2593,6 +2593,94 @@ def permutation_test_mean_diff(
     )
 
 
+def gini_stump(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Best single split of a numeric feature against a binary label by
+    Gini impurity — the DECISION STUMP, i.e. the exact building block a
+    greedy tree learner (CART) evaluates at every node, here as one
+    distributed pass. The GLM family fits smooth monotone models; the
+    stump answers the complementary screening question "where is the
+    single most informative cut?" and is the depth-1 special case any
+    future tree/boosting operator would iterate.
+
+    Candidate thresholds are bin edges at ``bin_width`` granularity
+    (exactly how large-scale tree learners quantize features —
+    LightGBM/XGBoost histogram mode): one groupBy collapses the data to
+    a bin-bounded count table, a running-sum window over the BIN table
+    (bounded by the feature's domain / bin_width, never data-sized)
+    yields left-side counts for EVERY candidate simultaneously, and the
+    argmax is an ORDER BY ... LIMIT 1 over that bounded table.
+
+    Everything is exact: minimizing weighted Gini impurity is
+    equivalent to maximizing Q = (kl² + (nl−kl)²)/nl +
+    (kr² + (nr−kr)²)/nr, whose numerators form in DECIMAL(38,0)
+    (HUGEINT oracle-side) and divide once each — both engines compare
+    identical doubles; ties break toward the smaller threshold. The
+    reported gain = Q/N − parent-impurity-numerator/N² (also fixed
+    double chains). Left branch = x < threshold.
+
+    Output: one row — threshold, n_left, k_left, n_right, k_right,
+    gini_gain.
+    """
+    if bin_width < 1:
+        raise ValueError("bin_width must be >= 1")
+    w = int(bin_width)
+    bins = (
+        df.select(
+            F.floor(F.col(x_col).cast("double") / F.lit(float(w)))
+            .cast("long")
+            .alias("xb"),
+            F.col(y_col).cast("long").alias("__y"),
+        )
+        .groupBy("xb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("k"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("k").cast("long").alias("kk")
+    )
+    win = Window.orderBy("xb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "xb",
+        F.sum("n").over(win).cast("long").alias("nl"),
+        F.sum("k").over(win).cast("long").alias("kl"),
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("nn"))
+    scored = cand.selectExpr(
+        "xb",
+        "nl",
+        "kl",
+        "nn - nl AS nr",
+        "kk - kl AS kr",
+        "nn",
+        "kk",
+        f"CAST(CAST(kl AS {_DEC}) * kl"
+        f" + CAST(nl - kl AS {_DEC}) * (nl - kl) AS DOUBLE)"
+        " / CAST(nl AS DOUBLE)"
+        f" + CAST(CAST(kk - kl AS {_DEC}) * (kk - kl)"
+        f" + CAST(nn - nl - kk + kl AS {_DEC}) * (nn - nl - kk + kl)"
+        " AS DOUBLE) / CAST(nn - nl AS DOUBLE) AS q",
+    )
+    best = scored.orderBy(F.col("q").desc(), F.col("xb").asc()).limit(1)
+    return best.selectExpr(
+        f"(xb + 1) * {w} AS threshold",
+        "nl AS n_left",
+        "kl AS k_left",
+        "nr AS n_right",
+        "kr AS k_right",
+        "ROUND(q / CAST(nn AS DOUBLE)"
+        f" - CAST(CAST(kk AS {_DEC}) * kk"
+        f" + CAST(nn - kk AS {_DEC}) * (nn - kk) AS DOUBLE)"
+        " / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS gini_gain",
+    )
+
+
 def isotonic_calibration(
     df: DataFrame,
     p_micro_col: str,

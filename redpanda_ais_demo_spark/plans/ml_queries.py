@@ -878,3 +878,70 @@ def permtest_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return permutation_test_mean_diff(
         subj, "user_id", "x", "t", salt="perm-r11", n_perms=64
     )
+
+
+@query(
+    "gini_stump_en_by_length",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS xb,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        bins AS (
+            SELECT xb, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS k
+            FROM d GROUP BY xb
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk
+            FROM bins
+        ),
+        cum AS (
+            SELECT xb, CAST(SUM(n) OVER w AS BIGINT) AS nl,
+                   CAST(SUM(k) OVER w AS BIGINT) AS kl
+            FROM bins
+            WINDOW w AS (ORDER BY xb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT xb, nl, kl, nn - nl AS nr, kk - kl AS kr, nn, kk,
+                   CAST(CAST(kl AS HUGEINT) * kl
+                        + CAST(nl - kl AS HUGEINT) * (nl - kl) AS DOUBLE)
+                       / CAST(nl AS DOUBLE)
+                   + CAST(CAST(kk - kl AS HUGEINT) * (kk - kl)
+                          + CAST(nn - nl - kk + kl AS HUGEINT)
+                            * (nn - nl - kk + kl) AS DOUBLE)
+                       / CAST(nn - nl AS DOUBLE) AS q
+            FROM cum, tot WHERE nl < nn
+        ),
+        best AS (SELECT * FROM scored ORDER BY q DESC, xb ASC LIMIT 1)
+        SELECT (xb + 1) * 100 AS threshold, nl AS n_left, kl AS k_left,
+               nr AS n_right, kr AS k_right,
+               round(q / CAST(nn AS DOUBLE)
+                     - CAST(CAST(kk AS HUGEINT) * kk
+                            + CAST(nn - kk AS HUGEINT) * (nn - kk) AS DOUBLE)
+                       / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                   AS gini_gain
+        FROM best
+    """,
+    tags=("ml", "statistics", "agg", "window", "scale-path"),
+    doc="Decision stump: the single most informative n_chars cut for "
+    "predicting lang='en' by exact Gini impurity — the depth-1 CART "
+    "node, evaluated the histogram way (LightGBM/XGBoost): one "
+    "groupBy collapses data to a bin-bounded count table, one running-"
+    "sum window over the BINS scores every candidate threshold at "
+    "once, ORDER BY q LIMIT 1 picks the argmax. All impurity "
+    "numerators are exact DECIMAL/HUGEINT products; both engines "
+    "compare identical doubles; ties break toward the smaller "
+    "threshold (operators/stats.py:gini_stump).",
+)
+def gini_stump_en_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import gini_stump
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.col("n_chars").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return gini_stump(d, "x", "y", bin_width=100)

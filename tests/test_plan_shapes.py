@@ -823,6 +823,9 @@ BOUNDED_DOMAIN_UNPART_WINDOWS = {
     # AMOC cumulative split statistics over the calendar-hour bucket
     # axis (operators/timeseries.py:amoc_changepoint)
     "amoc_value_changepoint": "calendar-hour bucket axis",
+    # stump candidates scored over the bin-width-bounded histogram
+    # table (feature domain / bin_width rows, never data-scale)
+    "gini_stump_en_by_length": "feature histogram bins",
     # matching intervals built over one row per DISTINCT control
     # covariate value (the ntile_bounded_domain argument); treated rows
     # broadcast-join in, never sort (operators/stats.py:nearest_match_att)

@@ -319,3 +319,30 @@ def test_permutation_test_detects_planted_effect(spark):
 
     with pytest.raises(ValueError):
         permutation_test_mean_diff(df, "k", "x", "t", salt="t", n_perms=0)
+
+
+def test_gini_stump_finds_planted_cut(spark):
+    from redpanda_ais_demo_spark.operators.stats import gini_stump
+
+    # perfectly separable at x = 100 (bins of 10): label flips there
+    rows = [(float(x), 0) for x in range(0, 100)] + [
+        (float(x), 1) for x in range(100, 200)
+    ]
+    df = spark.createDataFrame(rows, "x double, y long")
+    r = gini_stump(df, "x", "y", bin_width=10).first()
+    assert r.threshold == 100
+    assert (r.n_left, r.k_left, r.n_right, r.k_right) == (100, 0, 100, 100)
+    # parent gini = 0.5, children pure -> gain exactly 0.5
+    assert r.gini_gain == 0.5
+
+    # uninformative label: every candidate ties at gain 0; the tie
+    # breaks toward the smallest threshold
+    flat = spark.createDataFrame(
+        [(float(x), x % 2) for x in range(100)], "x double, y long"
+    )
+    rf = gini_stump(flat, "x", "y", bin_width=10).first()
+    assert rf.gini_gain == 0.0
+    assert rf.threshold == 10
+
+    with pytest.raises(ValueError):
+        gini_stump(df, "x", "y", bin_width=0)
