@@ -529,3 +529,119 @@ def conformal_interval(
         "a_micro long, b_micro long, n_calib long, q_units long, "
         "coverage_lo double",
     )
+
+
+def _exp_mu_micro(z: Column) -> Column:
+    """round(1e6 · exp(z)) as BIGINT with z clamped to [-10, 10] — the
+    Poisson family's per-row transcendental (the log-link inverse).
+    The clamp keeps micro-μ inside BIGINT (e¹⁰ ≈ 22026 → 2.2e10 micro)
+    and is irrelevant near any real fit: with the log-mean init below,
+    fitted linear predictors live within a few units of 0."""
+    zc = F.greatest(F.lit(-10.0), F.least(F.lit(10.0), z))
+    return F.round(F.lit(float(M)) * F.exp(zc)).cast("long")
+
+
+def poisson_irls(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iters: int = 8,
+) -> tuple[float, float, DataFrame]:
+    """Fit E[y|x] = exp(b0 + b1·(x−μ)/s) for COUNT responses by
+    ``iters`` fixed IRLS rounds — the second GLM family member beside
+    ``logistic_irls`` (same one-pass-per-round normal equations, same
+    2×2 driver solve, different link/variance: W = μ, g = y − μ).
+
+    b0 initializes at round(ln(max(ȳ, 1e-6))·M) — the saturated
+    intercept-only fit — because Newton from 0 on count data overshoots
+    (the first step lands at ȳ−1 in linear-predictor units and the
+    log link claws back ~1 per round; 8 rounds wouldn't recover). From
+    the log-mean start the trajectory is contractive and both engines
+    replay it exactly: per round ONE aggregation forms five exact
+    DECIMAL sums (w = micro-μ, g = M·y − μ_micro), the driver solves
+    2 scalars, coefficients re-quantize to micro-units.
+
+    Returns (b0_micro, b1_micro, quantized frame) like logistic_irls.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    import math
+
+    dfs, _, _ = _standardize(df, x_col)
+    xq = F.round(F.col("__xs") * M).cast("long")
+    dfq = (
+        dfs.withColumn("__xq", xq)
+        .withColumn("__y", F.col(y_col).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    head = dfq.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("sy")
+    ).first()
+    n, sy = int(head["n"]), int(head["sy"])
+    mean = float(sy) / float(n)
+    b0 = _round_away(math.log(max(mean, 1e-6)) * M)
+    b1 = 0
+    for _ in range(iters):
+        z = (
+            F.lit(float(b0))
+            + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+        ) / F.lit(float(M))
+        mu = _exp_mu_micro(z)
+        g = F.lit(M) * F.col("__y") - mu
+        row = dfq.agg(
+            F.sum(mu.cast(_DEC)).alias("sw"),
+            F.sum(mu.cast(_DEC) * F.col("__xq")).alias("swx"),
+            F.sum(mu.cast(_DEC) * F.col("__xq") * F.col("__xq")).alias("swxx"),
+            F.sum(g.cast(_DEC)).alias("sg"),
+            F.sum(g.cast(_DEC) * F.col("__xq")).alias("sgx"),
+        ).first()
+        sw, swx, swxx = int(row["sw"]), int(row["swx"]), int(row["swxx"])
+        sg, sgx = int(row["sg"]), int(row["sgx"])
+        a11 = float(sw) / M
+        a12 = float(swx) / M / M
+        a22 = float(swxx) / M / M / M
+        r1 = float(sg) / M
+        r2 = float(sgx) / M / M
+        det = a11 * a22 - a12 * a12
+        if det <= 0:
+            break
+        d0 = (r1 * a22 - r2 * a12) / det
+        d1 = (r2 * a11 - r1 * a12) / det
+        b0 = b0 + _round_away(d0 * M)
+        b1 = b1 + _round_away(d1 * M)
+    return float(b0), float(b1), dfq
+
+
+def poisson_fit_summary(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iters: int = 8,
+) -> DataFrame:
+    """One-row readout of the Poisson fit: micro-unit coefficients on
+    the standardized feature, n, total counts, the empirical mean rate
+    and the fitted rate at the feature mean (= exp(b0)) — b1's sign IS
+    the elasticity direction of the count in the feature."""
+    import math
+
+    b0, b1, dfq = poisson_irls(df, x_col, y_col, iters)
+    agg = dfq.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("sy")
+    ).first()
+    n, sy = int(agg["n"]), int(agg["sy"])
+    spark = df.sparkSession
+    out = [
+        (
+            int(b0),
+            int(b1),
+            n,
+            sy,
+            _round6(float(sy) / float(n)),
+            _round6(math.exp(b0 / 1_000_000.0)),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "b0_micro long, b1_micro long, n long, sum_y long, "
+        "mean_rate double, fitted_at_mean double",
+    )

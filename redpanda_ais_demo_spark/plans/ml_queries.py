@@ -945,3 +945,124 @@ def gini_stump_en_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("y"),
     )
     return gini_stump(d, "x", "y", bin_width=100)
+
+
+def _poisson_prefix(base_cte: str, iters: int) -> str:
+    """Oracle text for operators/glm.py:poisson_irls — the logistic
+    prefix's structure with the log link: same standardization CTEs,
+    b0 initialized at round(ln(max(ȳ, 1e-6))·M) (fin0/c0), per round
+    μ = round(M·exp(clamp(z, ±10))), W = μ, g = M·y − μ, identical
+    2×2 solve text. Ends in scalar CTEs fin0(n, sy) and c{iters}."""
+    parts = [
+        f"""WITH d AS ({base_cte}),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+               FROM d),
+        sc AS (SELECT n,
+                      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                      sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                           / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS scale
+               FROM st),
+        q AS (SELECT CAST(round(((CAST(x AS DOUBLE) - mean) / scale)
+                                * 1000000) AS BIGINT) AS xq,
+                     y
+              FROM d, sc),
+        fin0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(y) AS BIGINT) AS sy
+                 FROM q),
+        c0 AS (SELECT CAST(round(ln(greatest(
+                          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 0.000001))
+                          * 1000000) AS DOUBLE) AS b0,
+                      CAST(0.0 AS DOUBLE) AS b1
+               FROM fin0)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", s{i} AS (
+            SELECT CAST(sum(CAST(mu AS HUGEINT)) AS HUGEINT) AS sw,
+                   CAST(sum(CAST(mu AS HUGEINT) * xq) AS HUGEINT) AS swx,
+                   CAST(sum(CAST(mu AS HUGEINT) * xq * xq) AS HUGEINT) AS swxx,
+                   CAST(sum(CAST(1000000 * y - mu AS HUGEINT)) AS HUGEINT) AS sg,
+                   CAST(sum(CAST(1000000 * y - mu AS HUGEINT) * xq)
+                        AS HUGEINT) AS sgx
+            FROM (
+                SELECT xq, y,
+                       CAST(round(1000000.0 * exp(greatest(-10.0, least(10.0,
+                            (b0 + b1 * (CAST(xq AS DOUBLE) / 1000000.0))
+                            / 1000000.0)))) AS BIGINT) AS mu
+                FROM q, c{i}
+            )
+        ),
+        c{i + 1} AS (
+            SELECT CASE WHEN det <= 0 THEN b0
+                        ELSE b0 + round(((r1 * a22 - r2 * a12) / det) * 1000000.0)
+                   END AS b0,
+                   CASE WHEN det <= 0 THEN b1
+                        ELSE b1 + round(((r2 * a11 - r1 * a12) / det) * 1000000.0)
+                   END AS b1
+            FROM (
+                SELECT b0, b1, a11, a12, a22, r1, r2,
+                       a11 * a22 - a12 * a12 AS det
+                FROM (
+                    SELECT c.b0 AS b0, c.b1 AS b1,
+                           CAST(sw AS DOUBLE) / 1000000 AS a11,
+                           CAST(swx AS DOUBLE) / 1000000 / 1000000 AS a12,
+                           CAST(swxx AS DOUBLE) / 1000000 / 1000000 / 1000000 AS a22,
+                           CAST(sg AS DOUBLE) / 1000000 AS r1,
+                           CAST(sgx AS DOUBLE) / 1000000 / 1000000 AS r2
+                    FROM s{i}, c{i} c
+                )
+            )
+        )"""
+        )
+    return "".join(parts)
+
+
+_POISSON_BASE = """SELECT CAST(round(p.p_retailprice * 100) AS BIGINT) AS x,
+            CAST(COALESCE(c.cnt, 0) AS BIGINT) AS y
+        FROM part p LEFT JOIN (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey) c
+        ON p.p_partkey = c.l_partkey"""
+
+
+def _poisson_oracle() -> str:
+    return (
+        _poisson_prefix(_POISSON_BASE, _IRLS_ITERS)
+        + f"""
+        SELECT CAST(b0 AS BIGINT) AS b0_micro, CAST(b1 AS BIGINT) AS b1_micro,
+               n, sy AS sum_y,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_rate,
+               round(exp(b0 / 1000000.0), 6) AS fitted_at_mean
+        FROM fin0, c{_IRLS_ITERS}
+    """
+    )
+
+
+@query(
+    "poisson_demand_on_price",
+    oracle=_poisson_oracle(),
+    tags=("ml", "statistics", "agg", "glm"),
+    doc="Poisson regression of per-part lineitem demand on retail "
+    "price (log link) fitted by 8 IRLS rounds — the COUNT-data GLM "
+    "beside logreg_en_vs_length: same one-pass-per-round normal "
+    "equations (W = mu, g = y - mu), same 2x2 driver solve, b0 "
+    "initialized at the exact log-mean so fixed Newton rounds are "
+    "contractive. Parts with zero sales enter via the left join (a "
+    "Poisson fit without the zeros is biased). Per-row mu quantizes "
+    "to micro-units; all five sums are exact DECIMAL/HUGEINT; the "
+    "oracle unrolls the identical coefficient trajectory "
+    "(operators/glm.py:poisson_fit_summary).",
+)
+def poisson_demand_on_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import poisson_fit_summary
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    d = part.join(cnt, part.p_partkey == cnt.l_partkey, "left").select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("y"),
+    )
+    return poisson_fit_summary(d, "x", "y", iters=_IRLS_ITERS)

@@ -167,3 +167,51 @@ def test_aipw_zero_residual_outcome_model_recovers_gap(spark):
     df2 = spark.createDataFrame(rows2, "id long, x long, t long, yout long")
     out2 = aipw_ate(df2, "x", "t", "yout", iters=3).collect()[0]
     assert out2["ate"] is None
+
+
+def test_poisson_irls_recovers_planted_rates(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.glm import (
+        poisson_fit_summary,
+        poisson_irls,
+    )
+
+    # planted log-linear rate: y = round(exp(2 + 1*xs)) over a
+    # symmetric grid (xs spans about [-1.7, 1.7])
+    xs = list(range(-50, 51))
+    sd = math.sqrt(sum(x * x for x in xs) / len(xs))
+    rows = [(x, round(math.exp(2.0 + x / sd))) for x in xs]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = poisson_fit_summary(df, "x", "y", iters=8).first()
+    # standardized slope ~= 1.0, intercept ~= 2.0 (micro-units),
+    # loose tolerance for the integer rounding of the planted y
+    assert abs(r.b1_micro / 1e6 - 1.0) < 0.05
+    assert abs(r.b0_micro / 1e6 - 2.0) < 0.1
+    assert abs(r.fitted_at_mean - math.exp(r.b0_micro / 1e6)) < 1e-6
+
+    # constant rate: slope pins at ~0, fitted rate = the mean
+    flat = spark.createDataFrame([(x, 7) for x in xs], "x long, y long")
+    rf = poisson_fit_summary(flat, "x", "y", iters=8).first()
+    assert abs(rf.b1_micro) <= 1
+    assert abs(rf.fitted_at_mean - 7.0) < 1e-3
+    assert rf.mean_rate == 7.0
+
+    # negative association flips the slope sign
+    neg = spark.createDataFrame(
+        [(x, round(math.exp(2.0 - x / sd))) for x in xs], "x long, y long"
+    )
+    rn = poisson_fit_summary(neg, "x", "y", iters=8).first()
+    assert rn.b1_micro < -900_000
+
+    # determinism: identical micro trajectories run-over-run
+    again = poisson_irls(df, "x", "y", iters=8)
+    assert (again[0], again[1]) == (float(r.b0_micro), float(r.b1_micro))
+
+    with pytest.raises(ValueError):
+        poisson_irls(df, "x", "y", iters=0)
+    # constant feature is degenerate
+    with pytest.raises(ValueError):
+        poisson_irls(
+            spark.createDataFrame([(1, 3), (1, 4)], "x long, y long"), "x", "y"
+        )
