@@ -381,3 +381,96 @@ def ranking_metrics(
         ).alias("rr_at_k"),
     )
     return joined
+
+
+def ndcg_discounts_nano(k: int) -> tuple[list[int], list[int]]:
+    """Per-rank NDCG discount weights 1/log2(i+1) for i = 1..k, as
+    nano-unit integers, plus their prefix sums (P[0] = 0). Computed
+    once driver-side and embedded as LITERALS in both the Spark plan
+    and the DuckDB oracle — the discount table never touches either
+    engine's log(), so the metric is exact-integer end to end."""
+    d = [round(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+    p = [0]
+    for x in d:
+        p.append(p[-1] + x)
+    return d, p
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    counts: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    n2_col: str = "n2",
+    n1_col: str = "n1",
+    k: int = 10,
+) -> DataFrame:
+    """Graded NDCG@k per query — the rank-DISCOUNTED retrieval metric
+    the eval family's AUC/AP can't give (those are order statistics
+    over the whole ranking; NDCG pays most for what sits in the first
+    screenful, which is what a retrieval UI actually shows).
+
+    ``ranked``: one row per (query, rank 1..k) with graded relevance
+    ``rel`` in {0, 1, 2} (gain 2^rel − 1 in {0, 1, 3}). ``counts``: one
+    row per query with the IDEAL pool sizes — n2 = #grade-2 candidates,
+    n1 = #grade-1 candidates in the whole corpus — from which the ideal
+    DCG is CLOSED-FORM: the best ordering packs min(n2, k) twos then
+    min(n1, k − t2) ones, so IDCG = 3·P[t2] + (P[t2+t1] − P[t2]) over
+    the literal prefix-sum table. No per-query ideal re-ranking, no
+    second sort — the counts are vocabulary-bounded group sizes.
+
+    All gains and discounts are exact nano-unit integers; ndcg is ONE
+    double division per query, rounded to 6dp. Queries with an empty
+    ideal pool (idcg = 0) emit NULL ndcg.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    d, p = ndcg_discounts_nano(k)
+    darr = F.array(*[F.lit(int(x)).cast("long") for x in d])
+    parr = F.array(*[F.lit(int(x)).cast("long") for x in p])
+    gain = (
+        F.when(F.col(rel_col) == 2, 3)
+        .when(F.col(rel_col) == 1, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    dcg = (
+        ranked.filter(F.col(rank_col) <= k)
+        .groupBy(F.col(query_col).alias("__q"))
+        .agg(
+            F.sum(gain * F.element_at(darr, F.col(rank_col).cast("int")))
+            .cast("long")
+            .alias("dcg_nano")
+        )
+    )
+    t2 = F.least(F.col(n2_col), F.lit(k)).cast("int")
+    t1 = F.least(F.col(n1_col), F.lit(k) - t2).cast("int")
+    ideal = counts.select(
+        F.col(query_col).alias("__q"),
+        F.col(n2_col).cast("long").alias("n2"),
+        F.col(n1_col).cast("long").alias("n1"),
+        (
+            F.lit(3).cast("long") * F.element_at(parr, t2 + 1)
+            + F.element_at(parr, t2 + t1 + 1)
+            - F.element_at(parr, t2 + 1)
+        )
+        .cast("long")
+        .alias("idcg_nano"),
+    )
+    out = ideal.join(dcg, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        "n2",
+        "n1",
+        F.coalesce(F.col("dcg_nano"), F.lit(0)).cast("long").alias("dcg_nano"),
+        "idcg_nano",
+        F.when(
+            F.col("idcg_nano") > 0,
+            F.round(
+                F.coalesce(F.col("dcg_nano"), F.lit(0)).cast("double")
+                / F.col("idcg_nano").cast("double"),
+                6,
+            ),
+        ).alias("ndcg"),
+    )
+    return out

@@ -3899,3 +3899,149 @@ def sentiment_lexicon_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qgram_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return similarity.fuzzy_string_pairs(part, "p_name", max_dist=2, q=2)
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    """Generated NDCG oracle: discount/prefix tables come from the SAME
+    driver-side generator as the Spark plan
+    (operators/retrieval.py:ndcg_discounts_nano) and are embedded as
+    integer list literals — neither engine's log() is ever called."""
+    from ..operators.retrieval import ndcg_discounts_nano
+
+    d, p = ndcg_discounts_nano(k)
+    dlit = "[" + ", ".join(str(x) for x in d) + "]"
+    plit = "[" + ", ".join(str(x) for x in p) + "]"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        meta AS (
+            SELECT e.vec_id, e.label, d.source
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ),
+        scored AS (
+            SELECT a.vec_id AS q, b.vec_id AS nb,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT q, nb, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q ORDER BY cos_sim DESC, nb) AS rank
+                FROM scored
+            ) WHERE rank <= {k}
+        ),
+        rel AS (
+            SELECT t.q, t.rank,
+                   CASE WHEN mq.label = mn.label THEN 2
+                        WHEN mq.source = mn.source THEN 1
+                        ELSE 0 END AS rel
+            FROM topk t
+            JOIN meta mq ON t.q = mq.vec_id
+            JOIN meta mn ON t.nb = mn.vec_id
+        ),
+        dcg AS (
+            SELECT q,
+                   CAST(SUM((CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+                            * CAST(({dlit})[rank] AS BIGINT)) AS BIGINT)
+                       AS dcg_nano
+            FROM rel GROUP BY q
+        ),
+        lb AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM meta GROUP BY label),
+        sr AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM meta GROUP BY source),
+        sl AS (SELECT source, label, CAST(count(*) AS BIGINT) AS c
+               FROM meta GROUP BY source, label),
+        cnts AS (
+            SELECT m.vec_id AS q, lb.c - 1 AS n2, sr.c - sl.c AS n1
+            FROM meta m
+            JOIN lb ON m.label = lb.label
+            JOIN sr ON m.source = sr.source
+            JOIN sl ON m.source = sl.source AND m.label = sl.label
+        ),
+        ideal AS (
+            SELECT q, n2, n1,
+                   CAST(3 * CAST(({plit})[CAST(t2 AS INTEGER) + 1] AS BIGINT)
+                        + ({plit})[CAST(t2 + t1 AS INTEGER) + 1]
+                        - ({plit})[CAST(t2 AS INTEGER) + 1] AS BIGINT) AS idcg_nano
+            FROM (
+                SELECT q, n2, n1, least(n2, {k}) AS t2,
+                       least(n1, {k} - least(n2, {k})) AS t1
+                FROM cnts
+            )
+        )
+        SELECT i.q AS vec_id, i.n2, i.n1,
+               CAST(COALESCE(d.dcg_nano, 0) AS BIGINT) AS dcg_nano,
+               i.idcg_nano,
+               CASE WHEN i.idcg_nano > 0 THEN
+                    round(CAST(COALESCE(d.dcg_nano, 0) AS DOUBLE)
+                          / CAST(i.idcg_nano AS DOUBLE), 6)
+               END AS ndcg
+        FROM ideal i LEFT JOIN dcg d ON i.q = d.q
+    """
+
+
+@query(
+    "ndcg_cosine_label_graded",
+    oracle=_ndcg_oracle(),
+    tags=("eval", "retrieval", "similarity", "agg"),
+    doc="Graded NDCG@10 of the exact cosine ranking, per query vector: "
+    "relevance 2 = same class label, 1 = same document source, 0 "
+    "otherwise — the rank-DISCOUNTED retrieval metric the eval "
+    "family's AUC/AP rows can't give (position 1 matters ~3.3x "
+    "position 10). Discount weights and their prefix sums are nano-"
+    "unit INTEGER LITERALS from one driver-side generator (no engine "
+    "log()); the ideal DCG is closed-form from vocabulary-bounded "
+    "group sizes (pack t2 twos then t1 ones), so no per-query ideal "
+    "re-sort exists anywhere in the plan "
+    "(operators/retrieval.py:ndcg_at_k).",
+)
+def ndcg_cosine_label_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import ndcg_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    meta = emb.select("vec_id", "label").join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    topk = similarity.brute_force_topk(emb, k=10).select(
+        "vec_id", "neighbor_id", "rank"
+    )
+    mq = meta.select(
+        "vec_id",
+        F.col("label").alias("q_label"),
+        F.col("source").alias("q_source"),
+    )
+    mn = meta.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("source").alias("n_source"),
+    )
+    ranked = (
+        topk.join(mq, "vec_id")
+        .join(mn, "neighbor_id")
+        .select(
+            "vec_id",
+            "rank",
+            F.when(F.col("q_label") == F.col("n_label"), 2)
+            .when(F.col("q_source") == F.col("n_source"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    lb = meta.groupBy("label").agg(F.count(F.lit(1)).alias("c_lb"))
+    sr = meta.groupBy("source").agg(F.count(F.lit(1)).alias("c_sr"))
+    sl = meta.groupBy("source", "label").agg(F.count(F.lit(1)).alias("c_sl"))
+    counts = (
+        meta.join(F.broadcast(lb), "label")
+        .join(F.broadcast(sr), "source")
+        .join(F.broadcast(sl), ["source", "label"])
+        .select(
+            "vec_id",
+            (F.col("c_lb") - 1).cast("long").alias("n2"),
+            (F.col("c_sr") - F.col("c_sl")).cast("long").alias("n1"),
+        )
+    )
+    return ndcg_at_k(ranked, counts, query_col="vec_id", k=10)

@@ -346,3 +346,50 @@ def test_gini_stump_finds_planted_cut(spark):
 
     with pytest.raises(ValueError):
         gini_stump(df, "x", "y", bin_width=0)
+
+
+def test_ndcg_at_k_hand_computed(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.retrieval import (
+        ndcg_at_k,
+        ndcg_discounts_nano,
+    )
+
+    d, p = ndcg_discounts_nano(3)
+    assert d[0] == 10**9  # 1/log2(2) = 1
+    assert p == [0, d[0], d[0] + d[1], d[0] + d[1] + d[2]]
+
+    # query 1: rels (2, 0, 1) at ranks 1..3; ideal pool n2=1, n1=1 ->
+    # ideal packs the 2 then the 1: idcg = 3*d1 + d2
+    ranked = spark.createDataFrame(
+        [(1, 1, 2), (1, 2, 0), (1, 3, 1), (2, 1, 0), (2, 2, 0), (2, 3, 0)],
+        "q long, rank long, rel long",
+    )
+    counts = spark.createDataFrame(
+        [(1, 1, 1), (2, 0, 0)], "q long, n2 long, n1 long"
+    )
+    out = {
+        r.q: r
+        for r in ndcg_at_k(
+            ranked, counts, query_col="q", rank_col="rank", k=3
+        ).collect()
+    }
+    dcg1 = 3 * d[0] + 1 * d[2]
+    idcg1 = 3 * d[0] + d[1]
+    assert out[1].dcg_nano == dcg1 and out[1].idcg_nano == idcg1
+    expect = round(float(dcg1) / float(idcg1), 6)
+    assert math.isclose(out[1].ndcg, expect, abs_tol=1e-9)
+    # query 2 has an empty ideal pool: NULL ndcg, zero dcg
+    assert out[2].idcg_nano == 0 and out[2].ndcg is None
+
+    # perfect ranking scores exactly 1.0
+    perfect = spark.createDataFrame(
+        [(9, 1, 2), (9, 2, 1)], "q long, rank long, rel long"
+    )
+    pc = spark.createDataFrame([(9, 1, 1)], "q long, n2 long, n1 long")
+    rp = ndcg_at_k(perfect, pc, query_col="q", k=3).first()
+    assert rp.ndcg == 1.0
+
+    with pytest.raises(ValueError):
+        ndcg_at_k(ranked, counts, query_col="q", k=0)
