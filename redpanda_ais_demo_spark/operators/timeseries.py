@@ -2384,3 +2384,107 @@ def shapley_attribution(
             F.col("raw").cast("double") / F.lit(nfact) / F.lit(1e9), 6
         ).alias("shapley_value"),
     )
+
+
+def markov_absorption(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    convert_state: str,
+    gap_us: int = 1_800_000_000,
+    iters: int = 16,
+    max_states: int = 1000,
+) -> DataFrame:
+    """P(reach ``convert_state`` before the session ends | current
+    state) for every non-absorbing state — the PREDICTIVE readout of
+    the transition matrix ``markov_transitions`` only describes: an
+    absorbing-chain value problem v = b + Q·v with two absorbers
+    (conversion, session end), solved by ``iters`` fixed rounds of
+    exact-integer value iteration.
+
+    Edge construction mirrors the transition operator (per-key lead
+    window, ``gap_us`` session rule), with each event's successor
+    mapped to '__conv' (next event is the convert state), '__end'
+    (session boundary / stream end), or the next state. Rows whose
+    state IS ``convert_state`` are excluded as sources (post-conversion
+    behavior is a different chain). The edge table collapses to at
+    most |states|² + 2|states| rows — VOCABULARY-bounded, which is why
+    the iteration runs on the driver like the GLM 2×2 solves (a 10×10
+    matrix recurrence is driver math; scheduling ``iters`` Spark jobs
+    for it would be pure overhead at any scale). ``max_states`` guards
+    the contract the way ntile_bounded_domain does: a data-scale state
+    column fails fast instead of collecting.
+
+    Exactness: v carries nano-units; each round computes
+    v'_s = (2·(Σ_j n_sj·v_j + n_s→conv·1e9) + n_s) // (2·n_s) — all
+    integer, half-up rounding — so the oracle's unrolled CTEs replay
+    the identical trajectory. A successor state never seen as a source
+    (possible only for states that always end sessions) carries v = 0,
+    i.e. absorbs at end — the conservative reading.
+
+    Output: (state, n_out, p_convert) — exact outgoing-edge counts and
+    the nano-quantized probability as one double division, 6 dp.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us, tiebreak_col)
+    nxt = F.lead(state_col).over(w)
+    gap = F.lead(us).over(w) - us
+    dst = (
+        F.when(nxt.isNull() | (gap > gap_us), F.lit("__end"))
+        .when(nxt == convert_state, F.lit("__conv"))
+        .otherwise(nxt)
+    )
+    edges = (
+        df.select(F.col(state_col).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != convert_state)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = edges.limit(max_states * (max_states + 2) + 1).collect()
+    srcs = {r["src"] for r in rows}
+    # a bounded chain of <= max_states sources has at most
+    # max_states·(max_states+2) edges; hitting the limit means the
+    # table was TRUNCATED and every count below would be silently
+    # wrong — fail on that, not just on the sampled source count
+    if len(rows) > max_states * (max_states + 2) or len(srcs) > max_states:
+        raise ValueError(
+            f"markov_absorption: state domain exceeds max_states="
+            f"{max_states} — the state column is data-scale, not a "
+            f"vocabulary; this operator's contract is a bounded chain"
+        )
+    out_n = {}
+    by_src = {}
+    for r in rows:
+        out_n[r["src"]] = out_n.get(r["src"], 0) + int(r["n"])
+        by_src.setdefault(r["src"], []).append((r["dst"], int(r["n"])))
+    v = {s: 0 for s in srcs}
+    for _ in range(iters):
+        nv = {}
+        for s in srcs:
+            num = 0
+            for d, n in by_src[s]:
+                if d == "__conv":
+                    num += n * 1_000_000_000
+                elif d != "__end":
+                    num += n * v.get(d, 0)
+            ns = out_n[s]
+            nv[s] = (2 * num + ns) // (2 * ns)  # half-up, all ints >= 0
+        v = nv
+    spark = df.sparkSession
+    data = [
+        (s, out_n[s], float(v[s]) / 1_000_000_000.0) for s in sorted(srcs)
+    ]
+    # display-round the way both engines do (half away from zero)
+    import math
+
+    data = [
+        (s, n, math.copysign(math.floor(abs(p) * 1e6 + 0.5), p) / 1e6)
+        for s, n, p in data
+    ]
+    return spark.createDataFrame(
+        data, "state string, n_out long, p_convert double"
+    )

@@ -7635,3 +7635,77 @@ def benford_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit_audit(
         orders, F.round(F.col("o_totalprice") * 100), min_cents=100
     )
+
+
+def _markov_absorption_oracle(iters: int = 16) -> str:
+    """Generated absorbing-chain oracle: the edge table in windowed SQL,
+    then ``iters`` unrolled exact-integer value-iteration CTEs replaying
+    operators/timeseries.py:markov_absorption's driver recurrence
+    (HUGEINT numerators, half-up // division) verbatim."""
+    head = """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events
+        ),
+        led AS (
+            SELECT event_type AS src,
+                   lead(event_type) OVER w AS nxt,
+                   lead(us) OVER w - us AS gap
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        t AS (
+            SELECT src,
+                   CASE WHEN nxt IS NULL OR gap > 1800000000 THEN '__end'
+                        WHEN nxt = 'purchase' THEN '__conv'
+                        ELSE nxt END AS dst,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM led WHERE src <> 'purchase'
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS ns FROM t GROUP BY src),
+        v0 AS (SELECT src AS state, CAST(0 AS HUGEINT) AS v FROM tot)"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(f""",
+        v{i + 1} AS (
+            SELECT t.src AS state,
+                   CAST((2 * sum(CASE WHEN t.dst = '__conv'
+                                      THEN CAST(t.n AS HUGEINT) * 1000000000
+                                      WHEN t.dst = '__end'
+                                      THEN CAST(0 AS HUGEINT)
+                                      ELSE CAST(t.n AS HUGEINT) * COALESCE(vv.v, 0)
+                                 END) + tt.ns) // (2 * tt.ns) AS HUGEINT) AS v
+            FROM t JOIN tot tt ON t.src = tt.src
+            LEFT JOIN v{i} vv ON t.dst = vv.state
+            GROUP BY t.src, tt.ns
+        )""")
+    parts.append(f"""
+        SELECT f.state, tt.ns AS n_out,
+               round(CAST(f.v AS DOUBLE) / 1000000000.0, 6) AS p_convert
+        FROM v{iters} f JOIN tot tt ON f.state = tt.src
+    """)
+    return "".join(parts)
+
+
+@query(
+    "markov_absorption_purchase",
+    oracle=_markov_absorption_oracle(),
+    tags=("analytics", "markov", "window", "iterative"),
+    doc="Absorbing-Markov conversion probability: P(a user in state s "
+    "reaches 'purchase' before their session ends), the PREDICTIVE "
+    "readout the transition matrix only describes — v = b + Q*v over "
+    "the session-ruled edge table with two absorbers (conversion / "
+    "session end), 16 exact-integer value-iteration rounds. The events "
+    "scan collapses to a vocabulary-bounded edge table; the 5x7 "
+    "recurrence is driver math (the GLM-solve pattern) with a "
+    "fail-fast max_states guard; the oracle unrolls the identical "
+    "nano-unit trajectory "
+    "(operators/timeseries.py:markov_absorption).",
+)
+def markov_absorption_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import markov_absorption
+
+    events = load_table(spark, sf_dir, "events")
+    return markov_absorption(
+        events, "user_id", "ts", "event_type", "event_id", "purchase"
+    )

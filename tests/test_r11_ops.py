@@ -393,3 +393,66 @@ def test_ndcg_at_k_hand_computed(spark):
 
     with pytest.raises(ValueError):
         ndcg_at_k(ranked, counts, query_col="q", k=0)
+
+
+def test_markov_absorption_hand_chain(spark):
+    from datetime import datetime, timedelta
+
+    from redpanda_ais_demo_spark.operators.timeseries import markov_absorption
+
+    # deterministic two-state chain: from 'a' the next event is always
+    # 'buy' (direct absorb); from 'b' it is always 'a'. Sessions are
+    # tight (no 30-min gaps), so no '__end' mass anywhere:
+    # p(a) = 1 exactly, p(b) -> p(a) = 1
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for u in range(20):
+        rows += [
+            (u, t0 + timedelta(seconds=1), 1, "b"),
+            (u, t0 + timedelta(seconds=2), 2, "a"),
+            (u, t0 + timedelta(seconds=3), 3, "buy"),
+        ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r.state: r for r in markov_absorption(
+        df, "user_id", "ts", "event_type", "event_id", "buy"
+    ).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].p_convert == 1.0 and out["b"].p_convert == 1.0
+    assert out["a"].n_out == 20 and out["b"].n_out == 20
+
+    # half the 'a' sessions end instead of converting -> p(a) = 0.5;
+    # 'b' always leads to 'a' -> p(b) = 0.5 too (value iteration carries it)
+    rows2 = []
+    for u in range(10):
+        rows2 += [
+            (u, t0 + timedelta(seconds=1), 1, "b"),
+            (u, t0 + timedelta(seconds=2), 2, "a"),
+            (u, t0 + timedelta(seconds=3), 3, "buy"),
+        ]
+    for u in range(10, 20):
+        rows2 += [
+            (u, t0 + timedelta(seconds=1), 1, "b"),
+            (u, t0 + timedelta(seconds=2), 2, "a"),
+        ]
+    df2 = spark.createDataFrame(rows2, "user_id long, ts timestamp, event_id long, event_type string")
+    out2 = {r.state: r for r in markov_absorption(
+        df2, "user_id", "ts", "event_type", "event_id", "buy"
+    ).collect()}
+    assert out2["a"].p_convert == 0.5
+    assert out2["b"].p_convert == 0.5
+
+    # bounded-domain contract: a data-scale state column fails fast
+    big = spark.createDataFrame(
+        [(1, t0 + timedelta(seconds=i), i, f"s{i}") for i in range(40)],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    with pytest.raises(ValueError):
+        markov_absorption(
+            big, "user_id", "ts", "event_type", "event_id", "buy",
+            max_states=5,
+        )
+
+    with pytest.raises(ValueError):
+        markov_absorption(
+            df, "user_id", "ts", "event_type", "event_id", "buy", iters=0
+        )
