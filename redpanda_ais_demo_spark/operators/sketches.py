@@ -254,3 +254,115 @@ def hll_sliding_distinct(
         .cast("long")
         .alias("approx_window"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group (Bar-Yossef et al.
+    2002): the k smallest PORTABLE hash values of the group's ids —
+    md5-prefix (60-bit) rather than the engine-internal xxhash64 the
+    CMS/HLL members use, which makes every downstream estimate exactly
+    replayable in ANSI SQL (this module's only fully oracle-checkable
+    sketch). Unlike HLL, the retained values form a uniform SAMPLE of
+    the hashed universe, so KMV sketches compose under set operations —
+    intersection/Jaccard estimates that HLL can only reach through
+    error-amplifying inclusion-exclusion.
+
+    One distinct-collapse then a per-group top-k window over hash
+    order; output (group, h, rank) — at most k rows per group. Hash
+    collisions merge ids exactly as the estimator assumes (and the
+    oracle replays them identically).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sk = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        sk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("grp", "h", "rank")
+    )
+
+
+_KMV_SCALE = float(1 << 60)  # hash space size for 15 md5 hex chars
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise audience overlap from KMV sketches: for every group
+    pair (a < b), merge the two k-sets, keep the union's k smallest
+    hashes, and read off |A∪B| ≈ (K−1)·2⁶⁰/τ (the KMV estimator; exact
+    when the union fits inside k), Jaccard ≈ the fraction of those K
+    hashes present in BOTH sketches, and |A∩B| = Jaccard·|A∪B| —
+    Beyer et al. 2007. The exact sibling (audience_overlap_*) shuffles
+    every (group, id) pair; this touches each id once to build
+    G·k-row sketches and then works entirely on sketch rows — the only
+    shape that survives 100 TB ids, and the error is a measured
+    1/√k (pytest-pinned).
+
+    Estimates are one fixed double chain over exact BIGINT hash
+    statistics, so the whole operator — sketch, merge, estimate — is
+    oracle-replayable. Output per pair: grp_a, grp_b, k_union (merged
+    set size ≤ k), n_both (hashes in both sketches among them),
+    union_est, jaccard_est, inter_est (6 dp).
+    """
+    sk = kmv_sketch(df, group_col, id_col, k)
+    groups = sk.select("grp").distinct()
+    pairs = (
+        groups.alias("ga")
+        .crossJoin(groups.alias("gb"))
+        .filter(F.col("ga.grp") < F.col("gb.grp"))
+        .select(F.col("ga.grp").alias("a"), F.col("gb.grp").alias("b"))
+    )
+    side_a = pairs.join(sk.alias("s"), F.col("s.grp") == F.col("a")).select(
+        "a", "b", F.col("s.h").alias("h"),
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    side_b = pairs.join(sk.alias("s"), F.col("s.grp") == F.col("b")).select(
+        "a", "b", F.col("s.h").alias("h"),
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("a", "b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("a", "b").orderBy("h")
+    kept = merged.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    agg = kept.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_union"),
+        F.max("h").alias("tau"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("k_union") < k, F.col("k_union").cast("double")
+    ).otherwise(
+        (F.col("k_union") - 1).cast("double")
+        * F.lit(_KMV_SCALE)
+        / F.col("tau").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_union").cast("double")
+    return agg.select(
+        F.col("a").alias("grp_a"),
+        F.col("b").alias("grp_b"),
+        "k_union",
+        "n_both",
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 6).alias("inter_est"),
+    )

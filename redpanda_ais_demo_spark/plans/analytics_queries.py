@@ -7709,3 +7709,72 @@ def markov_absorption_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_absorption(
         events, "user_id", "ts", "event_type", "event_id", "purchase"
     )
+
+
+@query(
+    "kmv_overlap_event_audiences",
+    oracle="""
+        WITH sk AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rank
+            FROM (
+                SELECT DISTINCT event_type AS grp,
+                       CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) AS h
+                FROM events
+            )
+        ),
+        sk256 AS (SELECT grp, h FROM sk WHERE rank <= 256),
+        g AS (SELECT DISTINCT grp FROM sk256),
+        pairs AS (SELECT a.grp AS a, b.grp AS b FROM g a JOIN g b ON a.grp < b.grp),
+        merged AS (
+            SELECT a, b, h, max(in_a) AS in_a, max(in_b) AS in_b
+            FROM (
+                SELECT p.a, p.b, s.h, 1 AS in_a, 0 AS in_b
+                FROM pairs p JOIN sk256 s ON s.grp = p.a
+                UNION ALL
+                SELECT p.a, p.b, s.h, 0 AS in_a, 1 AS in_b
+                FROM pairs p JOIN sk256 s ON s.grp = p.b
+            ) GROUP BY a, b, h
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h) AS r
+                FROM merged
+            ) WHERE r <= 256
+        ),
+        agg AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS k_union,
+                   CAST(max(h) AS BIGINT) AS tau,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+            FROM kept GROUP BY a, b
+        )
+        SELECT a AS grp_a, b AS grp_b, k_union, n_both,
+               round(CASE WHEN k_union < 256 THEN CAST(k_union AS DOUBLE)
+                          ELSE CAST(k_union - 1 AS DOUBLE) * 1152921504606846976.0
+                               / CAST(tau AS DOUBLE) END, 6) AS union_est,
+               round(CAST(n_both AS DOUBLE) / CAST(k_union AS DOUBLE), 6)
+                   AS jaccard_est,
+               round((CAST(n_both AS DOUBLE) / CAST(k_union AS DOUBLE))
+                     * (CASE WHEN k_union < 256 THEN CAST(k_union AS DOUBLE)
+                             ELSE CAST(k_union - 1 AS DOUBLE) * 1152921504606846976.0
+                                  / CAST(tau AS DOUBLE) END), 6) AS inter_est
+        FROM agg
+    """,
+    tags=("analytics", "sketch", "approx", "scale-path"),
+    doc="KMV-sketch audience overlap between event types: k=256 "
+    "minimum md5-hash values per audience, pairwise merged to "
+    "estimate union size ((K-1)*2^60/tau), Jaccard (fraction of the "
+    "merged k-set present in both sketches) and intersection — the "
+    "set-operation cardinalities HLL can only reach through error-"
+    "amplifying inclusion-exclusion (Bar-Yossef 2002, Beyer 2007). "
+    "PORTABLE hashing makes this the sketch family's only fully "
+    "oracle-replayable member: ids are touched once to build G*k-row "
+    "sketches, everything downstream is sketch-row-sized "
+    "(operators/sketches.py:kmv_overlap).",
+)
+def kmv_overlap_event_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_overlap
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_overlap(events, "event_type", "user_id", k=256)

@@ -316,3 +316,41 @@ def test_hll_sliding_distinct_tracks_exact_within_bound(spark):
         est = got[d].approx_window
         assert abs(est - exact_n) <= max(3, 0.05 * exact_n), (d, est, exact_n)
     assert got[days[0]].approx_window <= got[days[0]].exact_day * 1.05 + 3
+
+
+def test_kmv_overlap_accuracy_and_exact_regime(spark):
+    from redpanda_ais_demo_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    # exact regime: both audiences fit inside k -> estimates are EXACT
+    # a = {0..99}, b = {50..149}: union 150, inter 50, jaccard 1/3
+    rows = [("a", i) for i in range(100)] + [("b", i) for i in range(50, 150)]
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    r = kmv_overlap(df, "grp", "uid", k=256).first()
+    assert (r.grp_a, r.grp_b) == ("a", "b")
+    assert r.k_union == 150 and r.n_both == 50
+    assert r.union_est == 150.0 and r.inter_est == 50.0
+    assert r.jaccard_est == round(50 / 150, 6)
+
+    # sketch regime: 4000-id audiences with 50% overlap, k=256 ->
+    # KMV error ~ 1/sqrt(k) ~ 6%; allow 4 sigma
+    big = [("a", i) for i in range(4000)] + [("b", i) for i in range(2000, 6000)]
+    bdf = spark.createDataFrame(big, "grp string, uid long")
+    rb = kmv_overlap(bdf, "grp", "uid", k=256).first()
+    assert abs(rb.union_est - 6000) / 6000 < 0.25
+    assert abs(rb.inter_est - 2000) / 2000 < 0.5
+    assert abs(rb.jaccard_est - 1 / 3) < 0.12
+
+    # sketch is k rows max, deterministic across runs
+    sk = kmv_sketch(bdf, "grp", "uid", k=256)
+    assert sk.groupBy("grp").count().agg({"count": "max"}).first()[0] == 256
+    assert sk.orderBy("grp", "rank").collect() == kmv_sketch(
+        bdf, "grp", "uid", k=256
+    ).orderBy("grp", "rank").collect()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kmv_sketch(df, "grp", "uid", k=1)
