@@ -645,3 +645,129 @@ def poisson_fit_summary(
         "b0_micro long, b1_micro long, n long, sum_y long, "
         "mean_rate double, fitted_at_mean double",
     )
+
+
+def ridge_kfold_cv(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    fold_col: str,
+    lambdas: tuple[int, ...] = (0, 1, 10, 100),
+    resid_unit: int = 100,
+) -> DataFrame:
+    """Ridge-regression hyperparameter selection by exact k-fold
+    cross-validation — the MODEL-SELECTION tier the fitting family
+    (OLS / IRLS / conformal) stops short of: which penalty actually
+    generalizes, measured out-of-fold.
+
+    The shape is what makes this survive 100 TB: ONE pass forms the
+    five exact per-fold moment sums, and every training-fold fit is
+    the LEAVE-ONE-FOLD-OUT combination (total − fold) of those k rows
+    — k·|λ| closed-form ridge solves on a broadcast-sized table, never
+    k re-scans. A second pass scores every row against its own fold's
+    out-of-fold coefficients (a k·|λ|-row broadcast join) with
+    residuals quantized to ``1/resid_unit`` units and SQUARED AS
+    INTEGERS before the sum, so the CV error is an exact DECIMAL — the
+    argmin over λ compares exact integers, not float sums, and both
+    engines pick the same winner (ties toward smaller λ).
+
+    Closed form per (fold, λ): slope = (n·Sxy − Sx·Sy) /
+    (n·Sxx − Sx² + λ·n²) on train sums (the λ·n centered-penalty
+    convention), intercept = (Sy − slope·Sx)/n — fixed double chains
+    over exact integers. x and y must be integer-quantized.
+
+    Output: one row per λ — lambda, n, cv_mse (6 dp), is_best.
+    """
+    if len(lambdas) < 1 or len(set(lambdas)) != len(lambdas):
+        raise ValueError("lambdas must be non-empty and distinct")
+    if resid_unit < 1:
+        raise ValueError("resid_unit must be >= 1")
+    folds = df.groupBy(F.col(fold_col).alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("fn"),
+        F.sum(F.col(x_col).cast("long")).alias("fsx"),
+        F.sum(F.col(y_col).cast("long")).alias("fsy"),
+        F.sum(F.col(x_col).cast(_DEC) * F.col(x_col)).alias("fsxx"),
+        F.sum(F.col(x_col).cast(_DEC) * F.col(y_col)).alias("fsxy"),
+    )
+    tot = folds.agg(
+        F.sum("fn").cast("long").alias("tn"),
+        F.sum("fsx").cast("long").alias("tsx"),
+        F.sum("fsy").cast("long").alias("tsy"),
+        F.sum("fsxx").cast(_DEC).alias("tsxx"),
+        F.sum("fsxy").cast(_DEC).alias("tsxy"),
+    )
+    lam = None
+    for v in lambdas:
+        row = F.struct(F.lit(int(v)).alias("lam"))
+        lam = F.array(row) if lam is None else F.concat(lam, F.array(row))
+    train = (
+        folds.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            (F.col("tn") - F.col("fn")).cast("long").alias("n"),
+            (F.col("tsx") - F.col("fsx")).cast("long").alias("sx"),
+            (F.col("tsy") - F.col("fsy")).cast("long").alias("sy"),
+            (F.col("tsxx") - F.col("fsxx")).cast(_DEC).alias("sxx"),
+            (F.col("tsxy") - F.col("fsxy")).cast(_DEC).alias("sxy"),
+        )
+        .select("*", F.explode(lam).alias("l"))
+        .select("fold", "n", "sx", "sy", "sxx", "sxy", F.col("l.lam").alias("lam"))
+    )
+    coef = train.selectExpr(
+        "fold",
+        "lam",
+        f"""(CAST(CAST(n AS {_DEC}) * sxy - CAST(sx AS {_DEC}) * sy AS DOUBLE))
+            / (CAST(CAST(n AS {_DEC}) * sxx - CAST(sx AS {_DEC}) * sx
+                    + CAST(lam AS {_DEC}) * n * n AS DOUBLE)) AS b1""",
+    ).selectExpr("fold", "lam", "b1")
+    coef = (
+        train.select("fold", "lam", "n", "sx", "sy")
+        .join(coef, ["fold", "lam"])
+        .selectExpr(
+            "fold",
+            "lam",
+            "b1",
+            "(CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE) AS b0",
+        )
+    )
+    scored = df.select(
+        F.col(fold_col).alias("fold"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).join(F.broadcast(coef), "fold")
+    u = float(resid_unit)
+    per_lam = (
+        scored.withColumn(
+            "rq",
+            F.round(
+                (
+                    F.col("__y").cast("double")
+                    - (F.col("b0") + F.col("b1") * F.col("__x").cast("double"))
+                )
+                * F.lit(u)
+            ).cast("long"),
+        )
+        .groupBy("lam")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("rq").cast(_DEC) * F.col("rq")).alias("sse_units"),
+        )
+    )
+    best = per_lam.agg(F.min(F.struct("sse_units", "lam")).alias("m")).select(
+        F.col("m.lam").alias("best_lam")
+    )
+    return (
+        per_lam.crossJoin(F.broadcast(best))
+        .select(
+            F.col("lam").cast("long").alias("lambda"),
+            "n",
+            F.round(
+                F.col("sse_units").cast("double")
+                / F.lit(u * u)
+                / F.col("n").cast("double"),
+                6,
+            ).alias("cv_mse"),
+            (F.col("lam") == F.col("best_lam")).alias("is_best"),
+        )
+    )

@@ -1066,3 +1066,103 @@ def poisson_demand_on_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("y"),
     )
     return poisson_fit_summary(d, "x", "y", iters=_IRLS_ITERS)
+
+
+@query(
+    "ridge_cv_user_value_on_activity",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(CAST('0x' || substring(md5('cv-r11:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 10000 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        dd AS (SELECT CAST((bucket - bucket % 2000) / 2000 AS BIGINT) AS fold,
+                      x, y FROM d),
+        folds AS (
+            SELECT fold, CAST(count(*) AS BIGINT) AS fn,
+                   CAST(sum(x) AS BIGINT) AS fsx,
+                   CAST(sum(y) AS BIGINT) AS fsy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS fsxx,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS fsxy
+            FROM dd GROUP BY fold
+        ),
+        tot AS (
+            SELECT CAST(sum(fn) AS BIGINT) AS tn, CAST(sum(fsx) AS BIGINT) AS tsx,
+                   CAST(sum(fsy) AS BIGINT) AS tsy,
+                   CAST(sum(fsxx) AS HUGEINT) AS tsxx,
+                   CAST(sum(fsxy) AS HUGEINT) AS tsxy
+            FROM folds
+        ),
+        train AS (
+            SELECT fold, tn - fn AS n, tsx - fsx AS sx, tsy - fsy AS sy,
+                   tsxx - fsxx AS sxx, tsxy - fsxy AS sxy
+            FROM folds, tot
+        ),
+        lams AS (SELECT unnest([0, 1, 10, 100]) AS lam),
+        coef AS (
+            SELECT fold, lam, n, sx, sy,
+                   (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+                   / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                           + CAST(lam AS HUGEINT) * n * n AS DOUBLE)) AS b1
+            FROM train, lams
+        ),
+        coef2 AS (
+            SELECT fold, lam, b1,
+                   (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS b0
+            FROM coef
+        ),
+        scored AS (
+            SELECT c.lam,
+                   CAST(round((CAST(y AS DOUBLE)
+                               - (b0 + b1 * CAST(x AS DOUBLE))) * 100.0)
+                        AS BIGINT) AS rq
+            FROM dd JOIN coef2 c ON dd.fold = c.fold
+        ),
+        per_lam AS (
+            SELECT lam, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(rq AS HUGEINT) * rq) AS HUGEINT) AS sse
+            FROM scored GROUP BY lam
+        ),
+        best AS (SELECT lam AS best_lam FROM per_lam
+                 ORDER BY sse ASC, lam ASC LIMIT 1)
+        SELECT CAST(p.lam AS BIGINT) AS lambda, p.n,
+               round(CAST(p.sse AS DOUBLE) / 10000.0 / CAST(p.n AS DOUBLE), 6)
+                   AS cv_mse,
+               p.lam = b.best_lam AS is_best
+        FROM per_lam p, best b
+    """,
+    tags=("ml", "statistics", "agg", "regression", "scale-path"),
+    doc="Ridge-penalty selection by exact 5-fold cross-validation "
+    "(per-user spend on activity, hash folds): the MODEL-SELECTION "
+    "tier the fitting family stops short of. ONE pass forms per-fold "
+    "exact moment sums; every training fit is the leave-one-fold-out "
+    "SUM COMBINATION (total - fold) — 20 closed-form solves on a "
+    "broadcast table, never k re-scans; the scoring pass squares "
+    "centi-unit-quantized residuals AS INTEGERS so the lambda argmin "
+    "compares exact DECIMALs, not float sums "
+    "(operators/glm.py:ridge_kfold_cv).",
+)
+def ridge_cv_user_value_on_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.glm import ridge_kfold_cv
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    ).withColumn(
+        "bucket", split_bucket_col(F.col("user_id"), "cv-r11")
+    ).selectExpr(
+        "CAST((bucket - bucket % 2000) / 2000 AS BIGINT) AS fold", "x", "y"
+    )
+    return ridge_kfold_cv(u, "x", "y", "fold", lambdas=(0, 1, 10, 100))

@@ -215,3 +215,35 @@ def test_poisson_irls_recovers_planted_rates(spark):
         poisson_irls(
             spark.createDataFrame([(1, 3), (1, 4)], "x long, y long"), "x", "y"
         )
+
+
+def test_ridge_cv_picks_generalizing_lambda(spark):
+    from redpanda_ais_demo_spark.operators.glm import ridge_kfold_cv
+
+    # clean linear data: y = 10x exactly, 5 folds -> lambda=0 (plain
+    # OLS) has zero CV error and must win
+    rows = [(i % 5, i, 10 * i) for i in range(100)]
+    df = spark.createDataFrame(rows, "fold long, x long, y long")
+    out = {r["lambda"]: r for r in ridge_kfold_cv(
+        df, "x", "y", "fold", lambdas=(0, 1, 10)
+    ).collect()}
+    assert set(out) == {0, 1, 10}
+    assert out[0].cv_mse == 0.0 and out[0].is_best
+    assert not out[1].is_best and not out[10].is_best
+    # penalty shrinks the slope away from truth -> error grows with it
+    assert out[1].cv_mse < out[10].cv_mse
+
+    # all lambdas, all rows scored
+    assert all(r.n == 100 for r in out.values())
+
+    # tie on error breaks toward the smaller lambda: constant-x... use
+    # y independent of x so every slope is tiny and errors differ; just
+    # assert exactly one winner
+    assert sum(1 for r in out.values() if r.is_best) == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ridge_kfold_cv(df, "x", "y", "fold", lambdas=())
+    with _pt.raises(ValueError):
+        ridge_kfold_cv(df, "x", "y", "fold", lambdas=(0, 0))
