@@ -3863,3 +3863,130 @@ def ece_binned(
             "ece"
         ),
     )
+
+
+def _cox_u_i_exprs(e_expr: str, dialect: str = "spark") -> tuple[str, str]:
+    """Per-time score/information terms of the binary-covariate Cox
+    partial likelihood at e = round(1e6·exp(β)) — SQL text shared by
+    the Spark plan (e as a driver literal, DECIMAL(38,0) products) and
+    the DuckDB oracle (e as the round's CTE column, HUGEINT products);
+    identical exact integers, one double conversion each, nano-unit
+    rounding before the cross-time sum."""
+    big = "decimal(38,0)" if dialect == "spark" else "HUGEINT"
+    num1 = f"CAST(CAST(n1 AS {big}) * {e_expr} AS DOUBLE)"
+    num0 = f"CAST(CAST(n0 AS {big}) * 1000000 AS DOUBLE)"
+    den = (
+        f"CAST(CAST(n0 AS {big}) * 1000000"
+        f" + CAST(n1 AS {big}) * {e_expr} AS DOUBLE)"
+    )
+    u = (
+        f"CAST(d1 AS BIGINT) * 1000000000"
+        f" - CAST(ROUND(1000000000.0 * CAST(d0 + d1 AS DOUBLE)"
+        f" * ({num1} / {den})) AS BIGINT)"
+    )
+    i = (
+        f"CAST(ROUND(1000000000.0 * CAST(d0 + d1 AS DOUBLE)"
+        f" * ({num0} / {den}) * ({num1} / {den})) AS BIGINT)"
+    )
+    return u, i
+
+
+def cox_ph_binary(
+    subjects: DataFrame,
+    time_col: str,
+    event_col: str,
+    x_col: str,
+    iters: int = 6,
+) -> DataFrame:
+    """Cox proportional-hazards regression on ONE binary covariate
+    (Breslow ties) — the survival-REGRESSION member beside the
+    Kaplan-Meier curve (description), Nelson-Aalen (cumulative hazard)
+    and the log-rank test (hypothesis): it returns the effect SIZE, a
+    hazard ratio with a standard error, which none of those give.
+
+    With a binary covariate the partial likelihood collapses onto the
+    per-distinct-time table: risk sets enter only as (n0_t, n1_t), so
+    after one groupBy + two running-sum windows over the DAY-bounded
+    duration table (the logrank shape), each Newton round is one
+    aggregation over that tiny table:
+        U(β) = Σ_t [d1 − d·n1e/(n0M + n1e)],
+        I(β) = Σ_t d·(n0M/(n0M+n1e))·(n1e/(n0M+n1e)),  e = rnd(M·eᵝ)
+    with per-time terms rounded to nano-units before the exact BIGINT
+    sum and β re-quantized to micro-units per round, so the oracle's
+    unrolled CTEs replay the identical trajectory (exp of identical
+    micro-quantized arguments — the sigmoid family's one cross-libm
+    surface). β starts at 0; a degenerate information (no events, or a
+    constant covariate) freezes the fit and emits NULL se/z.
+
+    Output: one row — beta_micro, hazard_ratio, se, z, n, n_events.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    import math
+
+    from .glm import _round6, _round_away
+
+    x = F.col(x_col).cast("long")
+    ev = F.col(event_col).cast("long")
+    pt = (
+        subjects.groupBy(F.col(time_col).cast("long").alias("t"))
+        .agg(
+            F.sum(ev * (1 - x)).alias("d0"),
+            F.sum(ev * x).alias("d1"),
+            F.sum(1 - x).alias("l0"),
+            F.sum(x).alias("l1"),
+        )
+    )
+    tot = pt.agg(F.sum("l0").alias("n0t"), F.sum("l1").alias("n1t"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = pt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d0",
+        "d1",
+        (F.col("n0t") - F.coalesce(F.sum("l0").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n0"),
+        (F.col("n1t") - F.coalesce(F.sum("l1").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+    )
+    risk = risk.filter(F.col("d0") + F.col("d1") > 0).localCheckpoint(
+        eager=False
+    )
+    b = 0  # micro-units
+    i_sum = 0
+    for _ in range(iters):
+        e = _round_away(1e6 * math.exp(b / 1e6))
+        u_expr, i_expr = _cox_u_i_exprs(str(e), "spark")
+        row = risk.selectExpr(
+            f"{u_expr} AS u_t", f"{i_expr} AS i_t"
+        ).agg(F.sum("u_t").alias("u"), F.sum("i_t").alias("i")).first()
+        u_sum = int(row["u"]) if row["u"] is not None else 0
+        i_sum = int(row["i"]) if row["i"] is not None else 0
+        if i_sum <= 0:
+            break
+        b = b + _round_away((float(u_sum) / float(i_sum)) * 1e6)
+    head = subjects.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(ev).alias("ne")
+    ).first()
+    if i_sum > 0:
+        se = math.sqrt(1e9 / float(i_sum))
+        z = (b / 1e6) / se
+        se6, z6 = _round6(se), _round6(z)
+    else:
+        se6, z6 = None, None
+    spark = subjects.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(b),
+                _round6(math.exp(b / 1e6)),
+                se6,
+                z6,
+                int(head["n"]),
+                int(head["ne"]),
+            )
+        ],
+        "beta_micro long, hazard_ratio double, se double, z double, "
+        "n long, n_events long",
+    )

@@ -7778,3 +7778,108 @@ def kmv_overlap_event_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return kmv_overlap(events, "event_type", "user_id", k=256)
+
+
+def _cox_oracle(iters: int = 6) -> str:
+    """Generated Cox-PH oracle: the logrank query's per-user duration
+    framing, the day-bounded risk table in windowed SQL, then ``iters``
+    unrolled Newton CTEs whose per-time score/information terms come
+    from the SAME generator as the Spark plan
+    (operators/stats.py:_cox_u_i_exprs, dialect-split on the exact-
+    product type only)."""
+    from ..operators.stats import _cox_u_i_exprs
+
+    u, i = _cox_u_i_exprs("e", "duckdb")
+    head = """
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST((max(CAST(floor(epoch(ts)) AS BIGINT))
+                         - min(CAST(floor(epoch(ts)) AS BIGINT))) // 86400 AS BIGINT) AS t,
+                   CASE WHEN max(CAST(floor(epoch(ts)) AS BIGINT))
+                             < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) - 86400 FROM events)
+                        THEN 1 ELSE 0 END AS ev,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS x
+            FROM events GROUP BY user_id
+        ),
+        pt AS (
+            SELECT t, CAST(SUM(ev * (1 - x)) AS BIGINT) AS d0,
+                   CAST(SUM(ev * x) AS BIGINT) AS d1,
+                   CAST(SUM(1 - x) AS BIGINT) AS l0,
+                   CAST(SUM(x) AS BIGINT) AS l1
+            FROM per_user GROUP BY t
+        ),
+        tot AS (SELECT CAST(SUM(l0) AS BIGINT) AS n0t,
+                       CAST(SUM(l1) AS BIGINT) AS n1t FROM pt),
+        risk AS (
+            SELECT t, d0, d1,
+                   n0t - coalesce(CAST(SUM(l0) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n0,
+                   n1t - coalesce(CAST(SUM(l1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n1
+            FROM pt CROSS JOIN tot
+        ),
+        riskf AS (SELECT * FROM risk WHERE d0 + d1 > 0),
+        counts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(SUM(ev) AS BIGINT) AS ne FROM per_user),
+        c0 AS (SELECT CAST(0.0 AS DOUBLE) AS b)"""
+    parts = [head]
+    for r in range(iters):
+        parts.append(f""",
+        e{r} AS (SELECT CAST(round(1000000.0 * exp(b / 1000000.0)) AS BIGINT) AS e
+                 FROM c{r}),
+        s{r} AS (SELECT CAST(sum({u}) AS BIGINT) AS u,
+                        CAST(sum({i}) AS BIGINT) AS i
+                 FROM riskf, e{r}),
+        c{r + 1} AS (SELECT CASE WHEN i > 0
+                            THEN b + round((CAST(u AS DOUBLE) / CAST(i AS DOUBLE))
+                                           * 1000000.0)
+                            ELSE b END AS b
+                     FROM s{r}, c{r})""")
+    parts.append(f"""
+        SELECT CAST(b AS BIGINT) AS beta_micro,
+               round(exp(b / 1000000.0), 6) AS hazard_ratio,
+               round(CASE WHEN i > 0
+                     THEN sqrt(1000000000.0 / CAST(i AS DOUBLE)) END, 6) AS se,
+               round(CASE WHEN i > 0
+                     THEN (b / 1000000.0)
+                          / sqrt(1000000000.0 / CAST(i AS DOUBLE)) END, 6) AS z,
+               n, ne AS n_events
+        FROM c{iters}, s{iters - 1}, counts
+    """)
+    return "".join(parts)
+
+
+@query(
+    "cox_churn_by_variant",
+    oracle=_cox_oracle(),
+    tags=("analytics", "survival", "experimentation", "statistics", "iterative"),
+    doc="Cox proportional-hazards regression of churn on the standard "
+    "hash-split variant (Breslow ties): the survival-REGRESSION member "
+    "beside Kaplan-Meier / Nelson-Aalen / log-rank — it returns the "
+    "effect SIZE (hazard ratio with standard error and z), which the "
+    "curve and the test can't give. With a binary covariate the "
+    "partial likelihood collapses onto the day-bounded per-time risk "
+    "table (the logrank shape), so each of the 6 Newton rounds is ONE "
+    "aggregation over that tiny table with nano-quantized terms; the "
+    "oracle unrolls the identical micro-unit trajectory "
+    "(operators/stats.py:cox_ph_binary).",
+)
+def cox_churn_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.stats import cox_ph_binary
+
+    events = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    per_user = events.groupBy("user_id").agg(
+        F.min(ts).alias("t0"), F.max(ts).alias("t1")
+    )
+    horizon = events.agg((F.max(ts) - 86400).alias("cut"))
+    subjects = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("t1") - F.col("t0")) / 86400).cast("long").alias("dur_days"),
+        (F.col("t1") < F.col("cut")).cast("int").alias("churned"),
+        (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000)
+        .cast("long")
+        .alias("x"),
+    )
+    return cox_ph_binary(subjects, "dur_days", "churned", "x", iters=6)

@@ -456,3 +456,38 @@ def test_markov_absorption_hand_chain(spark):
         markov_absorption(
             df, "user_id", "ts", "event_type", "event_id", "buy", iters=0
         )
+
+
+def test_cox_ph_binary_closed_form_and_symmetry(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import cox_ph_binary
+
+    # single event time: everyone at risk at t=1, d0=10 of 50 controls
+    # and d1=20 of 50 treated churn there -> the partial-likelihood MLE
+    # is beta* = ln(d1*n0 / (d0*n1)) = ln 2 exactly
+    rows = (
+        [(1, 1, 0)] * 10 + [(1, 0, 0)] * 40 + [(1, 1, 1)] * 20 + [(1, 0, 1)] * 30
+    )
+    df = spark.createDataFrame(rows, "t long, ev long, x long")
+    r = cox_ph_binary(df, "t", "ev", "x", iters=6).first()
+    assert abs(r.beta_micro / 1e6 - math.log(2.0)) < 1e-3
+    assert abs(r.hazard_ratio - 2.0) < 1e-2
+    assert r.n == 100 and r.n_events == 30
+    assert r.se is not None and r.z > 0
+
+    # flipping the covariate negates the fit (up to the micro
+    # quantization of e^beta, which is not sign-symmetric)
+    flipped = df.selectExpr("t", "ev", "1 - x AS x")
+    rf = cox_ph_binary(flipped, "t", "ev", "x", iters=6).first()
+    assert abs(rf.beta_micro + r.beta_micro) <= 2
+    assert rf.z is not None and abs(rf.z + r.z) < 1e-4
+
+    # no events anywhere: information is zero -> frozen null fit
+    cens = spark.createDataFrame([(1, 0, 0), (2, 0, 1)], "t long, ev long, x long")
+    rc = cox_ph_binary(cens, "t", "ev", "x", iters=6).first()
+    assert rc.beta_micro == 0 and rc.se is None and rc.z is None
+    assert rc.hazard_ratio == 1.0
+
+    with pytest.raises(ValueError):
+        cox_ph_binary(df, "t", "ev", "x", iters=0)
