@@ -771,3 +771,124 @@ def ridge_kfold_cv(
             (F.col("lam") == F.col("best_lam")).alias("is_best"),
         )
     )
+
+
+def poisson_dispersion(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    iters: int = 8,
+    flag_at: float = 1.5,
+) -> DataFrame:
+    """Overdispersion diagnostic for the Poisson fit — the model CHECK
+    the GLM family needs before anyone reads its coefficients: Poisson
+    assumes Var = E; real counts are usually wider. Pearson X² =
+    Σ(y−μ̂)²/μ̂ against n−2 degrees of freedom; dispersion φ = X²/(n−2)
+    near 1 means the model stands, φ ≫ 1 says use a negative-binomial
+    or quasi-Poisson read of the errors.
+
+    One scoring pass over ``poisson_irls``'s quantized frame: per-row
+    terms (g = M·y − μ̂ micro) quantize to milli-units via ONE fixed
+    double chain round(1000·g²/μ̂/M) — g and μ̂ are exact integers, so
+    both engines round identical doubles — and sum exactly.
+
+    Output: one row — n, chi2_pearson, dof, dispersion, overdispersed.
+    """
+    b0, b1, dfq = poisson_irls(df, x_col, y_col, iters)
+    z = (
+        F.lit(float(b0)) + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+    ) / F.lit(float(M))
+    mu = _exp_mu_micro(z)
+    g = F.lit(M) * F.col("__y") - mu
+    term = F.round(
+        F.lit(1000.0)
+        * g.cast("double")
+        * g.cast("double")
+        / mu.cast("double")
+        / F.lit(float(M))
+    ).cast("long")
+    agg = dfq.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(term).alias("x2m")
+    ).first()
+    n, x2m = int(agg["n"]), int(agg["x2m"])
+    if n <= 2:
+        raise ValueError("need n > 2 for the dispersion diagnostic")
+    chi2 = float(x2m) / 1000.0
+    disp = chi2 / float(n - 2)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, _round6(chi2), n - 2, _round6(disp), disp > flag_at)],
+        "n long, chi2_pearson double, dof long, dispersion double, "
+        "overdispersed boolean",
+    )
+
+
+def ipw_balance(
+    df: DataFrame,
+    x_col: str,
+    treat_col: str,
+    iters: int = 8,
+    clip_micro: int = 10_000,
+) -> DataFrame:
+    """Covariate-balance diagnostic for ``ipw_ate`` — the check every
+    causal analysis runs before trusting the ATE: the standardized mean
+    difference of the covariate between arms, BEFORE weighting (raw
+    imbalance) and AFTER inverse-propensity weighting (what the
+    weights actually fixed; |SMD| < 0.1 is the conventional pass bar).
+
+    Same propensity fit and exact integer weights as the estimator;
+    one extra aggregation forms the raw and weighted moments of x —
+    all exact BIGINT/DECIMAL sums, variances and SMDs are fixed double
+    chains (population form: Σx²/n − mean²), pooled-SD denominator
+    sqrt((v_t + v_c)/2), NULL when that is zero.
+
+    Output: one row — n_treated, n_control, smd_before, smd_after.
+    """
+    b0, b1, dfq = logistic_irls(df, x_col, treat_col, iters)
+    z = (
+        F.lit(float(b0)) + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+    ) / F.lit(float(M))
+    e = F.greatest(
+        F.lit(clip_micro),
+        F.least(F.lit(M - clip_micro), _sigmoid_micro(z)),
+    )
+    t = F.col("__y")
+    x = F.col(x_col).cast("long")
+    P = M * M
+    wt = _idiv(F.lit(P), e)
+    wc = _idiv(F.lit(P), F.lit(M) - e)
+    w = F.when(t == 1, wt).otherwise(wc)
+    zero = F.lit(0).cast(_DEC)
+    agg = dfq.agg(
+        F.sum(t).alias("nt"),
+        F.sum(1 - t).alias("nc"),
+        F.sum(F.when(t == 1, x).otherwise(F.lit(0))).alias("sxt"),
+        F.sum(F.when(t == 0, x).otherwise(F.lit(0))).alias("sxc"),
+        F.sum(F.when(t == 1, x.cast(_DEC) * x).otherwise(zero)).alias("sxxt"),
+        F.sum(F.when(t == 0, x.cast(_DEC) * x).otherwise(zero)).alias("sxxc"),
+        F.sum(F.when(t == 1, w.cast(_DEC)).otherwise(zero)).alias("swt"),
+        F.sum(F.when(t == 0, w.cast(_DEC)).otherwise(zero)).alias("swc"),
+        F.sum(F.when(t == 1, (w * x).cast(_DEC)).otherwise(zero)).alias("swxt"),
+        F.sum(F.when(t == 0, (w * x).cast(_DEC)).otherwise(zero)).alias("swxc"),
+        F.sum(
+            F.when(t == 1, w.cast(_DEC) * x * x).otherwise(zero)
+        ).alias("swxxt"),
+        F.sum(
+            F.when(t == 0, w.cast(_DEC) * x * x).otherwise(zero)
+        ).alias("swxxc"),
+    )
+
+    def smd(sx_t, sxx_t, n_t, sx_c, sxx_c, n_c):
+        mt = F.col(sx_t).cast("double") / F.col(n_t).cast("double")
+        mc = F.col(sx_c).cast("double") / F.col(n_c).cast("double")
+        vt = F.col(sxx_t).cast("double") / F.col(n_t).cast("double") - mt * mt
+        vc = F.col(sxx_c).cast("double") / F.col(n_c).cast("double") - mc * mc
+        pooled = F.sqrt((vt + vc) / F.lit(2.0))
+        return F.when(pooled > 0, F.round((mt - mc) / pooled, 6))
+
+    return agg.select(
+        F.col("nt").cast("long").alias("n_treated"),
+        F.col("nc").cast("long").alias("n_control"),
+        smd("sxt", "sxxt", "nt", "sxc", "sxxc", "nc").alias("smd_before"),
+        smd("swxt", "swxxt", "swt", "swxc", "swxxc", "swc").alias("smd_after"),
+    )

@@ -3990,3 +3990,60 @@ def cox_ph_binary(
         "beta_micro long, hazard_ratio double, se double, z double, "
         "n long, n_events long",
     )
+
+
+def ips_policy_value(
+    df: DataFrame,
+    logged_col: str,
+    target_col: str,
+    prop_micro_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged randomized exposures — IPS (Horvitz-Thompson) and SNIPS
+    (self-normalized) estimates of the value the target policy WOULD
+    have earned, plus the effective sample size that says how much
+    logged data actually supports it (Li et al. 2011; Swaminathan &
+    Joachims 2015). This is the counterfactual readout the experiment
+    family can't give: it scores a NEW policy without running it.
+
+    Rows carry the logged arm, the target policy's arm, the logging
+    propensity of the LOGGED arm in micro-units, and an integer
+    reward. Weights quantize to exact integers 10¹²//p (the ipw_ate
+    pico-scale trick), so ΣmwR / Σmw / Σmw² all accumulate exactly in
+    DECIMAL; the three estimates are fixed double chains:
+        V_IPS   = Σ m·w·r / (n·10⁶)      (w carries a 10⁶ scale)
+        V_SNIPS = Σ m·w·r / Σ m·w
+        ESS     = (Σ m·w)² / Σ m·w²
+    with m = 1{target arm == logged arm}. NULL SNIPS/ESS when nothing
+    matches.
+
+    Output: one row — n, n_matched, v_ips, v_snips, ess.
+    """
+    from .glm import _idiv
+
+    P = 1_000_000_000_000
+    m = (F.col(target_col) == F.col(logged_col)).cast("long")
+    w = _idiv(F.lit(P), F.col(prop_micro_col).cast("long"))
+    r = F.col(reward_col).cast("long")
+    zero = F.lit(0).cast(_DEC)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(m).alias("nm"),
+        F.sum(F.when(m == 1, (w * r).cast(_DEC)).otherwise(zero)).alias("swr"),
+        F.sum(F.when(m == 1, w.cast(_DEC)).otherwise(zero)).alias("sw"),
+        F.sum(F.when(m == 1, w.cast(_DEC) * w).otherwise(zero)).alias("sww"),
+    )
+    swr_d = F.col("swr").cast("double")
+    sw_d = F.col("sw").cast("double")
+    sww_d = F.col("sww").cast("double")
+    nz = F.col("nm") > 0
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("nm").cast("long").alias("n_matched"),
+        F.round(
+            swr_d / F.lit(1_000_000.0) / F.col("n").cast("double"), 6
+        ).alias("v_ips"),
+        F.when(nz, F.round(swr_d / sw_d, 6)).alias("v_snips"),
+        F.when(nz, F.round(sw_d * sw_d / sww_d, 6)).alias("ess"),
+    )

@@ -1166,3 +1166,269 @@ def ridge_cv_user_value_on_activity(spark: SparkSession, sf_dir: str) -> DataFra
         "CAST((bucket - bucket % 2000) / 2000 AS BIGINT) AS fold", "x", "y"
     )
     return ridge_kfold_cv(u, "x", "y", "fold", lambdas=(0, 1, 10, 100))
+
+
+def _poisson_dispersion_oracle() -> str:
+    return (
+        _poisson_prefix(_POISSON_BASE, _IRLS_ITERS)
+        + f""", scored2 AS (
+            SELECT CAST(1000000 * y - mu AS BIGINT) AS g, mu
+            FROM (
+                SELECT y,
+                       CAST(round(1000000.0 * exp(greatest(-10.0, least(10.0,
+                            (b0 + b1 * (CAST(xq AS DOUBLE) / 1000000.0))
+                            / 1000000.0)))) AS BIGINT) AS mu
+                FROM q, c{_IRLS_ITERS}
+            )
+        ),
+        x2 AS (
+            SELECT CAST(sum(CAST(round(1000.0 * CAST(g AS DOUBLE)
+                                       * CAST(g AS DOUBLE)
+                                       / CAST(mu AS DOUBLE) / 1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS x2m
+            FROM scored2
+        )
+        SELECT n, round(CAST(x2m AS DOUBLE) / 1000.0, 6) AS chi2_pearson,
+               n - 2 AS dof,
+               round((CAST(x2m AS DOUBLE) / 1000.0) / CAST(n - 2 AS DOUBLE), 6)
+                   AS dispersion,
+               (CAST(x2m AS DOUBLE) / 1000.0) / CAST(n - 2 AS DOUBLE) > 1.5
+                   AS overdispersed
+        FROM fin0, x2
+    """
+    )
+
+
+@query(
+    "poisson_dispersion_demand",
+    oracle=_poisson_dispersion_oracle(),
+    tags=("ml", "statistics", "agg", "glm", "diagnostics"),
+    doc="Overdispersion diagnostic for the Poisson demand fit — the "
+    "model check the GLM family needs before its coefficients mean "
+    "anything: Pearson X^2 = sum((y-mu)^2/mu) over n-2 dof; phi near 1 "
+    "passes, phi >> 1 says negative-binomial errors. One scoring pass "
+    "over the quantized IRLS frame with per-row terms rounded to "
+    "milli-units from exact integers (g, mu) before the exact sum "
+    "(operators/glm.py:poisson_dispersion).",
+)
+def poisson_dispersion_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import poisson_dispersion
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    d = part.join(cnt, part.p_partkey == cnt.l_partkey, "left").select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("y"),
+    )
+    return poisson_dispersion(d, "x", "y", iters=_IRLS_ITERS)
+
+
+def _smd_oracle() -> str:
+    # propensity model identical to _ipw_oracle; the diagnostic keeps x
+    return (
+        _irls_prefix(_IPW_BASE, _IRLS_ITERS)
+        + f""", users2 AS (
+            SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS x,
+                   CAST(max(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS t
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey
+        ),
+        scored2 AS (
+            SELECT t, x,
+                   greatest(10000, least(990000,
+                       CAST(round(1000000.0 / (1.0 + exp(-greatest(-30.0,
+                            least(30.0,
+                                  (b0 + b1 * (CAST(CAST(round(((CAST(x AS DOUBLE) - mean) / scale)
+                                        * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0))
+                                  / 1000000.0))))) AS BIGINT))) AS e
+            FROM users2, sc, c{_IRLS_ITERS}
+        ),
+        wtd2 AS (
+            SELECT t, x,
+                   CASE WHEN t = 1
+                        THEN CAST((1000000000000 - 1000000000000 % e) / e AS BIGINT)
+                        ELSE CAST((1000000000000 - 1000000000000 % (1000000 - e))
+                                  / (1000000 - e) AS BIGINT) END AS w
+            FROM scored2
+        ),
+        agg2 AS (
+            SELECT CAST(sum(t) AS BIGINT) AS nt,
+                   CAST(sum(1 - t) AS BIGINT) AS nc,
+                   CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+                   CAST(sum(CASE WHEN t = 0 THEN x ELSE 0 END) AS BIGINT) AS sxc,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(x AS HUGEINT) * x
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sxxt,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(x AS HUGEINT) * x
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sxxc,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(w AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swt,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(w AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swc,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(w AS HUGEINT) * x
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swxt,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(w AS HUGEINT) * x
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swxc,
+                   CAST(sum(CASE WHEN t = 1 THEN CAST(w AS HUGEINT) * x * x
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swxxt,
+                   CAST(sum(CASE WHEN t = 0 THEN CAST(w AS HUGEINT) * x * x
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swxxc
+            FROM wtd2
+        ),
+        mo AS (
+            SELECT nt, nc,
+                   CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) AS mbt,
+                   CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS mbc,
+                   CAST(sxxt AS DOUBLE) / CAST(nt AS DOUBLE)
+                       - (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)) AS vbt,
+                   CAST(sxxc AS DOUBLE) / CAST(nc AS DOUBLE)
+                       - (CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE))
+                         * (CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE)) AS vbc,
+                   CAST(swxt AS DOUBLE) / CAST(swt AS DOUBLE) AS mat,
+                   CAST(swxc AS DOUBLE) / CAST(swc AS DOUBLE) AS mac,
+                   CAST(swxxt AS DOUBLE) / CAST(swt AS DOUBLE)
+                       - (CAST(swxt AS DOUBLE) / CAST(swt AS DOUBLE))
+                         * (CAST(swxt AS DOUBLE) / CAST(swt AS DOUBLE)) AS vat,
+                   CAST(swxxc AS DOUBLE) / CAST(swc AS DOUBLE)
+                       - (CAST(swxc AS DOUBLE) / CAST(swc AS DOUBLE))
+                         * (CAST(swxc AS DOUBLE) / CAST(swc AS DOUBLE)) AS vac
+            FROM agg2
+        )
+        SELECT nt AS n_treated, nc AS n_control,
+               CASE WHEN sqrt((vbt + vbc) / 2.0) > 0
+                    THEN round((mbt - mbc) / sqrt((vbt + vbc) / 2.0), 6)
+               END AS smd_before,
+               CASE WHEN sqrt((vat + vac) / 2.0) > 0
+                    THEN round((mat - mac) / sqrt((vat + vac) / 2.0), 6)
+               END AS smd_after
+        FROM mo
+    """
+    )
+
+
+@query(
+    "smd_balance_ipw_priority",
+    oracle=_smd_oracle(),
+    tags=("ml", "causal", "statistics", "agg", "diagnostics"),
+    doc="Covariate-balance diagnostic for the IPW estimator: "
+    "standardized mean difference of per-order activity between "
+    "urgent/non-urgent arms BEFORE and AFTER inverse-propensity "
+    "weighting — the check (|SMD| < 0.1 bar) every causal analysis "
+    "runs before trusting ipw_ate_priority_on_revenue. Identical "
+    "propensity fit and exact pico-integer weights; raw and weighted "
+    "moments are exact BIGINT/HUGEINT sums; SMDs are fixed double "
+    "chains with a pooled-SD NULL guard "
+    "(operators/glm.py:ipw_balance).",
+)
+def smd_balance_ipw_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import ipw_balance
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.max(
+                F.col("o_orderpriority")
+                .isin("1-URGENT", "2-HIGH")
+                .cast("long")
+            ).alias("t"),
+        )
+    )
+    return ipw_balance(d, "x", "t", iters=_IRLS_ITERS)
+
+
+@query(
+    "ips_policy_value_purchases",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS nev,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS r
+            FROM events GROUP BY user_id
+        ),
+        d AS (
+            SELECT CASE WHEN b < 3000 THEN 1 ELSE 0 END AS logged,
+                   CASE WHEN b < 3000 THEN 300000 ELSE 700000 END AS p,
+                   CASE WHEN nev >= 40 THEN 1 ELSE 0 END AS target,
+                   r
+            FROM (
+                SELECT nev, r,
+                       CAST('0x' || substring(md5('log-r11:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                           % 10000 AS b
+                FROM u
+            )
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN target = logged THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nm,
+                   CAST(sum(CASE WHEN target = logged
+                                 THEN CAST((1000000000000 - 1000000000000 % p)
+                                           / p AS BIGINT) * CAST(r AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS swr,
+                   CAST(sum(CASE WHEN target = logged
+                                 THEN CAST(CAST((1000000000000 - 1000000000000 % p)
+                                                / p AS BIGINT) AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sw,
+                   CAST(sum(CASE WHEN target = logged
+                                 THEN CAST(CAST((1000000000000 - 1000000000000 % p)
+                                                / p AS BIGINT) AS HUGEINT)
+                                      * CAST((1000000000000 - 1000000000000 % p)
+                                             / p AS BIGINT)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS sww
+            FROM d
+        )
+        SELECT n, nm AS n_matched,
+               round(CAST(swr AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+                   AS v_ips,
+               CASE WHEN nm > 0
+                    THEN round(CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+               END AS v_snips,
+               CASE WHEN nm > 0
+                    THEN round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                               / CAST(sww AS DOUBLE), 6)
+               END AS ess
+        FROM agg
+    """,
+    tags=("ml", "experimentation", "causal", "agg", "scale-path"),
+    doc="Off-policy evaluation: IPS and SNIPS estimates of what a "
+    "deterministic targeting rule (treat users with >= 40 events) "
+    "WOULD earn, from exposures logged under a 30/70 randomized "
+    "policy, plus the effective sample size that says how much logged "
+    "data supports the counterfactual (Li 2011, Swaminathan-Joachims "
+    "2015) — scoring a new policy without running it, which no "
+    "experiment-family readout can do. Exact pico-integer weights "
+    "(10^12 // p), exact DECIMAL/HUGEINT sums, three fixed double "
+    "chains (operators/stats.py:ips_policy_value).",
+)
+def ips_policy_value_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.stats import ips_policy_value
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nev"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("r"),
+    )
+    d = u.select(
+        (split_bucket_col(F.col("user_id"), "log-r11") < 3000)
+        .cast("long")
+        .alias("logged"),
+        F.when(
+            split_bucket_col(F.col("user_id"), "log-r11") < 3000, 300000
+        ).otherwise(700000).alias("p"),
+        (F.col("nev") >= 40).cast("long").alias("target"),
+        "r",
+    )
+    return ips_policy_value(d, "logged", "target", "p", "r")

@@ -247,3 +247,82 @@ def test_ridge_cv_picks_generalizing_lambda(spark):
         ridge_kfold_cv(df, "x", "y", "fold", lambdas=())
     with _pt.raises(ValueError):
         ridge_kfold_cv(df, "x", "y", "fold", lambdas=(0, 0))
+
+
+def test_poisson_dispersion_flags_only_wide_counts(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.glm import poisson_dispersion
+
+    xs = list(range(-50, 51))
+    sd = math.sqrt(sum(x * x for x in xs) / len(xs))
+    # noiseless counts on the true curve: UNDER-dispersed, phi << 1
+    clean = spark.createDataFrame(
+        [(x, round(math.exp(2.0 + x / sd))) for x in xs], "x long, y long"
+    )
+    rc = poisson_dispersion(clean, "x", "y").first()
+    assert rc.dispersion < 0.5 and not rc.overdispersed
+    assert rc.dof == rc.n - 2
+
+    # alternating 0 / 2m around a flat mean m: Var = m^2 >> m
+    m = 20
+    wide = spark.createDataFrame(
+        [(x, 0 if x % 2 == 0 else 2 * m) for x in xs], "x long, y long"
+    )
+    rw = poisson_dispersion(wide, "x", "y").first()
+    assert rw.dispersion > 5 and rw.overdispersed
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        poisson_dispersion(
+            spark.createDataFrame([(1, 1), (2, 2)], "x long, y long"), "x", "y"
+        )
+
+
+def test_ipw_balance_shrinks_confounded_smd(spark):
+    from redpanda_ais_demo_spark.operators.glm import ipw_balance
+
+    # confounded assignment: treatment probability rises with x
+    # (deterministic: top x-tertile treated, bottom control, middle
+    # mixed) -> raw SMD is large; correctly-specified logistic weights
+    # must shrink it
+    rows = []
+    for i in range(300):
+        x = i % 100
+        t = 1 if (x >= 66 or (33 <= x < 66 and i % 3 == 0)) else 0
+        rows.append((x, t))
+    df = spark.createDataFrame(rows, "x long, t long")
+    r = ipw_balance(df, "x", "t").first()
+    assert r.n_treated + r.n_control == 300
+    assert abs(r.smd_before) > 0.8
+    assert abs(r.smd_after) < abs(r.smd_before) * 0.5
+
+
+def test_ips_policy_value_hand_computed(spark):
+    from redpanda_ais_demo_spark.operators.stats import ips_policy_value
+
+    # constant 50% logging propensity -> weight exactly 2e6 pico-units;
+    # 4 rows, 2 matched with rewards 10 and 30
+    rows = [
+        (1, 1, 500000, 10),
+        (0, 0, 500000, 30),
+        (1, 0, 500000, 99),
+        (0, 1, 500000, 99),
+    ]
+    df = spark.createDataFrame(rows, "logged long, target long, p long, r long")
+    r = ips_policy_value(df, "logged", "target", "p", "r").first()
+    assert r.n == 4 and r.n_matched == 2
+    # V_IPS = (2*10 + 2*30) / 4 = 20; SNIPS = (10+30)/2 = 20
+    assert r.v_ips == 20.0 and r.v_snips == 20.0
+    # equal weights -> ESS = n_matched exactly
+    assert r.ess == 2.0
+
+    # nothing matches: NULL snips/ess, zero IPS
+    nm = spark.createDataFrame(
+        [(1, 0, 500000, 5), (0, 1, 500000, 7)],
+        "logged long, target long, p long, r long",
+    )
+    rn = ips_policy_value(nm, "logged", "target", "p", "r").first()
+    assert rn.n_matched == 0 and rn.v_ips == 0.0
+    assert rn.v_snips is None and rn.ess is None
