@@ -553,3 +553,73 @@ def quantiles_cont_grouped(
             ).alias("value"),
         )
     )
+
+
+_DEC = "decimal(38,0)"
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    groups' value distributions — the DISTRIBUTIONAL gap measured in
+    the value's own units, which the two-sample test family (KS: max
+    CDF gap; Mann-Whitney: rank order) deliberately abstracts away:
+    W1 answers "HOW MUCH value would have to move", the number a
+    business reads directly.
+
+    W1 = ∫|F_a − F_b| dv discretizes exactly over the merged distinct
+    values: Σ_i |cumA_i·nB − cumB_i·nA| · (v_{i+1} − v_i) / (nA·nB) —
+    every factor an exact integer, ONE division at the end. The
+    cumulative counts ride the distributed prefix-sum (rank_cumsum:
+    range-sort + per-partition offsets, no single-partition window
+    anywhere), and the successor gap is a rank+1 self-join, so the
+    plan scales as a sort of the DISTINCT values. ``value_col`` must
+    be integer-quantized.
+
+    Output: one row — n_a, n_b, w1 (value units, 6 dp).
+    """
+    g = F.col(group_col)
+    d = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(value_col).cast("long").alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    ranked = rank_cumsum(
+        d,
+        [F.col("v").asc()],
+        rank_col="r",
+        cumsums={"cuma": F.col("ca"), "cumb": F.col("cb")},
+    )
+    nxt = ranked.select((F.col("r") - 1).alias("r"), F.col("v").alias("v_next"))
+    joined = ranked.join(nxt, "r")
+    tot = d.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        (
+            F.abs(
+                F.col("cuma").cast(_DEC) * F.col("nb")
+                - F.col("cumb").cast(_DEC) * F.col("na")
+            )
+            * (F.col("v_next") - F.col("v"))
+        ).alias("t")
+    )
+    s = terms.agg(F.sum("t").cast(_DEC).alias("s")).crossJoin(F.broadcast(tot))
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.col("s").cast("double")
+            / F.col("na").cast("double")
+            / F.col("nb").cast("double"),
+            6,
+        ).alias("w1"),
+    )

@@ -1432,3 +1432,73 @@ def ips_policy_value_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
     )
     return ips_policy_value(d, "logged", "target", "p", "r")
+
+
+@query(
+    "wasserstein_value_by_variant",
+    oracle="""
+        WITH subj AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS grp,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS v
+            FROM events GROUP BY user_id
+        ),
+        d AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM subj GROUP BY v
+        ),
+        r AS (
+            SELECT v,
+                   CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+                   CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+                   lead(v) OVER (ORDER BY v) AS v_next
+            FROM d WINDOW w AS (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                       CAST(SUM(cb) AS BIGINT) AS nb FROM d),
+        s AS (
+            SELECT CAST(SUM(abs(CAST(cuma AS HUGEINT) * nb
+                                - CAST(cumb AS HUGEINT) * na)
+                         * (v_next - v)) AS HUGEINT) AS s
+            FROM r, tot WHERE v_next IS NOT NULL
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(CAST(s AS DOUBLE) / CAST(na AS DOUBLE)
+                     / CAST(nb AS DOUBLE), 6) AS w1
+        FROM s, tot
+    """,
+    tags=("ml", "experimentation", "statistics", "agg", "scale-path"),
+    doc="Exact 1-D Wasserstein-1 distance between the variants' "
+    "per-user purchase-value distributions (standard hash split): HOW "
+    "MANY CENTS of value would have to move to equalize the arms — "
+    "the distributional effect in the outcome's own units, which KS "
+    "(max CDF gap) and QTE (fixed probabilities) can't read off. "
+    "Sum(|cumA*nB - cumB*nA| * value-gap)/(nA*nB), every factor an "
+    "exact integer: cumulative counts ride the DISTRIBUTED prefix-sum "
+    "(rank_cumsum — no single-partition window), the successor gap is "
+    "a rank+1 self-join (operators/ordered.py:wasserstein_1d).",
+)
+def wasserstein_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+    from ..operators.ordered import wasserstein_1d
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("v"),
+    ).select(
+        F.when(split_bucket_col(F.col("user_id"), "exp-r8") < 5000, "A")
+        .otherwise("B")
+        .alias("grp"),
+        "v",
+    )
+    return wasserstein_1d(subj, "grp", "v", "A", "B")

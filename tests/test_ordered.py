@@ -311,3 +311,37 @@ def test_ntile_bounded_domain_enforces_max_domain(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_wasserstein_1d_hand_computed(spark):
+    from redpanda_ais_demo_spark.operators.ordered import wasserstein_1d
+
+    # point masses: A all at 0, B all at 10 -> W1 = 10 exactly
+    rows = [("A", 0)] * 5 + [("B", 10)] * 5
+    df = spark.createDataFrame(rows, "grp string, v long")
+    r = wasserstein_1d(df, "grp", "v", "A", "B").first()
+    assert (r.n_a, r.n_b) == (5, 5)
+    assert r.w1 == 10.0
+
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [("A", v) for v in (1, 2, 3)] + [("B", v) for v in (1, 2, 3)],
+        "grp string, v long",
+    )
+    assert wasserstein_1d(same, "grp", "v", "A", "B").first().w1 == 0.0
+
+    # unbalanced sizes, hand value: A = {0, 0}, B = {0, 4}:
+    # F_A = 1 at 0; F_B = 0.5 on [0, 4) -> W1 = 0.5 * 4 = 2
+    ub = spark.createDataFrame(
+        [("A", 0), ("A", 0), ("B", 0), ("B", 4)], "grp string, v long"
+    )
+    ru = wasserstein_1d(ub, "grp", "v", "A", "B").first()
+    assert ru.w1 == 2.0 and ru.n_a == 2 and ru.n_b == 2
+
+    # a mean shift by c moves W1 by exactly c for equal-size groups
+    # (translation property on disjoint supports)
+    sh = spark.createDataFrame(
+        [("A", v) for v in (0, 1, 2)] + [("B", v + 100) for v in (0, 1, 2)],
+        "grp string, v long",
+    )
+    assert wasserstein_1d(sh, "grp", "v", "A", "B").first().w1 == 100.0
