@@ -1502,3 +1502,102 @@ def wasserstein_value_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     )
     return wasserstein_1d(subj, "grp", "v", "A", "B")
+
+
+@query(
+    "pinball_seasonal_value_forecast",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT (min(d) + max(d)) // 2 AS mid FROM daily),
+        train AS (SELECT event_type, d % 7 AS dow, y
+                  FROM daily, bounds WHERE d < mid),
+        test AS (SELECT event_type, d % 7 AS dow, y
+                 FROM daily, bounds WHERE d >= mid),
+        ranked AS (
+            SELECT event_type, dow, y,
+                   row_number() OVER (PARTITION BY event_type, dow ORDER BY y) AS rn,
+                   count(*) OVER (PARTITION BY event_type, dow) AS n
+            FROM train
+        ),
+        qs AS (
+            SELECT event_type, dow, p, y AS q FROM ranked
+            JOIN (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS p) t
+              ON rn = CAST(ceil(p * n) AS BIGINT)
+        ),
+        losses AS (
+            SELECT q.p,
+                   CAST(round(q.p * 10) AS BIGINT)
+                       * greatest(te.y - q.q, 0)
+                   + (10 - CAST(round(q.p * 10) AS BIGINT))
+                       * greatest(q.q - te.y, 0) AS loss_deci
+            FROM test te JOIN qs q
+              ON te.event_type = q.event_type AND te.dow = q.dow
+        )
+        SELECT p, CAST(count(*) AS BIGINT) AS n_test,
+               round(CAST(SUM(loss_deci) AS DOUBLE) / 10.0
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_pinball
+        FROM losses GROUP BY p
+    """,
+    tags=("ml", "timeseries", "forecast", "eval", "quantile"),
+    doc="Pinball (quantile) loss of a seasonal-quantile forecaster: "
+    "per (event_type, day-of-week) exact q10/q50/q90 from the first "
+    "half of the calendar score the second half — the PROPER scoring "
+    "rule for quantile forecasts, which the point-forecast eval "
+    "(MASE) can't grade: it verifies the q90 band is wide exactly "
+    "when it should be. Quantiles via the partitioned-rank machinery "
+    "(no percentile buffers); per-row losses are exact deci-unit "
+    "integers (tau*10 weights) summed exactly, one division per tau "
+    "(operators/ordered.py:quantiles_disc_grouped).",
+)
+def pinball_seasonal_value_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import quantiles_disc_grouped
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp(F.col("ts")).cast("long") / 86400))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    bounds = daily.agg(
+        ((F.min("d") + F.max("d")) - (F.min("d") + F.max("d")) % 2)
+        .cast("long")
+        .alias("mid2")
+    ).select((F.col("mid2") / 2).cast("long").alias("mid"))
+    with_mid = daily.crossJoin(F.broadcast(bounds))
+    train = with_mid.filter(F.col("d") < F.col("mid")).select(
+        F.concat_ws("#", "event_type", (F.col("d") % 7).cast("string"))
+        .alias("grp"),
+        "y",
+    )
+    test = with_mid.filter(F.col("d") >= F.col("mid")).select(
+        F.concat_ws("#", "event_type", (F.col("d") % 7).cast("string"))
+        .alias("grp"),
+        "y",
+    )
+    qs = quantiles_disc_grouped(train, "grp", "y", [0.1, 0.5, 0.9]).select(
+        F.col("grp"), F.col("p"), F.col("value").alias("q")
+    )
+    tau10 = F.round(F.col("p") * 10).cast("long")
+    losses = test.join(qs, "grp").select(
+        "p",
+        (
+            tau10 * F.greatest(F.col("y") - F.col("q"), F.lit(0))
+            + (F.lit(10) - tau10)
+            * F.greatest(F.col("q") - F.col("y"), F.lit(0))
+        ).alias("loss_deci"),
+    )
+    return losses.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.sum("loss_deci").cast("double")
+            / F.lit(10.0)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_pinball"),
+    )

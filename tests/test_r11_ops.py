@@ -491,3 +491,31 @@ def test_cox_ph_binary_closed_form_and_symmetry(spark):
 
     with pytest.raises(ValueError):
         cox_ph_binary(df, "t", "ev", "x", iters=0)
+
+
+def test_pinball_loss_grades_quantile_bands(spark):
+    # the declared query's fold on a hand fixture via the registry fn
+    from redpanda_ais_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    # direct loss math: tau-weighted asymmetry. Build through the
+    # operator composition by hand instead of parquet: train y in
+    # {0..9} per group -> q10=0 (ceil(.1*10)=1st), q50=4, q90=8;
+    # test y=10 always over it: loss(tau) = tau*(10-q)
+    from pyspark.sql import functions as F
+    from redpanda_ais_demo_spark.operators.ordered import (
+        quantiles_disc_grouped,
+    )
+
+    train = spark.createDataFrame(
+        [("g", v) for v in range(10)], "grp string, y long"
+    )
+    qs = {
+        r.p: r.value
+        for r in quantiles_disc_grouped(train, "grp", "y", [0.1, 0.5, 0.9]).collect()
+    }
+    assert qs == {0.1: 0, 0.5: 4, 0.9: 8}
+    # pinball identities for an over-forecast observation y=10
+    for tau, q in qs.items():
+        loss = tau * max(10 - q, 0) + (1 - tau) * max(q - 10, 0)
+        assert loss == tau * (10 - q)
