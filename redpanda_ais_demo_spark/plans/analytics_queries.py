@@ -7883,3 +7883,33 @@ def cox_churn_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
     )
     return cox_ph_binary(subjects, "dur_days", "churned", "x", iters=6)
+
+
+@query(
+    "stream_sample_bottom_k",
+    oracle="""
+        WITH d AS (
+            SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h,
+                   CAST(user_id AS VARCHAR) AS key,
+                   min(event_type) AS payload
+            FROM events GROUP BY 1, 2
+        )
+        SELECT h, key, payload FROM d ORDER BY h, key LIMIT 64
+    """,
+    tags=("analytics", "sampling", "sketch", "streaming-parity", "limit"),
+    doc="Batch replay of the streaming bottom-k sample tracker's fold: "
+    "the 64 distinct users whose portable 60-bit md5 hashes are "
+    "smallest, with a deterministic payload per key — a uniform "
+    "without-replacement sample of distinct keys with NO RNG, which "
+    "is why the streaming tracker that maintains it replays byte-"
+    "identically and is invisible to batch boundaries (the semilattice "
+    "fold, pytest-pinned equal to any split of the stream). Sort-limit "
+    "plans as TakeOrderedAndProject — per-partition heaps, never a "
+    "single-partition window (streaming/sample.py:batch_bottom_k).",
+)
+def stream_sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sample import batch_bottom_k
+
+    events = load_table(spark, sf_dir, "events")
+    return batch_bottom_k(events, "user_id", "event_type", k=64)
