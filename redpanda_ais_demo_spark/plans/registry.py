@@ -158,7 +158,11 @@ PRIORITY: tuple[str, ...] = (
     # (higher-order lambdas over array<float>) embedding_cosine_topk
     # already hash-checks in-window; stays registered, oracle-bearing,
     # pytest-oracle-swept. Slot freed for the bootstrap-CI class.
-    "source_mixture_weights",
+    # (r11d) source_mixture_weights rotated out after its r10 driver
+    # hash (corpus family keeps pack_sharded + decontaminate_bloom +
+    # dsir in-window); the slot carries the MODEL-SELECTION class's
+    # first window rep (exact k-fold CV over the LOO sum combination)
+    "ridge_cv_user_value_on_activity",
     "multimodal_frame_sample",
     # (r11) zorder_events rotated out for hilbert_order_events — the
     # same storage-layout class, but the Hilbert member is the stronger
@@ -172,7 +176,10 @@ PRIORITY: tuple[str, ...] = (
     # pinned by tests/test_plan_shapes.py::test_salted_join_matches_
     # plain_join); the join-strategy family keeps j1 (broadcast),
     # bucketed_join (layout co-location), asof and range in-window.
-    "asof_last_order_per_event",
+    # (r11d) asof rotated out after its r10 driver hash (temporal joins
+    # keep pit_join + range_join in-window); the slot carries the
+    # OFF-POLICY-EVALUATION class's first window rep (IPS/SNIPS/ESS)
+    "ips_policy_value_purchases",
     "range_join_value_bands",
     # (r9) value_percentiles rotated out for value_quantiles_global_exact:
     # same quantile family, but the rotated-in member is the SCALE-EXACT
@@ -258,7 +265,11 @@ PRIORITY: tuple[str, ...] = (
     # ARRAY-STATE seasonal ring-buffer fold is a mechanism no other
     # window row exercises (recursive-CTE list-slicing oracle).
     "holt_winters_weekly_value",
-    "cusum_user_value_drift",
+    # (r11d) cusum rotated out after its r10 driver hash — the
+    # timeseries family keeps holt_winters + amoc in-window; the slot
+    # carries the survival-REGRESSION class's first window rep (the
+    # Cox effect size beside the swept KM/Nelson-Aalen/log-rank rows)
+    "cox_churn_by_variant",
     # heavy hitters carries the sketch family's first full-hash window
     # row (its MG-prune answer is exact, unlike the rows-only CMS/HLL
     # entries); M4 is the new downsampling class. Rotated out for them:
@@ -266,7 +277,11 @@ PRIORITY: tuple[str, ...] = (
     # and unpivot_part_measures (pivot_status_by_priority covers the
     # reshaping family) — both stay registered, oracle-bearing,
     # pytest-oracle-swept.
-    "heavy_hitter_tokens",
+    # (r11d) heavy_hitter_tokens rotated out after its r10 driver hash
+    # — the sketch slot upgrades to the family's only fully ORACLE-
+    # REPLAYABLE member (portable-hash KMV with set-operation
+    # estimates; MG/CMS/HLL/KLL stay pytest-bound by design)
+    "kmv_overlap_event_audiences",
     # (r10) m4_downsample_event_values rotated out: the time-series
     # reduction family keeps CUSUM and gap-fill in-window, and M4's
     # min/max/first/last-per-bucket mechanism keeps its full oracle in
@@ -339,7 +354,11 @@ PRIORITY: tuple[str, ...] = (
     # Bayes), conversion attribution (carried-last window), and
     # closed-form OLS regression. The remaining r8 statistics classes
     # (corr / entropy / chi2) trail, oracle-bearing, pytest-swept.
-    "nb_lang_classify_docs",
+    # (r11d) nb_lang rotated out after its r10 driver hash (logreg's
+    # IRLS holds supervised classification in-window); the slot gives
+    # the EVAL family (AUC/AP/ECE, all swept) its first window rep —
+    # the rank-discounted graded NDCG
+    "ndcg_cosine_label_graded",
     # (r11b) fdr_event_conversion_by_variant rotated out after earning
     # its driver hash in CORRECTNESS_r10: the experimentation family
     # keeps TWO in-window reps (mann_whitney's rank machinery,
@@ -383,7 +402,11 @@ PRIORITY: tuple[str, ...] = (
     # refine, brute-force-oracle-proved recall), mechanically distinct
     # from every other ER/similarity window row.
     "qgram_fuzzy_name_pairs",
-    "mann_whitney_value_by_variant",
+    # (r11d) mann_whitney rotated out after its r10 driver hash — the
+    # two-sample slot upgrades to the exact 1-D Wasserstein distance
+    # (the distributional gap in outcome units, on the distributed
+    # prefix-sum machinery; the rank test stays swept)
+    "wasserstein_value_by_variant",
     # (r11) events_in_geofences and bootstrap_ci_purchase_value rotated
     # out after earning their first driver hashes in CORRECTNESS_r10:
     # the spatial family keeps close_encounter_pairs in-window and the

@@ -40,14 +40,14 @@ REQUIRED_IN_WINDOW = {
     "multimodal_frame_sample",
     # round-2 corpus classes (r10: embedding_random_projection rotated
     # out behind embedding_cosine_topk's array-lambda arithmetic)
-    "source_mixture_weights",
+    "ridge_cv_user_value_on_activity",  # r11d: model-selection first rep
     # (r11) zorder_events rotated out for the stronger same-class
     # Hilbert member (first driver hash for the r10 addition)
     "hilbert_order_events",
     # packing scale path (round-6)
     "pack_token_stream_sharded",
     # advanced relational
-    "asof_last_order_per_event",
+    "ips_policy_value_purchases",  # r11d: off-policy eval first rep
     "range_join_value_bands",
     "value_quantiles_global_exact",  # r9: scale-exact quantile path
     "grouping_sets_sql",
@@ -88,11 +88,11 @@ REQUIRED_IN_WINDOW = {
     # (r11c) pps out (sampling keeps source_mixture + pack_sharded);
     # forecasting regains its window row via the array-state HW fold
     "holt_winters_weekly_value",
-    "cusum_user_value_drift",
+    "cox_churn_by_variant",  # r11d: survival-regression first rep (cusum out, r10-hashed)
     # sketch family's first full-hash window row + the downsampling class
     # (tfidf_top_terms behind bm25's term-weighting retrieval and
     # unpivot_part_measures behind pivot's reshaping family rotated out)
-    "heavy_hitter_tokens",
+    "kmv_overlap_event_audiences",  # r11d: oracle-replayable sketch rep
     # (r10) m4_downsample_event_values rotated out (CUSUM + gapfill hold
     # the time-series reduction family in-window)
     # round-7 session batch 2: rank fusion, the composite quality gate
@@ -118,7 +118,7 @@ REQUIRED_IN_WINDOW = {
     # r8 session classes: ML-classification, regression
     # (r10b) attribution_last_touch rotated out — carried-last is
     # in-window via gapfill's running last(); family oracles swept
-    "nb_lang_classify_docs",
+    "ndcg_cosine_label_graded",  # r11d: eval family first rep
     # r10b: forecasting (recurrence fold + recursive-CTE oracle) and
     # multiple-testing (erf chain + BH step-up) gain their first
     # window reps
@@ -147,7 +147,7 @@ REQUIRED_IN_WINDOW = {
     # (r11b) sssp rotated out after its r10 driver hash (kcore keeps the
     # iterative-graph family); slot carries the lossless fuzzy join
     "qgram_fuzzy_name_pairs",
-    "mann_whitney_value_by_variant",
+    "wasserstein_value_by_variant",  # r11d: distributional-distance slot
     # (r11) events_in_geofences and bootstrap_ci rotated out after their
     # r10 driver hashes; privacy gains its DP member and the streaming
     # trackers their second batch-replay-parity row

@@ -109,6 +109,20 @@ QUERIES = [
     "kmeans_embeddings_assign",
     "chunk_dedup_rewrite_docs",
     "textrank_keywords_docs",
+    # r11 session part 11: the new data-sized members — graded NDCG
+    # (block-sharded cosine matmul + vocabulary-bounded ideal counts),
+    # exact 1-D Wasserstein (distributed prefix-sum over 10x distinct
+    # per-user totals + rank+1 self-join), the 64-permutation test and
+    # ridge 5-fold CV (wide single partial-agg passes — CPU-bound like
+    # the bootstrap), the KMV overlap (distinct collapse + per-group
+    # top-k heaps), and the pinball eval (grouped quantile ranks over
+    # 10x (type, dow) training rows).
+    "ndcg_cosine_label_graded",
+    "wasserstein_value_by_variant",
+    "permtest_purchase_by_variant",
+    "ridge_cv_user_value_on_activity",
+    "kmv_overlap_event_audiences",
+    "pinball_seasonal_value_forecast",
 ]
 SCALES = [
     ("/root/testdata/sf0.01", 0.01),
