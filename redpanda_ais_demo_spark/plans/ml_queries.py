@@ -1601,3 +1601,143 @@ def pinball_seasonal_value_forecast(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("mean_pinball"),
     )
+
+
+@query(
+    "poststrat_ate_purchase_by_variant",
+    oracle="""
+        WITH subj AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS t,
+                   least(CAST(count(*) AS BIGINT) // 20, 5) AS s,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(t) AS BIGINT) AS nt,
+                   CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS st,
+                   CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS sc
+            FROM subj
+        ),
+        strata AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS ns,
+                   CAST(SUM(t) AS BIGINT) AS nst,
+                   CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS sst,
+                   CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS ssc
+            FROM subj GROUP BY s
+        ),
+        used AS (
+            SELECT s, ns,
+                   CAST(round(1000000.0 * CAST(ns AS DOUBLE)
+                        * (CAST(sst AS DOUBLE) / CAST(nst AS DOUBLE)
+                           - CAST(ssc AS DOUBLE) / CAST(ns - nst AS DOUBLE)))
+                        AS BIGINT) AS contrib
+            FROM strata WHERE nst > 0 AND nst < ns
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(ns) AS BIGINT) AS n_used,
+                   CAST(SUM(contrib) AS BIGINT) AS c
+            FROM used
+        )
+        SELECT g.n, agg.n_strata, agg.n_used,
+               round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                     - CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE), 6)
+                   AS ate_unadj,
+               round(CAST(c AS DOUBLE) / 1000000.0
+                     / CAST(n_used AS DOUBLE), 6) AS ate_post
+        FROM g, agg
+    """,
+    tags=("ml", "experimentation", "causal", "agg", "scale-path"),
+    doc="Post-stratified ATE: the variance-reduction estimator beside "
+    "CUPED (which needs a pre-period metric; this needs only a "
+    "discrete pre-treatment covariate — activity band): within-stratum "
+    "treated-minus-control gaps weighted by stratum size, strata "
+    "missing an arm excluded and renormalized. Per-stratum gaps are "
+    "fixed double chains over exact sums; contributions micro-"
+    "quantize BEFORE the cross-stratum sum (the PSI pattern — a float "
+    "sum over strata would be partial-agg-order dependent), one "
+    "division at the end.",
+)
+def poststrat_ate_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nev"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    ).select(
+        (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000)
+        .cast("long")
+        .alias("t"),
+        F.least(
+            ((F.col("nev") - F.col("nev") % 20) / 20).cast("long"), F.lit(5)
+        ).alias("s"),
+        "y",
+    )
+    g = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("st"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sc"),
+    )
+    strata = subj.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("t").cast("long").alias("nst"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sst"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ssc"),
+    )
+    used = strata.filter(
+        (F.col("nst") > 0) & (F.col("nst") < F.col("ns"))
+    ).select(
+        "ns",
+        F.round(
+            F.lit(1000000.0)
+            * F.col("ns").cast("double")
+            * (
+                F.col("sst").cast("double") / F.col("nst").cast("double")
+                - F.col("ssc").cast("double")
+                / (F.col("ns") - F.col("nst")).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("contrib"),
+    )
+    agg = used.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("ns").cast("long").alias("n_used"),
+        F.sum("contrib").cast("long").alias("c"),
+    )
+    return g.crossJoin(F.broadcast(agg)).select(
+        "n",
+        "n_strata",
+        "n_used",
+        F.round(
+            F.col("st").cast("double") / F.col("nt").cast("double")
+            - F.col("sc").cast("double")
+            / (F.col("n") - F.col("nt")).cast("double"),
+            6,
+        ).alias("ate_unadj"),
+        F.round(
+            F.col("c").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_used").cast("double"),
+            6,
+        ).alias("ate_post"),
+    )

@@ -519,3 +519,43 @@ def test_pinball_loss_grades_quantile_bands(spark):
     for tau, q in qs.items():
         loss = tau * max(10 - q, 0) + (1 - tau) * max(q - 10, 0)
         assert loss == tau * (10 - q)
+
+
+def test_poststrat_registry_query_consistency(spark):
+    # hand fixture through the same registry fold: on data where the
+    # treatment effect is CONSTANT across strata, the post-stratified
+    # ATE equals the per-stratum gap exactly, even when arm imbalance
+    # biases the unadjusted diff
+    from pyspark.sql import functions as F
+
+    # stratum 0: control-heavy, outcomes low; stratum 1: treated-heavy,
+    # outcomes high; within each stratum effect = +10 exactly
+    rows = (
+        [(0, 0, 100)] * 30 + [(1, 0, 110)] * 10
+        + [(0, 1, 200)] * 10 + [(1, 1, 210)] * 30
+    )
+    df = spark.createDataFrame(rows, "t long, s long, y long")
+    strata = df.groupBy("s").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("t").alias("nst"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("sst"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("ssc"),
+    )
+    used = strata.filter((F.col("nst") > 0) & (F.col("nst") < F.col("ns")))
+    gaps = used.selectExpr(
+        "ns",
+        "CAST(sst AS DOUBLE)/CAST(nst AS DOUBLE)"
+        " - CAST(ssc AS DOUBLE)/CAST(ns - nst AS DOUBLE) AS gap",
+    ).collect()
+    assert all(abs(r.gap - 10.0) < 1e-9 for r in gaps)
+    post = sum(r.ns * 10.0 for r in gaps) / sum(r.ns for r in gaps)
+    assert post == 10.0
+    # the unadjusted diff is biased far above 10 by the confounded mix
+    tot = df.agg(
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("st"),
+        F.sum("t").alias("nt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("sc"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    unadj = tot.st / tot.nt - tot.sc / (tot.n - tot.nt)
+    assert unadj > 40  # confounding inflates the naive readout
