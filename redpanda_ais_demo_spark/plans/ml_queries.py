@@ -1741,3 +1741,106 @@ def poststrat_ate_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataF
             6,
         ).alias("ate_post"),
     )
+
+
+@query(
+    "youden_threshold_en_by_length",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS xb,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ),
+        bins AS (
+            SELECT xb, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS k
+            FROM d GROUP BY xb
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(k) AS BIGINT) AS kk FROM bins),
+        cum AS (
+            SELECT xb, CAST(SUM(n) OVER w AS BIGINT) AS nl,
+                   CAST(SUM(k) OVER w AS BIGINT) AS kl
+            FROM bins
+            WINDOW w AS (ORDER BY xb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT xb, nl, kl, nn, kk,
+                   CAST(kk - kl AS HUGEINT) * (nn - kk)
+                   - CAST((nn - kk) - (nl - kl) AS HUGEINT) * kk AS j_num
+            FROM cum, tot WHERE nl < nn AND kk > 0 AND kk < nn
+        ),
+        best AS (SELECT * FROM scored ORDER BY j_num DESC, xb ASC LIMIT 1)
+        SELECT (xb + 1) * 100 AS threshold,
+               kk - kl AS n_tp, (nn - kk) - (nl - kl) AS n_fp,
+               round(CAST(kk - kl AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS tpr,
+               round(CAST((nn - kk) - (nl - kl) AS DOUBLE)
+                     / CAST(nn - kk AS DOUBLE), 6) AS fpr,
+               round(CAST(kk - kl AS DOUBLE) / CAST(kk AS DOUBLE)
+                     - CAST((nn - kk) - (nl - kl) AS DOUBLE)
+                       / CAST(nn - kk AS DOUBLE), 6) AS youden_j
+        FROM best
+    """,
+    tags=("ml", "eval", "statistics", "window", "scale-path"),
+    doc="Youden-J optimal operating point for the length-as-en "
+    "classifier (predict en when n_chars >= threshold): the threshold "
+    "maximizing TPR - FPR over histogram-bin candidates — what you "
+    "PICK after the swept AUC/ROC family says the score ranks well. "
+    "The argmax compares J*K*(N-K) = TP*(N-K) - FP*K as pure HUGEINT/"
+    "DECIMAL integers — no doubles anywhere in the decision, so both "
+    "engines pick the identical cut even under exact ties (smaller "
+    "threshold wins); the same bin-bounded cumulative table as the "
+    "Gini stump.",
+)
+def youden_threshold_en_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.floor(F.col("n_chars").cast("double") / F.lit(100.0))
+        .cast("long")
+        .alias("xb"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    bins = d.groupBy("xb").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"), F.sum("k").cast("long").alias("kk")
+    )
+    w = Window.orderBy("xb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "xb",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("k").over(w).cast("long").alias("kl"),
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("nl") < F.col("nn"))
+            & (F.col("kk") > 0)
+            & (F.col("kk") < F.col("nn"))
+        )
+        .selectExpr(
+            "xb",
+            "nl",
+            "kl",
+            "nn",
+            "kk",
+            "CAST(kk - kl AS decimal(38,0)) * (nn - kk)"
+            " - CAST((nn - kk) - (nl - kl) AS decimal(38,0)) * kk AS j_num",
+        )
+    )
+    best = scored.orderBy(F.col("j_num").desc(), F.col("xb").asc()).limit(1)
+    return best.selectExpr(
+        "(xb + 1) * 100 AS threshold",
+        "kk - kl AS n_tp",
+        "(nn - kk) - (nl - kl) AS n_fp",
+        "ROUND(CAST(kk - kl AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS tpr",
+        "ROUND(CAST((nn - kk) - (nl - kl) AS DOUBLE)"
+        " / CAST(nn - kk AS DOUBLE), 6) AS fpr",
+        "ROUND(CAST(kk - kl AS DOUBLE) / CAST(kk AS DOUBLE)"
+        " - CAST((nn - kk) - (nl - kl) AS DOUBLE)"
+        " / CAST(nn - kk AS DOUBLE), 6) AS youden_j",
+    )

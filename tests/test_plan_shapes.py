@@ -826,6 +826,8 @@ BOUNDED_DOMAIN_UNPART_WINDOWS = {
     # stump candidates scored over the bin-width-bounded histogram
     # table (feature domain / bin_width rows, never data-scale)
     "gini_stump_en_by_length": "feature histogram bins",
+    # same bin-bounded cumulative table, integer Youden argmax
+    "youden_threshold_en_by_length": "feature histogram bins",
     # matching intervals built over one row per DISTINCT control
     # covariate value (the ntile_bounded_domain argument); treated rows
     # broadcast-join in, never sort (operators/stats.py:nearest_match_att)

@@ -559,3 +559,27 @@ def test_poststrat_registry_query_consistency(spark):
     ).first()
     unadj = tot.st / tot.nt - tot.sc / (tot.n - tot.nt)
     assert unadj > 40  # confounding inflates the naive readout
+
+
+def test_youden_threshold_perfect_separation(spark, tmp_path):
+    # build a tiny parquet fixture so the registry callable itself runs:
+    # en docs are exactly those with n_chars >= 300 -> J = 1 at 300
+    import os
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(i, "t", ("en" if 300 + i else "x"), "s", 300 + i) for i in range(50)]
+        + [(100 + i, "t", "de", "s", 100 + i % 150) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    from redpanda_ais_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    r = REGISTRY["youden_threshold_en_by_length"].fn(spark, sf).first()
+    assert r.youden_j == 1.0
+    assert r.tpr == 1.0 and r.fpr == 0.0
+    # negatives end at 149 and en starts at 300; every cut in between
+    # separates perfectly, and the tie breaks toward the SMALLEST
+    # threshold (the bin after the last negative: (1+1)*100 = 200)
+    assert r.threshold == 200
