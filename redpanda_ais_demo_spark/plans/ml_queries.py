@@ -1844,3 +1844,122 @@ def youden_threshold_en_by_length(spark: SparkSession, sf_dir: str) -> DataFrame
         " - CAST((nn - kk) - (nl - kl) AS DOUBLE)"
         " / CAST(nn - kk AS DOUBLE), 6) AS youden_j",
     )
+
+
+@query(
+    "iv_wald_signup_on_purchase",
+    oracle="""
+        WITH subj AS (
+            SELECT CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 0 ELSE 1 END AS z,
+                   CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(z) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN z = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN z = 0 THEN d ELSE 0 END) AS BIGINT) AS d0,
+                   CAST(SUM(CASE WHEN z = 1 THEN y ELSE 0 END) AS BIGINT) AS y1,
+                   CAST(SUM(CASE WHEN z = 0 THEN y ELSE 0 END) AS BIGINT) AS y0
+            FROM subj
+        ),
+        m AS (
+            SELECT n, n1,
+                   CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(y0 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS itt,
+                   CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(d0 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS up,
+                   CAST(d1 + d0 AS DOUBLE) / CAST(n AS DOUBLE) AS pbar
+            FROM agg
+        )
+        SELECT n, n1 AS n_encouraged,
+               round(itt, 6) AS itt,
+               round(up, 6) AS uptake_diff,
+               CASE WHEN up <> 0 THEN round(itt / up, 6) END AS wald_late,
+               CASE WHEN pbar > 0 AND pbar < 1 THEN
+                    round(up / sqrt(pbar * (1 - pbar)
+                          * (1.0 / CAST(n1 AS DOUBLE)
+                             + 1.0 / CAST(n - n1 AS DOUBLE))), 6)
+               END AS first_stage_z
+        FROM m
+    """,
+    tags=("ml", "causal", "experimentation", "agg", "scale-path"),
+    doc="Instrumental-variable (Wald) estimator: the hash split as an "
+    "ENCOURAGEMENT instrument, signup as uptake, purchase value as "
+    "outcome — LATE = ITT / uptake-difference (Angrist-Imbens-Rubin), "
+    "the estimator for when treatment itself can't be randomized, "
+    "completing the causal family (IPW/AIPW/matching/DiD/RDD/CUPED/"
+    "post-strat measure assigned treatments; IV measures encouraged "
+    "ones). First-stage z flags weak instruments before anyone reads "
+    "the LATE. One pass, six exact sums, fixed double chains, NULL "
+    "guards on zero uptake and degenerate pooled rates.",
+)
+def iv_wald_signup_on_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "signup").cast("long")
+        ).alias("d"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    ).select(
+        (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000)
+        .cast("long")
+        .alias("z"),
+        "d",
+        "y",
+    )
+    agg = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("n1"),
+        F.sum(F.when(F.col("z") == 1, F.col("d")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("z") == 0, F.col("d")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("d0"),
+        F.sum(F.when(F.col("z") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y1"),
+        F.sum(F.when(F.col("z") == 0, F.col("y")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y0"),
+    )
+    itt = F.col("y1").cast("double") / F.col("n1").cast("double") - F.col(
+        "y0"
+    ).cast("double") / (F.col("n") - F.col("n1")).cast("double")
+    up = F.col("d1").cast("double") / F.col("n1").cast("double") - F.col(
+        "d0"
+    ).cast("double") / (F.col("n") - F.col("n1")).cast("double")
+    pbar = (F.col("d1") + F.col("d0")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    se = F.sqrt(
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / (F.col("n") - F.col("n1")).cast("double")
+        )
+    )
+    return agg.select(
+        "n",
+        F.col("n1").alias("n_encouraged"),
+        F.round(itt, 6).alias("itt"),
+        F.round(up, 6).alias("uptake_diff"),
+        F.when(up != 0, F.round(itt / up, 6)).alias("wald_late"),
+        F.when((pbar > 0) & (pbar < 1), F.round(up / se, 6)).alias(
+            "first_stage_z"
+        ),
+    )

@@ -583,3 +583,47 @@ def test_youden_threshold_perfect_separation(spark, tmp_path):
     # separates perfectly, and the tie breaks toward the SMALLEST
     # threshold (the bin after the last negative: (1+1)*100 = 200)
     assert r.threshold == 200
+
+
+def test_iv_wald_recovers_planted_late(spark, tmp_path):
+    # planted encouragement design through the registry fold itself:
+    # all encouraged users sign up, none of the others do (uptake diff
+    # = 1), and signing up adds exactly 500 cents -> LATE = ITT = 500
+    import os
+    from datetime import datetime, timedelta
+
+    from redpanda_ais_demo_spark.operators.corpus import split_bucket_col
+    from pyspark.sql import functions as F
+
+    # find user ids on each side of the exp-r8 split first
+    ids = spark.createDataFrame([(i,) for i in range(400)], "user_id long")
+    sides = {
+        r.user_id: r.z
+        for r in ids.select(
+            "user_id",
+            (split_bucket_col(F.col("user_id"), "exp-r8") >= 5000)
+            .cast("long")
+            .alias("z"),
+        ).collect()
+    }
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for uid, z in sides.items():
+        if z == 1:  # encouraged -> signs up -> buys 1000 + 500
+            rows.append((uid, eid, "signup", 0.0, t0)); eid += 1
+            rows.append((uid, eid, "purchase", 15.0, t0 + timedelta(1))); eid += 1
+        else:  # not encouraged -> no signup -> buys 1000
+            rows.append((uid, eid, "purchase", 10.0, t0 + timedelta(1))); eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    )
+    sf = str(tmp_path)
+    ev.write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    from redpanda_ais_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    r = REGISTRY["iv_wald_signup_on_purchase"].fn(spark, sf).first()
+    assert r.uptake_diff == 1.0
+    assert r.itt == 500.0 and r.wald_late == 500.0
+    assert r.first_stage_z > 10  # perfectly strong instrument
