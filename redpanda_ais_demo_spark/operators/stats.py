@@ -4047,3 +4047,113 @@ def ips_policy_value(
         F.when(nz, F.round(swr_d / sw_d, 6)).alias("v_snips"),
         F.when(nz, F.round(sw_d * sw_d / sww_d, 6)).alias("ess"),
     )
+
+
+def ransac_line(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    n_candidates: int = 16,
+) -> DataFrame:
+    """RANSAC line fit with HASH-deterministic sampling — the
+    consensus member of the robust-regression family (Theil-Sen bounds
+    the influence of every point; RANSAC instead finds the model most
+    of the data AGREES with, which survives gross structured outliers
+    that still bend a median of slopes).
+
+    Classic RANSAC draws random point pairs; random draws are neither
+    replayable nor oracle-checkable, so the candidate pairs here are
+    the 2·K rows whose md5 hashes are smallest (the bottom-k sample —
+    a uniform pair sample with no RNG), paired in hash order. The
+    2·K-row table is bounded BY CONSTRUCTION, so pairing happens
+    driver-side like the GLM solves. Each candidate line is the exact
+    rational through its pair; the inlier test per (row, candidate) is
+    pure integers: |den·(y−y1) − num·(x−x1)| ≤ eps·|den| — one
+    broadcast of K candidate literals over ONE data pass, a K-row
+    argmax (ties to the smaller candidate index), then ONE more pass
+    fits exact-sum OLS on the winner's inliers.
+
+    ``x_col``/``y_col`` must be integer-quantized; ``eps`` is in y
+    units. Output: one row — n, n_candidates, best_candidate,
+    n_inliers, slope, intercept (6 dp, NULL when the winner's inliers
+    are collinear-degenerate).
+    """
+    if n_candidates < 1:
+        raise ValueError("n_candidates must be >= 1")
+    if eps < 0:
+        raise ValueError("eps must be >= 0")
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = df.select(
+        h.alias("h"),
+        F.col(key_col).cast("string").alias("k"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    seed = base.orderBy("h", "k").limit(2 * n_candidates).collect()
+    cands = []
+    for i in range(len(seed) // 2):
+        a, b = seed[2 * i], seed[2 * i + 1]
+        den = int(b["x"]) - int(a["x"])
+        if den == 0:
+            continue
+        num = int(b["y"]) - int(a["y"])
+        cands.append((i + 1, int(a["x"]), int(a["y"]), num, den))
+    if not cands:
+        raise ValueError("no non-vertical candidate pairs in the seed")
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        cands, "i long, x1 long, y1 long, num long, den long"
+    )
+    inlier = (
+        F.abs(
+            F.col("den").cast(_DEC) * (F.col("y") - F.col("y1"))
+            - F.col("num").cast(_DEC) * (F.col("x") - F.col("x1"))
+        )
+        <= F.lit(eps) * F.abs(F.col("den")).cast(_DEC)
+    )
+    counts = (
+        base.crossJoin(F.broadcast(cdf))
+        .filter(inlier)
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+    best = counts.orderBy(F.col("n_in").desc(), F.col("i").asc()).limit(1)
+    brow = best.collect()[0]
+    bi, n_in = int(brow["i"]), int(brow["n_in"])
+    bx1, by1, bnum, bden = next(
+        (c[1], c[2], c[3], c[4]) for c in cands if c[0] == bi
+    )
+    refit = base.filter(
+        F.abs(
+            F.lit(bden).cast(_DEC) * (F.col("y") - F.lit(by1))
+            - F.lit(bnum).cast(_DEC) * (F.col("x") - F.lit(bx1))
+        )
+        <= F.lit(eps) * F.lit(abs(bden)).cast(_DEC)
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+    ).first()
+    m, sx, sy = int(refit["m"]), int(refit["sx"]), int(refit["sy"])
+    sxx, sxy = int(refit["sxx"]), int(refit["sxy"])
+    det = m * sxx - sx * sx
+    from .glm import _round6
+
+    if det > 0:
+        slope = float(m * sxy - sx * sy) / float(det)
+        intercept = (float(sy) - slope * float(sx)) / float(m)
+        s6, i6 = _round6(slope), _round6(intercept)
+    else:
+        s6, i6 = None, None
+    n = base.count()
+    return spark.createDataFrame(
+        [(n, len(cands), bi, n_in, s6, i6)],
+        "n long, n_candidates long, best_candidate long, n_inliers long, "
+        "slope double, intercept double",
+    )

@@ -1963,3 +1963,102 @@ def iv_wald_signup_on_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_stage_z"
         ),
     )
+
+
+def _ransac_oracle(eps: int = 20000, k: int = 16) -> str:
+    """Generated RANSAC oracle replaying the operator verbatim: bottom-
+    2K hash seed, hash-order pairing (vertical pairs skipped, indices
+    preserved), HUGEINT inlier tests, (count desc, index asc) argmax,
+    exact-sum OLS refit with the UNROUNDED slope inside the intercept
+    chain (operators/stats.py:ransac_line)."""
+    slope = (
+        "CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)"
+        " / CAST(m * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)"
+    )
+    return f"""
+        WITH d2 AS (
+            SELECT user_id AS k,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        sorted AS (
+            SELECT x, y, row_number() OVER (ORDER BY
+                CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT),
+                CAST(k AS VARCHAR)) AS rn
+            FROM d2
+        ),
+        seed AS (SELECT * FROM sorted WHERE rn <= {2 * k}),
+        cand AS (
+            SELECT (a.rn + 1) // 2 AS i, a.x AS x1, a.y AS y1,
+                   b.y - a.y AS num, b.x - a.x AS den
+            FROM seed a JOIN seed b ON b.rn = a.rn + 1 AND a.rn % 2 = 1
+            WHERE b.x - a.x <> 0
+        ),
+        counts AS (
+            SELECT c.i, CAST(count(*) AS BIGINT) AS n_in
+            FROM d2 CROSS JOIN cand c
+            WHERE abs(CAST(c.den AS HUGEINT) * (y - c.y1)
+                      - CAST(c.num AS HUGEINT) * (x - c.x1))
+                  <= {eps} * abs(CAST(c.den AS HUGEINT))
+            GROUP BY c.i
+        ),
+        best AS (SELECT * FROM counts ORDER BY n_in DESC, i ASC LIMIT 1),
+        bc AS (SELECT c.* FROM cand c, best WHERE c.i = best.i),
+        refit AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM d2, bc
+            WHERE abs(CAST(bc.den AS HUGEINT) * (y - bc.y1)
+                      - CAST(bc.num AS HUGEINT) * (x - bc.x1))
+                  <= {eps} * abs(CAST(bc.den AS HUGEINT))
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d2),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS ncand FROM cand)
+        SELECT n, ncand AS n_candidates, best.i AS best_candidate,
+               best.n_in AS n_inliers,
+               CASE WHEN m * sxx - CAST(sx AS HUGEINT) * sx > 0
+                    THEN round({slope}, 6) END AS slope,
+               CASE WHEN m * sxx - CAST(sx AS HUGEINT) * sx > 0
+                    THEN round((CAST(sy AS DOUBLE) - ({slope})
+                                * CAST(sx AS DOUBLE))
+                               / CAST(m AS DOUBLE), 6) END AS intercept
+        FROM refit, tot, nc, best
+    """
+
+
+@query(
+    "ransac_line_purchase_on_views",
+    oracle=_ransac_oracle(),
+    tags=("ml", "statistics", "regression", "robust", "agg", "scale-path"),
+    doc="RANSAC consensus line of per-user purchase value on view "
+    "count — the robust-regression member that survives STRUCTURED "
+    "outliers (whale users) which still bend Theil-Sen's slope "
+    "median: 16 candidate lines through hash-deterministically "
+    "sampled point pairs (the bottom-k sample, no RNG), pure-integer "
+    "inlier tests in ONE broadcast pass, (count, index) argmax, exact-"
+    "sum OLS refit on the winning consensus set. Every stage replays "
+    "bit-identically in the oracle "
+    "(operators/stats.py:ransac_line).",
+)
+def ransac_line_purchase_on_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import ransac_line
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "view").cast("long")
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    )
+    return ransac_line(u, "user_id", "x", "y", eps=20000, n_candidates=16)

@@ -627,3 +627,36 @@ def test_iv_wald_recovers_planted_late(spark, tmp_path):
     assert r.uptake_diff == 1.0
     assert r.itt == 500.0 and r.wald_late == 500.0
     assert r.first_stage_z > 10  # perfectly strong instrument
+
+
+def test_ransac_finds_consensus_line_under_outliers(spark):
+    from redpanda_ais_demo_spark.operators.stats import ransac_line
+
+    # 180 points exactly on y = 7x + 3; 20 gross outliers far above.
+    # OLS would bend toward the outliers; the consensus refit on exact
+    # inliers (eps=0) recovers the line EXACTLY
+    rows = [(i, i % 50, 7 * (i % 50) + 3) for i in range(180)] + [
+        (1000 + i, i % 50, 100000 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    r = ransac_line(df, "k", "x", "y", eps=0, n_candidates=16).first()
+    assert r.n == 200
+    assert r.n_inliers == 180
+    assert r.slope == 7.0 and r.intercept == 3.0
+
+    # determinism: identical winner and fit run-over-run
+    r2 = ransac_line(df, "k", "x", "y", eps=0, n_candidates=16).first()
+    assert (r.best_candidate, r.n_inliers, r.slope) == (
+        r2.best_candidate,
+        r2.n_inliers,
+        r2.slope,
+    )
+
+    with pytest.raises(ValueError):
+        ransac_line(df, "k", "x", "y", eps=-1)
+    with pytest.raises(ValueError):
+        ransac_line(df, "k", "x", "y", eps=0, n_candidates=0)
+    # all-vertical seed pairs: constant x
+    flat = spark.createDataFrame([(i, 5, i) for i in range(40)], "k long, x long, y long")
+    with pytest.raises(ValueError):
+        ransac_line(flat, "k", "x", "y", eps=0)
