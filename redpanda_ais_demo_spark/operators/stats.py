@@ -4157,3 +4157,55 @@ def ransac_line(
         "n long, n_candidates long, best_candidate long, n_inliers long, "
         "slope double, intercept double",
     )
+
+
+def km_rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time per group — the AREA under the
+    Kaplan-Meier curve up to horizon ``tau``: "expected days retained
+    out of the next τ", the single-number curve summary a hazard ratio
+    can't give when proportional hazards fails (Royston & Parmar
+    2013), and the standard effect measure for retention experiments.
+
+    S(t) is the already-6dp-rounded KM step function, so each interval
+    contribution round(S·10⁶)·gap is an EXACT integer (micro-day
+    units) — the cross-interval sum is order-free, plus one exact
+    initial segment S=1 over [0, min(t_first, τ)). Windows run over
+    the same bounded per-group time table as the curve itself.
+
+    Output: one row per group — group, rmst (days, 6 dp), tau.
+    """
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    km = kaplan_meier(
+        df, duration_col, event_col, group_col, bounded_times=True
+    )
+    w = Window.partitionBy(group_col).orderBy("t")
+    nxt = F.coalesce(F.lead("t").over(w), F.lit(tau).cast("long"))
+    smicro = F.round(F.col("survival") * F.lit(1000000.0)).cast("long")
+    gap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(nxt, F.lit(tau).cast("long"))
+        - F.least(F.col("t"), F.lit(tau).cast("long")),
+    )
+    per = km.select(
+        F.col(group_col), (smicro * gap).cast("long").alias("c"), "t"
+    )
+    agg = per.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("cs"),
+        (
+            F.least(F.min("t"), F.lit(tau).cast("long")) * F.lit(1000000)
+        ).cast("long").alias("c0"),
+    )
+    return agg.select(
+        F.col(group_col),
+        F.round(
+            (F.col("cs") + F.col("c0")).cast("double") / F.lit(1000000.0), 6
+        ).alias("rmst"),
+        F.lit(int(tau)).cast("long").alias("tau"),
+    )

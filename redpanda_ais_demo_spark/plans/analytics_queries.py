@@ -7913,3 +7913,100 @@ def stream_sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return batch_bottom_k(events, "user_id", "event_type", k=64)
+
+
+@query(
+    "rmst_churn_by_variant",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST((max(CAST(floor(epoch(ts)) AS BIGINT))
+                         - min(CAST(floor(epoch(ts)) AS BIGINT))) // 86400 AS BIGINT) AS t,
+                   CASE WHEN max(CAST(floor(epoch(ts)) AS BIGINT))
+                             < (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) - 86400 FROM events)
+                        THEN 1 ELSE 0 END AS ev,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS grp
+            FROM events GROUP BY user_id
+        ),
+        times AS (
+            SELECT grp, t, CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS leave
+            FROM per_user GROUP BY grp, t
+        ),
+        tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_total
+                FROM per_user GROUP BY grp),
+        stepped AS (
+            SELECT times.grp, t, d, leave, n_total,
+                   n_total - coalesce(CAST(SUM(leave) OVER (PARTITION BY times.grp
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS BIGINT), 0) AS n_risk
+            FROM times JOIN tot ON times.grp = tot.grp
+        ),
+        terms AS (
+            SELECT *,
+                   CASE WHEN d > 0 AND d < n_risk
+                        THEN CAST(round(ln(1.0 - d / n_risk) * 1000000) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS term,
+                   CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS extinct
+            FROM stepped
+        ),
+        surv AS (
+            SELECT grp, t,
+                   CASE WHEN max(extinct) OVER wr = 1 THEN 0.0
+                        ELSE round(exp(CAST(SUM(term) OVER wr AS BIGINT)
+                                       / 1000000.0), 6) END AS survival
+            FROM terms
+            WINDOW wr AS (PARTITION BY grp ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        iv AS (
+            SELECT grp,
+                   CAST(round(survival * 1000000.0) AS BIGINT)
+                   * greatest(CAST(0 AS BIGINT),
+                       least(coalesce(lead(t) OVER (PARTITION BY grp ORDER BY t),
+                                      CAST(30 AS BIGINT)), CAST(30 AS BIGINT))
+                       - least(t, CAST(30 AS BIGINT))) AS c,
+                   t
+            FROM surv
+        ),
+        agg AS (
+            SELECT grp, CAST(SUM(c) AS BIGINT) AS cs,
+                   CAST(least(min(t), CAST(30 AS BIGINT)) * 1000000 AS BIGINT) AS c0
+            FROM iv GROUP BY grp
+        )
+        SELECT grp AS variant,
+               round(CAST(cs + c0 AS DOUBLE) / 1000000.0, 6) AS rmst,
+               CAST(30 AS BIGINT) AS tau
+        FROM agg
+    """,
+    tags=("analytics", "survival", "experimentation", "window"),
+    doc="Restricted mean survival time per variant at a 30-day "
+    "horizon: the AREA under each arm's Kaplan-Meier curve — expected "
+    "days retained out of the next 30, the retention-experiment "
+    "effect measure that stays valid when proportional hazards fails "
+    "(Royston-Parmar 2013; read beside cox_churn_by_variant). The "
+    "6dp-rounded KM steps make every interval contribution an exact "
+    "micro-day integer, so the cross-interval sum is order-free; "
+    "windows stay on the bounded per-group day table "
+    "(operators/stats.py:km_rmst).",
+)
+def rmst_churn_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import km_rmst
+
+    events = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    per_user = events.groupBy("user_id").agg(
+        F.min(ts).alias("t0"), F.max(ts).alias("t1")
+    )
+    horizon = events.agg((F.max(ts) - 86400).alias("cut"))
+    subjects = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("t1") - F.col("t0")) / 86400).cast("long").alias("dur_days"),
+        (F.col("t1") < F.col("cut")).cast("int").alias("churned"),
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"),
+            (("A", 5000), ("B", 5000)),
+        ).alias("variant"),
+    )
+    return km_rmst(subjects, "dur_days", "churned", "variant", tau=30)

@@ -660,3 +660,37 @@ def test_ransac_finds_consensus_line_under_outliers(spark):
     flat = spark.createDataFrame([(i, 5, i) for i in range(40)], "k long, x long, y long")
     with pytest.raises(ValueError):
         ransac_line(flat, "k", "x", "y", eps=0)
+
+
+def test_km_rmst_hand_curve(spark):
+    from redpanda_ais_demo_spark.operators.stats import km_rmst
+
+    # 10 subjects, all churn at day 5 exactly: S = 1 on [0,5), 0 after
+    # -> RMST(14) = 5.0 exactly
+    rows = [(5, 1, "g")] * 10
+    df = spark.createDataFrame(rows, "t long, ev int, grp string")
+    r = km_rmst(df, "t", "ev", "grp", tau=14).first()
+    assert r.rmst == 5.0 and r.tau == 14
+
+    # half churn at 4, half censored at 12: S = 1 on [0,4),
+    # 0.5 on [4,12), then (censoring) still 0.5 to tau
+    # RMST(14) = 4 + 0.5*10 = 9
+    rows2 = [(4, 1, "g")] * 5 + [(12, 0, "g")] * 5
+    df2 = spark.createDataFrame(rows2, "t long, ev int, grp string")
+    r2 = km_rmst(df2, "t", "ev", "grp", tau=14).first()
+    assert r2.rmst == 9.0
+
+    # no events at all: S = 1 everywhere -> RMST = tau
+    cens = spark.createDataFrame([(3, 0, "g")] * 4, "t long, ev int, grp string")
+    rc = km_rmst(cens, "t", "ev", "grp", tau=14).first()
+    assert rc.rmst == 14.0
+
+    # horizon clamps: events beyond tau don't reduce the area
+    late = spark.createDataFrame([(20, 1, "g")] * 4, "t long, ev int, grp string")
+    rl = km_rmst(late, "t", "ev", "grp", tau=14).first()
+    assert rl.rmst == 14.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        km_rmst(df, "t", "ev", "grp", tau=0)
