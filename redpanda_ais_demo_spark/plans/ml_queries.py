@@ -2062,3 +2062,151 @@ def ransac_line_purchase_on_views(spark: SparkSession, sf_dir: str) -> DataFrame
         ).cast("long").alias("y"),
     )
     return ransac_line(u, "user_id", "x", "y", eps=20000, n_candidates=16)
+
+
+@query(
+    "negbin_fit_demand",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(COALESCE(c.cnt, 0) AS BIGINT) AS y
+            FROM part p LEFT JOIN (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY l_partkey) c
+            ON p.p_partkey = c.l_partkey
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM d
+        ),
+        m AS (
+            SELECT n, sy,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v
+            FROM agg
+        )
+        SELECT n, round(mean, 6) AS mean, round(v, 6) AS variance,
+               CASE WHEN v > mean AND mean > 0
+                    THEN round(mean * mean / (v - mean), 6) END AS nb_r,
+               CASE WHEN v > mean AND mean > 0
+                    THEN round(mean / v, 6) END AS nb_p,
+               v > mean AS overdispersed
+        FROM m
+    """,
+    tags=("ml", "statistics", "agg", "glm", "scale-path"),
+    doc="Negative-binomial method-of-moments fit of per-part demand "
+    "counts — the ANSWER to poisson_dispersion_demand's overdispersion "
+    "flag: r = mean^2/(var - mean), p = mean/var (population-moment "
+    "form) parameterize the count distribution the Poisson couldn't "
+    "hold; NULL when the data is NOT overdispersed (the NB moment fit "
+    "is undefined at var <= mean). One pass, three exact sums, fixed "
+    "double chains.",
+)
+def negbin_fit_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    d = part.join(cnt, part.p_partkey == cnt.l_partkey, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("y")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    v = (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double") / (F.col("n").cast("double") * F.col("n").cast("double"))
+    od = v > mean
+    return agg.select(
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(v, 6).alias("variance"),
+        F.when(od & (mean > 0), F.round(mean * mean / (v - mean), 6)).alias(
+            "nb_r"
+        ),
+        F.when(od & (mean > 0), F.round(mean / v, 6)).alias("nb_p"),
+        od.alias("overdispersed"),
+    )
+
+
+@query(
+    "evalue_priority_return_rate",
+    oracle="""
+        WITH d AS (
+            SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS t,
+                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(t) AS BIGINT) AS nt,
+                   CAST(SUM(CASE WHEN t = 1 THEN r ELSE 0 END) AS BIGINT) AS kt,
+                   CAST(SUM(CASE WHEN t = 0 THEN r ELSE 0 END) AS BIGINT) AS kc
+            FROM d
+        ),
+        m AS (
+            SELECT n, nt, kt, kc,
+                   (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE))
+                   / (CAST(kc AS DOUBLE) / CAST(n - nt AS DOUBLE)) AS rr
+            FROM agg
+            WHERE nt > 0 AND nt < n AND kc > 0
+        ),
+        e AS (
+            SELECT n, nt, kt, kc, rr,
+                   CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END AS rrs
+            FROM m
+        )
+        SELECT n, nt AS n_treated,
+               round(rr, 6) AS risk_ratio,
+               round(rrs + sqrt(rrs * (rrs - 1.0)), 6) AS e_value
+        FROM e
+    """,
+    tags=("ml", "causal", "statistics", "agg"),
+    doc="E-value sensitivity analysis (VanderWeele & Ding 2017) for "
+    "the urgent-priority/returns risk ratio: the minimum strength of "
+    "association an UNMEASURED confounder would need with both "
+    "treatment and outcome to explain the estimate away — the "
+    "robustness readout the causal family's point estimates "
+    "(IPW/AIPW/IV) all need stapled to them. E = RR* + sqrt(RR*(RR*-1)) "
+    "on the direction-normalized ratio; exact counts, fixed double "
+    "chains, row dropped (not NULLed) on degenerate arms so the "
+    "output is empty rather than misleading.",
+)
+def evalue_priority_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("t"),
+        (F.col("l_returnflag") == "R").cast("long").alias("r"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.when(F.col("t") == 1, F.col("r")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kt"),
+        F.sum(F.when(F.col("t") == 0, F.col("r")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kc"),
+    ).filter(
+        (F.col("nt") > 0) & (F.col("nt") < F.col("n")) & (F.col("kc") > 0)
+    )
+    rr = (F.col("kt").cast("double") / F.col("nt").cast("double")) / (
+        F.col("kc").cast("double") / (F.col("n") - F.col("nt")).cast("double")
+    )
+    rrs = F.when(rr >= 1.0, rr).otherwise(F.lit(1.0) / rr)
+    return agg.select(
+        "n",
+        F.col("nt").alias("n_treated"),
+        F.round(rr, 6).alias("risk_ratio"),
+        F.round(rrs + F.sqrt(rrs * (rrs - F.lit(1.0))), 6).alias("e_value"),
+    )

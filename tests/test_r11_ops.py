@@ -694,3 +694,38 @@ def test_km_rmst_hand_curve(spark):
 
     with _pt.raises(ValueError):
         km_rmst(df, "t", "ev", "grp", tau=0)
+
+
+def test_negbin_and_evalue_hand_values(spark, tmp_path):
+    import os
+
+    from redpanda_ais_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    sf = str(tmp_path)
+    # counts 0 and 10 alternating over 40 parts: mean 5, pop var 25
+    # -> overdispersed, r = 25/(25-5) = 1.25, p = 5/25 = 0.2
+    part = spark.createDataFrame(
+        [(i, f"p{i}", "m", "b", "t", 1, "c", 1.0, "x") for i in range(40)],
+        "p_partkey long, p_name string, p_mfgr string, p_brand string,"
+        " p_type string, p_size int, p_container string,"
+        " p_retailprice double, p_comment string",
+    )
+    li_rows = []
+    k = 0
+    for i in range(40):
+        if i % 2 == 1:
+            for _ in range(10):
+                li_rows.append((k, i)); k += 1
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    part.write.mode("overwrite").parquet(os.path.join(sf, "part.parquet"))
+    li.write.mode("overwrite").parquet(os.path.join(sf, "lineitem.parquet"))
+    r = REGISTRY["negbin_fit_demand"].fn(spark, sf).first()
+    assert r.mean == 5.0 and r.variance == 25.0
+    assert r.overdispersed and r.nb_r == 1.25 and r.nb_p == 0.2
+
+    # E-value textbook: RR = 2 -> E = 2 + sqrt(2) = 3.414214
+    import math
+
+    rr = 2.0
+    assert round(rr + math.sqrt(rr * (rr - 1.0)), 6) == 3.414214
