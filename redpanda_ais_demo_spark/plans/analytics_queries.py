@@ -8010,3 +8010,217 @@ def rmst_churn_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("variant"),
     )
     return km_rmst(subjects, "dur_days", "churned", "variant", tau=30)
+
+
+@query(
+    "levene_value_by_type",
+    oracle="""
+        WITH base AS (
+            SELECT event_type AS g,
+                   CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ),
+        ranked AS (
+            SELECT g, x,
+                   row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM base
+        ),
+        med AS (
+            SELECT g, x AS med FROM ranked
+            WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        ),
+        dev AS (
+            SELECT base.g, abs(base.x - med.med) AS z
+            FROM base JOIN med ON base.g = med.g
+        ),
+        per AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                   CAST(SUM(z) AS BIGINT) AS sg,
+                   CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS qg
+            FROM dev GROUP BY g
+        ),
+        term AS (
+            SELECT ng, sg, qg,
+                   CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                              / CAST(ng AS DOUBLE) * 1e6) AS HUGEINT) AS sq_micro
+            FROM per
+        ),
+        agg AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+                   CAST(SUM(sg) AS BIGINT) AS s,
+                   CAST(SUM(qg) AS HUGEINT) AS q,
+                   CAST(SUM(sq_micro) AS HUGEINT) AS sqm
+            FROM term
+        ),
+        fin AS (
+            SELECT n, k,
+                   CAST(sqm AS DOUBLE) / 1e6
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS ssb,
+                   CAST(q AS DOUBLE) - CAST(sqm AS DOUBLE) / 1e6 AS ssw
+            FROM agg
+        )
+        SELECT n AS n_total, k AS n_groups,
+               CASE WHEN k >= 2 AND n > k AND ssw > 0
+                    THEN round((ssb / CAST(k - 1 AS DOUBLE))
+                               / (ssw / CAST(n - k AS DOUBLE)), 6)
+               END AS f_stat,
+               CASE WHEN k >= 2 AND n > k AND ssw > 0 AND ssb + ssw > 0
+                    THEN round(ssb / (ssb + ssw), 6)
+               END AS eta_sq
+        FROM fin
+    """,
+    tags=("analytics", "statistics", "agg", "diagnostics"),
+    doc="Levene's test (Brown-Forsythe median variant) for variance "
+    "homogeneity across event types — the ASSUMPTION CHECK that "
+    "decides between anova_value_by_type (pooled variances) and the "
+    "Welch family: a one-way ANOVA F on absolute deviations from each "
+    "group's exact discrete MEDIAN (robust to the non-normality the "
+    "raw values certainly have). Medians via the partitioned rank "
+    "(no percentile buffers), deviations exact BIGINTs, then the "
+    "identical micro-quantized F machinery "
+    "(operators/stats.py:anova_oneway).",
+)
+def levene_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import quantiles_disc_grouped
+    from ..operators.stats import anova_oneway
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = quantiles_disc_grouped(t, "event_type", "cents", [0.5]).select(
+        "event_type", F.col("value").alias("med")
+    )
+    dev = t.join(med, "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    return anova_oneway(dev, "event_type", "z")
+
+
+@query(
+    "durbin_watson_daily_value",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(d AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM daily
+        ),
+        c AS (
+            SELECT n,
+                   CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       AS b1,
+                   sx, sy
+            FROM s
+        ),
+        c2 AS (
+            SELECT n, b1,
+                   (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS b0
+            FROM c
+        ),
+        resid AS (
+            SELECT d,
+                   CAST(round((CAST(y AS DOUBLE)
+                               - (b0 + b1 * CAST(d AS DOUBLE))) * 100.0)
+                        AS BIGINT) AS eq
+            FROM daily, c2
+        ),
+        lagged AS (
+            SELECT eq, lag(eq) OVER (ORDER BY d) AS pq FROM resid
+        ),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN pq IS NOT NULL
+                                 THEN CAST(eq - pq AS HUGEINT) * (eq - pq)
+                                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS num,
+                   CAST(SUM(CAST(eq AS HUGEINT) * eq) AS HUGEINT) AS den,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lagged
+        )
+        SELECT n AS n_days,
+               CASE WHEN den > 0
+                    THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               END AS dw,
+               CASE WHEN den > 0
+                    THEN round(1.0 - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                               / 2.0, 6)
+               END AS rho_approx
+        FROM agg
+    """,
+    tags=("analytics", "timeseries", "statistics", "diagnostics", "window"),
+    doc="Durbin-Watson autocorrelation diagnostic on the residuals of "
+    "the daily-revenue linear trend: DW near 2 validates the "
+    "independent-errors assumption every OLS/trend row here quietly "
+    "makes; DW << 2 (rho > 0) says the daily series is serially "
+    "correlated and trend CIs are optimistic. Closed-form OLS from "
+    "exact sums, residuals centi-quantized BEFORE the lag-difference "
+    "squares (exact integer num/den, one division); the lag window "
+    "rides the bounded calendar-day table.",
+)
+def durbin_watson_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        (F.floor(F.unix_timestamp(F.col("ts")).cast("long") / 86400))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    j = daily.crossJoin(F.broadcast(s))
+    b1 = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double") / (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    ).cast("double")
+    b0 = (F.col("sy").cast("double") - b1 * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    resid = j.select(
+        "d",
+        F.round(
+            (F.col("y").cast("double") - (b0 + b1 * F.col("d").cast("double")))
+            * F.lit(100.0)
+        )
+        .cast("long")
+        .alias("eq"),
+    )
+    w = Window.orderBy("d")
+    lagged = resid.select("eq", F.lag("eq").over(w).alias("pq"))
+    agg = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("pq").isNotNull(),
+                (F.col("eq") - F.col("pq")).cast("decimal(38,0)")
+                * (F.col("eq") - F.col("pq")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("num"),
+        F.sum(F.col("eq").cast("decimal(38,0)") * F.col("eq")).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dw = F.col("num").cast("double") / F.col("den").cast("double")
+    ok = F.col("den") > 0
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.when(ok, F.round(dw, 6)).alias("dw"),
+        F.when(ok, F.round(F.lit(1.0) - dw / F.lit(2.0), 6)).alias(
+            "rho_approx"
+        ),
+    )

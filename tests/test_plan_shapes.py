@@ -828,6 +828,8 @@ BOUNDED_DOMAIN_UNPART_WINDOWS = {
     "gini_stump_en_by_length": "feature histogram bins",
     # same bin-bounded cumulative table, integer Youden argmax
     "youden_threshold_en_by_length": "feature histogram bins",
+    # residual lag over the bounded calendar-day table
+    "durbin_watson_daily_value": "calendar-day frame",
     # matching intervals built over one row per DISTINCT control
     # covariate value (the ntile_bounded_domain argument); treated rows
     # broadcast-join in, never sort (operators/stats.py:nearest_match_att)

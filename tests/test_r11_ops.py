@@ -729,3 +729,70 @@ def test_negbin_and_evalue_hand_values(spark, tmp_path):
 
     rr = 2.0
     assert round(rr + math.sqrt(rr * (rr - 1.0)), 6) == 3.414214
+
+
+def test_levene_and_durbin_watson_hand_cases(spark, tmp_path):
+    import os
+    from datetime import datetime, timedelta
+
+    from redpanda_ais_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    t0 = datetime(2026, 1, 1)
+    # Levene: group a tight around 100, group b spread wide -> big F;
+    # build events with two types whose value spreads differ
+    rows = []
+    eid = 0
+    for i in range(60):
+        rows.append((i, eid, "a", 1.0 + (0.01 if i % 2 else -0.01), t0)); eid += 1
+        rows.append((i, eid, "b", 1.0 + (2.0 if i % 2 else -0.9), t0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    )
+    sf1 = str(tmp_path / "a")
+    ev.write.mode("overwrite").parquet(os.path.join(sf1, "events.parquet"))
+    r = REGISTRY["levene_value_by_type"].fn(spark, sf1).first()
+    assert r.n_groups == 2 and r.f_stat > 50  # wildly unequal spreads
+
+    # equal spreads: F collapses toward 0 (identical deviation sets)
+    rows2 = []
+    eid = 0
+    for i in range(60):
+        v = 1.0 + (0.5 if i % 2 else -0.5)
+        rows2.append((i, eid, "a", v, t0)); eid += 1
+        rows2.append((i, eid, "b", v, t0)); eid += 1
+    sf2 = str(tmp_path / "b")
+    spark.createDataFrame(
+        rows2, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    ).write.mode("overwrite").parquet(os.path.join(sf2, "events.parquet"))
+    r2 = REGISTRY["levene_value_by_type"].fn(spark, sf2).first()
+    assert r2.f_stat == 0.0
+
+    # Durbin-Watson: alternating residuals (sawtooth around a flat
+    # trend) -> strong NEGATIVE serial correlation -> DW near 4
+    rows3 = []
+    eid = 0
+    for day in range(30):
+        v = 100.0 + (10.0 if day % 2 else -10.0)
+        rows3.append((1, eid, "x", v, t0 + timedelta(days=day))); eid += 1
+    sf3 = str(tmp_path / "c")
+    spark.createDataFrame(
+        rows3, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    ).write.mode("overwrite").parquet(os.path.join(sf3, "events.parquet"))
+    rd = REGISTRY["durbin_watson_daily_value"].fn(spark, sf3).first()
+    assert rd.n_days == 30
+    assert rd.dw > 3.5 and rd.rho_approx < -0.75
+
+    # smooth ramp (residuals ~0 after the linear fit): den ~ 0 handled
+    # or dw small — accept either NULL or a finite value, no crash
+    rows4 = []
+    eid = 0
+    for day in range(30):
+        rows4.append((1, eid, "x", 100.0 + day, t0 + timedelta(days=day))); eid += 1
+    sf4 = str(tmp_path / "d")
+    spark.createDataFrame(
+        rows4, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    ).write.mode("overwrite").parquet(os.path.join(sf4, "events.parquet"))
+    r4 = REGISTRY["durbin_watson_daily_value"].fn(spark, sf4).first()
+    assert r4.n_days == 30  # perfectly linear -> zero residuals -> NULL dw
+    assert r4.dw is None
