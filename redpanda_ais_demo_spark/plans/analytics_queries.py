@@ -8224,3 +8224,128 @@ def durbin_watson_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rho_approx"
         ),
     )
+
+
+@query(
+    "holm_pairwise_value_by_type",
+    oracle="""
+        WITH per AS (
+            SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+                   CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                                 * CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                        AS HUGEINT) AS q
+            FROM events GROUP BY event_type
+        ),
+        prs AS (
+            SELECT a.g || '|' || b.g AS pair,
+                   a.n AS na, a.s AS sa, a.q AS qa,
+                   b.n AS nb, b.s AS sb, b.q AS qb
+            FROM per a JOIN per b ON a.g < b.g
+        ),
+        zt AS (
+            SELECT pair,
+                   CASE WHEN na >= 2 AND nb >= 2 AND vna + vnb > 0
+                        THEN (ma - mb) / sqrt(vna + vnb) END AS z
+            FROM (
+                SELECT pair, na, nb,
+                       CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                       CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                       CAST(CAST(na AS HUGEINT) * qa
+                            - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                           / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+                           / CAST(na AS DOUBLE) AS vna,
+                       CAST(CAST(nb AS HUGEINT) * qb
+                            - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+                           / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))
+                           / CAST(nb AS DOUBLE) AS vnb
+                FROM prs
+            )
+        ),
+        pv AS (
+            SELECT pair, z,
+                   CASE WHEN z IS NOT NULL THEN
+                       1.0 - (1.0 - ((((((1.061405429 * tt + -1.453152027)
+                           * tt + 1.421413741) * tt + -0.284496736) * tt
+                           + 0.254829592) * tt) * exp(-xx * xx)))
+                   END AS p
+            FROM (
+                SELECT pair, z,
+                       1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt,
+                       abs(z) / sqrt(2.0) AS xx
+                FROM zt
+            )
+        ),
+        ranked AS (
+            SELECT pair, z, p,
+                   CAST(count(p) OVER () AS BIGINT) AS k,
+                   row_number() OVER (ORDER BY p ASC NULLS LAST, pair ASC) AS i
+            FROM pv
+        ),
+        rawd AS (
+            SELECT *, CASE WHEN p IS NOT NULL
+                           THEN p * CAST(k - i + 1 AS DOUBLE) END AS raw
+            FROM ranked
+        ),
+        adj AS (
+            SELECT *, MAX(raw) OVER (ORDER BY i ASC
+                          ROWS UNBOUNDED PRECEDING) AS adj_max
+            FROM rawd
+        )
+        SELECT pair, round(z, 6) AS z_score, round(p, 6) AS p_value,
+               round(CASE WHEN raw IS NOT NULL
+                          THEN least(1.0, adj_max) END, 6) AS p_holm,
+               CASE WHEN raw IS NOT NULL
+                    THEN least(1.0, adj_max) <= 0.05 END AS reject
+        FROM adj
+    """,
+    tags=("analytics", "statistics", "experimentation", "agg", "diagnostics"),
+    doc="Holm step-down pairwise post-hoc after the ANOVA/Kruskal "
+    "rows: Welch z for every event-type pair's mean value (exact "
+    "per-type moment sums -> 10 bounded pair rows) with familywise "
+    "error controlled by the step-down max fold — the FWER dual of "
+    "bh_fdr's step-up min (one false 'these two differ' poisons a "
+    "post-hoc, so FDR is the wrong guarantee here; Holm beats "
+    "Bonferroni at the same control). Same A&S erf chain, windows on "
+    "the pair table only (operators/stats.py:holm_adjust).",
+)
+def holm_pairwise_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import holm_adjust
+
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy(F.col("event_type").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("s"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("decimal(38,0)")
+            * F.round(F.col("value") * 100).cast("long")
+        ).alias("q"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    prs = a.join(b, F.col("a.g") < F.col("b.g")).select(
+        F.concat_ws("|", F.col("a.g"), F.col("b.g")).alias("pair"),
+        F.col("a.n").alias("na"), F.col("a.s").alias("sa"), F.col("a.q").alias("qa"),
+        F.col("b.n").alias("nb"), F.col("b.s").alias("sb"), F.col("b.q").alias("qb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na").cast("double")
+    mb = F.col("sb").cast("double") / F.col("nb").cast("double")
+    vna = (
+        F.col("na").cast("decimal(38,0)") * F.col("qa")
+        - F.col("sa").cast("decimal(38,0)") * F.col("sa")
+    ).cast("double") / (
+        F.col("na").cast("double") * (F.col("na") - 1).cast("double")
+    ) / F.col("na").cast("double")
+    vnb = (
+        F.col("nb").cast("decimal(38,0)") * F.col("qb")
+        - F.col("sb").cast("decimal(38,0)") * F.col("sb")
+    ).cast("double") / (
+        F.col("nb").cast("double") * (F.col("nb") - 1).cast("double")
+    ) / F.col("nb").cast("double")
+    zt = prs.select(
+        "pair",
+        F.when(
+            (F.col("na") >= 2) & (F.col("nb") >= 2) & (vna + vnb > 0),
+            (ma - mb) / F.sqrt(vna + vnb),
+        ).alias("z"),
+    )
+    return holm_adjust(zt, "pair", "z")

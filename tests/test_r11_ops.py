@@ -796,3 +796,33 @@ def test_levene_and_durbin_watson_hand_cases(spark, tmp_path):
     r4 = REGISTRY["durbin_watson_daily_value"].fn(spark, sf4).first()
     assert r4.n_days == 30  # perfectly linear -> zero residuals -> NULL dw
     assert r4.dw is None
+
+
+def test_holm_adjust_hand_textbook(spark):
+    import math
+
+    from redpanda_ais_demo_spark.operators.stats import holm_adjust
+
+    # z-values whose two-sided p's are ordered; k = 4. Holm adjusted:
+    # p_(i) * (k - i + 1), running max, clipped at 1
+    zs = [("a", 4.0), ("b", 2.5), ("c", 1.0), ("d", None)]
+    df = spark.createDataFrame(zs, "sl string, z double")
+    out = {r.sl: r for r in holm_adjust(df, "sl", "z").collect()}
+    # NULL z: everything stays NULL, never rejects; k counts only 3
+    assert out["d"].p_value is None and out["d"].p_holm is None
+    assert out["d"].reject is None
+    # rank order a < b < c by p; k - i + 1 = 3, 2, 1
+    pa, pb, pc = (out[x].p_value for x in "abc")
+    assert pa < pb < pc
+    # p_value is display-rounded; the adjustment runs on unrounded p
+    assert abs(out["a"].p_holm - 3 * pa) < 1e-5
+    # monotone: b's adjusted >= a's
+    assert out["b"].p_holm >= out["a"].p_holm
+    # c multiplies by 1 but the running max keeps monotonicity
+    assert out["c"].p_holm >= out["b"].p_holm
+    # strong effect rejects, weak does not at alpha=.05
+    assert out["a"].reject is True and out["c"].reject is False
+
+    # Holm is never less powerful than Bonferroni: adjusted <= k*p
+    for x in "abc":
+        assert out[x].p_holm <= min(1.0, 3 * out[x].p_value) + 1e-5
