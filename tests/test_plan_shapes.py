@@ -828,8 +828,9 @@ BOUNDED_DOMAIN_UNPART_WINDOWS = {
     "gini_stump_en_by_length": "feature histogram bins",
     # same bin-bounded cumulative table, integer Youden argmax
     "youden_threshold_en_by_length": "feature histogram bins",
-    # residual lag over the bounded calendar-day table
-    "durbin_watson_daily_value": "calendar-day frame",
+    # Holm rank/step-down folds over the event-type PAIR table
+    # (|vocabulary|^2 rows; the data-sized pass is the upstream groupBy)
+    "holm_pairwise_value_by_type": "event-type pair table",
     # matching intervals built over one row per DISTINCT control
     # covariate value (the ntile_bounded_domain argument); treated rows
     # broadcast-join in, never sort (operators/stats.py:nearest_match_att)
