@@ -8349,3 +8349,289 @@ def holm_pairwise_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
     )
     return holm_adjust(zt, "pair", "z")
+
+
+@query(
+    "mahalanobis_user_outliers",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS x1,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS x2
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS q11,
+                   CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS q22,
+                   CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS q12
+            FROM u
+        ),
+        m AS (
+            SELECT n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+                   CAST(CAST(n AS HUGEINT) * q11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v1,
+                   CAST(CAST(n AS HUGEINT) * q22 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v2,
+                   CAST(CAST(n AS HUGEINT) * q12 - CAST(s1 AS HUGEINT) * s2 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cv
+            FROM s
+        ),
+        scored AS (
+            SELECT u.user_id, u.x1, u.x2,
+                   ((CAST(u.x1 AS DOUBLE) - m1) * (CAST(u.x1 AS DOUBLE) - m1) * v2
+                    - 2.0 * (CAST(u.x1 AS DOUBLE) - m1)
+                          * (CAST(u.x2 AS DOUBLE) - m2) * cv
+                    + (CAST(u.x2 AS DOUBLE) - m2) * (CAST(u.x2 AS DOUBLE) - m2) * v1)
+                   / (v1 * v2 - cv * cv) AS d2
+            FROM u, m WHERE v1 * v2 - cv * cv > 0
+        )
+        SELECT user_id, x1, x2, round(d2, 6) AS d2,
+               d2 > 13.8155105579643 AS outlier
+        FROM scored
+        ORDER BY d2 DESC, user_id ASC LIMIT 50
+    """,
+    tags=("analytics", "statistics", "anomaly", "agg", "scale-path"),
+    doc="Mahalanobis-distance outliers over the per-user (activity, "
+    "spend) plane: the CORRELATION-AWARE anomaly score the univariate "
+    "family (MAD z, HBOS) can't give — a user whose spend is normal "
+    "FOR THEIR ACTIVITY passes, one off the correlation axis flags "
+    "even when both marginals look fine. Closed-form 2x2 covariance "
+    "inverse from one pass of exact BIGINT/HUGEINT sums, per-row D^2 "
+    "one fixed double chain, chi-square(2, .999) flag, top-50 via "
+    "sort-limit (TakeOrderedAndProject); degenerate covariance "
+    "(det <= 0) returns empty rather than fake distances.",
+)
+def mahalanobis_user_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x1"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("x2"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x1")).alias("q11"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("x2")).alias("q22"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x2")).alias("q12"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    v1 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q11")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double") / (nd * nd)
+    v2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q22")
+        - F.col("s2").cast("decimal(38,0)") * F.col("s2")
+    ).cast("double") / (nd * nd)
+    cv = (
+        F.col("n").cast("decimal(38,0)") * F.col("q12")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s2")
+    ).cast("double") / (nd * nd)
+    mstats = s.select(
+        m1.alias("m1"), m2.alias("m2"), v1.alias("v1"), v2.alias("v2"),
+        cv.alias("cv"),
+    )
+    j = u.crossJoin(F.broadcast(mstats)).filter(
+        F.col("v1") * F.col("v2") - F.col("cv") * F.col("cv") > 0
+    )
+    dx1 = F.col("x1").cast("double") - F.col("m1")
+    dx2 = F.col("x2").cast("double") - F.col("m2")
+    d2 = (
+        dx1 * dx1 * F.col("v2")
+        - F.lit(2.0) * dx1 * dx2 * F.col("cv")
+        + dx2 * dx2 * F.col("v1")
+    ) / (F.col("v1") * F.col("v2") - F.col("cv") * F.col("cv"))
+    scored = j.select("user_id", "x1", "x2", d2.alias("d2"))
+    return (
+        scored.orderBy(F.col("d2").desc(), F.col("user_id").asc())
+        .limit(50)
+        .select(
+            "user_id",
+            "x1",
+            "x2",
+            F.round(F.col("d2"), 6).alias("d2"),
+            (F.col("d2") > F.lit(13.8155105579643)).alias("outlier"),
+        )
+    )
+
+
+def _ljung_box_oracle(kmax: int = 7) -> str:
+    """Generated Ljung-Box oracle sharing durbin_watson's residual
+    construction: per-lag autocorrelation terms from exact integer
+    sums, each nano-quantized before the fixed-order cross-lag sum."""
+    lagcols = ",\n                   ".join(
+        f"lag(eq, {k}) OVER (ORDER BY d) AS l{k}"
+        for k in range(1, kmax + 1)
+    )
+    lags = ",\n                   ".join(
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL"
+        f" THEN CAST(eq AS HUGEINT) * l{k}"
+        f" ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS num{k}"
+        for k in range(1, kmax + 1)
+    )
+    terms = " + ".join(
+        f"CAST(round(1e9 * (CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE))"
+        f" * (CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE))"
+        f" / CAST(n - {k} AS DOUBLE)) AS BIGINT)"
+        for k in range(1, kmax + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(d AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM daily
+        ),
+        c AS (
+            SELECT n,
+                   CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       AS b1, sx, sy
+            FROM s
+        ),
+        c2 AS (
+            SELECT n, b1,
+                   (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS b0
+            FROM c
+        ),
+        resid AS (
+            SELECT d,
+                   CAST(round((CAST(y AS DOUBLE)
+                               - (b0 + b1 * CAST(d AS DOUBLE))) * 100.0)
+                        AS BIGINT) AS eq
+            FROM daily, c2
+        ),
+        lagged AS (
+            SELECT eq,
+                   {lagcols}
+            FROM resid
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(eq AS HUGEINT) * eq) AS HUGEINT) AS den,
+                   {lags}
+            FROM lagged
+        )
+        SELECT n AS n_days,
+               CASE WHEN den > 0 AND n > {kmax} THEN
+                    round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                          * (CAST({terms} AS DOUBLE) / 1e9), 6)
+               END AS lb_q,
+               CAST({kmax} AS BIGINT) AS n_lags,
+               CASE WHEN den > 0 AND n > {kmax} THEN
+                    CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                    * (CAST({terms} AS DOUBLE) / 1e9) > 14.067140449340169
+               END AS serially_correlated
+        FROM agg
+    """
+
+
+@query(
+    "ljung_box_daily_value",
+    oracle=_ljung_box_oracle(),
+    tags=("analytics", "timeseries", "statistics", "diagnostics", "window"),
+    doc="Ljung-Box whiteness test (K=7 lags) on the daily-revenue "
+    "trend residuals — Durbin-Watson's higher-order companion: DW "
+    "sees only lag-1, LB pools 7 autocorrelations into "
+    "Q = n(n+2) SUM rho_k^2/(n-k) against the chi-square(7) 5% bar, "
+    "catching weekly-period leftover structure a lag-1 test misses. "
+    "Residuals centi-quantized, per-lag numerators exact HUGEINT "
+    "sums over the bounded calendar-day table, each rho_k^2/(n-k) "
+    "term nano-quantized BEFORE the fixed-order cross-lag sum.",
+)
+def ljung_box_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    kmax = 7
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        (F.floor(F.unix_timestamp(F.col("ts")).cast("long") / 86400))
+        .cast("long")
+        .alias("d")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    j = daily.crossJoin(F.broadcast(s))
+    b1 = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double") / (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    ).cast("double")
+    b0 = (F.col("sy").cast("double") - b1 * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    resid = j.select(
+        "d",
+        F.round(
+            (F.col("y").cast("double") - (b0 + b1 * F.col("d").cast("double")))
+            * F.lit(100.0)
+        )
+        .cast("long")
+        .alias("eq"),
+    )
+    w = Window.orderBy("d")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("eq").cast("decimal(38,0)") * F.col("eq")).alias("den"),
+    ]
+    staged = resid
+    for k in range(1, kmax + 1):
+        staged = staged.withColumn(f"l{k}", F.lag("eq", k).over(w))
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(f"l{k}").isNotNull(),
+                    F.col("eq").cast("decimal(38,0)") * F.col(f"l{k}"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"num{k}")
+        )
+    agg = staged.agg(*aggs)
+    rho_terms = None
+    for k in range(1, kmax + 1):
+        rho = F.col(f"num{k}").cast("double") / F.col("den").cast("double")
+        t = F.round(
+            F.lit(1e9) * rho * rho / (F.col("n") - k).cast("double")
+        ).cast("long")
+        rho_terms = t if rho_terms is None else rho_terms + t
+    q = (
+        F.col("n").cast("double")
+        * (F.col("n") + 2).cast("double")
+        * (rho_terms.cast("double") / F.lit(1e9))
+    )
+    ok = (F.col("den") > 0) & (F.col("n") > kmax)
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.when(ok, F.round(q, 6)).alias("lb_q"),
+        F.lit(kmax).cast("long").alias("n_lags"),
+        F.when(ok, q > F.lit(14.067140449340169)).alias(
+            "serially_correlated"
+        ),
+    )

@@ -826,3 +826,49 @@ def test_holm_adjust_hand_textbook(spark):
     # Holm is never less powerful than Bonferroni: adjusted <= k*p
     for x in "abc":
         assert out[x].p_holm <= min(1.0, 3 * out[x].p_value) + 1e-5
+
+
+def test_mahalanobis_and_ljung_box_hand_cases(spark, tmp_path):
+    import os
+    from datetime import datetime, timedelta
+
+    from redpanda_ais_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    t0 = datetime(2026, 1, 1)
+    # Mahalanobis: 40 users on the activity~spend axis, one user with
+    # normal marginals but OFF-AXIS (low activity, high spend) must
+    # score highest even though neither marginal is extreme
+    rows = []
+    eid = 0
+    for u in range(40):
+        k = 2 + (u % 10)  # activity 2..11
+        for i in range(k - 1):
+            rows.append((u, eid, "view", 1.0, t0)); eid += 1
+        rows.append((u, eid, "purchase", float(k) * 10.0, t0)); eid += 1
+    # off-axis user 99: activity 3 (normal-low), spend like activity-11
+    rows.append((99, eid, "view", 1.0, t0)); eid += 1
+    rows.append((99, eid, "view", 1.0, t0)); eid += 1
+    rows.append((99, eid, "purchase", 110.0, t0)); eid += 1
+    sfm = str(tmp_path / "m")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    ).write.mode("overwrite").parquet(os.path.join(sfm, "events.parquet"))
+    out = REGISTRY["mahalanobis_user_outliers"].fn(spark, sfm).collect()
+    assert out[0].user_id == 99  # the correlation-breaker tops the list
+    assert out[0].d2 > out[1].d2
+
+    # Ljung-Box: weekly-period residual structure (period 7 sawtooth on
+    # top of a flat level) -> Q explodes past the chi2(7) bar
+    rows2 = []
+    eid = 0
+    for day in range(64):
+        v = 100.0 + (25.0 if day % 7 == 0 else -4.0)
+        rows2.append((1, eid, "x", v, t0 + timedelta(days=day))); eid += 1
+    sfl = str(tmp_path / "l")
+    spark.createDataFrame(
+        rows2, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    ).write.mode("overwrite").parquet(os.path.join(sfl, "events.parquet"))
+    r = REGISTRY["ljung_box_daily_value"].fn(spark, sfl).first()
+    assert r.n_days == 64 and r.n_lags == 7
+    assert r.serially_correlated and r.lb_q > 14.1
