@@ -8635,3 +8635,91 @@ def ljung_box_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "serially_correlated"
         ),
     )
+
+
+@query(
+    "median_ci_user_value",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS v
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT v, row_number() OVER (ORDER BY v, user_id) AS r
+            FROM u
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        bounds AS (
+            SELECT n,
+                   greatest(CAST(1 AS BIGINT),
+                       CAST(floor((CAST(n AS DOUBLE)
+                                   - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+                            AS BIGINT)) AS lo_r,
+                   CAST(ceil(0.5 * CAST(n AS DOUBLE)) AS BIGINT) AS med_r
+            FROM nn
+        ),
+        b2 AS (SELECT n, lo_r, med_r,
+                      least(n, n + 1 - lo_r) AS hi_r FROM bounds)
+        SELECT b2.n,
+               max(CASE WHEN r = med_r THEN v END) AS median,
+               max(CASE WHEN r = lo_r THEN v END) AS ci_lo,
+               max(CASE WHEN r = hi_r THEN v END) AS ci_hi
+        FROM ranked, b2
+        WHERE r IN (lo_r, med_r, hi_r)
+        GROUP BY b2.n
+    """,
+    tags=("analytics", "statistics", "quantile", "agg", "scale-path"),
+    doc="Distribution-free 95% confidence interval for the MEDIAN "
+    "per-user purchase value from order statistics: ranks "
+    "(n -/+ 1.96*sqrt(n))/2 bound the median with no normality or "
+    "symmetry assumption (the binomial argument — each observation "
+    "falls below the true median with p=1/2), the nonparametric "
+    "sibling of the bootstrap CI for the MEAN. Ranks ride the "
+    "DISTRIBUTED prefix-sum (operators/ordered.py:rank_cumsum, no "
+    "single-partition sort); the three picks are one broadcast-"
+    "filtered pass; bounds are fixed double chains on the exact n.",
+)
+def median_ci_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ordered import rank_cumsum
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("v"),
+    )
+    ranked = rank_cumsum(
+        u, [F.col("v").asc(), F.col("user_id").asc()], rank_col="r"
+    )
+    nn = u.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nd = F.col("n").cast("double")
+    lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((nd - F.lit(1.96) * F.sqrt(nd)) / F.lit(2.0)).cast("long"),
+    )
+    bounds = nn.select(
+        "n",
+        lo.alias("lo_r"),
+        F.ceil(F.lit(0.5) * nd).cast("long").alias("med_r"),
+    ).select(
+        "n",
+        "lo_r",
+        "med_r",
+        F.least(F.col("n"), F.col("n") + 1 - F.col("lo_r")).alias("hi_r"),
+    )
+    j = ranked.crossJoin(F.broadcast(bounds)).filter(
+        (F.col("r") == F.col("lo_r"))
+        | (F.col("r") == F.col("med_r"))
+        | (F.col("r") == F.col("hi_r"))
+    )
+    return j.groupBy("n").agg(
+        F.max(F.when(F.col("r") == F.col("med_r"), F.col("v"))).alias("median"),
+        F.max(F.when(F.col("r") == F.col("lo_r"), F.col("v"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == F.col("hi_r"), F.col("v"))).alias("ci_hi"),
+    )

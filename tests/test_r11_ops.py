@@ -872,3 +872,31 @@ def test_mahalanobis_and_ljung_box_hand_cases(spark, tmp_path):
     r = REGISTRY["ljung_box_daily_value"].fn(spark, sfl).first()
     assert r.n_days == 64 and r.n_lags == 7
     assert r.serially_correlated and r.lb_q > 14.1
+
+
+def test_median_ci_order_statistics(spark, tmp_path):
+    import math
+    import os
+    from datetime import datetime
+
+    from redpanda_ais_demo_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    t0 = datetime(2026, 1, 1)
+    # 100 users with purchase value = user_id dollars -> values 100*uid
+    # cents; n=100: lo rank = floor((100 - 19.6)/2) = 40, hi = 61,
+    # median rank = 50
+    rows = [
+        (u, u, "purchase", float(u), t0) for u in range(1, 101)
+    ]
+    sf = str(tmp_path / "mci")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double, ts timestamp"
+    ).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    r = REGISTRY["median_ci_user_value"].fn(spark, sf).first()
+    assert r.n == 100
+    lo_r = math.floor((100 - 1.96 * 10.0) / 2.0)
+    hi_r = 100 + 1 - lo_r
+    assert r.median == 50 * 100  # rank ceil(50) -> value 50 dollars
+    assert r.ci_lo == lo_r * 100 and r.ci_hi == hi_r * 100
+    assert r.ci_lo < r.median < r.ci_hi
