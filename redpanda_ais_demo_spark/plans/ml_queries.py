@@ -2210,3 +2210,77 @@ def evalue_priority_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rr, 6).alias("risk_ratio"),
         F.round(rrs + F.sqrt(rrs * (rrs - F.lit(1.0))), 6).alias("e_value"),
     )
+
+
+def _brier_oracle() -> str:
+    return (
+        _irls_prefix(_LOGREG_BASE, _IRLS_ITERS)
+        + f""", sc2 AS (
+            SELECT y,
+                   CAST(round(1000000.0 / (1.0 + exp(-greatest(-30.0,
+                        least(30.0,
+                              (b0 + b1 * (CAST(xq AS DOUBLE) / 1000000.0))
+                              / 1000000.0))))) AS BIGINT) AS p
+            FROM q, c{_IRLS_ITERS}
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(CAST(p - 1000000 * y AS HUGEINT)
+                            * (p - 1000000 * y)) AS HUGEINT) AS se
+            FROM sc2
+        )
+        SELECT n, n_pos,
+               round(CAST(se AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6)
+                   AS brier,
+               round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS brier_baseline
+        FROM agg
+    """
+    )
+
+
+@query(
+    "brier_en_vs_length",
+    oracle=_brier_oracle(),
+    tags=("ml", "eval", "statistics", "agg", "glm"),
+    doc="Brier score of the logistic length-predicts-en model — the "
+    "PROPER scoring rule that grades calibration and discrimination "
+    "in one number (AUC ignores calibration, ECE ignores sharpness; "
+    "Brier is what you optimize when the probabilities themselves "
+    "will be consumed). Per-row squared errors (p_micro - M*y)^2 are "
+    "EXACT integers (the fit's micro-quantized sigmoids), summed "
+    "exactly, one division; the climatology baseline p_bar(1-p_bar) "
+    "is printed beside it — a model beating the base rate must score "
+    "below it (operators/glm.py:logistic_irls).",
+)
+def brier_en_vs_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import M, _sigmoid_micro, logistic_irls
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("n_chars").isNotNull()).select(
+        F.col("n_chars").cast("long").alias("x"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    b0, b1, dfq = logistic_irls(d, "x", "y", iters=_IRLS_ITERS)
+    z = (
+        F.lit(float(b0)) + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))
+    ) / F.lit(float(M))
+    p = _sigmoid_micro(z)
+    e = p - F.lit(M) * F.col("__y")
+    agg = dfq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(e.cast("decimal(38,0)") * e).alias("se"),
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(
+            F.col("se").cast("double") / F.lit(1e12) / F.col("n").cast("double"),
+            6,
+        ).alias("brier"),
+        F.round(rate * (F.lit(1.0) - rate), 6).alias("brier_baseline"),
+    )

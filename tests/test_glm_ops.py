@@ -326,3 +326,31 @@ def test_ips_policy_value_hand_computed(spark):
     rn = ips_policy_value(nm, "logged", "target", "p", "r").first()
     assert rn.n_matched == 0 and rn.v_ips == 0.0
     assert rn.v_snips is None and rn.ess is None
+
+
+def test_brier_bounds_and_perfect_model(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from redpanda_ais_demo_spark.operators.glm import (
+        M,
+        _sigmoid_micro,
+        logistic_irls,
+    )
+
+    # perfectly separable data: the fitted sigmoids approach 0/1 and
+    # the Brier score collapses toward 0 (far below the base-rate
+    # baseline p(1-p) = 0.25)
+    rows = [(x, 0) for x in range(100)] + [(x, 1) for x in range(200, 300)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    b0, b1, dfq = logistic_irls(df, "x", "y", iters=8)
+    z = (F.lit(float(b0)) + F.lit(float(b1)) * (F.col("__xq") / F.lit(float(M)))) / F.lit(float(M))
+    p = _sigmoid_micro(z)
+    e = p - F.lit(M) * F.col("__y")
+    r = dfq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e.cast("decimal(38,0)") * e).alias("se"),
+    ).first()
+    brier = float(r.se) / 1e12 / float(r.n)
+    assert brier < 0.01  # near-perfect forecasts
+    assert 0.0 <= brier <= 1.0
