@@ -160,9 +160,14 @@ PRIORITY: tuple[str, ...] = (
     # pytest-oracle-swept. Slot freed for the bootstrap-CI class.
     # (r11d) source_mixture_weights rotated out after its r10 driver
     # hash (corpus family keeps pack_sharded + decontaminate_bloom +
-    # dsir in-window); the slot carries the MODEL-SELECTION class's
-    # first window rep (exact k-fold CV over the LOO sum combination)
-    "ridge_cv_user_value_on_activity",
+    # dsir in-window); the slot carried the MODEL-SELECTION class.
+    # (r12) ridge_cv rotated out after its r11 driver hash (logreg's
+    # IRLS holds model-fitting in-window; the k-fold CV oracle stays in
+    # the sweep). The slot goes to aipw_ate_priority_on_revenue — the
+    # DOUBLY-ROBUST causal class's first window rep (outcome-model +
+    # propensity IRLS stacked into one partial-agg readout; never
+    # driver-hashed since its r11 build, operators/glm.py).
+    "aipw_ate_priority_on_revenue",
     "multimodal_frame_sample",
     # (r11) zorder_events rotated out for hilbert_order_events — the
     # same storage-layout class, but the Hilbert member is the stronger
@@ -177,9 +182,14 @@ PRIORITY: tuple[str, ...] = (
     # plain_join); the join-strategy family keeps j1 (broadcast),
     # bucketed_join (layout co-location), asof and range in-window.
     # (r11d) asof rotated out after its r10 driver hash (temporal joins
-    # keep pit_join + range_join in-window); the slot carries the
-    # OFF-POLICY-EVALUATION class's first window rep (IPS/SNIPS/ESS)
-    "ips_policy_value_purchases",
+    # keep pit_join + range_join in-window); the slot carried the
+    # OFF-POLICY-EVALUATION class (IPS/SNIPS/ESS), driver-hashed r11.
+    # (r12) ips rotated out after that hash; the slot goes to
+    # uplift_qini_purchase_by_views — the UPLIFT-EVALUATION class's
+    # first window rep (treatment-vs-control cumulative qini deciles
+    # over a rank window; never driver-hashed since its r11 build,
+    # operators/stats.py:uplift_qini).
+    "uplift_qini_purchase_by_views",
     "range_join_value_bands",
     # (r9) value_percentiles rotated out for value_quantiles_global_exact:
     # same quantile family, but the rotated-in member is the SCALE-EXACT
@@ -257,19 +267,24 @@ PRIORITY: tuple[str, ...] = (
     # pii_redact in-window) and running_revenue_by_customer (the
     # cumulative-window shape is doubly represented by gapfill's running
     # last() and cusum's running sum/min).
-    # (r11c) pps_sample_docs rotated out after its long-held hash: the
-    # sampling family keeps TWO in-window reps (source_mixture_weights,
-    # pack_token_stream_sharded) and PPS stays oracle-swept. Its slot
-    # gives the forecasting family back a window row — lost when Holt
-    # rotated out in r11b — via holt_winters_weekly_value, whose
-    # ARRAY-STATE seasonal ring-buffer fold is a mechanism no other
-    # window row exercises (recursive-CTE list-slicing oracle).
-    "holt_winters_weekly_value",
-    # (r11d) cusum rotated out after its r10 driver hash — the
-    # timeseries family keeps holt_winters + amoc in-window; the slot
-    # carries the survival-REGRESSION class's first window rep (the
-    # Cox effect size beside the swept KM/Nelson-Aalen/log-rank rows)
-    "cox_churn_by_variant",
+    # (r11c) pps_sample_docs rotated out after its long-held hash; the
+    # slot carried holt_winters_weekly_value, driver-hashed r11.
+    # (r12) holt_winters rotated out after that hash (amoc holds the
+    # timeseries family in-window; the recursive-CTE ring-buffer oracle
+    # stays in the sweep). The slot goes to holm_pairwise_value_by_type
+    # — the MULTIPLICITY-CONTROL class's first window rep (Holm
+    # step-down over the |types|^2 pairwise Welch table; never
+    # driver-hashed since its r11 build, operators/stats.py).
+    "holm_pairwise_value_by_type",
+    # (r11d) cusum rotated out after its r10 driver hash — the slot
+    # carried the survival-REGRESSION class (Cox), driver-hashed r11.
+    # (r12) cox rotated out after that hash (the KM/Nelson-Aalen/
+    # log-rank/Cox oracles all stay in the sweep); the slot goes to
+    # mahalanobis_user_outliers — the MULTIVARIATE-ANOMALY class's
+    # first window rep (pooled covariance inverse as broadcast
+    # literals into a codegen quadratic form; never driver-hashed
+    # since its r11 build, operators/stats.py).
+    "mahalanobis_user_outliers",
     # heavy hitters carries the sketch family's first full-hash window
     # row (its MG-prune answer is exact, unlike the rows-only CMS/HLL
     # entries); M4 is the new downsampling class. Rotated out for them:
@@ -278,10 +293,15 @@ PRIORITY: tuple[str, ...] = (
     # reshaping family) — both stay registered, oracle-bearing,
     # pytest-oracle-swept.
     # (r11d) heavy_hitter_tokens rotated out after its r10 driver hash
-    # — the sketch slot upgrades to the family's only fully ORACLE-
-    # REPLAYABLE member (portable-hash KMV with set-operation
-    # estimates; MG/CMS/HLL/KLL stay pytest-bound by design)
-    "kmv_overlap_event_audiences",
+    # — the sketch slot upgraded to KMV, driver-hashed r11.
+    # (r12) kmv rotated out after that hash (its portable-hash oracle
+    # stays in the sweep; MG/CMS/HLL/KLL stay pytest-bound by design);
+    # the slot goes to attribution_shapley — the COOPERATIVE-GAME
+    # attribution class's first window rep (exact Shapley values over
+    # the bounded channel power set, factorial weights as integer
+    # literals; never driver-hashed since its r11 build,
+    # operators/timeseries.py:shapley_attribution).
+    "attribution_shapley",
     # (r10) m4_downsample_event_values rotated out: the time-series
     # reduction family keeps CUSUM and gap-fill in-window, and M4's
     # min/max/first/last-per-bucket mechanism keeps its full oracle in
@@ -378,11 +398,14 @@ PRIORITY: tuple[str, ...] = (
     # (r11c) ipw_ate rotated out after earning that hash in r10's
     # window: the causal family keeps logreg_en_vs_length's IRLS
     # in-window (IPW stacks on the same fold) and gains the matching
-    # estimator in the sweep. Its slot goes to
-    # kmeans_embeddings_assign — the embedding-CLUSTERING class's
-    # first window rep (exact-integer Lloyd, truncating-division
-    # means, literal-broadcast argmin; 3-round unrolled oracle).
-    "kmeans_embeddings_assign",
+    # estimator in the sweep. The slot carried kmeans, driver-hashed
+    # r11. (r12) kmeans rotated out after that hash (its 3-round
+    # unrolled Lloyd oracle stays in the sweep); the slot goes to
+    # bradley_terry_brand_prefs — the PAIRWISE-RATING class's first
+    # window rep (iterative MM fixed point on integer win counts,
+    # unrolled-CTE oracle; never driver-hashed since its r11 build,
+    # operators/recommend.py:bradley_terry).
+    "bradley_terry_brand_prefs",
     # (r8c) the persisted-index serve path's hash-checked row (takes
     # l1_top_events' slot — see the AIS block note): same Okapi BM25
     # oracle as bm25_topk_docs, but the plan probes the committed-on-
@@ -395,18 +418,24 @@ PRIORITY: tuple[str, ...] = (
     # the distributed prefix-sum; swept siblings Kruskal-Wallis,
     # log-rank, DiD, CMH) keeps the window row it gained in r10.
     # (r11b) sssp_copurchase_from_min_part rotated out after its r10
-    # driver hash: the iterative-graph family keeps the k-core peel
-    # in-window and sssp's unrolled relaxation oracle stays in the
-    # sweep. Its slot goes to qgram_fuzzy_name_pairs — the lossless
-    # approximate-string-join class (q-gram count filter + levenshtein
-    # refine, brute-force-oracle-proved recall), mechanically distinct
-    # from every other ER/similarity window row.
-    "qgram_fuzzy_name_pairs",
+    # driver hash; the slot carried qgram_fuzzy_name_pairs,
+    # driver-hashed r11. (r12) qgram rotated out after that hash (the
+    # ER family keeps resolve_part_names in-window; the q-gram
+    # brute-force-recall oracle stays in the sweep). The slot goes to
+    # fs_link_same_name_parts — the PROBABILISTIC-LINKAGE class's
+    # first window rep (Fellegi–Sunter TF-adjusted agreement weights
+    # from exact frequency sums over blocked candidates; never
+    # driver-hashed since its r11 build, operators/dedup.py).
+    "fs_link_same_name_parts",
     # (r11d) mann_whitney rotated out after its r10 driver hash — the
-    # two-sample slot upgrades to the exact 1-D Wasserstein distance
-    # (the distributional gap in outcome units, on the distributed
-    # prefix-sum machinery; the rank test stays swept)
-    "wasserstein_value_by_variant",
+    # two-sample slot upgraded to Wasserstein, driver-hashed r11.
+    # (r12) wasserstein rotated out after that hash (the prefix-sum
+    # distributional-distance oracle stays in the sweep); the slot
+    # goes to ppr_copurchase_min_part_brand — the SEEDED-PROXIMITY
+    # graph class's first window rep (personalized PageRank power
+    # iteration with a pinned pair-join subtree; never driver-hashed
+    # since its r11 build, operators/graph.py:97).
+    "ppr_copurchase_min_part_brand",
     # (r11) events_in_geofences and bootstrap_ci_purchase_value rotated
     # out after earning their first driver hashes in CORRECTNESS_r10:
     # the spatial family keeps close_encounter_pairs in-window and the

@@ -40,14 +40,14 @@ REQUIRED_IN_WINDOW = {
     "multimodal_frame_sample",
     # round-2 corpus classes (r10: embedding_random_projection rotated
     # out behind embedding_cosine_topk's array-lambda arithmetic)
-    "ridge_cv_user_value_on_activity",  # r11d: model-selection first rep
+    "aipw_ate_priority_on_revenue",  # r12: doubly-robust causal first rep (ridge_cv out, r11-hashed)
     # (r11) zorder_events rotated out for the stronger same-class
     # Hilbert member (first driver hash for the r10 addition)
     "hilbert_order_events",
     # packing scale path (round-6)
     "pack_token_stream_sharded",
     # advanced relational
-    "ips_policy_value_purchases",  # r11d: off-policy eval first rep
+    "uplift_qini_purchase_by_views",  # r12: uplift-eval first rep (ips out, r11-hashed)
     "range_join_value_bands",
     "value_quantiles_global_exact",  # r9: scale-exact quantile path
     "grouping_sets_sql",
@@ -87,12 +87,12 @@ REQUIRED_IN_WINDOW = {
     # registered, oracle-bearing, pytest-oracle-swept)
     # (r11c) pps out (sampling keeps source_mixture + pack_sharded);
     # forecasting regains its window row via the array-state HW fold
-    "holt_winters_weekly_value",
-    "cox_churn_by_variant",  # r11d: survival-regression first rep (cusum out, r10-hashed)
+    "holm_pairwise_value_by_type",  # r12: multiplicity-control first rep (holt_winters out, r11-hashed)
+    "mahalanobis_user_outliers",  # r12: multivariate-anomaly first rep (cox out, r11-hashed)
     # sketch family's first full-hash window row + the downsampling class
     # (tfidf_top_terms behind bm25's term-weighting retrieval and
     # unpivot_part_measures behind pivot's reshaping family rotated out)
-    "kmv_overlap_event_audiences",  # r11d: oracle-replayable sketch rep
+    "attribution_shapley",  # r12: cooperative-game attribution first rep (kmv out, r11-hashed)
     # (r10) m4_downsample_event_values rotated out (CUSUM + gapfill hold
     # the time-series reduction family in-window)
     # round-7 session batch 2: rank fusion, the composite quality gate
@@ -134,7 +134,7 @@ REQUIRED_IN_WINDOW = {
     # classes
     # (r11c) IPW out after its r10 hash (logreg IRLS stays in-window);
     # the embedding-clustering class gains its first window rep
-    "kmeans_embeddings_assign",
+    "bradley_terry_brand_prefs",  # r12: pairwise-rating first rep (kmeans out, r11-hashed)
     "pit_join_purchase_user_state",
     # (r10) welch rotated out for the nonparametric sibling below
     "k_anonymity_orders",
@@ -146,8 +146,8 @@ REQUIRED_IN_WINDOW = {
     # nonparametric tests, geofencing, bootstrap CIs
     # (r11b) sssp rotated out after its r10 driver hash (kcore keeps the
     # iterative-graph family); slot carries the lossless fuzzy join
-    "qgram_fuzzy_name_pairs",
-    "wasserstein_value_by_variant",  # r11d: distributional-distance slot
+    "fs_link_same_name_parts",  # r12: probabilistic-linkage first rep (qgram out, r11-hashed)
+    "ppr_copurchase_min_part_brand",  # r12: seeded-proximity graph first rep (wasserstein out, r11-hashed)
     # (r11) events_in_geofences and bootstrap_ci rotated out after their
     # r10 driver hashes; privacy gains its DP member and the streaming
     # trackers their second batch-replay-parity row
