@@ -1666,6 +1666,7 @@ def removal_effect_attribution(
     conv_state: str,
     tiebreak_col: str,
     k_doublings: int = 6,
+    max_states: int = 64,
 ) -> DataFrame:
     """Markov removal-effect attribution (Anderl et al. 2014) — the
     model-based multi-touch credit next to the positional heuristics
@@ -1681,7 +1682,11 @@ def removal_effect_attribution(
     groupBy); the transition matrix itself lives on the BOUNDED state
     alphabet (|event types| + start/conv/null), so it collapses to
     ≤ (k+3)² integer rows — a bounded-domain driver table (the
-    audience_overlap / IVF-init escape hatch), on which absorption
+    audience_overlap / IVF-init escape hatch). The bound is ENFORCED,
+    not assumed: the collect is limit-guarded on ``max_states`` (the
+    ``markov_absorption`` pattern) so a data-scale state column (user
+    ids, URLs) raises instead of pulling |states|² rows onto the
+    driver. Absorption
     probabilities are computed EXACTLY in integer micro-units via the
     matrix-doubling series I + Q + … + Q^(2^k − 1) (covers path
     lengths < 2^k; identical truncation replayed by the SQL oracle).
@@ -1705,7 +1710,18 @@ def removal_effect_attribution(
     edges = _journey_edges(
         df, key_col, ts_col, state_col, tiebreak_col, conv_state
     )
-    rows = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")).collect()
+    # a chain over <= max_states channels plus the 3 frame labels has at
+    # most (max_states+3)^2 transition edges; hitting the limit means the
+    # collect was TRUNCATED and every absorption probability below would
+    # be silently wrong — fail on that, not just on the sampled channel
+    # count (same guard as markov_absorption / markov_transitions)
+    edge_cap = (max_states + 3) * (max_states + 3)
+    rows = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(edge_cap + 1)
+        .collect()
+    )
     counts = {(r.src, r.dst): r.n for r in rows}
     if not counts:
         raise ValueError("no journeys found")
@@ -1713,6 +1729,13 @@ def removal_effect_attribution(
         ({u for (u, _) in counts} | {v for (_, v) in counts})
         - {"start", "conv", "null"}
     )
+    if len(rows) > edge_cap or len(channels) > max_states:
+        raise ValueError(
+            f"removal_effect_attribution: state domain exceeds "
+            f"max_states={max_states} — the state column is data-scale, "
+            f"not a channel vocabulary; this operator's contract is a "
+            f"bounded chain"
+        )
     base_p, _ = _absorb_conv_micro(counts, None, k_doublings)
     S = REMOVAL_SCALE
     out = []

@@ -2256,6 +2256,46 @@ def test_removal_effect_reserved_state_label_raises(spark):
         removal_effect_attribution(df, "u", "ts", "t", "id", "purchase")
 
 
+def test_removal_effect_state_domain_cap_raises(spark):
+    """Bounded-domain contract (r11 verdict finding #1): a data-scale
+    state column (one distinct state per row — user ids, URLs) must
+    raise instead of collecting |states|^2 transition rows onto the
+    driver; a genuinely bounded alphabet still passes under the same
+    cap."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from redpanda_ais_demo_spark.operators.timeseries import (
+        removal_effect_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    big = spark.createDataFrame(
+        [(1, i, t0 + timedelta(seconds=i), f"ch{i}") for i in range(40)]
+        + [(1, 99, t0 + timedelta(seconds=99), "purchase")],
+        "u long, id long, ts timestamp, t string",
+    )
+    with pytest.raises(ValueError, match="exceeds max_states"):
+        removal_effect_attribution(
+            big, "u", "ts", "t", "purchase", "id", max_states=5
+        )
+
+    small = spark.createDataFrame(
+        [
+            (1, 1, t0 + timedelta(seconds=1), "A"),
+            (1, 2, t0 + timedelta(seconds=2), "B"),
+            (1, 3, t0 + timedelta(seconds=3), "purchase"),
+            (2, 4, t0 + timedelta(seconds=1), "B"),
+        ],
+        "u long, id long, ts timestamp, t string",
+    )
+    out = removal_effect_attribution(
+        small, "u", "ts", "t", "purchase", "id", max_states=5
+    )
+    assert {r.channel for r in out.collect()} == {"A", "B"}
+
+
 # --- round-10 additions: robust trend, WoE/IV, parity, FDR, Holt -----------
 
 
