@@ -713,12 +713,21 @@ def ridge_kfold_cv(
         .select("*", F.explode(lam).alias("l"))
         .select("fold", "n", "sx", "sy", "sxx", "sxy", F.col("l.lam").alias("lam"))
     )
+    # degenerate guard (mirrors the det<=0 break in poisson_irls /
+    # logistic_irls): with lam=0 and a constant-x training fold the
+    # closed-form denominator n*Sxx - Sx^2 + lam*n^2 is 0 — an
+    # unguarded division yields Inf/NaN residuals whose round/cast
+    # diverges cross-engine; emit NULL b1 instead so the fold's
+    # cv_mse reads NULL on both engines
     coef = train.selectExpr(
         "fold",
         "lam",
-        f"""(CAST(CAST(n AS {_DEC}) * sxy - CAST(sx AS {_DEC}) * sy AS DOUBLE))
+        f"""CASE WHEN CAST(CAST(n AS {_DEC}) * sxx - CAST(sx AS {_DEC}) * sx
+                    + CAST(lam AS {_DEC}) * n * n AS DOUBLE) > 0
+            THEN (CAST(CAST(n AS {_DEC}) * sxy - CAST(sx AS {_DEC}) * sy AS DOUBLE))
             / (CAST(CAST(n AS {_DEC}) * sxx - CAST(sx AS {_DEC}) * sx
-                    + CAST(lam AS {_DEC}) * n * n AS DOUBLE)) AS b1""",
+                    + CAST(lam AS {_DEC}) * n * n AS DOUBLE))
+            ELSE NULL END AS b1""",
     ).selectExpr("fold", "lam", "b1")
     coef = (
         train.select("fold", "lam", "n", "sx", "sy")
@@ -751,11 +760,18 @@ def ridge_kfold_cv(
         .groupBy("lam")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("rq").cast(_DEC) * F.col("rq")).alias("sse_units"),
+            # a NULL rq (degenerate fold) must null the WHOLE lambda's
+            # SSE, not shrink it — sum() alone would skip the fold
+            F.when(
+                F.sum(F.when(F.col("rq").isNull(), 1).otherwise(0)) == 0,
+                F.sum(F.col("rq").cast(_DEC) * F.col("rq")),
+            ).alias("sse_units"),
         )
     )
-    best = per_lam.agg(F.min(F.struct("sse_units", "lam")).alias("m")).select(
-        F.col("m.lam").alias("best_lam")
+    best = (
+        per_lam.filter(F.col("sse_units").isNotNull())
+        .agg(F.min(F.struct("sse_units", "lam")).alias("m"))
+        .select(F.col("m.lam").alias("best_lam"))
     )
     return (
         per_lam.crossJoin(F.broadcast(best))

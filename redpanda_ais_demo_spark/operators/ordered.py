@@ -616,10 +616,16 @@ def wasserstein_1d(
     return s.select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
-        F.round(
-            F.col("s").cast("double")
-            / F.col("na").cast("double")
-            / F.col("nb").cast("double"),
-            6,
+        # degenerate guard: an empty group makes s/na/nb a 0/0 NaN on
+        # Spark while an equivalent SQL oracle yields NULL — emit NULL
+        # on both engines instead
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round(
+                F.col("s").cast("double")
+                / F.col("na").cast("double")
+                / F.col("nb").cast("double"),
+                6,
+            ),
         ).alias("w1"),
     )

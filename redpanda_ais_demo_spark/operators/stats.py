@@ -2543,7 +2543,8 @@ def permutation_test_mean_diff(
     must be exact integer units; ``treat_col`` is 0/1.
 
     Output: one row — n, n_treated, diff_obs, n_exceed, p_value,
-    n_perms.
+    n_resamples (named for what it IS: B independent binomial
+    re-assignments, not exact label permutations — see above).
     """
     if n_perms < 1:
         raise ValueError("n_perms must be >= 1")
@@ -2589,7 +2590,7 @@ def permutation_test_mean_diff(
         "__ex AS n_exceed",
         f"ROUND(CAST(1 + __ex AS DOUBLE) / CAST({n_perms + 1} AS DOUBLE), 6)"
         " AS p_value",
-        f"CAST({n_perms} AS INT) AS n_perms",
+        f"CAST({n_perms} AS INT) AS n_resamples",
     )
 
 
@@ -4092,7 +4093,10 @@ def ransac_line(
         F.col(key_col).cast("string").alias("k"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
+    # base is walked three times (seed bottom-k, inlier-count pass,
+    # refit pass) — pin it like the other iterative fitters so the
+    # upstream scan/groupBy doesn't recompute per pass
+    ).localCheckpoint(eager=False)
     seed = base.orderBy("h", "k").limit(2 * n_candidates).collect()
     cands = []
     for i in range(len(seed) // 2):
@@ -4127,31 +4131,35 @@ def ransac_line(
     bx1, by1, bnum, bden = next(
         (c[1], c[2], c[3], c[4]) for c in cands if c[0] == bi
     )
-    refit = base.filter(
+    # fold n into the refit pass (conditional sums over the full base)
+    # instead of a fourth base.count() job
+    best_in = (
         F.abs(
             F.lit(bden).cast(_DEC) * (F.col("y") - F.lit(by1))
             - F.lit(bnum).cast(_DEC) * (F.col("x") - F.lit(bx1))
         )
         <= F.lit(eps) * F.lit(abs(bden)).cast(_DEC)
-    ).agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
-        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+    )
+    refit = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(best_in, 1).otherwise(0)).cast("long").alias("m"),
+        F.sum(F.when(best_in, F.col("x"))).alias("sx"),
+        F.sum(F.when(best_in, F.col("y"))).alias("sy"),
+        F.sum(F.when(best_in, F.col("x").cast(_DEC) * F.col("x"))).alias("sxx"),
+        F.sum(F.when(best_in, F.col("x").cast(_DEC) * F.col("y"))).alias("sxy"),
     ).first()
-    m, sx, sy = int(refit["m"]), int(refit["sx"]), int(refit["sy"])
-    sxx, sxy = int(refit["sxx"]), int(refit["sxy"])
-    det = m * sxx - sx * sx
+    n, m = int(refit["n"]), int(refit["m"])
     from .glm import _round6
 
-    if det > 0:
-        slope = float(m * sxy - sx * sy) / float(det)
-        intercept = (float(sy) - slope * float(sx)) / float(m)
-        s6, i6 = _round6(slope), _round6(intercept)
-    else:
-        s6, i6 = None, None
-    n = base.count()
+    s6, i6 = None, None
+    if m > 0:
+        sx, sy = int(refit["sx"]), int(refit["sy"])
+        sxx, sxy = int(refit["sxx"]), int(refit["sxy"])
+        det = m * sxx - sx * sx
+        if det > 0:
+            slope = float(m * sxy - sx * sy) / float(det)
+            intercept = (float(sy) - slope * float(sx)) / float(m)
+            s6, i6 = _round6(slope), _round6(intercept)
     return spark.createDataFrame(
         [(n, len(cands), bi, n_in, s6, i6)],
         "n long, n_candidates long, best_candidate long, n_inliers long, "

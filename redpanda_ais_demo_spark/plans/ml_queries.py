@@ -837,7 +837,7 @@ def _permtest_oracle(n_perms: int = 64, salt: str = "perm-r11") -> str:
                nex AS n_exceed,
                round(CAST(1 + nex AS DOUBLE) / CAST({n_perms + 1} AS DOUBLE), 6)
                    AS p_value,
-               CAST({n_perms} AS INTEGER) AS n_perms
+               CAST({n_perms} AS INTEGER) AS n_resamples
         FROM ex
     """
 
@@ -853,7 +853,9 @@ def _permtest_oracle(n_perms: int = 64, salt: str = "perm-r11") -> str:
     "in ONE partial-aggregable pass (the Poisson-bootstrap shape — no "
     "per-resample shuffles, no RNG), exceed-count compares fixed "
     "double chains over exact BIGINT/DECIMAL sums, add-one p-value "
-    "per Phipson & Smyth 2010 "
+    "per Phipson & Smyth 2010. NOTE: the resamples are independent "
+    "binomial re-assignments (large-n approximation), not exact label "
+    "permutations — the output column is n_resamples for that reason "
     "(operators/stats.py:permutation_test_mean_diff).",
 )
 def permtest_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:

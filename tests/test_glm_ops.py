@@ -354,3 +354,21 @@ def test_brier_bounds_and_perfect_model(spark):
     brier = float(r.se) / 1e12 / float(r.n)
     assert brier < 0.01  # near-perfect forecasts
     assert 0.0 <= brier <= 1.0
+
+
+def test_ridge_cv_constant_x_fold_lambda_zero_is_null(spark):
+    """ADVICE r11: lambda=0 with a constant-x training split makes the
+    closed-form denominator 0 — cv_mse must be NULL (both engines),
+    never an Inf/NaN residual chain; positive lambdas stay finite and
+    best_lam picks among them."""
+    from redpanda_ais_demo_spark.operators.glm import ridge_kfold_cv
+
+    # x constant everywhere -> EVERY training fold is constant-x
+    df = spark.createDataFrame(
+        [(i % 4, 7, 10 + i % 3) for i in range(40)],
+        "fold long, x long, y long",
+    )
+    out = {r["lambda"]: r for r in ridge_kfold_cv(df, "x", "y", "fold", lambdas=(0, 1)).collect()}
+    assert out[0].cv_mse is None
+    assert out[1].cv_mse is not None
+    assert out[1].is_best

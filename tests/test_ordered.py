@@ -345,3 +345,15 @@ def test_wasserstein_1d_hand_computed(spark):
         "grp string, v long",
     )
     assert wasserstein_1d(sh, "grp", "v", "A", "B").first().w1 == 100.0
+
+
+def test_wasserstein_1d_empty_group_is_null(spark):
+    """ADVICE r11: an empty group must yield NULL w1 (as an equivalent
+    SQL oracle would), never a 0/0 NaN double."""
+    from redpanda_ais_demo_spark.operators.ordered import wasserstein_1d
+
+    only_a = spark.createDataFrame(
+        [("A", v) for v in (0, 1, 2)], "grp string, v long"
+    )
+    r = wasserstein_1d(only_a, "grp", "v", "A", "B").first()
+    assert r.n_b == 0 and r.w1 is None
