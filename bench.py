@@ -394,6 +394,24 @@ def main() -> None:
     for name in run_queries:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    def drop_persistent_rdds() -> None:
+        """Free every still-persisted RDD (the iterative operators pin
+        lineage with LAZY localCheckpoint; their blocks otherwise free
+        only when the async ContextCleaner gets around to the handles).
+        Run UNTIMED after each query: measured r11 drift (pagerank
+        5.03s committed vs 4.46s under SCALING's 38-query interleave,
+        1.46x vs a 1.12x recorded spread, zero code change) tracked the
+        registry growing 283->342 — more queries per round = more
+        not-yet-cleaned blocks squatting on executor storage when a
+        heavy query's turn comes. Deterministic cleanup decouples a
+        query's sample from how many OTHER queries ran before it."""
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass  # py4j internals moved — bench still runs, cleanup lost
+
     samples: dict[str, list[float]] = {name: [] for name in run_queries}
     for _ in range(N_ROUNDS):
         for name in run_queries:
@@ -401,6 +419,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
+            drop_persistent_rdds()
         # Round-boundary driver GC (untimed): the iterative operators pin
         # lineage with lazy localCheckpoint, and those cached blocks only
         # free when the async ContextCleaner collects the RDD handles —
