@@ -1476,6 +1476,55 @@ def paa_correlation_pairs(
     )
 
 
+def paa_topk_partners(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_buckets: int = 8,
+    n_bits: int | None = None,
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most-correlated partners per key — the OUTPUT-BOUNDED
+    reading of ``paa_correlation_pairs``. SCALING.md's measured
+    conclusion on the pair form is that at sf1 the fixture genuinely
+    contains ~9.6M r>=0.8 pairs, so emitting them IS the cost and no
+    knob beats it; the semantic mitigation it names (cap the answer
+    per key) is this operator: the same banded candidate generation
+    and exact-integer correlation, then each key keeps only its ``k``
+    strongest partners (r desc, partner-id asc tiebreak).
+
+    Scale shape: candidates stay Σ bucket² (auto-width band), but the
+    result — and everything downstream of it — is <= k·|keys| rows
+    instead of pair-count-of-the-data; the per-key cut is ONE
+    partitioned row_number window over the mirrored candidate stream
+    (no global sort, no driver state).
+
+    Output: (key, partner, r, rk), rk in 1..k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = paa_correlation_pairs(
+        df, key_col, ts_col, value_col, n_buckets, n_bits, threshold
+    )
+    mirrored = pairs.select(
+        F.col("key_a").alias("key"), F.col("key_b").alias("partner"), "r"
+    ).unionByName(
+        pairs.select(
+            F.col("key_b").alias("key"), F.col("key_a").alias("partner"), "r"
+        )
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("r").desc(), F.col("partner").asc()
+    )
+    return (
+        mirrored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("key", "partner", "r", "rk")
+    )
+
+
 def cohort_ltv_curve(
     df: DataFrame,
     key_col: str,

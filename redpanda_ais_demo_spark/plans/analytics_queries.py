@@ -4593,6 +4593,45 @@ def ts_paa_correlated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_paa_topk_per_key",
+    oracle=f"""
+        WITH mir AS (
+            SELECT key_a AS key, key_b AS partner, r
+            FROM ({_paa_pairs_oracle_auto(8, 0.8)}) p
+            UNION ALL
+            SELECT key_b AS key, key_a AS partner, r
+            FROM ({_paa_pairs_oracle_auto(8, 0.8)}) p
+        )
+        SELECT key, partner, r, rk FROM (
+            SELECT key, partner, r,
+                   CAST(row_number() OVER (
+                       PARTITION BY key ORDER BY r DESC, partner
+                   ) AS BIGINT) AS rk
+            FROM mir)
+        WHERE rk <= 3
+    """,
+    tags=("timeseries", "similarity", "join", "analytics", "scale-path", "window"),
+    doc="Output-bounded time-series similarity: each user's 3 most "
+    "co-moving peers (Pearson r >= 0.8 between auto-width banded "
+    "8-point PAA profiles, r-desc/partner-asc tiebreak). The pair "
+    "form's SCALING row proved sf1 genuinely holds ~9.6M qualifying "
+    "pairs — emitting them IS the cost — so this is the documented "
+    "semantic mitigation made executable: identical banded candidates "
+    "and exact-integer moments, then a PARTITIONED row_number cut "
+    "bounds the result (and all downstream work) at k*|keys| rows "
+    "(operators/timeseries.py:paa_topk_partners).",
+)
+def ts_paa_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import paa_topk_partners
+
+    events = load_table(spark, sf_dir, "events")
+    return paa_topk_partners(
+        events, "user_id", "ts", "value",
+        n_buckets=8, n_bits=None, threshold=0.8, k=3,
+    )
+
+
+@query(
     "cohort_ltv_weekly",
     oracle="""
         WITH base AS (

@@ -123,6 +123,24 @@ QUERIES = [
     "ridge_cv_user_value_on_activity",
     "kmv_overlap_event_audiences",
     "pinball_seasonal_value_forecast",
+    # r12 (VERDICT r11 item 4): the part-14+ r11 heavies that had no
+    # curve row — SMD covariate balance (two IRLS propensity fits +
+    # one weighted-moment pass), Bradley-Terry (iterative MM fixed
+    # point: the one most likely to hide a per-round fixed cost),
+    # AIPW (outcome-model + propensity IRLS stacked), and the Holm
+    # step-down over the |types|^2 pairwise Welch table (windows over
+    # the PAIR table — bounded by the type vocabulary, so the slope
+    # should be the upstream scan's).
+    "smd_balance_ipw_priority",
+    "bradley_terry_brand_prefs",
+    "aipw_ate_priority_on_revenue",
+    "holm_pairwise_value_by_type",
+    # r12 (VERDICT r11 item 5): the output-bounded top-k reading of
+    # the PAA similarity family — same banded candidates as the pair
+    # form (whose sf1 output is legitimately ~9.6M rows), result
+    # capped at k*|keys|; the row that makes SCALING's own ts_paa
+    # conclusion executable.
+    "ts_paa_topk_per_key",
 ]
 SCALES = [
     ("/root/testdata/sf0.01", 0.01),
@@ -148,6 +166,17 @@ def main() -> None:
     for sf, d in dirs.items():  # warm-up pass, untimed
         for name in QUERIES:
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
+    def drop_persistent_rdds() -> None:
+        # same deterministic cleanup as bench.py: free lazy-localCheckpoint
+        # blocks untimed so one query's pinned lineage can't pressure the
+        # next sample (the r11 bench-vs-scaling 20% instrument disagreement)
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass
+
     for _ in range(N_ROUNDS):
         for sf, d in dirs.items():
             for name in QUERIES:
@@ -156,6 +185,7 @@ def main() -> None:
                 samples.setdefault((name, sf), []).append(
                     round(time.perf_counter() - t0, 3)
                 )
+                drop_persistent_rdds()
 
     mins = {k: min(v) for k, v in samples.items()}
     slopes = {}
