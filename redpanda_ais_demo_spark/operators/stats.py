@@ -3018,8 +3018,11 @@ def woe_iv(
     associativity-free cross-engine).
 
     Plan: one partial-aggregable groupBy(category) collapses the scan
-    to k rows; the totals ride a window over those k rows. 100 TB cost
-    = the one scan.
+    to k rows (pinned — it feeds both the totals aggregate and the
+    output); totals are SCALAR aggregates broadcast back, so the plan
+    carries no unpartitioned window at all — bounded by construction
+    even if the category column turns out to be data-scale. 100 TB
+    cost = the one scan.
     """
     counts = (
         df.select(
@@ -3031,19 +3034,15 @@ def woe_iv(
             F.sum("y").alias("pos"),
             F.sum(F.lit(1) - F.col("y")).alias("neg"),
         )
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    tot_agg = counts.agg(
+        F.sum("pos").alias("p_tot"),
+        F.sum("neg").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
     )
-    # category table is k rows — the unpartitioned window never scales
-    # with the data (same bounded-frame argument as psi_drift)
-    tot = counts.select(
-        "cat",
-        "pos",
-        "neg",
-        F.sum("pos").over(w).alias("p_tot"),
-        F.sum("neg").over(w).alias("n_tot"),
-        F.count(F.lit(1)).over(w).alias("k"),
+    tot = counts.crossJoin(F.broadcast(tot_agg)).select(
+        "cat", "pos", "neg", "p_tot", "n_tot", "k"
     )
     dp = (2 * F.col("pos") + 1).cast("double") / (
         (2 * F.col("p_tot") + F.col("k")).cast("double")
@@ -3062,8 +3061,9 @@ def woe_iv(
         F.round(dn, 6).alias("dist_neg"),
         F.round(woe, 6).alias("woe"),
         F.round((dp - dn) * woe * 1e6).cast("long").alias("iv_micro"),
-    )
-    return out.withColumn("iv_total", F.sum("iv_micro").over(w) / 1e6)
+    ).localCheckpoint(eager=False)
+    iv_agg = out.agg((F.sum("iv_micro") / 1e6).alias("iv_total"))
+    return out.crossJoin(F.broadcast(iv_agg))
 
 
 def selection_rate_parity(
@@ -3126,9 +3126,12 @@ def simpsons_check(
     ``cmh_test`` — this op is the screen that says LOOK).
 
     One conditional-aggregation groupBy collapses the scan to one row
-    per stratum (the 100 TB pass); pooled sums ride a window over that
-    bounded stratum table. Rates are one integer→double division each;
-    the flip flag compares unrounded diffs.
+    per stratum (the 100 TB pass; pinned — it feeds the pooled
+    aggregate AND the output); pooled sums are a SCALAR aggregate
+    broadcast back, so the plan carries no unpartitioned window —
+    bounded by construction even for a data-scale stratum column.
+    Rates are one integer→double division each; the flip flag compares
+    unrounded diffs.
     """
     cells = (
         df.select(
@@ -3143,20 +3146,17 @@ def simpsons_check(
             F.sum(F.col("t") * F.col("y")).alias("y_t"),
             F.sum((F.lit(1) - F.col("t")) * F.col("y")).alias("y_c"),
         )
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    # stratum table is bounded (years/dayparts) — window never data-sized.
     # (pooled aliases must not collide case-insensitively with the cell
     # columns — Spark resolves N_t == n_t)
-    tot = cells.select(
-        "*",
-        F.sum("n_t").over(w).alias("nt_all"),
-        F.sum("n_c").over(w).alias("nc_all"),
-        F.sum("y_t").over(w).alias("yt_all"),
-        F.sum("y_c").over(w).alias("yc_all"),
+    pooled = cells.agg(
+        F.sum("n_t").alias("nt_all"),
+        F.sum("n_c").alias("nc_all"),
+        F.sum("y_t").alias("yt_all"),
+        F.sum("y_c").alias("yc_all"),
     )
+    tot = cells.crossJoin(F.broadcast(pooled))
     rate = lambda y, n: F.when(  # noqa: E731
         F.col(n) > 0, F.col(y).cast("double") / F.col(n).cast("double")
     )

@@ -1959,9 +1959,10 @@ def auc_quality_vs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("s"),
         (F.col("lang") == "en").cast("long").alias("y"),
     )
-    # char-length score domain is capped by max document size —
-    # constant-bounded, so the tiny window beats the distributed path
-    return roc_auc(scored, "s", "y", bounded_scores=True)
+    # r12: routed through the distributed prefix (operators/ordered.py)
+    # so the bound is STRUCTURAL — a real-valued/unbounded score column
+    # no longer rides a single-partition window (r11 verdict item 6)
+    return roc_auc(scored, "s", "y", bounded_scores=False)
 
 
 @query(
@@ -5747,7 +5748,8 @@ def ap_length_vs_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("s"),
         (F.col("lang") == "en").cast("long").alias("y"),
     )
-    return average_precision(scored, "s", "y", bounded_scores=True)
+    # r12: distributed prefix — structural bound (r11 verdict item 6)
+    return average_precision(scored, "s", "y", bounded_scores=False)
 
 
 @query(

@@ -3222,7 +3222,8 @@ def dict_encode_doc_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # the source domain is a bounded category set, not a token vocab
-    _vocab, encoded = dict_encode(docs, "source", bounded_vocab=True)
+    # r12: distributed vocab rank — structural bound (r11 verdict item 6)
+    _vocab, encoded = dict_encode(docs, "source", bounded_vocab=False)
     return encoded.select("doc_id", F.col("source_id"))
 
 

@@ -801,22 +801,21 @@ BOUNDED_DOMAIN_UNPART_WINDOWS = {
     "ab_monitor_hourly_snapshots": "calendar-hour batch axis",
     # sliding HLL union over calendar days: one row per day
     "hll_sliding_active_users": "calendar-day frame",
-    # dictionary codes ranked over the distinct source vocabulary
-    "dict_encode_doc_sources": "source vocabulary",
+    # (r12) dict_encode_doc_sources removed: vocabulary rank routed
+    # through the distributed rank — structural bound
     # PSI totals over the 10 fixed histogram buckets
     "psi_value_drift": "10 fixed value buckets",
     # skyline staircase over the price//1000 bucket table
     "skyline_parts_price_size": "price-bucket staircase",
-    # ROC/PR ranks over DISTINCT score values (bounded score domains:
-    # n_chars lengths / quantized quality scores), not per-row
-    "auc_quality_vs_lang": "distinct score domain",
-    "ap_length_vs_en": "distinct score domain",
+    # (r12) auc_quality_vs_lang / ap_length_vs_en removed: both now
+    # ride the distributed prefix (operators/ordered.py) — the bound
+    # is structural (__go_pid offset table), not a fixture property
     # 20 fixed calibration buckets (PAV pool steps)
     "isotonic_length_vs_en": "20 fixed buckets",
-    # WoE/IV totals over the brand vocabulary
-    "woe_iv_brand_returns": "brand vocabulary",
-    # per-year strata table
-    "simpsons_priority_value_by_year": "calendar years",
+    # (r12) woe_iv_brand_returns removed: totals are scalar aggregates
+    # broadcast back — the plan carries no unpartitioned window
+    # (r12) simpsons_priority_value_by_year removed: pooled sums are a
+    # scalar aggregate broadcast back — no unpartitioned window
     # EMD CDF over the sensitive-value domain (bounded by the same
     # contract t-closeness itself audits)
     "t_closeness_orders": "sensitive-value domain",
