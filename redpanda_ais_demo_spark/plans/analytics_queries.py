@@ -1487,6 +1487,61 @@ def ab_monitor_hourly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_tracker_hourly_snapshots",
+    oracle="""
+        WITH base AS (
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+                   CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+        hours AS (SELECT DISTINCT h AS bts FROM base),
+        dist AS (
+            SELECT bts, v, CAST(sum(c) AS BIGINT) AS n_v
+            FROM base, hours WHERE h <= bts GROUP BY bts, v),
+        cum AS (
+            SELECT bts, v, n_v,
+                   CAST(sum(n_v) OVER (PARTITION BY bts ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM dist),
+        tot AS (SELECT bts, CAST(sum(n_v) AS BIGINT) AS n FROM dist GROUP BY bts)
+        SELECT bts AS batch_ts, n,
+               round(CAST(min(CASE WHEN cum >= (n * 500000 + 999999) // 1000000
+                                   THEN v END) AS DOUBLE) / 100, 6) AS q50,
+               round(CAST(min(CASE WHEN cum >= (n * 950000 + 999999) // 1000000
+                                   THEN v END) AS DOUBLE) / 100, 6) AS q95,
+               round(CAST(min(CASE WHEN cum >= (n * 990000 + 999999) // 1000000
+                                   THEN v END) AS DOUBLE) / 100, 6) AS q99
+        FROM cum JOIN tot USING (bts) GROUP BY bts, n
+    """,
+    tags=("analytics", "streaming-parity", "timeseries", "window", "scale-path"),
+    doc="Batch replay of the streaming quantile tracker's snapshot "
+    "trajectory (streaming/quantiles.py), in EXACT arithmetic: one row "
+    "per event hour (the micro-batch analogue) with the cumulative "
+    "count and exact type-1 p50/p95/p99 — smallest cents value whose "
+    "cumulative count reaches ceil(q*n), the rank target formed as "
+    "(n*q_micro + 999999) div 1e6 so both engines pick identical "
+    "integers. The live tracker's KLL snapshots are epsilon-exact by "
+    "design (randomized compaction), so the parity contract is split: "
+    "this oracle hash-checks the exact trajectory, and the pytest pins "
+    "every live snapshot inside the sketch's rank-error envelope of "
+    "these rows. Fan-out joins the (hour, value) counts to the "
+    "CALENDAR-bounded hour axis; ranks ride a window PARTITIONED by "
+    "snapshot hour (streaming/quantiles.py:quantile_trajectory_batch).",
+)
+def quantile_tracker_hourly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.quantiles import quantile_trajectory_batch
+
+    events = load_table(spark, sf_dir, "events")
+    batches = events.select(
+        (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600)
+        .cast("long")
+        .alias("bh"),
+        "value",
+    )
+    return quantile_trajectory_batch(batches, "bh", "value")
+
+
+@query(
     "ewma_user_value",
     oracle="""
         WITH e AS (

@@ -375,10 +375,18 @@ PRIORITY: tuple[str, ...] = (
     # closed-form OLS regression. The remaining r8 statistics classes
     # (corr / entropy / chi2) trail, oracle-bearing, pytest-swept.
     # (r11d) nb_lang rotated out after its r10 driver hash (logreg's
-    # IRLS holds supervised classification in-window); the slot gives
-    # the EVAL family (AUC/AP/ECE, all swept) its first window rep —
-    # the rank-discounted graded NDCG
-    "ndcg_cosine_label_graded",
+    # IRLS holds supervised classification in-window); the slot gave
+    # the EVAL family its NDCG rep, driver-hashed r11.
+    # (r12) ndcg rotated out after that hash — uplift_qini (above) now
+    # carries the eval family in-window and NDCG's graded-discount
+    # oracle stays in the sweep. The slot goes to the streaming
+    # trackers' THIRD batch-replay-parity row:
+    # quantile_tracker_hourly_snapshots — the EXACT type-1 quantile
+    # trajectory the live KLL tracker must shadow within rank error
+    # (pytest-pinned in tests/test_streaming_quantiles.py; the sketch
+    # itself is epsilon-exact by design, so the exact replay is the
+    # oracle-checkable surface).
+    "quantile_tracker_hourly_snapshots",
     # (r11b) fdr_event_conversion_by_variant rotated out after earning
     # its driver hash in CORRECTNESS_r10: the experimentation family
     # keeps TWO in-window reps (mann_whitney's rank machinery,

@@ -137,4 +137,81 @@ def start_quantile_tracker(
     )
 
 
-__all__ = ["batch_kll", "merge_kll", "start_quantile_tracker"]
+def quantile_trajectory_batch(
+    df: DataFrame,
+    batch_ts_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Batch replay of the quantile tracker's snapshot TRAJECTORY, in
+    EXACT arithmetic — the ab_monitor precedent applied to the third
+    streaming tracker. One row per distinct ``batch_ts_col`` value
+    (the micro-batch analogue) with the cumulative row count and the
+    exact type-1 quantiles (smallest value whose cumulative count
+    reaches ceil(q·n)) of EVERYTHING seen through that batch.
+
+    The live tracker's snapshots are KLL-sketch-valued and KLL
+    compaction is randomized, so byte-parity is impossible by design;
+    the honest contract is split in two: THIS operator is the exact,
+    DuckDB-replayable trajectory (integer cents, integer rank targets
+    ceil(q·n) = (n·q_micro + 999999) div 1e6 — no float rank math),
+    and the pytest parity pins every live KLL snapshot within the
+    sketch's rank-error envelope of these exact rows.
+
+    Scale shape: ONE partial-aggregable groupBy collapses the stream
+    to (batch, value) counts; the snapshot fan-out joins that table to
+    the BOUNDED batch axis (calendar hours — k-row broadcast, the
+    ab_monitor argument); ranks ride a window PARTITIONED by snapshot
+    batch. Output: batch_ts, n, q<percent> columns (same naming as the
+    live snapshots), values in natural units (cents/100).
+    """
+    if not quantiles or not all(0 < q <= 1 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    names = [_quantile_col_name(q) for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile column names: {names}")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = (
+        df.select(F.col(batch_ts_col).cast("long").alias("h"), cents.alias("v"))
+        .groupBy("h", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the axis AND the fan-out
+    )
+    hours = base.select(F.col("h").alias("bts")).distinct()
+    dist = (
+        base.join(F.broadcast(hours), F.col("h") <= F.col("bts"))
+        .groupBy("bts", "v")
+        .agg(F.sum("c").cast("long").alias("n_v"))
+    )
+    w = Window.partitionBy("bts").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("n_v").over(w).cast("long"))
+    tot = dist.groupBy("bts").agg(F.sum("n_v").cast("long").alias("n"))
+    j = cum.join(tot, "bts")
+    picks = []
+    for q, name in zip(quantiles, names):
+        qm = int(round(q * 1_000_000))
+        tgt = F.expr(f"(n * {qm}L + 999999L) div 1000000L")
+        picks.append(
+            F.round(
+                F.min(F.when(F.col("cum") >= tgt, F.col("v"))).cast("double")
+                / 100.0,
+                6,
+            ).alias(name)
+        )
+    return (
+        j.groupBy("bts", "n")
+        .agg(*picks)
+        .select(F.col("bts").alias("batch_ts"), "n", *names)
+    )
+
+
+__all__ = [
+    "batch_kll",
+    "merge_kll",
+    "start_quantile_tracker",
+    "quantile_trajectory_batch",
+]

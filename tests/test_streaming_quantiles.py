@@ -109,3 +109,75 @@ def test_quantile_col_names_collision_safe(spark, tmp_path):
         quantiles.start_quantile_tracker(
             stream, "value", "s", "n", "c", quantiles=(0.5, 0.5)
         )
+
+
+def test_quantile_trajectory_parity_with_live_tracker(spark, tmp_path):
+    """The third streaming-parity contract (r11 verdict item 7): feed
+    the SAME rows to the live KLL tracker in batch order and to the
+    exact batch-replay trajectory — every live snapshot's quantile must
+    sit inside the sketch's rank-error envelope of the exact row, and
+    the exact rows themselves are the DuckDB-oracle-checked surface
+    (quantile_tracker_hourly_snapshots)."""
+    import pyspark.sql.functions as F
+
+    from redpanda_ais_demo_spark.streaming.quantiles import (
+        quantile_trajectory_batch,
+    )
+
+    # three "hours" of values with shifting distributions so the
+    # cumulative quantiles genuinely move between snapshots
+    rows = (
+        [(0, float(i)) for i in range(0, 2000)]
+        + [(3600, float(i)) for i in range(5000, 8000)]
+        + [(7200, float(i) / 10) for i in range(0, 4000)]
+    )
+    df = spark.createDataFrame(rows, "bh long, value double")
+
+    exact = {
+        r.batch_ts: r
+        for r in quantile_trajectory_batch(df, "bh", "value").collect()
+    }
+    assert set(exact) == {0, 3600, 7200}
+    # hand-check one row: hour 0 alone is 0..1999 uniform
+    assert exact[0].n == 2000 and exact[0].q50 == 999.0
+
+    # live tracker: one file per hour -> one micro-batch per hour
+    src = str(tmp_path / "src")
+    for h in (0, 3600, 7200):
+        df.filter(F.col("bh") == h).select("value").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = quantiles.start_quantile_tracker(
+        stream,
+        "value",
+        str(tmp_path / "state"),
+        str(tmp_path / "snaps"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    snaps = spark.read.parquet(
+        *[
+            os.path.join(str(tmp_path / "snaps"), d)
+            for d in os.listdir(str(tmp_path / "snaps"))
+            if d.startswith("__batch_id=")
+        ]
+    )
+    live = {r.batch_id: r for r in snaps.collect()}
+    assert len(live) == 3
+    hours = sorted(exact)
+    # file order == hour order (written sequentially), so batch id i
+    # corresponds to the cumulative state through hours[i]
+    for bid in sorted(live):
+        ex, lv = exact[hours[bid]], live[bid]
+        for name in ("q50", "q95", "q99"):
+            # KLL rank error ~1.7% at k=200; a 4%-rank slip moves the
+            # value by at most 4% of the cumulative value span here
+            # (distributions are near-uniform by construction)
+            tol = 0.04 * max(abs(ex.q99), 1.0)
+            assert abs(getattr(lv, name) - getattr(ex, name)) <= tol, (
+                bid, name, lv, ex,
+            )
