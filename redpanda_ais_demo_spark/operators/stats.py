@@ -4281,3 +4281,445 @@ def holm_adjust(
             ).alias("reject"),
         )
     )
+
+
+# --- round-12 additions: effect sizes, paired/nonparametric tests ----------
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association strength between two categorical columns
+    — the EFFECT SIZE companion to ``chi_squared_independence`` (the
+    test says "not independent"; V says HOW far from independent on a
+    0..1 scale, comparable across tables of different shapes):
+    V = sqrt((X²/n) / (min(r, c) − 1)).
+
+    Same cell mechanics as the chi² operator (one partial-aggregable
+    groupBy on the cell, marginals as PARTITIONED window sums over the
+    cell table, grand total as a broadcast scalar aggregate; absent
+    cells of the cross product contribute Σ_absent E = n − Σ_present E
+    analytically), with the same micro-unit quantization before the
+    exact BIGINT sum so both engines add identical integers.
+
+    Output: one row — n_rows, chi2, dof, r_levels, c_levels, v.
+    """
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("o"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    tot = cells.agg(F.sum("o").alias("n"))
+    m = (
+        cells.withColumn("rt", F.sum("o").over(wa))
+        .withColumn("ct", F.sum("o").over(wb))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (F.col("rt") * F.col("ct")) / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    agg = m.select(
+        F.round(term * 1e6).cast("long").alias("micro"),
+        F.round(e * 1e6).cast("long").alias("em"),
+        "a", "b", "n",
+    ).agg(
+        F.sum("micro").alias("present_micro"),
+        F.sum("em").alias("present_e_micro"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+        F.max("n").alias("n"),
+    )
+    chi2 = (
+        F.col("present_micro")
+        + F.col("n") * F.lit(1_000_000)
+        - F.col("present_e_micro")
+    ).cast("double") / 1e6
+    kmin = F.least(F.col("ka"), F.col("kb")) - 1
+    ok = (F.col("n") > 0) & (kmin > 0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(chi2, 6).alias("chi2"),
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+        F.col("ka").cast("long").alias("r_levels"),
+        F.col("kb").cast("long").alias("c_levels"),
+        F.round(
+            F.when(
+                ok,
+                F.sqrt(chi2 / F.col("n").cast("double") / kmin.cast("double")),
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+def cohens_d(
+    subjects: DataFrame,
+    group_col: str,
+    value_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Cohen's d standardized mean difference — the EFFECT SIZE beside
+    ``welch_ttest``'s significance readout (a z can be huge on a huge n
+    while the effect is trivially small; d is the gap in pooled-SD
+    units, the number a power analysis consumes). Pooled SD uses the
+    Bessel-corrected variance with n_c + n_t − 2 df; the Hedges-g
+    small-sample correction J = 1 − 3/(4·df − 1) is emitted beside it.
+
+    Exactness: ``value_col`` must be exact integer units (cents); the
+    five moments accumulate in ONE partial-aggregable pass (BIGINT /
+    DECIMAL(38,0)), and the d/g chain is fixed-order doubles from
+    identical integers — the registry's welch/ols discipline.
+
+    Output: one row — n_control, n_treatment, mean_control,
+    mean_treatment, pooled_sd, d, g.
+    """
+    two = subjects.filter(F.col(group_col).isin(control, treatment))
+    x = F.col(value_col).cast("long")
+    is_t = (F.col(group_col) == treatment).cast("long")
+    agg = two.agg(
+        F.sum(F.lit(1) - is_t).alias("nc"),
+        F.sum(is_t).alias("nt"),
+        F.sum(F.when(is_t == 0, x)).alias("sc"),
+        F.sum(F.when(is_t == 1, x)).alias("st"),
+        F.sum(F.when(is_t == 0, x.cast(_DEC) * x)).alias("qc"),
+        F.sum(F.when(is_t == 1, x.cast(_DEC) * x)).alias("qt"),
+    )
+    nc, nt = F.col("nc"), F.col("nt")
+    d_ = lambda c: c.cast(_DEC)  # noqa: E731
+    # Bessel numerators n·Σx² − (Σx)² as exact DECIMAL
+    ssc = d_(nc) * F.col("qc") - d_(F.col("sc")) * F.col("sc")
+    sst = d_(nt) * F.col("qt") - d_(F.col("st")) * F.col("st")
+    dof = nc + nt - 2
+    ok = (nc > 1) & (nt > 1)
+    # pooled variance = (SS_c/n_c + SS_t/n_t) / dof, each SS/n an exact
+    # fraction converted once to double (fixed order)
+    var_p = (
+        ssc.cast("double") / nc.cast("double")
+        + sst.cast("double") / nt.cast("double")
+    ) / dof.cast("double")
+    mc = F.col("sc").cast("double") / nc.cast("double")
+    mt = F.col("st").cast("double") / nt.cast("double")
+    sd = F.sqrt(var_p)
+    dval = F.when(ok & (var_p > 0), (mt - mc) / sd)
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * dof.cast("double") - F.lit(1.0))
+    return agg.select(
+        nc.cast("long").alias("n_control"),
+        nt.cast("long").alias("n_treatment"),
+        F.round(F.when(nc > 0, mc / 100.0), 6).alias("mean_control"),
+        F.round(F.when(nt > 0, mt / 100.0), 6).alias("mean_treatment"),
+        F.round(F.when(ok & (var_p > 0), sd / 100.0), 6).alias("pooled_sd"),
+        F.round(dval, 6).alias("d"),
+        F.round(F.when(dof > 0, dval * j), 6).alias("g"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes — did the same
+    subjects flip state between two conditions (converted before vs
+    after a change; the within-subject sibling of the two-proportion
+    z, which wrongly treats the arms as independent here). Only the
+    discordant cells carry information: b = 0→1 flips, c = 1→0 flips;
+    z = (b − c)/sqrt(b + c), two-sided p from the A&S erf chain, plus
+    the continuity-corrected statistic (|b−c|−1)²/(b+c) — the classic
+    small-sample form.
+
+    One partial-aggregable pass over exact BIGINT cell counts; the
+    z/p/chi2 chain is fixed-order doubles of identical integers.
+    Output: one row — n, n00, n01, n10, n11, z_score, p_value,
+    chi2_cc.
+    """
+    pre = F.col(pre_col).cast("long")
+    post = F.col(post_col).cast("long")
+    cell = lambda a, b: F.sum(  # noqa: E731
+        ((pre == a) & (post == b)).cast("long")
+    )
+    agg = df.agg(
+        cell(0, 0).alias("n00"),
+        cell(0, 1).alias("n01"),
+        cell(1, 0).alias("n10"),
+        cell(1, 1).alias("n11"),
+    )
+    b, c = F.col("n01"), F.col("n10")
+    disc = b + c
+    ok = disc > 0
+    z = (b - c).cast("double") / F.sqrt(disc.cast("double"))
+    p = F.lit(1.0) - _erf_as(F.abs(z) / F.lit(2.0**0.5))
+    cc = F.abs(b - c).cast("double") - F.lit(1.0)
+    chi2_cc = F.when(
+        F.abs(b - c) > 0, cc * cc / disc.cast("double")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        (F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11"))
+        .cast("long")
+        .alias("n"),
+        F.col("n00").cast("long").alias("n00"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n11").cast("long").alias("n11"),
+        F.round(F.when(ok, z), 6).alias("z_score"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+        F.round(F.when(ok, chi2_cc), 6).alias("chi2_cc"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    pre_col: str,
+    post_col: str,
+    bounded_values: bool = False,
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED measurements — the
+    within-subject sibling of ``mann_whitney_u`` (that one compares
+    two independent groups; this one asks whether the same subjects
+    moved between two conditions, with no normality assumption): rank
+    the nonzero |post − pre| differences (midranks on ties, zeros
+    dropped per Wilcoxon), W+ = Σ ranks of positive differences,
+    normal approximation with the standard tie correction
+    Σ(t³ − t)/48 and zero-mean μ = n(n+1)/4.
+
+    Contract: ``pre_col``/``post_col`` must be exact integer units
+    (cents) — the mann_whitney discipline. Midranks never materialize
+    per subject: the pair frame collapses to ONE ROW PER DISTINCT
+    |diff| with (n_pos, n_neg) counts; the exclusive prefix count
+    gives every tied run its doubled midrank 2·cum + cnt + 1, so the
+    doubled W+ and the tie term accumulate as exact DECIMAL(38,0).
+    ``bounded_values`` keeps the tiny single-partition window for
+    quantized domains; the default rides the distributed prefix
+    (operators/ordered.py) — structural bound.
+
+    Output: one row — n_pairs (nonzero), w_plus, z_score, p_value.
+    """
+    diff = (F.col(post_col).cast("long") - F.col(pre_col).cast("long"))
+    vals = (
+        df.select(diff.alias("d"))
+        .filter(F.col("d") != 0)
+        .groupBy(F.abs(F.col("d")).alias("v"))
+        .agg(
+            F.sum((F.col("d") > 0).cast("long")).alias("np"),
+            F.sum((F.col("d") < 0).cast("long")).alias("nn"),
+        )
+        .withColumn("cnt", F.col("np") + F.col("nn"))
+    )
+    if bounded_values:
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        ranked = vals.withColumn(
+            "cum", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+    else:
+        from .ordered import rank_cumsum
+
+        ranked = rank_cumsum(
+            vals, [F.col("v").asc()], rank_col=None,
+            cumsums={"__ci": F.col("cnt")},
+        ).withColumn("cum", F.col("__ci") - F.col("cnt"))
+    two_mid = F.lit(2) * F.col("cum") + F.col("cnt") + 1  # 2 x midrank
+    cnt_d = F.col("cnt").cast(_DEC)
+    agg = ranked.agg(
+        F.sum("np").alias("npos"),
+        F.sum("nn").alias("nneg"),
+        F.sum(F.col("np").cast(_DEC) * two_mid).alias("w2p"),
+        F.sum(cnt_d * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("tie"),
+    )
+    n = F.col("npos") + F.col("nneg")
+    d_ = lambda c: c.cast(_DEC)  # noqa: E731
+    # 2·(W+ − μ) = w2p − n(n+1)/2 in doubled units (exact integers)
+    dev2 = (F.col("w2p") - d_(n) * (n + 1) / 2).cast("double")
+    # Var(W+) = n(n+1)(2n+1)/24 − Σ(t³−t)/48; doubled deviation needs 4·Var
+    var_w = (
+        (d_(n) * (n + 1) * (2 * n + 1)).cast("double") / 24.0
+        - F.col("tie").cast("double") / 48.0
+    )
+    ok = (n > 0) & (var_w > 0)
+    z = dev2 / (2 * F.sqrt(var_w))
+    p = F.lit(1.0) - _erf_as(F.abs(z) / F.lit(2.0**0.5))
+    return agg.select(
+        n.cast("long").alias("n_pairs"),
+        F.round((F.col("w2p") / 2).cast("double"), 6).alias("w_plus"),
+        F.round(F.when(ok, z), 6).alias("z_score"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )
+
+
+def runs_test_dense(
+    df: DataFrame,
+    idx_col: str,
+    sign_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of a binary sequence on
+    a DENSE integer index — are the +/− states clustered in time
+    (trend/regime) or alternating (overcorrection), against the null
+    of exchangeable order: R = observed runs, μ = 2·n1·n2/n + 1,
+    σ² = 2·n1·n2·(2·n1·n2 − n)/(n²(n−1)), z = (R − μ)/σ.
+
+    ``idx_col`` must be a DENSE integer sequence (day index, period
+    number): transitions are counted by an equi-JOIN on idx − 1 — the
+    ``period_over_period`` idiom — so the plan has no window at all
+    (structural bound by construction; a gap in the index raises
+    rather than silently bridging non-adjacent observations).
+
+    Output: one row — n_pos, n_neg, runs, z_score, p_value.
+    """
+    base = df.select(
+        F.col(idx_col).cast("long").alias("i"),
+        (F.col(sign_col).cast("long") > 0).cast("long").alias("s"),
+    ).localCheckpoint(eager=False)  # feeds counts, the join, and the gap audit
+    span = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("i").alias("nd"),
+        F.min("i").alias("lo"),
+        F.max("i").alias("hi"),
+    )
+    row = span.first()
+    n_rows = int(row["n"])
+    if n_rows == 0:
+        raise ValueError("runs_test_dense: empty input")
+    if int(row["nd"]) != n_rows or int(row["hi"]) - int(row["lo"]) + 1 != n_rows:
+        raise ValueError(
+            "runs_test_dense: idx_col must be a dense integer sequence "
+            "(one row per consecutive index) — gaps/duplicates would "
+            "silently bridge non-adjacent observations"
+        )
+    prev = base.select((F.col("i") + 1).alias("i"), F.col("s").alias("sp"))
+    trans = base.join(prev, "i", "left")
+    agg = trans.agg(
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        # a run starts at the first row (sp NULL) and at every flip
+        F.sum(
+            F.when(F.col("sp").isNull() | (F.col("s") != F.col("sp")), 1)
+            .otherwise(0)
+        ).alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    n = n1 + n2
+    two_nn = 2 * n1.cast("double") * n2.cast("double")
+    mu = two_nn / n.cast("double") + 1.0
+    var = (
+        two_nn
+        * (two_nn - n.cast("double"))
+        / (n.cast("double") * n.cast("double") * (n - 1).cast("double"))
+    )
+    ok = (n1 > 0) & (n2 > 0) & (n > 1) & (var > 0)
+    z = (r.cast("double") - mu) / F.sqrt(var)
+    p = F.lit(1.0) - _erf_as(F.abs(z) / F.lit(2.0**0.5))
+    return agg.select(
+        n1.cast("long").alias("n_pos"),
+        n2.cast("long").alias("n_neg"),
+        r.cast("long").alias("runs"),
+        F.round(F.when(ok, z), 6).alias("z_score"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for k related treatments over matched blocks
+    — the repeated-measures sibling of ``kruskal_wallis`` (that one
+    assumes independent groups; this one ranks WITHIN each block, so
+    block-level nuisance (heavy vs light users) cancels): with
+    midranks on ties, Q = (12 / (n·k·(k+1))) · Σ_j R_j² − 3·n·(k+1),
+    corrected for ties by C = 1 − Σ(t³−t)/(n·k·(k³−k)), Q_c = Q/C.
+
+    Only COMPLETE blocks (all k treatments present exactly once)
+    enter — the classical design; incomplete blocks are counted and
+    excluded. Ranks are per-block windows over k rows (PARTITIONED —
+    k is the bounded treatment vocabulary, never data-scale), and the
+    doubled-midrank trick keeps every accumulator an exact integer:
+    rank sums use 2·R_j, so Σ(2R_j)² and the tie term are exact
+    DECIMAL(38,0); the Q chain is one fixed-order double expression.
+
+    Output: one row — n_blocks, k_treatments, q_stat, q_corrected,
+    n_incomplete_blocks.
+    """
+    base = df.select(
+        F.col(block_col).alias("b"),
+        F.col(treatment_col).alias("t"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    k_df = base.agg(F.count_distinct("t").alias("k"))
+    per = base.groupBy("b", "t").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("x").alias("x")
+    )
+    sizes = per.groupBy("b").agg(
+        F.count(F.lit(1)).alias("kt"), F.max("c").alias("mx")
+    )
+    marked = (
+        per.join(sizes, "b")
+        .crossJoin(F.broadcast(k_df))
+        .withColumn("ok", (F.col("kt") == F.col("k")) & (F.col("mx") == 1))
+    )
+    complete = marked.filter(F.col("ok"))
+    # doubled midrank within block: 2·mid = 2·(#less) + (#equal) + 1,
+    # computed per block over its k rows via two PARTITIONED windows
+    wb = Window.partitionBy("b")
+    less = F.sum(F.lit(1)).over(
+        wb.orderBy(F.col("x").asc()).rangeBetween(Window.unboundedPreceding, -1)
+    )
+    eq = F.sum(F.lit(1)).over(
+        wb.orderBy(F.col("x").asc()).rangeBetween(0, 0)
+    )
+    r2 = complete.withColumn(
+        "r2",
+        (2 * F.coalesce(less, F.lit(0)) + eq + 1).cast("long"),
+    ).withColumn("teq", eq.cast("long"))
+    nb = complete.select("b").distinct().count()
+    # per-treatment doubled rank sums, then the exact Q numerator
+    sums = r2.groupBy("t").agg(F.sum(F.col("r2").cast(_DEC)).alias("r2sum"))
+    # tie term: per (block, distinct x) run of length t contributes
+    # t³ − t; each row in the run sees teq = t, so sum (teq² − 1) once
+    # per row / divided by nothing — Σ_runs (t³ − t) = Σ_rows (teq²−1)
+    ties = r2.agg(
+        F.sum(
+            F.col("teq").cast(_DEC) * F.col("teq") - 1
+        ).alias("tie")
+    )
+    agg = (
+        sums.agg(F.sum(F.col("r2sum") * F.col("r2sum")).alias("s2"))
+        .crossJoin(F.broadcast(k_df))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(
+            F.broadcast(
+                marked.filter(~F.col("ok"))
+                .select("b")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("bad"))
+            )
+        )
+    )
+    k = F.col("k")
+    nbl = F.lit(int(nb)).cast("long")
+    ok = (nbl > 0) & (k > 1)
+    # Q = 12/(n k (k+1)) · Σ R_j² − 3 n (k+1); with doubled sums
+    # Σ(2R)² = 4 Σ R², so divide by 4 in the double chain
+    q = (
+        F.lit(3.0)
+        * F.col("s2").cast("double")
+        / (
+            nbl.cast("double")
+            * k.cast("double")
+            * (k + 1).cast("double")
+        )
+        - F.lit(3.0) * nbl.cast("double") * (k + 1).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie").cast("double") / (
+        nbl.cast("double") * (k.cast("double") * k.cast("double") * k.cast("double") - k.cast("double"))
+    )
+    return agg.select(
+        nbl.alias("n_blocks"),
+        k.cast("long").alias("k_treatments"),
+        F.round(F.when(ok, q), 6).alias("q_stat"),
+        F.round(F.when(ok & (corr > 0), q / corr), 6).alias("q_corrected"),
+        F.col("bad").cast("long").alias("n_incomplete_blocks"),
+    )

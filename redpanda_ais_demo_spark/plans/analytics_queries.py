@@ -8819,3 +8819,442 @@ def median_ci_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("r") == F.col("lo_r"), F.col("v"))).alias("ci_lo"),
         F.max(F.when(F.col("r") == F.col("hi_r"), F.col("v"))).alias("ci_hi"),
     )
+
+
+# --- round-12 batch: effect sizes + paired/nonparametric tests --------------
+
+
+@query(
+    "cramers_v_type_vs_daypart",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type AS a,
+                   CAST(hour(ts) // 6 AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events GROUP BY a, b
+        ),
+        m AS (
+            SELECT *,
+                   CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS rt,
+                   CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS ct,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM cells
+        ),
+        terms AS (
+            SELECT a, b, n,
+                   CAST(round((o - (rt * ct) / n) * (o - (rt * ct) / n)
+                              / ((rt * ct) / n) * 1000000) AS BIGINT) AS micro,
+                   CAST(round((rt * ct) / n * 1000000) AS BIGINT) AS em
+            FROM m
+        ),
+        agg AS (
+            SELECT CAST(max(n) AS BIGINT) AS n_rows,
+                   (CAST(SUM(micro) AS BIGINT)
+                    + max(n) * 1000000 - CAST(SUM(em) AS BIGINT)) / 1000000.0 AS chi2,
+                   CAST(count(DISTINCT a) AS BIGINT) AS ka,
+                   CAST(count(DISTINCT b) AS BIGINT) AS kb
+            FROM terms
+        )
+        SELECT n_rows, round(chi2, 6) AS chi2,
+               CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+               ka AS r_levels, kb AS c_levels,
+               CASE WHEN n_rows > 0 AND least(ka, kb) > 1
+                    THEN round(sqrt(chi2 / CAST(n_rows AS DOUBLE)
+                               / CAST(least(ka, kb) - 1 AS DOUBLE)), 6)
+               END AS v
+        FROM agg
+    """,
+    tags=("analytics", "statistics", "agg", "eval"),
+    doc="Cramér's V association strength between event type and 6-hour "
+    "day-part — the 0..1 EFFECT SIZE beside chi2_type_vs_daypart's "
+    "significance readout (same cell mechanics: one groupBy to cell "
+    "counts, partitioned-window marginals, absent cells analytic, "
+    "micro-quantized exact sums), normalized by min(r,c)-1 so tables "
+    "of different shapes compare (operators/stats.py:cramers_v).",
+)
+def cramers_v_type_vs_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cramers_v
+
+    events = load_table(spark, sf_dir, "events")
+    typed = events.select(
+        "event_type", (F.hour(F.col("ts")) / 6).cast("long").alias("daypart")
+    )
+    return cramers_v(typed, "event_type", "daypart")
+
+
+@query(
+    "cohens_d_purchase_by_variant",
+    oracle="""
+        WITH subjects AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS cents
+            FROM events GROUP BY user_id
+        ),
+        wide AS (
+            SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                   CAST(SUM(CASE WHEN variant = 'A' THEN cents ELSE 0 END) AS BIGINT) AS sc,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN cents ELSE 0 END) AS BIGINT) AS st,
+                   SUM(CASE WHEN variant = 'A' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS qc,
+                   SUM(CASE WHEN variant = 'B' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS qt
+            FROM subjects
+        ),
+        stats AS (
+            SELECT nc, nt,
+                   CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
+                   CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+                   (CAST(CAST(nc AS HUGEINT) * qc - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                        / CAST(nc AS DOUBLE)
+                    + CAST(CAST(nt AS HUGEINT) * qt - CAST(st AS HUGEINT) * st AS DOUBLE)
+                        / CAST(nt AS DOUBLE))
+                   / CAST(nc + nt - 2 AS DOUBLE) AS var_p
+            FROM wide
+        )
+        SELECT nc AS n_control, nt AS n_treatment,
+               CASE WHEN nc > 0 THEN round(mc / 100.0, 6) END AS mean_control,
+               CASE WHEN nt > 0 THEN round(mt / 100.0, 6) END AS mean_treatment,
+               CASE WHEN nc > 1 AND nt > 1 AND var_p > 0
+                    THEN round(sqrt(var_p) / 100.0, 6) END AS pooled_sd,
+               CASE WHEN nc > 1 AND nt > 1 AND var_p > 0
+                    THEN round((mt - mc) / sqrt(var_p), 6) END AS d,
+               CASE WHEN nc > 1 AND nt > 1 AND var_p > 0 AND nc + nt > 2
+                    THEN round((mt - mc) / sqrt(var_p)
+                               * (1.0 - 3.0 / (4.0 * CAST(nc + nt - 2 AS DOUBLE) - 1.0)), 6)
+               END AS g
+        FROM stats
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg", "eval"),
+    doc="Cohen's d / Hedges' g standardized effect size on per-user "
+    "purchase revenue between the welch query's hash-assigned variants "
+    "— the magnitude readout a significance test can't give (a z can "
+    "be huge on a huge n while the effect is trivial; d is the gap in "
+    "pooled-SD units, the input to any power analysis). One "
+    "partial-aggregable pass of exact BIGINT/HUGEINT moments, fixed "
+    "double chain (operators/stats.py:cohens_d).",
+)
+def cohens_d_purchase_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import cohens_d
+
+    events = load_table(spark, sf_dir, "events")
+    subjects = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("cents")
+    ).select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "cents",
+    )
+    return cohens_d(subjects, "variant", "cents", "A", "B")
+
+
+@query(
+    "mcnemar_purchase_halves",
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   (event_type = 'purchase') AS is_p
+            FROM events),
+        lo AS (SELECT min(day) AS lo FROM d),
+        pairs AS (
+            SELECT user_id,
+                   CAST(max(CASE WHEN is_p AND day <  lo + 15 THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(max(CASE WHEN is_p AND day >= lo + 15 THEN 1 ELSE 0 END) AS BIGINT) AS post
+            FROM d, lo GROUP BY user_id),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+                   CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+            FROM pairs),
+        z AS (
+            SELECT *,
+                   CASE WHEN n01 + n10 > 0 THEN
+                       CAST(n01 - n10 AS DOUBLE) / sqrt(CAST(n01 + n10 AS DOUBLE))
+                   END AS zval
+            FROM agg)
+        SELECT n00 + n01 + n10 + n11 AS n, n00, n01, n10, n11,
+               round(zval, 6) + 0.0 AS z_score,
+               CASE WHEN zval IS NOT NULL THEN round(
+                   1.0 - (1.0 - ((((( 1.061405429
+                       * (1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0)))) - 1.453152027)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0)))) + 1.421413741)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0)))) - 0.284496736)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0)))) + 0.254829592)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(zval) / sqrt(2.0)))))
+                       * exp(-(abs(zval) / sqrt(2.0)) * (abs(zval) / sqrt(2.0)))), 6)
+               END AS p_value,
+               CASE WHEN n01 + n10 > 0 THEN round(
+                   CASE WHEN abs(n01 - n10) > 0
+                        THEN (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+                             * (CAST(abs(n01 - n10) AS DOUBLE) - 1.0)
+                             / CAST(n01 + n10 AS DOUBLE)
+                        ELSE 0.0 END, 6)
+               END AS chi2_cc
+        FROM z
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="McNemar's paired-binary test: did the SAME users flip "
+    "purchase state between the first and second half of the window "
+    "(relative day split, so time-shifted replicas stay aligned) — "
+    "the within-subject readout the two-proportion z gets wrong by "
+    "treating halves as independent samples. Only discordant flips "
+    "carry signal; exact BIGINT cells, A&S erf p, continuity-corrected "
+    "chi2 beside the z (operators/stats.py:mcnemar_test).",
+)
+def mcnemar_purchase_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mcnemar_test
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    d = events.select(
+        "user_id", day.alias("day"), (F.col("event_type") == "purchase").alias("is_p")
+    )
+    lo = d.agg(F.min("day").alias("lo"))
+    pairs = (
+        d.crossJoin(F.broadcast(lo))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("is_p") & (F.col("day") < F.col("lo") + 15)).cast("long")
+            ).alias("pre"),
+            F.max(
+                (F.col("is_p") & (F.col("day") >= F.col("lo") + 15)).cast("long")
+            ).alias("post"),
+        )
+    )
+    return mcnemar_test(pairs, "pre", "post")
+
+
+@query(
+    "wilcoxon_signed_spend_halves",
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+            FROM events),
+        lo AS (SELECT min(day) AS lo FROM d),
+        pairs AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN day <  lo + 15 THEN cents ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(SUM(CASE WHEN day >= lo + 15 THEN cents ELSE 0 END) AS BIGINT) AS post
+            FROM d, lo GROUP BY user_id),
+        diffs AS (SELECT post - pre AS dd FROM pairs WHERE post - pre <> 0),
+        vals AS (
+            SELECT abs(dd) AS v,
+                   CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM diffs GROUP BY 1),
+        ranked AS (
+            SELECT *,
+                   CAST(coalesce(SUM(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+            FROM vals),
+        agg AS (
+            SELECT CAST(SUM(np) AS BIGINT) AS npos,
+                   CAST(SUM(nn) AS BIGINT) AS nneg,
+                   SUM(CAST(np AS HUGEINT) * (2 * cum + cnt + 1)) AS w2p,
+                   SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie
+            FROM ranked),
+        st AS (
+            SELECT npos + nneg AS n,
+                   CAST(w2p - CAST(npos + nneg AS HUGEINT)
+                            * (npos + nneg + 1) / 2 AS DOUBLE) AS dev2,
+                   CAST(CAST(npos + nneg AS HUGEINT) * (npos + nneg + 1)
+                        * (2 * (npos + nneg) + 1) AS DOUBLE) / 24.0
+                   - CAST(tie AS DOUBLE) / 48.0 AS var_w,
+                   CAST(w2p AS DOUBLE) / 2 AS w_plus
+            FROM agg)
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               round(w_plus, 6) AS w_plus,
+               CASE WHEN n > 0 AND var_w > 0
+                    THEN round(dev2 / (2 * sqrt(var_w)), 6) END AS z_score,
+               CASE WHEN n > 0 AND var_w > 0 THEN round(
+                   1.0 - (1.0 - ((((( 1.061405429
+                       * (1.0 / (1.0 + 0.3275911 * (abs(dev2 / (2 * sqrt(var_w))) / sqrt(2.0)))) - 1.453152027)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(dev2 / (2 * sqrt(var_w))) / sqrt(2.0)))) + 1.421413741)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(dev2 / (2 * sqrt(var_w))) / sqrt(2.0)))) - 0.284496736)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(dev2 / (2 * sqrt(var_w))) / sqrt(2.0)))) + 0.254829592)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(dev2 / (2 * sqrt(var_w))) / sqrt(2.0)))))
+                       * exp(-(abs(dev2 / (2 * sqrt(var_w))) / sqrt(2.0))
+                             * (abs(dev2 / (2 * sqrt(var_w))) / sqrt(2.0)))), 6)
+               END AS p_value
+        FROM st
+    """,
+    tags=("analytics", "experimentation", "statistics", "window", "scale-path"),
+    doc="Wilcoxon signed-rank test on per-user purchase spend, first "
+    "half vs second half of the window — the PAIRED nonparametric "
+    "sibling of mann_whitney (block-level user skew cancels within "
+    "the pair). Zeros dropped per Wilcoxon; midranks of distinct "
+    "|diff| via the distributed prefix (structural bound); doubled "
+    "rank sums and the tie correction as exact DECIMAL; one double "
+    "chain for z and the A&S erf p "
+    "(operators/stats.py:wilcoxon_signed_rank).",
+)
+def wilcoxon_signed_spend_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import wilcoxon_signed_rank
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    d = events.select("user_id", day.alias("day"), cents.alias("cents"))
+    lo = d.agg(F.min("day").alias("lo"))
+    pairs = (
+        d.crossJoin(F.broadcast(lo))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("lo") + 15, F.col("cents")).otherwise(0)
+            ).alias("pre"),
+            F.sum(
+                F.when(F.col("day") >= F.col("lo") + 15, F.col("cents")).otherwise(0)
+            ).alias("post"),
+        )
+    )
+    return wilcoxon_signed_rank(pairs, "pre", "post")
+
+
+@query(
+    "runs_test_daily_value",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS i,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS dtot
+            FROM events GROUP BY 1),
+        tot AS (SELECT CAST(SUM(dtot) AS BIGINT) AS gtot,
+                       CAST(count(*) AS BIGINT) AS nd FROM days),
+        s AS (SELECT i, CASE WHEN dtot * nd > gtot THEN 1 ELSE 0 END AS sgn
+              FROM days, tot),
+        trans AS (
+            SELECT a.sgn AS sv, b.sgn AS sp
+            FROM s a LEFT JOIN s b ON a.i = b.i + 1),
+        agg AS (
+            SELECT CAST(SUM(sv) AS BIGINT) AS n1,
+                   CAST(SUM(1 - sv) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN sp IS NULL OR sv <> sp THEN 1 ELSE 0 END) AS BIGINT) AS r
+            FROM trans),
+        st AS (
+            SELECT n1, n2, r, n1 + n2 AS n,
+                   2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE) + 1.0 AS mu,
+                   (2.0 * n1 * n2) * (2.0 * n1 * n2 - CAST(n1 + n2 AS DOUBLE))
+                   / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                      * CAST(n1 + n2 - 1 AS DOUBLE)) AS var
+            FROM agg)
+        SELECT n1 AS n_pos, n2 AS n_neg, r AS runs,
+               CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND var > 0
+                    THEN round((CAST(r AS DOUBLE) - mu) / sqrt(var), 6) END AS z_score,
+               CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 AND var > 0 THEN round(
+                   1.0 - (1.0 - ((((( 1.061405429
+                       * (1.0 / (1.0 + 0.3275911 * (abs((CAST(r AS DOUBLE) - mu) / sqrt(var)) / sqrt(2.0)))) - 1.453152027)
+                       * (1.0 / (1.0 + 0.3275911 * (abs((CAST(r AS DOUBLE) - mu) / sqrt(var)) / sqrt(2.0)))) + 1.421413741)
+                       * (1.0 / (1.0 + 0.3275911 * (abs((CAST(r AS DOUBLE) - mu) / sqrt(var)) / sqrt(2.0)))) - 0.284496736)
+                       * (1.0 / (1.0 + 0.3275911 * (abs((CAST(r AS DOUBLE) - mu) / sqrt(var)) / sqrt(2.0)))) + 0.254829592)
+                       * (1.0 / (1.0 + 0.3275911 * (abs((CAST(r AS DOUBLE) - mu) / sqrt(var)) / sqrt(2.0)))))
+                       * exp(-(abs((CAST(r AS DOUBLE) - mu) / sqrt(var)) / sqrt(2.0))
+                             * (abs((CAST(r AS DOUBLE) - mu) / sqrt(var)) / sqrt(2.0)))), 6)
+               END AS p_value
+        FROM st
+    """,
+    tags=("analytics", "statistics", "timeseries", "agg"),
+    doc="Wald-Wolfowitz runs test on the sign of daily revenue vs the "
+    "period mean (dtot*n > gtot in exact integers — no division): are "
+    "above-average days CLUSTERED (trend/regime) or alternating, "
+    "against exchangeable order. Transitions counted by an equi-join "
+    "on the dense day index (the period_over_period idiom) — NO window "
+    "anywhere in the plan; a day gap raises instead of silently "
+    "bridging (operators/stats.py:runs_test_dense).",
+)
+def runs_test_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import runs_test_dense
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    days = events.select(day.alias("i"), cents.alias("c")).groupBy("i").agg(
+        F.sum("c").alias("dtot")
+    )
+    tot = days.agg(
+        F.sum("dtot").alias("gtot"), F.count(F.lit(1)).alias("nd")
+    )
+    s = days.crossJoin(F.broadcast(tot)).select(
+        "i",
+        (F.col("dtot") * F.col("nd") > F.col("gtot")).cast("long").alias("sgn"),
+    )
+    return runs_test_dense(s, "i", "sgn")
+
+
+@query(
+    "friedman_value_by_type_blocks",
+    oracle="""
+        WITH per AS (
+            SELECT user_id AS b, event_type AS t,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM per),
+        sizes AS (SELECT b, CAST(count(*) AS BIGINT) AS kt FROM per GROUP BY b),
+        complete AS (
+            SELECT per.* FROM per JOIN sizes USING (b), kk
+            WHERE sizes.kt = kk.k),
+        nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM complete),
+        bad AS (
+            SELECT CAST(count(*) AS BIGINT) AS bad FROM sizes, kk
+            WHERE sizes.kt <> kk.k),
+        r2 AS (
+            SELECT t,
+                   CAST(2 * (rank() OVER (PARTITION BY b ORDER BY x) - 1)
+                        + count(*) OVER (PARTITION BY b, x) + 1 AS BIGINT) AS r2,
+                   CAST(count(*) OVER (PARTITION BY b, x) AS BIGINT) AS teq
+            FROM complete),
+        sums AS (SELECT t, SUM(CAST(r2 AS HUGEINT)) AS r2sum FROM r2 GROUP BY t),
+        s2t AS (SELECT SUM(r2sum * r2sum) AS s2 FROM sums),
+        ties AS (SELECT SUM(CAST(teq AS HUGEINT) * teq - 1) AS tie FROM r2),
+        st AS (
+            SELECT n, k, bad,
+                   3.0 * CAST(s2 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+                   - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE) AS q,
+                   1.0 - CAST(tie AS DOUBLE)
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                             - CAST(k AS DOUBLE))) AS corr
+            FROM s2t, ties, nb, kk, bad)
+        SELECT n AS n_blocks, k AS k_treatments,
+               CASE WHEN n > 0 AND k > 1 THEN round(q, 6) END AS q_stat,
+               CASE WHEN n > 0 AND k > 1 AND corr > 0
+                    THEN round(q / corr, 6) END AS q_corrected,
+               bad AS n_incomplete_blocks
+        FROM st
+    """,
+    tags=("analytics", "statistics", "experimentation", "window"),
+    doc="Friedman rank test of per-user spend across the k event types "
+    "— the repeated-measures sibling of kruskal_wallis: ranks WITHIN "
+    "each user block (midranks on ties), so user-level spend skew "
+    "cancels; only complete blocks (all k types) enter, incomplete "
+    "ones counted. Doubled midranks keep rank sums and the tie "
+    "correction exact DECIMAL; block windows are PARTITIONED over k "
+    "bounded-vocabulary rows (operators/stats.py:friedman_test).",
+)
+def friedman_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import friedman_test
+
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return friedman_test(per, "user_id", "event_type", "cents")
