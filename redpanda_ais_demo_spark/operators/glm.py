@@ -908,3 +908,161 @@ def ipw_balance(
         smd("sxt", "sxxt", "nt", "sxc", "sxxc", "nc").alias("smd_before"),
         smd("swxt", "swxxt", "swt", "swxc", "swxxc", "swc").alias("smd_after"),
     )
+
+
+def lasso_path_1d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lambdas: tuple[int, ...] = (0, 100, 10_000, 1_000_000),
+) -> DataFrame:
+    """Single-feature lasso regularization path in CLOSED FORM — the
+    sparsity member of the regression family (ridge shrinks, lasso
+    SELECTS: past a data-determined λ the slope is exactly zero, and
+    the path shows where): for the objective
+    (1/2n)·Σ(y − b0 − b1·x)² + λ·|b1| the solution is the
+    soft-threshold b1(λ) = sign(num)·max(0, |num| − λ·n²) / den with
+    num = n·Sxy − Sx·Sy and den = n·Sxx − Sx² (λ in the same
+    cents²-covariance units as |num|/n²; intercept re-fit exactly as
+    (Sy − b1·Sx)/n).
+
+    ONE partial-aggregable pass forms the five exact moments
+    (BIGINT / DECIMAL(38,0)); the path is a literal λ-array explode
+    over that 1-row frame — |λ| closed-form solves, no iteration, no
+    second scan. The shrink/select arithmetic stays on exact integers
+    until the single division per λ.
+
+    Output: one row per λ — lambda, n, b1, b0, is_zero.
+    """
+    if not lambdas:
+        raise ValueError("lambdas must be non-empty")
+    if any(int(v) < 0 for v in lambdas):
+        raise ValueError("lambdas must be >= 0")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast(_DEC) * x).alias("sxx"),
+        F.sum(x.cast(_DEC) * y).alias("sxy"),
+    )
+    lam_rows = None
+    for v in lambdas:
+        row = F.struct(F.lit(int(v)).alias("lam"))
+        lam_rows = F.array(row) if lam_rows is None else F.concat(lam_rows, F.array(row))
+    t = agg.select(
+        "*", F.explode(lam_rows).alias("l")
+    ).select("n", "sx", "sy", "sxx", "sxy", F.col("l.lam").alias("lam"))
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    num = d(F.col("n")) * F.col("sxy") - d(F.col("sx")) * F.col("sy")
+    den = d(F.col("n")) * F.col("sxx") - d(F.col("sx")) * F.col("sx")
+    thr = d(F.col("lam")) * F.col("n") * F.col("n")
+    shrunk = F.greatest(F.lit(0).cast(_DEC), F.abs(num) - thr)
+    signed = F.when(num < 0, -shrunk).otherwise(shrunk)
+    ok = den > 0
+    b1 = F.when(ok, signed.cast("double") / den.cast("double"))
+    b0 = F.when(
+        ok,
+        (F.col("sy").cast("double") - b1 * F.col("sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    return t.select(
+        F.col("lam").cast("long").alias("lambda"),
+        F.col("n"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b0, 6).alias("b0"),
+        F.when(ok, shrunk == F.lit(0).cast(_DEC)).alias("is_zero"),
+    )
+
+
+def huber_irls(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    delta: int,
+    iters: int = 6,
+) -> DataFrame:
+    """Huber M-estimator regression by IRLS — the ROBUST member of the
+    fitting family between OLS (kills nothing, so one whale user bends
+    the line) and RANSAC/Theil-Sen (kill outliers entirely): quadratic
+    loss inside ``delta``, linear beyond, fitted by iteratively
+    reweighted least squares with w = min(1, delta/|r|).
+
+    The registry's IRLS discipline (``logistic_irls``): x and y must be
+    integer units (cents); coefficients live as micro-unit integers;
+    per round the residual r = y·M − b0µ − b1µ·x is EXACT integer, the
+    weight w = M (inside) or (delta·M²) div |r| (outside) is exact
+    integer division spelled engine-portably, and ONE partial-agg pass
+    forms the five weighted moments in DECIMAL(38,0). The 2×2 weighted
+    normal equations solve on the driver (fixed-order doubles from
+    identical integers, half-away micro re-quantization), so the DuckDB
+    oracle unrolls the same trajectory as CTEs. Round 0 is the OLS fit
+    (all weights M) — the standard IRLS start.
+
+    Output: one row — n, n_downweighted (|r| > delta at the final fit),
+    b0, b1 (final coefficients in y-units per 1 / per x-unit, 6 dp).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if delta <= 0:
+        raise ValueError("delta must be a positive integer (y units)")
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).localCheckpoint(eager=False)  # iters+1 aggregation passes re-read it
+    d_ = lambda c: c.cast(_DEC)  # noqa: E731
+    dM2 = int(delta) * M * M
+    b0, b1 = 0, 0  # micro-unit integers
+    n_rows = None
+    for i in range(iters + 1):
+        if i == 0:
+            w = F.lit(M).cast("long")
+            cur = base
+        else:
+            r = (
+                F.col("y") * F.lit(M)
+                - F.lit(b0)
+                - F.lit(b1) * F.col("x")
+            )
+            # TRUE integer division (div), not the _idiv double trick:
+            # delta·M² = 2e16 exceeds 2^53, so a double quotient is off
+            # by one on some rows and the trajectories diverge
+            cur = base.withColumn("__au", F.abs(r))
+            w = F.when(
+                F.col("__au") <= F.lit(int(delta) * M), F.lit(M).cast("long")
+            ).otherwise(F.expr(f"{dM2}L div __au"))
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(w).alias("sw"),
+            F.sum(d_(w) * F.col("x")).alias("swx"),
+            F.sum(d_(w) * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(d_(w) * F.col("y")).alias("swy"),
+            F.sum(d_(w) * F.col("x") * F.col("y")).alias("swxy"),
+        ).first()
+        n_rows = int(row["n"])
+        a11 = float(int(row["sw"])) / M
+        a12 = float(int(row["swx"])) / M
+        a22 = float(int(row["swxx"])) / M
+        r1 = float(int(row["swy"])) / M
+        r2 = float(int(row["swxy"])) / M
+        det = a11 * a22 - a12 * a12
+        if det <= 0:
+            break  # degenerate design; keep the previous fit
+        nb0 = (r1 * a22 - r2 * a12) / det
+        nb1 = (r2 * a11 - r1 * a12) / det
+        b0 = _round_away(nb0 * M)
+        b1 = _round_away(nb1 * M)
+    r_fin = F.col("y") * F.lit(M) - F.lit(b0) - F.lit(b1) * F.col("x")
+    out = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.abs(r_fin) > F.lit(int(delta) * M)).cast("long")
+        ).alias("n_downweighted"),
+    )
+    return out.select(
+        "n",
+        "n_downweighted",
+        F.lit(_round6(b0 / M)).alias("b0"),
+        F.lit(_round6(b1 / M)).alias("b1"),
+    )

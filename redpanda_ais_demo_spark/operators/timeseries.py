@@ -2560,3 +2560,93 @@ def markov_absorption(
     return spark.createDataFrame(
         data, "state string, n_out long, p_convert double"
     )
+
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    idx_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method STL generalizes): value = trend + seasonal + residual over
+    a regular integer index — the readout that turns "weekly revenue
+    wiggles" into a trend line, a fixed weekly shape, and what's left
+    (the series anomaly detectors should actually watch).
+
+    ``period`` must be ODD (centered MA of width ``period``). The
+    whole plan is JOIN-based — no window anywhere: each bucket's
+    trend is the width-``period`` centered average, built by exploding
+    a literal offset array and re-grouping (a bucket with fewer than
+    ``period`` neighbors — series edges or index gaps — gets NULL
+    trend and drops from the seasonal fit, the classical edge
+    handling); the seasonal component is the truncating-division mean
+    of detrended values per phase (idx mod period), centered by the
+    7-row phase-mean table; residual = detrended − seasonal.
+
+    Exactness: values in integer cents; trend/seasonal/residual live
+    in exact micro-cent integers (trend = sum·1e6 div period; means by
+    truncating div — Spark ``div`` and DuckDB ``//`` both truncate
+    toward zero); the only doubles are the final /1e8 display
+    divisions (6 dp).
+
+    Scale shape: the data-sized pass is the one groupBy(idx); the
+    bucket table is calendar-bounded, the offset explode is
+    period-fold on buckets only, phase means are a ``period``-row
+    broadcast. Output: (idx, phase, value, trend, seasonal, residual).
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError("period must be an odd integer >= 3")
+    half = period // 2
+    buckets = (
+        df.select(
+            F.col(idx_col).cast("long").alias("i"),
+            F.col(value_col).cast("long").alias("c"),
+        )
+        .groupBy("i")
+        .agg(F.sum("c").alias("tot"))
+        .localCheckpoint(eager=False)  # feeds the MA fan-out AND the output
+    )
+    offs = F.array(*[F.lit(o) for o in range(-half, half + 1)])
+    ma = (
+        buckets.select(
+            F.explode(offs).alias("o"), F.col("i").alias("src"), "tot"
+        )
+        .select((F.col("src") + F.col("o")).alias("i"), "tot")
+        .groupBy("i")
+        .agg(F.sum("tot").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == period)
+        .select(
+            "i",
+            F.expr(f"(s * 1000000L) div {period}L").alias("trend_micro"),
+        )
+    )
+    dt = (
+        buckets.join(ma, "i")
+        .withColumn("det", F.col("tot") * F.lit(1_000_000) - F.col("trend_micro"))
+        .withColumn("ph", F.pmod(F.col("i"), F.lit(period)).cast("long"))
+        .localCheckpoint(eager=False)  # feeds the phase fit AND the output
+    )
+    phase = dt.groupBy("ph").agg(
+        F.expr("sum(det) div count(1)").alias("ph_raw")
+    )
+    center = phase.agg(
+        F.expr(f"sum(ph_raw) div {period}L").alias("mid"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    seas = (
+        phase.crossJoin(F.broadcast(center))
+        .select("ph", (F.col("ph_raw") - F.col("mid")).alias("seas_micro"))
+    )
+    out = dt.join(F.broadcast(seas), "ph")
+    u = 1e8  # micro-cents -> natural currency units
+    return out.select(
+        F.col("i").alias("idx"),
+        F.col("ph").alias("phase"),
+        F.round(F.col("tot").cast("double") / 100.0, 6).alias("value"),
+        F.round(F.col("trend_micro").cast("double") / u, 6).alias("trend"),
+        F.round(F.col("seas_micro").cast("double") / u, 6).alias("seasonal"),
+        F.round(
+            (F.col("det") - F.col("seas_micro")).cast("double") / u, 6
+        ).alias("residual"),
+    )

@@ -9258,3 +9258,57 @@ def friedman_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
     return friedman_test(per, "user_id", "event_type", "cents")
+
+
+@query(
+    "seasonal_decompose_daily_value",
+    oracle="""
+        WITH buckets AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS i,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+            FROM events GROUP BY 1),
+        ma AS (
+            SELECT b.i + o AS i,
+                   CAST(SUM(b.tot) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM buckets b, unnest([-3, -2, -1, 0, 1, 2, 3]) AS t(o)
+            GROUP BY b.i + o
+            HAVING count(*) = 7),
+        trend AS (SELECT i, (s * 1000000) // 7 AS trend_micro FROM ma),
+        dt AS (
+            SELECT b.i, b.tot,
+                   b.tot * 1000000 - t.trend_micro AS det,
+                   t.trend_micro,
+                   ((b.i % 7) + 7) % 7 AS ph
+            FROM buckets b JOIN trend t USING (i)),
+        phase AS (
+            SELECT ph, CAST(SUM(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS ph_raw
+            FROM dt GROUP BY ph),
+        center AS (SELECT CAST(SUM(ph_raw) AS BIGINT) // 7 AS mid FROM phase),
+        seas AS (SELECT ph, ph_raw - mid AS seas_micro FROM phase, center)
+        SELECT dt.i AS idx, dt.ph AS phase,
+               round(CAST(dt.tot AS DOUBLE) / 100.0, 6) AS value,
+               round(CAST(dt.trend_micro AS DOUBLE) / 100000000.0, 6) AS trend,
+               round(CAST(s.seas_micro AS DOUBLE) / 100000000.0, 6) AS seasonal,
+               round(CAST(dt.det - s.seas_micro AS DOUBLE) / 100000000.0, 6) AS residual
+        FROM dt JOIN seas s USING (ph)
+    """,
+    tags=("analytics", "timeseries", "agg", "join"),
+    doc="Classical additive seasonal decomposition of daily revenue "
+    "with weekly period: trend = centered 7-day moving average built "
+    "by a literal offset explode + regroup (NO window in the plan; "
+    "edge days with fewer than 7 neighbors drop, the classical "
+    "handling), seasonal = centered truncating-div phase means over "
+    "the 7-row dow table, residual = the series anomaly detectors "
+    "should actually watch. Exact micro-cent integers end to end; the "
+    "only doubles are the display divisions "
+    "(operators/timeseries.py:seasonal_decompose_additive).",
+)
+def seasonal_decompose_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import seasonal_decompose_additive
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = events.select(day.alias("d"), cents.alias("c"))
+    return seasonal_decompose_additive(d, "d", "c", period=7)

@@ -2286,3 +2286,181 @@ def brier_en_vs_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("brier"),
         F.round(rate * (F.lit(1.0) - rate), 6).alias("brier_baseline"),
     )
+
+
+@query(
+    "lasso_path_value_on_activity",
+    oracle="""
+        WITH subj AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY user_id),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM subj),
+        t AS (
+            SELECT mom.*, lam
+            FROM mom, unnest([0, 10000, 1000000, 100000000]) AS l(lam)),
+        s AS (
+            SELECT lam, n,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+                   greatest(CAST(0 AS HUGEINT),
+                            abs(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                            - CAST(lam AS HUGEINT) * n * n) AS shrunk,
+                   sx, sy
+            FROM t)
+        SELECT CAST(lam AS BIGINT) AS lambda, n,
+               CASE WHEN den > 0 THEN round(
+                   CAST(CASE WHEN num < 0 THEN -shrunk ELSE shrunk END AS DOUBLE)
+                   / CAST(den AS DOUBLE), 6) END AS b1,
+               CASE WHEN den > 0 THEN round(
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(CASE WHEN num < 0 THEN -shrunk ELSE shrunk END AS DOUBLE)
+                       / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 6) END AS b0,
+               CASE WHEN den > 0 THEN shrunk = 0 END AS is_zero
+        FROM s
+    """,
+    tags=("ml", "statistics", "agg", "glm"),
+    doc="Single-feature lasso regularization path (closed-form "
+    "soft-threshold) for per-user total value on activity count — the "
+    "SPARSITY member beside ridge_cv's shrinkage: past a "
+    "data-determined lambda the slope is EXACTLY zero and is_zero says "
+    "where selection kicks in. One partial-agg pass of exact "
+    "BIGINT/DECIMAL moments, then |lambda| closed-form solves via a "
+    "literal-array explode — no iteration, no second scan "
+    "(operators/glm.py:lasso_path_1d).",
+)
+def lasso_path_value_on_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import lasso_path_1d
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    return lasso_path_1d(
+        subj, "x", "y", lambdas=(0, 10_000, 1_000_000, 100_000_000)
+    )
+
+
+_HUBER_BASE = """SELECT CAST(count(*) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id"""
+
+
+def _huber_oracle(delta: int, iters: int) -> str:
+    """Unrolled replay of operators/glm.py:huber_irls — round 0 is the
+    OLS solve (all weights M), rounds 1..iters reweight with
+    w = M inside |r| <= delta·M else (delta·M²) div |r|; each solve
+    REPLACES the micro coefficients (half-away rounding), and a `dead`
+    flag mirrors the Python break on a degenerate det."""
+    M = 1_000_000
+    dM2 = delta * M * M
+    solve = """
+            SELECT CASE WHEN dead = 1 OR det <= 0 THEN pb0
+                        ELSE round(((r1 * a22 - r2 * a12) / det) * 1000000.0)
+                   END AS b0,
+                   CASE WHEN dead = 1 OR det <= 0 THEN pb1
+                        ELSE round(((r2 * a11 - r1 * a12) / det) * 1000000.0)
+                   END AS b1,
+                   CASE WHEN dead = 1 OR det <= 0 THEN 1 ELSE 0 END AS dead
+            FROM (
+                SELECT pb0, pb1, dead, a11, a12, a22, r1, r2,
+                       a11 * a22 - a12 * a12 AS det
+                FROM (
+                    SELECT c.b0 AS pb0, c.b1 AS pb1, c.dead AS dead,
+                           CAST(sw AS DOUBLE) / 1000000 AS a11,
+                           CAST(swx AS DOUBLE) / 1000000 AS a12,
+                           CAST(swxx AS DOUBLE) / 1000000 AS a22,
+                           CAST(swy AS DOUBLE) / 1000000 AS r1,
+                           CAST(swxy AS DOUBLE) / 1000000 AS r2
+                    FROM {s}, {c} c
+                )
+            )"""
+    parts = [
+        f"""WITH d AS ({_HUBER_BASE}),
+        c0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+                      0 AS dead),
+        s0 AS (
+            SELECT CAST(sum(1000000) AS BIGINT) AS sw,
+                   SUM(CAST(1000000 AS HUGEINT) * x) AS swx,
+                   SUM(CAST(1000000 AS HUGEINT) * x * x) AS swxx,
+                   SUM(CAST(1000000 AS HUGEINT) * y) AS swy,
+                   SUM(CAST(1000000 AS HUGEINT) * x * y) AS swxy
+            FROM d),
+        c1 AS ({solve.format(s="s0", c="c0")})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", s{i} AS (
+            SELECT CAST(sum(w) AS BIGINT) AS sw,
+                   SUM(CAST(w AS HUGEINT) * x) AS swx,
+                   SUM(CAST(w AS HUGEINT) * x * x) AS swxx,
+                   SUM(CAST(w AS HUGEINT) * y) AS swy,
+                   SUM(CAST(w AS HUGEINT) * x * y) AS swxy
+            FROM (
+                SELECT x, y,
+                       CASE WHEN au <= {delta * M} THEN CAST(1000000 AS BIGINT)
+                            ELSE CAST({dM2} // au AS BIGINT)
+                       END AS w
+                FROM (
+                    SELECT x, y, abs(y * 1000000 - CAST(b0 AS BIGINT) - CAST(b1 AS BIGINT) * x) AS au
+                    FROM d, c{i}
+                )
+            )
+        ),
+        c{i + 1} AS ({solve.format(s=f"s{i}", c=f"c{i}")})"""
+        )
+    parts.append(
+        f""", fin AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN abs(y * 1000000 - CAST(b0 AS BIGINT) - CAST(b1 AS BIGINT) * x)
+                                      > {delta * M} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_downweighted
+            FROM d, c{iters + 1}
+        )
+        SELECT n, n_downweighted,
+               round(b0 / 1000000.0, 6) AS b0, round(b1 / 1000000.0, 6) AS b1
+        FROM fin, c{iters + 1}
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "huber_purchase_on_activity",
+    oracle=_huber_oracle(20_000, 6),
+    tags=("ml", "statistics", "agg", "glm", "anomaly"),
+    doc="Huber M-estimator regression of per-user purchase cents on "
+    "activity count (delta = 20000 cents) — the ROBUST fit between OLS "
+    "(a whale bends the line) and RANSAC (outliers killed outright): "
+    "quadratic loss inside delta, linear beyond, by 6 IRLS rounds + an "
+    "OLS start. Each round is ONE partial-agg pass of exact "
+    "DECIMAL(38,0) weighted moments with the integer weight "
+    "min(M, delta*M^2 div |r|); the driver's 2x2 solve re-quantizes to "
+    "micro coefficients, so the oracle unrolls the identical "
+    "trajectory (operators/glm.py:huber_irls).",
+)
+def huber_purchase_on_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.glm import huber_irls
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    return huber_irls(subj, "x", "y", delta=20_000, iters=6)

@@ -130,3 +130,62 @@ def test_friedman_hand_computed(spark):
     ).first()
     assert r2.n_blocks == 3 and r2.n_incomplete_blocks == 1
     assert abs(r2.q_stat - 6.0) < 1e-6
+
+
+def test_seasonal_decompose_recovers_planted_shape(spark):
+    from redpanda_ais_demo_spark.operators.timeseries import (
+        seasonal_decompose_additive,
+    )
+
+    # y = 1000*day + weekly bump of +7000 cents on phase 0, 28 days
+    rows = []
+    for d in range(28):
+        v = 100000 + 1000 * d + (7000 if d % 7 == 0 else 0)
+        rows.append((d, v))
+    df = spark.createDataFrame(rows, "d long, c long")
+    out = {r.idx: r for r in seasonal_decompose_additive(df, "d", "c", 7).collect()}
+    # edges (first/last 3 days) drop
+    assert set(out) == set(range(3, 25))
+    # value = trend + seasonal + residual reconstructs exactly at 6dp
+    for r in out.values():
+        assert abs((r.trend + r.seasonal + r.residual) - r.value) < 1e-6
+    # phase 0 carries the bump: its seasonal is the largest by far
+    seas = {r.phase: r.seasonal for r in out.values()}
+    assert seas[0] == max(seas.values()) and seas[0] > 50.0
+    # even period rejected
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose_additive(df, "d", "c", 4)
+
+
+def test_lasso_path_shrinks_then_zeros(spark):
+    from redpanda_ais_demo_spark.operators.glm import lasso_path_1d
+
+    # y = 3x exactly: OLS slope 3; big lambda kills it
+    df = spark.createDataFrame(
+        [(i, 3 * i) for i in range(1, 41)], "x long, y long"
+    )
+    out = {r["lambda"]: r for r in
+           lasso_path_1d(df, "x", "y", lambdas=(0, 1, 10**12)).collect()}
+    assert abs(out[0].b1 - 3.0) < 1e-6 and out[0].is_zero is False
+    assert 0 < out[1].b1 < 3.0  # shrunk but alive
+    assert out[10**12].b1 == 0.0 and out[10**12].is_zero is True
+    # when b1 = 0 the intercept is the plain mean of y
+    assert abs(out[10**12].b0 - sum(3 * i for i in range(1, 41)) / 40) < 1e-6
+    with pytest.raises(ValueError, match="lambdas"):
+        lasso_path_1d(df, "x", "y", lambdas=())
+
+
+def test_huber_resists_outlier_better_than_ols(spark):
+    from redpanda_ais_demo_spark.operators.glm import huber_irls, lasso_path_1d
+
+    # y = 10x + one gross outlier at x=50
+    rows = [(i, 10 * i) for i in range(1, 41)] + [(50, 100000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    hub = huber_irls(df, "x", "y", delta=50, iters=8).first()
+    ols = lasso_path_1d(df, "x", "y", lambdas=(0,)).first()
+    # OLS dragged far above 10 by the outlier; Huber stays close
+    assert ols.b1 > 20.0
+    assert abs(hub.b1 - 10.0) < 1.0, hub
+    assert hub.n == 41 and hub.n_downweighted >= 1
+    with pytest.raises(ValueError, match="delta"):
+        huber_irls(df, "x", "y", delta=0)
