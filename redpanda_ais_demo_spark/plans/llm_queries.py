@@ -4046,3 +4046,78 @@ def ndcg_cosine_label_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ndcg_at_k(ranked, counts, query_col="vec_id", k=10)
+
+
+@query(
+    "rouge2_near_dup_pairs",
+    # candidate pairs replay through the exact-Jaccard pair SQL (LSH
+    # recall is 100% at the fixture scales and candidates are
+    # exact-verified — the minhash_lsh_pairs argument); the ROUGE math
+    # is exact integer counts with one division per readout.
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS shingle
+            FROM toks WHERE len(w) >= 3
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        cmn AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM cmn
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE common / (sa.sz + sb.sz - common) >= {_JACCARD_THRESHOLD}
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> array_to_string(w[i:i+1], ' '))) AS gm
+            FROM toks WHERE len(w) >= 2
+        ),
+        gc AS (SELECT doc_id, gm, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM gc GROUP BY 1),
+        ov AS (
+            SELECT p.id_a, p.id_b, CAST(SUM(least(a.c, b.c)) AS BIGINT) AS overlap
+            FROM pairs p
+            JOIN gc a ON a.doc_id = p.id_a
+            JOIN gc b ON b.doc_id = p.id_b AND b.gm = a.gm
+            GROUP BY 1, 2
+        )
+        SELECT p.id_a AS key_a, p.id_b AS key_b,
+               coalesce(ov.overlap, 0) AS overlap,
+               ta.t AS total_a, tb.t AS total_b,
+               round(CASE WHEN ta.t > 0 THEN CAST(coalesce(ov.overlap, 0) AS DOUBLE)
+                          / CAST(ta.t AS DOUBLE) ELSE 0.0 END, 6) AS p,
+               round(CASE WHEN tb.t > 0 THEN CAST(coalesce(ov.overlap, 0) AS DOUBLE)
+                          / CAST(tb.t AS DOUBLE) ELSE 0.0 END, 6) AS r,
+               round(CASE WHEN ta.t + tb.t > 0
+                          THEN CAST(2 * coalesce(ov.overlap, 0) AS DOUBLE)
+                          / CAST(ta.t + tb.t AS DOUBLE) ELSE 0.0 END, 6) AS f1
+        FROM pairs p
+        LEFT JOIN ov ON ov.id_a = p.id_a AND ov.id_b = p.id_b
+        JOIN tot ta ON ta.doc_id = p.id_a
+        JOIN tot tb ON tb.doc_id = p.id_b
+    """,
+    tags=("llm", "text", "dedup", "eval", "join", "scale-path"),
+    doc="ROUGE-2 clipped-bigram P/R/F1 over the LSH near-dup candidate "
+    "pairs — the EVAL-grade overlap readout on top of the dedup "
+    "family's set-Jaccard (Jaccard ignores repetition and direction; "
+    "ROUGE clips each bigram at min(count_a, count_b) and reads doc_b "
+    "as reference, distinguishing 'a contains b' from 'b contains a'). "
+    "One pinned (doc, gram) groupBy serves both pair sides and the "
+    "totals; scoring work is candidate-bounded by the banded pair "
+    "generator; F1 computed as the single exact division "
+    "2*overlap/(ta+tb) (operators/similarity.py:rouge_n_pairs).",
+)
+def rouge2_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import rouge_n_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=_JACCARD_THRESHOLD)
+    return rouge_n_pairs(docs, pairs, "doc_id", "text", "id_a", "id_b", n=2)

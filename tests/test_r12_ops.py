@@ -189,3 +189,31 @@ def test_huber_resists_outlier_better_than_ols(spark):
     assert hub.n == 41 and hub.n_downweighted >= 1
     with pytest.raises(ValueError, match="delta"):
         huber_irls(df, "x", "y", delta=0)
+
+
+def test_rouge_n_pairs_hand_computed(spark):
+    from redpanda_ais_demo_spark.operators.similarity import rouge_n_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),      # bigrams: ab, bc, ca, ab
+            (2, "a b x y"),        # bigrams: ab, bx, xy
+            (3, "q r s t"),        # no overlap with 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {(r.key_a, r.key_b): r for r in
+           rouge_n_pairs(docs, pairs, n=2).collect()}
+    r12 = out[(1, 2)]
+    # clipped overlap: min(2,1) for 'a b' = 1; totals 4 and 3
+    assert (r12.overlap, r12.total_a, r12.total_b) == (1, 4, 3)
+    assert abs(r12.p - 0.25) < 1e-6 and abs(r12.r - 1 / 3) < 1e-6
+    assert abs(r12.f1 - 2 / 7) < 1e-6
+    # disjoint pair present with zeros, not dropped
+    r13 = out[(1, 3)]
+    assert r13.overlap == 0 and r13.f1 == 0.0
+    # unigram mode counts repetition (clipped): doc1 has a:2 b:2 c:1
+    u = {(r.key_a, r.key_b): r for r in
+         rouge_n_pairs(docs, pairs, n=1).collect()}[(1, 2)]
+    assert (u.overlap, u.total_a, u.total_b) == (2, 5, 4)
