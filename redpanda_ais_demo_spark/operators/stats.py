@@ -4723,3 +4723,500 @@ def friedman_test(
         F.round(F.when(ok & (corr > 0), q / corr), 6).alias("q_corrected"),
         F.col("bad").cast("long").alias("n_incomplete_blocks"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation between two ORDINAL columns —
+    the concordance member of the correlation family (Pearson reads
+    linearity, Spearman monotonicity via ranks; τ-b reads pairwise
+    concordance with the tie correction both need when the data is
+    bucketed): τ-b = (C − D) / sqrt((n0 − n1)(n0 − n2)).
+
+    Contract: x and y must be BOUNDED ordinal domains (deciles, hours,
+    grades) — the frame collapses to the |X|·|Y| contingency CELL
+    table in one partial-aggregable pass, and concordant/discordant
+    pairs are counted by a CELL×CELL self-join (|cells|² work, never
+    rows²; the quadratic-in-rows pair walk is exactly what this
+    operator exists to avoid). All pair counts are exact
+    DECIMAL(38,0); one final fixed double chain.
+
+    Output: one row — n, n_concordant, n_discordant, tau_b.
+    """
+    cells = (
+        df.select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds the self-join twice + ties
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    # count each unordered pair once: (a.x < b.x) splits by x; ties in
+    # x are neither concordant nor discordant
+    joined = a.join(b, F.col("xa") < F.col("xb"))
+    prods = joined.agg(
+        F.sum(
+            F.when(
+                F.col("ya") < F.col("yb"), F.col("ca").cast(_DEC) * F.col("cb")
+            )
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                F.col("ya") > F.col("yb"), F.col("ca").cast(_DEC) * F.col("cb")
+            )
+        ).alias("disc"),
+    )
+    ties = cells.groupBy("x").agg(F.sum("c").alias("tx"))
+    tx = ties.agg(
+        F.sum(F.col("tx").cast(_DEC) * (F.col("tx") - 1) / 2).alias("n1")
+    )
+    tiey = cells.groupBy("y").agg(F.sum("c").alias("ty"))
+    ty = tiey.agg(
+        F.sum(F.col("ty").cast(_DEC) * (F.col("ty") - 1) / 2).alias("n2")
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    out = (
+        prods.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n = F.col("n")
+    n0 = n.cast(_DEC) * (n - 1) / 2
+    cminus = F.coalesce(F.col("conc"), F.lit(0).cast(_DEC)) - F.coalesce(
+        F.col("disc"), F.lit(0).cast(_DEC)
+    )
+    den = (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
+    ok = (n > 1) & (den > 0)
+    return out.select(
+        n.alias("n"),
+        F.coalesce(F.col("conc"), F.lit(0).cast(_DEC))
+        .cast("long")
+        .alias("n_concordant"),
+        F.coalesce(F.col("disc"), F.lit(0).cast(_DEC))
+        .cast("long")
+        .alias("n_discordant"),
+        F.round(
+            F.when(ok, cminus.cast("double") / F.sqrt(den)), 6
+        ).alias("tau_b"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test for k related BINARY treatments over matched
+    blocks — McNemar generalized past two conditions and the binary
+    twin of ``friedman_test`` (did conversion rate differ across the k
+    touchpoints for the SAME users):
+    Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²), chi²(k−1).
+
+    Only complete blocks (all k treatments present exactly once)
+    enter; blocks with R_i = 0 or R_i = k carry no information but
+    keep the classical formula valid and stay in. Every term is an
+    exact BIGINT/DECIMAL sum from two partial-aggregable passes over
+    the (block, treatment) table; the Q chain is one fixed double
+    expression.
+
+    Output: one row — n_blocks, k_treatments, q_stat,
+    n_incomplete_blocks.
+    """
+    base = df.select(
+        F.col(block_col).alias("b"),
+        F.col(treatment_col).alias("t"),
+        (F.col(outcome_col).cast("long") > 0).cast("long").alias("y"),
+    )
+    per = base.groupBy("b", "t").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("y").alias("y")
+    )
+    k_df = per.agg(F.count_distinct("t").alias("k"))
+    sizes = per.groupBy("b").agg(
+        F.count(F.lit(1)).alias("kt"), F.max("cnt").alias("mx")
+    )
+    marked = per.join(sizes, "b").crossJoin(F.broadcast(k_df))
+    complete = marked.filter(
+        (F.col("kt") == F.col("k")) & (F.col("mx") == 1)
+    ).localCheckpoint(eager=False)  # feeds row sums, column sums, counts
+    rows = complete.groupBy("b").agg(F.sum("y").alias("ri"))
+    rsum = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("ri").cast("long").alias("sr"),
+        F.sum(F.col("ri").cast(_DEC) * F.col("ri")).alias("sr2"),
+    )
+    cols = complete.groupBy("t").agg(F.sum("y").alias("cj"))
+    csum = cols.agg(
+        F.sum(F.col("cj").cast(_DEC) * F.col("cj")).alias("sc2")
+    )
+    bad = (
+        marked.filter(~((F.col("kt") == F.col("k")) & (F.col("mx") == 1)))
+        .select("b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("bad"))
+    )
+    out = (
+        rsum.crossJoin(F.broadcast(csum))
+        .crossJoin(F.broadcast(k_df))
+        .crossJoin(F.broadcast(bad))
+    )
+    k = F.col("k")
+    num = (k - 1).cast("double") * (
+        k.cast(_DEC) * F.col("sc2") - F.col("sr").cast(_DEC) * F.col("sr")
+    ).cast("double")
+    den = (
+        k.cast(_DEC) * F.col("sr") - F.col("sr2")
+    ).cast("double")
+    ok = (F.col("nb") > 0) & (k > 1) & (den > 0)
+    return out.select(
+        F.col("nb").alias("n_blocks"),
+        k.cast("long").alias("k_treatments"),
+        F.round(F.when(ok, num / den), 6).alias("q_stat"),
+        F.col("bad").alias("n_incomplete_blocks"),
+    )
+
+
+def mann_kendall_dense(
+    df: DataFrame,
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test over a CALENDAR-BOUNDED regular series
+    — the nonparametric "is there a monotone trend" readout beside
+    Theil-Sen's slope (MK decides IF, Sen says HOW MUCH): S = Σ_{i<j}
+    sign(x_j − x_i), variance with the standard tie correction
+    Σt(t−1)(2t+5), z with the ±1 continuity correction.
+
+    Contract: ``idx_col`` is a BOUNDED bucket axis (days, weeks — the
+    runs-test/amoc argument): the pair walk is an index self-join over
+    the bucket table (|buckets|² pairs, never rows²), so the one
+    data-sized pass is the upstream groupBy that builds the buckets.
+    All pair counts exact BIGINTs; one fixed double chain for z.
+
+    Output: one row — n, s_stat, z_score, p_value.
+    """
+    base = (
+        df.select(
+            F.col(idx_col).cast("long").alias("i"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=False)  # feeds the pair join twice + ties
+    )
+    a = base.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = base.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    agg = pairs.agg(
+        F.sum(
+            F.when(F.col("vb") > F.col("va"), 1)
+            .when(F.col("vb") < F.col("va"), -1)
+            .otherwise(0)
+        ).cast("long").alias("s")
+    )
+    ties = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(_DEC) * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie")
+        )
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = agg.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var = (
+        (n.cast(_DEC) * (n - 1) * (2 * n + 5) - F.col("tie")).cast("double")
+        / 18.0
+    )
+    s = F.col("s")
+    zc = F.when(s > 0, (s - 1).cast("double") / F.sqrt(var)).when(
+        s < 0, (s + 1).cast("double") / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    ok = (n > 1) & (var > 0)
+    p = F.lit(1.0) - _erf_as(F.abs(zc) / F.lit(2.0**0.5))
+    return out.select(
+        n.alias("n"),
+        s.alias("s_stat"),
+        F.round(F.when(ok, zc), 6).alias("z_score"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+    )
+
+
+def pca2_closed_form(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """First principal component of TWO integer features in closed
+    form — the dimensionality-reduction readout (which single axis
+    explains the joint spread, and how much) without any iterative
+    eigensolver: for the 2×2 covariance [[vx, cxy], [cxy, vy]] the
+    eigenvalues are (vx+vy)/2 ± sqrt(((vx−vy)/2)² + cxy²) and the top
+    component's angle is atan2(2·cxy, vx−vy)/2 — fixed closed-form
+    double chains on exact integer sums, so both engines agree bit
+    for bit.
+
+    ONE partial-aggregable pass forms the five exact moments
+    (population covariance, /n — the PCA convention). Output: one row
+    — n, var_x, var_y, cov_xy, lambda1, lambda2,
+    explained_ratio (λ1/(λ1+λ2)), loading_x, loading_y (unit top
+    eigenvector, sign fixed loading_x >= 0).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast(_DEC) * x).alias("sxx"),
+        F.sum(y.cast(_DEC) * y).alias("syy"),
+        F.sum(x.cast(_DEC) * y).alias("sxy"),
+    )
+    n = F.col("n")
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    nn = (n.cast(_DEC) * n).cast("double")
+    vx = (d(n) * F.col("sxx") - d(F.col("sx")) * F.col("sx")).cast("double") / nn
+    vy = (d(n) * F.col("syy") - d(F.col("sy")) * F.col("sy")).cast("double") / nn
+    cxy = (d(n) * F.col("sxy") - d(F.col("sx")) * F.col("sy")).cast("double") / nn
+    mid = (vx + vy) / 2
+    half = F.sqrt((vx - vy) * (vx - vy) / 4 + cxy * cxy)
+    l1, l2 = mid + half, mid - half
+    # top eigenvector: (cxy, l1 - vx) unless degenerate (cxy = 0)
+    ex = F.when(cxy != 0, cxy).otherwise(
+        F.when(vx >= vy, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    ey = F.when(cxy != 0, l1 - vx).otherwise(
+        F.when(vx >= vy, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    nrm = F.sqrt(ex * ex + ey * ey)
+    sgn = F.when(ex < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ok = (n > 1) & (nrm > 0)
+    return agg.select(
+        n.alias("n"),
+        F.round(vx, 6).alias("var_x"),
+        F.round(vy, 6).alias("var_y"),
+        F.round(cxy, 6).alias("cov_xy"),
+        F.round(F.when(n > 1, l1), 6).alias("lambda1"),
+        F.round(F.when(n > 1, l2), 6).alias("lambda2"),
+        F.round(
+            F.when((n > 1) & (l1 + l2 > 0), l1 / (l1 + l2)), 6
+        ).alias("explained_ratio"),
+        F.round(F.when(ok, sgn * ex / nrm), 6).alias("loading_x"),
+        F.round(F.when(ok, sgn * ey / nrm), 6).alias("loading_y"),
+    )
+
+
+def gumbel_block_maxima(
+    df: DataFrame,
+    block_col: str,
+    value_col: str,
+    return_periods: tuple[int, ...] = (10, 100),
+) -> DataFrame:
+    """Gumbel extreme-value fit on block maxima with return levels —
+    the EVT member the anomaly family lacks (MAD/HBOS/Mahalanobis
+    score TYPICAL deviation; extreme-value theory answers "how big a
+    daily maximum should we expect once every N days", the capacity /
+    risk-planning number): block maxima → method-of-moments Gumbel
+    (β = s·sqrt(6)/π, μ = m − γ·β with Euler-Mascheroni γ), return
+    level x_T = μ − β·ln(−ln(1 − 1/T)).
+
+    Two partial-aggregable passes (block max, then exact moment sums
+    over the CALENDAR-BOUNDED block table); sample std via the
+    n−1 Bessel form from exact integers; every constant is spelled to
+    17 significant digits so both engines run the identical chain.
+    Output: one row per return period — n_blocks, mean_max, sd_max,
+    mu, beta, return_period, return_level (all in natural units).
+    """
+    if not return_periods or any(int(t) < 2 for t in return_periods):
+        raise ValueError("return_periods must all be >= 2")
+    blocks = (
+        df.select(
+            F.col(block_col).alias("b"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("b")
+        .agg(F.max("v").alias("mx"))
+    )
+    agg = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx").cast(_DEC) * F.col("mx")).alias("q"),
+    )
+    rp = None
+    for t in return_periods:
+        row = F.struct(F.lit(int(t)).alias("t"))
+        rp = F.array(row) if rp is None else F.concat(rp, F.array(row))
+    t = agg.select("*", F.explode(rp).alias("l")).select(
+        "n", "s", "q", F.col("l.t").alias("t")
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n.cast("double")
+    # Bessel sample variance from exact integers: (n·q − s²)/(n·(n−1))
+    var = (
+        (n.cast(_DEC) * F.col("q") - F.col("s").cast(_DEC) * F.col("s"))
+        .cast("double")
+        / (n.cast(_DEC) * (n - 1)).cast("double")
+    )
+    sd = F.sqrt(var)
+    beta = sd * F.lit(0.77969680123028498)   # sqrt(6)/pi
+    mu = mean - F.lit(0.57721566490153287) * beta  # Euler-Mascheroni
+    ok = (n > 1) & (var > 0)
+    tt = F.col("t").cast("double")
+    level = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / tt))
+    return t.select(
+        n.alias("n_blocks"),
+        F.round(mean / 100.0, 6).alias("mean_max"),
+        F.round(F.when(ok, sd / 100.0), 6).alias("sd_max"),
+        F.round(F.when(ok, mu / 100.0), 6).alias("mu"),
+        F.round(F.when(ok, beta / 100.0), 6).alias("beta"),
+        F.col("t").cast("long").alias("return_period"),
+        F.round(F.when(ok, level / 100.0), 6).alias("return_level"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over a
+    subjects × items value matrix — the psychometrics member of the
+    agreement family (Cohen's kappa reads two raters; alpha asks
+    whether k items measure ONE underlying trait):
+    α = k/(k−1) · (1 − Σ_j σ²_j / σ²_total), population variances,
+    absent (subject, item) cells counting as exact zeros.
+
+    Exactness: item sums/sum-of-squares and the row-total moments are
+    exact BIGINT/DECIMAL from two partial-aggregable passes over the
+    (subject, item) CELL table (the only corpus-sized pass is the
+    cell rollup); every variance is one (n·Q − S²)/n² fixed chain on
+    identical integers; the subject universe n is the distinct
+    subject count, so zero-cells are priced in without materializing
+    them.
+
+    Output: one row — n_subjects, k_items, sum_item_var, total_var,
+    alpha.
+    """
+    cells = (
+        df.select(
+            F.col(subject_col).alias("s"),
+            F.col(item_col).alias("j"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .groupBy("s", "j")
+        .agg(F.sum("x").alias("x"))
+        .localCheckpoint(eager=False)  # feeds item moments + row totals
+    )
+    nsub = cells.select("s").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    items = cells.groupBy("j").agg(
+        F.sum("x").alias("sj"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("qj"),
+    )
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    ivar = (
+        items.crossJoin(F.broadcast(nsub))
+        .select(
+            (
+                (d(F.col("n")) * F.col("qj") - d(F.col("sj")) * F.col("sj"))
+                .cast("double")
+                / (d(F.col("n")) * F.col("n")).cast("double")
+            ).alias("vj")
+        )
+        .agg(
+            F.sum("vj").alias("sum_item_var"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    rows = cells.groupBy("s").agg(F.sum("x").alias("r"))
+    tot = rows.agg(
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r").cast(_DEC) * F.col("r")).alias("qr"),
+    )
+    out = (
+        ivar.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nsub))
+    )
+    tvar = (
+        (d(F.col("n")) * F.col("qr") - d(F.col("sr")) * F.col("sr"))
+        .cast("double")
+        / (d(F.col("n")) * F.col("n")).cast("double")
+    )
+    k = F.col("k")
+    ok = (k > 1) & (F.col("n") > 1) & (tvar > 0)
+    alpha = (
+        k.cast("double")
+        / (k - 1).cast("double")
+        * (F.lit(1.0) - F.col("sum_item_var") / tvar)
+    )
+    return out.select(
+        F.col("n").alias("n_subjects"),
+        k.alias("k_items"),
+        F.round(F.col("sum_item_var") / 10000.0, 6).alias("sum_item_var"),
+        F.round(tvar / 10000.0, 6).alias("total_var"),
+        F.round(F.when(ok, alpha), 6).alias("alpha"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index over entity revenue
+    shares — the antitrust-grade concentration readout beside the
+    Gini/Pareto rows (Gini reads inequality of the whole curve; HHI =
+    Σ share² is the one number merger review uses, 1/HHI its
+    "effective number of competitors"): with exact integer revenues,
+    HHI = Σ r_i² / (Σ r_i)² is ONE division of two exact DECIMAL
+    sums — no per-entity share doubles, no ordering sensitivity. The
+    normalized form (HHI − 1/n)/(1 − 1/n) rescales to 0..1 for
+    cross-market comparison.
+
+    One partial-aggregable groupBy(entity) is the corpus pass; the
+    moment fold over the entity table is the second. Output: one row
+    — n_entities, total, hhi, hhi_normalized, effective_n.
+    """
+    per = (
+        df.select(
+            F.col(entity_col).alias("e"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("e")
+        .agg(F.sum("v").alias("r"))
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r").cast(_DEC) * F.col("r")).alias("q"),
+    )
+    n = F.col("n")
+    ok = (n > 0) & (F.col("s") > 0)
+    hhi = F.col("q").cast("double") / (
+        F.col("s").cast(_DEC) * F.col("s")
+    ).cast("double")
+    norm = F.when(
+        n > 1,
+        (hhi - F.lit(1.0) / n.cast("double"))
+        / (F.lit(1.0) - F.lit(1.0) / n.cast("double")),
+    )
+    return agg.select(
+        n.alias("n_entities"),
+        F.round(F.col("s").cast("double") / 100.0, 6).alias("total"),
+        F.round(F.when(ok, hhi), 6).alias("hhi"),
+        F.round(F.when(ok, norm), 6).alias("hhi_normalized"),
+        F.round(F.when(ok, F.lit(1.0) / hhi), 6).alias("effective_n"),
+    )

@@ -1507,7 +1507,14 @@ def paa_topk_partners(
         raise ValueError("k must be >= 1")
     pairs = paa_correlation_pairs(
         df, key_col, ts_col, value_col, n_buckets, n_bits, threshold
-    )
+    # pin: the mirrored union reads the pair stream TWICE and unpinned
+    # each leg replays the entire banded join + profile build (measured
+    # 7.5s vs the pair form's 2.1s at sf0.01). Measured against the
+    # map-side explode alternative (one subtree, no materialization):
+    # the pin wins at every scale (3.2/3.5/41.5s vs 4.2/4.5/46.4s at
+    # sf0.01/0.1/1) — the qualifying-pair table is narrow enough that
+    # materializing it beats re-deriving r for the second leg.
+    ).localCheckpoint(eager=False)
     mirrored = pairs.select(
         F.col("key_a").alias("key"), F.col("key_b").alias("partner"), "r"
     ).unionByName(

@@ -9312,3 +9312,393 @@ def seasonal_decompose_daily_value(spark: SparkSession, sf_dir: str) -> DataFram
     cents = F.round(F.col("value") * 100).cast("long")
     d = events.select(day.alias("d"), cents.alias("c"))
     return seasonal_decompose_additive(d, "d", "c", period=7)
+
+
+@query(
+    "kendall_tau_hour_vs_value",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS x,
+                   least(CAST(round(value * 100) AS BIGINT) // 2000, 19) AS y,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+        prods AS (
+            SELECT SUM(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c END) AS conc,
+                   SUM(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c END) AS disc
+            FROM cells a JOIN cells b ON a.x < b.x),
+        tx AS (SELECT SUM(CAST(tx AS HUGEINT) * (tx - 1) // 2) AS n1 FROM (
+                   SELECT CAST(SUM(c) AS BIGINT) AS tx FROM cells GROUP BY x)),
+        ty AS (SELECT SUM(CAST(ty AS HUGEINT) * (ty - 1) // 2) AS n2 FROM (
+                   SELECT CAST(SUM(c) AS BIGINT) AS ty FROM cells GROUP BY y)),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        st AS (
+            SELECT n, coalesce(conc, 0) AS conc, coalesce(disc, 0) AS disc,
+                   CAST(n AS HUGEINT) * (n - 1) // 2 AS n0, n1, n2
+            FROM prods, tx, ty, tot)
+        SELECT n, CAST(conc AS BIGINT) AS n_concordant,
+               CAST(disc AS BIGINT) AS n_discordant,
+               CASE WHEN n > 1 AND CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE) > 0
+                    THEN round(CAST(conc - disc AS DOUBLE)
+                               / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+               END AS tau_b
+        FROM st
+    """,
+    tags=("analytics", "statistics", "agg", "join"),
+    doc="Kendall's tau-b between hour-of-day and the (capped) value "
+    "bucket — the concordance member of the correlation family with "
+    "the tie correction bucketed data needs (Pearson/Spearman are "
+    "swept siblings). The frame collapses to the bounded |X|*|Y| "
+    "contingency cells in one pass; concordant/discordant pairs come "
+    "from a CELL*CELL self-join (|cells|^2, never rows^2) in exact "
+    "DECIMAL (operators/stats.py:kendall_tau_b).",
+)
+def kendall_tau_hour_vs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import kendall_tau_b
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        F.hour(F.col("ts")).cast("long").alias("x"),
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) div 2000L"), F.lit(19).cast("long")
+        ).alias("y"),
+    )
+    return kendall_tau_b(d, "x", "y")
+
+
+@query(
+    "cochran_q_conversion_by_type",
+    oracle="""
+        WITH per AS (
+            SELECT user_id AS b, event_type AS t,
+                   CAST(max(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM per),
+        sizes AS (SELECT b, CAST(count(*) AS BIGINT) AS kt FROM per GROUP BY b),
+        complete AS (SELECT per.* FROM per JOIN sizes USING (b), kk WHERE sizes.kt = kk.k),
+        rows_ AS (SELECT b, CAST(SUM(y) AS BIGINT) AS ri FROM complete GROUP BY b),
+        rsum AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(SUM(ri) AS BIGINT) AS sr,
+                        SUM(CAST(ri AS HUGEINT) * ri) AS sr2 FROM rows_),
+        cols AS (SELECT t, CAST(SUM(y) AS BIGINT) AS cj FROM complete GROUP BY t),
+        csum AS (SELECT SUM(CAST(cj AS HUGEINT) * cj) AS sc2 FROM cols),
+        bad AS (SELECT CAST(count(*) AS BIGINT) AS bad FROM sizes, kk WHERE sizes.kt <> kk.k)
+        SELECT nb AS n_blocks, k AS k_treatments,
+               CASE WHEN nb > 0 AND k > 1
+                         AND CAST(CAST(k AS HUGEINT) * sr - sr2 AS DOUBLE) > 0
+                    THEN round(CAST(k - 1 AS DOUBLE)
+                               * CAST(CAST(k AS HUGEINT) * sc2
+                                      - CAST(sr AS HUGEINT) * sr AS DOUBLE)
+                               / CAST(CAST(k AS HUGEINT) * sr - sr2 AS DOUBLE), 6)
+               END AS q_stat,
+               bad AS n_incomplete_blocks
+        FROM rsum, csum, kk, bad
+    """,
+    tags=("analytics", "statistics", "experimentation", "agg"),
+    doc="Cochran's Q: did high-value conversion (any event >= 150) "
+    "differ across the k event types for the SAME users — McNemar "
+    "generalized past two conditions and the binary twin of the "
+    "Friedman row. Complete user blocks only; exact BIGINT/DECIMAL "
+    "row/column sums from two partial-agg passes; one fixed double "
+    "division (operators/stats.py:cochran_q).",
+)
+def cochran_q_conversion_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cochran_q
+
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.max((F.col("value") >= 150.0).cast("long")).alias("y")
+    )
+    return cochran_q(per, "user_id", "event_type", "y")
+
+
+@query(
+    "mann_kendall_daily_value",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS i,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                                 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+            FROM base a JOIN base b ON a.i < b.i),
+        ties AS (SELECT coalesce(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0) AS tie
+                 FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM base GROUP BY v)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        st AS (
+            SELECT s, n,
+                   CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie AS DOUBLE)
+                   / 18.0 AS var
+            FROM s, ties, tot)
+        SELECT n, s AS s_stat,
+               CASE WHEN n > 1 AND var > 0 THEN round(
+                   CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var)
+                        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var)
+                        ELSE 0.0 END, 6)
+               END AS z_score,
+               CASE WHEN n > 1 AND var > 0 THEN round(
+                   1.0 - (1.0 - ((((( 1.061405429
+                       * (1.0 / (1.0 + 0.3275911 * (abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var) ELSE 0.0 END) / sqrt(2.0)))) - 1.453152027)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var) ELSE 0.0 END) / sqrt(2.0)))) + 1.421413741)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var) ELSE 0.0 END) / sqrt(2.0)))) - 0.284496736)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var) ELSE 0.0 END) / sqrt(2.0)))) + 0.254829592)
+                       * (1.0 / (1.0 + 0.3275911 * (abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var) ELSE 0.0 END) / sqrt(2.0)))))
+                       * exp(-(abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var) ELSE 0.0 END) / sqrt(2.0))
+                             * (abs(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var) WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var) ELSE 0.0 END) / sqrt(2.0)))), 6)
+               END AS p_value
+        FROM st
+    """,
+    tags=("analytics", "statistics", "timeseries", "agg", "join"),
+    doc="Mann-Kendall monotone-trend test on daily revenue — the "
+    "nonparametric IF beside Theil-Sen's HOW-MUCH slope: S = pairwise "
+    "sign sum over the calendar-bounded day table (a |days|^2 "
+    "self-join, never rows^2 — the one data-sized pass is the daily "
+    "rollup), tie-corrected variance, continuity-corrected z, A&S erf "
+    "p (operators/stats.py:mann_kendall_dense).",
+)
+def mann_kendall_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mann_kendall_dense
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return mann_kendall_dense(
+        events.select(day.alias("i"), cents.alias("v")), "i", "v"
+    )
+
+
+@query(
+    "pca2_activity_vs_spend",
+    oracle="""
+        WITH subj AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM subj),
+        cov AS (
+            SELECT n,
+                   CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS vx,
+                   CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS vy,
+                   CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS cxy
+            FROM mom),
+        eig AS (
+            SELECT n, vx, vy, cxy,
+                   (vx + vy) / 2 + sqrt((vx - vy) * (vx - vy) / 4 + cxy * cxy) AS l1,
+                   (vx + vy) / 2 - sqrt((vx - vy) * (vx - vy) / 4 + cxy * cxy) AS l2
+            FROM cov),
+        vec AS (
+            SELECT *,
+                   CASE WHEN cxy <> 0 THEN cxy
+                        WHEN vx >= vy THEN 1.0 ELSE 0.0 END AS ex,
+                   CASE WHEN cxy <> 0 THEN l1 - vx
+                        WHEN vx >= vy THEN 0.0 ELSE 1.0 END AS ey
+            FROM eig),
+        fin AS (
+            SELECT *, sqrt(ex * ex + ey * ey) AS nrm,
+                   CASE WHEN ex < 0 THEN -1.0 ELSE 1.0 END AS sgn
+            FROM vec)
+        SELECT n, round(vx, 6) AS var_x, round(vy, 6) AS var_y,
+               round(cxy, 6) AS cov_xy,
+               CASE WHEN n > 1 THEN round(l1, 6) END AS lambda1,
+               CASE WHEN n > 1 THEN round(l2, 6) END AS lambda2,
+               CASE WHEN n > 1 AND l1 + l2 > 0 THEN round(l1 / (l1 + l2), 6)
+               END AS explained_ratio,
+               CASE WHEN n > 1 AND nrm > 0 THEN round(sgn * ex / nrm, 6)
+               END AS loading_x,
+               CASE WHEN n > 1 AND nrm > 0 THEN round(sgn * ey / nrm, 6)
+               END AS loading_y
+        FROM fin
+    """,
+    tags=("ml", "statistics", "agg"),
+    doc="First principal component of (per-user activity count, "
+    "purchase cents) in CLOSED FORM — 2-feature PCA with no iterative "
+    "eigensolver: the 2x2 covariance eigenpair is an explicit double "
+    "chain ((vx+vy)/2 +- sqrt(((vx-vy)/2)^2 + cxy^2)) on exact integer "
+    "moments from ONE pass; unit top eigenvector sign-fixed "
+    "loading_x >= 0; explained-variance ratio beside it "
+    "(operators/stats.py:pca2_closed_form).",
+)
+def pca2_activity_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import pca2_closed_form
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    return pca2_closed_form(subj, "x", "y")
+
+
+@query(
+    "gumbel_daily_max_value",
+    oracle="""
+        WITH blocks AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b,
+                   CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+            FROM events GROUP BY 1),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(mx) AS BIGINT) AS s,
+                   SUM(CAST(mx AS HUGEINT) * mx) AS q
+            FROM blocks),
+        t AS (SELECT agg.*, rp FROM agg, unnest([10, 100]) AS l(rp)),
+        st AS (
+            SELECT n, rp,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS var
+            FROM t),
+        fit AS (
+            SELECT n, rp, mean, var, sqrt(var) AS sd,
+                   sqrt(var) * 0.77969680123028498 AS beta
+            FROM st),
+        fin AS (
+            SELECT *, mean - 0.57721566490153287 * beta AS mu FROM fit)
+        SELECT n AS n_blocks,
+               round(mean / 100.0, 6) AS mean_max,
+               CASE WHEN n > 1 AND var > 0 THEN round(sd / 100.0, 6) END AS sd_max,
+               CASE WHEN n > 1 AND var > 0 THEN round(mu / 100.0, 6) END AS mu,
+               CASE WHEN n > 1 AND var > 0 THEN round(beta / 100.0, 6) END AS beta,
+               CAST(rp AS BIGINT) AS return_period,
+               CASE WHEN n > 1 AND var > 0 THEN round(
+                   (mu - beta * ln(-ln(1.0 - 1.0 / CAST(rp AS DOUBLE)))) / 100.0, 6)
+               END AS return_level
+        FROM fin
+    """,
+    tags=("analytics", "statistics", "anomaly", "timeseries", "agg"),
+    doc="Gumbel extreme-value fit on daily maximum event value with "
+    "10- and 100-day return levels — the EVT member the anomaly family "
+    "lacks (MAD/HBOS/Mahalanobis score typical deviation; this answers "
+    "'how big a daily max should we budget for once every N days'). "
+    "Method-of-moments on the calendar-bounded block-maxima table "
+    "(beta = s*sqrt(6)/pi, mu = m - gamma*beta), constants spelled to "
+    "17 digits so both engines run the identical chain "
+    "(operators/stats.py:gumbel_block_maxima).",
+)
+def gumbel_daily_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import gumbel_block_maxima
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return gumbel_block_maxima(
+        events.select(day.alias("b"), cents.alias("v")), "b", "v",
+        return_periods=(10, 100),
+    )
+
+
+@query(
+    "cronbach_alpha_spend_by_type",
+    oracle="""
+        WITH cells AS (
+            SELECT user_id AS s, event_type AS j,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        nsub AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM cells),
+        items AS (
+            SELECT j, CAST(SUM(x) AS BIGINT) AS sj,
+                   SUM(CAST(x AS HUGEINT) * x) AS qj
+            FROM cells GROUP BY j),
+        ivar AS (
+            SELECT SUM(CAST(CAST(n AS HUGEINT) * qj - CAST(sj AS HUGEINT) * sj AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS sum_item_var,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM items, nsub),
+        rows_ AS (SELECT s, CAST(SUM(x) AS BIGINT) AS r FROM cells GROUP BY s),
+        tot AS (SELECT CAST(SUM(r) AS BIGINT) AS sr,
+                       SUM(CAST(r AS HUGEINT) * r) AS qr FROM rows_),
+        st AS (
+            SELECT n, k, sum_item_var,
+                   CAST(CAST(n AS HUGEINT) * qr - CAST(sr AS HUGEINT) * sr AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS tvar
+            FROM ivar, tot, nsub)
+        SELECT n AS n_subjects, k AS k_items,
+               round(sum_item_var / 10000.0, 6) AS sum_item_var,
+               round(tvar / 10000.0, 6) AS total_var,
+               CASE WHEN k > 1 AND n > 1 AND tvar > 0
+                    THEN round(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                               * (1.0 - sum_item_var / tvar), 6)
+               END AS alpha
+        FROM st
+    """,
+    tags=("analytics", "statistics", "agg", "eval"),
+    doc="Cronbach's alpha internal consistency of per-user spend "
+    "across the k event types — do the k columns move together as one "
+    "'engagement' trait (the psychometrics member of the agreement "
+    "family beside Cohen's kappa). Absent (user, type) cells are exact "
+    "zeros priced in via the distinct-subject count, never "
+    "materialized; item and row-total variances are fixed chains on "
+    "exact BIGINT/HUGEINT moments "
+    "(operators/stats.py:cronbach_alpha).",
+)
+def cronbach_alpha_spend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import cronbach_alpha
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cronbach_alpha(d, "user_id", "event_type", "cents")
+
+
+@query(
+    "hhi_supplier_revenue",
+    oracle="""
+        WITH per AS (
+            SELECT l_suppkey AS e,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r
+            FROM lineitem GROUP BY 1),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS s,
+                   SUM(CAST(r AS HUGEINT) * r) AS q
+            FROM per)
+        SELECT n AS n_entities,
+               round(CAST(s AS DOUBLE) / 100.0, 6) AS total,
+               CASE WHEN n > 0 AND s > 0
+                    THEN round(CAST(q AS DOUBLE)
+                               / CAST(CAST(s AS HUGEINT) * s AS DOUBLE), 6)
+               END AS hhi,
+               CASE WHEN n > 1 AND s > 0 THEN round(
+                   (CAST(q AS DOUBLE) / CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                    - 1.0 / CAST(n AS DOUBLE))
+                   / (1.0 - 1.0 / CAST(n AS DOUBLE)), 6)
+               END AS hhi_normalized,
+               CASE WHEN n > 0 AND s > 0
+                    THEN round(1.0 / (CAST(q AS DOUBLE)
+                               / CAST(CAST(s AS HUGEINT) * s AS DOUBLE)), 6)
+               END AS effective_n
+        FROM agg
+    """,
+    tags=("analytics", "statistics", "agg"),
+    doc="Herfindahl-Hirschman concentration of supplier revenue — the "
+    "merger-review number beside the Gini/Pareto inequality rows, with "
+    "the normalized 0..1 form and 1/HHI effective-competitor count. "
+    "HHI = sum(r^2)/(sum r)^2 as ONE division of exact DECIMAL sums — "
+    "no per-entity share doubles "
+    "(operators/stats.py:hhi_concentration).",
+)
+def hhi_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import hhi_concentration
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_suppkey").alias("e"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return hhi_concentration(d, "e", "cents")
