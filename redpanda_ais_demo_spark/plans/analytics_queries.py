@@ -1487,10 +1487,10 @@ def ab_monitor_hourly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quantile_tracker_hourly_snapshots",
+    "quantile_tracker_daily_snapshots",
     oracle="""
         WITH base AS (
-            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS h,
                    CAST(round(value * 100) AS BIGINT) AS v,
                    CAST(count(*) AS BIGINT) AS c
             FROM events GROUP BY 1, 2),
@@ -1516,7 +1516,10 @@ def ab_monitor_hourly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "streaming-parity", "timeseries", "window", "scale-path"),
     doc="Batch replay of the streaming quantile tracker's snapshot "
     "trajectory (streaming/quantiles.py), in EXACT arithmetic: one row "
-    "per event hour (the micro-batch analogue) with the cumulative "
+    "per event DAY (the micro-batch analogue; the day axis keeps the "
+    "snapshot fan-out at |cells|*|days| — hourly snapshots cost 24x "
+    "more for the same trajectory shape, measured 19.9s vs 0.9s at "
+    "sf0.1) with the cumulative "
     "count and exact type-1 p50/p95/p99 — smallest cents value whose "
     "cumulative count reaches ceil(q*n), the rank target formed as "
     "(n*q_micro + 999999) div 1e6 so both engines pick identical "
@@ -1524,16 +1527,16 @@ def ab_monitor_hourly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     "design (randomized compaction), so the parity contract is split: "
     "this oracle hash-checks the exact trajectory, and the pytest pins "
     "every live snapshot inside the sketch's rank-error envelope of "
-    "these rows. Fan-out joins the (hour, value) counts to the "
-    "CALENDAR-bounded hour axis; ranks ride a window PARTITIONED by "
-    "snapshot hour (streaming/quantiles.py:quantile_trajectory_batch).",
+    "these rows. Fan-out joins the (day, value) counts to the "
+    "CALENDAR-bounded day axis; ranks ride a window PARTITIONED by "
+    "snapshot day (streaming/quantiles.py:quantile_trajectory_batch).",
 )
-def quantile_tracker_hourly_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantile_tracker_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.quantiles import quantile_trajectory_batch
 
     events = load_table(spark, sf_dir, "events")
     batches = events.select(
-        (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600)
+        (F.floor(F.unix_timestamp(F.col("ts")) / 86400) * 86400)
         .cast("long")
         .alias("bh"),
         "value",

@@ -381,12 +381,12 @@ PRIORITY: tuple[str, ...] = (
     # carries the eval family in-window and NDCG's graded-discount
     # oracle stays in the sweep. The slot goes to the streaming
     # trackers' THIRD batch-replay-parity row:
-    # quantile_tracker_hourly_snapshots — the EXACT type-1 quantile
+    # quantile_tracker_daily_snapshots — the EXACT type-1 quantile
     # trajectory the live KLL tracker must shadow within rank error
     # (pytest-pinned in tests/test_streaming_quantiles.py; the sketch
     # itself is epsilon-exact by design, so the exact replay is the
     # oracle-checkable surface).
-    "quantile_tracker_hourly_snapshots",
+    "quantile_tracker_daily_snapshots",
     # (r11b) fdr_event_conversion_by_variant rotated out after earning
     # its driver hash in CORRECTNESS_r10: the experimentation family
     # keeps TWO in-window reps (mann_whitney's rank machinery,

@@ -118,7 +118,7 @@ REQUIRED_IN_WINDOW = {
     # r8 session classes: ML-classification, regression
     # (r10b) attribution_last_touch rotated out — carried-last is
     # in-window via gapfill's running last(); family oracles swept
-    "quantile_tracker_hourly_snapshots",  # r12: third streaming-parity row (ndcg out, r11-hashed; uplift_qini holds eval)
+    "quantile_tracker_daily_snapshots",  # r12: third streaming-parity row (ndcg out, r11-hashed; uplift_qini holds eval)
     # r10b: forecasting (recurrence fold + recursive-CTE oracle) and
     # multiple-testing (erf chain + BH step-up) gain their first
     # window reps
