@@ -1307,10 +1307,12 @@ def survival_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN round(CAST(cyt AS DOUBLE)
                                - CAST(cyc AS DOUBLE)
                                  * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)), 6)
+                         + 0.0
                END AS qini,
                CASE WHEN cnt > 0 AND cnc > 0
                     THEN round(CAST(cyt AS DOUBLE) / CAST(cnt AS DOUBLE)
                                - CAST(cyc AS DOUBLE) / CAST(cnc AS DOUBLE), 6)
+                         + 0.0
                END AS cum_uplift
         FROM cum
     """,

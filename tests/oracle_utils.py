@@ -63,7 +63,16 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
     for c in sp.columns:
         a, b = sp[c].to_numpy(), du[c].to_numpy()
         if np.issubdtype(a.dtype, np.floating):
-            ok = np.isclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+            af, bf = a.astype(float), b.astype(float)
+            both_nan = pd.isna(af) & pd.isna(bf)
+            # signbit check: np.isclose(0.0, -0.0) is True, but the
+            # driver hashes string forms where '0.0' != '-0.0' — a
+            # DuckDB round() emitting -0.0 must FAIL here, not pass
+            # (bit uplift_qini's first window rehearsal in r12)
+            ok = (
+                np.isclose(af, bf, rtol=0, atol=0)
+                & (np.signbit(af) == np.signbit(bf))
+            ) | both_nan
         else:
             ok = (a == b) | (pd.isna(a) & pd.isna(b))
         if not ok.all():
