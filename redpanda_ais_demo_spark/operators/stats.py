@@ -5220,3 +5220,111 @@ def hhi_concentration(
         F.round(F.when(ok, norm), 6).alias("hhi_normalized"),
         F.round(F.when(ok, F.lit(1.0) / hhi), 6).alias("effective_n"),
     )
+
+
+def chapman_capture_recapture(
+    df: DataFrame,
+    key_col: str,
+    in_first: Column,
+    in_second: Column,
+) -> DataFrame:
+    """Chapman two-sample capture-recapture population estimate — the
+    abundance member beside the species-richness rows (Chao1 asks
+    "how many kinds"; this asks "how many INDIVIDUALS are out there
+    given two overlapping sightings" — the standard estimator for
+    total-audience / true-user-base size from two observation windows):
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 with the Chapman bias correction,
+    variance (n1+1)(n2+1)(n1−m)(n2−m)/((m+1)²(m+2)), normal 95% CI.
+
+    One partial-aggregable pass over per-key presence flags forms the
+    three exact counts (n1, n2, overlap m); the estimate and CI are
+    one fixed double chain on those integers. Keys seen in NEITHER
+    window contribute nothing (they are what N̂ estimates).
+
+    Output: one row — n_first, n_second, n_overlap, n_observed,
+    n_hat, se, ci_lo, ci_hi.
+    """
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.max(in_first.cast("long")).alias("a"),
+        F.max(in_second.cast("long")).alias("b"),
+    )
+    agg = per.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("m"),
+        F.sum(
+            F.greatest(F.col("a"), F.col("b"))
+        ).cast("long").alias("n_obs"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    nhat = (d(n1 + 1) * (n2 + 1)).cast("double") / (m + 1).cast("double") - 1.0
+    var = (
+        (d(n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)).cast("double")
+        / ((d(m + 1) * (m + 1)).cast("double") * (m + 2).cast("double"))
+    )
+    ok = (n1 > 0) & (n2 > 0)
+    se = F.sqrt(var)
+    return agg.select(
+        n1.alias("n_first"),
+        n2.alias("n_second"),
+        m.alias("n_overlap"),
+        F.col("n_obs").alias("n_observed"),
+        F.round(F.when(ok, nhat), 6).alias("n_hat"),
+        F.round(F.when(ok & (var >= 0), se), 6).alias("se"),
+        F.round(F.when(ok & (var >= 0), nhat - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.when(ok & (var >= 0), nhat + 1.96 * se), 6).alias("ci_hi"),
+    )
+
+
+def ratio_metric_delta_ci(
+    subjects: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric per group —
+    the readout every experimentation platform needs and the plain
+    t-test gets wrong: "revenue per session" is a ratio of two
+    PER-SUBJECT sums (Σy/Σx over users), so its variance must carry
+    the numerator-denominator covariance (Deng et al. 2013, the
+    ratio-metric CLT): R̂ = Σy/Σx,
+    Var(R̂) ≈ (s_y² − 2·R̂·s_xy + R̂²·s_x²) / (n·x̄²).
+
+    ONE partial-aggregable pass per group forms the six exact moments
+    (BIGINT / DECIMAL(38,0)); R̂, the three Bessel (co)variances, and
+    the 95% CI are fixed double chains on identical integers. Inputs
+    must be integer units (cents / counts).
+
+    Output: one row per group — group, n, ratio, se, ci_lo, ci_hi
+    (ratio in natural units: cents/count stays cents/count).
+    """
+    x = F.col(den_col).cast("long")
+    y = F.col(num_col).cast("long")
+    d = lambda c: c.cast(_DEC)  # noqa: E731
+    agg = subjects.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x.cast(_DEC) * x).alias("sxx"),
+        F.sum(y.cast(_DEC) * y).alias("syy"),
+        F.sum(x.cast(_DEC) * y).alias("sxy"),
+    )
+    n = F.col("n")
+    ok = (n > 1) & (F.col("sx") > 0)
+    r = F.col("sy").cast("double") / F.col("sx").cast("double")
+    nn1 = (d(n) * (n - 1)).cast("double")
+    vy = (d(n) * F.col("syy") - d(F.col("sy")) * F.col("sy")).cast("double") / nn1
+    vx = (d(n) * F.col("sxx") - d(F.col("sx")) * F.col("sx")).cast("double") / nn1
+    cxy = (d(n) * F.col("sxy") - d(F.col("sx")) * F.col("sy")).cast("double") / nn1
+    xbar = F.col("sx").cast("double") / n.cast("double")
+    var_r = (vy - 2.0 * r * cxy + r * r * vx) / (n.cast("double") * xbar * xbar)
+    se = F.sqrt(F.greatest(F.lit(0.0), var_r))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        n.alias("n"),
+        F.round(F.when(ok, r), 6).alias("ratio"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(F.when(ok, r - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.when(ok, r + 1.96 * se), 6).alias("ci_hi"),
+    )

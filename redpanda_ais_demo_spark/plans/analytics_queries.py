@@ -9707,3 +9707,140 @@ def hhi_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     return hhi_concentration(d, "e", "cents")
+
+
+@query(
+    "chapman_user_population",
+    oracle="""
+        WITH d AS (
+            SELECT user_id AS k,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events),
+        lo AS (SELECT min(day) AS lo FROM d),
+        per AS (
+            SELECT k,
+                   CAST(max(CASE WHEN day <  lo + 15 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(max(CASE WHEN day >= lo + 15 THEN 1 ELSE 0 END) AS BIGINT) AS b
+            FROM d, lo GROUP BY k),
+        agg AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+                   CAST(SUM(a * b) AS BIGINT) AS m,
+                   CAST(SUM(greatest(a, b)) AS BIGINT) AS n_obs
+            FROM per),
+        st AS (
+            SELECT n1, n2, m, n_obs,
+                   CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) AS DOUBLE)
+                       / CAST(m + 1 AS DOUBLE) - 1.0 AS nhat,
+                   CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m) AS DOUBLE)
+                       / (CAST(CAST(m + 1 AS HUGEINT) * (m + 1) AS DOUBLE)
+                          * CAST(m + 2 AS DOUBLE)) AS var
+            FROM agg)
+        SELECT n1 AS n_first, n2 AS n_second, m AS n_overlap, n_obs AS n_observed,
+               CASE WHEN n1 > 0 AND n2 > 0 THEN round(nhat, 6) END AS n_hat,
+               CASE WHEN n1 > 0 AND n2 > 0 AND var >= 0
+                    THEN round(sqrt(var), 6) END AS se,
+               CASE WHEN n1 > 0 AND n2 > 0 AND var >= 0
+                    THEN round(nhat - 1.96 * sqrt(var), 6) END AS ci_lo,
+               CASE WHEN n1 > 0 AND n2 > 0 AND var >= 0
+                    THEN round(nhat + 1.96 * sqrt(var), 6) END AS ci_hi
+        FROM st
+    """,
+    tags=("analytics", "statistics", "agg", "estimation"),
+    doc="Chapman two-sample capture-recapture estimate of the TRUE "
+    "user population from the two window halves' sightings — the "
+    "abundance member beside Chao1's species richness: how many users "
+    "exist given n1/n2 observed and m seen in both, with the Chapman "
+    "bias correction and a delta-variance 95% CI. On the dense fixture "
+    "nearly every user appears in both halves, so n_hat ~ n_observed — "
+    "itself the honest readout that the panel is near-complete "
+    "(operators/stats.py:chapman_capture_recapture).",
+)
+def chapman_user_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import chapman_capture_recapture
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    d = events.select("user_id", day.alias("day"))
+    lo = d.agg(F.min("day").alias("lo"))
+    flagged = d.crossJoin(F.broadcast(lo))
+    return chapman_capture_recapture(
+        flagged,
+        "user_id",
+        F.col("day") < F.col("lo") + 15,
+        F.col("day") >= F.col("lo") + 15,
+    )
+
+
+@query(
+    "ratio_metric_delta_ci_by_variant",
+    oracle="""
+        WITH subj AS (
+            SELECT user_id,
+                   CASE WHEN CAST('0x' || substring(md5('exp-r8:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 10000 < 5000 THEN 'A' ELSE 'B' END AS variant,
+                   CAST(count(*) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id),
+        mom AS (
+            SELECT variant AS grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM subj GROUP BY variant),
+        st AS (
+            SELECT grp, n, sx,
+                   CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+                   CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS vy,
+                   CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS vx,
+                   CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cxy,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+            FROM mom),
+        fin AS (
+            SELECT grp, n, sx, r,
+                   sqrt(greatest(0.0,
+                       (vy - 2.0 * r * cxy + r * r * vx)
+                       / (CAST(n AS DOUBLE) * xbar * xbar))) AS se
+            FROM st)
+        SELECT grp AS variant, n,
+               CASE WHEN n > 1 AND sx > 0 THEN round(r, 6) END AS ratio,
+               CASE WHEN n > 1 AND sx > 0 THEN round(se, 6) END AS se,
+               CASE WHEN n > 1 AND sx > 0 THEN round(r - 1.96 * se, 6) END AS ci_lo,
+               CASE WHEN n > 1 AND sx > 0 THEN round(r + 1.96 * se, 6) END AS ci_hi
+        FROM fin
+    """,
+    tags=("analytics", "experimentation", "statistics", "agg"),
+    doc="Delta-method 95% CI for the RATIO metric 'purchase cents per "
+    "event' per variant — the inference every experimentation platform "
+    "needs for ratio metrics and the per-user t-test gets wrong: "
+    "R = sum(y)/sum(x) over users, so Var(R) must carry the "
+    "numerator-denominator covariance (Deng et al. 2013). One "
+    "partial-agg pass of six exact moments per arm; R, the Bessel "
+    "(co)variances, and the CI are fixed double chains "
+    "(operators/stats.py:ratio_metric_delta_ci).",
+)
+def ratio_metric_delta_ci_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import split_bucket_col, split_col
+    from ..operators.stats import ratio_metric_delta_ci
+
+    events = load_table(spark, sf_dir, "events")
+    subj = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    ).select(
+        split_col(
+            split_bucket_col(F.col("user_id"), "exp-r8"), (("A", 5000), ("B", 5000))
+        ).alias("variant"),
+        "x", "y",
+    )
+    return ratio_metric_delta_ci(subj, "variant", "y", "x")

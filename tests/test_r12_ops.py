@@ -438,3 +438,41 @@ def test_hhi_boundaries(spark):
     assert abs(r2.hhi - 0.25) < 1e-6
     assert r2.hhi_normalized == 0.0
     assert abs(r2.effective_n - 4.0) < 1e-6
+
+
+def test_chapman_hand_computed(spark):
+    import pyspark.sql.functions as F
+
+    from redpanda_ais_demo_spark.operators.stats import (
+        chapman_capture_recapture,
+    )
+
+    # n1=4 (keys 1-4 in first), n2=3 (keys 3-6 minus 4... define:
+    # first = {1,2,3,4}, second = {3,4,5}: m=2, Chapman = 5*4/3 - 1
+    rows = [(k, 1, 0) for k in (1, 2)] + [(k, 1, 1) for k in (3, 4)] + [(5, 0, 1)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    r = chapman_capture_recapture(
+        df, "k", F.col("a") == 1, F.col("b") == 1
+    ).first()
+    assert (r.n_first, r.n_second, r.n_overlap, r.n_observed) == (4, 3, 2, 5)
+    assert abs(r.n_hat - (5 * 4 / 3 - 1)) < 1e-6
+    var = 5 * 4 * 2 * 1 / (9 * 4)
+    assert abs(r.se - var**0.5) < 1e-6
+
+
+def test_ratio_delta_ci_degenerate_and_exact_ratio(spark):
+    from redpanda_ais_demo_spark.operators.stats import ratio_metric_delta_ci
+
+    # constant per-user ratio y = 3x: R exactly 3, variance exactly 0
+    rows = [("A", i, 3 * i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = ratio_metric_delta_ci(df, "g", "y", "x").first()
+    assert abs(r.ratio - 3.0) < 1e-6
+    assert r.se == 0.0 and r.ci_lo == r.ci_hi == r.ratio
+
+    # varying ratios: CI straddles the pooled ratio, se > 0
+    rows2 = [("A", 1, 10), ("A", 1, 2), ("A", 2, 3), ("A", 4, 9)]
+    r2 = ratio_metric_delta_ci(
+        spark.createDataFrame(rows2, "g string, x long, y long"), "g", "y", "x"
+    ).first()
+    assert r2.se > 0 and r2.ci_lo < r2.ratio < r2.ci_hi
