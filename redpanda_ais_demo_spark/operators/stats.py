@@ -4729,6 +4729,7 @@ def kendall_tau_b(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_cells: int = 10_000,
 ) -> DataFrame:
     """Kendall's τ-b rank correlation between two ORDINAL columns —
     the concordance member of the correlation family (Pearson reads
@@ -4744,6 +4745,15 @@ def kendall_tau_b(
     operator exists to avoid). All pair counts are exact
     DECIMAL(38,0); one final fixed double chain.
 
+    The bounded-domain contract is ENFORCED, not trusted (the
+    ``ntile_bounded_domain`` / ``removal_effect_attribution`` pattern):
+    an in-plan cell count rides a broadcast onto the self-join's build
+    side, and a caller passing a continuous column fails at execution
+    with a raise_error naming ``max_cells`` on the FIRST probe row —
+    before the |cells|² pair stream ever materializes. The guard costs
+    one extra scalar aggregate over the (already lazily pinned) cell
+    table, never a shuffle.
+
     Output: one row — n, n_concordant, n_discordant, tau_b.
     """
     cells = (
@@ -4755,8 +4765,23 @@ def kendall_tau_b(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)  # feeds the self-join twice + ties
     )
-    a = cells.select(
-        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    ncells = cells.agg(F.count(F.lit(1)).alias("__kt_ncells"))
+    a = cells.crossJoin(F.broadcast(ncells)).select(
+        F.when(
+            F.col("__kt_ncells") > max_cells,
+            F.raise_error(
+                F.lit(
+                    f"kendall_tau_b: contingency cell table exceeds "
+                    f"max_cells={max_cells} — x/y are data-scale, not "
+                    f"bounded ordinal domains; bucket them first "
+                    f"(the CELL×CELL pair join would be |cells|² work)"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("x"))
+        .alias("xa"),
+        F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
     )
     b = cells.select(
         F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
@@ -4890,6 +4915,7 @@ def mann_kendall_dense(
     df: DataFrame,
     idx_col: str,
     value_col: str,
+    max_buckets: int = 10_000,
 ) -> DataFrame:
     """Mann-Kendall trend test over a CALENDAR-BOUNDED regular series
     — the nonparametric "is there a monotone trend" readout beside
@@ -4903,6 +4929,11 @@ def mann_kendall_dense(
     data-sized pass is the upstream groupBy that builds the buckets.
     All pair counts exact BIGINTs; one fixed double chain for z.
 
+    ENFORCED like ``kendall_tau_b``'s max_cells: an in-plan bucket
+    count rides a broadcast onto the pair join's left side and a
+    data-scale ``idx_col`` raises naming ``max_buckets`` on the first
+    probe row, before the |buckets|² pair stream materializes.
+
     Output: one row — n, s_stat, z_score, p_value.
     """
     base = (
@@ -4914,7 +4945,23 @@ def mann_kendall_dense(
         .agg(F.sum("v").alias("v"))
         .localCheckpoint(eager=False)  # feeds the pair join twice + ties
     )
-    a = base.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    nbuckets = base.agg(F.count(F.lit(1)).alias("__mk_nb"))
+    a = base.crossJoin(F.broadcast(nbuckets)).select(
+        F.when(
+            F.col("__mk_nb") > max_buckets,
+            F.raise_error(
+                F.lit(
+                    f"mann_kendall_dense: bucket axis exceeds "
+                    f"max_buckets={max_buckets} — idx_col is data-scale, "
+                    f"not a calendar-bounded bucket axis; bucket it first "
+                    f"(the pair join would be |buckets|² work)"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("i"))
+        .alias("ia"),
+        F.col("v").alias("va"),
+    )
     b = base.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("ia") < F.col("ib"))
     agg = pairs.agg(

@@ -289,98 +289,6 @@ def test_pca2_rank_one_line(spark):
 
 
 def test_gumbel_moment_fit_hand_computed(spark):
-    from redpanda_ais_demo_spark.operators.stats import gumbel_block_maxima
-
-    import math
-
-    rows = [(1, 100), (2, 200), (3, 300)]
-    df = spark.createDataFrame(rows, "b long, v long")
-    out = {r.return_period: r for r in
-           gumbel_block_maxima(df, "b", "v", (10, 100)).collect()}
-    r = out[10]
-    assert r.n_blocks == 3 and abs(r.mean_max - 2.0) < 1e-6
-    assert abs(r.sd_max - 1.0) < 1e-6
-    beta = 6**0.5 / math.pi
-    assert abs(r.beta - beta) < 1e-5
-    mu = 2.0 - 0.5772156649015329 * beta
-    assert abs(r.mu - mu) < 1e-5
-    lvl = mu - beta * math.log(-math.log(1 - 1 / 10))
-    assert abs(r.return_level - lvl) < 1e-4
-    assert out[100].return_level > out[10].return_level > r.mean_max
-    with pytest.raises(ValueError, match="return_periods"):
-        gumbel_block_maxima(df, "b", "v", (1,))
-
-
-def test_kendall_tau_b_hand_computed(spark):
-    from redpanda_ais_demo_spark.operators.stats import kendall_tau_b
-
-    perf = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "x long, y long")
-    r = kendall_tau_b(perf, "x", "y").first()
-    assert (r.n_concordant, r.n_discordant) == (3, 0)
-    assert abs(r.tau_b - 1.0) < 1e-6
-
-    anti = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], "x long, y long")
-    assert abs(kendall_tau_b(anti, "x", "y").first().tau_b + 1.0) < 1e-6
-
-    # balanced 2x2 grid: C = D = 1 -> tau 0 (ties in x and y corrected)
-    grid = spark.createDataFrame(
-        [(1, 1), (1, 2), (2, 1), (2, 2)], "x long, y long"
-    )
-    r2 = kendall_tau_b(grid, "x", "y").first()
-    assert (r2.n_concordant, r2.n_discordant) == (1, 1)
-    assert r2.tau_b == 0.0
-
-
-def test_cochran_q_reduces_to_uncorrected_mcnemar(spark):
-    from redpanda_ais_demo_spark.operators.stats import cochran_q
-
-    # k=2: Q = (b-c)^2/(b+c) = 16/6 for b=5, c=1
-    rows = []
-    bid = 0
-    for pre, post, cnt in ((0, 1, 5), (1, 0, 1), (1, 1, 3), (0, 0, 2)):
-        for _ in range(cnt):
-            rows += [(bid, "t1", pre), (bid, "t2", post)]
-            bid += 1
-    df = spark.createDataFrame(rows, "b long, t string, y long")
-    r = cochran_q(df, "b", "t", "y").first()
-    assert r.n_blocks == 11 and r.k_treatments == 2
-    assert abs(r.q_stat - 16 / 6) < 1e-6
-    assert r.n_incomplete_blocks == 0
-
-
-def test_mann_kendall_hand_computed(spark):
-    from redpanda_ais_demo_spark.operators.stats import mann_kendall_dense
-
-    # strictly increasing 5-day series: S = 10, var = 5*4*15/18
-    df = spark.createDataFrame(
-        [(i, 100 * i) for i in range(1, 6)], "i long, v long"
-    )
-    r = mann_kendall_dense(df, "i", "v").first()
-    assert r.s_stat == 10
-    var = 5 * 4 * 15 / 18
-    assert abs(r.z_score - 9 / var**0.5) < 1e-6
-    # constant series: all ties -> var 0 -> NULL z
-    c = spark.createDataFrame([(i, 7) for i in range(5)], "i long, v long")
-    assert mann_kendall_dense(c, "i", "v").first().z_score is None
-
-
-def test_pca2_rank_one_line(spark):
-    from redpanda_ais_demo_spark.operators.stats import pca2_closed_form
-
-    # points exactly on y = 2x: lambda2 = 0, loading = (1,2)/sqrt(5)
-    df = spark.createDataFrame([(1, 2), (2, 4), (3, 6)], "x long, y long")
-    r = pca2_closed_form(df, "x", "y").first()
-    assert abs(r.lambda2) < 1e-6
-    assert abs(r.explained_ratio - 1.0) < 1e-6
-    assert abs(r.loading_x - 1 / 5**0.5) < 1e-6
-    assert abs(r.loading_y - 2 / 5**0.5) < 1e-6
-    # anti-correlated line y = -x: sign fix keeps loading_x >= 0
-    d2 = spark.createDataFrame([(1, -1), (2, -2), (3, -3)], "x long, y long")
-    r2 = pca2_closed_form(d2, "x", "y").first()
-    assert r2.loading_x > 0 and r2.loading_y < 0
-
-
-def test_gumbel_moment_fit_hand_computed(spark):
     import math
 
     from redpanda_ais_demo_spark.operators.stats import gumbel_block_maxima
