@@ -163,11 +163,15 @@ PRIORITY: tuple[str, ...] = (
     # dsir in-window); the slot carried the MODEL-SELECTION class.
     # (r12) ridge_cv rotated out after its r11 driver hash (logreg's
     # IRLS holds model-fitting in-window; the k-fold CV oracle stays in
-    # the sweep). The slot goes to aipw_ate_priority_on_revenue — the
-    # DOUBLY-ROBUST causal class's first window rep (outcome-model +
-    # propensity IRLS stacked into one partial-agg readout; never
-    # driver-hashed since its r11 build, operators/glm.py).
-    "aipw_ate_priority_on_revenue",
+    # the sweep). The slot went to aipw_ate_priority_on_revenue, which
+    # (r13) rotates out after earning that hash in CORRECTNESS_r12
+    # (logreg's IRLS keeps causal/model-fitting in-window; the stacked
+    # AIPW oracle stays in the sweep). The slot goes to
+    # huber_purchase_on_activity — the ROBUST-REGRESSION class's first
+    # window rep (OLS start + 6 integer-micro reweight rounds, each a
+    # partial-agg pass; unrolled-CTE oracle replays the trajectory;
+    # never driver-hashed since its r12 build, operators/glm.py:979).
+    "huber_purchase_on_activity",
     "multimodal_frame_sample",
     # (r11) zorder_events rotated out for hilbert_order_events — the
     # same storage-layout class, but the Hilbert member is the stronger
@@ -271,20 +275,27 @@ PRIORITY: tuple[str, ...] = (
     # slot carried holt_winters_weekly_value, driver-hashed r11.
     # (r12) holt_winters rotated out after that hash (amoc holds the
     # timeseries family in-window; the recursive-CTE ring-buffer oracle
-    # stays in the sweep). The slot goes to holm_pairwise_value_by_type
-    # — the MULTIPLICITY-CONTROL class's first window rep (Holm
-    # step-down over the |types|^2 pairwise Welch table; never
-    # driver-hashed since its r11 build, operators/stats.py).
-    "holm_pairwise_value_by_type",
+    # stays in the sweep). The slot went to holm_pairwise_value_by_type,
+    # which (r13) rotates out after earning its hash in CORRECTNESS_r12
+    # (the nonparametric/multiple-testing corner keeps wilcoxon +
+    # kendall below as fresh window reps; Holm's step-down oracle stays
+    # in the sweep). The slot goes to wilcoxon_signed_spend_halves —
+    # the PAIRED-NONPARAMETRIC class's first window rep (midranks of
+    # distinct |diff| on the distributed prefix, doubled-rank exact
+    # sums; never driver-hashed since its r12 build, operators/stats.py).
+    "wilcoxon_signed_spend_halves",
     # (r11d) cusum rotated out after its r10 driver hash — the slot
     # carried the survival-REGRESSION class (Cox), driver-hashed r11.
     # (r12) cox rotated out after that hash (the KM/Nelson-Aalen/
-    # log-rank/Cox oracles all stay in the sweep); the slot goes to
-    # mahalanobis_user_outliers — the MULTIVARIATE-ANOMALY class's
-    # first window rep (pooled covariance inverse as broadcast
-    # literals into a codegen quadratic form; never driver-hashed
-    # since its r11 build, operators/stats.py).
-    "mahalanobis_user_outliers",
+    # log-rank/Cox oracles all stay in the sweep); the slot went to
+    # mahalanobis_user_outliers, which (r13) rotates out after earning
+    # its hash in CORRECTNESS_r12 (conformal keeps the uncertainty/
+    # anomaly corner in-window; the quadratic-form oracle stays in the
+    # sweep). The slot goes to pca2_activity_vs_spend — the
+    # DIMENSIONALITY-REDUCTION class's first window rep (closed-form
+    # 2x2 covariance eigenpair on one pass of exact moments; never
+    # driver-hashed since its r12 build, operators/stats.py).
+    "pca2_activity_vs_spend",
     # heavy hitters carries the sketch family's first full-hash window
     # row (its MG-prune answer is exact, unlike the rows-only CMS/HLL
     # entries); M4 is the new downsampling class. Rotated out for them:
@@ -296,12 +307,15 @@ PRIORITY: tuple[str, ...] = (
     # — the sketch slot upgraded to KMV, driver-hashed r11.
     # (r12) kmv rotated out after that hash (its portable-hash oracle
     # stays in the sweep; MG/CMS/HLL/KLL stay pytest-bound by design);
-    # the slot goes to attribution_shapley — the COOPERATIVE-GAME
-    # attribution class's first window rep (exact Shapley values over
-    # the bounded channel power set, factorial weights as integer
-    # literals; never driver-hashed since its r11 build,
-    # operators/timeseries.py:shapley_attribution).
-    "attribution_shapley",
+    # the slot went to attribution_shapley, which (r13) rotates out
+    # after earning its hash in CORRECTNESS_r12 (the attribution family
+    # keeps its removal-effect/last-touch oracles in the sweep; the
+    # power-set mechanism has no scale analogue to re-pin). The slot
+    # goes to gumbel_daily_max_value — the EXTREME-VALUE class's first
+    # window rep (method-of-moments Gumbel fit on daily block maxima
+    # with 10/100-day return levels; never driver-hashed since its r12
+    # build, operators/stats.py).
+    "gumbel_daily_max_value",
     # (r10) m4_downsample_event_values rotated out: the time-series
     # reduction family keeps CUSUM and gap-fill in-window, and M4's
     # min/max/first/last-per-bucket mechanism keeps its full oracle in
@@ -408,12 +422,16 @@ PRIORITY: tuple[str, ...] = (
     # in-window (IPW stacks on the same fold) and gains the matching
     # estimator in the sweep. The slot carried kmeans, driver-hashed
     # r11. (r12) kmeans rotated out after that hash (its 3-round
-    # unrolled Lloyd oracle stays in the sweep); the slot goes to
-    # bradley_terry_brand_prefs — the PAIRWISE-RATING class's first
-    # window rep (iterative MM fixed point on integer win counts,
-    # unrolled-CTE oracle; never driver-hashed since its r11 build,
-    # operators/recommend.py:bradley_terry).
-    "bradley_terry_brand_prefs",
+    # unrolled Lloyd oracle stays in the sweep); the slot went to
+    # bradley_terry_brand_prefs, which (r13) rotates out after earning
+    # its hash in CORRECTNESS_r12 (the MM fixed-point oracle stays in
+    # the sweep; logreg keeps iterative model fitting in-window). The
+    # slot goes to kendall_tau_hour_vs_value — the CONCORDANCE-
+    # CORRELATION class's first window rep (tie-corrected τ-b via the
+    # |cells|² contingency self-join, max_cells-guarded in-plan since
+    # r13; never driver-hashed since its r12 build,
+    # operators/stats.py:kendall_tau_b).
+    "kendall_tau_hour_vs_value",
     # (r8c) the persisted-index serve path's hash-checked row (takes
     # l1_top_events' slot — see the AIS block note): same Okapi BM25
     # oracle as bm25_topk_docs, but the plan probes the committed-on-
@@ -429,21 +447,29 @@ PRIORITY: tuple[str, ...] = (
     # driver hash; the slot carried qgram_fuzzy_name_pairs,
     # driver-hashed r11. (r12) qgram rotated out after that hash (the
     # ER family keeps resolve_part_names in-window; the q-gram
-    # brute-force-recall oracle stays in the sweep). The slot goes to
-    # fs_link_same_name_parts — the PROBABILISTIC-LINKAGE class's
-    # first window rep (Fellegi–Sunter TF-adjusted agreement weights
-    # from exact frequency sums over blocked candidates; never
-    # driver-hashed since its r11 build, operators/dedup.py).
-    "fs_link_same_name_parts",
+    # brute-force-recall oracle stays in the sweep). The slot went to
+    # fs_link_same_name_parts, which (r13) rotates out after earning
+    # its hash in CORRECTNESS_r12 (the ER family keeps
+    # resolve_part_names in-window; the TF-adjusted-weight oracle stays
+    # in the sweep). The slot goes to rouge2_near_dup_pairs — the
+    # N-GRAM-OVERLAP-SCORING class's first window rep (clipped bigram
+    # P/R/F1 over the LSH candidate pairs, one pinned (doc,gram)
+    # groupBy serving both sides; never driver-hashed since its r12
+    # build, operators/similarity.py:1085).
+    "rouge2_near_dup_pairs",
     # (r11d) mann_whitney rotated out after its r10 driver hash — the
     # two-sample slot upgraded to Wasserstein, driver-hashed r11.
     # (r12) wasserstein rotated out after that hash (the prefix-sum
     # distributional-distance oracle stays in the sweep); the slot
-    # goes to ppr_copurchase_min_part_brand — the SEEDED-PROXIMITY
-    # graph class's first window rep (personalized PageRank power
-    # iteration with a pinned pair-join subtree; never driver-hashed
-    # since its r11 build, operators/graph.py:97).
-    "ppr_copurchase_min_part_brand",
+    # went to ppr_copurchase_min_part_brand, which (r13) rotates out
+    # after earning its hash in CORRECTNESS_r12 (kcore keeps the
+    # iterative-graph family in-window; the seeded power-iteration
+    # oracle stays in the sweep). The slot goes to ts_paa_topk_per_key
+    # — the TIME-SERIES-MOTIF class's output-bounded scale path (banded
+    # PAA-sign candidates, per-key top-k cut, pinned pair stream; the
+    # r12 verdict asked the driver to hash the mitigation itself;
+    # never driver-hashed since its r11 build, operators/timeseries.py).
+    "ts_paa_topk_per_key",
     # (r11) events_in_geofences and bootstrap_ci_purchase_value rotated
     # out after earning their first driver hashes in CORRECTNESS_r10:
     # the spatial family keeps close_encounter_pairs in-window and the
@@ -456,8 +482,20 @@ PRIORITY: tuple[str, ...] = (
     # ab_monitor_hourly_snapshots (the A/B monitor's cumulative
     # snapshot trajectory — byte-identical to the live foreachBatch
     # fold, pytest-pinned in tests/test_streaming_abmonitor.py).
-    "dp_counts_customers_by_nation",
-    "ab_monitor_hourly_snapshots",
+    # (r13) both rotate out after earning hashes in r11 AND r12 — the
+    # longest-tenured unrotated rows in the window: privacy keeps
+    # k_anonymity_orders in-window (the DP keyed-PRG oracle stays in
+    # the sweep) and the streaming trackers keep
+    # quantile_tracker_daily_snapshots (above) as their parity rep.
+    # The slots go to the last two never-hashed r12 classes:
+    # ratio_metric_delta_ci_by_variant — the RATIO-METRIC-INFERENCE
+    # class (delta-method CI with the cross-covariance term, Deng
+    # 2013; operators/stats.py:5280) — and
+    # seasonal_decompose_daily_value — the SEASONAL-DECOMPOSITION
+    # class (window-free centered 7-MA via literal offset explode,
+    # exact micro-cent phase means; operators/timeseries.py:2572).
+    "ratio_metric_delta_ci_by_variant",
+    "seasonal_decompose_daily_value",
 )
 
 

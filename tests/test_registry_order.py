@@ -40,7 +40,7 @@ REQUIRED_IN_WINDOW = {
     "multimodal_frame_sample",
     # round-2 corpus classes (r10: embedding_random_projection rotated
     # out behind embedding_cosine_topk's array-lambda arithmetic)
-    "aipw_ate_priority_on_revenue",  # r12: doubly-robust causal first rep (ridge_cv out, r11-hashed)
+    "huber_purchase_on_activity",  # r13: robust-regression first rep (aipw out, r12-hashed)
     # (r11) zorder_events rotated out for the stronger same-class
     # Hilbert member (first driver hash for the r10 addition)
     "hilbert_order_events",
@@ -87,12 +87,12 @@ REQUIRED_IN_WINDOW = {
     # registered, oracle-bearing, pytest-oracle-swept)
     # (r11c) pps out (sampling keeps source_mixture + pack_sharded);
     # forecasting regains its window row via the array-state HW fold
-    "holm_pairwise_value_by_type",  # r12: multiplicity-control first rep (holt_winters out, r11-hashed)
-    "mahalanobis_user_outliers",  # r12: multivariate-anomaly first rep (cox out, r11-hashed)
+    "wilcoxon_signed_spend_halves",  # r13: paired-nonparametric first rep (holm out, r12-hashed)
+    "pca2_activity_vs_spend",  # r13: dimensionality-reduction first rep (mahalanobis out, r12-hashed)
     # sketch family's first full-hash window row + the downsampling class
     # (tfidf_top_terms behind bm25's term-weighting retrieval and
     # unpivot_part_measures behind pivot's reshaping family rotated out)
-    "attribution_shapley",  # r12: cooperative-game attribution first rep (kmv out, r11-hashed)
+    "gumbel_daily_max_value",  # r13: extreme-value first rep (shapley out, r12-hashed)
     # (r10) m4_downsample_event_values rotated out (CUSUM + gapfill hold
     # the time-series reduction family in-window)
     # round-7 session batch 2: rank fusion, the composite quality gate
@@ -134,7 +134,7 @@ REQUIRED_IN_WINDOW = {
     # classes
     # (r11c) IPW out after its r10 hash (logreg IRLS stays in-window);
     # the embedding-clustering class gains its first window rep
-    "bradley_terry_brand_prefs",  # r12: pairwise-rating first rep (kmeans out, r11-hashed)
+    "kendall_tau_hour_vs_value",  # r13: concordance-correlation first rep (bradley_terry out, r12-hashed)
     "pit_join_purchase_user_state",
     # (r10) welch rotated out for the nonparametric sibling below
     "k_anonymity_orders",
@@ -146,13 +146,13 @@ REQUIRED_IN_WINDOW = {
     # nonparametric tests, geofencing, bootstrap CIs
     # (r11b) sssp rotated out after its r10 driver hash (kcore keeps the
     # iterative-graph family); slot carries the lossless fuzzy join
-    "fs_link_same_name_parts",  # r12: probabilistic-linkage first rep (qgram out, r11-hashed)
-    "ppr_copurchase_min_part_brand",  # r12: seeded-proximity graph first rep (wasserstein out, r11-hashed)
+    "rouge2_near_dup_pairs",  # r13: n-gram-overlap scoring first rep (fs_link out, r12-hashed)
+    "ts_paa_topk_per_key",  # r13: ts-motif output-bounded scale path (ppr out, r12-hashed)
     # (r11) events_in_geofences and bootstrap_ci rotated out after their
     # r10 driver hashes; privacy gains its DP member and the streaming
     # trackers their second batch-replay-parity row
-    "dp_counts_customers_by_nation",
-    "ab_monitor_hourly_snapshots",
+    "ratio_metric_delta_ci_by_variant",  # r13: ratio-metric inference (dp_counts out, r11+r12-hashed)
+    "seasonal_decompose_daily_value",  # r13: seasonal decomposition (ab_monitor out, r11+r12-hashed)
 }
 
 
