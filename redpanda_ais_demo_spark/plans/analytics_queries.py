@@ -1547,6 +1547,78 @@ def quantile_tracker_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "funnel_tracker_daily_snapshots",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type AS et,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts
+            FROM events
+        ),
+        l1 AS (
+            SELECT *, min(CASE WHEN et = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+            FROM e
+        ),
+        l2 AS (
+            SELECT *, min(CASE WHEN et = 'click' AND ts > t1
+                               AND ts <= t1 + 86400 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+            FROM l1
+        ),
+        l3 AS (
+            SELECT *, min(CASE WHEN et = 'purchase' AND ts > t2
+                               AND ts <= t1 + 86400 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+            FROM l2
+        ),
+        f AS (
+            SELECT user_id, min(ts) AS t0,
+                   min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+            FROM l3 GROUP BY user_id
+        ),
+        days AS (SELECT DISTINCT (ts // 86400) * 86400 AS bts FROM e)
+        SELECT bts AS batch_ts,
+               CAST(count(CASE WHEN t0 < bts + 86400 THEN 1 END) AS BIGINT)
+                   AS n_users,
+               CAST(count(CASE WHEN t0 < bts + 86400
+                               AND (t1 IS NULL OR t1 >= bts + 86400)
+                          THEN 1 END) AS BIGINT) AS d0,
+               CAST(count(CASE WHEN t1 < bts + 86400
+                               AND (t2 IS NULL OR t2 >= bts + 86400)
+                          THEN 1 END) AS BIGINT) AS d1,
+               CAST(count(CASE WHEN t2 < bts + 86400
+                               AND (t3 IS NULL OR t3 >= bts + 86400)
+                          THEN 1 END) AS BIGINT) AS d2,
+               CAST(count(CASE WHEN t3 < bts + 86400 THEN 1 END) AS BIGINT)
+                   AS d3
+        FROM f, days GROUP BY bts
+    """,
+    tags=("analytics", "streaming-parity", "funnel", "window"),
+    doc="Batch replay of the streaming funnel tracker's per-batch depth "
+    "histogram (streaming/funnel.py:funnel_trajectory_batch) — the "
+    "FOURTH batch-replay-parity row in the streaming-tracker family "
+    "(ab_monitor, bottom-k, quantile trajectory precedents): one row "
+    "per event DAY with the tracker's state population and the count "
+    "of users at each view→click→purchase depth (24h window — the "
+    "bound that BINDS on the fixture). Exactness rides the greedy-"
+    "slot monotonicity argument: slots never change once set and fill "
+    "in event-time order, so depth-at-batch-D is the full-stream "
+    "funnel's slot vector thresholded at D's end — no per-prefix "
+    "replay. Keys emit at most steps+1 delta rows; the cumulative "
+    "counts ride a broadcast join against the calendar-bounded day "
+    "axis. Live parity pinned in tests/test_streaming_funnel.py.",
+)
+def funnel_tracker_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.funnel import funnel_trajectory_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_trajectory_batch(
+        events, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], _FUNNEL_WINDOW_TIGHT,
+    )
+
+
+@query(
     "ewma_user_value",
     oracle="""
         WITH e AS (

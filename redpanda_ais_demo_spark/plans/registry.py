@@ -176,9 +176,17 @@ PRIORITY: tuple[str, ...] = (
     # (r11) zorder_events rotated out for hilbert_order_events — the
     # same storage-layout class, but the Hilbert member is the stronger
     # clustering key (measured better row-group pruning, layout.py) and
-    # has never been driver-hash-checked; Z-order stays registered,
+    # had never been driver-hash-checked; Z-order stays registered,
     # oracle-bearing, pytest-oracle-swept.
-    "hilbert_order_events",
+    # (r13) hilbert rotates out after earning hashes in r11 AND r12
+    # (layout keeps bucketed_join_segment_sales in-window; both
+    # clustering-key oracles stay in the sweep). The slot goes to
+    # funnel_tracker_daily_snapshots — the streaming trackers' FOURTH
+    # batch-replay-parity row (NEW r13): the funnel tracker's per-batch
+    # depth histogram replayed exactly via the greedy-slot monotonicity
+    # argument, live parity pinned in tests/test_streaming_funnel.py
+    # (streaming/funnel.py:funnel_trajectory_batch).
+    "funnel_tracker_daily_snapshots",
     # advanced relational operators
     # (r8b) salted_join_segment_traffic rotated out: its oracle checks
     # the same join RESULT as the plain join (the salting is a strategy,

@@ -94,3 +94,100 @@ def funnel_stream(
     return flat.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def funnel_trajectory_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_sec: int,
+    batch_sec: int = 86400,
+) -> DataFrame:
+    """Batch replay of the streaming funnel tracker's per-batch DEPTH
+    HISTOGRAM, in exact integer arithmetic — the fourth batch-replay-
+    parity row in the streaming-tracker family (ab_monitor z-trajectory,
+    bottom-k, quantile trajectory precedents). One row per event batch
+    (``batch_sec`` buckets of ``ts_col`` — the micro-batch analogue):
+    how many keys the tracker has seen so far, and how many sit at each
+    funnel depth 0..n at the end of that batch.
+
+    The exactness argument: the live tracker (``funnel_stream``) fills
+    greedy-earliest slots that NEVER change once set and fill in
+    increasing event-time order, so its state after batch D is the
+    full-stream batch funnel's slot vector truncated to slots with
+    t_i inside the first D batches. Depth-at-batch is therefore a pure
+    join of the one-shuffle batch ``funnel`` result to the bounded
+    batch axis — no per-batch replay of anything.
+
+    Scale shape (the reason this beats the naive "funnel per day
+    prefix" fan-out): per key we emit at most ``len(steps)+1``
+    DELTA rows (first-seen day, and the day each slot fills), one
+    partial-aggregable groupBy collapses those to the bounded
+    (level, day) increment table, and the cumulative counts ride a
+    broadcast join against the CALENDAR-bounded batch axis — the
+    quantile-trajectory argument. Keys never fan out across days.
+
+    Output: batch_ts, n_users (keys with any event so far — the
+    tracker's state population, depth-0 rows included), d0..dn (keys
+    at exactly that depth). All counts exact longs.
+    """
+    if not steps:
+        raise ValueError("funnel_trajectory_batch: steps must be non-empty")
+    from ..operators.timeseries import funnel
+
+    n = len(steps)
+    day = lambda c: (F.floor(c / batch_sec) * batch_sec).cast("long")  # noqa: E731
+    e = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("ts"),
+    )
+    slots = funnel(df, key_col, ts_col, type_col, steps, window_sec)
+    seen = e.groupBy("key").agg(F.min("ts").alias("t0"))
+    u = slots.withColumnRenamed(key_col, "key").join(seen, "key")
+    # delta rows: level 0 fires at the key's first event; level i at the
+    # day slot i fills (NULL past the reached depth -> filtered)
+    lv = F.explode(
+        F.array(
+            F.struct(F.lit(0).alias("level"), day(F.col("t0")).alias("day")),
+            *[
+                F.struct(
+                    F.lit(i).alias("level"), day(F.col(f"t{i}")).alias("day")
+                )
+                for i in range(1, n + 1)
+            ],
+        )
+    ).alias("lv")
+    incs = (
+        u.select(lv)
+        .select("lv.level", "lv.day")
+        .filter(F.col("day").isNotNull())
+        .groupBy("level", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("add"))
+    )
+    days = e.select(day(F.col("ts")).alias("bts")).distinct()
+    cnt = (
+        incs.join(F.broadcast(days), F.col("day") <= F.col("bts"))
+        .groupBy("bts", "level")
+        .agg(F.sum("add").cast("long").alias("ge"))
+    )
+    wide = cnt.groupBy("bts").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("level") == i, F.col("ge"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"ge{i}")
+            for i in range(n + 1)
+        ]
+    )
+    exact = [
+        (F.col(f"ge{i}") - (F.col(f"ge{i + 1}") if i < n else F.lit(0)))
+        .cast("long")
+        .alias(f"d{i}")
+        for i in range(n + 1)
+    ]
+    return wide.select(
+        F.col("bts").alias("batch_ts"), F.col("ge0").alias("n_users"), *exact
+    )

@@ -42,8 +42,10 @@ REQUIRED_IN_WINDOW = {
     # out behind embedding_cosine_topk's array-lambda arithmetic)
     "huber_purchase_on_activity",  # r13: robust-regression first rep (aipw out, r12-hashed)
     # (r11) zorder_events rotated out for the stronger same-class
-    # Hilbert member (first driver hash for the r10 addition)
-    "hilbert_order_events",
+    # Hilbert member; (r13) hilbert out after r11+r12 hashes — layout
+    # keeps bucketed_join in-window; slot carries the streaming
+    # trackers' fourth batch-replay-parity row
+    "funnel_tracker_daily_snapshots",
     # packing scale path (round-6)
     "pack_token_stream_sharded",
     # advanced relational
