@@ -425,6 +425,170 @@ def duplicated_spans(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame,
+    width: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_anchors: bool = True,
+) -> DataFrame:
+    """Maximal CHARACTER spans whose every ``width``-char window repeats
+    elsewhere in the corpus, keep-first — the exact-substring member of
+    the dedup cascade (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": remove repeated substrings, keep one
+    occurrence). ``duplicated_spans`` (above) is its token-shingle
+    sibling gated on distinct-document counts; this one works at
+    character granularity, counts intra-document repeats too, and
+    implements the keep-one policy the suffix-array construction gives
+    for free: a window's FIRST occurrence (lexicographic (doc_id, pos)
+    — deterministic at any parallelism) is never marked, so the source
+    copy of every repeated substring survives the downstream rewrite.
+
+    Coverage identity (why fixed-width anchors are exact, not an
+    approximation): a position lies inside some duplicated substring of
+    length >= width iff it is covered by a duplicated width-window, so
+    the merged anchor islands ARE the maximal repeated regions at the
+    width threshold — no suffix array needed, and every stage is a
+    stock shuffle.
+
+    Scale shape: the anchor explode is corpus-sized by construction
+    (so is a suffix array); with ``hash_anchors`` the shuffle carries
+    (doc_id, pos, xxhash64) = 24 bytes per corpus character instead of
+    the width-byte gram text. Keep-first is ONE partial-aggregable
+    groupBy (count + min-struct); the mark join is key-co-located
+    (AQE handles hot boilerplate grams); the island merge runs in a
+    PER-DOCUMENT window, never global. Hash collisions can only
+    over-mark (two distinct grams colliding both look repeated) with
+    probability ~ n_anchors²/2⁶⁴ — pass ``hash_anchors=False`` to
+    group on the gram text itself (exact at any scale, width-byte
+    shuffle keys); both paths are pinned identical on the fixture in
+    tests/test_r13_ops.py.
+
+    Output: (doc_id, span_start 1-based, span_len) — [start,
+    start+len) is cut by ``substring_dedup_rewrite``.
+    """
+    if width < 2:
+        raise ValueError("substring_dup_spans: width must be >= 2")
+    base = (
+        _parallelize(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .filter(F.length("t") >= width)
+    )
+    anchors = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - width + 1)).alias("p"),
+        "t",
+    ).select("doc_id", "p", F.col("t").substr(F.col("p"), F.lit(width)).alias("g"))
+    key = F.xxhash64("g") if hash_anchors else F.col("g")
+    occ = anchors.select("doc_id", "p", key.alias("h")).localCheckpoint(
+        eager=False  # feeds the keep-first aggregate AND the mark join
+    )
+    firsts = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "p")).alias("first"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("h", "first")
+    )
+    marked = (
+        occ.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("p") != F.col("first.p"))
+        )
+        .select("doc_id", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    flagged = marked.withColumn(
+        "brk",
+        F.when(F.lag("p").over(w).isNull(), 1)
+        .when(F.col("p") > F.lag("p").over(w) + width, 1)
+        .otherwise(0),
+    ).withColumn("sid", F.sum("brk").over(w))
+    return (
+        flagged.groupBy("doc_id", "sid")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + width - F.min("p")).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame,
+    width: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_anchors: bool = True,
+) -> DataFrame:
+    """Rewrite every document with its repeated-substring spans CUT —
+    the removal half of Lee et al. 2022's exact substring dedup, one
+    level below ``chunk_dedup_rewrite`` (which keeps/drops whole
+    chunks): characters covered by a duplicated ``width``-window whose
+    first corpus occurrence lies elsewhere are deleted; the first
+    occurrence's document keeps its text, so exactly one copy of each
+    repeated region survives.
+
+    The cut itself is a per-document fold: spans (bounded per doc)
+    collect into a sorted array and one ``aggregate`` lambda stitches
+    the surviving segments — no per-row Python, and the only join is
+    doc-key-co-located. Everything corpus-sized happens once, inside
+    ``substring_dup_spans``.
+
+    Output: (doc_id, clean_text, n_spans_cut, chars_cut).
+    """
+    spans = substring_dup_spans(docs, width, id_col, text_col, hash_anchors)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_len"))).alias(
+            "spans"
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    j = base.join(per_doc, "doc_id", "left")
+    acc0 = F.struct(
+        F.lit("").alias("out"), F.lit(1).cast("long").alias("pos")
+    )
+    rebuilt = F.aggregate(
+        "spans",
+        acc0,
+        lambda acc, s: F.struct(
+            F.concat(
+                acc["out"],
+                F.col("t").substr(
+                    acc["pos"], (s["span_start"] - acc["pos"]).cast("int")
+                ),
+            ).alias("out"),
+            (s["span_start"] + s["span_len"]).cast("long").alias("pos"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.col("t").substr(
+                acc["pos"], (F.length("t") - acc["pos"] + 1).cast("int")
+            ),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.col("t"))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.coalesce(F.size("spans").cast("long"), F.lit(0).cast("long")).alias(
+            "n_spans_cut"
+        ),
+        F.coalesce(
+            F.aggregate(
+                "spans",
+                F.lit(0).cast("long"),
+                lambda a, s: a + s["span_len"],
+            ),
+            F.lit(0).cast("long"),
+        ).alias("chars_cut"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",

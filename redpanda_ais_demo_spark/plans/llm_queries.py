@@ -1522,6 +1522,86 @@ def chunk_dedup_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substring_dedup_rewrite_docs",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, i AS p, substr(text, i, 60) AS g
+            FROM documents,
+                 unnest(generate_series(1, length(text) - 59)) AS u(i)
+            WHERE length(text) >= 60
+        ),
+        firsts AS (
+            SELECT g, min({'doc_id': doc_id, 'p': p}) AS f
+            FROM pos GROUP BY g HAVING count(*) >= 2
+        ),
+        marked AS (
+            SELECT doc_id, p FROM pos JOIN firsts USING (g)
+            WHERE NOT (doc_id = f['doc_id'] AND p = f['p'])
+        ),
+        flagged AS (
+            SELECT doc_id, p,
+                   CASE WHEN lag(p) OVER w IS NULL
+                             OR p > lag(p) OVER w + 60
+                        THEN 1 ELSE 0 END AS brk
+            FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ),
+        isl AS (
+            SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ),
+        spans AS (
+            SELECT doc_id, min(p) AS s, max(p) + 60 - min(p) AS l
+            FROM isl GROUP BY doc_id, sid
+        ),
+        segs AS (
+            SELECT doc_id, s, l,
+                   coalesce(CAST(lag(s + l) OVER (PARTITION BY doc_id
+                                                  ORDER BY s) AS BIGINT),
+                            1) AS prev_end
+            FROM spans
+        ),
+        agg AS (
+            SELECT seg.doc_id,
+                   string_agg(substr(d.text, CAST(seg.prev_end AS BIGINT),
+                                     CAST(seg.s - seg.prev_end AS BIGINT)),
+                              '' ORDER BY seg.s) AS head,
+                   max(seg.s + seg.l) AS tail_pos,
+                   CAST(count(*) AS BIGINT) AS n_spans_cut,
+                   CAST(sum(seg.l) AS BIGINT) AS chars_cut
+            FROM segs seg JOIN documents d USING (doc_id)
+            GROUP BY seg.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN a.doc_id IS NULL THEN d.text
+                    ELSE a.head || substr(d.text, CAST(a.tail_pos AS BIGINT))
+               END AS clean_text,
+               coalesce(a.n_spans_cut, 0) AS n_spans_cut,
+               coalesce(a.chars_cut, 0) AS chars_cut
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "rewrite", "window", "scale-path"),
+    doc="Exact repeated-SUBSTRING removal with keep-first (Lee et al. "
+    "2022, the suffix-array dedup member the cascade lacked below the "
+    "chunk level): every maximal character span whose 60-char windows "
+    "all repeat elsewhere in the corpus is cut, except at its first "
+    "corpus occurrence — one copy of each repeated region survives. "
+    "Fixed-width anchors make the suffix array unnecessary: a position "
+    "is inside a repeated substring of length >= 60 iff a duplicated "
+    "60-window covers it, so merged anchor islands ARE the maximal "
+    "repeated regions. One corpus-sized anchor explode (24-byte hashed "
+    "shuffle rows on the scale path), keep-first as a single "
+    "partial-agg min-struct, per-document island merge and segment "
+    "stitch — at sf0.01 the near-dup replicas lose 10.6k duplicated "
+    "anchor positions (operators/dedup.py:substring_dedup_rewrite).",
+)
+def substring_dedup_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dedup_rewrite(docs, width=60)
+
+
+@query(
     "sample_stratified_docs",
     oracle="""
         SELECT doc_id, lang, source, n_chars FROM (

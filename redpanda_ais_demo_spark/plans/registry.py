@@ -267,9 +267,16 @@ PRIORITY: tuple[str, ...] = (
     # hash since r7: its chunking mechanism now executes INSIDE the
     # stricter chunk_dedup_rewrite_docs plan (chunk explode + corpus-
     # wide canonical-occurrence dedup + ordered document reassembly —
-    # the CCNet rewrite), which takes the slot; the stride variant
-    # stays registered, oracle-bearing, pytest-oracle-swept.
-    "chunk_dedup_rewrite_docs",
+    # the CCNet rewrite), which took the slot.
+    # (r13) chunk_dedup_rewrite rotates out after hashes in r11 AND r12
+    # (its oracle stays in the sweep; the dedup family keeps exact +
+    # minhash + pipeline_curate in-window). The slot goes to
+    # substring_dedup_rewrite_docs — the EXACT-SUBSTRING dedup class
+    # (NEW r13, Lee et al. 2022): keep-first removal of every maximal
+    # repeated 60-char region via duplicated fixed-width anchors, the
+    # suffix-array-family member below the chunk level
+    # (operators/dedup.py:substring_dedup_rewrite).
+    "substring_dedup_rewrite_docs",
     "bucketed_join_segment_sales",
     "decontaminate_docs_bloom",
     # PPS systematic sampling gives the sampling family its first

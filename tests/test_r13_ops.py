@@ -47,3 +47,43 @@ def test_mann_kendall_enforces_max_buckets(spark):
     r = mann_kendall_dense(df, "i", "v", max_buckets=500).first()
     assert r.n == 300
     assert r.s_stat == 300 * 299 // 2
+
+
+def test_substring_dedup_keep_first_and_island_merge(spark):
+    from redpanda_ais_demo_spark.operators.dedup import (
+        substring_dedup_rewrite,
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ABCDEFGH"), (2, "xxABCDEFyy"), (3, "QQQQQQ")],
+        "doc_id long, text string",
+    )
+    # doc 1 holds every shared gram's first occurrence -> untouched;
+    # doc 2's ABCDEF anchors (p=3,4,5) merge into one span [3, 9);
+    # doc 3's intra-doc QQQQ repeats keep only the first anchor
+    spans = sorted(tuple(r) for r in substring_dup_spans(docs, width=4).collect())
+    assert spans == [(2, 3, 6), (3, 2, 5)]
+    got = {r.doc_id: r for r in substring_dedup_rewrite(docs, width=4).collect()}
+    assert (got[1].clean_text, got[1].n_spans_cut, got[1].chars_cut) == ("ABCDEFGH", 0, 0)
+    assert (got[2].clean_text, got[2].n_spans_cut, got[2].chars_cut) == ("xxyy", 1, 6)
+    assert (got[3].clean_text, got[3].n_spans_cut, got[3].chars_cut) == ("Q", 1, 5)
+    # short docs (< width) pass through untouched
+    short = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    r = substring_dedup_rewrite(short, width=4).first()
+    assert (r.clean_text, r.n_spans_cut) == ("ab", 0)
+
+
+def test_substring_dedup_hash_path_matches_text_path(spark):
+    # the 24-byte hashed-anchor scale path must agree with the exact
+    # gram-text grouping on real data (collisions can only over-mark;
+    # none at fixture scale)
+    from redpanda_ais_demo_spark.operators.dedup import substring_dedup_rewrite
+    from redpanda_ais_demo_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id: tuple(r) for r in
+         substring_dedup_rewrite(docs, width=60, hash_anchors=True).collect()}
+    b = {r.doc_id: tuple(r) for r in
+         substring_dedup_rewrite(docs, width=60, hash_anchors=False).collect()}
+    assert a == b and len(a) > 0

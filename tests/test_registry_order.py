@@ -80,8 +80,10 @@ REQUIRED_IN_WINDOW = {
     # doc_fingerprint rotated out — the X5 text family keeps token_stats,
     # text_quality, bm25_topk_docs and pii_redact_docs in-window.
     # (r11c) stride chunking rotated out — its mechanism executes inside
-    # the stricter CCNet rewrite plan that takes the slot
-    "chunk_dedup_rewrite_docs",
+    # the stricter CCNet rewrite plan that took the slot; (r13) the
+    # CCNet rewrite out after r11+r12 hashes — slot carries the new
+    # exact-substring (suffix-array family) dedup class
+    "substring_dedup_rewrite_docs",
     "bucketed_join_segment_sales",
     "decontaminate_docs_bloom",
     # sampling family's first in-window rep + the drift-detection class
