@@ -141,6 +141,25 @@ QUERIES = [
     # capped at k*|keys|; the row that makes SCALING's own ts_paa
     # conclusion executable.
     "ts_paa_topk_per_key",
+    # r13 (VERDICT r12 items 3 + 5-6): the r12 heavies that had no
+    # curve row — ROUGE-2 (gram explode feeding two candidate-bounded
+    # joins: the shape whose constant can hide a slope) and the
+    # Fellegi-Sunter linkage (blocked Σblock² candidate scoring, the
+    # widest sample spread in the r12 window set) — plus the three
+    # structural-distributed-rank rebuilds whose 2x local cost was
+    # bought FOR the 100x story (auc/ap ride two prefix-sum passes
+    # over 10x distinct scores; dict_encode ranks a 10x vocabulary),
+    # and the two r13 session additions: the exact-substring rewrite
+    # (corpus-sized anchor explode + keep-first groupBy — the new
+    # dedup heavy) and the funnel trajectory (delta rows bounded by
+    # keys*steps; slope should be the upstream funnel shuffle's).
+    "rouge2_near_dup_pairs",
+    "fs_link_same_name_parts",
+    "auc_quality_vs_lang",
+    "ap_length_vs_en",
+    "dict_encode_doc_sources",
+    "substring_dedup_rewrite_docs",
+    "funnel_tracker_daily_snapshots",
 ]
 SCALES = [
     ("/root/testdata/sf0.01", 0.01),
@@ -150,7 +169,38 @@ SCALES = [
 N_ROUNDS = 3
 
 
+def _parse_existing(path: str) -> tuple[dict[str, list[str]], dict[str, list[float]]]:
+    """Parse a previously committed SCALING.md: table rows keyed by query
+    name and the raw-samples JSON block — the merge base for subset
+    re-measurement (``SPARK_GRAFT_SCALE_ONLY``)."""
+    rows: dict[str, list[str]] = {}
+    samples: dict[str, list[float]] = {}
+    if not os.path.exists(path):
+        return rows, samples
+    text = open(path).read()
+    for line in text.splitlines():
+        if line.startswith("| ") and line.count("|") == 7:
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            if cells[0] not in ("query",) and not cells[0].startswith("---"):
+                rows[cells[0]] = cells
+    if "```json" in text:
+        try:
+            samples = json.loads(text.split("```json", 1)[1].split("```", 1)[0])
+        except ValueError:
+            samples = {}
+    return rows, samples
+
+
 def main() -> None:
+    only = [
+        q for q in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if q
+    ]
+    run_queries = QUERIES
+    if only:
+        unknown = [q for q in only if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_SCALE_ONLY names not in QUERIES: {unknown}")
+        run_queries = [q for q in QUERIES if q in only]
     if not os.path.exists(SCALES[-1][0]):
         from tools import scale_fixture
 
@@ -164,7 +214,7 @@ def main() -> None:
     dirs = {sf: bench.prepare_split_fixture(d) for d, sf in SCALES}
     samples: dict[tuple[str, float], list[float]] = {}
     for sf, d in dirs.items():  # warm-up pass, untimed
-        for name in QUERIES:
+        for name in run_queries:
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
     def drop_persistent_rdds() -> None:
         # same deterministic cleanup as bench.py: free lazy-localCheckpoint
@@ -179,7 +229,7 @@ def main() -> None:
 
     for _ in range(N_ROUNDS):
         for sf, d in dirs.items():
-            for name in QUERIES:
+            for name in run_queries:
                 t0 = time.perf_counter()
                 qs[name](spark, d).write.format("noop").mode("overwrite").save()
                 samples.setdefault((name, sf), []).append(
@@ -189,7 +239,7 @@ def main() -> None:
 
     mins = {k: min(v) for k, v in samples.items()}
     slopes = {}
-    for name in QUERIES:
+    for name in run_queries:
         t001, t01, t1 = (mins[(name, sf)] for _, sf in SCALES)
         slopes[name] = {
             "s_001_01": round(math.log10(t01 / t001), 3),
@@ -215,18 +265,33 @@ def main() -> None:
         "| query | sf0.01 (s) | sf0.1 (s) | sf1 (s) | slope 0.01->0.1 | slope 0.1->1 |",
         "|---|---|---|---|---|---|",
     ]
-    for name in QUERIES:
-        t001, t01, t1 = (mins[(name, sf)] for _, sf in SCALES)
-        s = slopes[name]
-        lines.append(
-            f"| {name} | {t001} | {t01} | {t1} | {s['s_001_01']} | {s['s_01_1']} |"
+    path = os.path.join(REPO, "SCALING.md")
+    old_rows, old_samples = _parse_existing(path) if only else ({}, {})
+    stale = [n for n in old_rows if n not in QUERIES]
+    if stale:
+        raise SystemExit(
+            f"SCALING.md rows no longer in QUERIES (renamed/removed): {stale}"
         )
+    for name in QUERIES:
+        if name in run_queries:
+            t001, t01, t1 = (mins[(name, sf)] for _, sf in SCALES)
+            s = slopes[name]
+            lines.append(
+                f"| {name} | {t001} | {t01} | {t1} | {s['s_001_01']} | {s['s_01_1']} |"
+            )
+        elif name in old_rows:
+            lines.append("| " + " | ".join(old_rows[name]) + " |")
+        # a QUERIES entry that is neither freshly measured nor in the old
+        # table is simply absent until its first full/subset run covers it
+    merged_samples = dict(old_samples)
+    merged_samples.update({f"{n}@{sf}": samples[(n, sf)] for (n, sf) in samples})
     lines += [
         "",
-        "Raw samples (3 rounds, interleaved):",
+        "Raw samples (3 rounds, interleaved; subset re-measurements merge "
+        "into the committed record — per-row provenance is the git log):",
         "",
         "```json",
-        json.dumps({f"{n}@{sf}": samples[(n, sf)] for (n, sf) in samples}, indent=1),
+        json.dumps(merged_samples, indent=1),
         "```",
         "",
     ]
@@ -235,7 +300,6 @@ def main() -> None:
     # r11 ntile-strategy comparison): regenerating the main table must
     # not drop them
     out = "\n".join(lines)
-    path = os.path.join(REPO, "SCALING.md")
     if os.path.exists(path):
         old = open(path).read()
         for tag in ("skew-stress", "ntile-strategy", "paa-output"):
