@@ -87,3 +87,36 @@ def test_substring_dedup_hash_path_matches_text_path(spark):
     b = {r.doc_id: tuple(r) for r in
          substring_dedup_rewrite(docs, width=60, hash_anchors=False).collect()}
     assert a == b and len(a) > 0
+
+
+def test_substring_dedup_boilerplate_prefix_hot_gram(spark):
+    # the real-world shape: N docs share an identical aperiodic header
+    # (every 60-gram of the shared prefix is corpus-hot — an earlier
+    # draft used a period-26 header and correctly lost ITS OWN tail to
+    # intra-doc repetition, which is the declared semantics). Shared
+    # region = header (100) + "|unique tail " (13): anchors 1..54, so
+    # docs 1..N-1 lose exactly [1, 113] while doc 0 keeps everything.
+    # Also exercises the hot-gram join path: one anchor hash carries N
+    # occurrences, output stays linear (1 firsts-row per gram, never
+    # N^2).
+    import hashlib
+
+    from redpanda_ais_demo_spark.operators.dedup import substring_dedup_rewrite
+
+    header = (
+        hashlib.sha256(b"r13").hexdigest() + hashlib.sha256(b"r13x").hexdigest()
+    )[:100]
+    rows = [(i, header + f"|unique tail {i:04d} " + chr(97 + i % 26) * 30)
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in substring_dedup_rewrite(docs, width=60).collect()}
+    assert got[0].clean_text == rows[0][1]  # first occurrence survives whole
+    assert got[0].n_spans_cut == 0
+    for i in range(1, 50):
+        r = got[i]
+        assert r.n_spans_cut == 1
+        # the cut is a single prefix span covering at least the shared
+        # header + "|unique tail " (digit prefixes shared with earlier
+        # docs can extend it a few chars — e.g. doc 1's "000" digits)
+        assert r.chars_cut >= 113
+        assert r.clean_text == rows[i][1][r.chars_cut:]
