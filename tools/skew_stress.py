@@ -287,6 +287,44 @@ def main() -> None:
             a, b, "lo_a", "hi_a", "lo_b", "hi_b", cell
         ).write.format("noop").mode("overwrite").save()
 
+    # --- r13: substring dedup hot gram ---------------------------------
+    # substring_dedup_rewrite's only skew surface is the anchor-hash
+    # groupBy/join: a boilerplate gram shared by EVERY doc sends all its
+    # occurrences through one hash key. The claim to measure: cost grows
+    # by the ADDED ANCHORS (linear — firsts is 1 row per gram and the
+    # mark join emits one row per occurrence), never occurrences².
+    # Adversarial = every sf0.1 doc prepended with the same 100-char
+    # header (~41 hot grams × 5000 occurrences each).
+    from redpanda_ais_demo_spark.operators.dedup import substring_dedup_rewrite
+
+    boiler_dir = os.path.join(stress_dir, "boiler_docs")
+    os.makedirs(boiler_dir, exist_ok=True)
+    boiler_docs = os.path.join(boiler_dir, "documents.parquet")
+    if not os.path.exists(boiler_docs):
+        t = pq.read_table("/root/testdata/sf0.1/documents.parquet")
+        import hashlib
+
+        header = (
+            hashlib.sha256(b"boiler").hexdigest()
+            + hashlib.sha256(b"boiler2").hexdigest()
+        )[:100]
+        texts = pa.array([header + s for s in t.column("text").to_pylist()])
+        t = t.set_column(t.schema.get_field_index("text"), "text", texts)
+        pq.write_table(t, boiler_docs, row_group_size=2048, version="2.6")
+    benign_docs_dir = os.path.join(stress_dir, "benign_docs")
+    os.makedirs(benign_docs_dir, exist_ok=True)
+    if not os.path.exists(os.path.join(benign_docs_dir, "documents.parquet")):
+        shutil.copyfile(
+            "/root/testdata/sf0.1/documents.parquet",
+            os.path.join(benign_docs_dir, "documents.parquet"),
+        )
+
+    def run_ssd(path_dir: str) -> None:
+        docs = load_table(spark, path_dir, "documents")
+        substring_dedup_rewrite(docs, width=60).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     res = {
         "close_benign_s": _time(lambda: run_close(benign_events_dir, "events.parquet")),
         "close_hotcell_s": _time(lambda: run_close(hot_dir, "events.parquet")),
@@ -299,6 +337,8 @@ def main() -> None:
         "iv_benign_s": _time(lambda: run_iv(False, 86_400)),
         "iv_packed_s": _time(lambda: run_iv(True, 86_400)),
         "iv_rightcell_s": _time(lambda: run_iv(True, 30)),
+        "ssd_benign_s": _time(lambda: run_ssd(benign_docs_dir)),
+        "ssd_boiler_s": _time(lambda: run_ssd(boiler_dir)),
     }
 
     k_hot = 100_000 // HOT_EVERY
@@ -323,6 +363,8 @@ def main() -> None:
         f"| {res['fs_benign_s']} | {res['fs_hotblock_s']} | {res['fs_composite_s']} (composite name+brand block) |",
         f"| interval_overlap_join: 20k near-disjoint 10s intervals in ONE 86400s cell (~200M candidates) "
         f"| {res['iv_benign_s']} | {res['iv_packed_s']} | {res['iv_rightcell_s']} (cell_size matched to interval length) |",
+        f"| substring_dedup_rewrite: the same 100-char header on ALL 5000 docs (~41 grams × 5000 occurrences each) "
+        f"| {res['ssd_benign_s']} | {res['ssd_boiler_s']} | — (linear by construction: 1 firsts-row per gram) |",
         "",
         "Reading: the hot-cell run degrades by the hot bucket's "
         "refine count, NOT |input|² — the other ~98k fixes prune "
@@ -336,7 +378,14 @@ def main() -> None:
         "bits), and the interval-overlap packed cell (disjoint "
         "intervals sharing one oversized cell — candidates without "
         "results) mitigates by matching cell_size to the typical "
-        "interval length, the operator's documented knob. At 100 TB "
+        "interval length, the operator's documented knob. The "
+        "substring-dedup hot gram (r13) is the NON-quadratic control "
+        "case: corpus-wide boilerplate concentrates occurrences onto "
+        "single anchor-hash keys, but keep-first joins each occurrence "
+        "against exactly ONE firsts-row, so the adversarial run pays "
+        "only the added anchors plus single-reducer residency — "
+        "degradation stays near the anchor-count ratio, never "
+        "occurrences². At 100 TB "
         "the same knobs apply: smaller cells / more band bits / finer "
         "blocks for known-hot keyspaces, AQE skew-join splitting for "
         "the residual stragglers.",
