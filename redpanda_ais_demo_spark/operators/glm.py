@@ -101,23 +101,6 @@ def _standardize(df: DataFrame, x_col: str) -> tuple[DataFrame, float, float]:
     )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Single-split inputs (a small-SF parquet table is one row group)
-    would serialize EVERY iterated aggregation pass over the pinned
-    frame on one core — the IRLS loops re-read their lazy
-    localCheckpoint ``iters``+1 times, and cached blocks keep the
-    partitioning of the plan that built them. Spread to the cluster's
-    parallelism before pinning (the ``dedup._parallelize`` idiom);
-    no-op on well-partitioned inputs (a real-scale scan has many
-    splits). Exact-integer sums are associativity-immune, so the
-    partitioning cannot change any result. Measured on the raw sf0.01
-    fixture: logreg 8.1s -> ~2s end-to-end."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def logistic_irls(
     df: DataFrame,
     x_col: str,
@@ -148,9 +131,11 @@ def logistic_irls(
     # scoring pass) re-reads this, and without the pin each of the
     # ``iters``+1 aggregations would replay the ENTIRE upstream plan
     # (joins, groupBys) — measured 6.3s -> ~1s on the IPW query
-    dfq = _fan_out(
-        dfs.withColumn("__xq", xq).withColumn("__y", F.col(y_col).cast("long"))
-    ).localCheckpoint(eager=False)
+    dfq = (
+        dfs.withColumn("__xq", xq)
+        .withColumn("__y", F.col(y_col).cast("long"))
+        .localCheckpoint(eager=False)
+    )
     b0, b1 = 0, 0  # integer micro-units
     for _ in range(iters):
         z = (
@@ -584,9 +569,11 @@ def poisson_irls(
 
     dfs, _, _ = _standardize(df, x_col)
     xq = F.round(F.col("__xs") * M).cast("long")
-    dfq = _fan_out(
-        dfs.withColumn("__xq", xq).withColumn("__y", F.col(y_col).cast("long"))
-    ).localCheckpoint(eager=False)
+    dfq = (
+        dfs.withColumn("__xq", xq)
+        .withColumn("__y", F.col(y_col).cast("long"))
+        .localCheckpoint(eager=False)
+    )
     head = dfq.agg(
         F.count(F.lit(1)).alias("n"), F.sum("__y").alias("sy")
     ).first()
@@ -1020,11 +1007,9 @@ def huber_irls(
         raise ValueError("iters must be >= 1")
     if delta <= 0:
         raise ValueError("delta must be a positive integer (y units)")
-    base = _fan_out(
-        df.select(
-            F.col(x_col).cast("long").alias("x"),
-            F.col(y_col).cast("long").alias("y"),
-        )
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
     ).localCheckpoint(eager=False)  # iters+1 aggregation passes re-read it
     d_ = lambda c: c.cast(_DEC)  # noqa: E731
     dM2 = int(delta) * M * M
