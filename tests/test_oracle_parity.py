@@ -28,7 +28,30 @@ def test_oracle_parity_smoke_sf(spark, name):
     check_query(spark, name, SF_SMOKE)
 
 
-@pytest.mark.parametrize("name", ["j1_dashboard_join", "q1_pricing_summary", "embedding_cosine_topk"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "j1_dashboard_join",
+        "q1_pricing_summary",
+        "embedding_cosine_topk",
+        # (r13) the r12 operator classes without a window slot: the
+        # 50-row window can't hold every class, so these get the
+        # driver's own scale pinned HERE instead — closing the
+        # sf0.001-sweep vs sf0.01-driver gap the rotation debt kept
+        # reopening (each was also verified cold-cwd at sf0.01 before
+        # this list pinned it).
+        "cramers_v_type_vs_daypart",
+        "cohens_d_purchase_by_variant",
+        "mcnemar_purchase_halves",
+        "runs_test_daily_value",
+        "friedman_value_by_type_blocks",
+        "cochran_q_conversion_by_type",
+        "cronbach_alpha_spend_by_type",
+        "hhi_supplier_revenue",
+        "chapman_user_population",
+        "lasso_path_value_on_activity",
+    ],
+)
 def test_oracle_parity_driver_sf(spark, name):
     check_query(spark, name, SF_ORACLE)
 
