@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Driver-gate rehearsal: run the 50-slot correctness window exactly the
+way the driver does — cold cwd (run from anywhere; the script inserts
+the repo on sys.path itself), the `__spark_entry__` contract, sf0.01,
+and the strict string-hash-equivalent comparator from
+tests/oracle_utils.py (exact values + signbit parity, stricter than the
+driver's np.isclose).
+
+Run BEFORE committing any PRIORITY rotation: a window row that fails
+here fails on the driver's clock next round.
+
+    python tools/rehearse_window.py             # full 50-slot window
+    python tools/rehearse_window.py name1 name2 # just those queries
+
+Exit code 1 on any mismatch; one line per query with rows + wall time.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (REPO, os.path.join(REPO, "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+WINDOW = 50
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("window-rehearsal")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry_mod
+    from oracle_utils import assert_frames_match, run_duckdb
+
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    names = sys.argv[1:] or list(qs)[:WINDOW]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"not in registry: {unknown}")
+    fails: list[str] = []
+    t_all = time.time()
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            sp = qs[name](spark, SF_DIR).toPandas()
+            if name in osql:
+                assert_frames_match(sp, run_duckdb(osql[name], SF_DIR), name)
+                verdict = "OK"
+            else:
+                verdict = f"rows-only ({len(sp)} rows)"
+            print(
+                f"[{i + 1:02d}/{len(names)}] {name}: {verdict} "
+                f"({len(sp)} rows, {time.time() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — report and continue
+            fails.append(name)
+            print(f"[{i + 1:02d}/{len(names)}] {name}: FAIL {e}", flush=True)
+            traceback.print_exc()
+    print(f"TOTAL {time.time() - t_all:.1f}s fails={fails}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
