@@ -11,6 +11,12 @@ here fails on the driver's clock next round.
 
     python tools/rehearse_window.py             # full 50-slot window
     python tools/rehearse_window.py name1 name2 # just those queries
+    python tools/rehearse_window.py --all       # EVERY registry query
+                                                # (the full driver-scale
+                                                # sweep: ~10 min; r13 ran
+                                                # it 345/345 green, so any
+                                                # future rotation is
+                                                # pre-certified)
 
 Exit code 1 on any mismatch; one line per query with rows + wall time.
 """
@@ -49,7 +55,11 @@ def main() -> int:
     from oracle_utils import assert_frames_match, run_duckdb
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    names = sys.argv[1:] or list(qs)[:WINDOW]
+    args = sys.argv[1:]
+    if args == ["--all"]:
+        names = list(qs)
+    else:
+        names = args or list(qs)[:WINDOW]
     unknown = [n for n in names if n not in qs]
     if unknown:
         raise SystemExit(f"not in registry: {unknown}")
