@@ -457,12 +457,15 @@ def substring_dup_spans(
     the width-byte gram text. Keep-first is ONE partial-aggregable
     groupBy (count + min-struct); the mark join is key-co-located
     (AQE handles hot boilerplate grams); the island merge runs in a
-    PER-DOCUMENT window, never global. Hash collisions can only
-    over-mark (two distinct grams colliding both look repeated) with
-    probability ~ n_anchors²/2⁶⁴ — pass ``hash_anchors=False`` to
-    group on the gram text itself (exact at any scale, width-byte
-    shuffle keys); both paths are pinned identical on the fixture in
-    tests/test_r13_ops.py.
+    PER-DOCUMENT window, never global. Hash collisions (probability
+    ~ n_anchors²/2⁶⁴) can corrupt marks in BOTH directions: two
+    distinct unique grams colliding both look repeated (over-mark),
+    and a gram colliding into a group whose min-(doc_id, pos) belongs
+    to the OTHER gram can have every one of its genuine copies marked
+    — the keep-one invariant itself breaks, not just extra spans.
+    Pass ``hash_anchors=False`` to group on the gram text itself
+    (exact at any scale, width-byte shuffle keys); both paths are
+    pinned identical on the fixture in tests/test_r13_ops.py.
 
     Output: (doc_id, span_start 1-based, span_len) — [start,
     start+len) is cut by ``substring_dedup_rewrite``.

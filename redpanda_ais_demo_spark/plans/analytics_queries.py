@@ -1546,9 +1546,16 @@ def quantile_tracker_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFr
     return quantile_trajectory_batch(batches, "bh", "value")
 
 
-@query(
-    "funnel_tracker_daily_snapshots",
-    oracle="""
+_FUNNEL_BATCH_SEC = 86400  # day-aligned micro-batch analogue (funnel_trajectory_batch default)
+
+
+def _funnel_trajectory_oracle(window_sec: int, batch_sec: int) -> str:
+    """Depth-trajectory oracle, parameterized by BOTH constants the Spark
+    side takes (funnel window vs batch granularity are semantically
+    distinct even though both read 86400 today) — mirrors
+    ``_funnel_oracle(window_sec)`` so a constant change can't silently
+    diverge the two engines."""
+    return f"""
         WITH e AS (
             SELECT user_id, event_type AS et,
                    CAST(floor(epoch(ts)) AS BIGINT) AS ts
@@ -1561,13 +1568,13 @@ def quantile_tracker_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFr
         ),
         l2 AS (
             SELECT *, min(CASE WHEN et = 'click' AND ts > t1
-                               AND ts <= t1 + 86400 THEN ts END)
+                               AND ts <= t1 + {window_sec} THEN ts END)
                       OVER (PARTITION BY user_id) AS t2
             FROM l1
         ),
         l3 AS (
             SELECT *, min(CASE WHEN et = 'purchase' AND ts > t2
-                               AND ts <= t1 + 86400 THEN ts END)
+                               AND ts <= t1 + {window_sec} THEN ts END)
                       OVER (PARTITION BY user_id) AS t3
             FROM l2
         ),
@@ -1576,23 +1583,28 @@ def quantile_tracker_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFr
                    min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
             FROM l3 GROUP BY user_id
         ),
-        days AS (SELECT DISTINCT (ts // 86400) * 86400 AS bts FROM e)
+        days AS (SELECT DISTINCT (ts // {batch_sec}) * {batch_sec} AS bts FROM e)
         SELECT bts AS batch_ts,
-               CAST(count(CASE WHEN t0 < bts + 86400 THEN 1 END) AS BIGINT)
+               CAST(count(CASE WHEN t0 < bts + {batch_sec} THEN 1 END) AS BIGINT)
                    AS n_users,
-               CAST(count(CASE WHEN t0 < bts + 86400
-                               AND (t1 IS NULL OR t1 >= bts + 86400)
+               CAST(count(CASE WHEN t0 < bts + {batch_sec}
+                               AND (t1 IS NULL OR t1 >= bts + {batch_sec})
                           THEN 1 END) AS BIGINT) AS d0,
-               CAST(count(CASE WHEN t1 < bts + 86400
-                               AND (t2 IS NULL OR t2 >= bts + 86400)
+               CAST(count(CASE WHEN t1 < bts + {batch_sec}
+                               AND (t2 IS NULL OR t2 >= bts + {batch_sec})
                           THEN 1 END) AS BIGINT) AS d1,
-               CAST(count(CASE WHEN t2 < bts + 86400
-                               AND (t3 IS NULL OR t3 >= bts + 86400)
+               CAST(count(CASE WHEN t2 < bts + {batch_sec}
+                               AND (t3 IS NULL OR t3 >= bts + {batch_sec})
                           THEN 1 END) AS BIGINT) AS d2,
-               CAST(count(CASE WHEN t3 < bts + 86400 THEN 1 END) AS BIGINT)
+               CAST(count(CASE WHEN t3 < bts + {batch_sec} THEN 1 END) AS BIGINT)
                    AS d3
         FROM f, days GROUP BY bts
-    """,
+    """
+
+
+@query(
+    "funnel_tracker_daily_snapshots",
+    oracle=_funnel_trajectory_oracle(_FUNNEL_WINDOW_TIGHT, _FUNNEL_BATCH_SEC),
     tags=("analytics", "streaming-parity", "funnel", "window"),
     doc="Batch replay of the streaming funnel tracker's per-batch depth "
     "histogram (streaming/funnel.py:funnel_trajectory_batch) — the "
@@ -1615,6 +1627,7 @@ def funnel_tracker_daily_snapshots(spark: SparkSession, sf_dir: str) -> DataFram
     return funnel_trajectory_batch(
         events, "user_id", "ts", "event_type",
         ["view", "click", "purchase"], _FUNNEL_WINDOW_TIGHT,
+        batch_sec=_FUNNEL_BATCH_SEC,
     )
 
 

@@ -178,6 +178,13 @@ def _parse_existing(path: str) -> tuple[dict[str, list[str]], dict[str, list[flo
     if not os.path.exists(path):
         return rows, samples
     text = open(path).read()
+    # parse ONLY the tool-owned prefix: preserved marker-fenced sections
+    # (skew-stress etc.) are appended below the main table and may grow
+    # their own tables / json blocks on their own cadence — truncating at
+    # the first marker keeps them out of old_rows and the samples parse
+    marker = text.find("<!-- ")
+    if marker != -1:
+        text = text[:marker]
     for line in text.splitlines():
         if line.startswith("| ") and line.count("|") == 7:
             cells = [c.strip() for c in line.strip("|").split("|")]
