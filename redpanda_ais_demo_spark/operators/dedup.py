@@ -431,6 +431,7 @@ def substring_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_anchors: bool = True,
+    pin: bool = False,
 ) -> DataFrame:
     """Maximal CHARACTER spans whose every ``width``-char window repeats
     elsewhere in the corpus, keep-first — the exact-substring member of
@@ -483,9 +484,19 @@ def substring_dup_spans(
         "t",
     ).select("doc_id", "p", F.col("t").substr(F.col("p"), F.lit(width)).alias("g"))
     key = F.xxhash64("g") if hash_anchors else F.col("g")
-    occ = anchors.select("doc_id", "p", key.alias("h")).localCheckpoint(
-        eager=False  # feeds the keep-first aggregate AND the mark join
-    )
+    occ = anchors.select("doc_id", "p", key.alias("h"))
+    if pin:
+        # pin the anchor frame so its two consumers (keep-first aggregate
+        # + mark join) share one materialization — at the cost of holding
+        # the frame in executor block storage: 24 B/char logical, a
+        # MEASURED 78 B/char as deserialized block rows (SCALING.md
+        # substring-pin A/B), i.e. ~7.8 PB at 100 TB of text — the same
+        # order as the suffix array this operator replaces. pin=False
+        # recomputes the narrow map-side explode once per consumer: one
+        # extra scan of the doc text, zero pinned storage, measured ~9%
+        # slower at sf1 locally (5.95s vs 5.42s min-of-5, same JVM).
+        # The default follows the 100 TB math, not the 0.5s: False.
+        occ = occ.localCheckpoint(eager=False)
     firsts = (
         occ.groupBy("h")
         .agg(
@@ -526,6 +537,7 @@ def substring_dedup_rewrite(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_anchors: bool = True,
+    pin: bool = False,
 ) -> DataFrame:
     """Rewrite every document with its repeated-substring spans CUT —
     the removal half of Lee et al. 2022's exact substring dedup, one
@@ -543,7 +555,7 @@ def substring_dedup_rewrite(
 
     Output: (doc_id, clean_text, n_spans_cut, chars_cut).
     """
-    spans = substring_dup_spans(docs, width, id_col, text_col, hash_anchors)
+    spans = substring_dup_spans(docs, width, id_col, text_col, hash_anchors, pin)
     per_doc = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("span_start", "span_len"))).alias(
             "spans"
