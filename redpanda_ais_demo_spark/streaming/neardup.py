@@ -142,6 +142,84 @@ def dedup_batch_against_index(
     return accepted_rows, accepted_profiles, rejections
 
 
+def replay_verdicts(
+    docs: DataFrame,
+    batch_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_batches: int = 8,
+) -> DataFrame:
+    """Exact batch replay of the streaming filter's accept/reject
+    verdicts over a BOUNDED horizon — the fifth (and last) streaming
+    tracker to get a batch-replay-parity pin (ab_monitor, bottom-k,
+    quantile, funnel precedents; tests/test_streaming_neardup.py pins
+    this equal to the live ``foreachBatch`` run per batch).
+
+    The acceptance recursion is sequential by construction: rejected
+    docs never enter the index, so batch N's verdicts depend on the
+    accepted SUBSET of batches < N — each replayed batch needs the
+    previous ones resolved first. That is why this is bounded
+    (``max_batches``, default 8) rather than a declared day-axis query:
+    a full ~30-day replay would chain ~30 join-and-filter rounds and be
+    the registry's slowest row by 3x (COVERAGE.md §2.61 scoping note).
+    Within the bound, each round is the SAME pure batch core the live
+    filter runs (``dedup_batch_against_index``), with the accumulated
+    accepted profiles standing in for the disk index — so the pinned
+    parity also certifies the index's write→read round-trip.
+
+    Output: (batch_id, doc_id, accepted, matched_id, via, jaccard) —
+    one row per input doc, matched_id/via/jaccard NULL for accepts.
+    """
+    bids = [
+        r[0]
+        for r in docs.select(F.col(batch_col).cast("long")).distinct().orderBy(
+            batch_col
+        ).limit(max_batches + 1).collect()
+    ]
+    if len(bids) > max_batches:
+        raise ValueError(
+            f"replay_verdicts: >{max_batches} batches — the sequential "
+            "recursion is bounded-horizon by contract (see docstring)"
+        )
+    index_profiles: DataFrame | None = None
+    out: DataFrame | None = None
+    for bid in bids:
+        batch_df = docs.filter(F.col(batch_col) == bid).drop(batch_col)
+        accepted, profiles, rejections = dedup_batch_against_index(
+            batch_df, index_profiles, id_col, text_col, k, num_hashes, bands, threshold
+        )
+        verdicts = accepted.select(
+            F.lit(bid).alias("batch_id"),
+            F.col(id_col),
+            F.lit(True).alias("accepted"),
+            F.lit(None).cast("long").alias("matched_id"),
+            F.lit(None).cast("string").alias("via"),
+            F.lit(None).cast("double").alias("jaccard"),
+        ).unionByName(
+            rejections.select(
+                F.lit(bid).alias("batch_id"),
+                F.col(id_col),
+                F.lit(False).alias("accepted"),
+                F.col("matched_id").cast("long"),
+                "via",
+                "jaccard",
+            )
+        )
+        out = verdicts if out is None else out.unionByName(verdicts)
+        index_profiles = (
+            profiles
+            if index_profiles is None
+            else index_profiles.unionByName(profiles)
+        )
+    if out is None:
+        raise ValueError("replay_verdicts: no batches in input")
+    return out
+
+
 def _prune_index_partitions(index_dir: str, lo: int) -> None:
     """Delete index partitions with ``__batch_id < lo``. Idempotent: an
     already-pruned (or never-written) partition is a no-op, so crash
