@@ -160,6 +160,22 @@ QUERIES = [
     "dict_encode_doc_sources",
     "substring_dedup_rewrite_docs",
     "funnel_tracker_daily_snapshots",
+    # r14 (VERDICT r13 item 1): the top-5-bench heavies that had no
+    # curve row — grid-DBSCAN (dense-cell filter + bounded 8-neighbor
+    # explode + two-phase CC: linear in occupied cells, and sf1's
+    # time-shifted event replicas add occupied cells linearly), the
+    # customer-supplier LPA (per-round join+agg like its curved
+    # modularity sibling but on the bipartite projection), the
+    # two-phase large-star/small-star CC over the near-dup pair graph,
+    # the weighted median (distributed prefix-sum over lineitem
+    # quantity weights — 10x distinct prices via the key-shifted
+    # copies), and the k-hop supplier reach (per-round frontier join
+    # whose round count is the hop bound, not data size).
+    "grid_dbscan_hotspots",
+    "lpa_communities_customer_supplier",
+    "dedup_clusters_two_phase",
+    "weighted_median_price_by_qty",
+    "khop_supplier_reach",
 ]
 SCALES = [
     ("/root/testdata/sf0.01", 0.01),
