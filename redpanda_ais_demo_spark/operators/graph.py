@@ -33,6 +33,30 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
+def _pin_on(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition on the per-round join key(s), THEN lineage-pin.
+
+    The localCheckpoint RDD keeps its physical partitioning, so a frame
+    pinned this way satisfies a shuffle join's distribution requirement
+    on ``keys`` in EVERY subsequent iteration — the per-round exchange
+    of the big pinned side (the edge list) disappears from the plan
+    (pinned in tests/test_r14_ops.py with broadcast disabled). Locally
+    the small per-round side broadcasts and the pin's partitioning is
+    irrelevant either way; at 100 TB node counts the vector side can't
+    broadcast, the join is shuffle-based, and without this the edge
+    list re-shuffles once per iteration — the dominant moved bytes of
+    the whole loop. Cost: ONE extra edge-list shuffle at build time —
+    measured WITHIN NOISE locally (−7%..+4% min-of-5 across the six
+    graph heavies, same-JVM toggled A/B via tools/prepart_ab.py,
+    COVERAGE.md §2.64). Only used where the pinned frame is consumed
+    on the SAME key every round (pagerank/ppr/khop/sssp/lpa/hits);
+    k_core's alive set is reshaped per round and its per-round shuffle
+    is the partial-agg degree count (node-sized), not the edge list,
+    so it keeps plain pins.
+    """
+    return df.repartition(*[F.col(k) for k in keys]).localCheckpoint(eager=False)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -58,10 +82,14 @@ def pagerank(
         raise ValueError("damping_pct must be in (0, 100)")
     # pin the edge list once: without this the edge-derivation subtree
     # (often a join+distinct) replays inside every iteration's join — at
-    # 5 iterations that is 5 redundant passes over the source tables
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    # 5 iterations that is 5 redundant passes over the source tables.
+    # Pinned PARTITIONED on src (_pin_on): every round's ranks join and
+    # the degree join consume it on that key, so the edge side never
+    # re-shuffles at scale
+    e = _pin_on(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",
+    )
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -127,9 +155,10 @@ def personalized_pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    e = _pin_on(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",  # every round's ranks join + the degree join key
+    )
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -226,9 +255,10 @@ def khop_distances(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    e = _pin_on(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",  # every level's frontier-join key
+    )
     visited = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
@@ -294,7 +324,8 @@ def label_propagation(
         .localCheckpoint(eager=False)
     )
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.filter(F.col("a") != F.col("b")).localCheckpoint(eager=False)
+    # pinned partitioned on the per-round join key a — see _pin_on
+    sym = _pin_on(sym.filter(F.col("a") != F.col("b")), "a")
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -616,11 +647,14 @@ def sssp_bellman_ford(
     """
     if max_rounds < 1:
         raise ValueError("max_rounds must be positive")
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).localCheckpoint(eager=False)
+    e = _pin_on(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        ),
+        "src",  # every round's frontier-join key
+    )
     dist = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
@@ -688,12 +722,21 @@ def hits(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    # TWO pinned orientations of the edge list — the authority gather
+    # joins on src, the hub gather on dst, every iteration. 2x pinned
+    # edge storage buys zero per-round edge shuffles at scale (vs one
+    # copy re-shuffling on the other key every half-iteration); the
+    # second pin is built FROM the first, so the source subtree still
+    # evaluates once.
+    e_src = _pin_on(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        "src",
+    )
+    e_dst = _pin_on(e_src, "dst")
+    by_key = {"src": e_src, "dst": e_dst}
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_src.select(F.col("src").alias("node"))
+        .union(e_src.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -704,7 +747,7 @@ def hits(
 
     def _gather_rescale(vec: DataFrame, edge_key: str, out_key: str) -> DataFrame:
         raw = (
-            e.join(vec.withColumnRenamed("node", edge_key), edge_key)
+            by_key[edge_key].join(vec.withColumnRenamed("node", edge_key), edge_key)
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum("score").alias("raw"))
             .localCheckpoint(eager=False)

@@ -40,6 +40,52 @@ def test_substring_dedup_pin_knob_is_result_invariant(spark):
     assert got[4].chars_cut > 0
 
 
+def test_pin_on_partitioning_survives_checkpoint_into_joins(spark):
+    """The iterative-graph family pins its edge list pre-partitioned on
+    the per-round join key (graph._pin_on): the checkpoint RDD must keep
+    that hash partitioning so the join's edge-side exchange disappears.
+    Broadcast disabled + AQE off to force the shuffle join the 100 TB
+    case would use (locally the small vector side broadcasts and the
+    partitioning is moot)."""
+    from redpanda_ais_demo_spark.operators.graph import _pin_on
+
+    with_conf = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ]
+    old = {k: spark.conf.get(k) for k, _ in with_conf}
+    try:
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        e = spark.range(2000).select(
+            (F.col("id") % 97).alias("a"), (F.col("id") % 13).alias("b")
+        )
+        vec = spark.range(97).select(
+            F.col("id").alias("a"), F.col("id").alias("score")
+        )
+
+        def edge_side_exchanges(pinned):
+            plan = (
+                pinned.join(vec, "a")
+                .groupBy("b")
+                .count()
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            return plan.count("Exchange hashpartitioning(a#")
+
+        plain = e.localCheckpoint(eager=False)
+        pre = _pin_on(e, "a")
+        # plain pin: BOTH join inputs re-shuffle on a; keyed pin: only
+        # the small vector side does
+        assert edge_side_exchanges(plain) == 2
+        assert edge_side_exchanges(pre) == 1
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_substring_dedup_no_pin_plan_has_no_checkpoint(spark, tmp_path):
     # a parquet source, so the ONLY way an RDD scan can appear in the
     # plan is the localCheckpoint pin — createDataFrame fixtures would
