@@ -97,7 +97,17 @@ PRIORITY: tuple[str, ...] = (
     # registered, oracle-bearing, pytest-oracle-swept.
     "a1_total_ships",
     "p1_route_positions",
-    "f6_json_extract",
+    # (r14) f6_json_extract rotated out after 12 consecutive driver
+    # hashes — zero marginal signal now that REHEARSAL.json re-verifies
+    # every oracle at the driver's sf0.01 each round; it also joins the
+    # permanent sf0.01 pin lane (test_oracle_parity_driver_sf). Its
+    # slot carries modularity_lpa_communities: the r14 keyed edge-list
+    # pin (operators/graph.py:_pin_on) changed every iterative-graph
+    # plan, and the driver should hash one of the changed plans itself
+    # — this one exercises the LPA loop AND the modularity aggregate,
+    # and is the bench's former #1 heavy. kcore (in-window) deliberately
+    # kept plain pins, so it cannot stand in for the new plan shape.
+    "modularity_lpa_communities",
     "j1_dashboard_join",
     "w1_latest_per_key",
     # (r8c) l1_top_events rotated out: the deterministic ORDER BY+LIMIT
