@@ -48,7 +48,15 @@ def _pin_on(df: DataFrame, *keys: str) -> DataFrame:
     the whole loop. Cost: ONE extra edge-list shuffle at build time —
     measured WITHIN NOISE locally (−7%..+4% min-of-5 across the six
     graph heavies, same-JVM toggled A/B via tools/prepart_ab.py,
-    COVERAGE.md §2.64). Only used where the pinned frame is consumed
+    COVERAGE.md §2.64). Skew: a pinned RDD's partitioning cannot be
+    re-split by AQE's skew-join optimizer (there is no exchange left to
+    re-plan), but the hub's weight lands in the JOIN OUTPUT, which
+    still flows through a re-balanceable exchange into the per-round
+    partial agg — measured on a hub graph carrying 30% of all edges on
+    one key (tools/graph_skew_ab.py: broadcast disabled, AQE on, same
+    JVM, min-of-4, two runs): keyed 7.22/7.56s vs plain 7.39/7.29s —
+    parity within noise, no regression (COVERAGE.md §2.64). Only used
+    where the pinned frame is consumed
     on the SAME key every round (pagerank/ppr/khop/sssp/lpa/hits);
     k_core's alive set is reshaped per round and its per-round shuffle
     is the partial-agg degree count (node-sized), not the edge list,
