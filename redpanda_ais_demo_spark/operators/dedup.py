@@ -67,6 +67,15 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     # join-key comparison integer-cheap. 64-bit collisions are ~(n²/2^65)
     # — immaterial against corpus sizes where this exact path is even
     # runnable (it is the verifier, not the scale path).
+    # NOT pinned (r14, measured): the static plan shows 3 scans of the
+    # doc table (sizes + both self-join sides), but at runtime the two
+    # identical self-join exchanges collapse via ReusedExchange and the
+    # remaining replay is a narrow tokenize→shingle→explode map — a
+    # same-JVM interleaved A/B read pin 1.188s vs no-pin 1.154s at
+    # sf0.1 (same for containment_pairs), so the pins only added
+    # block-store writes. The substring-anchor A/B (r14, pin_ab.py)
+    # reached the same verdict for this frame shape: recompute narrow
+    # maps, pin only shuffle-bearing multi-ACTION frames.
     hashed = shingles.select("id", F.xxhash64("shingle").alias("sh"))
     sizes = hashed.groupBy("id").agg(F.count("*").alias("sz"))
     a = hashed.alias("a")
@@ -107,6 +116,11 @@ def jaccard_pairs_prefix(shingles: DataFrame, threshold: float) -> DataFrame:
     self-join (candidates ≈ linear for t ≥ 0.5 on natural corpora), and
     two broadcast-or-hash joins of profiles onto candidates.
     """
+    # NOT pinned (r14, measured): a same-JVM interleaved A/B of pinning
+    # hashed and/or profiles read min 2.68s (both) / 2.90s (profiles) /
+    # 2.06s (neither) at sf0.1 — the runtime already collapses the
+    # identical self-join/verification subtrees via ReusedExchange, so
+    # the pins only added block-store writes of the per-doc arrays.
     hashed = shingles.select("id", F.xxhash64("shingle").alias("sh"))
     freq = hashed.groupBy("sh").agg(F.count("*").alias("df"))
     profiles = (
@@ -252,8 +266,21 @@ def minhash_dedup_pairs(
     the candidate pair's profile arrays. No caching of the exploded
     shingle table is needed (it would be corpus-sized at scale), and the
     corpus crosses a shuffle exactly once.
+
+    The profile frame is PINNED (lazy localCheckpoint): it feeds four
+    consumers (both band-index self-join sides + both verification
+    joins), and unpinned each replayed the tokenize→shingle→64-minhash
+    groupBy — the r14 plan audit read 4 doc-table scans in this plan
+    where one suffices, which also falsified the single-shuffle claim
+    above. Pinned rows are per-doc (64 longs + the shingle-hash set,
+    ~8 B per corpus token ≈ 1.3 B per corpus char — 60× below the
+    substring-anchor pin that was measured and rejected in r14, and
+    each avoided replay here contains a corpus shuffle, not a narrow
+    map, so the pin side of that trade wins at scale too).
     """
-    profiles = minhash_profiles(docs, id_col, text_col, k, num_hashes)
+    profiles = minhash_profiles(docs, id_col, text_col, k, num_hashes).localCheckpoint(
+        eager=False
+    )
     cands = lsh_candidate_pairs(
         profiles.select("id", *[f"h{i}" for i in range(num_hashes)]), num_hashes, bands
     )
@@ -640,9 +667,19 @@ def connected_components(
     # (for dedup_clusters: the full shingle inverted-index self-join)
     # replays per round — at diameter D that is D redundant passes over
     # pair generation. The two-phase variant pins its input the same way.
+    # Symmetrization is a single-pass inline explode, NOT
+    # edges ∪ edges.swap: a union of two selects over the same frame
+    # evaluates the pair-generation subtree TWICE before the pin (the
+    # r14 plan audit caught exactly that), while inline(array(..)) is
+    # one evaluation with a map-side ×2 fan-out.
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .select(
+            F.expr(
+                "inline(array(struct(src AS src, dst AS dst),"
+                " struct(dst AS src, src AS dst)))"
+            )
+        )
         .localCheckpoint(eager=False)
     )
     # Init = one propagation round for free: label(x) = min(x, neighbors(x))
@@ -709,20 +746,36 @@ def connected_components_two_phase(
     ``localCheckpoint`` truncates per-round lineage as in
     ``connected_components``.
     """
-    raw = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    # Pin the raw pair list once: three consumers (both endpoint legs of
+    # the node set + the working edge set) otherwise each replay the
+    # pair-generation subtree — for dedup graphs that is the shingle
+    # inverted-index self-join evaluated three times (r14 plan audit).
+    # Pinned rows are two longs per near-dup pair.
+    raw = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=False)
     # nodes come from the UNFILTERED input: a node appearing only in
     # self-loops must still be labeled (as its own component) to keep
-    # the connected_components contract
+    # the connected_components contract; explode(array(u, v)) reads the
+    # pinned pairs once instead of union's twice
     nodes = (
-        raw.select(F.col("u").alias("node"))
-        .union(raw.select(F.col("v").alias("node")))
+        raw.select(F.explode(F.array("u", "v")).alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    e = raw.filter(F.col("u") != F.col("v")).distinct()
+    # pinned like every later round's edge set: _large_star consumes its
+    # input twice (symmetrize + min-join), which would replay round 1's
+    # filter+distinct shuffle
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
 
     def _large_star(e: DataFrame) -> DataFrame:
-        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # single-pass symmetrize (inline explode), not e ∪ e.swap — the
+        # union form re-reads the per-round pinned edge blocks twice
+        sym = e.select(
+            F.expr(
+                "inline(array(struct(u AS u, v AS v), struct(v AS u, u AS v)))"
+            )
+        )
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         return (
             sym.join(m, "u")
@@ -817,6 +870,11 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 5, bands: int | None = None
         bands = max_hamming + 1
     if bands <= max_hamming:
         raise ValueError(f"bands={bands} cannot certify hamming<={max_hamming} (need > max_hamming)")
+    # pin the fingerprint table: both chunk self-join sides consume it,
+    # and the caller's fingerprint derivation (text simhash agg, or the
+    # mapInPandas image-decode dhash kernel) would otherwise run TWICE.
+    # Pinned rows are 16 B per doc.
+    fps = fps.select("id", "simhash").localCheckpoint(eager=False)
     # Uneven chunk widths when 64 % bands != 0: first (64 % bands) chunks
     # get the extra bit. Pigeonhole only needs chunk *count*, not equal width.
     base, extra = divmod(64, bands)
@@ -921,9 +979,11 @@ def fuzzy_name_pairs(
     each unordered pair once.
     """
     blk = block if block is not None else F.element_at(F.split(F.col("name"), " "), -1)
+    # pinned: both self-join sides consume the dictionary — unpinned,
+    # the distinct over the source table evaluates twice
     names = df.select(F.col(name_col).alias("name")).distinct().select(
         "name", blk.alias("blk")
-    )
+    ).localCheckpoint(eager=False)
     a, b = names.alias("a"), names.alias("b")
     return (
         a.join(
@@ -954,6 +1014,10 @@ def containment_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     cross-engine. Returns (id_a, id_b, common, size_a, size_b,
     containment) with id_a < id_b and containment >= threshold.
     """
+    # NOT pinned (r14, measured) — same verdict as jaccard_pairs: the
+    # self-join sides collapse via ReusedExchange and the remaining
+    # replay is a narrow map; the same-JVM A/B read pin 1.133s vs
+    # no-pin 1.092s at sf0.1.
     hashed = shingles.select("id", F.xxhash64("shingle").alias("sh"))
     sizes = hashed.groupBy("id").agg(F.count("*").alias("sz"))
     a = hashed.alias("a")

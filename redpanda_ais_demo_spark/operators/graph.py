@@ -100,8 +100,7 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -168,11 +167,7 @@ def personalized_pagerank(
         "src",  # every round's ranks join + the degree join key
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    nodes = e.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
     sd = seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint(eager=False)
     k = sd.count()  # 1-row driver scalar, parameterizes the literals
     if k == 0:
@@ -321,17 +316,25 @@ def label_propagation(
     """
     if iters <= 0:
         raise ValueError(f"iters must be positive, got {iters}")
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # pin the raw edge list once: the node set and the symmetrized list
+    # both consume it, and the caller's edge-derivation subtree (orders ⋈
+    # lineitem → distinct for the declared queries) otherwise replays per
+    # consumer — and TWICE more inside each union-swap symmetrize (r14
+    # plan audit); inline explode symmetrizes in one pass instead
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint(eager=False)
     # every endpoint of the UNFILTERED edge list — keeps self-loop-only
     # nodes in the output (parity with the CC operators, which emit
     # (node, node) for them)
     all_nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = e.select(
+        F.expr("inline(array(struct(a AS a, b AS b), struct(b AS a, a AS b)))")
+    ).distinct()
     # pinned partitioned on the per-round join key a — see _pin_on
     sym = _pin_on(sym.filter(F.col("a") != F.col("b")), "a")
     labels = (
@@ -393,6 +396,10 @@ def modularity(
     the per-community table is |communities| rows. Output one row:
     (n_communities, m_edges, modularity).
     """
+    # pinned: three consumers (within's pair join, the endpoint-degree
+    # fold, the edge-count scalar) — unpinned, the canonicalize+distinct
+    # AND the caller's edge-derivation subtree replayed three times (r14
+    # plan audit: 6 source-table scans in the modularity plan)
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -400,6 +407,7 @@ def modularity(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     lab = labels.select(
         F.col(node_col).alias("n"), F.col(label_col).alias("c")
@@ -479,7 +487,15 @@ def adamic_adar_links(
         raise ValueError("top_n must be positive")
     if max_degree is not None and max_degree < 2:
         raise ValueError("max_degree must be >= 2 when set")
-    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("z")).distinct()
+    # e is pinned (degree fold + term join would otherwise each replay
+    # the caller's edge derivation); term is pinned (both candidate
+    # self-join sides consume it — unpinned, the whole e ⋈ deg subtree
+    # evaluated twice: the r14 plan audit read 4 source-table scans here)
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("z"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     deg = e.groupBy("z").agg(F.count(F.lit(1)).alias("dz"))
     usable = (F.col("dz") >= 2) if max_degree is None else (
         (F.col("dz") >= 2) & (F.col("dz") <= max_degree)
@@ -490,7 +506,7 @@ def adamic_adar_links(
             usable,
             F.round(F.lit(1e6) / F.log(F.col("dz").cast("double"))).cast("long"),
         ),
-    ).filter(F.col("micro").isNotNull())
+    ).filter(F.col("micro").isNotNull()).localCheckpoint(eager=False)
     a = term.alias("a")
     b = term.alias("b")
     pairs = (
@@ -549,8 +565,7 @@ def local_clustering_coefficient(
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     deg = (
-        e.select(F.col("lo").alias("node"))
-        .unionAll(e.select(F.col("hi").alias("node")))
+        e.select(F.explode(F.array("lo", "hi")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
@@ -602,9 +617,13 @@ def k_core(
         raise ValueError(f"k must be >= 1, got {k}")
     if max_rounds < 1:
         raise ValueError("max_rounds must be positive")
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # single-pass inline symmetrize: e ∪ e.swap would evaluate the
+    # caller's edge-derivation subtree twice before the pin
     alive = (
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .select(
+            F.expr("inline(array(struct(a AS a, b AS b), struct(b AS a, a AS b)))")
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
@@ -743,8 +762,7 @@ def hits(
     e_dst = _pin_on(e_src, "dst")
     by_key = {"src": e_src, "dst": e_dst}
     nodes = (
-        e_src.select(F.col("src").alias("node"))
-        .union(e_src.select(F.col("dst").alias("node")))
+        e_src.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )

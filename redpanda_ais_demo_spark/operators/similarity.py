@@ -521,6 +521,45 @@ def lsh_topk(
     )
 
 
+def semdedup_assign(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The assignment stage of ``semdedup``, UNPINNED: per vector, the
+    argmax-cosine centroid via a k-row broadcast crossJoin + per-id
+    window (partitioned on the vector id — no global sort; the only
+    single-partition exchange is the k-row lowest-id seed).
+    Returns (id, v, cluster). ``semdedup`` pins this frame once for its
+    three consumers; kept separate so the assignment plan contract
+    stays visible to plan-shape tests.
+    """
+    from ..functions import vector as vec
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), vec.to_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        cents = (
+            emb.orderBy("id")
+            .limit(n_clusters)
+            .select(F.col("id").alias("cid"), F.col("v").alias("cvec"))
+        )
+    else:
+        cents = centroids
+    sims = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "s", F.round(vec.cosine(F.col("v"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cid").asc())
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "v", F.col("cid").alias("cluster"))
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -561,26 +600,19 @@ def semdedup(
     """
     from ..functions import vector as vec
 
-    emb = embeddings.select(
-        F.col(id_col).alias("id"), vec.to_double(F.col(vec_col)).alias("v")
-    )
-    if centroids is None:
-        cents = (
-            emb.orderBy("id")
-            .limit(n_clusters)
-            .select(F.col("id").alias("cid"), F.col("v").alias("cvec"))
-        )
-    else:
-        cents = centroids
-    sims = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "s", F.round(vec.cosine(F.col("v"), F.col("cvec")), 6)
-    )
-    w = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cid").asc())
-    asg = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "v", F.col("cid").alias("cluster"))
-    )
+    # pinned: three consumers (both in-cluster pair-scan sides + the
+    # final anti-join base) — unpinned, the k-row crossJoin + per-id
+    # argmax window over the whole corpus replayed three times (r14
+    # plan audit: 6 embedding-table scans in this plan). Pinned rows =
+    # the corpus vectors + cluster id, read back from block storage
+    # instead of recomputing k cosines per vector per consumer.
+    # (semdedup_assign stays a separate function so the assignment
+    # subtree's plan contract — k-row broadcast, windowed argmax, no
+    # global sort — remains visible to the plan-shape tests the pin
+    # would otherwise hide behind a Scan ExistingRDD.)
+    asg = semdedup_assign(
+        embeddings, vec_col, id_col, n_clusters, centroids
+    ).localCheckpoint(eager=False)
     a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
     b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
     dropped = (
@@ -1132,7 +1164,12 @@ def rouge_n_pairs(
         .localCheckpoint(eager=False)  # feeds both pair sides + totals
     )
     tot = gc.groupBy("id").agg(F.sum("c").cast("long").alias("t"))
-    p = pairs.select(F.col(a_col).alias("ka"), F.col(b_col).alias("kb"))
+    # pinned: the candidate list feeds the overlap join AND the output
+    # spine — unpinned, the caller's pair generator (e.g. the full
+    # MinHash-LSH chain) evaluated twice (r14 plan audit)
+    p = pairs.select(F.col(a_col).alias("ka"), F.col(b_col).alias("kb")).localCheckpoint(
+        eager=False
+    )
     ov = (
         p.join(gc.select(F.col("id").alias("ka"), "g", F.col("c").alias("ca")), "ka")
         .join(

@@ -304,12 +304,16 @@ def grid_dbscan(
         raise ValueError("grid_w must be >= 3")
     from .dedup import connected_components_two_phase
 
+    # pinned: three consumers (probe explode, edge equi-join right side,
+    # final cluster labeling) — unpinned, the caller's cell-census
+    # aggregation replayed three times (r14 plan audit). Pinned rows are
+    # one per occupied dense cell.
     dense = cells.filter(F.col(n_col) >= min_points).select(
         F.col(cx_col).alias("cx"),
         F.col(cy_col).alias("cy"),
         F.col(n_col).alias("n"),
         (F.col(cx_col) * 100000 + F.col(cy_col)).cast("long").alias("cell_id"),
-    )
+    ).localCheckpoint(eager=False)
     offsets = F.array(
         *[
             F.struct(

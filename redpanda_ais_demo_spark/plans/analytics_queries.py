@@ -379,8 +379,11 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), (F.lit(1000000) + F.col("s")).alias("dst")).unionAll(
-        pairs.select((F.lit(1000000) + F.col("s")).alias("src"), F.col("c").alias("dst"))
+    # single-pass inline symmetrize: the union-swap form evaluated the
+    # orders ⋈ lineitem → distinct subtree twice before the operator's pin
+    edges = pairs.selectExpr(
+        "inline(array(struct(c AS src, 1000000 + s AS dst),"
+        " struct(1000000 + s AS src, c AS dst)))"
     )
     return pagerank(edges, iters=5)
 
@@ -1829,10 +1832,11 @@ def khop_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = pairs.select(
-        F.col("c").alias("src"), (F.lit(1000000) + F.col("s")).alias("dst")
-    ).unionAll(
-        pairs.select((F.lit(1000000) + F.col("s")).alias("src"), F.col("c").alias("dst"))
+    # single-pass inline symmetrize: the union-swap form evaluated the
+    # orders ⋈ lineitem → distinct subtree twice before the operator's pin
+    edges = pairs.selectExpr(
+        "inline(array(struct(c AS src, 1000000 + s AS dst),"
+        " struct(1000000 + s AS src, c AS dst)))"
     )
     seeds = supplier.filter(F.col("s_suppkey") <= 2).select(
         (F.lit(1000000) + F.col("s_suppkey")).alias("node")
@@ -4307,12 +4311,19 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = _copurchase_edges(spark, sf_dir)
-    e = e1.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
-        e1.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    )
+    # single-pass inline symmetrize + pins: the edge-end table feeds the
+    # degree fold AND the degree-attach join, and the degree table joins
+    # twice — unpinned, the lineitem self-join subtree replayed until the
+    # static plan read lineitem TWELVE times (r14 plan audit); pinned it
+    # reads it once
+    e = e1.select(
+        F.expr(
+            "inline(array(struct(src AS a, dst AS b), struct(dst AS a, src AS b)))"
+        )
+    ).localCheckpoint(eager=False)
     deg = e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
-    )
+    ).localCheckpoint(eager=False)
     ed = (
         e.join(deg.select(F.col("node").alias("a"), F.col("d").alias("x")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("d").alias("y")), "b")
@@ -4395,9 +4406,15 @@ def sssp_copurchase_from_min_part(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
-    w = F.greatest(F.lit(1), F.lit(5) - F.col("n")).cast("long")
-    e = pw.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), w.alias("w")).unionAll(
-        pw.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), w.alias("w"))
+    # pin the pair join once: the seed scalar and the operator's keyed
+    # edge pin both consume the symmetrized list — unpinned, the
+    # lineitem self-join replayed four times (union-swap doubling ×
+    # two consumers); inline explode symmetrizes in one pass
+    pw = pw.localCheckpoint(eager=False)
+    w = "CAST(greatest(1, 5 - n) AS BIGINT)"
+    e = pw.selectExpr(
+        f"inline(array(struct(lo AS src, hi AS dst, {w} AS w),"
+        f" struct(hi AS src, lo AS dst, {w} AS w)))"
     )
     seeds = e.agg(F.min("src").alias("node"))
     return sssp_bellman_ford(e, seeds)
@@ -7493,9 +7510,9 @@ def degree_powerlaw_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import hill_powerlaw
 
     edges = _copurchase_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    )
+    # explode(array(src, dst)) evaluates the lineitem self-join once; the
+    # union-of-selects form evaluated it twice
+    nodes = edges.select(F.explode(F.array("src", "dst")).alias("node"))
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     return hill_powerlaw(deg, "d", kmin=3)
 

@@ -1828,8 +1828,10 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = pairs.select(
         F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
     ).distinct()
-    edges = adj.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionAll(
-        adj.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    # single-pass inline symmetrize: the union-swap form evaluated the
+    # bigram-explode + distinct subtree twice before the operator's pin
+    edges = adj.selectExpr(
+        "inline(array(struct(lo AS src, hi AS dst), struct(hi AS src, lo AS dst)))"
     )
     pr = pagerank(edges, iters=5)
     return (
@@ -2934,16 +2936,22 @@ def resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash labels overflow a BIGINT sum under ANSI; component membership is
     # label-agnostic, so the narrower id space only has to be collision-
     # free over the name DICTIONARY (use dense ids at warehouse scale)
+    # pinned: the id dictionary joins three times (both edge endpoints +
+    # the label→name mapping) — unpinned, the distinct over part
+    # replayed per join (r14 plan audit: 3 part scans)
     names = part.select(F.col("p_name").alias("name")).distinct().withColumn(
         "nid", F.hash("name").cast("long")
-    )
+    ).localCheckpoint(eager=False)
     edges = (
         pairs.join(names.select(F.col("name").alias("name_a"), F.col("nid").alias("id_a")), "name_a")
         .join(names.select(F.col("name").alias("name_b"), F.col("nid").alias("id_b")), "name_b")
         .select("id_a", "id_b")
     )
     cc = dedup.connected_components(edges)
-    clusters = cc.join(names, cc.node == names.nid).select("name", "component")
+    # pinned: consumed by the canonical-min fold AND the mapping join
+    clusters = cc.join(names, cc.node == names.nid).select(
+        "name", "component"
+    ).localCheckpoint(eager=False)
     canonical = clusters.groupBy("component").agg(F.min("name").alias("canonical"))
     mapping = clusters.join(canonical, "component").select("name", "canonical")
     counts = part.groupBy(F.col("p_name").alias("name")).agg(

@@ -296,11 +296,27 @@ def test_semdedup_broadcast_assignment_no_global_sort(spark):
     # per-id argmax window partitions on the vector id (no global Sort
     # outside the k-row TakeOrdered seed), and the in-cluster pair scan
     # is a hash/sort-merge join on the cluster key.
-    plan = _physical_plan(spark, "semdedup_embeddings")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # r14: semdedup pins the assignment frame (one evaluation for its
+    # three consumers), which hides the assignment subtree behind a
+    # Scan ExistingRDD in the declared query's plan — so the broadcast/
+    # no-global-sort contract is asserted on the unpinned assignment
+    # stage directly, and the declared query keeps the pair-scan checks.
+    from redpanda_ais_demo_spark.operators.similarity import semdedup_assign
+    from redpanda_ais_demo_spark.sources import load_table
+
+    asg = semdedup_assign(load_table(spark, SF_SMOKE, "embeddings"))
+    aplan = asg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" in aplan or "BroadcastExchange" in aplan
     # the only SinglePartition exchange allowed is the k-row centroid seed
-    assert plan.count("SinglePartition") <= 1
-    assert "TakeOrderedAndProject" in plan  # k lowest-id seed = partial top-k
+    assert aplan.count("SinglePartition") <= 1
+    assert "TakeOrderedAndProject" in aplan  # k lowest-id seed = partial top-k
+    # declared query: in-cluster pair scan joins on the cluster key and
+    # the survivors leave via a left-anti join — never a corpus crossJoin
+    plan = _physical_plan(spark, "semdedup_embeddings")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_shuffle_training_order_has_no_global_sort(spark):

@@ -103,3 +103,55 @@ def test_substring_dedup_no_pin_plan_has_no_checkpoint(spark, tmp_path):
         )
         has_rdd = "Scan ExistingRDD" in plan or "LogicalRDD" in plan
         assert has_rdd == expect_rdd, f"pin={pin}: unexpected plan\n{plan[:800]}"
+
+
+# --- r14 optimization round: single-evaluation pins --------------------------
+#
+# The r14 plan audit (plans/r14/*_before.txt) caught expensive
+# multi-consumer subtrees replaying 2-4x per plan: union-swap
+# symmetrization doubling the edge-derivation join, shingle/minhash
+# profiles rebuilt once per self-join side, semdedup's centroid-argmax
+# assignment evaluated three times. The fix pins the shared frame
+# (lazy localCheckpoint) or symmetrizes in one pass (inline explode);
+# these tests pin the resulting plan shape: every parquet scan the
+# query still owns must appear in a checkpointed subtree exactly once,
+# so the declared query's STATIC plan contains zero parquet scans —
+# before the fix the same plans carried 4-12 duplicate scan locations.
+# (Result invariance is pinned by the suite's full oracle sweep: every
+# query below is hash-checked against DuckDB at sf0.001 per commit.)
+
+_SINGLE_EVAL_QUERIES = [
+    "minhash_lsh_pairs",          # was 4 documents scans
+    "rouge2_near_dup_pairs",      # was 8 documents scans
+    "semdedup_embeddings",        # was 6 embeddings scans
+    "simhash_near_dups",          # was 2 documents scans
+    "modularity_lpa_communities", # was 12 orders/lineitem scans
+    "copurchase_degree_assortativity",  # was 12 lineitem scans
+]
+# NOT here (r14, measured): ngram_jaccard_pairs, ngram_jaccard_pairs_prefix
+# and containment_pairs_docs stay UNPINNED — their duplicated subtrees are
+# narrow maps whose self-join exchanges collapse via ReusedExchange at
+# runtime; same-JVM A/Bs read the pins as neutral-to-regressive
+# (prefix: 2.68s pinned vs 2.06s unpinned at sf0.1).
+
+
+def test_multi_consumer_frames_are_pinned_single_scan(spark):
+    from redpanda_ais_demo_spark.plans import get_queries
+    from .conftest import SF_SMOKE
+
+    queries = get_queries()
+    for name in _SINGLE_EVAL_QUERIES:
+        plan = (
+            queries[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        n = plan.count("Scan parquet")
+        assert n == 0, (
+            f"{name}: {n} parquet scan(s) in the static plan — a shared "
+            f"subtree lost its single-evaluation pin\n{plan[:1200]}"
+        )
