@@ -682,13 +682,18 @@ def ridge_kfold_cv(
         raise ValueError("lambdas must be non-empty and distinct")
     if resid_unit < 1:
         raise ValueError("resid_unit must be >= 1")
+    # pinned: df feeds the fold-moment pass AND the scoring pass — for
+    # the declared query its derivation is an events-scale groupBy that
+    # replayed per consumer (r14 audit: 10 events scans in the static
+    # plan); folds is k rows feeding tot + train.
+    df = df.localCheckpoint(eager=False)
     folds = df.groupBy(F.col(fold_col).alias("fold")).agg(
         F.count(F.lit(1)).cast("long").alias("fn"),
         F.sum(F.col(x_col).cast("long")).alias("fsx"),
         F.sum(F.col(y_col).cast("long")).alias("fsy"),
         F.sum(F.col(x_col).cast(_DEC) * F.col(x_col)).alias("fsxx"),
         F.sum(F.col(x_col).cast(_DEC) * F.col(y_col)).alias("fsxy"),
-    )
+    ).localCheckpoint(eager=False)
     tot = folds.agg(
         F.sum("fn").cast("long").alias("tn"),
         F.sum("fsx").cast("long").alias("tsx"),
@@ -767,6 +772,9 @@ def ridge_kfold_cv(
                 F.sum(F.col("rq").cast(_DEC) * F.col("rq")),
             ).alias("sse_units"),
         )
+        # pinned: |λ| rows feeding the argmin scalar AND the output —
+        # unpinned, the whole scoring pass over df re-ran per consumer
+        .localCheckpoint(eager=False)
     )
     best = (
         per_lam.filter(F.col("sse_units").isNotNull())

@@ -190,11 +190,15 @@ def naive_bayes_classify(
     )
     tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
     labels = base.select("id", "actual")
+    # tok_c and |vocab| are exact folds of the (token, class) count
+    # table (Σ_token cnt and distinct tokens), so both read cnt_tc's
+    # (token, actual) exchange instead of re-aggregating the corpus
+    # tokenize+explode — the likelihood join reuses the same exchange.
     cnt_tc = toks.groupBy("token", "actual").agg(F.count("*").alias("cnt"))
-    tok_c = toks.groupBy("actual").agg(F.count("*").alias("tok_c"))
+    tok_c = cnt_tc.groupBy("actual").agg(F.sum("cnt").alias("tok_c"))
     n_c = base.groupBy("actual").agg(F.count("*").alias("n_docs"))
     n_total = base.count()  # 1-row driver scalar (the pagerank pattern)
-    vocab = toks.select("token").distinct().count()
+    vocab = cnt_tc.select("token").distinct().count()
 
     classes = n_c.select(F.col("actual").alias("cls"), "n_docs")
     prior = classes.select(
