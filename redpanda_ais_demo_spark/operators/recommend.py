@@ -256,10 +256,21 @@ def bradley_terry(
     if k == 0:
         raise ValueError("bradley_terry needs at least one valid comparison")
     p = wi.select("i", F.lit(1_000_000).cast("long").alias("pi"))
+    # the rating vector (and the per-round denominator table) is the
+    # |items|-row SMALL side of every join against the ≤|items|² pair
+    # table — but the pinned frames are ExistingRDD scans with no size
+    # stats, so auto-broadcast never fires and each round paid 2 full
+    # shuffle joins + sorts (AQE only rewrites them to broadcast AFTER
+    # materializing both exchanges). Explicit broadcasts leave the agg
+    # shuffle as each round's only exchange (guide §3.1); join strategy
+    # never changes rows, so the fixed point is bit-identical.
     for _ in range(rounds):
         t = (
-            e.join(p.select(F.col("i"), F.col("pi").alias("p_i")), "i")
-            .join(p.select(F.col("i").alias("j"), F.col("pi").alias("p_j")), "j")
+            e.join(F.broadcast(p.select(F.col("i"), F.col("pi").alias("p_i"))), "i")
+            .join(
+                F.broadcast(p.select(F.col("i").alias("j"), F.col("pi").alias("p_j"))),
+                "j",
+            )
             .select(
                 "i",
                 F.round(
@@ -272,7 +283,7 @@ def bradley_terry(
             .agg(F.sum("t").cast("long").alias("d"))
         )
         praw = (
-            wi.join(t, "i", "left")
+            wi.join(F.broadcast(t), "i", "left")
             .select(
                 "i",
                 F.when(
@@ -295,7 +306,7 @@ def bradley_terry(
             .localCheckpoint(eager=False)
         )
     return (
-        p.join(wi, "i")
+        p.join(F.broadcast(wi), "i")
         .select(
             F.col("i").alias("item"),
             F.col("pi").alias("rating"),

@@ -330,7 +330,11 @@ def ivf_topk(
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             yield pd.DataFrame(
-                {"id": pdf[id_col], "list_id": np.argmax(Vn @ C.T, axis=1).astype(np.int32)}
+                {
+                    "id": pdf[id_col],
+                    "list_id": np.argmax(Vn @ C.T, axis=1).astype(np.int32),
+                    "v": pdf[vec_col],
+                }
             )
 
     def query_probe(batches):
@@ -343,21 +347,71 @@ def ivf_topk(
                 {
                     "id": pdf[id_col].to_numpy().repeat(n_probe),
                     "list_id": order.reshape(-1).astype(np.int32),
+                    "v": pdf[vec_col].to_numpy().repeat(n_probe),
                 }
             )
 
-    # Candidate generation carries only (id, list_id) — never the payload;
-    # vectors are attached once, for the final re-score join.
-    corpus = base.mapInPandas(corpus_assign, "id long, list_id int")
-    queries = base.mapInPandas(query_probe, "id long, list_id int")
-    cands = (
-        queries.withColumnRenamed("id", "vec_id")
-        .join(corpus.withColumnRenamed("id", "neighbor_id"), "list_id")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .distinct()
+    # Per-LIST block scoring (r14). The old path joined the (id, list_id)
+    # sides into an explicit candidate-pair table — |Q|·n_probe·|list|
+    # rows that then dragged BOTH raw vectors through an Arrow rescore
+    # (≈ 520 B × pairs across the Python boundary) and a pair-sized
+    # distinct. Here each inverted list is scored as ONE numpy block
+    # (the LSH bucket shape, guide §8: payload moves once per list
+    # membership, the n²/lists dot products never leave the kernel),
+    # emitting only a per-query in-list shortlist of ids.
+    #
+    # Exactness: the kernel keeps every candidate whose RAW blocked
+    # cosine is within 2e-6 of the query's in-list k-th best. The final
+    # scores come from the UNCHANGED _rescore_topk path (per-pair
+    # einsum + JVM half-up round + window), so kept pairs score
+    # bit-identically to the old path; and any dropped candidate w has
+    # raw_w < rawK − 2e-6, while final rounding moves a score by at
+    # most 5e-7 (+ ~1 ULP matmul-vs-einsum noise, ≪ the slack), so the
+    # ≥ k candidates at raw ≥ rawK still outrank w strictly AFTER
+    # rounding — w was never in the global rounded top-k. The shortlist
+    # is therefore a provable superset of the final top-k.
+    corpus = base.mapInPandas(corpus_assign, "id long, list_id int, v array<float>")
+    queries = base.mapInPandas(query_probe, "id long, list_id int, v array<float>")
+    kk = int(k)
+    CHUNK = 2048
+
+    def list_shortlist(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": []}).astype(
+                {"vec_id": np.int64, "neighbor_id": np.int64}
+            )
+        c_ids = cpdf["id"].to_numpy(dtype=np.int64)
+        C = np.stack(cpdf["v"].to_numpy()).astype(np.float64)
+        cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+        out_q, out_n = [], []
+        for q0 in range(0, len(qpdf), CHUNK):
+            qc = qpdf.iloc[q0 : q0 + CHUNK]
+            q_ids = qc["id"].to_numpy(dtype=np.int64)
+            Q = np.stack(qc["v"].to_numpy()).astype(np.float64)
+            qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            S = (Q @ C.T) / (qn[:, None] * cn[None, :])
+            S[q_ids[:, None] == c_ids[None, :]] = -np.inf  # self-pairs
+            if S.shape[1] > kk:
+                kth = np.partition(S, -kk, axis=1)[:, -kk]
+            else:
+                kth = np.full(len(Q), -np.inf)
+            mask = S >= (kth[:, None] - 2e-6)
+            qi, ci = np.nonzero(mask)
+            out_q.append(q_ids[qi])
+            out_n.append(c_ids[ci])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+            }
+        )
+
+    shortlist = (
+        queries.groupBy("list_id")
+        .cogroup(corpus.groupBy("list_id"))
+        .applyInPandas(list_shortlist, "vec_id long, neighbor_id long")
     )
-    return _rescore_topk(base, cands, k, id_col, vec_col)
+    return _rescore_topk(base, shortlist, k, id_col, vec_col)
 
 
 def _rescore_topk(base: DataFrame, cand_pairs: DataFrame, k: int, id_col: str, vec_col: str) -> DataFrame:
