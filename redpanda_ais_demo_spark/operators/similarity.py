@@ -667,14 +667,40 @@ def semdedup(
     asg = semdedup_assign(
         embeddings, vec_col, id_col, n_clusters, centroids
     ).localCheckpoint(eager=False)
-    a = asg.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
-    b = asg.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster")
+    # In-cluster scan as ONE numpy block per cluster (r14). The old
+    # shape self-joined the assignment on the cluster key — Σ|c|² pair
+    # ROWS each carrying both 64-double vectors, with the cosine folded
+    # per pair by interpreted higher-order array expressions, then a
+    # pair-sized distinct. Here each cluster's vectors shuffle ONCE to
+    # their group and the kernel emits just the dropped ids: the Σ|c|²
+    # dot products stay inside a blocked matmul (guide §8 — decide on
+    # the payload where it sits, move it once), chunked so a giant
+    # cluster costs time, never task memory. Scores round with np.round
+    # exactly like the exact-verifier sibling (cosine_dup_pairs /
+    # _block_sims, oracle-green vs DuckDB's round on this family), so
+    # the threshold boundary is unchanged; ids partition by cluster, so
+    # per-cluster dropped sets are globally unique — no distinct.
+    CHUNK = 2048
+
+    def cluster_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id": []}).astype({"id": np.int64})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+        dropped = np.zeros(m, dtype=bool)
+        for c0 in range(0, m, CHUNK):
+            Cv, c_ids = V[c0 : c0 + CHUNK], ids[c0 : c0 + CHUNK]
+            S = np.round((V @ Cv.T) / (vn[:, None] * vn[c0 : c0 + CHUNK][None, :]), 6)
+            hit = (S >= threshold) & (ids[:, None] < c_ids[None, :])
+            dropped[c0 : c0 + CHUNK] |= hit.any(axis=0)
+        return pd.DataFrame({"id": ids[dropped]})
+
     dropped = (
-        a.join(b, "cluster")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(vec.cosine(F.col("va"), F.col("vb")), 6) >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
+        asg.select("cluster", "id", "v")
+        .groupBy("cluster")
+        .applyInPandas(cluster_dropped, "id long")
     )
     return asg.join(dropped, "id", "left_anti").select(
         F.col("id").alias(id_col), "cluster"
