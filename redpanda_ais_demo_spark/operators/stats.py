@@ -3618,9 +3618,13 @@ def spearman_corr(
     partial-aggregable five-sum pass. No data-sized sort, no
     per-row window.
     """
+    # pinned (r14): the pair frame feeds BOTH axis-rank groupBys AND the
+    # rank-attach join — three consumers whose post-exchange work (for
+    # the declared query, the orders⋈lineitem-agg join) replayed per
+    # consumer. Rows are two longs; same-day A/B 2.96 -> 2.25s.
     pairs = df.select(
         F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
-    )
+    ).localCheckpoint(eager=False)
 
     def midranks(col: str) -> DataFrame:
         vals = pairs.groupBy(F.col(col).alias("v")).agg(
