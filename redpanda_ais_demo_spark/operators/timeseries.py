@@ -1400,16 +1400,16 @@ def paa_correlation_pairs(
         (F.col("day") - F.col("__lo")) * n_buckets
         / (F.col("__hi") - F.col("__lo") + 1)
     ).cast("int")
-    per = (
-        base.crossJoin(F.broadcast(span))
-        .select("k", bucket.alias("b"), "c")
-        .groupBy("k", "b")
-        .agg(F.sum("c").alias("s"))
-    )
+    # one groupBy(k) with n_buckets conditional sums replaces the former
+    # (k, b) groupBy + (k) pivot stack (r14): integer addition is
+    # associative, so summing c directly under the bucket predicate is
+    # bit-identical to summing per-bucket subtotals — same x_d, one
+    # exchange instead of two
+    per = base.crossJoin(F.broadcast(span)).select("k", bucket.alias("b"), "c")
     prof = per.groupBy("k").agg(
         *[
             F.coalesce(
-                F.sum(F.when(F.col("b") == d, F.col("s"))), F.lit(0).cast("long")
+                F.sum(F.when(F.col("b") == d, F.col("c"))), F.lit(0).cast("long")
             ).alias(f"x{d}")
             for d in range(n_buckets)
         ]
