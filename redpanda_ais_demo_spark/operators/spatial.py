@@ -117,6 +117,7 @@ def close_pairs(
             F.col("us").alias("us_a"),
             F.col("lat").alias("lat_a"),
             F.col("lon").alias("lon_a"),
+            F.col("tb").alias("tb_a"),
             F.pmod(F.col("cx") + F.col("o.dx"), F.lit(n_lon_cells)).alias("jx"),
             (F.col("cy") + F.col("o.dy")).alias("jy"),
             (F.col("tb") + F.col("o.dt")).alias("jt"),
@@ -134,9 +135,20 @@ def close_pairs(
     )
 
     d_km = haversine_km(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b"))
+    # Direction predicate instead of a pair-level distinct (r14): a
+    # qualifying unordered pair surfaces TWICE when both fixes share a
+    # time bucket (each probes the other) and once when the buckets
+    # differ by 1 (only the earlier bucket probes forward); keeping the
+    # (earlier-bucket, or same-bucket lower-id, probe) copy yields
+    # exactly one row per pair — the shuffle the .distinct() paid to
+    # dedup the same rows is gone, bit-identical output.
+    keep_one = (F.col("tb_a") < F.col("jt")) | (
+        (F.col("tb_a") == F.col("jt")) & (F.col("id_a") < F.col("id_b"))
+    )
     pairs = (
         probe.join(build, on=["jt", "jx", "jy"])
         .filter(F.col("key_a") != F.col("key_b"))
+        .filter(keep_one)
         .filter(F.abs(F.col("us_a") - F.col("us_b")) <= win_us)
         .filter(d_km <= F.lit(float(dist_km)))
         .select(
@@ -147,7 +159,6 @@ def close_pairs(
             F.round(d_km * 1e6).cast("long").alias("dist_micro_km"),
             F.abs(F.col("us_a") - F.col("us_b")).alias("dt_us"),
         )
-        .distinct()
     )
     return pairs
 
