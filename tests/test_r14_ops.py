@@ -135,6 +135,62 @@ _SINGLE_EVAL_QUERIES = [
 # (prefix: 2.68s pinned vs 2.06s unpinned at sf0.1).
 
 
+def test_close_pairs_dedups_by_predicate_not_distinct(spark):
+    """r14: close_pairs' pair-level .distinct() (an Exchange + two
+    HashAggregates over every candidate pair) was replaced by the
+    direction predicate — same-bucket pairs keep only the lower-id
+    probe copy, cross-bucket pairs only the earlier-bucket probe. The
+    output must still hold EXACTLY one row per qualifying unordered
+    pair, and the plan must contain no aggregate at all."""
+    from redpanda_ais_demo_spark.operators.spatial import close_pairs
+
+    rows = [
+        # same time bucket, ~5.6 km apart: discovered from both sides
+        (1, "u1", 100_000_000, 10.00, 20.00),
+        (2, "u2", 200_000_000, 10.05, 20.00),
+        # adjacent buckets (dt within window), same spot as fix 1
+        (3, "u3", 3_650_000_000, 10.00, 20.00),
+        # far away: no pair
+        (4, "u4", 100_000_000, 50.00, 120.00),
+    ]
+    fixes = spark.createDataFrame(
+        rows, "event_id long, user_id string, us long, lat double, lon double"
+    )
+    pairs = close_pairs(
+        fixes, "event_id", "user_id", "us", "lat", "lon",
+        dist_km=50.0, window_s=3600, cell_deg=1.0, max_abs_lat=60.0,
+    )
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(1, 2), (1, 3), (2, 3)]  # one row each, no dup from dt=0
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan  # the distinct is gone for good
+
+
+def test_paa_profiles_build_in_one_aggregate(spark):
+    """r14: the (key, bucket) groupBy + per-key pivot stack collapsed
+    into ONE conditional-sum groupBy(key) — no two-key aggregate may
+    remain anywhere in the pair plan."""
+    from redpanda_ais_demo_spark.operators.timeseries import (
+        paa_correlation_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"2024-01-{d:02d} 00:00:00", float(i * d))
+         for i in range(1, 4) for d in range(1, 9)],
+        "user_id string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pairs = paa_correlation_pairs(
+        df, "user_id", "ts", "value", n_buckets=8, n_bits=4, threshold=0.0
+    )
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Keys [2]" not in plan, "a (key, bucket) aggregate reappeared"
+    assert pairs.count() >= 1  # positively-correlated fixture pairs exist
+
+
 def test_multi_consumer_frames_are_pinned_single_scan(spark):
     from redpanda_ais_demo_spark.plans import get_queries
     from .conftest import SF_SMOKE
