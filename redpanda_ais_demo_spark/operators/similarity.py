@@ -395,7 +395,12 @@ def ivf_topk(
                 kth = np.partition(S, -kk, axis=1)[:, -kk]
             else:
                 kth = np.full(len(Q), -np.inf)
-            mask = S >= (kth[:, None] - 2e-6)
+            # isfinite kills the masked self-pairs even when kth is -inf
+            # (a probed list with <= k members): `-inf >= -inf - 2e-6` is
+            # True, so without this a query emits itself as a candidate
+            # and _rescore_topk (which no longer carries the old
+            # vec_id != neighbor_id filter) would rank (v, v, 1.0) first.
+            mask = (S >= (kth[:, None] - 2e-6)) & np.isfinite(S)
             qi, ci = np.nonzero(mask)
             out_q.append(q_ids[qi])
             out_n.append(c_ids[ci])
@@ -674,12 +679,21 @@ def semdedup(
     # pair-sized distinct. Here each cluster's vectors shuffle ONCE to
     # their group and the kernel emits just the dropped ids: the Σ|c|²
     # dot products stay inside a blocked matmul (guide §8 — decide on
-    # the payload where it sits, move it once), chunked so a giant
-    # cluster costs time, never task memory. Scores round with np.round
-    # exactly like the exact-verifier sibling (cosine_dup_pairs /
-    # _block_sims, oracle-green vs DuckDB's round on this family), so
-    # the threshold boundary is unchanged; ids partition by cluster, so
-    # per-cluster dropped sets are globally unique — no distinct.
+    # the payload where it sits, move it once). MEMORY CONTRACT (r15,
+    # ADVICE r14): chunking bounds only the SCORE matrix (m×CHUNK
+    # float64); the groupBy(cluster).applyInPandas task still holds the
+    # whole cluster's VECTORS (~|c|·dim·8 B — with dim=64 a 2M-vector
+    # cluster is ~1 GB of task memory). n_clusters must therefore scale
+    # with corpus size so clusters stay task-sized — the same knob the
+    # SemDeDup paper turns for compare cost (Σ|c|² ∝ n²/k). Scores
+    # round with np.round exactly like the exact-verifier sibling
+    # (cosine_dup_pairs / _block_sims, oracle-green vs DuckDB's round
+    # on this family; np.round is half-even where the pre-r14 F.round
+    # was half-up — the rules differ only on EXACT decimal .5 ties,
+    # which a float64 cosine quotient cannot represent except by
+    # construction; near-boundary parity pinned in test_r15_ops.py);
+    # ids partition by cluster, so per-cluster dropped sets are
+    # globally unique — no distinct.
     CHUNK = 2048
 
     def cluster_dropped(pdf: pd.DataFrame) -> pd.DataFrame:

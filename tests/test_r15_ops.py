@@ -1,0 +1,84 @@
+"""Round-15 operator tests.
+
+Regression fixtures for this round's optimization-phase fixes:
+the IVF shortlist kernel's small-list self-pair leak (ADVICE r14 high).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F  # noqa: F401
+
+
+def test_ivf_topk_small_lists_emit_no_self_pairs(spark):
+    """When a probed inverted list has <= k members, the kernel's in-list
+    k-th best is -inf and the slack mask `S >= kth - 2e-6` passes the
+    -inf-masked self entry (`-inf >= -inf` is True). _rescore_topk no
+    longer filters vec_id != neighbor_id, so without the isfinite guard
+    the output ranks (v, v, 1.0) first, displacing a true neighbor."""
+    from redpanda_ais_demo_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=8).astype("float32").tolist()) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 6 centroids over 12 vectors -> every list has ~2 members, far below
+    # k=8: every (query, probed-list) block takes the kth = -inf branch.
+    out = similarity.ivf_topk(
+        emb, k=8, n_centroids=6, n_probe=2, kmeans_iters=2, sample_size=64
+    ).collect()
+    assert out, "tiny-corpus IVF returned nothing"
+    self_pairs = [r for r in out if r.vec_id == r.neighbor_id]
+    assert not self_pairs, f"self-pairs leaked: {self_pairs[:5]}"
+    # rank 1 must be a real neighbor with cos_sim < 1 on random data
+    by_rank1 = [r for r in out if r.rank == 1]
+    assert all(r.cos_sim < 1.0 for r in by_rank1)
+
+
+def test_semdedup_kernel_rounding_parity_at_threshold_boundary(spark):
+    """semdedup's numpy kernel rounds with np.round (half-even) where the
+    pre-r14 in-plan fold used F.round (HALF_UP). The rules differ only on
+    exact decimal .5 ties, which float64 cosine quotients cannot land on
+    except by construction — pin that: engineered cosines within ~1e-9
+    of the 1e-6 rounding grid around the threshold must produce the SAME
+    dropped set from the kernel path and from the JVM F.round expression
+    (the declared-query semantics the oracle checks)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from redpanda_ais_demo_spark.functions import vector as vec
+    from redpanda_ais_demo_spark.operators.similarity import semdedup
+
+    t = 0.97
+    # cosines straddling the 6dp rounding boundary around the threshold
+    cs = [
+        0.9699985, 0.9699994, 0.96999949999, 0.9699995, 0.96999950001,
+        0.9700005, 0.9700015, 0.97 - 1e-9, 0.97 + 1e-9, 0.5, 1.0,
+    ]
+    rows = [(0, [1.0, 0.0])] + [
+        (i + 1, [c, math.sqrt(max(0.0, 1.0 - c * c))]) for i, c in enumerate(cs)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # kernel path: one cluster so every pair is compared in-kernel
+    kept = {
+        r.vec_id for r in semdedup(emb, n_clusters=1, threshold=t).collect()
+    }
+    kernel_dropped = {r[0] for r in rows} - kept
+
+    # JVM-expression path: round(cosine, 6) >= t, drop x iff some y < x hits
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    hits = (
+        a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .where(F.round(vec.cosine(F.col("va"), F.col("vb")), 6) >= t)
+        .select("ib")
+        .distinct()
+        .collect()
+    )
+    expr_dropped = {r.ib for r in hits}
+    assert kernel_dropped == expr_dropped
+    # sanity: the fixture actually exercises both sides of the boundary
+    assert 0 not in expr_dropped and len(expr_dropped) >= 3
+    assert len(kept) >= 3
