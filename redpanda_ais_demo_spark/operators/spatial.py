@@ -75,6 +75,19 @@ def close_pairs(
             "for the 3x3 neighbor join to be exhaustive; raise cell_deg"
         )
     n_lon_cells = int(round(360.0 / cell_deg))
+    # The r14 direction-predicate dedup (below) assumes each (offset,
+    # direction) discovers a pair through EXACTLY one (dx, dy) cell pair.
+    # A longitude ring of <= 2 cells breaks that: pmod maps dx=-1 and
+    # dx=+1 to the SAME jx, so one probe row joins the same build row
+    # twice and the output would carry duplicate pairs the removed
+    # .distinct() used to collapse. Degenerate by construction (the span
+    # guard above already demands a huge dist_km to get here) — refuse.
+    if n_lon_cells < 3:
+        raise ValueError(
+            f"cell_deg={cell_deg} leaves only {n_lon_cells} longitude cells "
+            "— the 3x3 neighbor join needs >= 3 (cell_deg < 120) so the "
+            "wraparound offsets stay distinct; lower cell_deg"
+        )
 
     win_us = F.lit(int(window_s) * 1_000_000)
     base = fixes.select(

@@ -116,6 +116,39 @@ def test_cell_too_small_refused(spark):
         close_pairs(df, "fid", "fkey", "us", "lat", "lon", dist_km=0.0, window_s=60)
 
 
+def test_degenerate_lon_ring_refused(spark):
+    """cell_deg >= 120 leaves <= 3 longitude cells; at 180 the pmod
+    wraparound maps dx=-1 and dx=+1 to the same neighbor cell, so the
+    r15 constructor guard must refuse before the direction-predicate
+    dedup (which replaced .distinct() in r14) can double-emit pairs."""
+    df = _fixes_df(spark, [(1, "a", 0, 0.0, 0.0)])
+    with pytest.raises(ValueError, match="longitude cells"):
+        close_pairs(
+            df, "fid", "fkey", "us", "lat", "lon",
+            dist_km=DIST_KM, window_s=60, cell_deg=180.0, max_abs_lat=60.0,
+        )
+
+
+def test_antimeridian_pair_emitted_exactly_once(spark):
+    """Wraparound seam multiplicity: a qualifying pair straddling ±180
+    must surface as ONE row (the r14 change removed the pair-level
+    distinct; double discovery through the seam would now survive)."""
+    rows = [
+        (1, "a", 0, 0.0, 179.95),
+        (2, "b", 10, 0.0, -179.95),
+        # same-bucket, same-cell neighbors away from the seam
+        (3, "c", 0, 10.0, 20.0),
+        (4, "d", 5, 10.05, 20.05),
+    ]
+    df = _fixes_df(spark, rows)
+    out = close_pairs(
+        df, "fid", "fkey", "us", "lat", "lon",
+        dist_km=DIST_KM, window_s=WINDOW_S, max_abs_lat=60.0,
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert sorted(pairs) == [(1, 2), (3, 4)]  # each exactly once
+
+
 def test_cell_density_counts(spark):
     from redpanda_ais_demo_spark.operators.spatial import cell_density
 
