@@ -308,6 +308,43 @@ ADDITIONS = [  # everything beyond the stable 28-query core (r7+r8 operator clas
     "fd_profile_orders",
 ]
 
+# Driver-visible per-query subset (r15). The driver parses the LAST JSON
+# line inside a ~2000-char stdout tail, so the full 365-query map can
+# never ride the line (names alone exceed the window — that is exactly
+# the rounds-6/7 parsed:null failure). Instead a FROZEN subset rides the
+# line's "queries" key: the stable 28-query core plus the heaviest /
+# most-optimized paths, so PERF_rNN.per_query and the driver's core-ratio
+# scaling block populate for the queries that matter. Membership is
+# frozen (append-only) — entries must never vanish round-over-round, and
+# the worst-case serialized line stays under STDOUT_LINE_BUDGET
+# (test-enforced in tests/test_bench_contract.py).
+STDOUT_HEAVIES = [
+    "modularity_lpa_communities",
+    "grid_dbscan_hotspots",
+    "lpa_communities_customer_supplier",
+    "ppr_copurchase_min_part_brand",
+    "aipw_ate_priority_on_revenue",
+    "hits_customer_supplier",
+    "smd_balance_ipw_priority",
+    "pagerank_customer_supplier",
+    "ipw_ate_priority_on_revenue",
+    "bootstrap_ci_purchase_value",
+    "bradley_terry_brand_prefs",
+    "rouge2_near_dup_pairs",
+    "ngram_jaccard_pairs_prefix",
+    "dedup_clusters_two_phase",
+    "fs_link_same_name_parts",
+    "sssp_copurchase_from_min_part",
+    "kcore_copurchase_parts",
+    "semdedup_embeddings",
+    "ann_ivf_topk",
+    "ann_ivf_topk_distributed",
+    "fd_profile_orders",
+    "khop_supplier_reach",
+]
+STDOUT_LINE_BUDGET = 1750  # driver tail is ~2000 chars; leave slack
+
+
 def extended_queries() -> list[str]:
     """Every registered query not already in the core/additions lists —
     computed from the registry so bench coverage can never silently lag
@@ -465,10 +502,27 @@ def main() -> None:
         "samples": samples,
         "sf": sf,
     }
-    with open(os.path.join(REPO_DIR, "BENCH_LOCAL.json"), "w") as f:
+    # Record hygiene (r15, VERDICT r14 item 9): the committed
+    # BENCH_LOCAL.json is a curated 32-core full-run record; any bench
+    # invocation used to clobber it (the driver's own 8-core scaling run
+    # overwrote the committed record every round). The full record now
+    # lands in the untracked .bench_last.json by default; set
+    # SPARK_GRAFT_BENCH_RECORD=1 to update the committed record
+    # deliberately. Timing methodology is unchanged either way.
+    record_name = (
+        "BENCH_LOCAL.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_RECORD")
+        else ".bench_last.json"
+    )
+    with open(os.path.join(REPO_DIR, record_name), "w") as f:
         json.dump(full_record, f, indent=1)
         f.write("\n")
-    print(json.dumps(summary_line(total, core_total, extended_total, sf)))
+    print(
+        json.dumps(
+            summary_line(total, core_total, extended_total, sf, timings),
+            separators=(",", ":"),
+        )
+    )
     spark.stop()
 
 
@@ -516,11 +570,22 @@ def merge_partial(
     )
 
 
-def summary_line(total: float, core_total: float, extended_total: float, sf: float) -> dict:
-    """The compact stdout record. Keys only — kept <200 chars serialized
-    (test-enforced in tests/test_bench_contract.py) so the driver's
-    bounded stdout-tail capture always contains valid JSON."""
-    return {
+def summary_line(
+    total: float,
+    core_total: float,
+    extended_total: float,
+    sf: float,
+    timings: dict[str, float] | None = None,
+) -> dict:
+    """The compact stdout record: summary totals plus a FROZEN per-query
+    subset under "queries" (CORE_QUERIES + STDOUT_HEAVIES, 2dp). The
+    driver parses the last JSON line of a ~2000-char stdout tail, so the
+    serialized line must stay comfortably inside it: worst-case width is
+    test-enforced < STDOUT_LINE_BUDGET, and a runtime guard drops heavy
+    entries from the end if a pathological width ever exceeds it (the
+    rounds-6/7 full-record line landed parsed:null; per-query visibility
+    must never cost parseability)."""
+    line = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -529,6 +594,19 @@ def summary_line(total: float, core_total: float, extended_total: float, sf: flo
         "extended_sec": extended_total,
         "sf": sf,
     }
+    if timings is not None:
+        stdout_names = [
+            n for n in CORE_QUERIES + STDOUT_HEAVIES if n in timings
+        ]
+        qmap = {n: round(timings[n], 2) for n in stdout_names}
+        line = {**line, "queries": qmap}
+        while (
+            len(json.dumps(line, separators=(",", ":"))) > STDOUT_LINE_BUDGET
+            and qmap
+        ):
+            qmap.pop(next(reversed(qmap)))
+            line["queries"] = qmap
+    return line
 
 
 if __name__ == "__main__":

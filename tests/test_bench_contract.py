@@ -23,24 +23,75 @@ def _load_bench():
 
 def test_summary_line_under_driver_tail_cap():
     bench = _load_bench()
-    # worst-plausible widths: hundreds of seconds with 3-decimal rounding
-    line = json.dumps(bench.summary_line(9999.999, 9999.999, 9999.999, 0.1))
-    assert len(line) < 200, f"summary line {len(line)} chars — driver tail may truncate"
+    # worst-plausible widths: hundreds of seconds with 3-decimal rounding,
+    # every stdout-subset query at a 6-char 2dp value
+    worst = {n: 999.99 for n in bench.CORE_QUERIES + bench.STDOUT_HEAVIES}
+    line = json.dumps(
+        bench.summary_line(9999.999, 9999.999, 9999.999, 0.1, worst),
+        separators=(",", ":"),
+    )
+    assert len(line) < bench.STDOUT_LINE_BUDGET, (
+        f"summary line {len(line)} chars — driver tail may truncate"
+    )
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_runtime"
     assert parsed["unit"] == "sec"
     assert set(parsed) == {
         "metric", "value", "unit", "core_set_sec", "additions_sec",
-        "extended_sec", "sf",
+        "extended_sec", "sf", "queries",
     }
+    # the full frozen subset fits without the runtime truncation guard
+    # having to fire
+    assert set(parsed["queries"]) == set(worst)
+
+
+def test_summary_line_without_timings_stays_compact():
+    """The timings-free form (old contract) keeps the <200-char shape."""
+    bench = _load_bench()
+    line = json.dumps(bench.summary_line(9999.999, 9999.999, 9999.999, 0.1))
+    assert len(line) < 200
+    assert "queries" not in json.loads(line)
+
+
+def test_summary_line_truncation_guard_keeps_line_parseable():
+    """A pathological width (absurd values) must shed heavy entries from
+    the end rather than overflow the driver tail."""
+    bench = _load_bench()
+    absurd = {
+        n: 1e12 for n in bench.CORE_QUERIES + bench.STDOUT_HEAVIES
+    }
+    line = json.dumps(
+        bench.summary_line(1e12, 1e12, 1e12, 0.1, absurd),
+        separators=(",", ":"),
+    )
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    parsed = json.loads(line)  # still one valid JSON line
+    assert parsed["metric"] == "headline_queries_total_runtime"
+
+
+def test_stdout_subset_is_registered_and_duplicate_free():
+    import sys
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from redpanda_ais_demo_spark.plans import get_queries
+
+    bench = _load_bench()
+    subset = bench.CORE_QUERIES + bench.STDOUT_HEAVIES
+    assert len(subset) == len(set(subset)), "duplicate in stdout subset"
+    assert set(subset) <= set(get_queries()), (
+        sorted(set(subset) - set(get_queries()))
+    )
 
 
 def test_full_record_fields_live_in_bench_local_not_stdout():
-    """The per-query detail must not creep back onto the stdout line."""
+    """The raw per-query detail (spread/samples) must not creep back onto
+    the stdout line, and the queries map stays the frozen subset."""
     bench = _load_bench()
-    line = bench.summary_line(1.0, 0.5, 0.2, 0.1)
-    for heavy_key in ("queries", "spread", "samples"):
+    line = bench.summary_line(1.0, 0.5, 0.2, 0.1, {"q1_pricing_summary": 1.0})
+    for heavy_key in ("spread", "samples"):
         assert heavy_key not in line
+    assert set(line["queries"]) == {"q1_pricing_summary"}
 
 
 def test_merge_partial_overlays_prior_record(tmp_path):
