@@ -432,47 +432,113 @@ def fd_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     the FD to hold — Σ_a (n_a − max_b n_ab)/n), the standard
     approximate-FD strength.
 
-    Per pair: one partial-aggregable groupBy(A, B), one groupBy(A)
-    (both shuffles carry distinct tuples, never rows), one single-row
-    fold; the |cols|·(|cols|−1) per-pair plans union into ONE job.
-    NULLs count as values. Exact BIGINTs; g3 is one division.
-    Output: (lhs, rhs, n, n_lhs_distinct, n_pair_distinct, holds,
-    g3_error), ordered by the caller's sort.
+    ONE shared pass over ``df`` for ALL pairs (r15; the r14 shape ran
+    |cols|·(|cols|−1) independent per-pair pipelines — 12 source scans
+    for 4 columns — and the batch-6 A/B proved pinning the projection
+    loses, so the fix is scan sharing, guide §6/§2.4): a hand-built
+    Expand (explode of one struct per UNORDERED pair, non-member
+    columns nulled, native types kept) feeds a single partial-aggregable
+    groupBy that produces every pair's (A, B) contingency table at once;
+    each contingency row then serves BOTH directions (A→B keys on A,
+    B→A keys on B) through a map-side ×2 inline explode — the per-pair
+    algebra (n, distinct counts, max-per-key) is unchanged and exact.
+
+    Direction keys ride as strings: within one (pair, direction) the
+    active column is a single column, and Spark's Ryu double→string /
+    identity string casts are injective on values a typed groupBy has
+    already normalized, so distinct-count algebra is unchanged; NULL
+    stays NULL (a value, as before).
+
+    Per-pair results are BIGINT-exact; g3 is one division. Output:
+    (lhs, rhs, n, n_lhs_distinct, n_pair_distinct, holds, g3_error) —
+    one row per ordered pair, row order unspecified (as before: the
+    correctness gate is order-insensitive).
     """
     if len(cols) < 2:
         raise ValueError("need at least two candidate columns")
-    parts = []
-    for a in cols:
-        for b in cols:
-            if a == b:
-                continue
-            gb2 = df.groupBy(
-                F.col(a).alias("__a"), F.col(b).alias("__b")
-            ).agg(F.count(F.lit(1)).alias("c"))
-            per_a = gb2.groupBy("__a").agg(
-                F.sum("c").alias("ca"),
-                F.max("c").alias("ma"),
-                F.count(F.lit(1)).alias("cb"),
+    n_cols = len(cols)
+    upairs = [(i, j) for i in range(n_cols) for j in range(i + 1, n_cols)]
+
+    def slot(k: int, active: tuple[int, int]):
+        if k in active:
+            return F.col(cols[k]).alias(f"c{k}")
+        return F.lit(None).cast(df.schema[cols[k]].dataType).alias(f"c{k}")
+
+    expand = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("pid"), *[slot(k, ij) for k in range(n_cols)])
+                for p, ij in enumerate(upairs)
+            ]
+        )
+    ).alias("e")
+    ct = (
+        df.select(expand)
+        .groupBy(
+            F.col("e.pid").alias("pid"),
+            *[F.col(f"e.c{k}").alias(f"c{k}") for k in range(n_cols)],
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def lhs_val(direction: int):
+        # the active lhs column per pair id, as string (see docstring)
+        e = None
+        for p, (i, j) in enumerate(upairs):
+            v = F.col(f"c{i if direction == 0 else j}").cast("string")
+            e = F.when(F.col("pid") == p, v) if e is None else e.when(F.col("pid") == p, v)
+        return e
+
+    both_dirs = ct.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("pid") * 2).alias("opid"),
+                    lhs_val(0).alias("a"),
+                    F.col("cnt"),
+                ),
+                F.struct(
+                    (F.col("pid") * 2 + 1).alias("opid"),
+                    lhs_val(1).alias("a"),
+                    F.col("cnt"),
+                ),
             )
-            parts.append(
-                per_a.agg(
-                    F.lit(a).alias("lhs"),
-                    F.lit(b).alias("rhs"),
-                    F.sum("ca").cast("long").alias("n"),
-                    F.count(F.lit(1)).cast("long").alias("n_lhs_distinct"),
-                    F.sum("cb").cast("long").alias("n_pair_distinct"),
-                    (F.count(F.lit(1)) == F.sum("cb")).alias("holds"),
-                    F.round(
-                        (F.sum("ca") - F.sum("ma")).cast("double")
-                        / F.sum("ca").cast("double"),
-                        6,
-                    ).alias("g3_error"),
-                )
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        ).alias("d")
+    ).select("d.opid", "d.a", "d.cnt")
+    per_a = both_dirs.groupBy("opid", "a").agg(
+        F.sum("cnt").alias("ca"),
+        F.max("cnt").alias("ma"),
+        F.count(F.lit(1)).alias("cb"),
+    )
+    prof = per_a.groupBy("opid").agg(
+        F.sum("ca").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_lhs_distinct"),
+        F.sum("cb").cast("long").alias("n_pair_distinct"),
+        (F.count(F.lit(1)) == F.sum("cb")).alias("holds"),
+        F.round(
+            (F.sum("ca") - F.sum("ma")).cast("double") / F.sum("ca").cast("double"),
+            6,
+        ).alias("g3_error"),
+    )
+
+    def name_of(which: int):
+        e = None
+        for p, (i, j) in enumerate(upairs):
+            for d, k in ((0, (i, j)), (1, (j, i))):
+                v = F.lit(cols[k[which]])
+                cond = F.col("opid") == p * 2 + d
+                e = F.when(cond, v) if e is None else e.when(cond, v)
+        return e
+
+    return prof.select(
+        name_of(0).alias("lhs"),
+        name_of(1).alias("rhs"),
+        "n",
+        "n_lhs_distinct",
+        "n_pair_distinct",
+        "holds",
+        "g3_error",
+    )
 
 
 def t_closeness_audit(
