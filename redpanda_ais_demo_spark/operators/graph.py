@@ -278,13 +278,7 @@ def khop_distances(
             .select("node", F.lit(depth).cast("long").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        # count(), not isEmpty (r15): on a lazily-checkpointed frame,
-        # isEmpty's take(1) computes a partition subset and the
-        # checkpoint then fills the REST in a second job — count()
-        # computes every partition once, so the level's scalar and its
-        # checkpoint materialization share ONE job (the CC label-sum
-        # doctrine; jobs/level measured 2→1, tools/jobcount_ab.py).
-        if nxt.count() == 0:  # 1-row driver scalar, bounds wasted levels
+        if nxt.isEmpty():  # 1-row driver scalar, bounds wasted levels
             break
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
@@ -637,10 +631,7 @@ def k_core(
     for _ in range(max_rounds):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         bad = deg.filter(F.col("d") < k).select("a").localCheckpoint(eager=False)
-        # count()==0, not isEmpty (r15): one job materializes the pinned
-        # frame AND yields the convergence scalar — isEmpty's take(1)
-        # left the checkpoint fill to a second job (see khop_distances)
-        if bad.count() == 0:  # 1-row driver scalar: converged
+        if bad.isEmpty():  # 1-row driver scalar: converged
             return (
                 alive.groupBy("a")
                 .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
@@ -714,9 +705,7 @@ def sssp_bellman_ford(
             .select("node", "dist")
             .localCheckpoint(eager=False)
         )
-        # count()==0, not isEmpty (r15): one job materializes the pinned
-        # frame AND yields the convergence scalar (see khop_distances)
-        if improved.count() == 0:  # 1-row driver scalar: converged
+        if improved.isEmpty():  # 1-row driver scalar: converged
             return dist
         dist = (
             dist.join(improved.select(F.col("node").alias("n2")), dist.node == F.col("n2"), "left_anti")

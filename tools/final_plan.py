@@ -35,7 +35,9 @@ from redpanda_ais_demo_spark.dist import ensure_shipped  # noqa: E402
 from redpanda_ais_demo_spark.plans import get_queries  # noqa: E402
 from redpanda_ais_demo_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(REPO, "plans", "r14")
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLAN_DIR", os.path.join(REPO, "plans", "r15")
+)
 
 
 def main() -> None:
