@@ -115,6 +115,24 @@ def jaccard_pairs_prefix(shingles: DataFrame, threshold: float) -> DataFrame:
     per-doc profiles (corpus crosses a shuffle once), the prefix
     self-join (candidates ≈ linear for t ≥ 0.5 on natural corpora), and
     two broadcast-or-hash joins of profiles onto candidates.
+
+    Candidate pruning (r15): the prefix index carries each entry's
+    POSITION in the doc's rarest-first order plus the doc's set size,
+    and the candidate aggregation applies PPJoin's positional filter
+    (Xiao et al. 2008). For a pair with J ≥ t, the globally-minimal
+    shared shingle s* sits inside BOTH prefixes (if it fell past a's
+    prefix, every one of a's ≥ sz_a − ⌈t·sz_a⌉ + 1 prefix shingles
+    would be unshared, forcing common < t·sz_a ≤ t·|union| — a
+    contradiction), and no shingle ordered before s* is shared, so
+    common ≤ min(sz_a − pos_a*, sz_b − pos_b*) with 0-indexed
+    positions. Requiring that bound to reach the equivalent-overlap
+    threshold ⌈t·(sz_a+sz_b)/(1+t)⌉ (common ≥ α ⟺ J ≥ t) drops pairs
+    that provably cannot qualify BEFORE the verification joins — the
+    surviving-candidate set provably contains every output pair, so
+    results are unchanged (the filter subsumes the standard length
+    filter at pos 0). At sf0.1/t=0.5 this cuts candidates 409k → ~3k,
+    and the min-position aggregation replaces the old pair distinct
+    (same shuffle, two extra min columns).
     """
     # NOT pinned (r14, measured): a same-JVM interleaved A/B of pinning
     # hashed and/or profiles read min 2.68s (both) / 2.90s (profiles) /
@@ -138,13 +156,32 @@ def jaccard_pairs_prefix(shingles: DataFrame, threshold: float) -> DataFrame:
             f" cast(size(arr) - ceil({threshold}d * size(arr)) + 1 as int)) AS prefix",
         )
     )
-    idx = profiles.select("id", F.explode("prefix").alias("sh"))
+    idx = profiles.select(
+        "id", "sz", F.posexplode("prefix").alias("pos", "sh")  # pos 0-indexed
+    )
     a = idx.alias("a")
     b = idx.alias("b")
     cands = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            # the minimal shared prefix element has the minimal position
+            # on BOTH sides at once (each doc's prefix is sorted by the
+            # same global (df, sh) order)
+            F.min("a.pos").alias("pa"),
+            F.min("b.pos").alias("pb"),
+            F.first("a.sz").alias("za"),
+            F.first("b.sz").alias("zb"),
+        )
+        .filter(
+            F.least(F.col("za") - F.col("pa"), F.col("zb") - F.col("pb"))
+            >= F.ceil(
+                F.lit(float(threshold))
+                * (F.col("za") + F.col("zb"))
+                / F.lit(1.0 + float(threshold))
+            )
+        )
+        .select("id_a", "id_b")
     )
     pa = profiles.select(
         F.col("id").alias("id_a"), F.col("shset").alias("set_a"), F.col("sz").alias("size_a")
