@@ -130,7 +130,8 @@ def jaccard_pairs_prefix(shingles: DataFrame, threshold: float) -> DataFrame:
     that provably cannot qualify BEFORE the verification joins — the
     surviving-candidate set provably contains every output pair, so
     results are unchanged (the filter subsumes the standard length
-    filter at pos 0). At sf0.1/t=0.5 this cuts candidates 409k → ~3k,
+    filter at pos 0). At sf0.1/t=0.5 this cuts candidates 409k → 125k
+    before the verification joins (same-JVM min-of-5 2.53s → 1.86s),
     and the min-position aggregation replaces the old pair distinct
     (same shuffle, two extra min columns).
     """
