@@ -1252,7 +1252,14 @@ def rouge_n_pairs(
             F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("w")
         )
         .filter(F.size("w") >= n)
-        .select("id", F.explode(grams).alias("g"))
+        .select("id", F.explode(grams).alias("gs"))
+        # hash the gram BEFORE the corpus groupBy (r15): the shuffle key
+        # and the pinned rows carry 8 B instead of the n-word string
+        # (the jaccard family's trade — 64-bit collisions are immaterial
+        # at any corpus where this runs, and a within-doc collision
+        # merges two count rows without changing totals). Overlap only
+        # needs gram EQUALITY, never the text.
+        .select("id", F.xxhash64("gs").alias("g"))
         .groupBy("id", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint(eager=False)  # feeds both pair sides + totals
