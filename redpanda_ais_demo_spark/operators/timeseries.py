@@ -1390,10 +1390,24 @@ def paa_correlation_pairs(
     day = F.floor(F.unix_timestamp(F.col(ts_col)) / 86400).cast("long")
     cents = F.round(F.col(value_col) * 100).cast("long")
     base = df.select(F.col(key_col).alias("k"), day.alias("day"), cents.alias("c"))
+    # ONE raw pass (r15): every downstream consumer — the auto-width
+    # distinct-key count, the span scalar, and BOTH band-join sides —
+    # used to re-scan the raw source (4 scans in the r14 plan). The
+    # (k, day) partial-aggregable rollup is the coarsest frame they all
+    # derive from exactly: bucket is a function of day, so per-bucket
+    # sums of day-sums are bit-identical BIGINT sums of the raw cents,
+    # the day span of the rollup is the day span of the raw rows, and
+    # groupBy preserves the key set. Pinned because all three consumers
+    # sit behind shuffles of a corpus-sized source.
+    daily = (
+        base.groupBy("k", "day")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     if n_bits is None:
-        n_bits = auto_sign_bits(base.select("k").distinct().count())
+        n_bits = auto_sign_bits(daily.select("k").distinct().count())
     H = sign_projection_matrix(n_buckets, n_bits)
-    span = base.agg(
+    span = daily.agg(
         F.min("day").alias("__lo"), F.max("day").alias("__hi")
     )
     bucket = F.floor(
@@ -1405,7 +1419,7 @@ def paa_correlation_pairs(
     # associative, so summing c directly under the bucket predicate is
     # bit-identical to summing per-bucket subtotals — same x_d, one
     # exchange instead of two
-    per = base.crossJoin(F.broadcast(span)).select("k", bucket.alias("b"), "c")
+    per = daily.crossJoin(F.broadcast(span)).select("k", bucket.alias("b"), "c")
     prof = per.groupBy("k").agg(
         *[
             F.coalesce(
