@@ -1114,26 +1114,57 @@ def fs_linkage_scores(
         raise ValueError("field_cols must be non-empty")
     if not (0.0 < m_prior < 1.0):
         raise ValueError(f"m_prior must be in (0, 1), got {m_prior}")
-    n1 = df.agg(F.count(F.lit(1)).alias("__fs_n"))
+    fields = list(field_cols)
+    # ONE corpus scan builds every field's value-frequency table at once
+    # (r15, the fd_profile Expand pattern; the r14 shape ran one vocab
+    # groupBy per field plus a count scan — |fields|+1 passes, and the
+    # r14 batch-6 A/B showed pinning the BIG frames loses here, so scan
+    # sharing is the structural fix). One struct per field, non-member
+    # slots nulled, native types kept; the groupBy is partial-aggregable
+    # and collapses to vocabulary size, so the pin below holds a few
+    # hundred rows while saving |fields|·2 corpus replays (aw + dw both
+    # read it, as does the record count: Σ c over any one field's rows).
+    def _slot(k: int, f: str):
+        if f == fields[k]:
+            return F.col(f).alias(f"__fs_v_{f}")
+        return F.lit(None).cast(df.schema[f].dataType).alias(f"__fs_v_{f}")
+
+    fused = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("__fs_pid"),
+                            *[_slot(k, f) for f in fields],
+                        )
+                        for k in range(len(fields))
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("__fs_pid", *[f"__fs_v_{f}" for f in fields])
+        .agg(F.count(F.lit(1)).alias("__fs_c"))
+        .localCheckpoint(eager=False)
+    )
+    n1 = fused.filter(F.col("__fs_pid") == 0).agg(
+        F.sum("__fs_c").alias("__fs_n")
+    )
+    nd = F.col("__fs_n").cast("double")
+    # agreement weights pre-join onto the RECORD side (r15): agreement
+    # on f scores by a's value (= b's value when they agree), so the
+    # per-value lookup probes |records| rows once instead of |pairs|
+    # rows per field — the pair stream is Σ block² and dwarfs N.
     a = df.select(
         F.col(key_col).alias("__fs_ka"),
         F.col(block_col).alias("__fs_blk"),
-        *[F.col(f).alias(f"__fs_a_{f}") for f in field_cols],
+        *[F.col(f).alias(f"__fs_a_{f}") for f in fields],
     )
-    b = df.select(
-        F.col(key_col).alias("__fs_kb"),
-        F.col(block_col).alias("__fs_blk"),
-        *[F.col(f).alias(f"__fs_b_{f}") for f in field_cols],
-    )
-    pairs = (
-        a.join(b, "__fs_blk")
-        .filter(F.col("__fs_ka") < F.col("__fs_kb"))
-        .crossJoin(F.broadcast(n1))
-    )
-    nd = F.col("__fs_n").cast("double")
-    for f in field_cols:
-        vocab = df.groupBy(F.col(f).alias(f"__fs_v_{f}")).agg(
-            F.count(F.lit(1)).alias(f"__fs_c_{f}")
+    dws = []
+    for k, f in enumerate(fields):
+        vocab = fused.filter(F.col("__fs_pid") == k).select(
+            f"__fs_v_{f}", F.col("__fs_c").alias(f"__fs_c_{f}")
         )
         # per-value agreement weight: ln(m / (n_v/N)), micro-quantized
         aw = vocab.crossJoin(F.broadcast(n1)).select(
@@ -1145,10 +1176,14 @@ def fs_linkage_scores(
             .cast("long")
             .alias(f"__fs_aw_{f}"),
         )
+        a = a.join(
+            F.broadcast(aw),
+            F.col(f"__fs_a_{f}").eqNullSafe(F.col(f"__fs_v_{f}")),
+        ).drop(f"__fs_v_{f}")
         # field-level disagreement weight: ln((1-m)/(1-sum((n_v/N)^2))).
         # A single-valued field has u_f = 1 exactly (disagreement is
         # impossible, and the ratio would divide by zero) — weight 0.
-        dw = (
+        dws.append(
             vocab.agg(
                 F.sum(
                     F.col(f"__fs_c_{f}").cast("decimal(38,0)")
@@ -1177,10 +1212,14 @@ def fs_linkage_scores(
                 .alias(f"__fs_dw_{f}"),
             )
         )
-        pairs = pairs.join(
-            F.broadcast(aw),
-            F.col(f"__fs_a_{f}").eqNullSafe(F.col(f"__fs_v_{f}")),
-        ).crossJoin(F.broadcast(dw))
+    b = df.select(
+        F.col(key_col).alias("__fs_kb"),
+        F.col(block_col).alias("__fs_blk"),
+        *[F.col(f).alias(f"__fs_b_{f}") for f in fields],
+    )
+    pairs = a.join(b, "__fs_blk").filter(F.col("__fs_ka") < F.col("__fs_kb"))
+    for dw in dws:
+        pairs = pairs.crossJoin(F.broadcast(dw))
     score = None
     for f in field_cols:
         term = F.when(
