@@ -27,10 +27,38 @@ hash-compared across engines at all.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
+
+
+def _vec_broadcast_limit() -> int:
+    """Row cap under which a per-round node vector is broadcast.
+
+    The iterative loops join an edge-scale pinned frame against an
+    O(|nodes|) vector every round. Both sides are ExistingRDD leaves
+    (localCheckpoint outputs) that carry no stats, so auto-broadcast
+    never fires (the bradley_terry lesson) and even AQE's runtime
+    conversion still pays the edge side's per-round shuffle WRITE
+    before it can switch strategies. An explicit hint removes that
+    write entirely — but only when the vector genuinely fits: the cap
+    is rows COUNTED at runtime (every caller already materializes a
+    1-row node-count scalar), not a guess. Default 1M rows ≈ 16-32 MB
+    serialized — modest executor overhead against two edge-scale
+    exchanges saved per round; at 100 TB node counts the count exceeds
+    the cap and every join falls back to the keyed-pin shuffle shape
+    unchanged. Env ``SPARK_GRAFT_VEC_BROADCAST_ROWS`` overrides (0
+    disables; read per call so a same-JVM A/B can toggle it).
+    """
+    return int(os.environ.get("SPARK_GRAFT_VEC_BROADCAST_ROWS", "1000000"))
+
+
+def _maybe_bcast(df: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` when its counted row bound fits the cap."""
+    return F.broadcast(df) if n_rows <= _vec_broadcast_limit() else df
 
 
 def _pin_on(df: DataFrame, *keys: str) -> DataFrame:
@@ -110,13 +138,13 @@ def pagerank(
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
     for _ in range(iters):
         shares = (
-            e.join(ranks, e.src == F.col("node"))
-            .join(deg, "src")
+            e.join(_maybe_bcast(ranks, n), e.src == F.col("node"))
+            .join(_maybe_bcast(deg, n), "src")
             .select("dst", F.expr("rank div deg").alias("share"))
         )
         s = shares.groupBy("dst").agg(F.sum("share").alias("s"))
         ranks = (
-            nodes.join(s, nodes.node == s.dst, "left")
+            nodes.join(_maybe_bcast(s, n), nodes.node == s.dst, "left")
             .select(
                 "node",
                 (
@@ -181,18 +209,19 @@ def personalized_pagerank(
         .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
         .localCheckpoint(eager=False)
     )
+    n = nodes_f.count()  # 1-row scalar: vector size, gates the broadcast
     ranks = nodes_f.select(
         "node", (F.col("is_seed").cast("long") * F.lit(r0)).alias("rank")
     )
     for _ in range(iters):
         shares = (
-            e.join(ranks, e.src == F.col("node"))
-            .join(deg, "src")
+            e.join(_maybe_bcast(ranks, n), e.src == F.col("node"))
+            .join(_maybe_bcast(deg, n), "src")
             .select("dst", F.expr("rank div deg").alias("share"))
         )
         s = shares.groupBy("dst").agg(F.sum("share").alias("s"))
         ranks = (
-            nodes_f.join(s, nodes_f.node == s.dst, "left")
+            nodes_f.join(_maybe_bcast(s, n), nodes_f.node == s.dst, "left")
             .select(
                 "node",
                 (
@@ -337,6 +366,9 @@ def label_propagation(
     ).distinct()
     # pinned partitioned on the per-round join key a — see _pin_on
     sym = _pin_on(sym.filter(F.col("a") != F.col("b")), "a")
+    # 1-row scalar bounding the label-vector size (labels ⊆ all_nodes),
+    # gates the per-round broadcast of the vector side
+    n = all_nodes.count()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -345,7 +377,7 @@ def label_propagation(
     )
     for _ in range(iters):
         neigh = (
-            sym.join(labels, sym.a == labels.node)
+            sym.join(_maybe_bcast(labels, n), sym.a == labels.node)
             .select(F.col("b").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -364,7 +396,7 @@ def label_propagation(
         )
     # nodes whose only edges are self-loops never appear in `sym`, so
     # they keep their own id as label: emit (node, node) for them
-    isolated = all_nodes.join(labels, "node", "left_anti").select(
+    isolated = all_nodes.join(_maybe_bcast(labels, n), "node", "left_anti").select(
         "node", F.col("node").alias("label")
     )
     return labels.unionAll(isolated)
@@ -409,12 +441,25 @@ def modularity(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # pinned: three consumers (both within-join sides and the degree
+    # fold) — unpinned, the caller's label derivation (a whole LPA run
+    # for the declared query) replays per consumer. The count doubles
+    # as the broadcast gate for the label-map joins: when the map fits,
+    # both within-joins become map-side over the pinned edge list and
+    # its two edge-scale join exchanges disappear.
     lab = labels.select(
         F.col(node_col).alias("n"), F.col(label_col).alias("c")
-    )
+    ).localCheckpoint(eager=False)
+    n_lab = lab.count()
     within = (
-        e.join(lab.select(F.col("n").alias("a"), F.col("c").alias("ca")), "a")
-        .join(lab.select(F.col("n").alias("b"), F.col("c").alias("cb")), "b")
+        e.join(
+            _maybe_bcast(lab.select(F.col("n").alias("a"), F.col("c").alias("ca")), n_lab),
+            "a",
+        )
+        .join(
+            _maybe_bcast(lab.select(F.col("n").alias("b"), F.col("c").alias("cb")), n_lab),
+            "b",
+        )
         .filter(F.col("ca") == F.col("cb"))
         .groupBy(F.col("ca").alias("c"))
         .agg(F.count(F.lit(1)).alias("m_c"))
@@ -423,7 +468,7 @@ def modularity(
         e.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        .join(lab, "n")
+        .join(_maybe_bcast(lab, n_lab), "n")
         .groupBy("c")
         .agg(F.sum("d").alias("d_c"))
     )
@@ -773,7 +818,9 @@ def hits(
 
     def _gather_rescale(vec: DataFrame, edge_key: str, out_key: str) -> DataFrame:
         raw = (
-            by_key[edge_key].join(vec.withColumnRenamed("node", edge_key), edge_key)
+            by_key[edge_key].join(
+                _maybe_bcast(vec.withColumnRenamed("node", edge_key), n), edge_key
+            )
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum("score").alias("raw"))
             .localCheckpoint(eager=False)
@@ -798,8 +845,8 @@ def hits(
         a = _gather_rescale(h, "src", "dst")
         h = _gather_rescale(a, "dst", "src")
     return (
-        nodes.join(h.withColumnRenamed("score", "hub"), "node", "left")
-        .join(a.withColumnRenamed("score", "authority"), "node", "left")
+        nodes.join(_maybe_bcast(h.withColumnRenamed("score", "hub"), n), "node", "left")
+        .join(_maybe_bcast(a.withColumnRenamed("score", "authority"), n), "node", "left")
         .select(
             "node",
             F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),

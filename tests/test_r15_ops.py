@@ -82,3 +82,43 @@ def test_semdedup_kernel_rounding_parity_at_threshold_boundary(spark):
     # sanity: the fixture actually exercises both sides of the boundary
     assert 0 not in expr_dropped and len(expr_dropped) >= 3
     assert len(kept) >= 3
+
+
+def test_graph_vector_broadcast_gate_is_output_neutral(spark, monkeypatch):
+    """The iterative graph loops broadcast their per-round node vector
+    when the counted node set fits SPARK_GRAFT_VEC_BROADCAST_ROWS (and
+    fall back to the keyed-pin shuffle joins above it). The gate is a
+    pure join-strategy hint: both modes must produce bit-identical
+    integer vectors / labels on a graph with hubs, ties, sinks and a
+    self-loop-only node."""
+    from redpanda_ais_demo_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        # two bridged triangles + a sink + a self-loop-only node
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7), (8, 8)],
+        "src long, dst long",
+    )
+
+    def run_all():
+        lpa = sorted(map(tuple, graph.label_propagation(edges, iters=3).collect()))
+        pr = sorted(map(tuple, graph.pagerank(edges, iters=3).collect()))
+        seeds = spark.createDataFrame([(1,)], "node long")
+        ppr = sorted(
+            map(tuple, graph.personalized_pagerank(edges, seeds, iters=3).collect())
+        )
+        ht = sorted(map(tuple, graph.hits(edges, iters=2).collect()))
+        mod = sorted(
+            map(
+                tuple,
+                graph.modularity(
+                    edges, graph.label_propagation(edges, iters=3)
+                ).collect(),
+            )
+        )
+        return lpa, pr, ppr, ht, mod
+
+    monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "0")
+    shuffled = run_all()
+    monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "1000000")
+    broadcast = run_all()
+    assert shuffled == broadcast
