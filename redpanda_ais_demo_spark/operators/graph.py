@@ -383,7 +383,11 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # argmax by (c DESC, label ASC) == min of the lexicographic
-        # struct (-c, label) — partial-aggregable, no per-node sort
+        # struct (-c, label) — partial-aggregable, no per-node sort.
+        # A single-exchange mode(label, true) fusion of the two groupBys
+        # (identical output, r15 A/B over 21 same-JVM interleaved rounds)
+        # measured NEUTRAL-to-worse — the ObjectHashAggregate map buffers
+        # cost what the saved small exchange buys — and was reverted.
         labels = (
             neigh.groupBy("node")
             .agg(
