@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from .graph import _maybe_bcast
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
@@ -729,9 +730,14 @@ def connected_components(
     # each round costs ONE job (vs eager = checkpoint job + action job)
     # while still truncating the per-round lineage.
     labels = labels.localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # the convergence collect doubles as the node count (one row per
+    # node, stable across rounds) — it gates the per-round broadcast of
+    # the label vector with ZERO extra jobs (see graph._maybe_bcast:
+    # checkpoint leaves carry no stats, so auto-broadcast never fires)
+    first = labels.agg(F.sum("label").alias("s"), F.count("*").alias("n")).collect()[0]
+    prev_sum, n_nodes = first.s, first.n
     for _ in range(max_iters):
-        msgs = sym.join(labels, sym.src == labels.node).select(
+        msgs = sym.join(_maybe_bcast(labels, n_nodes), sym.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
         labels = (
@@ -801,6 +807,11 @@ def connected_components_two_phase(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # 1-row scalar: every round's min-label side has at most one row per
+    # node, so this single count gates the per-round broadcast for the
+    # whole loop (see graph._maybe_bcast — checkpoint leaves carry no
+    # stats, auto-broadcast never fires on them)
+    n_nodes = nodes.count()
     # pinned like every later round's edge set: _large_star consumes its
     # input twice (symmetrize + min-join), which would replay round 1's
     # filter+distinct shuffle
@@ -816,7 +827,7 @@ def connected_components_two_phase(
         )
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         return (
-            sym.join(m, "u")
+            sym.join(_maybe_bcast(m, n_nodes), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -826,7 +837,7 @@ def connected_components_two_phase(
         oriented = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         m = oriented.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         return (
-            oriented.join(m, "u")
+            oriented.join(_maybe_bcast(m, n_nodes), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
@@ -856,6 +867,7 @@ def connected_components_two_phase(
         )
     # fixpoint edges are (node > root) → root; roots label themselves
     roots = e.groupBy("u").agg(F.min("v").alias("component"))
+    roots = _maybe_bcast(roots, n_nodes)
     return nodes.join(roots, nodes.node == roots.u, "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )

@@ -122,3 +122,30 @@ def test_graph_vector_broadcast_gate_is_output_neutral(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "1000000")
     broadcast = run_all()
     assert shuffled == broadcast
+
+
+def test_cc_vector_broadcast_gate_is_output_neutral(spark, monkeypatch):
+    """Both connected-components closures broadcast their per-round
+    min-label side under the same counted gate as the graph loops; the
+    hint must not change any (node, component) assignment — exercised
+    on a long chain (diameter stress), a star, a self-loop-only node
+    and duplicate/reversed pairs."""
+    from redpanda_ais_demo_spark.operators import dedup
+
+    pairs = [(i, i + 1) for i in range(1, 9)]  # chain 1..9
+    pairs += [(20, 21), (20, 22), (22, 20), (23, 23)]  # star, dup, loop
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def run_both():
+        cc = sorted(map(tuple, dedup.connected_components(edges).collect()))
+        cc2 = sorted(
+            map(tuple, dedup.connected_components_two_phase(edges).collect())
+        )
+        return cc, cc2
+
+    monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "0")
+    shuffled = run_both()
+    monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "1000000")
+    broadcast = run_both()
+    assert shuffled == broadcast
+    assert shuffled[0] == shuffled[1]  # both closures agree
