@@ -297,19 +297,27 @@ def khop_distances(
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=False)
     )
-    frontier = visited
+    # the early-stop scalar is a count(), not isEmpty: the count is the
+    # frontier size, which gates broadcasting the frontier into the
+    # level join and the visited set into the anti-join (driver-tracked
+    # running total — no extra jobs; the r15 isEmpty->count A/B without
+    # a broadcast to gate read neutral, the gate is what pays here)
+    n_visited = visited.count()
+    frontier, n_frontier = visited, n_visited
     for depth in range(1, k + 1):
         nxt = (
-            e.join(frontier, e.src == frontier.node)
+            e.join(_maybe_bcast(frontier, n_frontier), e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(_maybe_bcast(visited, n_visited), "node", "left_anti")
             .select("node", F.lit(depth).cast("long").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():  # 1-row driver scalar, bounds wasted levels
+        n_frontier = nxt.count()  # 1-row driver scalar, bounds wasted levels
+        if n_frontier == 0:
             break
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        n_visited += n_frontier
         frontier = nxt
     return visited
 
@@ -545,11 +553,15 @@ def adamic_adar_links(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # 1-row scalar over the pinned edge list: |deg| and |term| are both
+    # <= |e|, so one count gates every broadcast below (conservative —
+    # at 100 TB edge counts everything stays on the shuffle shape)
+    n_e = e.count()
     deg = e.groupBy("z").agg(F.count(F.lit(1)).alias("dz"))
     usable = (F.col("dz") >= 2) if max_degree is None else (
         (F.col("dz") >= 2) & (F.col("dz") <= max_degree)
     )
-    term = e.join(deg, "z").withColumn(
+    term = e.join(_maybe_bcast(deg, n_e), "z").withColumn(
         "micro",
         F.when(
             usable,
@@ -558,6 +570,10 @@ def adamic_adar_links(
     ).filter(F.col("micro").isNotNull()).localCheckpoint(eager=False)
     a = term.alias("a")
     b = term.alias("b")
+    # the candidate self-join stays shuffle-based: broadcasting the
+    # |term|-row build side measured +34% (r15 same-JVM A/B) — the
+    # hash-relation build on an edge-scale side costs more than the
+    # exchange it saves, unlike the node-scale vectors elsewhere
     pairs = (
         a.join(
             b,
@@ -680,15 +696,20 @@ def k_core(
     for _ in range(max_rounds):
         deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         bad = deg.filter(F.col("d") < k).select("a").localCheckpoint(eager=False)
-        if bad.isEmpty():  # 1-row driver scalar: converged
+        # convergence scalar is the peel-set COUNT (same one-job
+        # materialization as isEmpty on the pinned frame) so it can gate
+        # broadcasting `bad` into both anti-joins — unpeeled rounds stop
+        # re-shuffling the alive edge list twice per round
+        n_bad = bad.count()
+        if n_bad == 0:  # converged
             return (
                 alive.groupBy("a")
                 .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
                 .select(F.col("a").alias("node"), "core_degree")
             )
         alive = (
-            alive.join(bad, "a", "left_anti")
-            .join(bad.select(F.col("a").alias("b")), "b", "left_anti")
+            alive.join(_maybe_bcast(bad, n_bad), "a", "left_anti")
+            .join(_maybe_bcast(bad.select(F.col("a").alias("b")), n_bad), "b", "left_anti")
             .localCheckpoint(eager=False)
         )
     raise RuntimeError(
@@ -737,10 +758,10 @@ def sssp_bellman_ford(
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=False)
     )
-    frontier = dist
+    frontier, n_frontier = dist, dist.count()
     for _ in range(max_rounds):
         proposals = (
-            e.join(frontier, e.src == frontier.node)
+            e.join(_maybe_bcast(frontier, n_frontier), e.src == frontier.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
@@ -754,10 +775,18 @@ def sssp_bellman_ford(
             .select("node", "dist")
             .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():  # 1-row driver scalar: converged
+        # convergence scalar as a count (one-job materialization, same
+        # as isEmpty on a pinned frame) — the count gates broadcasting
+        # the frontier join and the merge anti-join next round
+        n_frontier = improved.count()
+        if n_frontier == 0:  # converged
             return dist
         dist = (
-            dist.join(improved.select(F.col("node").alias("n2")), dist.node == F.col("n2"), "left_anti")
+            dist.join(
+                _maybe_bcast(improved.select(F.col("node").alias("n2")), n_frontier),
+                dist.node == F.col("n2"),
+                "left_anti",
+            )
             .unionAll(improved)
             .localCheckpoint(eager=False)
         )

@@ -149,3 +149,44 @@ def test_cc_vector_broadcast_gate_is_output_neutral(spark, monkeypatch):
     broadcast = run_both()
     assert shuffled == broadcast
     assert shuffled[0] == shuffled[1]  # both closures agree
+
+
+def test_frontier_loop_broadcast_gate_is_output_neutral(spark, monkeypatch):
+    """khop/sssp/k_core's convergence scalar is now a count() that gates
+    broadcasting the frontier / peel set; adamic_adar broadcasts its
+    degree table under the pinned-edge count. Gate on vs off must be
+    bit-identical, including early-stop rounds (frontier drains) and
+    multi-round peeling."""
+    from redpanda_ais_demo_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 3), (6, 7), (1, 6), (2, 6)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    wedges = edges.withColumn("w", (F.col("src") + F.col("dst")) % 3 + 1)
+
+    def run_all():
+        kh = sorted(map(tuple, graph.khop_distances(edges, seeds, k=6).collect()))
+        kc = sorted(map(tuple, graph.k_core(edges, k=2).collect()))
+        ss = sorted(
+            map(tuple, graph.sssp_bellman_ford(wedges, seeds).collect())
+        )
+        aa = sorted(
+            map(
+                tuple,
+                graph.adamic_adar_links(
+                    edges.select(F.col("src").alias("u"), F.col("dst").alias("z")),
+                    "u",
+                    "z",
+                    top_n=10,
+                ).collect(),
+            )
+        )
+        return kh, kc, ss, aa
+
+    monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "0")
+    shuffled = run_all()
+    monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "1000000")
+    broadcast = run_all()
+    assert shuffled == broadcast
