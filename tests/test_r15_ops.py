@@ -190,3 +190,29 @@ def test_frontier_loop_broadcast_gate_is_output_neutral(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_VEC_BROADCAST_ROWS", "1000000")
     broadcast = run_all()
     assert shuffled == broadcast
+
+
+def test_top_token_count_sort_fold_matches_naive(spark):
+    """The sort+run-length fold must equal the naive count-each-token
+    max on ties, singletons, all-distinct and all-same arrays, and stay
+    NULL on the empty array (the array_max contract it replaced)."""
+    from redpanda_ais_demo_spark.functions import text as TXT
+
+    rows = [
+        (["a", "b", "a", "c", "a"],),
+        (["x"],),
+        (["t", "t", "t", "t"],),
+        (["a", "b", "c"],),
+        (["b", "a", "b", "a"],),  # tie 2-2
+        (["", "", "a"],),  # empty-string tokens
+        ([],),
+    ]
+    df = spark.createDataFrame(rows, "w array<string>")
+    naive = F.array_max(
+        F.transform(F.col("w"), lambda t: F.size(F.filter(F.col("w"), lambda x: x == t)))
+    )
+    out = df.select(
+        TXT.top_token_count(F.col("w")).alias("fold"), naive.alias("naive")
+    ).collect()
+    for r in out:
+        assert r.fold == r.naive, f"fold {r.fold} != naive {r.naive}"
