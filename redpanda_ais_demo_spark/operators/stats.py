@@ -1213,14 +1213,21 @@ def ipf_rake_2d(
     """
     if rounds < 1:
         raise ValueError("rounds must be positive")
-    w = cells.select("r", "c", F.col("w_micro").cast("long").alias("w_micro"))
-    rt = F.broadcast(row_targets.select(F.col("r"), F.col("t").alias("__rt")))
-    ct = F.broadcast(col_targets.select(F.col("c"), F.col("t").alias("__ct")))
+    # fold the CONSTANT targets onto the cell frame once — the loop's
+    # previous per-round target joins re-ran their broadcast job every
+    # round (2 extra jobs x rounds) for values that never change. The
+    # inner-join semantics are unchanged: cells missing a row/column
+    # target drop here exactly as they dropped per round before.
+    w = (
+        cells.select("r", "c", F.col("w_micro").cast("long").alias("w_micro"))
+        .join(F.broadcast(row_targets.select(F.col("r"), F.col("t").alias("__rt"))), "r")
+        .join(F.broadcast(col_targets.select(F.col("c"), F.col("t").alias("__ct"))), "c")
+        .localCheckpoint(eager=False)
+    )
     for _ in range(rounds):
         rm = w.groupBy("r").agg(F.sum("w_micro").alias("__rm"))
         w = (
             w.join(F.broadcast(rm), "r")
-            .join(rt, "r")
             .withColumn(
                 "w_micro",
                 F.when(F.col("__rm") > 0,
@@ -1228,12 +1235,11 @@ def ipf_rake_2d(
                        .cast("long"))
                 .otherwise(F.lit(0).cast("long")),
             )
-            .drop("__rm", "__rt")
+            .drop("__rm")
         )
         cm = w.groupBy("c").agg(F.sum("w_micro").alias("__cm"))
         w = (
             w.join(F.broadcast(cm), "c")
-            .join(ct, "c")
             .withColumn(
                 "w_micro",
                 F.when(F.col("__cm") > 0,
@@ -1241,9 +1247,9 @@ def ipf_rake_2d(
                        .cast("long"))
                 .otherwise(F.lit(0).cast("long")),
             )
-            .drop("__cm", "__ct")
+            .drop("__cm")
         ).localCheckpoint(eager=False)
-    return w
+    return w.select("r", "c", "w_micro")
 
 
 def mann_whitney_u(

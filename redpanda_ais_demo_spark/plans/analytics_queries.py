@@ -4589,17 +4589,27 @@ def rake_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import ipf_rake_2d
 
     events = load_table(spark, sf_dir, "events")
-    base = events.filter(F.col("event_id") % 2 == 0)
-    cur = events.filter(F.col("event_id") % 2 == 1)
-    cells = base.groupBy(
-        F.col("event_type").alias("r"), F.weekday("ts").cast("long").alias("c")
-    ).agg((F.count(F.lit(1)) * 1000000).cast("long").alias("w_micro"))
-    row_t = cur.groupBy(F.col("event_type").alias("r")).agg(
-        (F.count(F.lit(1)) * 1000000).cast("long").alias("t")
+    # ONE events pass: a parity-tagged (type, weekday) cell census that
+    # every raking input derives from exactly — the even half's cells
+    # are its own census rows, the odd half's margins are integer sums
+    # of its census counts (sums of cell counts == the margin counts,
+    # bit-identical BIGINTs). Unfused this scanned events three times
+    # (cells + each margin); the census is |types|x7x2 rows, pinned.
+    grid = (
+        events.groupBy(
+            F.col("event_type").alias("r"),
+            F.weekday("ts").cast("long").alias("c"),
+            (F.col("event_id") % 2 == 0).alias("in_base"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    col_t = cur.groupBy(F.weekday("ts").cast("long").alias("c")).agg(
-        (F.count(F.lit(1)) * 1000000).cast("long").alias("t")
+    cells = grid.filter(F.col("in_base")).select(
+        "r", "c", (F.col("n") * 1000000).cast("long").alias("w_micro")
     )
+    cur = grid.filter(~F.col("in_base"))
+    row_t = cur.groupBy("r").agg((F.sum("n") * 1000000).cast("long").alias("t"))
+    col_t = cur.groupBy("c").agg((F.sum("n") * 1000000).cast("long").alias("t"))
     out = ipf_rake_2d(cells, row_t, col_t, rounds=6)
     return out.select(
         F.col("r").alias("event_type"), F.col("c").alias("dow"), "w_micro"
