@@ -109,6 +109,17 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
     PCM WAV payload. 8-bit unsigned and 16-bit signed PCM are supported;
     compressed WAV (the ``wave`` module refuses non-PCM) and other sample
     widths raise ``NotImplementedError``."""
+    rate, channels, x = decode_wav_np(payload)
+    return rate, channels, x.tolist()
+
+
+def decode_wav_np(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """`decode_wav` without the list round-trip: returns the mono-mixed
+    float64 samples as the numpy array they are decoded into. The
+    values are bit-identical to ``decode_wav``'s floats (tolist() is a
+    lossless float64 conversion) — numpy kernels (VAD framing) should
+    take this form instead of paying a per-sample list build + asarray
+    re-parse on every payload."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             channels, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
@@ -131,4 +142,4 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
     if channels > 1:
         frames = len(x) // channels
         x = x[: frames * channels].reshape(frames, channels).mean(axis=1)
-    return rate, channels, x.tolist()
+    return rate, channels, x

@@ -510,7 +510,9 @@ def audio_vad_segments(
             }
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    rate, _, samples = codecs.decode_wav(
+                    # np variant: same float64 values, no per-sample
+                    # list build + asarray re-parse per payload
+                    rate, _, x = codecs.decode_wav_np(
                         bytes(payload) if payload is not None else b""
                     )
                 except NotImplementedError:
@@ -521,7 +523,6 @@ def audio_vad_segments(
                     # instead of dividing by zero in the ms conversion
                     continue
                 frame_len = max(1, int(rate * frame_ms / 1000))
-                x = np.asarray(samples, dtype=np.float64)
                 n_frames_total = len(x) // frame_len
                 if n_frames_total == 0:
                     continue
